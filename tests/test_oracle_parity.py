@@ -1,0 +1,85 @@
+"""Local mirror of the driver's correctness gate: run every registered query
+in Spark AND its DuckDB oracle on the same parquet tables, compare
+row-count + schema (column names) + values (order-insensitive).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from wsspark.io import TESTDATA_TABLES
+from wsspark.queries import build_registry
+
+REGISTRY = build_registry()
+ORACLE_QUERIES = [q for q in REGISTRY.values() if q.oracle is not None]
+SPARK_ONLY = [q for q in REGISTRY.values() if q.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object and len(s) and isinstance(
+            s.dropna().iloc[0] if s.notna().any() else None, (dt.date, dt.datetime)
+        ):
+            out[c] = s.astype(str)
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype(bool)
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+    out = out[sorted(out.columns)]
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("q", ORACLE_QUERIES, ids=[q.name for q in ORACLE_QUERIES])
+def test_oracle_parity(q, spark, sf_dir, duck):
+    got = canonicalize(q.fn(spark, sf_dir).toPandas())
+    want = canonicalize(duck.execute(q.oracle).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"{q.name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{q.name}: row count {len(got)} vs {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g):
+            ok = np.isclose(
+                g.to_numpy(), w.to_numpy(dtype="float64"), rtol=1e-9, atol=1e-9,
+                equal_nan=True,
+            )
+            assert ok.all(), (
+                f"{q.name}.{c}: {int((~ok).sum())} value diffs, max "
+                f"{np.nanmax(np.abs(g.to_numpy() - w.to_numpy(dtype='float64')))}"
+            )
+        else:
+            same = (g == w) | (g.isna() & w.isna())
+            assert same.all(), (
+                f"{q.name}.{c}: {int((~same).sum())} diffs, e.g. "
+                f"{g[~same].head(3).tolist()} vs {w[~same].head(3).tolist()}"
+            )
+
+
+@pytest.mark.parametrize("q", SPARK_ONLY, ids=[q.name for q in SPARK_ONLY])
+def test_spark_only_queries_run(q, spark, sf_dir):
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,104 @@
+"""Readers and writers.
+
+Sources (reference parity, SURVEY.md §2.1):
+- S1 full table scans  -> ``load_tables`` / ``read_table`` (parquet; JDBC hook)
+- S2 incremental scans -> ``quality.incremental_filter`` (a Catalyst filter,
+  pushed into the parquet/JDBC scan automatically — the reference
+  string-interpolates SQL by hand, etl/extract/data_extractor.py:43-70)
+- S3 parquet/csv sinks -> ``write_report``
+- S4 append summary    -> ``append_table``
+
+Scale note: a 100 TB ``stock_movements``/``events`` fact should live
+date-partitioned on disk (``write_fact_partitioned``); every trend/incremental
+query then prunes partitions instead of scanning history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Driver testdata tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Parquet column -> nanosecond-int64 columns that need ns->us conversion
+# (Spark refuses TIMESTAMP(NANOS); we read as long via nanosAsLong).
+_NS_TIMESTAMP_COLS = {"events": ("ts",)}
+
+
+def convert_ns_timestamp(df: DataFrame, col: str) -> DataFrame:
+    """int64 nanoseconds -> TimestampType, truncating to microseconds.
+
+    Integer division (``div``) keeps the math exact on int64 — a double
+    roundtrip would lose precision at 1.7e18 — and matches DuckDB's
+    truncating ns->us cast bit-for-bit.
+    """
+    return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NS_TIMESTAMP_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = convert_ns_timestamp(df, c)
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load testdata tables and register each as a temp view (so the whole
+    transform layer is also reachable from ``spark.sql``)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S3 analog: one report -> one output location (reference writes one
+    file per report, etl/load/data_loader.py:26-63). Small aggregate outputs
+    coalesce to 1 file; facts should use ``write_fact_partitioned``."""
+    writer = df.coalesce(1).write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    else:
+        raise ValueError(f"unsupported report format: {fmt}")
+
+
+def write_fact_partitioned(df: DataFrame, path: str, date_col: str = "movement_date") -> None:
+    """Date-partitioned fact layout — the Spark analog of the reference's
+    B-tree index on movement_date (database/schema.sql:189): partition
+    pruning replaces index range scans at scale."""
+    (
+        df.withColumn("_dt", F.to_date(F.col(date_col)))
+        .write.mode("overwrite")
+        .partitionBy("_dt")
+        .parquet(path)
+    )
+
+
+def append_table(df: DataFrame, table: str) -> None:
+    """S4 analog: append run-summary rows to a managed table
+    (etl/load/data_loader.py:89-94 uses pandas to_sql append)."""
+    df.write.mode("append").saveAsTable(table)

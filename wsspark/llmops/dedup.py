@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All hashing is Spark's built-in ``xxhash64`` with integer seeds — JVM-side,
+deterministic across runs/executors, no Python in the loop.
+
+Scale design:
+- exact dedup: one hash-groupBy over the corpus (map-side combinable).
+- exact Jaccard is quadratic and exists as the small-scale oracle / verifier;
+  the scale path is MinHash LSH: shingle -> k minhashes -> b bands -> bucket
+  join, so the pairwise step runs only inside same-signature buckets.
+- SimHash: 64-bit fingerprint per doc; near-dups collide on rotated band
+  keys (hamming-adjacent docs share a band), again bucket-local pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 32
+DEFAULT_BANDS = 8
+DEFAULT_SHINGLE = 3
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: smallest id wins."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct content."""
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def word_shingles(text_col: str = "text", k: int = DEFAULT_SHINGLE):
+    """Distinct k-word shingles as a native expression: zip the token array
+    against its shifted selves."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Exact shingle-set Jaccard similarity for all pairs (within optional
+    blocking columns). Quadratic within blocks — the correctness oracle for
+    the LSH path, and usable directly when blocks are small."""
+    shingles = word_shingles(text_col, shingle_k) if shingle_k > 1 else F.array_distinct(
+        F.split(F.col(text_col), " ")
+    )
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), *block_cols, F.explode(shingles).alias("w")
+    )
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = words.alias("a")
+    b = words.alias("b")
+    cond = (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.round(
+        F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 4
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """MinHash signature per doc: for seed j, min over shingles of
+    xxhash64(shingle, j). One transform over the shingle array — entirely
+    JVM expressions, no shuffle."""
+    shingles = word_shingles(text_col, shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidates.
+    Self-join runs per (band, band_hash) bucket — near-linear when dup rate
+    is modest; hot buckets are handled by AQE skew splitting."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[F.col("signature")[b * rows + r].cast("string") for r in range(rows)],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Scale-path near-dup detection: LSH candidates, then *exact* Jaccard
+    verification of candidates only (estimated-signature similarity is never
+    reported — candidates are re-checked against true shingle sets)."""
+    sigs = minhash_signatures(docs, num_hashes, text_col, id_col, shingle_k)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_k).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document from word features: bit i of the
+    fingerprint is the sign of sum over words of (+1 if xxhash64(word) bit i
+    set else -1). Expressed with aggregate() over the token array."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_mask(i: int):
+        return F.lit(1 << i if i < 63 else -(2**63)).cast("long")
+
+    def bit_vote(i: int):
+        # closure factory: the merge lambda must take exactly (acc, h)
+        def merge(acc, h):
+            return acc + F.when(h.bitwiseAND(bit_mask(i)) != 0, 1).otherwise(-1)
+
+        return merge
+
+    fingerprint = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0), bit_vote(i))
+        fingerprint = fingerprint + F.when(bit_sum > 0, bit_mask(i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return docs.select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
+
+
+def simhash_bands(sim: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the 64-bit simhash into ``bands`` 16-bit keys: docs within
+    hamming distance < bands share at least one band key (pigeonhole),
+    giving bucket-local candidate generation."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    return sim.select("doc_id", "simhash", F.posexplode(band_arr).alias("band", "band_key"))

@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (image/audio codecs are not available in
+this environment — see ``decode_image_stub``): it produces a deterministic
+fake feature vector from the bytes so the Spark-side contract — schema,
+batching, partitioning, UDF signature — is real and fully tested. Swapping
+in PIL/librosa/ffmpeg is a one-function change inside the mapInPandas body;
+the dataflow (scan -> repartition -> Arrow batches -> struct output) is what
+matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(DoubleType()), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def decode_image_stub(payload: bytes) -> list[float]:
+    """Deterministic fake 'decode + feature extract': digest bytes into a
+    fixed-dim vector. Replace with a real codec (PIL / torchvision) in
+    production — signature and output shape stay identical.
+
+    Raises NotImplementedError for payloads tagged as real codecs we cannot
+    decode here, making the stub boundary explicit.
+    """
+    if payload is None:
+        return None
+    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+        raise NotImplementedError(
+            "real image decoding requires PIL/opencv, not available in this env"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """mapInPandas pass over binary payloads -> feature vectors.
+
+    Arrow ships columnar batches to Python; each batch is processed
+    vectorized-per-row but with zero per-row Python<->JVM crossings. For
+    skew (few huge videos per partition) repartition upstream by
+    ``media_id`` so batches stay balanced.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "feature": pdf["payload"].map(decode_image_stub),
+                }
+            )
+            yield out
+
+    cols = ["media_id", "media_type", "payload"]
+    return media.select(*cols).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling *plumbing* for video rows: computes deterministic frame
+    timestamps from metadata natively (sequence + explode); the actual frame
+    decode would join this against ``extract_features`` output. No Python
+    needed for the sampling plan itself."""
+    return (
+        media.filter(F.col("media_type") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select("media_id", "frame_ts_ms")
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the baseline/oracle. Dot
+  products are native ``zip_with``/``aggregate`` expressions in double
+  precision (JVM codegen; no Python, no UDF).
+- ``ivf_topk``: the scale path — an IVF-style index: pick C deterministic
+  centroids, assign every vector to its ``n_probe`` nearest cells, and only
+  score query/candidate pairs that share a cell. Per-cell work is
+  |cell_queries| x |cell_vectors| instead of |Q| x |N|.
+
+At 100 TB the corpus side stays partitioned by cell (bucketed layout) and
+queries broadcast — no all-pairs shuffle ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = as_double(F.col(vec_col))
+    return df.withColumn("_vec", v).withColumn("_norm", norm(F.col("_vec")))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set against
+    the corpus, one shuffle for the per-query top-k window."""
+    corpus = with_norm(vectors, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "_vec", "_norm"
+    )
+    qs = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    cos = F.round(
+        dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")), 4
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    vec_col: str = "_vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its n_probe nearest centroids (by cosine)."""
+    cents = centroids.select(
+        F.col("centroid_id"), F.col("_vec").alias("_cvec"), F.col("_norm").alias("_cnorm")
+    )
+    cos = dot(F.col(vec_col), F.col("_cvec")) / (F.col("_norm") * F.col("_cnorm"))
+    scored = vectors.crossJoin(F.broadcast(cents)).withColumn("_ccos", cos)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= n_probe)
+        .drop("_ccos", "_crank", "_cvec", "_cnorm")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k. Centroids are the ``n_cells`` corpus
+    vectors with the smallest ids — deterministic, no RNG (replayability;
+    k-means would drop in here without changing the dataflow). Corpus
+    vectors get 1 cell; queries probe ``n_probe`` cells."""
+    corpus = with_norm(vectors, vec_col).select(F.col(id_col), "_vec", "_norm")
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            "_vec",
+            "_norm",
+        )
+    )
+    assigned = ivf_assign(corpus, centroids, n_probe=1, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id", "_vec", "_norm"
+    )
+    qs = with_norm(queries, vec_col).select(F.col(id_col), "_vec", "_norm")
+    q_assigned = ivf_assign(qs, centroids, n_probe=n_probe, id_col=id_col).select(
+        F.col(id_col).alias("query_id"),
+        "centroid_id",
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    cos = F.round(
+        dot(F.col("_qvec"), F.col("_vec")) / (F.col("_qnorm") * F.col("_norm")), 4
+    )
+    scored = (
+        assigned.join(F.broadcast(q_assigned), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )
+
+
+def embedding_cosine_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cell-blocked exact cosine — pairs are
+    scored only within shared IVF cells (probe 2 keeps boundary pairs)."""
+    corpus = with_norm(vectors, vec_col).select(F.col(id_col), "_vec", "_norm")
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            "_vec",
+            "_norm",
+        )
+    )
+    assigned = ivf_assign(corpus, centroids, n_probe=2, id_col=id_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("centroid_id"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("centroid_id"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    cos = F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4)
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

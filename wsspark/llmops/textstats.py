@@ -1,0 +1,104 @@
+"""Text analysis operators: token counting, quality scoring, language-ID
+heuristic. All pure Spark expressions (no UDFs) — string ops stay inside
+whole-stage codegen, so these scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Real pipelines plug a fastText-style model in via mapInPandas;
+# the operator contract (text -> (lang_pred, lang_score)) stays the same.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization as a native expression."""
+    return F.split(F.col(text_col), " ")
+
+
+def bpe_ish_tokens(text_col: str = "text") -> Column:
+    """A BPE-ish regex tokenizer: words, numbers, and single punctuation
+    marks as separate tokens (coarse token-count estimator for budget
+    accounting — the shape GPT-style pre-tokenizers use)."""
+    return F.expr(
+        f"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"
+    )
+
+
+def doc_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS,
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.5,
+) -> DataFrame:
+    """Length / token / stopword-based quality scoring per document."""
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.length(F.col(text_col))
+    avg_tok = F.round(
+        (n_chars - (n_tokens - 1)).cast("double") / n_tokens, 4
+    )  # chars minus separators
+    ratio = F.round(n_stop.cast("double") / n_tokens, 4)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_actual"),
+        avg_tok.alias("avg_token_len"),
+        ratio.alias("stopword_ratio"),
+        ((n_tokens >= min_tokens) & (ratio <= max_stopword_ratio)).alias("is_quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(text_col)).cast("long").alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(text_col)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score each language by how many of its
+    profile words appear, pick the argmax (ties -> lexicographically first
+    language, deterministic). Runs as one pass of array expressions."""
+    toks = F.array_distinct(tokens(text_col))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+                    )
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_PROFILES)
+        ]
+    )
+    # sort by (-score, lang) ascending -> head = max score, lex-first on ties
+    best = F.array_sort(
+        F.transform(
+            scores,
+            lambda s: F.struct((-s["score"]).alias("neg_score"), s["lang"].alias("lang")),
+        )
+    )[0]
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        (-best["neg_score"]).cast("long").alias("lang_score"),
+    )

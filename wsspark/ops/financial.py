@@ -1,0 +1,136 @@
+"""Financial analytics: ABC/Pareto classification, weighted-average costing,
+stock valuation (SURVEY.md §2 — P4, A4, A5, A6, A7, A8, W2, F1, J2, J3, P7;
+reference etl/transform/financial_metrics.py, dbfn/functions.sql:184-239).
+
+Determinism: the Pareto cumulative sum orders by (revenue DESC, product_id)
+— the explicit secondary key pins tie-breaks that pandas got "for free" from
+stable sort (SURVEY.md §4.3.3).
+
+Scale notes:
+- The revenue rollup is a map-side-combinable sum keyed by product — the
+  only full-fact shuffle.
+- The cumulative window runs over the *aggregated* (one-row-per-product)
+  frame. A global ORDER BY window is a single-partition operation; at true
+  100 TB catalog sizes (billions of products) swap in a two-pass percentile
+  partitioning — for any realistic product dimension this is the right plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ABC_THRESHOLD_A = 0.8   # cumulative revenue share -> class A
+ABC_THRESHOLD_B = 0.95  # -> class B, else C (etl/config/config.yaml:19-22)
+
+
+def revenue_per_product(
+    so_details: DataFrame,
+    key: str = "product_id",
+    qty_col: str = "quantity",
+    price_col: str = "unit_price",
+) -> DataFrame:
+    """P4 + A4: revenue = quantity * unit_price, summed per product."""
+    return (
+        so_details.withColumn("revenue", F.col(qty_col) * F.col(price_col))
+        .groupBy(key)
+        .agg(F.sum("revenue").alias("revenue"))
+    )
+
+
+def abc_analysis(
+    revenue: DataFrame,
+    key: str = "product_id",
+    threshold_a: float = ABC_THRESHOLD_A,
+    threshold_b: float = ABC_THRESHOLD_B,
+) -> DataFrame:
+    """A5 + W2 + F1: Pareto curve and ABC classes over per-product revenue.
+
+    Matches etl/transform/financial_metrics.py:23-39: grand total replicated
+    per row, running cumulative share ordered by revenue desc, class by
+    threshold. The classifier is a ``when`` chain, not a UDF.
+    """
+    w_total = Window.partitionBy()
+    w_cum = (
+        Window.orderBy(F.desc("revenue"), F.asc(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        revenue.withColumn("total_revenue", F.sum("revenue").over(w_total))
+        .withColumn("revenue_cumsum", F.sum("revenue").over(w_cum))
+        .withColumn("revenue_percent", F.col("revenue_cumsum") / F.col("total_revenue"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("revenue_percent") <= threshold_a, "A")
+            .when(F.col("revenue_percent") <= threshold_b, "B")
+            .otherwise("C"),
+        )
+    )
+
+
+def abc_class_counts(abc: DataFrame) -> DataFrame:
+    """A7: products per ABC class."""
+    return abc.groupBy("abc_class").agg(F.count("*").alias("n_products"))
+
+
+def product_avg_cost(
+    po_details: DataFrame,
+    key: str = "product_id",
+    qty_col: str = "quantity",
+    price_col: str = "unit_price",
+) -> DataFrame:
+    """A6: quantity-weighted average purchase cost per product, with the
+    SQL twin's zero-guard (dbfn/functions.sql:200-212): cost = 0 when total
+    quantity is 0. Pure expression — the reference's groupby.apply(np.average)
+    needs no UDAF in Spark."""
+    return po_details.groupBy(key).agg(
+        F.when(F.sum(qty_col) == 0, F.lit(0.0))
+        .otherwise(F.sum(F.col(qty_col) * F.col(price_col)) / F.sum(qty_col))
+        .alias("avg_cost")
+    )
+
+
+def stock_value_report(
+    stock: DataFrame,
+    avg_cost: DataFrame,
+    key: str = "product_id",
+    qty_col: str = "quantity_on_hand",
+) -> DataFrame:
+    """J2 + P7: stock priced at weighted-average cost; unknown cost -> 0
+    (etl/transform/financial_metrics.py:65-67). The per-product cost table is
+    dimension-sized — broadcast it."""
+    return stock.join(F.broadcast(avg_cost), key, "left").withColumn(
+        "stock_value", F.col(qty_col) * F.coalesce(F.col("avg_cost"), F.lit(0.0))
+    )
+
+
+def dead_stock_value(dead_stock: DataFrame, stock_value: DataFrame,
+                     keys: tuple[str, ...] = ("product_id", "warehouse_id")) -> DataFrame:
+    """J3 + A8: total value tied up in dead stock
+    (etl/transform/financial_metrics.py:81-87)."""
+    dead = dead_stock.filter(F.col("is_dead_stock")).select(*keys)
+    return dead.join(stock_value, list(keys)).agg(
+        F.round(F.coalesce(F.sum("stock_value"), F.lit(0.0)), 2).alias(
+            "total_dead_stock_value"
+        )
+    )
+
+
+def financial_summary(stock_value: DataFrame, abc: DataFrame) -> DataFrame:
+    """A8 + struct summary: one row with total inventory value and the ABC
+    class counts as a struct (golden financial_summary.parquet has
+    abc_summary: struct<A,B,C>)."""
+    total = stock_value.agg(
+        F.round(F.sum("stock_value"), 2).alias("total_inventory_value")
+    )
+    counts = (
+        abc_class_counts(abc)
+        .groupBy()
+        .pivot("abc_class", ["A", "B", "C"])
+        .sum("n_products")
+        .na.fill(0)
+    )
+    return total.crossJoin(counts).select(
+        "total_inventory_value",
+        F.struct(F.col("A"), F.col("B"), F.col("C")).alias("abc_summary"),
+    )

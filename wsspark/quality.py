@@ -1,0 +1,70 @@
+"""Data-quality rules and incremental scan filter (SURVEY.md §2.2 P1/P2, §2.1 S2).
+
+The reference applies three DQ rules *sequentially, overwriting* the flag
+(etl/extract/data_extractor.py:81-94), so effective precedence is
+future_date > invalid_quantity > invalid_reference. We encode that with a
+single ``when`` chain in that order — one projection, no UDF, fully
+codegen'd.
+
+Determinism: the reference flags against wall-clock ``now`` (UTC); every
+function here takes an explicit ``as_of`` so runs are replayable
+(SURVEY.md §7.3.6).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BAD_REFERENCE_ID = 9_999_999  # injected sentinel (gen/generate_data.py:344-348)
+POSITIVE_MOVEMENT_TYPES = ("IN", "RETURN")
+
+
+def dq_flag(
+    movements: DataFrame,
+    as_of: dt.datetime | str,
+    date_col: str = "movement_date",
+    qty_col: str = "quantity",
+    type_col: str = "movement_type",
+    ref_col: str = "reference_id",
+    positive_types: tuple[str, ...] = POSITIVE_MOVEMENT_TYPES,
+    bad_reference_id: int = BAD_REFERENCE_ID,
+) -> DataFrame:
+    """P1: add a ``dq_issue`` column with the reference's three rules."""
+    flag: Column = (
+        F.when(F.col(date_col) > F.lit(as_of), F.lit("future_date"))
+        .when(
+            F.col(type_col).isin(*positive_types) & (F.col(qty_col) < 0),
+            F.lit("invalid_quantity"),
+        )
+        .when(F.col(ref_col) == F.lit(bad_reference_id), F.lit("invalid_reference"))
+        .otherwise(F.lit("valid"))
+    )
+    return movements.withColumn("dq_issue", flag)
+
+
+def dq_filter(flagged: DataFrame) -> DataFrame:
+    """P2: keep only valid rows (etl/extract/data_extractor.py:97-103)."""
+    return flagged.filter(F.col("dq_issue") == "valid")
+
+
+def dq_reject_counts(flagged: DataFrame) -> DataFrame:
+    """Reject tally per issue class (the reference only logs a count)."""
+    return flagged.groupBy("dq_issue").count().withColumnRenamed("count", "n_rows")
+
+
+def incremental_filter(
+    movements: DataFrame,
+    last_run_timestamp: dt.datetime | str,
+    date_col: str = "movement_date",
+) -> DataFrame:
+    """S2: high-watermark incremental scan.
+
+    The reference interpolates ``WHERE movement_date > '{ts}'`` into source
+    SQL by hand (etl/extract/data_extractor.py:43-70); here it is a plain
+    Catalyst filter that pushes into the parquet scan (rowgroup min/max
+    skipping) or JDBC source — check ``PushedFilters`` in ``.explain``.
+    """
+    return movements.filter(F.col(date_col) > F.lit(last_run_timestamp))

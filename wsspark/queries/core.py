@@ -1,0 +1,722 @@
+"""Warehouse-parity queries over the driver testdata (SURVEY.md §2 operator
+inventory, expressed via the FIXTURES.md §4 mapping; every query has a DuckDB
+oracle twin built from the same adapter CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wsspark import adapters as ad
+from wsspark.io import read_table
+from wsspark.ops import audit as audit_ops
+from wsspark.ops import financial as fin
+from wsspark.ops import functions as wfn
+from wsspark.ops import inventory as inv
+from wsspark.ops import movements as mov
+from wsspark.ops import warehouse as wh
+from wsspark.queries import Query
+from wsspark.queries import exactsum as ex
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto (flagship): P4 A4 A5 W2 F1 A7
+# ---------------------------------------------------------------------------
+
+
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cents-exact ABC: per-product revenue is summed as integer cents so
+    the Pareto cumsum/total are order-independent longs (see exactsum.py);
+    the library form (float pipeline) is fin.abc_analysis."""
+    li = read_table(spark, sf_dir, "lineitem")
+    so = ad.so_details_from_lineitem(li)
+    rev = so.groupBy("product_id").agg(
+        F.sum(ex.cents(F.col("quantity") * F.col("unit_price"))).alias("rev_cents")
+    )
+    w_cum = Window.orderBy(F.desc("rev_cents"), F.asc("product_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    df = rev.withColumn("cum_cents", F.sum("rev_cents").over(w_cum)).withColumn(
+        "total_cents", F.sum("rev_cents").over(w_all)
+    )
+    pct = F.round(F.col("cum_cents") / F.col("total_cents"), 6)
+    return df.select(
+        "product_id",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        (F.col("total_cents").cast("double") / 100).alias("total_revenue"),
+        (F.col("cum_cents").cast("double") / 100).alias("revenue_cumsum"),
+        pct.alias("revenue_percent"),
+        F.when(pct <= fin.ABC_THRESHOLD_A, "A")
+        .when(pct <= fin.ABC_THRESHOLD_B, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+ABC_SQL = f"""
+WITH so AS ({ad.SO_DETAILS_SQL}),
+rev AS (
+    SELECT product_id,
+           SUM(CAST(ROUND((quantity * unit_price) * 100, 0) AS BIGINT)) AS rev_cents
+    FROM so GROUP BY product_id
+),
+c AS (
+    SELECT product_id, rev_cents,
+           SUM(rev_cents) OVER () AS total_cents,
+           SUM(rev_cents) OVER (
+               ORDER BY rev_cents DESC, product_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+    FROM rev
+)
+SELECT product_id,
+       CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+       CAST(total_cents AS DOUBLE) / 100 AS total_revenue,
+       CAST(cum_cents AS DOUBLE) / 100 AS revenue_cumsum,
+       ROUND(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+           AS revenue_percent,
+       CASE WHEN ROUND(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+                 <= {fin.ABC_THRESHOLD_A} THEN 'A'
+            WHEN ROUND(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+                 <= {fin.ABC_THRESHOLD_B} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+"""
+
+
+def q_abc_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fin.abc_class_counts(q_abc_analysis(spark, sf_dir))
+
+
+ABC_COUNTS_SQL = f"""
+SELECT abc_class, COUNT(*) AS n_products FROM ({ABC_SQL}) GROUP BY abc_class
+"""
+
+# ---------------------------------------------------------------------------
+# Data quality: P1 P2 S2 (events table)
+# ---------------------------------------------------------------------------
+
+_DQ_FLAG = None  # built lazily below
+
+
+def _events_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    flag = (
+        F.when(F.col("ts") > F.lit(ad.EVENTS_AS_OF), "future_date")
+        .when(
+            F.col("event_type").isin("purchase", "signup") & (F.col("value") < 10),
+            "invalid_quantity",
+        )
+        .when(F.col("k") < 5, "invalid_reference")
+        .otherwise("valid")
+    )
+    return ev.withColumn("dq_issue", flag)
+
+
+_DQ_CASE = f"""
+    CASE WHEN ts > TIMESTAMP '{ad.EVENTS_AS_OF}' THEN 'future_date'
+         WHEN event_type IN ('purchase', 'signup') AND value < 10
+              THEN 'invalid_quantity'
+         WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) < 5
+              THEN 'invalid_reference'
+         ELSE 'valid' END
+"""
+
+
+def q_dq_flag_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 rule precedence (future > quantity > reference) + reject tally."""
+    return (
+        _events_flagged(spark, sf_dir)
+        .groupBy("dq_issue")
+        .agg(
+            F.count("*").alias("n_rows"),
+            ex.money_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+DQ_FLAG_SQL = f"""
+SELECT {_DQ_CASE} AS dq_issue, COUNT(*) AS n_rows,
+       {ex.money_sum_sql("value")} AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_incremental_valid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 high-watermark scan + P2 valid filter, aggregated by type."""
+    return (
+        _events_flagged(spark, sf_dir)
+        .filter(F.col("ts") > F.lit(ad.EVENTS_WATERMARK))
+        .filter(F.col("dq_issue") == "valid")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            ex.money_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+INCREMENTAL_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {ex.money_sum_sql("value")} AS total_value
+FROM (SELECT *, {_DQ_CASE} AS dq_issue FROM events)
+WHERE ts > TIMESTAMP '{ad.EVENTS_WATERMARK}' AND dq_issue = 'valid'
+GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Inventory: A1 J1 P5 P6 A2 A3 (dead stock + KPIs)
+# ---------------------------------------------------------------------------
+
+
+def q_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    stock = ad.stock_from_lineitem(li, part)
+    report = inv.dead_stock_report(
+        stock,
+        ad.movements_from_lineitem(li),
+        as_of=ad.LINEITEM_AS_OF,
+        dead_stock_days=ad.DEAD_STOCK_DAYS,
+    )
+    return report.select(
+        "product_id",
+        "warehouse_id",
+        "quantity_on_hand",
+        "reorder_point",
+        "days_since_last_movement",
+        "is_dead_stock",
+    )
+
+
+DEAD_STOCK_SQL = f"""
+WITH stock AS ({ad.STOCK_SQL}),
+mv AS ({ad.MOVEMENTS_SQL}),
+last AS (
+    SELECT product_id, warehouse_id, MAX(movement_date) AS movement_date
+    FROM mv GROUP BY 1, 2
+)
+SELECT s.product_id, s.warehouse_id, s.quantity_on_hand, s.reorder_point,
+       CAST(COALESCE(
+           datediff('day', l.movement_date::DATE, TIMESTAMP '{ad.LINEITEM_AS_OF}'::DATE),
+           {inv.NEVER_MOVED_DAYS}) AS DOUBLE) AS days_since_last_movement,
+       (CAST(COALESCE(
+           datediff('day', l.movement_date::DATE, TIMESTAMP '{ad.LINEITEM_AS_OF}'::DATE),
+           {inv.NEVER_MOVED_DAYS}) AS DOUBLE) > {ad.DEAD_STOCK_DAYS}
+        AND s.quantity_on_hand > 0) AS is_dead_stock
+FROM stock s LEFT JOIN last l USING (product_id, warehouse_id)
+"""
+
+
+def q_inventory_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    stock = ad.stock_from_lineitem(li, part)
+    movements = ad.movements_from_lineitem(li)
+    dead = inv.dead_stock_report(
+        stock, movements, as_of=ad.LINEITEM_AS_OF, dead_stock_days=ad.DEAD_STOCK_DAYS
+    )
+    return inv.inventory_summary(
+        dead, stock, movements, ad.so_details_from_lineitem(li)
+    )
+
+
+INVENTORY_SUMMARY_SQL = f"""
+WITH dead AS ({DEAD_STOCK_SQL}),
+sold AS (SELECT COALESCE(SUM(quantity), 0) AS total_sold FROM ({ad.SO_DETAILS_SQL})),
+invt AS (SELECT AVG(quantity_on_hand) AS avg_inventory FROM ({ad.STOCK_SQL})),
+span AS (
+    SELECT GREATEST(datediff('day', MIN(movement_date)::DATE, MAX(movement_date)::DATE), 1)
+           AS days_in_data
+    FROM ({ad.MOVEMENTS_SQL})
+),
+d AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN is_dead_stock THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS total_dead_stock_items
+    FROM dead
+)
+SELECT d.total_dead_stock_items,
+       ROUND(CASE WHEN invt.avg_inventory <= 0 THEN 0.0
+                  ELSE sold.total_sold / invt.avg_inventory END, 2)
+           AS stock_turnover_ratio,
+       ROUND(CASE WHEN sold.total_sold <= 0 THEN 0.0
+                  ELSE invt.avg_inventory / sold.total_sold * span.days_in_data END, 2)
+           AS days_of_inventory_on_hand,
+       ROUND(invt.avg_inventory, 2) AS avg_inventory,
+       CAST(sold.total_sold AS DOUBLE) AS total_units_sold,
+       CAST(span.days_in_data AS BIGINT) AS days_in_data
+FROM sold, invt, span, d
+"""
+
+# ---------------------------------------------------------------------------
+# Trends / resample with gap-fill: P10 W1 W3 A11 A13 W4
+# ---------------------------------------------------------------------------
+
+
+def q_daily_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return mov.daily_trends(ev, date_col="ts")
+
+
+DAILY_TRENDS_SQL = """
+WITH counts AS (
+    SELECT ts::DATE AS bucket_date, COUNT(*) AS daily_movements
+    FROM events WHERE event_type = 'click' GROUP BY 1
+),
+bounds AS (SELECT MIN(bucket_date) AS lo, MAX(bucket_date) AS hi FROM counts),
+cal AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS bucket_date
+    FROM bounds
+)
+SELECT cal.bucket_date, COALESCE(c.daily_movements, 0) AS daily_movements,
+       dayname(cal.bucket_date) AS day_of_week
+FROM cal LEFT JOIN counts c USING (bucket_date)
+"""
+
+
+def q_weekly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return mov.weekly_trends(li, date_col="l_shipdate")
+
+
+WEEKLY_TRENDS_SQL = """
+WITH counts AS (
+    SELECT (l_shipdate::DATE + ((7 - dayofweek(l_shipdate::DATE)) % 7) * INTERVAL 1 DAY)::DATE
+               AS bucket_date,
+           COUNT(*) AS weekly_movements
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+),
+bounds AS (SELECT MIN(bucket_date) AS lo, MAX(bucket_date) AS hi FROM counts),
+cal AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 7 DAY))::DATE AS bucket_date
+    FROM bounds
+)
+SELECT cal.bucket_date, COALESCE(c.weekly_movements, 0) AS weekly_movements
+FROM cal LEFT JOIN counts c USING (bucket_date)
+"""
+
+
+def q_monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return mov.monthly_trends(li, date_col="l_shipdate")
+
+
+MONTHLY_TRENDS_SQL = """
+WITH counts AS (
+    SELECT last_day(l_shipdate::DATE) AS bucket_date, COUNT(*) AS monthly_movements
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+),
+bounds AS (
+    SELECT date_trunc('month', MIN(bucket_date)) AS lo,
+           date_trunc('month', MAX(bucket_date)) AS hi
+    FROM counts
+),
+cal AS (
+    SELECT last_day(unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::DATE)
+               AS bucket_date
+    FROM bounds
+)
+SELECT cal.bucket_date, COALESCE(c.monthly_movements, 0) AS monthly_movements,
+       monthname(cal.bucket_date) AS month_name
+FROM cal LEFT JOIN counts c USING (bucket_date)
+"""
+
+
+def q_peak_day_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mov.peak_day_of_week(q_daily_trends(spark, sf_dir))
+
+
+PEAK_DOW_SQL = f"""
+SELECT day_of_week, ROUND(AVG(daily_movements), 2) AS avg_movements
+FROM ({DAILY_TRENDS_SQL}) GROUP BY day_of_week
+"""
+
+
+def q_peak_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mov.peak_month(q_monthly_trends(spark, sf_dir))
+
+
+PEAK_MONTH_SQL = f"""
+SELECT month_name, ROUND(AVG(monthly_movements), 2) AS avg_movements
+FROM ({MONTHLY_TRENDS_SQL}) GROUP BY month_name
+"""
+
+# ---------------------------------------------------------------------------
+# Warehouse performance: P8 J4 A9 A10 J8
+# ---------------------------------------------------------------------------
+
+
+def q_transfer_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    t = ad.transfer_movements_from_lineitem(li)
+    return wh.transfer_patterns(t, pair_keys=("reference_id", "pair_id"))
+
+
+TRANSFER_PATTERNS_SQL = f"""
+WITH t AS ({ad.TRANSFER_MOVEMENTS_SQL}),
+o AS (
+    SELECT reference_id, pair_id, warehouse_id AS from_warehouse_id, quantity AS qty_out
+    FROM t WHERE quantity < 0
+),
+i AS (
+    SELECT reference_id, pair_id, warehouse_id AS to_warehouse_id, quantity AS qty_in
+    FROM t WHERE quantity > 0
+),
+p AS (SELECT o.*, i.to_warehouse_id, i.qty_in FROM o JOIN i USING (reference_id, pair_id))
+SELECT from_warehouse_id, to_warehouse_id,
+       COUNT(DISTINCT reference_id) AS total_transfers, SUM(qty_in) AS total_qty
+FROM p GROUP BY 1, 2
+"""
+
+
+def q_warehouse_io_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return wh.warehouse_io_summary(
+        ev, group_col="user_id", type_col="event_type", type_values=EVENT_TYPES
+    )
+
+
+IO_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_warehouse_fill_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: full dimension cross product left-joined with activity, zero-filled
+    (the generator's products x warehouses fill, gen/generate_data.py:389-398)."""
+    ev = read_table(spark, sf_dir, "events")
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey")
+    )
+    types = F.array(*[F.lit(t) for t in EVENT_TYPES])
+    combos = nation.crossJoin(
+        nation.sparkSession.range(1).select(F.explode(types).alias("event_type"))
+    )
+    counts = ev.groupBy(
+        (F.col("user_id") % 25).alias("n_nationkey"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        combos.join(counts, ["n_nationkey", "event_type"], "left")
+        .na.fill({"n_events": 0})
+    )
+
+
+FILL_MATRIX_SQL = """
+WITH types(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+counts AS (
+    SELECT user_id % 25 AS n_nationkey, event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, t.event_type,
+       COALESCE(c.n_events, 0) AS n_events
+FROM nation n CROSS JOIN types t
+LEFT JOIN counts c ON c.n_nationkey = n.n_nationkey AND c.event_type = t.event_type
+"""
+
+# ---------------------------------------------------------------------------
+# PL/pgSQL routine equivalents: M1-M5 (snapshot, transfer, reorder, valuation,
+# audit)
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return wfn.snapshot_from_movements(
+        ad.movements_from_lineitem(li)
+    ).withColumn("quantity_on_hand", F.col("quantity_on_hand").cast("double"))
+
+
+SNAPSHOT_SQL = f"""
+SELECT product_id, warehouse_id, CAST(SUM(quantity) AS DOUBLE) AS quantity_on_hand
+FROM ({ad.MOVEMENTS_SQL}) GROUP BY 1, 2
+"""
+
+
+def q_reorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    stock = ad.stock_from_lineitem(li, part)
+    products = part.select(
+        F.col("p_partkey").alias("product_id"), F.col("p_name").alias("product_name")
+    )
+    warehouses = supplier.select(
+        F.col("s_suppkey").alias("warehouse_id"), F.col("s_name").alias("warehouse_name")
+    )
+    return wfn.check_reorder_points(stock, products, warehouses).select(
+        "product_id",
+        "warehouse_id",
+        "product_name",
+        "warehouse_name",
+        "quantity_on_hand",
+        "reorder_point",
+        "deficit",
+    )
+
+
+REORDER_SQL = f"""
+WITH stock AS ({ad.STOCK_SQL})
+SELECT s.product_id, s.warehouse_id, p.p_name AS product_name,
+       su.s_name AS warehouse_name, s.quantity_on_hand, s.reorder_point,
+       s.reorder_point - s.quantity_on_hand AS deficit
+FROM stock s
+JOIN part p ON s.product_id = p.p_partkey
+JOIN supplier su ON s.warehouse_id = su.s_suppkey
+WHERE s.quantity_on_hand <= s.reorder_point AND s.quantity_on_hand > 0
+"""
+
+
+def _valuation(li: DataFrame, part: DataFrame, pod: DataFrame) -> DataFrame:
+    """M4/A6/J6 weighted-avg valuation with cents-exact numerators (the
+    float-pipeline library form is wfn.calculate_stock_value)."""
+    cost = (
+        pod.groupBy("product_id")
+        .agg(
+            F.sum(ex.cents(F.col("quantity") * F.col("unit_price"))).alias("num_cents"),
+            F.sum("quantity").alias("den"),
+        )
+        .select(
+            "product_id",
+            F.when(F.col("den") == 0, F.lit(0.0))
+            .otherwise(F.col("num_cents").cast("double") / 100 / F.col("den"))
+            .alias("avg_cost"),
+        )
+    )
+    totals = (
+        ad.stock_from_lineitem(li, part)
+        .groupBy("product_id")
+        .agg(F.sum("quantity_on_hand").alias("total_quantity"))
+        .filter(F.col("total_quantity") > 0)
+    )
+    avg_cost = F.round(F.coalesce(F.col("avg_cost"), F.lit(0.0)), 2)
+    return totals.join(cost, "product_id", "left").select(
+        "product_id",
+        "total_quantity",
+        avg_cost.alias("avg_cost"),
+        F.round(F.col("total_quantity") * avg_cost, 2).alias("total_value"),
+    )
+
+
+_VALUATION_SQL_TEMPLATE = f"""
+WITH stock AS ({ad.STOCK_SQL}),
+pod AS ({{pod_sql}}),
+cost AS (
+    SELECT product_id,
+           CASE WHEN SUM(quantity) = 0 THEN 0.0
+                ELSE CAST(SUM(CAST(ROUND((quantity * unit_price) * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 100 / SUM(quantity) END AS avg_cost
+    FROM pod GROUP BY product_id
+),
+totals AS (
+    SELECT product_id, SUM(quantity_on_hand) AS total_quantity
+    FROM stock GROUP BY product_id
+)
+SELECT t.product_id, t.total_quantity,
+       ROUND(COALESCE(c.avg_cost, 0.0), 2) AS avg_cost,
+       ROUND(t.total_quantity * ROUND(COALESCE(c.avg_cost, 0.0), 2), 2) AS total_value
+FROM totals t LEFT JOIN cost c USING (product_id)
+WHERE t.total_quantity > 0
+"""
+
+
+def q_stock_valuation_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    return _valuation(li, part, ad.po_details_from_lineitem(li))
+
+
+VALUATION_ALL_SQL = _VALUATION_SQL_TEMPLATE.format(pod_sql=ad.PO_DETAILS_SQL)
+
+
+def q_stock_valuation_completed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7's SQL-side variant: only COMPLETED (status 'F') orders contribute
+    to cost (dbfn/functions.sql:208-210) — the documented semantic divergence
+    from the pipeline variant above."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    completed = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_orderkey").alias("po_id"))
+    pod = ad.po_details_from_lineitem(li).join(completed, "po_id")
+    return _valuation(li, part, pod)
+
+
+VALUATION_COMPLETED_SQL = _VALUATION_SQL_TEMPLATE.format(
+    pod_sql=f"""
+    SELECT d.* FROM ({ad.PO_DETAILS_SQL}) d
+    JOIN orders o ON d.po_id = o.o_orderkey AND o.o_orderstatus = 'F'
+"""
+)
+
+AUDIT_CUTOFF = "1999-01-01 00:00:00"
+
+
+def q_audit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 trigger semantics in batch: audit log = diff of two snapshot
+    versions (before/after the cutoff date's movements)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    mvs = ad.movements_from_lineitem(li)
+    old = wfn.snapshot_from_movements(mvs.filter(F.col("movement_date") < F.lit(AUDIT_CUTOFF)))
+    new = wfn.snapshot_from_movements(mvs)
+    diff = audit_ops.snapshot_diff(old, new)
+    return diff.select(
+        "product_id",
+        "warehouse_id",
+        "operation_type",
+        F.col("old_quantity").cast("double").alias("old_quantity"),
+        F.col("new_quantity").cast("double").alias("new_quantity"),
+    )
+
+
+AUDIT_DIFF_SQL = f"""
+WITH mv AS ({ad.MOVEMENTS_SQL}),
+old AS (
+    SELECT product_id, warehouse_id, SUM(quantity) AS old_quantity
+    FROM mv WHERE movement_date < TIMESTAMP '{AUDIT_CUTOFF}' GROUP BY 1, 2
+),
+new AS (
+    SELECT product_id, warehouse_id, SUM(quantity) AS new_quantity
+    FROM mv GROUP BY 1, 2
+)
+SELECT COALESCE(o.product_id, n.product_id) AS product_id,
+       COALESCE(o.warehouse_id, n.warehouse_id) AS warehouse_id,
+       CASE WHEN o.old_quantity IS NULL THEN 'INSERT'
+            WHEN n.new_quantity IS NULL THEN 'DELETE'
+            ELSE 'UPDATE' END AS operation_type,
+       CAST(o.old_quantity AS DOUBLE) AS old_quantity,
+       CAST(n.new_quantity AS DOUBLE) AS new_quantity
+FROM old o FULL OUTER JOIN new n
+    ON o.product_id = n.product_id AND o.warehouse_id = n.warehouse_id
+WHERE o.old_quantity IS DISTINCT FROM n.new_quantity
+"""
+
+
+def q_transfer_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 transfer_stock validation, set-based over synthetic requests derived
+    deterministically from lineitem (rule order: qty > 0, from != to,
+    sufficient stock — dbfn/functions.sql:82-102)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    max_supp = supplier.agg(F.max("s_suppkey").alias("_max_supp"))
+    reqs = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0))
+        .crossJoin(F.broadcast(max_supp))
+        .select(
+            F.col("l_orderkey").alias("transfer_id"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_suppkey").alias("from_warehouse_id"),
+            F.when(F.col("l_orderkey") % 3 == 0, F.col("l_suppkey"))
+            .otherwise(
+                (F.col("l_suppkey") + F.col("l_orderkey") % 3) % F.col("_max_supp") + 1
+            )
+            .alias("to_warehouse_id"),
+            (F.col("l_quantity") - 5).alias("quantity"),
+        )
+    )
+    stock = ad.stock_from_lineitem(li, part)
+    return wfn.validate_transfers(reqs, stock).select(
+        "transfer_id",
+        "product_id",
+        "from_warehouse_id",
+        "to_warehouse_id",
+        "quantity",
+        "status",
+    )
+
+
+TRANSFER_VALIDATION_SQL = f"""
+WITH stock AS ({ad.STOCK_SQL}),
+reqs AS (
+    SELECT l_orderkey AS transfer_id, l_partkey AS product_id,
+           l_suppkey AS from_warehouse_id,
+           CASE WHEN l_orderkey % 3 = 0 THEN l_suppkey
+                ELSE (l_suppkey + l_orderkey % 3)
+                     % (SELECT MAX(s_suppkey) FROM supplier) + 1 END
+               AS to_warehouse_id,
+           l_quantity - 5 AS quantity
+    FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 10 = 0
+)
+SELECT r.transfer_id, r.product_id, r.from_warehouse_id, r.to_warehouse_id,
+       r.quantity,
+       CASE WHEN r.quantity <= 0 THEN 'INVALID_QUANTITY'
+            WHEN r.from_warehouse_id = r.to_warehouse_id THEN 'SAME_WAREHOUSE'
+            WHEN COALESCE(s.quantity_on_hand, 0) < r.quantity THEN 'INSUFFICIENT_STOCK'
+            ELSE 'OK' END AS status
+FROM reqs r
+LEFT JOIN stock s
+    ON r.product_id = s.product_id AND r.from_warehouse_id = s.warehouse_id
+"""
+
+
+def q_top10_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 top-k with a pinned tie-break (revenue DESC, product_id)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    so = ad.so_details_from_lineitem(li)
+    rev = so.groupBy("product_id").agg(
+        ex.money_sum(F.col("quantity") * F.col("unit_price")).alias("revenue")
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("product_id")).limit(10)
+
+
+TOP10_SQL = f"""
+SELECT product_id, {ex.money_sum_sql("quantity * unit_price")} AS revenue
+FROM ({ad.SO_DETAILS_SQL})
+GROUP BY product_id ORDER BY revenue DESC, product_id LIMIT 10
+"""
+
+
+QUERIES = [
+    Query("abc_analysis", q_abc_analysis, ABC_SQL,
+          "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
+    Query("abc_class_counts", q_abc_class_counts, ABC_COUNTS_SQL,
+          "products per ABC class (A7)"),
+    Query("dq_flag_summary", q_dq_flag_summary, DQ_FLAG_SQL,
+          "sequential DQ rule precedence + reject tally (P1)"),
+    Query("incremental_valid_events", q_incremental_valid_events, INCREMENTAL_SQL,
+          "high-watermark incremental scan + valid filter (S2 P2)"),
+    Query("dead_stock", q_dead_stock, DEAD_STOCK_SQL,
+          "dead stock report (A1 J1 P5 P6)"),
+    Query("inventory_summary", q_inventory_summary, INVENTORY_SUMMARY_SQL,
+          "turnover/DOH KPIs with div-by-zero guards (A2 A3 F8)"),
+    Query("daily_trends", q_daily_trends, DAILY_TRENDS_SQL,
+          "gap-filled daily counts + day names (W1 W3)"),
+    Query("weekly_trends", q_weekly_trends, WEEKLY_TRENDS_SQL,
+          "gap-filled W-SUN-labeled weekly counts (W1)"),
+    Query("monthly_trends", q_monthly_trends, MONTHLY_TRENDS_SQL,
+          "gap-filled month-end-labeled counts (W1 W3)"),
+    Query("peak_day_of_week", q_peak_day_of_week, PEAK_DOW_SQL,
+          "avg movements per day-of-week (A11)"),
+    Query("peak_month", q_peak_month, PEAK_MONTH_SQL,
+          "avg movements per month name (A11)"),
+    Query("transfer_patterns", q_transfer_patterns, TRANSFER_PATTERNS_SQL,
+          "paired transfer-leg self-join + route aggregation (P8 J4 A9)"),
+    Query("warehouse_io_pivot", q_warehouse_io_pivot, IO_PIVOT_SQL,
+          "activity pivot with explicit values (A10)"),
+    Query("warehouse_fill_matrix", q_warehouse_fill_matrix, FILL_MATRIX_SQL,
+          "dimension cross product zero-filled (J8)"),
+    Query("snapshot_recompute", q_snapshot_recompute, SNAPSHOT_SQL,
+          "stock snapshot = signed sum of movements (M1 A12)"),
+    Query("reorder_report", q_reorder_report, REORDER_SQL,
+          "reorder-point report, 3-way join (M3 J5 P9 P11)"),
+    Query("stock_valuation_all", q_stock_valuation_all, VALUATION_ALL_SQL,
+          "weighted-avg valuation, pipeline variant (M4 A6 J6)"),
+    Query("stock_valuation_completed", q_stock_valuation_completed, VALUATION_COMPLETED_SQL,
+          "weighted-avg valuation, COMPLETED-only variant (M4 J7)"),
+    Query("audit_diff", q_audit_diff, AUDIT_DIFF_SQL,
+          "trigger/audit semantics as snapshot diff (M5 F12)"),
+    Query("transfer_validation", q_transfer_validation, TRANSFER_VALIDATION_SQL,
+          "transfer_stock validation rules (M2)"),
+    Query("top10_products", q_top10_products, TOP10_SQL,
+          "top-k with pinned tie-break (W4)"),
+]

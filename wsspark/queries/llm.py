@@ -1,0 +1,274 @@
+"""LLM-data-pipeline queries over documents/embeddings/events (SURVEY.md
+§7.2 step 12). SQL-expressible ops carry DuckDB oracles; the LSH/IVF scale
+paths are Spark-only (driver records a rows-only check) and are verified
+against their exact counterparts in tests/test_llmops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wsspark.io import read_table
+from wsspark.llmops import dedup, fingerprint, similarity, textstats
+from wsspark.queries import Query
+from wsspark.queries import exactsum as ex
+
+SESSION_GAP_MIN = 30
+JACCARD_THRESHOLD = 0.6
+ANN_K = 5
+QUERY_MOD = 100  # vec_id % 100 == 0 -> query vector
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_stats(read_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
+
+DOC_STATS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars_actual
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_chars_actual,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS n_stop
+    FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+       ROUND(CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
+           AS avg_token_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       (n_tokens >= 10 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.5) AS is_quality
+FROM s
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(read_table(spark, sf_dir, "documents"))
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard pairs within the same lang (blocking col)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, block_cols=("lang",), shingle_k=1
+    )
+
+
+NEAR_DUP_SQL = f"""
+WITH words AS (
+    SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+    FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM words a JOIN words b
+      ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common), 4)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: MinHash LSH candidates + exact verification (Spark-only;
+    equivalence with q_near_dup_jaccard asserted in tests at shingle_k=3)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint + band keys per doc (Spark-only)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_bands(dedup.simhash(docs))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (Spark-only heuristic)."""
+    return textstats.lang_id(read_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints -> shared-fingerprint candidate pairs
+    (Spark-only)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return fingerprint.fingerprint_candidates(fingerprint.winnow_fingerprints(docs))
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _split_queries(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    qs = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return emb, qs
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    vectors, qs = _split_queries(emb)
+    return similarity.cosine_topk(vectors, qs, k=ANN_K)
+
+
+ANN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_aggregate(list_transform(list_zip(q.qe, e.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS dp,
+           sqrt(list_aggregate(list_transform(q.qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS qn,
+           sqrt(list_aggregate(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS en
+    FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(dp / (qn * en), 4) AS cos_sim
+FROM pairs
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dp / (qn * en) DESC, neighbor_id) <= {ANN_K}
+"""
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (Spark-only; recall vs brute force
+    asserted in tests)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vectors, qs = _split_queries(emb)
+    return similarity.ivf_topk(vectors, qs, k=ANN_K)
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-cell blocked (Spark-only)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_cosine_dup_pairs(emb, threshold=0.9)
+
+# ---------------------------------------------------------------------------
+# Events: JSON extraction + sessionization
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the props column, bucketed rollup."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k_bucket", (k % 10).cast("long"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            ex.money_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+JSON_EXTRACT_SQL = f"""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS BIGINT)
+           AS k_bucket,
+       COUNT(*) AS n_events, {ex.money_sum_sql("value")} AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — the batch shape of the streaming
+    session-window operator (wsspark.streaming has the live variant)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("_new", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_new").alias("n_sessions"),
+            F.round(F.count("*") / F.sum("_new"), 2).alias("events_per_session"),
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH g AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(new_session), 2) AS events_per_session
+FROM g GROUP BY user_id
+"""
+
+
+QUERIES = [
+    Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
+          "text quality scoring: tokens/chars/stopword ratio"),
+    Query("token_counts", q_token_counts, TOKEN_COUNTS_SQL,
+          "whitespace + BPE-ish token counting"),
+    Query("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
+          "exact dedup groups by content hash"),
+    Query("near_dup_jaccard", q_near_dup_jaccard, NEAR_DUP_SQL,
+          "exact word-set Jaccard near-dup pairs (lang-blocked)"),
+    Query("minhash_dedup_pairs", q_minhash_dedup_pairs, None,
+          "MinHash+LSH near-dup (scale path, LSH-verified)"),
+    Query("simhash_fingerprints", q_simhash_fingerprints, None,
+          "SimHash 64-bit fingerprints + hamming band keys"),
+    Query("lang_id", q_lang_id, None,
+          "stopword-profile language identification"),
+    Query("doc_fingerprint_candidates", q_doc_fingerprint_candidates, None,
+          "winnowing fingerprint candidate pairs"),
+    Query("ann_cosine_topk", q_ann_cosine_topk, ANN_SQL,
+          "brute-force cosine top-k over embeddings"),
+    Query("ivf_ann_topk", q_ivf_ann_topk, None,
+          "IVF-bucketed approximate cosine top-k"),
+    Query("embedding_dup_pairs", q_embedding_dup_pairs, None,
+          "embedding-cosine near-dup pairs, cell-blocked"),
+    Query("json_extract_agg", q_json_extract_agg, JSON_EXTRACT_SQL,
+          "JSON props extraction + bucketed rollup (F7 analog)"),
+    Query("sessionize", q_sessionize, SESSIONIZE_SQL,
+          "gap-based sessionization (batch form of session windows)"),
+]

@@ -1,0 +1,163 @@
+"""Headline analytical queries in classic TPC-H shapes over the testdata —
+these exercise the engine's multi-join + aggregate paths (J5-style chained
+dimension joins with broadcasts, map-side-combinable rollups, pinned top-k)
+and double as the bench workload at sf0.1.
+
+Monetary aggregates use order-independent cents-exact summation
+(wsspark.queries.exactsum) so the driver's value hash is stable across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsspark.io import read_table
+from wsspark.queries import Query
+from wsspark.queries import exactsum as ex
+
+PRICING_CUTOFF = "2001-09-01 00:00:00"
+UNSHIPPED_DATE = "1998-06-30 00:00:00"
+VOLUME_REGION = "ASIA"
+VOLUME_DATE_LO = "1996-01-01 00:00:00"
+VOLUME_DATE_HI = "1998-01-01 00:00:00"
+
+_DISC = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped pricing rollup over the big fact. One
+    map-side-combinable shuffle; filter pushed into the parquet scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(PRICING_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact
+            ex.money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            ex.money_sum(disc).alias("sum_disc_price"),
+            ex.money_sum(charge).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (ex.money_sum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (ex.scaled_sum(F.col("l_discount"), 1_000_000) / F.count("*")).alias(
+                "avg_disc"
+            ),
+            n.alias("count_order"),
+        )
+    )
+
+
+PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       {ex.money_sum_sql("l_extendedprice")} AS sum_base_price,
+       {ex.money_sum_sql(_DISC)} AS sum_disc_price,
+       {ex.money_sum_sql(_CHARGE)} AS sum_charge,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       {ex.money_sum_sql("l_extendedprice")} / COUNT(*) AS avg_price,
+       {ex.scaled_sum_sql("l_discount", 1_000_000)} / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter (broadcast), fact join,
+    top-k with pinned tie-break."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(UNSHIPPED_DATE)
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(UNSHIPPED_DATE)
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(ex.money_sum(disc).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+UNSHIPPED_SQL = f"""
+SELECT l.l_orderkey, o.o_orderdate::DATE AS o_orderdate,
+       {ex.money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{UNSHIPPED_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{UNSHIPPED_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-table join chain; all dimensions broadcast, the
+    only shuffle is the final per-nation rollup."""
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == VOLUME_REGION)
+    nation = read_table(spark, sf_dir, "nation")
+    supplier = read_table(spark, sf_dir, "supplier")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(VOLUME_DATE_LO))
+        & (F.col("o_orderdate") < F.lit(VOLUME_DATE_HI))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            ex.money_sum(disc).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+VOLUME_SQL = f"""
+SELECT n.n_name,
+       {ex.money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{VOLUME_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{VOLUME_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{VOLUME_DATE_HI}'
+GROUP BY n.n_name
+"""
+
+
+QUERIES = [
+    Query("pricing_summary", q_pricing_summary, PRICING_SQL,
+          "TPC-H Q1-shape grouped pricing rollup"),
+    Query("top_unshipped_orders", q_top_unshipped_orders, UNSHIPPED_SQL,
+          "TPC-H Q3-shape selective join + pinned top-k"),
+    Query("local_supplier_volume", q_local_supplier_volume, VOLUME_SQL,
+          "TPC-H Q5-shape 5-way broadcast join chain"),
+]

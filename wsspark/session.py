@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Reference behaviors preserved (SURVEY.md §4.3.5): everything is UTC — the
+reference documents a tz-naive/aware crash (reference README.md:174-176) and
+we pin ``spark.sql.session.timeZone=UTC`` instead.
+
+Scale posture (these are the knobs that matter at 100 TB, even though tests
+run on local[N]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic broadcast decisions survive a 1000× scale-up where static plans
+  don't.
+- Arrow on: any unavoidable pandas interchange is columnar, not pickled rows.
+- ``nanosAsLong``: the driver testdata stores nanosecond parquet timestamps,
+  which Spark's vectorized reader refuses by default; we read them as i64 and
+  convert with integer division (see io.convert_ns_timestamp) — identical
+  truncation semantics to DuckDB's ns→µs cast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "wsspark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster, callers pass ``master=None`` and let spark-submit own
+    the master/deploy settings; locally we default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local-mode niceties; harmless on a cluster
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("WSSPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("WSSPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
