@@ -106,16 +106,26 @@ def minhash_signatures(
     shingle_k: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
     """MinHash signature per doc: for seed j, min over shingles of
-    xxhash64(shingle, j). One transform over the shingle array — entirely
-    JVM expressions, no shuffle."""
-    shingles = word_shingles(text_col, shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
-            for j in range(num_hashes)
-        ]
+    xxhash64(xxhash64(shingle), j).
+
+    Shape: explode shingles to rows, hash each shingle string ONCE, then one
+    hash-aggregate with ``num_hashes`` cheap long-input min()s. Keeping the
+    expensive string work out of the per-seed expressions matters twice over:
+    Catalyst's project-collapsing would otherwise inline the whole
+    shingle-construction expression into every one of the 32 array_min
+    branches (measured 30x slowdown), and the groupBy form gives map-side
+    partial aggregation — the signature build is one shuffle of
+    (doc_id, 32 longs) regardless of corpus size."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("_sh"),
+    ).select("doc_id", F.xxhash64("_sh").alias("_h"))
+    agg = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("_h"), F.lit(j))).alias(f"_m{j}") for j in range(num_hashes)]
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("signature")
+    )
 
 
 def lsh_candidate_pairs(
@@ -194,28 +204,35 @@ def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash per document from word features: bit i of the
-    fingerprint is the sign of sum over words of (+1 if xxhash64(word) bit i
-    set else -1). Expressed with aggregate() over the token array."""
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    fingerprint is the sign of sum over distinct words of (+1 if
+    xxhash64(word) bit i set else -1).
+
+    Shape: explode distinct tokens, hash each ONCE, then one hash-aggregate
+    with 64 cheap conditional sums (same rationale as minhash_signatures —
+    keeps string hashing out of the 64 per-bit expressions and gets map-side
+    partial aggregation, one (doc_id, 64 ints) shuffle at any corpus size)."""
 
     def bit_mask(i: int):
         return F.lit(1 << i if i < 63 else -(2**63)).cast("long")
 
-    def bit_vote(i: int):
-        # closure factory: the merge lambda must take exactly (acc, h)
-        def merge(acc, h):
-            return acc + F.when(h.bitwiseAND(bit_mask(i)) != 0, 1).otherwise(-1)
-
-        return merge
-
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("_t"),
+    ).select("doc_id", F.xxhash64("_t").alias("_h"))
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(bit_mask(i)) != 0, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
     fingerprint = F.lit(0).cast("long")
     for i in range(bits):
-        bit_sum = F.aggregate(hashes, F.lit(0), bit_vote(i))
-        fingerprint = fingerprint + F.when(bit_sum > 0, bit_mask(i)).otherwise(
+        fingerprint = fingerprint + F.when(F.col(f"_b{i}") > 0, bit_mask(i)).otherwise(
             F.lit(0).cast("long")
         )
-    return docs.select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
+    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_bands(sim: DataFrame, bands: int = 4) -> DataFrame:
