@@ -1,0 +1,123 @@
+"""Streaming surface tests: each streaming operator must agree with its
+batch twin on the same data (run with availableNow + memory sink)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from wsspark import streaming
+from wsspark.io import read_table
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    """Copy the events parquet into a stream-source directory."""
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    shutil.copy(src, d / "events.parquet")
+    return str(d)
+
+
+def run_available_now(df, spark, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    stream = streaming.read_event_stream(spark, events_dir)
+    got = run_available_now(
+        streaming.windowed_event_counts(stream), spark, "win_counts"
+    ).toPandas()
+
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("bucket"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("bucket.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+        )
+        .toPandas()
+    )
+    key = ["bucket_start", "event_type"]
+    got_s = got[key + ["n_events"]].sort_values(key).reset_index(drop=True)
+    want = batch[key + ["n_events"]].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want)
+
+
+def test_session_windows_match_batch_session_count(spark, sf_dir, events_dir):
+    stream = streaming.read_event_stream(spark, events_dir)
+    got = run_available_now(
+        streaming.session_window_stats(stream), spark, "sessions"
+    )
+    # batch twin: native session_window on the static frame
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert got.count() == batch.count()
+    g = got.groupBy("user_id").count().toPandas().set_index("user_id")["count"]
+    b = batch.groupBy("user_id").count().toPandas().set_index("user_id")["count"]
+    assert g.sort_index().equals(b.sort_index())
+
+
+def test_snapshot_maintainer_upsert_and_audit(spark, tmp_path):
+    """Two micro-batches of movements -> snapshot equals the signed sum and
+    the audit log records INSERT then UPDATE (trigger semantics, M1+M5)."""
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "mv_src")
+    os.makedirs(src)
+
+    batch1 = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 50), (2, 1, 10)],
+        ["product_id", "warehouse_id", "quantity"],
+    )
+    batch2 = spark.createDataFrame(
+        [(1, 1, -40), (3, 1, 7), (1, 2, 0)],
+        ["product_id", "warehouse_id", "quantity"],
+    )
+
+    maintainer = streaming.SnapshotMaintainer(spark, store)
+    schema = "product_id LONG, warehouse_id LONG, quantity LONG"
+
+    batch1.write.parquet(os.path.join(src, "b1"))
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = maintainer.attach(stream, ckpt)
+    q.awaitTermination(120)
+
+    batch2.write.parquet(os.path.join(src, "b2"))
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = maintainer.attach(stream, ckpt)
+    q.awaitTermination(120)
+
+    snap = {
+        (r["product_id"], r["warehouse_id"]): r["quantity_on_hand"]
+        for r in spark.read.parquet(maintainer.snapshot_path).collect()
+    }
+    assert snap == {(1, 1): 60, (1, 2): 50, (2, 1): 10, (3, 1): 7}
+
+    audit = spark.read.parquet(maintainer.audit_path)
+    ops = {
+        (r["product_id"], r["warehouse_id"], r["batch_id"]): r["operation_type"]
+        for r in audit.collect()
+    }
+    assert ops[(1, 1, 0)] == "INSERT"
+    assert ops[(1, 1, 1)] == "UPDATE"
+    assert (3, 1, 1) in ops and ops[(3, 1, 1)] == "INSERT"
+    # zero-delta key (1,2) in batch2 must NOT produce an audit row
+    assert (1, 2, 1) not in ops

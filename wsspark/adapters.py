@@ -112,13 +112,14 @@ def movements_from_lineitem(li: DataFrame) -> DataFrame:
         F.col("signed_quantity").alias("quantity"),
         F.col("l_shipdate").alias("movement_date"),
         F.col("l_returnflag").alias("movement_type"),
+        F.col("l_orderkey").alias("reference_id"),
     )
 
 
 MOVEMENTS_SQL = f"""
     SELECT l_partkey AS product_id, l_suppkey AS warehouse_id,
            signed_quantity AS quantity, l_shipdate AS movement_date,
-           l_returnflag AS movement_type
+           l_returnflag AS movement_type, l_orderkey AS reference_id
     FROM ({SIGNED_QTY_SQL})
 """
 

@@ -1,0 +1,166 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference has no streaming engine — its "streaming" is (a) the
+incremental high-watermark extract (etl/extract/data_extractor.py:43-70) and
+(b) row triggers maintaining a snapshot + audit log
+(dbfn/functions.sql:7-58, dbfn/triggers.sql:9-63). These are re-expressed in
+Spark's native streaming model:
+
+- incremental extract  -> a file/parquet stream source + watermark; late or
+  invalid rows are dropped by the same DQ predicates pre-aggregation.
+- resample counts (W1) -> tumbling ``window()`` aggregation with watermark.
+- sessionization       -> ``session_window()`` gap-based aggregation.
+- M1 snapshot upsert + M5 audit trigger -> ``foreachBatch``: each micro-batch
+  merges signed quantities into a parquet snapshot store and appends the
+  diff rows as the audit log — exactly the trigger semantics, set-based.
+
+Scale notes: every aggregation here keys the state store by (window, key) or
+(session, user) — state size is bounded by the watermark horizon, not the
+stream length. The foreachBatch upsert rewrites only the snapshot (dimension
+cardinality: product x warehouse), never the movement history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wsspark.ops.audit import snapshot_diff
+from wsspark.ops.functions import apply_movements
+
+# Stream-source schema for the driver's events table (TESTDATA.md). ts is
+# TIMESTAMP(NANOS) in parquet -> read as long (nanosAsLong) and convert.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Parquet-directory stream of events rows (ns->us timestamp conversion
+    applied, matching the batch reader io.read_table)."""
+    reader = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("path", source_dir)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load()
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_size: str = "1 day",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """W1 as a streaming tumbling-window aggregation: the natural Structured
+    Streaming form of pandas resample. Late rows beyond the watermark are
+    dropped, mirroring the batch DQ future/late-date rules."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_size).alias("bucket"), *group_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("bucket.start").alias("bucket_start"),
+            F.col("bucket.end").alias("bucket_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization with the native session_window operator —
+    the streaming twin of queries.llm.q_sessionize."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("session"), user_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            user_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+class SnapshotMaintainer:
+    """M1 + M5 as a foreachBatch sink: maintain a snapshot parquet store from
+    a movement stream and append trigger-style audit rows per micro-batch.
+
+    ``keys``/``qty_col`` name the movement columns; the snapshot is the
+    signed running sum per key (the event-sourcing invariant,
+    database/schema.sql:108-109).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        keys: tuple[str, ...] = ("product_id", "warehouse_id"),
+        qty_col: str = "quantity",
+    ) -> None:
+        self.spark = spark
+        self.snapshot_path = os.path.join(store_dir, "snapshot")
+        self.audit_path = os.path.join(store_dir, "audit_log")
+        self.keys = keys
+        self.qty_col = qty_col
+
+    def _read_snapshot(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.snapshot_path)
+        except Exception:
+            fields = [T.StructField(k, T.LongType()) for k in self.keys]
+            fields.append(T.StructField("quantity_on_hand", T.LongType()))
+            return self.spark.createDataFrame([], T.StructType(fields))
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        old = self._read_snapshot()
+        new = apply_movements(old, batch, self.keys, self.qty_col)
+        audit = snapshot_diff(old, new, self.keys).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        # Stage-then-swap: parquet sinks aren't transactional, so write the
+        # new version beside the old and move it into place.
+        tmp = self.snapshot_path + f"._v{batch_id}"
+        new.write.mode("overwrite").parquet(tmp)
+        audit.write.mode("append").parquet(self.audit_path)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.snapshot_path)
+
+    def attach(self, movements: DataFrame, checkpoint_dir: str):
+        """Wire the maintainer to a movement stream; returns the query."""
+        return (
+            movements.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
