@@ -30,6 +30,20 @@ from wsspark import adapters, quality
 from wsspark.io import load_tables, write_report
 from wsspark.ops import financial, inventory, movements, warehouse
 
+class Reports(dict):
+    """dict of report DataFrames; ``cached`` lists the shared cached frames
+    so callers can release them (``release``) when done."""
+
+    def __init__(self, frames: dict, cached: list):
+        super().__init__(frames)
+        self.cached = cached
+
+    def release(self) -> None:
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
+
+
 REPORT_NAMES = (
     "dead_stock_report",
     "inventory_summary",
@@ -57,26 +71,33 @@ def build_reports(
     lazy DataFrames over the sf_dir tables."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     li = t["lineitem"]
+    cached: list[DataFrame] = []
+
+    def _cache(df: DataFrame) -> DataFrame:
+        cached.append(df.cache())
+        return df
 
     mv = adapters.movements_from_lineitem(li)
     if incremental_since is not None:
         mv = quality.incremental_filter(mv, incremental_since)
-    mv = quality.dq_filter(quality.dq_flag(mv, as_of=as_of)).cache()
+    mv = _cache(quality.dq_filter(quality.dq_flag(mv, as_of=as_of)))
 
-    stock = adapters.stock_from_lineitem(li, t["part"]).cache()
+    stock = _cache(adapters.stock_from_lineitem(li, t["part"]))
     so = adapters.so_details_from_lineitem(li)
     po = adapters.po_details_from_lineitem(li)
 
-    dead = inventory.dead_stock_report(stock, mv, as_of, dead_stock_days)
-    daily = movements.daily_trends(mv)
-    monthly = movements.monthly_trends(mv)
+    # Shared sub-DAGs are cached: each feeds 2+ reports, and all of them are
+    # key-cardinality frames (product x warehouse at most), never fact-sized.
+    dead = _cache(inventory.dead_stock_report(stock, mv, as_of, dead_stock_days))
+    daily = _cache(movements.daily_trends(mv))
+    monthly = _cache(movements.monthly_trends(mv))
 
     revenue = financial.revenue_per_product(so)
-    abc = financial.abc_analysis(revenue)
+    abc = _cache(financial.abc_analysis(revenue))
     avg_cost = financial.product_avg_cost(po)
-    stock_value = financial.stock_value_report(stock, avg_cost)
+    stock_value = _cache(financial.stock_value_report(stock, avg_cost))
 
-    return {
+    frames = {
         "dead_stock_report": dead,
         "inventory_summary": inventory.inventory_summary(dead, stock, mv, so),
         "daily_trends": daily,
@@ -94,6 +115,7 @@ def build_reports(
             adapters.movements_from_lineitem(li)
         ),
     }
+    return Reports(frames, cached)
 
 
 def run_summary_row(
@@ -134,22 +156,33 @@ def run_pipeline(
     since = incremental_since if load_type == "incremental" else None
     reports = build_reports(spark, sf_dir, incremental_since=since)
 
-    if since is not None:
-        t = load_tables(spark, sf_dir, ("lineitem",))
-        mv = quality.incremental_filter(
-            adapters.movements_from_lineitem(t["lineitem"]), since
-        )
-        if mv.isEmpty():
-            return {}
+    try:
+        if since is not None:
+            t = load_tables(spark, sf_dir, ("lineitem",))
+            mv = quality.incremental_filter(
+                adapters.movements_from_lineitem(t["lineitem"]), since
+            )
+            if mv.isEmpty():
+                return {}
 
-    written: dict[str, str] = {}
-    for name in REPORT_NAMES:
-        path = os.path.join(output_dir, name)
-        write_report(reports[name], path, fmt=fmt)
-        written[name] = path
+        # The report branches are independent jobs over cached shared inputs
+        # — submit them concurrently and let the scheduler pack the cluster
+        # (local[N] or real executors) instead of draining one branch at a
+        # time.
+        from concurrent.futures import ThreadPoolExecutor
 
-    if summary_table:
-        from wsspark.io import append_table
+        def _write(name: str) -> tuple[str, str]:
+            path = os.path.join(output_dir, name)
+            write_report(reports[name], path, fmt=fmt)
+            return name, path
 
-        append_table(run_summary_row(reports, run_timestamp), summary_table)
-    return written
+        with ThreadPoolExecutor(max_workers=min(len(REPORT_NAMES), 8)) as pool:
+            written = dict(pool.map(_write, REPORT_NAMES))
+
+        if summary_table:
+            from wsspark.io import append_table
+
+            append_table(run_summary_row(reports, run_timestamp), summary_table)
+        return written
+    finally:
+        reports.release()

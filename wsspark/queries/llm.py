@@ -111,8 +111,17 @@ WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
 
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: MinHash LSH candidates + exact verification (Spark-only;
-    equivalence with q_near_dup_jaccard asserted in tests at shingle_k=3)."""
-    docs = read_table(spark, sf_dir, "documents")
+    equivalence with q_near_dup_jaccard asserted in tests at shingle_k=3).
+
+    The testdata corpus is one small parquet row-group = one input split, so
+    the per-row shingle/hash work would run single-threaded; spread it
+    across the cluster first. At real scale the corpus arrives as many
+    splits and this repartition is a cheap no-op-sized shuffle relative to
+    the signature build it parallelizes.
+    """
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return dedup.minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
 
 
