@@ -29,7 +29,10 @@ def money_sum(col: Column) -> Column:
 
 
 def money_sum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST(ROUND(({expr}) * 100, 0) AS BIGINT)) AS DOUBLE) / 100"
+    # fully parenthesized so the expansion composes safely inside larger
+    # expressions (an unparenthesized trailing /100 left-associates wrongly
+    # when the result is used as a denominator)
+    return f"(CAST(SUM(CAST(ROUND(({expr}) * 100, 0) AS BIGINT)) AS DOUBLE) / 100)"
 
 
 def scaled_sum(col: Column, scale: int) -> Column:
@@ -38,4 +41,4 @@ def scaled_sum(col: Column, scale: int) -> Column:
 
 
 def scaled_sum_sql(expr: str, scale: int) -> str:
-    return f"CAST(SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT)) AS DOUBLE) / {scale}"
+    return f"(CAST(SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT)) AS DOUBLE) / {scale})"

@@ -253,6 +253,37 @@ FROM g GROUP BY user_id
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents become opaque binary
+    payloads with typed metadata (the shape an image/audio corpus has), then
+    an Arrow-batched mapInPandas extracts features via the stubbed decoder
+    (wsspark.llmops.multimodal). Spark-only: binary columns and the stub
+    decode have no DuckDB twin."""
+    from wsspark.llmops import multimodal
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        (F.col("n_chars") * 40).alias("duration_ms"),
+    )
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -280,4 +311,6 @@ QUERIES = [
           "JSON props extraction + bucketed rollup (F7 analog)"),
     Query("sessionize", q_sessionize, SESSIONIZE_SQL,
           "gap-based sessionization (batch form of session windows)"),
+    Query("multimodal_features", q_multimodal_features, None,
+          "binary-column feature extraction via Arrow mapInPandas (stub decode)"),
 ]

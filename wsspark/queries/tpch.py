@@ -153,6 +153,100 @@ GROUP BY n.n_name
 """
 
 
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left_semi join (SURVEY.md §2.6 notes the
+    reference only has implicit semi/anti via set difference,
+    gen/generate_data.py:179). The semi join ships only the distinct order
+    keys of matching lineitems — no fact columns cross the shuffle."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(VOLUME_DATE_LO))
+        & (F.col("o_orderdate") < F.lit(VOLUME_DATE_HI))
+    )
+    returned_li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(returned_li, orders.o_orderkey == returned_li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{VOLUME_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{VOLUME_DATE_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast dim join —
+    promo revenue as a share of total, cents-exact on both sides of the
+    division."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(VOLUME_DATE_LO))
+        & (F.col("l_shipdate") < F.lit(VOLUME_DATE_HI))
+    )
+    part = read_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * ex.money_sum(promo) / ex.money_sum(disc), 4
+            ).alias("promo_revenue_pct"),
+            ex.money_sum(promo).alias("promo_revenue"),
+            ex.money_sum(disc).alias("total_revenue"),
+        )
+    )
+
+
+PROMO_SQL = f"""
+SELECT ROUND(100.0 * {ex.money_sum_sql(
+    "CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END"
+)} / {ex.money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")}, 4)
+           AS promo_revenue_pct,
+       {ex.money_sum_sql(
+    "CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END"
+)} AS promo_revenue,
+       {ex.money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{VOLUME_DATE_LO}'
+  AND l.l_shipdate < TIMESTAMP '{VOLUME_DATE_HI}'
+"""
+
+
+def q_parts_never_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage (§2.6: the reference's hot/cold set difference,
+    gen/generate_data.py:179,248 -> left_anti in Spark): parts with no
+    lineitem at all, counted per brand."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_unsold_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("unsold_retail_value"),
+        )
+    )
+
+
+PARTS_NEVER_SOLD_SQL = """
+SELECT p_brand, COUNT(*) AS n_unsold_parts,
+       ROUND(SUM(p_retailprice), 2) AS unsold_retail_value
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+GROUP BY p_brand
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, PRICING_SQL,
           "TPC-H Q1-shape grouped pricing rollup"),
@@ -160,4 +254,10 @@ QUERIES = [
           "TPC-H Q3-shape selective join + pinned top-k"),
     Query("local_supplier_volume", q_local_supplier_volume, VOLUME_SQL,
           "TPC-H Q5-shape 5-way broadcast join chain"),
+    Query("order_priority_counts", q_order_priority_counts, ORDER_PRIORITY_SQL,
+          "TPC-H Q4-shape EXISTS/left_semi join"),
+    Query("promo_revenue_share", q_promo_revenue_share, PROMO_SQL,
+          "TPC-H Q14-shape conditional agg over broadcast join"),
+    Query("parts_never_sold", q_parts_never_sold, PARTS_NEVER_SOLD_SQL,
+          "left_anti set-difference rollup"),
 ]
