@@ -1,0 +1,189 @@
+"""Mirror of the reference's own unit tests plus its documented edge-case
+guards, run against our ops on the same micro-fixtures.
+
+- test_dead_stock / test_abc mirror etl/tests/test_transformations.py:43-90
+  (same 3-product fixture, same expectations).
+- The guard tests pin SURVEY.md §4.3.7's division-by-zero semantics and
+  §4.3 quirks (never-moved -> 9999 days, DQ precedence, transfer
+  validation order).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wsspark import quality
+from wsspark.ops import financial, functions, inventory
+
+NOW = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    """The reference's 3-product fixture (test_transformations.py:7-41)."""
+    stock = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 5), (3, 1, 0)],
+        ["product_id", "warehouse_id", "quantity_on_hand"],
+    )
+    movements = spark.createDataFrame(
+        [
+            (1, 1, NOW - dt.timedelta(days=10)),
+            (2, 1, NOW - dt.timedelta(days=200)),
+        ],
+        ["product_id", "warehouse_id", "movement_date"],
+    )
+    so_details = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 5, 100.0), (2, 2, 500.0), (3, 10, 50.0)],
+        ["product_id", "quantity", "unit_price"],
+    )
+    return stock, movements, so_details
+
+
+def test_dead_stock_identification(spark, micro):
+    """Only product 2 is dead (200d > 180d, qty > 0); product 1 moved 10d
+    ago; product 3 has zero stock (test_transformations.py:43-64)."""
+    stock, movements, _ = micro
+    report = inventory.dead_stock_report(stock, movements, NOW, dead_stock_days=180)
+    dead = {r["product_id"]: r for r in report.filter("is_dead_stock").collect()}
+    assert list(dead) == [2]
+    days = {r["product_id"]: r["days_since_last_movement"] for r in report.collect()}
+    assert days[1] == 10 and days[2] == 200
+
+
+def test_abc_analysis(spark, micro):
+    """Revenues 1000/1000/500 with 0.8/0.95 thresholds -> A, A, C per the
+    reference's *implementation* (financial_metrics.py:31-39: cumulative
+    share 0.4/0.8/1.0, and 1.0 > 0.95 is C).
+
+    Note: the reference's committed test (test_transformations.py:66-90)
+    expects product 3 = B, contradicting its own classifier — and that test
+    suite fails as committed (KeyError on the config dict). We follow the
+    implementation, which is what produced the golden parquet outputs."""
+    _, _, so_details = micro
+    abc = financial.abc_analysis(financial.revenue_per_product(so_details))
+    classes = {r["product_id"]: r["abc_class"] for r in abc.collect()}
+    assert classes == {1: "A", 2: "A", 3: "C"}
+    shares = {r["product_id"]: r["revenue_percent"] for r in abc.collect()}
+    assert shares == {1: 0.4, 2: 0.8, 3: 1.0}
+
+
+def test_never_moved_gets_9999_days(spark):
+    """NULL last movement -> 9999 (etl/transform/inventory_metrics.py:34)."""
+    stock = spark.createDataFrame(
+        [(7, 1, 3)], ["product_id", "warehouse_id", "quantity_on_hand"]
+    )
+    movements = spark.createDataFrame(
+        [], "product_id LONG, warehouse_id LONG, movement_date TIMESTAMP"
+    )
+    row = inventory.dead_stock_report(stock, movements, NOW).collect()[0]
+    assert row["days_since_last_movement"] == 9999
+    assert row["is_dead_stock"]  # 9999 > 180 and qty > 0
+
+
+def test_inventory_summary_zero_guards(spark):
+    """turnover = 0 when avg inventory <= 0; DOH = 0 when nothing sold
+    (etl/transform/inventory_metrics.py:51-68)."""
+    stock = spark.createDataFrame(
+        [(1, 1, 0)], ["product_id", "warehouse_id", "quantity_on_hand"]
+    )
+    movements = spark.createDataFrame(
+        [(1, 1, NOW)], ["product_id", "warehouse_id", "movement_date"]
+    )
+    no_sales = spark.createDataFrame([], "product_id LONG, quantity LONG")
+    dead = inventory.dead_stock_report(stock, movements, NOW)
+    row = inventory.inventory_summary(dead, stock, movements, no_sales).collect()[0]
+    assert row["stock_turnover_ratio"] == 0.0
+    assert row["days_of_inventory_on_hand"] == 0.0
+    assert row["days_in_data"] == 1  # floored at 1
+
+
+def test_all_tied_revenues_deterministic(spark):
+    """Ties broken by product_id so ABC classes are replayable
+    (SURVEY.md §4.3.3)."""
+    so = spark.createDataFrame(
+        [(p, 1, 100.0) for p in range(1, 11)],
+        ["product_id", "quantity", "unit_price"],
+    )
+    a = financial.abc_analysis(financial.revenue_per_product(so)).collect()
+    b = financial.abc_analysis(financial.revenue_per_product(so)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    classes = {r["product_id"]: r["abc_class"] for r in a}
+    # equal revenue 100 each: cumulative share hits 0.8 at product 8
+    assert [classes[p] for p in range(1, 11)] == ["A"] * 8 + ["B", "C"]
+
+
+def test_dq_rule_precedence(spark):
+    """future_date > invalid_quantity > invalid_reference — the reference
+    applies rules sequentially overwriting (SURVEY.md §4.3.2)."""
+    future = NOW + dt.timedelta(days=30)
+    rows = [
+        # future date AND bad qty AND bad ref -> future_date wins
+        (1, "IN", -5, future, 9999999),
+        # bad qty AND bad ref -> invalid_quantity wins
+        (2, "RETURN", -5, NOW - dt.timedelta(days=1), 9999999),
+        # bad ref only
+        (3, "OUT", -5, NOW - dt.timedelta(days=1), 9999999),
+        # clean
+        (4, "IN", 5, NOW - dt.timedelta(days=1), 1),
+    ]
+    mv = spark.createDataFrame(
+        rows, ["movement_id", "movement_type", "quantity", "movement_date", "reference_id"]
+    )
+    flags = {
+        r["movement_id"]: r["dq_issue"]
+        for r in quality.dq_flag(mv, as_of=NOW).collect()
+    }
+    assert flags == {
+        1: "future_date",
+        2: "invalid_quantity",
+        3: "invalid_reference",
+        4: "valid",
+    }
+
+
+def test_transfer_validation_rule_order(spark):
+    """M2 check order: qty > 0, then warehouses differ, then sufficiency
+    (dbfn/functions.sql:82-102)."""
+    stock = spark.createDataFrame(
+        [(1, 1, 10)], ["product_id", "warehouse_id", "quantity_on_hand"]
+    )
+    requests = spark.createDataFrame(
+        [
+            (100, 1, 1, 2, 0),  # qty 0 -> INVALID_QUANTITY (even though same-wh also fails)
+            (101, 1, 1, 1, 5),  # same warehouse
+            (102, 1, 1, 2, 50),  # more than available
+            (103, 1, 1, 2, 5),  # fine
+            (104, 9, 1, 2, 1),  # unknown product -> no stock row -> insufficient
+        ],
+        ["transfer_id", "product_id", "from_warehouse_id", "to_warehouse_id", "quantity"],
+    )
+    status = {
+        r["transfer_id"]: r["status"]
+        for r in functions.validate_transfers(requests, stock).collect()
+    }
+    assert status == {
+        100: "INVALID_QUANTITY",
+        101: "SAME_WAREHOUSE",
+        102: "INSUFFICIENT_STOCK",
+        103: "OK",
+        104: "INSUFFICIENT_STOCK",
+    }
+
+
+def test_apply_movements_upsert_semantics(spark):
+    """M1: ON CONFLICT DO UPDATE quantity + delta; new keys inserted
+    (dbfn/functions.sql:35-41)."""
+    stock = spark.createDataFrame(
+        [(1, 1, 10)], ["product_id", "warehouse_id", "quantity_on_hand"]
+    )
+    mv = spark.createDataFrame(
+        [(1, 1, -4), (2, 1, 7)], ["product_id", "warehouse_id", "quantity"]
+    )
+    snap = {
+        (r["product_id"], r["warehouse_id"]): r["quantity_on_hand"]
+        for r in functions.apply_movements(stock, mv).collect()
+    }
+    assert snap == {(1, 1): 6, (2, 1): 7}
