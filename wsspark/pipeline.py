@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from wsspark import adapters, quality
 from wsspark.io import load_tables, write_report
-from wsspark.ops import financial, inventory, movements, warehouse
+from wsspark.ops import financial, inventory, warehouse
+from wsspark.ops import movements as movements_ops
 
 class Reports(dict):
     """dict of report DataFrames; ``cached`` lists the shared cached frames
@@ -60,62 +61,93 @@ REPORT_NAMES = (
 )
 
 
-def build_reports(
-    spark: SparkSession,
-    sf_dir: str,
-    as_of: str = adapters.LINEITEM_AS_OF,
-    dead_stock_days: int = adapters.DEAD_STOCK_DAYS,
+def build_reports_from_frames(
+    movements: DataFrame,
+    stock: DataFrame,
+    so_details: DataFrame,
+    po_details: DataFrame,
+    as_of: str,
+    dead_stock_days: int = 180,
+    transfer_movements: DataFrame | None = None,
+    apply_dq: bool = True,
     incremental_since: str | None = None,
-) -> dict[str, DataFrame]:
-    """Define all 12 reference reports (etl/load/data_loader.py:33-38) as
-    lazy DataFrames over the sf_dir tables."""
-    t = load_tables(spark, sf_dir, ("lineitem", "part"))
-    li = t["lineitem"]
+) -> "Reports":
+    """The native-schema frontend: all 12 reference reports over
+    warehouse-shaped frames (the reference's extracted tables,
+    etl/extract/data_extractor.py:28-36). A user of the reference points
+    this at their stock/stock_movements/order-detail tables directly.
+
+    ``movements`` needs (product_id, warehouse_id, quantity, movement_date,
+    movement_type[, reference_id]); ``stock`` needs (product_id,
+    warehouse_id, quantity_on_hand); order details need (product_id,
+    quantity, unit_price). ``transfer_movements`` defaults to the TRANSFER
+    rows of ``movements``.
+    """
     cached: list[DataFrame] = []
 
     def _cache(df: DataFrame) -> DataFrame:
         cached.append(df.cache())
         return df
 
-    mv = adapters.movements_from_lineitem(li)
+    mv = movements
     if incremental_since is not None:
         mv = quality.incremental_filter(mv, incremental_since)
-    mv = _cache(quality.dq_filter(quality.dq_flag(mv, as_of=as_of)))
-
-    stock = _cache(adapters.stock_from_lineitem(li, t["part"]))
-    so = adapters.so_details_from_lineitem(li)
-    po = adapters.po_details_from_lineitem(li)
+    if apply_dq:
+        mv = quality.dq_filter(quality.dq_flag(mv, as_of=as_of))
+    mv = _cache(mv)
+    stock = _cache(stock)
+    if transfer_movements is None:
+        transfer_movements = movements.filter(F.col("movement_type") == "TRANSFER")
 
     # Shared sub-DAGs are cached: each feeds 2+ reports, and all of them are
     # key-cardinality frames (product x warehouse at most), never fact-sized.
     dead = _cache(inventory.dead_stock_report(stock, mv, as_of, dead_stock_days))
-    daily = _cache(movements.daily_trends(mv))
-    monthly = _cache(movements.monthly_trends(mv))
+    daily = _cache(movements_ops.daily_trends(mv))
+    monthly = _cache(movements_ops.monthly_trends(mv))
 
-    revenue = financial.revenue_per_product(so)
+    revenue = financial.revenue_per_product(so_details)
     abc = _cache(financial.abc_analysis(revenue))
-    avg_cost = financial.product_avg_cost(po)
+    avg_cost = financial.product_avg_cost(po_details)
     stock_value = _cache(financial.stock_value_report(stock, avg_cost))
 
     frames = {
         "dead_stock_report": dead,
-        "inventory_summary": inventory.inventory_summary(dead, stock, mv, so),
+        "inventory_summary": inventory.inventory_summary(dead, stock, mv, so_details),
         "daily_trends": daily,
-        "weekly_trends": movements.weekly_trends(mv),
+        "weekly_trends": movements_ops.weekly_trends(mv),
         "monthly_trends": monthly,
-        "peak_days": movements.peak_day_of_week(daily),
-        "peak_months": movements.peak_month(monthly),
+        "peak_days": movements_ops.peak_day_of_week(daily),
+        "peak_months": movements_ops.peak_month(monthly),
         "abc_analysis": abc,
         "stock_value_report": stock_value,
         "financial_summary": financial.financial_summary(stock_value, abc),
-        "transfer_patterns": warehouse.transfer_patterns(
-            adapters.transfer_movements_from_lineitem(li)
-        ),
-        "warehouse_io_summary": warehouse.warehouse_io_summary(
-            adapters.movements_from_lineitem(li)
-        ),
+        "transfer_patterns": warehouse.transfer_patterns(transfer_movements),
+        "warehouse_io_summary": warehouse.warehouse_io_summary(movements),
     }
     return Reports(frames, cached)
+
+
+def build_reports(
+    spark: SparkSession,
+    sf_dir: str,
+    as_of: str = adapters.LINEITEM_AS_OF,
+    dead_stock_days: int = adapters.DEAD_STOCK_DAYS,
+    incremental_since: str | None = None,
+) -> "Reports":
+    """Testdata frontend: the same 12 reports with the warehouse model
+    expressed over the sf_dir TPC-H-ish tables (wsspark.adapters)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"]
+    return build_reports_from_frames(
+        movements=adapters.movements_from_lineitem(li),
+        stock=adapters.stock_from_lineitem(li, t["part"]),
+        so_details=adapters.so_details_from_lineitem(li),
+        po_details=adapters.po_details_from_lineitem(li),
+        as_of=as_of,
+        dead_stock_days=dead_stock_days,
+        transfer_movements=adapters.transfer_movements_from_lineitem(li),
+        incremental_since=incremental_since,
+    )
 
 
 def run_summary_row(
