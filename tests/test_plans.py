@@ -1,0 +1,78 @@
+"""Physical-plan regression guards for the 100 TB story: filters must reach
+the parquet scan, dimension joins must broadcast, no row-at-a-time Python in
+any registered query, and the fact writer must partition by date."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wsspark.io import read_table
+from wsspark.queries import build_registry
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_incremental_filter_pushes_to_scan(spark, sf_dir):
+    from wsspark import adapters, quality
+
+    li = read_table(spark, sf_dir, "lineitem")
+    mv = quality.incremental_filter(
+        adapters.movements_from_lineitem(li), "1997-01-01 00:00:00"
+    )
+    plan = plan_of(mv)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    plan = plan_of(li.groupBy("l_partkey").agg(F.sum("l_quantity")))
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" in schema_line and "l_quantity" in schema_line
+    assert "l_extendedprice" not in schema_line and "l_shipdate" not in schema_line
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    reg = build_registry()
+    for name in ("top_unshipped_orders", "local_supplier_volume", "reorder_report"):
+        plan = plan_of(reg[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in build_registry() if n != "multimodal_features"]
+)
+def test_no_python_udf_in_query_plans(spark, sf_dir, name):
+    """Everything except the (intentionally Arrow-Python) multimodal path
+    stays JVM-side — no BatchEvalPython / row-at-a-time UDFs anywhere."""
+    plan = plan_of(build_registry()[name].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, f"{name} fell back to row Python"
+
+
+def test_multimodal_uses_arrow_not_row_python(spark, sf_dir):
+    plan = plan_of(build_registry()["multimodal_features"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_fact_writer_partitions_by_date(spark, tmp_path):
+    import os
+
+    from wsspark.io import write_fact_partitioned
+
+    df = spark.range(10).select(
+        F.col("id").alias("product_id"),
+        F.lit(1).alias("quantity"),
+        F.expr("date_add(date '2024-01-01', CAST(id AS INT))").alias("movement_date"),
+    )
+    path = str(tmp_path / "fact")
+    write_fact_partitioned(df, path)
+    parts = [d for d in os.listdir(path) if d.startswith("_dt=")]
+    assert len(parts) == 10  # one directory per day -> partition pruning works
