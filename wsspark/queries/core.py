@@ -676,6 +676,61 @@ GROUP BY product_id ORDER BY revenue DESC, product_id LIMIT 10
 """
 
 
+AS_OF_CUTOFF = "1998-01-01 00:00:00"
+
+
+def q_stock_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourcing time travel: the stock snapshot at any past instant is
+    the signed movement sum up to it (database/schema.sql:108-109 invariant
+    — the snapshot table is derivable, so point-in-time queries need no
+    versioned storage). The cutoff filter pushes into the scan, so at scale
+    this reads only the date partitions before T."""
+    li = read_table(spark, sf_dir, "lineitem")
+    mvs = ad.movements_from_lineitem(li)
+    snap = wfn.snapshot_from_movements(
+        mvs.filter(F.col("movement_date") <= F.lit(AS_OF_CUTOFF))
+    )
+    return snap.select(
+        "product_id",
+        "warehouse_id",
+        F.col("quantity_on_hand").cast("double").alias("quantity_on_hand"),
+    )
+
+
+STOCK_AS_OF_SQL = f"""
+SELECT product_id, warehouse_id,
+       CAST(SUM(quantity) AS DOUBLE) AS quantity_on_hand
+FROM ({ad.MOVEMENTS_SQL})
+WHERE movement_date <= TIMESTAMP '{AS_OF_CUTOFF}'
+GROUP BY 1, 2
+"""
+
+
+def q_movement_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional profile per movement type: exact continuous quantiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont`` interpolation). The
+    scale path swaps in ``percentile_approx`` (t-digest sketch, one pass,
+    mergeable) — same plan shape, bounded memory at 100 TB."""
+    li = read_table(spark, sf_dir, "lineitem")
+    mvs = ad.movements_from_lineitem(li)
+    return mvs.groupBy("movement_type").agg(
+        F.count("*").alias("n_movements"),
+        F.round(F.expr("percentile(quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(quantity, 0.99)"), 4).alias("p99_qty"),
+    )
+
+
+QUANTILES_SQL = f"""
+SELECT movement_type, COUNT(*) AS n_movements,
+       ROUND(quantile_cont(quantity, 0.5), 4) AS p50_qty,
+       ROUND(quantile_cont(quantity, 0.9), 4) AS p90_qty,
+       ROUND(quantile_cont(quantity, 0.99), 4) AS p99_qty
+FROM ({ad.MOVEMENTS_SQL})
+GROUP BY movement_type
+"""
+
+
 QUERIES = [
     Query("abc_analysis", q_abc_analysis, ABC_SQL,
           "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
@@ -719,4 +774,8 @@ QUERIES = [
           "transfer_stock validation rules (M2)"),
     Query("top10_products", q_top10_products, TOP10_SQL,
           "top-k with pinned tie-break (W4)"),
+    Query("stock_as_of", q_stock_as_of, STOCK_AS_OF_SQL,
+          "point-in-time snapshot via event-sourcing invariant"),
+    Query("movement_quantity_quantiles", q_movement_quantity_quantiles,
+          QUANTILES_SQL, "exact quantiles per movement type (approx at scale)"),
 ]
