@@ -1,0 +1,52 @@
+"""IO layer: ns-timestamp conversion, partitioned fact writes, JDBC option
+validation, and small-file compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wsspark import io
+
+
+def test_ns_timestamp_conversion_truncates_like_duckdb(spark, sf_dir):
+    """events.ts (parquet TIMESTAMP(NANOS)) must land on DuckDB's truncated
+    microseconds exactly — integer division, no float roundtrip."""
+    import duckdb
+
+    got = {
+        r["event_id"]: r["ts"]
+        for r in io.read_table(spark, sf_dir, "events").limit(50).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT event_id, CAST(ts AS TIMESTAMP) FROM "
+            f"'{os.path.join(sf_dir, 'events.parquet')}' "
+            f"WHERE event_id IN ({','.join(map(str, got))})"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_jdbc_reader_requires_bounds_with_partition_column(spark):
+    with pytest.raises(ValueError, match="bounds"):
+        io.read_jdbc_table(
+            spark, "jdbc:postgresql://h/db", "t", partition_column="id"
+        )
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(4000).select(
+        F.col("id"), F.lit("x" * 100).alias("pad")
+    ).repartition(40).write.parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before == 40
+    io.compact_parquet(spark, path, target_file_mb=256)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert after == 1
+    assert spark.read.parquet(path).count() == 4000

@@ -121,3 +121,85 @@ def test_snapshot_maintainer_upsert_and_audit(spark, tmp_path):
     assert (3, 1, 1) in ops and ops[(3, 1, 1)] == "INSERT"
     # zero-delta key (1,2) in batch2 must NOT produce an audit row
     assert (1, 2, 1) not in ops
+
+
+def test_streaming_dq_rules_apply_statelessly(spark, sf_dir, events_dir):
+    """The batch DQ predicates compose onto a stream unchanged (stateless
+    projection): bad rows never reach the windowed aggregation."""
+    from wsspark import quality
+
+    stream = streaming.read_event_stream(spark, events_dir)
+    flagged = quality.dq_flag(
+        stream.withColumnRenamed("ts", "movement_date")
+        .withColumnRenamed("value", "quantity")
+        .withColumn("movement_type", F.lit("IN")),
+        as_of="2024-02-01 00:00:00",
+        ref_col="event_id",
+    )
+    clean = quality.dq_filter(flagged).withColumnRenamed("movement_date", "ts")
+    got = run_available_now(
+        streaming.windowed_event_counts(clean), spark, "dq_counts"
+    )
+    total_stream = got.agg(F.sum("n_events")).collect()[0][0]
+
+    ev = read_table(spark, sf_dir, "events")
+    batch_clean = ev.filter(
+        (F.col("ts") <= "2024-02-01") & (F.col("value") >= 0)
+    )
+    assert total_stream == batch_clean.count()
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Rows older than the watermark horizon arriving in a later micro-batch
+    are dropped from the aggregation — the streaming form of the late-data
+    rule (SURVEY.md §2.10)."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+    schema = "event_id LONG, ts TIMESTAMP, event_type STRING"
+    day = dt.datetime(2024, 1, 10)
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        agg = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("day"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: events on Jan 10 push the watermark to Jan 9
+    spark.createDataFrame(
+        [(i, day + dt.timedelta(hours=i), "a") for i in range(5)], schema
+    ).write.parquet(src + "/b1")
+    run_batch()
+    # batch 2: one on-time row (Jan 10) + one 8-days-late row (Jan 2)
+    spark.createDataFrame(
+        [(10, day + dt.timedelta(hours=6), "a"), (11, day - dt.timedelta(days=8), "a")],
+        schema,
+    ).write.parquet(src + "/b2")
+    run_batch()
+    # close the Jan-10 window so its final count emits (append mode)
+    spark.createDataFrame(
+        [(12, day + dt.timedelta(days=3), "a")], schema
+    ).write.parquet(src + "/b3")
+    run_batch()
+
+    rows = {r["day"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    # Jan 10 window: 5 (batch1) + 1 on-time (batch2); the late Jan-2 row
+    # must NOT appear as its own window
+    assert rows[day] == 6
+    assert (day - dt.timedelta(days=8)) not in rows

@@ -102,3 +102,81 @@ def append_table(df: DataFrame, table: str) -> None:
     """S4 analog: append run-summary rows to a managed table
     (etl/load/data_loader.py:89-94 uses pandas to_sql append)."""
     df.write.mode("append").saveAsTable(table)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1 over a live database (the reference extracts 7 tables from
+    PostgreSQL via SQLAlchemy, etl/extract/data_extractor.py:21-41).
+
+    Always pass ``partition_column``/bounds for anything fact-sized: without
+    them Spark opens ONE connection and pulls the table serially; with them
+    the extract becomes ``num_partitions`` parallel range scans — the
+    difference between hours and minutes on the reference's 550k-row (or a
+    100 TB) movement table. Catalyst pushes filters/projections into the
+    generated SQL, so the reference's hand-interpolated incremental WHERE
+    (data_extractor.py:51-54) is just ``.filter`` on the returned frame.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc_append(
+    df: DataFrame, url: str, table: str, properties: dict[str, str] | None = None
+) -> None:
+    """S4 over a live database: batched append (the Spark analog of the
+    reference's pandas ``to_sql(append)``, etl/load/data_loader.py:89-94)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode("append").save()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    min_files: int = 1,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~``target_file_mb`` files. Streaming sinks and fine-grained partitioned
+    writes accumulate small files that poison scan parallelism at scale
+    (every file is a task + an open); periodic compaction keeps file counts
+    proportional to bytes. Returns the output file count.
+    """
+    size_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(min_files, -(-size_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compacting"
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+    compacted = spark.read.parquet(tmp)
+    compacted.write.mode("overwrite").parquet(path)
+    # best-effort cleanup of the staging copy
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_files
