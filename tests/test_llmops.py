@@ -66,3 +66,48 @@ def test_winnowing_shared_fingerprints(spark):
     }
     assert (1, 2) in cands and cands[(1, 2)] > 0
     assert not any(3 in pair for pair in cands)
+
+
+def test_normalize_produces_unit_vectors(spark, emb):
+    out = similarity.normalize(emb).limit(20).collect()
+    for r in out:
+        n = sum(x * x for x in r["unit_vec"]) ** 0.5
+        assert abs(n - 1.0) < 1e-9
+
+
+def test_normalize_zero_vector_is_null(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
+    assert similarity.normalize(df).collect()[0]["unit_vec"] is None
+
+
+def test_int8_quantization_roundtrip_and_cosine_fidelity(spark, emb):
+    from pyspark.sql import functions as F
+
+    q = similarity.quantize_int8(emb).limit(100)
+    rows = q.select(
+        "embedding",
+        similarity.dequantize(F.col("q_vec"), F.col("q_scale")).alias("deq"),
+    ).collect()
+    for r in rows:
+        orig, deq = r["embedding"], r["deq"]
+        amax = max(abs(x) for x in orig)
+        # symmetric int8: per-component error <= scale/2
+        tol = (amax / 127.0) / 2 + 1e-9
+        assert all(abs(a - b) <= tol for a, b in zip(orig, deq))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+
+    # cosine between original and its dequantized self stays ~1
+    for r in rows:
+        assert cos(r["embedding"], r["deq"]) > 0.999
+
+
+def test_quantized_vectors_are_bytes(spark, emb):
+    q = similarity.quantize_int8(emb)
+    dtype = dict(q.dtypes)
+    assert dtype["q_vec"] == "array<tinyint>"
+    assert dtype["q_scale"] == "float"

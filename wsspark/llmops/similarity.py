@@ -180,3 +180,42 @@ def embedding_cosine_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def normalize(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec") -> DataFrame:
+    """Unit-normalize vectors (zero vectors -> null). Normalizing once at
+    ingest turns every cosine downstream into a plain dot product — at
+    corpus scale that halves the arithmetic of each of the O(pairs)
+    comparisons for one O(N) pass."""
+    v = as_double(F.col(vec_col))
+    n = norm(v)
+    return df.withColumn(
+        out_col,
+        F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(F.lit(None)),
+    )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", prefix: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127, stored
+    as (array<tinyint>, float scale) — a 4x storage/IO cut versus float32,
+    which at 100 TB is the difference between scanning 100 TB and 25 TB for
+    every ANN sweep. Recall loss is bounded by the ~0.4% per-component
+    error; re-rank survivors against the float column when exactness
+    matters."""
+    v = as_double(F.col(vec_col))
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return (
+        df.withColumn(f"{prefix}_scale", scale.cast("float"))
+        .withColumn(
+            f"{prefix}_vec",
+            F.transform(v, lambda x: F.round(x / F.col(f"{prefix}_scale")).cast("byte")),
+        )
+    )
+
+
+def dequantize(q_vec: Column, q_scale: Column) -> Column:
+    """int8 vector + scale -> array<double> (inverse of quantize_int8)."""
+    return F.transform(q_vec, lambda x: x.cast("double") * q_scale)

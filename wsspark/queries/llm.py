@@ -284,6 +284,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm profile — the ingest-time sanity scan a
+    vector pipeline runs before indexing (catches unnormalized/degenerate
+    batches). Norms via native array aggregate expressions."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = similarity.norm(similarity.as_double(F.col("embedding")))
+    return (
+        emb.withColumn("_n", n)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("_n"), 4).alias("avg_norm"),
+            F.round(F.min("_n"), 4).alias("min_norm"),
+            F.round(F.max("_n"), 4).alias("max_norm"),
+        )
+    )
+
+
+EMB_NORM_SQL = """
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(AVG(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm,
+       ROUND(MIN(sqrt(list_dot_product(embedding, embedding))), 4) AS min_norm,
+       ROUND(MAX(sqrt(list_dot_product(embedding, embedding))), 4) AS max_norm
+FROM embeddings GROUP BY label
+"""
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -313,4 +340,6 @@ QUERIES = [
           "gap-based sessionization (batch form of session windows)"),
     Query("multimodal_features", q_multimodal_features, None,
           "binary-column feature extraction via Arrow mapInPandas (stub decode)"),
+    Query("embedding_norm_profile", q_embedding_norm_profile, EMB_NORM_SQL,
+          "per-label embedding norm sanity profile"),
 ]
