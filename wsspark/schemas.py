@@ -147,3 +147,43 @@ WAREHOUSE_SCHEMAS: dict[str, StructType] = {
     "sales_orders": SALES_ORDERS,
     "sales_order_details": SALES_ORDER_DETAILS,
 }
+
+
+def schema_problems(df, expected: StructType) -> list[str]:
+    """Data-contract check (the Spark analog of the reference's DDL-enforced
+    schemas, database/schema.sql): every expected field must exist with a
+    compatible type. Extra columns are allowed (pandas-side enrichment is
+    normal); integer widths are interchangeable. Returns problem strings,
+    empty when the frame satisfies the contract."""
+    integer_types = {"tinyint", "smallint", "int", "bigint"}
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for field in expected.fields:
+        want = field.dataType.simpleString()
+        got = actual.get(field.name)
+        if got is None:
+            problems.append(f"missing column {field.name} ({want})")
+        elif got != want and not (got in integer_types and want in integer_types):
+            problems.append(f"column {field.name}: expected {want}, got {got}")
+    return problems
+
+
+def require_schema(df, expected: StructType, name: str = "frame"):
+    """Raise with every violation listed (fail-fast at pipeline entry —
+    schema drift surfaces here, not as a wrong aggregate 40 stages later)."""
+    problems = schema_problems(df, expected)
+    if problems:
+        raise ValueError(f"{name} violates schema contract: " + "; ".join(problems))
+    return df
+
+
+def enum_violations(df, col: str, allowed: tuple[str, ...]):
+    """CHECK-constraint analog (schema.sql:23-44 enums): distinct values
+    outside the allowed list, with occurrence counts."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.filter(~F.col(col).isin(*allowed) | F.col(col).isNull())
+        .groupBy(col)
+        .count()
+    )
