@@ -74,15 +74,18 @@ def main() -> None:
 
     from wsspark.pipeline import run_pipeline
 
-    # Each measurement is the warm (second) run: the first execution of any
-    # plan pays one-time whole-stage-codegen JIT compilation — measured
-    # 2-8 s of per-plan jitter on first execution, stable ±0.3 s after —
-    # which is noise in a steady-state throughput comparison.
+    # Steady-state measurement: one discarded warmup run (whole-stage-codegen
+    # JIT adds 2-8 s of per-plan jitter on first execution), then the best of
+    # two measured runs — residual C2-recompilation/AQE noise showed up as
+    # occasional multi-second spikes on single warm runs.
     def timed(fn) -> float:
         fn()
-        t0 = time.perf_counter()
-        fn()
-        return round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
 
     timings["q0_full_etl_12_reports"] = timed(
         lambda: run_pipeline(spark, sf_dir, tempfile.mkdtemp(prefix="wsspark_bench_"))
