@@ -203,3 +203,46 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # must NOT appear as its own window
     assert rows[day] == 6
     assert (day - dt.timedelta(days=8)) not in rows
+
+
+def test_low_stock_alerts_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key balances across micro-batches:
+    an alert fires only when the running balance crosses the threshold,
+    using state persisted in the checkpoint."""
+    import os
+
+    src = str(tmp_path / "alert_src")
+    ckpt = str(tmp_path / "alert_ck")
+    sink = str(tmp_path / "alert_sink")
+    os.makedirs(src)
+    schema = "product_id LONG, warehouse_id LONG, quantity LONG"
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        alerts = streaming.low_stock_alerts(stream, reorder_points=10)
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: (1,1) gets 50 (no alert), (2,1) gets 8 (alert: 8 <= 10)
+    spark.createDataFrame(
+        [(1, 1, 50), (2, 1, 8)], schema
+    ).write.parquet(src + "/b1")
+    run_batch()
+    # batch 2: (1,1) loses 45 -> balance 5 (alert), (2,1) gains 20 -> 28 (none)
+    spark.createDataFrame(
+        [(1, 1, -45), (2, 1, 20)], schema
+    ).write.parquet(src + "/b2")
+    run_batch()
+
+    rows = spark.read.parquet(sink).collect()
+    alerts = {(r["product_id"], r["warehouse_id"]): r["balance"] for r in rows}
+    assert alerts == {(2, 1): 8, (1, 1): 5}
+    deltas = {(r["product_id"], r["warehouse_id"]): r["batch_delta"] for r in rows}
+    assert deltas[(1, 1)] == -45  # second batch's delta, against carried state

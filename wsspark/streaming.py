@@ -23,7 +23,9 @@ cardinality: product x warehouse), never the movement history.
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -164,3 +166,71 @@ class SnapshotMaintainer:
             .trigger(availableNow=True)
             .start()
         )
+
+
+def low_stock_alerts(
+    movements: DataFrame,
+    reorder_points: dict[tuple[int, int], int] | int = 10,
+    keys: tuple[str, ...] = ("product_id", "warehouse_id"),
+    qty_col: str = "quantity",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running stock balance over the movement stream, emitting an alert row
+    whenever a micro-batch drives the balance at-or-below the reorder point
+    (the continuous form of M3 check_reorder_points,
+    dbfn/functions.sql:143-176).
+
+    State is one long per (product, warehouse) — dimension-cardinality, not
+    stream-cardinality — and lives in the state store across micro-batches
+    and restarts. ``reorder_points`` is either a constant threshold or a
+    {(product_id, warehouse_id): point} dict (broadcast-sized; a dimension
+    join upstream is the alternative at very high key counts).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("product_id", LongType()),
+            StructField("warehouse_id", LongType()),
+            StructField("balance", LongType()),
+            StructField("reorder_point", LongType()),
+            StructField("batch_delta", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("balance", LongType())])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        delta = 0
+        for pdf in pdfs:
+            delta += int(pdf[qty_col].sum())
+        (balance,) = state.get if state.exists else (0,)
+        balance += delta
+        state.update((balance,))
+        point = (
+            reorder_points.get(tuple(key), 0)
+            if isinstance(reorder_points, dict)
+            else reorder_points
+        )
+        if balance <= point:
+            yield pd.DataFrame(
+                {
+                    "product_id": [key[0]],
+                    "warehouse_id": [key[1]],
+                    "balance": [balance],
+                    "reorder_point": [point],
+                    "batch_delta": [delta],
+                }
+            )
+
+    return movements.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
