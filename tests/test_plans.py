@@ -76,3 +76,39 @@ def test_fact_writer_partitions_by_date(spark, tmp_path):
     write_fact_partitioned(df, path)
     parts = [d for d in os.listdir(path) if d.startswith("_dt=")]
     assert len(parts) == 10  # one directory per day -> partition pruning works
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Same-bucketed tables must join shuffle-free — the scale posture for
+    recurring co-located joins (movements x stock)."""
+    from wsspark.io import write_bucketed_table
+
+    mv = spark.range(1000).select(
+        (F.col("id") % 50).alias("product_id"), F.lit(1).alias("quantity")
+    )
+    stock = spark.range(50).select(
+        F.col("id").alias("product_id"), (F.col("id") * 10).alias("on_hand")
+    )
+    write_bucketed_table(mv, "bt_movements", ("product_id",), n_buckets=8)
+    write_bucketed_table(stock, "bt_stock", ("product_id",), n_buckets=8)
+    try:
+        joined = (
+            spark.table("bt_movements")
+            .join(spark.table("bt_stock"), "product_id")
+            .groupBy("product_id")
+            .agg(F.sum("quantity"))
+        )
+        # disable broadcast so the join strategy is the bucketed SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, "bucketed join still shuffles"
+        rows = joined.collect()
+        assert len(rows) == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_movements")
+        spark.sql("DROP TABLE IF EXISTS bt_stock")
