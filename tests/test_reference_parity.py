@@ -187,3 +187,33 @@ def test_apply_movements_upsert_semantics(spark):
         for r in functions.apply_movements(stock, mv).collect()
     }
     assert snap == {(1, 1): 6, (2, 1): 7}
+
+
+def test_reports_on_empty_movements(spark):
+    """Degenerate inputs must flow through every report without error —
+    the reference early-exits on empty increments, but the library ops must
+    also stand alone (guards from SURVEY.md §5 edge cases)."""
+    from wsspark.pipeline import REPORT_NAMES, build_reports_from_frames
+
+    empty_mv = spark.createDataFrame(
+        [],
+        "product_id LONG, warehouse_id LONG, quantity LONG, "
+        "movement_date TIMESTAMP, movement_type STRING, reference_id LONG",
+    )
+    stock = spark.createDataFrame(
+        [(1, 1, 5)], ["product_id", "warehouse_id", "quantity_on_hand"]
+    )
+    details = spark.createDataFrame([], "product_id LONG, quantity LONG, unit_price DOUBLE")
+    reports = build_reports_from_frames(
+        empty_mv, stock, details, details, as_of=str(NOW)
+    )
+    try:
+        for name in REPORT_NAMES:
+            reports[name].collect()  # must not raise
+        # never-moved stock with empty history -> dead (9999 days)
+        assert reports["dead_stock_report"].collect()[0]["is_dead_stock"]
+        summary = reports["inventory_summary"].collect()[0]
+        assert summary["stock_turnover_ratio"] == 0.0
+        assert reports["abc_analysis"].count() == 0
+    finally:
+        reports.release()

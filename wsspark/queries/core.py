@@ -731,6 +731,52 @@ GROUP BY movement_type
 """
 
 
+def q_daily_trend_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling analytics over the gap-filled daily series: 7-day moving
+    average and day-over-day delta (frame-spec window + lag — the natural
+    extensions of W1/W2 the reference's pandas would express as
+    rolling(7).mean()/diff()). The window partitions are tiny (one ordered
+    pass over ~2.5k daily rows after the fact-side count), so the sort is
+    negligible at any fact scale."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    mv = ad.movements_from_lineitem(li)
+    daily = mov.resample_counts(mv, "D", "movement_date", "n", "bucket_date")
+    w7 = Window.orderBy("bucket_date").rowsBetween(-6, 0)
+    w1 = Window.orderBy("bucket_date")
+    return daily.select(
+        "bucket_date",
+        F.col("n").cast("long").alias("n_movements"),
+        F.round(F.avg("n").over(w7), 4).alias("ma7"),
+        (F.col("n") - F.lag("n", 1).over(w1)).cast("long").alias("dod_delta"),
+    )
+
+
+DAILY_WINDOWS_SQL = f"""
+WITH mv AS ({ad.MOVEMENTS_SQL}),
+counts AS (
+    SELECT CAST(movement_date AS DATE) AS bucket_date, COUNT(*) AS n
+    FROM mv GROUP BY 1
+),
+bounds AS (SELECT MIN(bucket_date) lo, MAX(bucket_date) hi FROM counts),
+cal AS (
+    SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+           AS bucket_date
+    FROM bounds
+),
+daily AS (
+    SELECT c.bucket_date, COALESCE(n, 0) AS n
+    FROM cal c LEFT JOIN counts USING (bucket_date)
+)
+SELECT bucket_date, CAST(n AS BIGINT) AS n_movements,
+       ROUND(AVG(n) OVER (ORDER BY bucket_date
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+       CAST(n - lag(n, 1) OVER (ORDER BY bucket_date) AS BIGINT) AS dod_delta
+FROM daily
+"""
+
+
 QUERIES = [
     Query("abc_analysis", q_abc_analysis, ABC_SQL,
           "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
@@ -778,4 +824,6 @@ QUERIES = [
           "point-in-time snapshot via event-sourcing invariant"),
     Query("movement_quantity_quantiles", q_movement_quantity_quantiles,
           QUANTILES_SQL, "exact quantiles per movement type (approx at scale)"),
+    Query("daily_trend_windows", q_daily_trend_windows, DAILY_WINDOWS_SQL,
+          "rolling 7-day average + day-over-day lag over gap-filled dailies"),
 ]
