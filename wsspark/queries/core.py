@@ -777,6 +777,144 @@ FROM daily
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over the event stream: per user, the first
+    view -> first click after that -> first purchase after that; counts of
+    users reaching each stage. Expressed as three conditional min-aggregates
+    (one shuffle on user_id), not a self-join — at 100 TB the user-grain
+    aggregation is the only data movement."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click_any"),
+        first_ts("purchase").alias("t_buy_any"),
+    )
+    # stage gates: each step must come strictly after the previous
+    staged = per_user.select(
+        "user_id",
+        F.col("t_view").isNotNull().alias("s1"),
+        (F.col("t_view").isNotNull() & (F.col("t_click_any") > F.col("t_view"))).alias("s2"),
+        (
+            F.col("t_view").isNotNull()
+            & (F.col("t_click_any") > F.col("t_view"))
+            & (F.col("t_buy_any") > F.col("t_click_any"))
+        ).alias("s3"),
+    )
+    return staged.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("s1").cast("long")).alias("n_viewed"),
+        F.sum(F.col("s2").cast("long")).alias("n_clicked_after_view"),
+        F.sum(F.col("s3").cast("long")).alias("n_purchased_after_click"),
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
+    FROM events GROUP BY user_id
+),
+staged AS (
+    SELECT user_id,
+           t_view IS NOT NULL AS s1,
+           t_view IS NOT NULL AND t_click_any > t_view AS s2,
+           t_view IS NOT NULL AND t_click_any > t_view
+               AND t_buy_any > t_click_any AS s3
+    FROM per_user
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+FROM staged
+"""
+
+
+def q_dead_stock_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging buckets over days-since-last-movement (the report a planner
+    actually reads: how stale is the stale stock) — CASE bucketing + rollup
+    on top of the dead-stock annotations."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    report = inv.dead_stock_report(
+        ad.stock_from_lineitem(li, part),
+        ad.movements_from_lineitem(li),
+        as_of=ad.LINEITEM_AS_OF,
+        dead_stock_days=ad.DEAD_STOCK_DAYS,
+    )
+    d = F.col("days_since_last_movement")
+    bucket = (
+        F.when(d <= 30, "000-030")
+        .when(d <= 90, "031-090")
+        .when(d <= 180, "091-180")
+        .when(d < inv.NEVER_MOVED_DAYS, "181+")
+        .otherwise("never_moved")
+    )
+    return (
+        report.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").alias("n_positions"),
+            F.sum(F.col("quantity_on_hand").cast("long")).alias("total_units"),
+        )
+    )
+
+
+AGING_SQL = f"""
+WITH stock AS ({ad.STOCK_SQL}),
+mv AS ({ad.MOVEMENTS_SQL}),
+last AS (
+    SELECT product_id, warehouse_id, MAX(movement_date) AS movement_date
+    FROM mv GROUP BY 1, 2
+),
+annotated AS (
+    SELECT s.quantity_on_hand,
+           COALESCE(datediff('day', l.movement_date::DATE,
+                             TIMESTAMP '{ad.LINEITEM_AS_OF}'::DATE),
+                    {inv.NEVER_MOVED_DAYS}) AS d
+    FROM stock s LEFT JOIN last l USING (product_id, warehouse_id)
+)
+SELECT CASE WHEN d <= 30 THEN '000-030'
+            WHEN d <= 90 THEN '031-090'
+            WHEN d <= 180 THEN '091-180'
+            WHEN d < {inv.NEVER_MOVED_DAYS} THEN '181+'
+            ELSE 'never_moved' END AS age_bucket,
+       COUNT(*) AS n_positions,
+       CAST(SUM(quantity_on_hand) AS BIGINT) AS total_units
+FROM annotated GROUP BY 1
+"""
+
+
+def q_transfer_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: the JSON result envelopes of the reference's SQL routines
+    (json_build_object success/error, dbfn/functions.sql:43-49,122-126) —
+    validated transfers rendered as one JSON string per request."""
+    validated = q_transfer_validation(spark, sf_dir)
+    receipt = F.to_json(
+        F.struct(
+            (F.col("status") == "OK").alias("success"),
+            F.col("transfer_id").alias("transfer_id"),
+            F.col("status").alias("status"),
+        )
+    )
+    return validated.select("transfer_id", receipt.alias("receipt"))
+
+
+RECEIPTS_SQL = f"""
+SELECT transfer_id,
+       to_json(struct_pack(
+           success := status = 'OK',
+           transfer_id := transfer_id,
+           status := status)) AS receipt
+FROM ({TRANSFER_VALIDATION_SQL})
+"""
+
+
 QUERIES = [
     Query("abc_analysis", q_abc_analysis, ABC_SQL,
           "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
@@ -826,4 +964,10 @@ QUERIES = [
           QUANTILES_SQL, "exact quantiles per movement type (approx at scale)"),
     Query("daily_trend_windows", q_daily_trend_windows, DAILY_WINDOWS_SQL,
           "rolling 7-day average + day-over-day lag over gap-filled dailies"),
+    Query("event_funnel", q_event_funnel, FUNNEL_SQL,
+          "ordered view->click->purchase funnel, one user-grain shuffle"),
+    Query("dead_stock_aging", q_dead_stock_aging, AGING_SQL,
+          "aging buckets over days-since-last-movement"),
+    Query("transfer_receipts", q_transfer_receipts, RECEIPTS_SQL,
+          "JSON result envelopes for transfer requests (F7)"),
 ]
