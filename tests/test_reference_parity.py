@@ -217,3 +217,42 @@ def test_reports_on_empty_movements(spark):
         assert reports["abc_analysis"].count() == 0
     finally:
         reports.release()
+
+
+def test_incremental_snapshot_equals_full_recompute(spark, sf_dir):
+    """The M1 invariant on real data: applying the post-watermark delta to
+    the as-of snapshot reproduces the full recompute exactly — incremental
+    maintenance never drifts from the event-sourced truth."""
+    from wsspark import adapters
+    from wsspark.io import read_table
+    from wsspark.ops.functions import apply_movements, snapshot_from_movements
+
+    cutoff = "1998-01-01 00:00:00"
+    mv = adapters.movements_from_lineitem(read_table(spark, sf_dir, "lineitem"))
+    old = snapshot_from_movements(mv.filter(F.col("movement_date") <= cutoff))
+    delta = mv.filter(F.col("movement_date") > cutoff)
+    incremental = {
+        (r["product_id"], r["warehouse_id"]): r["quantity_on_hand"]
+        for r in apply_movements(old, delta).collect()
+    }
+    full = {
+        (r["product_id"], r["warehouse_id"]): r["quantity_on_hand"]
+        for r in snapshot_from_movements(mv).collect()
+    }
+    # keys present only in `incremental` with qty equal to old (no delta) are fine;
+    # every full key must match exactly
+    for k, v in full.items():
+        assert incremental[k] == v
+
+
+def test_with_updated_at_stamp(spark):
+    """M6: write-path maintenance of updated_at, injectable for replay."""
+    import datetime as dt
+
+    from wsspark.ops.functions import with_updated_at
+
+    df = spark.createDataFrame([(1,)], ["product_id"])
+    out = with_updated_at(df, as_of="2026-01-01 00:00:00").collect()[0]
+    assert out["updated_at"] == dt.datetime(2026, 1, 1)
+    live = with_updated_at(df).collect()[0]
+    assert live["updated_at"] is not None

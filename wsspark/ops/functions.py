@@ -173,3 +173,11 @@ def calculate_stock_value(
             ).alias("total_value"),
         )
     )
+
+
+def with_updated_at(df: DataFrame, as_of=None, col: str = "updated_at") -> DataFrame:
+    """M6 trigger_set_updated_at (dbfn/triggers.sql:72-85) as a write-path
+    projection: stamp rows with the maintenance timestamp. ``as_of`` is
+    injectable for replayable runs; None -> current_timestamp()."""
+    ts = F.current_timestamp() if as_of is None else F.lit(as_of).cast("timestamp")
+    return df.withColumn(col, ts)

@@ -915,6 +915,63 @@ FROM ({TRANSFER_VALIDATION_SQL})
 """
 
 
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key concentration profile (the 80/20 skew the warehouse data
+    model bakes in, FIXTURES.md): revenue share captured by the top 1/5/20%
+    of products. One groupBy + two window passes over product grain — the
+    skew diagnostic that tells you whether salting (wsspark.skew) is needed
+    downstream."""
+    li = read_table(spark, sf_dir, "lineitem")
+    so = ad.so_details_from_lineitem(li)
+    rev = so.groupBy("product_id").agg(
+        F.sum(ex.cents(F.col("quantity") * F.col("unit_price"))).alias("rev_cents")
+    )
+    w_rank = Window.orderBy(F.desc("rev_cents"), F.asc("product_id"))
+    ranked = rev.select(
+        "rev_cents",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("rev_cents").over(Window.partitionBy()).alias("total"),
+    )
+
+    def share(pct: float):
+        top = ranked.filter(F.col("rk") <= F.ceil(F.col("n") * pct))
+        return top.agg(
+            F.round(
+                F.sum("rev_cents").cast("double") / F.first("total"), 4
+            ).alias("x")
+        )
+
+    s1 = share(0.01).withColumnRenamed("x", "top1pct_share")
+    s5 = share(0.05).withColumnRenamed("x", "top5pct_share")
+    s20 = share(0.20).withColumnRenamed("x", "top20pct_share")
+    return s1.crossJoin(s5).crossJoin(s20)
+
+
+CONCENTRATION_SQL = f"""
+WITH so AS ({ad.SO_DETAILS_SQL}),
+rev AS (
+    SELECT product_id,
+           SUM(CAST(ROUND((quantity * unit_price) * 100, 0) AS BIGINT)) AS rev_cents
+    FROM so GROUP BY product_id
+),
+ranked AS (
+    SELECT rev_cents,
+           ROW_NUMBER() OVER (ORDER BY rev_cents DESC, product_id) AS rk,
+           COUNT(*) OVER () AS n,
+           SUM(rev_cents) OVER () AS total
+    FROM rev
+)
+SELECT
+    (SELECT ROUND(CAST(SUM(rev_cents) AS DOUBLE) / ANY_VALUE(total), 4)
+     FROM ranked WHERE rk <= CEIL(n * 0.01)) AS top1pct_share,
+    (SELECT ROUND(CAST(SUM(rev_cents) AS DOUBLE) / ANY_VALUE(total), 4)
+     FROM ranked WHERE rk <= CEIL(n * 0.05)) AS top5pct_share,
+    (SELECT ROUND(CAST(SUM(rev_cents) AS DOUBLE) / ANY_VALUE(total), 4)
+     FROM ranked WHERE rk <= CEIL(n * 0.20)) AS top20pct_share
+"""
+
+
 QUERIES = [
     Query("abc_analysis", q_abc_analysis, ABC_SQL,
           "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
@@ -970,4 +1027,6 @@ QUERIES = [
           "aging buckets over days-since-last-movement"),
     Query("transfer_receipts", q_transfer_receipts, RECEIPTS_SQL,
           "JSON result envelopes for transfer requests (F7)"),
+    Query("revenue_concentration", q_revenue_concentration, CONCENTRATION_SQL,
+          "top 1/5/20 percent revenue shares (hot-key skew diagnostic)"),
 ]
