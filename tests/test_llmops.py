@@ -111,3 +111,17 @@ def test_quantized_vectors_are_bytes(spark, emb):
     dtype = dict(q.dtypes)
     assert dtype["q_vec"] == "array<tinyint>"
     assert dtype["q_scale"] == "float"
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The sketch path for cardinality at scale: approx_count_distinct
+    (HLL++, mergeable, bounded memory) must land within its configured
+    relative error of the exact count on real data."""
+    from pyspark.sql import functions as F
+
+    from wsspark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05

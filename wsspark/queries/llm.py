@@ -311,6 +311,31 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary profile: top-50 tokens by document frequency (explode
+    distinct tokens -> map-side-combinable count -> pinned top-k). The
+    corpus-scale form of a tokenizer-training frequency pass; stopword
+    pruning and df/idf both hang off this frame."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+TOKEN_DF_SQL = """
+SELECT token, COUNT(*) AS doc_freq
+FROM (SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS token
+      FROM documents)
+GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50
+"""
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -342,4 +367,6 @@ QUERIES = [
           "binary-column feature extraction via Arrow mapInPandas (stub decode)"),
     Query("embedding_norm_profile", q_embedding_norm_profile, EMB_NORM_SQL,
           "per-label embedding norm sanity profile"),
+    Query("token_doc_frequency", q_token_doc_frequency, TOKEN_DF_SQL,
+          "top-50 tokens by document frequency (vocabulary profile)"),
 ]
