@@ -336,6 +336,59 @@ GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per document: explode terms, join document frequencies, score
+    tf * ln(N/df), keep each document's single top term (pinned tie-break).
+    The df side is vocabulary-sized and broadcast; the only fact-grain
+    shuffle is the per-doc top-1 window."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, known before planning
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = (
+        terms.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
+
+
+TFIDF_SQL = """
+WITH terms AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (
+    SELECT token, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, token FROM terms) GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, token,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token AS top_term, tfidf
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) = 1
+"""
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -369,4 +422,6 @@ QUERIES = [
           "per-label embedding norm sanity profile"),
     Query("token_doc_frequency", q_token_doc_frequency, TOKEN_DF_SQL,
           "top-50 tokens by document frequency (vocabulary profile)"),
+    Query("tfidf_top_terms", q_tfidf_top_terms, TFIDF_SQL,
+          "per-document top TF-IDF term (broadcast df join + top-1 window)"),
 ]
