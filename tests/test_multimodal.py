@@ -45,3 +45,12 @@ def test_sample_frames_plan(spark, media):
     # only the video row (id 3, 3500 ms) -> frames at 0,1000,2000,3000
     assert [r["media_id"] for r in frames] == [3, 3, 3, 3]
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_resize_plumbing(spark, media):
+    out = {r["media_id"]: r for r in multimodal.resize_images(media).collect()}
+    assert set(out) == {1, 4}  # image rows only
+    assert out[1]["target_w"] == 224
+    assert bytes(out[1]["resized"]).startswith(b"RESIZED[224x224]")
+    assert bytes(out[1]["resized"]).endswith(b"fake-image-bytes")
+    assert out[4]["resized"] is None  # null payload flows through

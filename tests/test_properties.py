@@ -98,3 +98,21 @@ def test_dq_rules_total_and_ordered(mtype, qty, when, ref):
         assert flag == "future_date"
     elif mtype in ("IN", "RETURN") and qty < 0:
         assert flag == "invalid_quantity"
+
+
+def test_results_independent_of_partitioning(spark):
+    """Engine-level determinism: the cents-exact ABC query must produce
+    byte-identical results whatever the input partitioning (partial-agg
+    order is partitioning-dependent; integer-cent summation makes the
+    result invariant). This is the property the driver's value hash and any
+    100 TB re-run both rely on."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from wsspark.queries import build_registry
+
+    fn = build_registry()["abc_analysis"].fn
+    base = fn(spark, "/root/testdata/sf0.001")
+    a = sorted(map(tuple, base.repartition(3).collect()))
+    b = sorted(map(tuple, base.repartition(17).collect()))
+    assert a == b

@@ -76,7 +76,9 @@ def load_tables(
 def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """S3 analog: one report -> one output location (reference writes one
     file per report, etl/load/data_loader.py:26-63). Small aggregate outputs
-    coalesce to 1 file; facts should use ``write_fact_partitioned``."""
+    coalesce to 1 file; facts should use ``write_fact_partitioned``. The
+    reference's third format, Excel (data_loader.py:55-58), is out of scope
+    here (openpyxl-class deps; a report consumer reads the CSV)."""
     writer = df.coalesce(1).write.mode("overwrite")
     if fmt == "parquet":
         writer.parquet(path)

@@ -114,3 +114,49 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("target_w", LongType(), False),
+        StructField("target_h", LongType(), False),
+        StructField("resized", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize *plumbing* over image rows: Arrow-batched mapInPandas with the
+    decode/resize/encode step stubbed (no codec libs in this environment —
+    the stub emits a deterministic tag + original bytes so the dataflow,
+    schema, and batch shape are real and testable; swap the body for
+    PIL.Image.resize in production)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"RESIZED[{target_w}x{target_h}]".encode()
+
+        def stub(payload):
+            if payload is None:
+                return None
+            if bytes(payload[:4]) in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv, not available in this env"
+                )
+            return tag + bytes(payload)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "resized": pdf["payload"].map(stub),
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(_resize, RESIZED_SCHEMA)
+    )
