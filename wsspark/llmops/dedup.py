@@ -139,14 +139,12 @@ def lsh_candidate_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
+    # hash the band's signature longs directly (multi-arg xxhash64) — no
+    # string materialization in the inner loop
     band_arr = F.array(
         *[
             F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[F.col("signature")[b * rows + r].cast("string") for r in range(rows)],
-                ),
-                F.lit(b),
+                *[F.col("signature")[b * rows + r] for r in range(rows)], F.lit(b)
             )
             for b in range(bands)
         ]
