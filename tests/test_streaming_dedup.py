@@ -1,0 +1,89 @@
+"""Streaming incremental dedup: cross-batch near-dups are detected against
+the accumulated LSH index; work per batch never rescans raw history text."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from wsspark import streaming
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun near the garden"
+)
+NEAR = BASE.replace("garden", "fence")
+OTHER = "completely different content about spark distributed query engines at scale"
+SCHEMA = "doc_id LONG, text STRING"
+
+
+def test_streaming_dedup_index_across_batches(spark, tmp_path):
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ck")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+
+    index = streaming.StreamingDedupIndex(spark, store, threshold=0.6)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+        q = index.attach(stream, ckpt)
+        q.awaitTermination(120)
+
+    # batch 1: two unrelated docs
+    spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA).write.parquet(src + "/b1")
+    run()
+    pairs_b1 = spark.read.parquet(index.pairs_path).collect()
+    assert pairs_b1 == []  # no dups yet
+
+    # batch 2: an exact copy of doc 1, a near-dup of doc 1, and a within-batch
+    # exact pair (5, 6)
+    spark.createDataFrame(
+        [(3, BASE), (4, NEAR), (5, OTHER + " tail"), (6, OTHER + " tail")], SCHEMA
+    ).write.parquet(src + "/b2")
+    run()
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["batch_id"])
+        for r in spark.read.parquet(index.pairs_path).collect()
+    }
+    # cross-batch: batch-2 docs paired against the batch-1 index
+    assert pairs[(3, 1)][0] == 1.0  # exact copy found against history
+    assert (4, 1) in pairs or (1, 4) in pairs  # near-dup found against history
+    # within-batch: the (5, 6) exact pair
+    assert pairs[(5, 6)][0] == 1.0
+    # unrelated doc 2 never pairs with the BASE family
+    assert not any({2} & {a, b} and {a, b} & {1, 3, 4} for a, b in pairs)
+
+    # index accumulated all 6 docs' band keys
+    assert spark.read.parquet(index.index_path).select("doc_id").distinct().count() == 6
+
+
+def test_streaming_dedup_batch_parity(spark, tmp_path):
+    """One-batch streaming run finds the same pairs as the batch operator."""
+    import os as _os
+
+    from wsspark.llmops import dedup
+
+    src = str(tmp_path / "src2")
+    _os.makedirs(src)
+    docs_rows = [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)]
+    spark.createDataFrame(docs_rows, SCHEMA).write.parquet(src + "/b1")
+
+    index = streaming.StreamingDedupIndex(spark, str(tmp_path / "store2"), threshold=0.6)
+    stream = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+    q = index.attach(stream, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(index.pairs_path).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup_pairs(
+            spark.createDataFrame(docs_rows, SCHEMA), threshold=0.6
+        ).collect()
+    }
+    assert got == want

@@ -128,14 +128,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_keys(
     signatures: DataFrame,
     bands: int = DEFAULT_BANDS,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band signature become candidates.
-    Self-join runs per (band, band_hash) bucket — near-linear when dup rate
-    is modest; hot buckets are handled by AQE skew splitting."""
+    """(doc_id, band, band_hash) rows: the LSH bucket keys for a signature
+    frame — the joinable form of the index (used by both the batch
+    candidate self-join and the streaming incremental index)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
@@ -149,9 +149,20 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.posexplode(band_arr).alias("band", "band_hash")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidates.
+    Self-join runs per (band, band_hash) bucket — near-linear when dup rate
+    is modest; hot buckets are handled by AQE skew splitting."""
+    banded = lsh_band_keys(signatures, bands, num_hashes)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

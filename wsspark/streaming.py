@@ -234,3 +234,125 @@ def low_stock_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class StreamingDedupIndex:
+    """Incremental near-duplicate detection over a document stream: each
+    micro-batch is checked against the accumulated corpus BEFORE being added
+    to it — the streaming form of llmops.dedup.minhash_dedup_pairs, and the
+    shape a training-data ingest pipeline needs (reject dups at arrival,
+    not in a nightly O(corpus) sweep).
+
+    Per batch: MinHash signatures + LSH band keys for the new docs; candidate
+    pairs = (new x history) sharing a band, plus (new x new); candidates are
+    verified with exact Jaccard over stored shingle-hash sets; verified pairs
+    append to ``pairs_path`` and the new docs' (signature, bands, shingles)
+    append to the index. Work per batch scales with batch size x bucket
+    occupancy, never with corpus size: the history side is touched only
+    through the band-key join.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        threshold: float = 0.6,
+        num_hashes: int = 32,
+        bands: int = 8,
+        shingle_k: int = 3,
+    ) -> None:
+        from wsspark.llmops import dedup as _dedup
+
+        self.spark = spark
+        self.index_path = os.path.join(store_dir, "banded_index")
+        self.pairs_path = os.path.join(store_dir, "dup_pairs")
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self._dedup = _dedup
+
+    def _banded(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, band, band_hash, sh) rows for a static batch frame."""
+        d = self._dedup
+        sigs = d.minhash_signatures(docs, self.num_hashes, shingle_k=self.shingle_k)
+        banded = d.lsh_band_keys(sigs, self.bands, self.num_hashes)
+        shingles = docs.select(
+            "doc_id",
+            F.transform(
+                d.word_shingles("text", self.shingle_k), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
+        return banded.join(shingles, "doc_id")
+
+    def _verified_pairs(self, cands: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
+        a = left.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).distinct()
+        b = right.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).distinct()
+        jac = F.round(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+            4,
+        )
+        return (
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= self.threshold)
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        new = self._banded(batch).cache()
+        try:
+            history = self.spark.read.parquet(self.index_path)
+        except Exception:
+            history = None
+
+        n = new.select("doc_id", "band", "band_hash")
+        pair_sets = []
+        # new x new (within-batch dups)
+        a, b = n.alias("a"), n.alias("b")
+        nn = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        pair_sets.append(self._verified_pairs(nn, new, new))
+        # new x history (cross-batch dups); history side pruned via band join
+        if history is not None:
+            h = history.select("doc_id", "band", "band_hash")
+            nh = (
+                n.alias("a")
+                .join(
+                    h.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+                )
+                .distinct()
+            )
+            pair_sets.append(self._verified_pairs(nh, new, history))
+
+        pairs = pair_sets[0]
+        for p in pair_sets[1:]:
+            pairs = pairs.unionByName(p)
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            self.pairs_path
+        )
+        new.write.mode("append").parquet(self.index_path)
+        new.unpersist()
+
+    def attach(self, docs: DataFrame, checkpoint_dir: str):
+        return (
+            docs.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
