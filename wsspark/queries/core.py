@@ -972,6 +972,44 @@ SELECT
 """
 
 
+def q_movement_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: per-warehouse daily movement counts
+    z-scored against that warehouse's own mean/stddev; days with |z| >= 2
+    are flagged. Native window aggregates over the (warehouse, day) grain —
+    no UDF; at scale the only shuffle is the daily rollup, and the window
+    runs within warehouse partitions."""
+    li = read_table(spark, sf_dir, "lineitem")
+    mvs = ad.movements_from_lineitem(li)
+    daily = mvs.groupBy(
+        "warehouse_id", F.to_date("movement_date").alias("bucket_date")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("warehouse_id")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    return (
+        daily.withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) >= 2)
+        .select("warehouse_id", "bucket_date", F.col("n").alias("n_movements"), "z")
+    )
+
+
+ANOMALIES_SQL = f"""
+WITH mv AS ({ad.MOVEMENTS_SQL}),
+daily AS (
+    SELECT warehouse_id, CAST(movement_date AS DATE) AS bucket_date,
+           COUNT(*) AS n
+    FROM mv GROUP BY 1, 2
+),
+scored AS (
+    SELECT warehouse_id, bucket_date, n,
+           ROUND((n - AVG(n) OVER (PARTITION BY warehouse_id))
+                 / stddev_samp(n) OVER (PARTITION BY warehouse_id), 4) AS z
+    FROM daily
+)
+SELECT warehouse_id, bucket_date, CAST(n AS BIGINT) AS n_movements, z
+FROM scored WHERE abs(z) >= 2
+"""
+
+
 QUERIES = [
     Query("abc_analysis", q_abc_analysis, ABC_SQL,
           "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
@@ -1029,4 +1067,6 @@ QUERIES = [
           "JSON result envelopes for transfer requests (F7)"),
     Query("revenue_concentration", q_revenue_concentration, CONCENTRATION_SQL,
           "top 1/5/20 percent revenue shares (hot-key skew diagnostic)"),
+    Query("movement_anomalies", q_movement_anomalies, ANOMALIES_SQL,
+          "per-warehouse daily volume z-score anomalies"),
 ]
