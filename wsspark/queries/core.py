@@ -1010,6 +1010,36 @@ FROM scored WHERE abs(z) >= 2
 """
 
 
+def q_movement_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level totals in one pass: ROLLUP(warehouse_id, movement_type)
+    gives per-(warehouse, type), per-warehouse, and grand totals from a
+    single shuffle — the hierarchy the reference assembles with separate
+    pandas groupbys (§2.4 has no grouping sets; Catalyst provides them)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    mvs = ad.movements_from_lineitem(li)
+    return (
+        mvs.rollup("warehouse_id", "movement_type")
+        .agg(
+            F.count("*").alias("n_movements"),
+            F.sum(F.col("quantity").cast("long")).alias("net_qty"),
+        )
+        .select(
+            "warehouse_id",
+            "movement_type",
+            "n_movements",
+            "net_qty",
+        )
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT warehouse_id, movement_type, COUNT(*) AS n_movements,
+       CAST(SUM(quantity) AS BIGINT) AS net_qty
+FROM ({ad.MOVEMENTS_SQL})
+GROUP BY ROLLUP (warehouse_id, movement_type)
+"""
+
+
 QUERIES = [
     Query("abc_analysis", q_abc_analysis, ABC_SQL,
           "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
@@ -1069,4 +1099,6 @@ QUERIES = [
           "top 1/5/20 percent revenue shares (hot-key skew diagnostic)"),
     Query("movement_anomalies", q_movement_anomalies, ANOMALIES_SQL,
           "per-warehouse daily volume z-score anomalies"),
+    Query("movement_rollup", q_movement_rollup, ROLLUP_SQL,
+          "ROLLUP hierarchy totals in one shuffle (grouping sets)"),
 ]
