@@ -108,23 +108,31 @@ def minhash_signatures(
     """MinHash signature per doc: for seed j, min over shingles of
     xxhash64(xxhash64(shingle), j).
 
-    Shape: explode shingles to rows, hash each shingle string ONCE, then one
-    hash-aggregate with ``num_hashes`` cheap long-input min()s. Keeping the
-    expensive string work out of the per-seed expressions matters twice over:
-    Catalyst's project-collapsing would otherwise inline the whole
-    shingle-construction expression into every one of the 32 array_min
-    branches (measured 30x slowdown), and the groupBy form gives map-side
-    partial aggregation — the signature build is one shuffle of
-    (doc_id, 32 longs) regardless of corpus size."""
+    Shape: explode shingles to rows, hash each shingle string ONCE, then
+    explode the seed dimension and min-aggregate per (doc, seed). Keeping
+    the expensive string work out of the per-seed expressions matters
+    (Catalyst's project-collapsing would otherwise inline the whole
+    shingle-construction expression into every per-seed branch — measured
+    30x slowdown), and the narrow (doc, seed) aggregate keeps every
+    generated method small — a 32-column-wide aggregate was JIT-unstable
+    (1.6-14s warm-run swings; this shape holds ~0.5s). Map-side combine
+    reduces the shuffle to ~num_hashes rows per doc per partition, so
+    volume matches the wide shape at any corpus size."""
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_k)).alias("_sh"),
-    ).select("doc_id", F.xxhash64("_sh").alias("_h"))
-    agg = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("_h"), F.lit(j))).alias(f"_m{j}") for j in range(num_hashes)]
+    ).select(
+        "doc_id",
+        F.xxhash64("_sh").alias("_h"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_j"),
     )
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("signature")
+    mins = exploded.groupBy("doc_id", "_j").agg(
+        F.min(F.xxhash64(F.col("_h"), F.col("_j"))).alias("_m")
+    )
+    return (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_j", "_m"))).alias("_s"))
+        .select("doc_id", F.transform("_s", lambda s: s["_m"]).alias("signature"))
     )
 
 
