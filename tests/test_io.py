@@ -31,6 +31,23 @@ def test_ns_timestamp_conversion_truncates_like_duckdb(spark, sf_dir):
     assert got == want
 
 
+def test_read_table_self_configures_nanos_conf(spark, sf_dir):
+    """A session WITHOUT the factory's nanosAsLong conf (e.g. an external
+    harness's vanilla SparkSession) must still read events.parquet —
+    read_table self-configures the runtime SQL conf before the scan.
+    Round-1 regression: 9 queries died with PARQUET_TYPE_ILLEGAL because the
+    conf lived only in session.create_session."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    try:
+        df = io.read_table(spark, sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert df.limit(1).count() == 1
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, "true")
+
+
 def test_jdbc_reader_requires_bounds_with_partition_column(spark):
     with pytest.raises(ValueError, match="bounds"):
         io.read_jdbc_table(

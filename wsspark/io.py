@@ -50,7 +50,21 @@ def convert_ns_timestamp(df: DataFrame, col: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name in _NS_TIMESTAMP_COLS:
+        # Self-configure on the CALLER's session: nanosAsLong is a
+        # runtime-settable SQL conf, and without it Spark refuses
+        # TIMESTAMP(NANOS) parquet outright (PARQUET_TYPE_ILLEGAL). Setting
+        # it here instead of only in session.create_session means a vanilla
+        # SparkSession (e.g. an external harness's) can read every table.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:  # defensive: unlisted table with nanos columns
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     for c in _NS_TIMESTAMP_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
             df = convert_ns_timestamp(df, c)
