@@ -38,6 +38,58 @@ def test_ivf_scores_match_bruteforce(spark, emb):
     assert recall > 0.4, f"IVF recall@5 too low: {recall:.2f}"
 
 
+def test_ivf_recall_on_clustered_corpus(spark):
+    """At real scale IVF lives or dies on centroid spread: on a corpus WITH
+    cluster structure (the case IVF exists for), hash-spread centroids +
+    n_cells >> 16 must hold recall@5 >= 0.9 vs brute force. Round-1's
+    smallest-16-ids centroids would collapse here if ids correlate with
+    geometry; the Knuth-hash pick is ingest-order-free."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per_cluster = 32, 16, 100
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        member = centers[c] + 0.05 * rng.normal(size=(per_cluster, dim))
+        member /= np.linalg.norm(member, axis=1, keepdims=True)
+        for m in member:
+            rows.append((vid, [float(x) for x in m]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 100 == 0)  # one per cluster
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    approx = similarity.ivf_topk(emb, queries, k=5, n_cells=40, n_probe=4).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"IVF recall@5 on clustered corpus: {recall:.2f}"
+
+
+def test_embedding_dup_pairs_finds_planted_dups(spark):
+    """Positive path for the cell-blocked near-dup operator: planted
+    near-identical vectors must surface above a high threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant 3 near-dups of vectors 0, 1, 2
+    for j, src in enumerate(base[:3]):
+        dup = src + 0.01 * rng.normal(size=16)
+        dup /= np.linalg.norm(dup)
+        rows.append((100 + j, [float(x) for x in dup]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_cosine_dup_pairs(emb, threshold=0.95).collect()
+    }
+    assert {(0, 100), (1, 101), (2, 102)} <= pairs
+
+
 def test_lang_id_planted(spark):
     docs = spark.createDataFrame(
         [

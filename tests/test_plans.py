@@ -62,6 +62,21 @@ def test_multimodal_uses_arrow_not_row_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_tfidf_has_no_baked_in_count(spark, sf_dir):
+    """tfidf_top_terms must be fully lazy at plan-build time: N(docs) rides
+    in as a broadcast 1-row aggregate, not a driver-side count() (round-1 ran
+    an extra full job per invocation). A raw job-count assertion is flaky —
+    the parquet read itself fires a schema-inference job — so assert the
+    plan shape: N flows through as the `_n_docs` column out of a broadcast
+    aggregate, and no LOG(<numeric literal>) appears (the signature of a
+    baked-in driver-side scalar)."""
+    import re
+
+    plan = plan_of(build_registry()["tfidf_top_terms"].fn(spark, sf_dir))
+    assert "_n_docs" in plan, "N is not flowing as a broadcast aggregate column"
+    assert not re.search(r"LOG\(\(?[0-9]", plan), "N baked in as a literal"
+
+
 def test_fact_writer_partitions_by_date(spark, tmp_path):
     import os
 

@@ -69,6 +69,41 @@ def cosine_topk(
     )
 
 
+# Knuth multiplicative hash (mod 2^32): deterministic, id-order-free spread.
+# Chosen over xxhash64 so an external SQL oracle can replicate centroid
+# selection bit-for-bit; safe from int64 overflow for ids < ~3.4e9 (swap in
+# xxhash64 beyond that, giving up oracle parity).
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
+
+def spread_centroids(corpus: DataFrame, n_cells: int, id_col: str = "vec_id") -> DataFrame:
+    """Pick ``n_cells`` centroid vectors by smallest Knuth hash of their id —
+    a deterministic uniform sample over the id space. Unlike smallest-N-ids
+    (round 1), the picks are uncorrelated with ingest order, so cells don't
+    collapse into one corner of the corpus when ids encode arrival time.
+    A k-means refinement would drop in here without changing the dataflow.
+
+    orderBy().limit() compiles to TakeOrderedAndProject — a distributed
+    top-N, not a global sort; the row_number window then runs over only the
+    ``n_cells`` picked rows."""
+    h = F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_MOD32))
+    picked = corpus.withColumn("_h", h).orderBy("_h", id_col).limit(n_cells)
+    w = Window.orderBy("_h", id_col)
+    return picked.select(
+        F.row_number().over(w).alias("centroid_id"), "_vec", "_norm"
+    )
+
+
+def auto_n_cells(corpus: DataFrame, floor: int = 16) -> int:
+    """Corpus-proportional cell count: ~sqrt(N) (classic IVF sizing — cell
+    scan cost ~N/C balances probe cost ~C at C=sqrt(N)). The count() is the
+    index-BUILD phase, an explicitly eager step, not hidden query work; on
+    parquet it's a metadata-only job."""
+    n = corpus.count()
+    return max(floor, int(n**0.5))
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -94,25 +129,21 @@ def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-style approximate top-k. Centroids are the ``n_cells`` corpus
-    vectors with the smallest ids — deterministic, no RNG (replayability;
-    k-means would drop in here without changing the dataflow). Corpus
-    vectors get 1 cell; queries probe ``n_probe`` cells."""
+    """IVF-style approximate top-k. Centroids are a deterministic
+    hash-spread sample (``spread_centroids``); ``n_cells`` defaults to
+    ~sqrt(N) (``auto_n_cells``). Corpus vectors get 1 cell; queries probe
+    ``n_probe`` cells. Because each corpus vector lives in exactly one
+    cell, every (query, neighbor) pair is scored at most once — no
+    dedup/distinct shuffle is needed on the scored frame."""
     corpus = with_norm(vectors, vec_col).select(F.col(id_col), "_vec", "_norm")
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-            "_vec",
-            "_norm",
-        )
-    )
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus)
+    centroids = spread_centroids(corpus, n_cells, id_col=id_col)
     assigned = ivf_assign(corpus, centroids, n_probe=1, id_col=id_col).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id", "_vec", "_norm"
     )
@@ -130,7 +161,6 @@ def ivf_topk(
         assigned.join(F.broadcast(q_assigned), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cos_sim"))
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -145,20 +175,15 @@ def embedding_cosine_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_cells: int = 16,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cell-blocked exact cosine — pairs are
-    scored only within shared IVF cells (probe 2 keeps boundary pairs)."""
+    scored only within shared IVF cells (probe 2 keeps boundary pairs; the
+    final distinct dedupes pairs sharing both probed cells)."""
     corpus = with_norm(vectors, vec_col).select(F.col(id_col), "_vec", "_norm")
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-            "_vec",
-            "_norm",
-        )
-    )
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus)
+    centroids = spread_centroids(corpus, n_cells, id_col=id_col)
     assigned = ivf_assign(corpus, centroids, n_probe=2, id_col=id_col)
     a = assigned.select(
         F.col(id_col).alias("id_a"),

@@ -18,6 +18,10 @@ SESSION_GAP_MIN = 30
 JACCARD_THRESHOLD = 0.6
 ANN_K = 5
 QUERY_MOD = 100  # vec_id % 100 == 0 -> query vector
+# Calibrated to the synthetic embeddings (random unit vectors, max pairwise
+# cosine ~0.51, p99.9 ~0.38): 0.4 yields a small non-empty pair set, so the
+# correctness check is falsifiable. A real near-dup corpus would use ~0.95.
+EMB_DUP_THRESHOLD = 0.4
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -132,8 +136,35 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language ID (Spark-only heuristic)."""
+    """Stopword-profile language ID (pure stopword arithmetic — oracle-checked)."""
     return textstats.lang_id(read_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin of textstats.lang_id: one UNION ALL branch per language
+    profile, argmax with (score DESC, lang ASC) tie-break."""
+    branches = []
+    for lang in sorted(textstats.LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in textstats.LANG_PROFILES[lang])
+        branches.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_intersect(t, [{words}])) AS score FROM toks"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+),
+scores AS (
+{union}
+)
+SELECT doc_id, lang AS lang_pred, CAST(score AS BIGINT) AS lang_score
+FROM scores
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
 
 
 def q_doc_fingerprint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,17 +210,101 @@ QUALIFY ROW_NUMBER() OVER (
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (Spark-only; recall vs brute force
-    asserted in tests)."""
+    """IVF-bucketed approximate top-k. Fully deterministic (hash-spread
+    centroids, ~sqrt(N) cells), so the whole index build + probe is
+    replicated in the DuckDB oracle below; recall vs brute force is
+    additionally asserted in tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     vectors, qs = _split_queries(emb)
     return similarity.ivf_topk(vectors, qs, k=ANN_K)
 
 
+# Shared SQL fragments replicating wsspark.llmops.similarity exactly:
+# double-cast vectors + norms, Knuth-hash centroid pick, nearest-cell
+# assignment with (cos DESC, centroid_id) tie-break.
+_EMB_NORMED_SQL = """
+en AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_aggregate(list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> x * x), 'sum')) AS nrm
+    FROM embeddings
+),
+params AS (
+    SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS n_cells
+    FROM en
+),
+cents AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
+                                       vec_id) AS centroid_id,
+           v AS cv, nrm AS cnrm
+    FROM en
+    QUALIFY ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
+                                        vec_id) <= (SELECT n_cells FROM params)
+)
+"""
+
+_CELL_COS_SQL = (
+    "list_aggregate(list_transform(list_zip(v, cv),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') / (nrm * cnrm)"
+)
+
+IVF_SQL = f"""
+WITH {_EMB_NORMED_SQL},
+corpus_assign AS (
+    SELECT vec_id, centroid_id, v, nrm
+    FROM en CROSS JOIN cents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY {_CELL_COS_SQL} DESC, centroid_id) <= 1
+),
+q_assign AS (
+    SELECT vec_id AS query_id, centroid_id, v AS qv, nrm AS qnrm
+    FROM en CROSS JOIN cents
+    WHERE vec_id % {QUERY_MOD} = 0
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY {_CELL_COS_SQL} DESC, centroid_id) <= 4
+),
+pairs AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROUND(list_aggregate(list_transform(list_zip(q.qv, c.v),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+               / (q.qnrm * c.nrm), 4) AS cos_sim
+    FROM q_assign q JOIN corpus_assign c USING (centroid_id)
+    WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM pairs
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {ANN_K}
+"""
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, IVF-cell blocked (Spark-only)."""
+    """Embedding-cosine near-dup pairs, IVF-cell blocked. Threshold
+    calibrated to the synthetic corpus so the output is non-empty (round-1
+    returned 0 rows at 0.9 — unfalsifiable); deterministic, so oracle-checked."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_cosine_dup_pairs(emb, threshold=0.9)
+    return similarity.embedding_cosine_dup_pairs(emb, threshold=EMB_DUP_THRESHOLD)
+
+
+EMB_DUP_SQL = f"""
+WITH {_EMB_NORMED_SQL},
+dup_assign AS (
+    SELECT vec_id, centroid_id, v, nrm
+    FROM en CROSS JOIN cents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY {_CELL_COS_SQL} DESC, centroid_id) <= 2
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_aggregate(list_transform(list_zip(a.v, b.v),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+           / (a.nrm * b.nrm), 4) AS cos_sim
+FROM dup_assign a JOIN dup_assign b USING (centroid_id)
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_aggregate(list_transform(list_zip(a.v, b.v),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+          / (a.nrm * b.nrm), 4) >= {EMB_DUP_THRESHOLD}
+"""
 
 # ---------------------------------------------------------------------------
 # Events: JSON extraction + sessionization
@@ -340,9 +455,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per document: explode terms, join document frequencies, score
     tf * ln(N/df), keep each document's single top term (pinned tie-break).
     The df side is vocabulary-sized and broadcast; the only fact-grain
-    shuffle is the per-doc top-1 window."""
+    shuffle is the per-doc top-1 window. N comes in as a broadcast 1-row
+    aggregate cross-joined into the scored frame — no eager count() job at
+    plan-build time (round-1 ran an extra full job per invocation)."""
     docs = read_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar, known before planning
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     terms = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
@@ -353,12 +470,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
-    scored = tf.join(F.broadcast(df_), "token").select(
-        "doc_id",
-        "token",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
@@ -402,15 +523,15 @@ QUERIES = [
           "MinHash+LSH near-dup (scale path, LSH-verified)"),
     Query("simhash_fingerprints", q_simhash_fingerprints, None,
           "SimHash 64-bit fingerprints + hamming band keys"),
-    Query("lang_id", q_lang_id, None,
+    Query("lang_id", q_lang_id, LANG_ID_SQL,
           "stopword-profile language identification"),
     Query("doc_fingerprint_candidates", q_doc_fingerprint_candidates, None,
           "winnowing fingerprint candidate pairs"),
     Query("ann_cosine_topk", q_ann_cosine_topk, ANN_SQL,
           "brute-force cosine top-k over embeddings"),
-    Query("ivf_ann_topk", q_ivf_ann_topk, None,
+    Query("ivf_ann_topk", q_ivf_ann_topk, IVF_SQL,
           "IVF-bucketed approximate cosine top-k"),
-    Query("embedding_dup_pairs", q_embedding_dup_pairs, None,
+    Query("embedding_dup_pairs", q_embedding_dup_pairs, EMB_DUP_SQL,
           "embedding-cosine near-dup pairs, cell-blocked"),
     Query("json_extract_agg", q_json_extract_agg, JSON_EXTRACT_SQL,
           "JSON props extraction + bucketed rollup (F7 analog)"),
