@@ -918,9 +918,11 @@ FROM ({TRANSFER_VALIDATION_SQL})
 def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key concentration profile (the 80/20 skew the warehouse data
     model bakes in, FIXTURES.md): revenue share captured by the top 1/5/20%
-    of products. One groupBy + two window passes over product grain — the
-    skew diagnostic that tells you whether salting (wsspark.skew) is needed
-    downstream."""
+    of products. Single pass: one groupBy, one ranked frame, three
+    CONDITIONAL sums in one final aggregate — round 1 re-derived `ranked`
+    per share() branch, i.e. 3 fact scans + 3 window passes for the same
+    answer. The skew diagnostic that tells you whether salting
+    (wsspark.skew) is needed downstream."""
     li = read_table(spark, sf_dir, "lineitem")
     so = ad.so_details_from_lineitem(li)
     rev = so.groupBy("product_id").agg(
@@ -934,18 +936,17 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_cents").over(Window.partitionBy()).alias("total"),
     )
 
-    def share(pct: float):
-        top = ranked.filter(F.col("rk") <= F.ceil(F.col("n") * pct))
-        return top.agg(
-            F.round(
-                F.sum("rev_cents").cast("double") / F.first("total"), 4
-            ).alias("x")
+    def share(pct: float) -> F.Column:
+        top_sum = F.sum(
+            F.when(F.col("rk") <= F.ceil(F.col("n") * pct), F.col("rev_cents"))
         )
+        return F.round(top_sum.cast("double") / F.first("total"), 4)
 
-    s1 = share(0.01).withColumnRenamed("x", "top1pct_share")
-    s5 = share(0.05).withColumnRenamed("x", "top5pct_share")
-    s20 = share(0.20).withColumnRenamed("x", "top20pct_share")
-    return s1.crossJoin(s5).crossJoin(s20)
+    return ranked.agg(
+        share(0.01).alias("top1pct_share"),
+        share(0.05).alias("top5pct_share"),
+        share(0.20).alias("top20pct_share"),
+    )
 
 
 CONCENTRATION_SQL = f"""
