@@ -81,9 +81,10 @@ def test_build_reports_from_native_warehouse_frames(spark):
     reports = build_reports_from_frames(mv, stock, so, po, as_of=now)
     try:
         assert set(reports) == set(REPORT_NAMES)
-        dead = {r["product_id"]: r["is_dead_stock"]
-                for r in reports["dead_stock_report"].collect()}
-        assert dead == {1: True, 2: False}  # product 1 last moved 200d ago
+        # Report keeps only dead rows (reference inventory_metrics.py:78);
+        # product 1 last moved 200d ago, product 2 is active.
+        dead = [r["product_id"] for r in reports["dead_stock_report"].collect()]
+        assert dead == [1]
         tp = reports["transfer_patterns"].collect()
         assert len(tp) == 1 and tp[0]["from_warehouse_id"] == 1 \
             and tp[0]["to_warehouse_id"] == 2 and tp[0]["total_qty"] == 20

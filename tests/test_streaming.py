@@ -246,3 +246,35 @@ def test_low_stock_alerts_stateful_across_batches(spark, tmp_path):
     assert alerts == {(2, 1): 8, (1, 1): 5}
     deltas = {(r["product_id"], r["warehouse_id"]): r["batch_delta"] for r in rows}
     assert deltas[(1, 1)] == -45  # second batch's delta, against carried state
+
+
+def test_snapshot_maintainer_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the same batch_id (crash
+    between sink write and checkpoint commit) must not double-apply the
+    movement delta or duplicate audit rows."""
+    store = str(tmp_path / "replay_store")
+    schema = "product_id LONG, warehouse_id LONG, quantity LONG"
+    m = streaming.SnapshotMaintainer(spark, store)
+
+    b0 = spark.createDataFrame([(1, 1, 100), (2, 1, 10)], schema)
+    m.process_batch(b0, 0)
+    m.process_batch(b0, 0)  # replayed micro-batch
+
+    snap = {
+        (r["product_id"], r["warehouse_id"]): r["quantity_on_hand"]
+        for r in spark.read.parquet(m.snapshot_path).collect()
+    }
+    assert snap == {(1, 1): 100, (2, 1): 10}  # not 200/20
+    assert spark.read.parquet(m.audit_path).count() == 2  # one row per key
+
+    # the NEXT batch still applies normally on top of the guarded state
+    m.process_batch(spark.createDataFrame([(1, 1, -40)], schema), 1)
+    snap = {
+        (r["product_id"], r["warehouse_id"]): r["quantity_on_hand"]
+        for r in spark.read.parquet(m.snapshot_path).collect()
+    }
+    assert snap[(1, 1)] == 60
+    # no leftover staging directories
+    import glob
+
+    assert glob.glob(m.snapshot_path + "._v*") == []

@@ -87,3 +87,20 @@ def test_streaming_dedup_batch_parity(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch must not re-append band/shingle rows to the
+    index (inflating bucket occupancy) or duplicate verified pairs."""
+    store = str(tmp_path / "replay_store")
+    index = streaming.StreamingDedupIndex(spark, store, threshold=0.6)
+
+    b0 = spark.createDataFrame([(1, BASE), (2, BASE)], SCHEMA)
+    index.process_batch(b0, 0)
+    index.process_batch(b0, 0)  # replayed micro-batch
+
+    pairs = spark.read.parquet(index.pairs_path).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+    idx = spark.read.parquet(index.index_path)
+    # exactly one band row per (doc, band): 8 bands x 2 docs
+    assert idx.count() == 16

@@ -167,3 +167,26 @@ PO_DETAILS_SQL = """
            l_quantity AS quantity, l_extendedprice / l_quantity AS unit_price
     FROM lineitem
 """
+
+
+def po_receipts_from_lineitem(li: DataFrame) -> DataFrame:
+    """Dated purchase receipts (for FIFO layer valuation): po_details plus
+    the receipt order — ship date, then (po_id, line_no) as the
+    deterministic tie-break."""
+    return li.select(
+        F.col("l_orderkey").alias("po_id"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_quantity").alias("quantity"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.col("l_shipdate").alias("receipt_date"),
+    )
+
+
+PO_RECEIPTS_SQL = """
+    SELECT l_orderkey AS po_id, CAST(l_linenumber AS BIGINT) AS line_no,
+           l_partkey AS product_id, l_quantity AS quantity,
+           l_extendedprice / l_quantity AS unit_price,
+           l_shipdate AS receipt_date
+    FROM lineitem
+"""

@@ -12,7 +12,6 @@ matters at 100 TB.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -52,22 +51,33 @@ FEATURE_SCHEMA = StructType(
 FEATURE_DIM = 8
 
 
-def decode_image_stub(payload: bytes) -> list[float]:
-    """Deterministic fake 'decode + feature extract': digest bytes into a
-    fixed-dim vector. Replace with a real codec (PIL / torchvision) in
-    production — signature and output shape stay identical.
+def _make_decode_stub(feature_dim: int):
+    """Build the decode closure OUTSIDE module scope: the returned function
+    has a non-resolvable qualname, so cloudpickle serializes it by VALUE
+    into the mapInPandas task. Executors therefore never need the wsspark
+    package on their PYTHONPATH — the task is self-contained, which is how
+    a UDF should ship to a 1000-executor cluster."""
+    import hashlib as _hashlib
 
-    Raises NotImplementedError for payloads tagged as real codecs we cannot
-    decode here, making the stub boundary explicit.
-    """
-    if payload is None:
-        return None
-    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
-        raise NotImplementedError(
-            "real image decoding requires PIL/opencv, not available in this env"
-        )
-    digest = hashlib.sha256(payload).digest()
-    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+    def decode(payload):
+        """Deterministic fake 'decode + feature extract': digest bytes into
+        a fixed-dim vector. Replace with a real codec (PIL / torchvision) in
+        production — signature and output shape stay identical. Raises
+        NotImplementedError for payloads tagged as real codecs we cannot
+        decode here, making the stub boundary explicit."""
+        if payload is None:
+            return None
+        if bytes(payload[:4]) in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+            raise NotImplementedError(
+                "real image decoding requires PIL/opencv, not available in this env"
+            )
+        digest = _hashlib.sha256(bytes(payload)).digest()
+        return [digest[i] / 255.0 for i in range(feature_dim)]
+
+    return decode
+
+
+decode_image_stub = _make_decode_stub(FEATURE_DIM)
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -79,6 +89,10 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     ``media_id`` so batches stay balanced.
     """
 
+    # Bind the decoder as a local: the nested _extract then closes over a
+    # by-value-picklable function, never over this module.
+    decode = _make_decode_stub(FEATURE_DIM)
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pd.DataFrame(
@@ -86,7 +100,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
-                    "feature": pdf["payload"].map(decode_image_stub),
+                    "feature": pdf["payload"].map(decode),
                 }
             )
             yield out

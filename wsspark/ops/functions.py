@@ -11,7 +11,7 @@ and re-aggregate" — embarrassingly parallel, no per-row transactions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -143,8 +143,14 @@ def calculate_stock_value(
     (dbfn/functions.sql:208-210), the pandas path uses all PO details
     (etl/transform/financial_metrics.py:58-62). ``completed_only`` selects
     the variant; default False = pipeline behavior (produces the goldens).
-    FIFO/LIFO raise, exactly like the reference (dbfn/functions.sql:233-238).
+
+    ``method='FIFO'`` goes beyond the reference (which raises,
+    dbfn/functions.sql:233-238) when ``po_details`` carries a
+    ``receipt_date`` column — see ``fifo_stock_value``. LIFO still raises,
+    mirroring the reference.
     """
+    if method == "FIFO" and "receipt_date" in po_details.columns:
+        return fifo_stock_value(stock, po_details)
     if method != "AVG":
         raise NotImplementedError(f"valuation method {method!r} not implemented (reference parity)")
     details = po_details
@@ -171,6 +177,63 @@ def calculate_stock_value(
             F.round(
                 F.col("total_quantity") * F.coalesce(F.col("avg_cost"), F.lit(0.0)), 2
             ).alias("total_value"),
+        )
+    )
+
+
+def fifo_stock_value(
+    stock: DataFrame,
+    receipts: DataFrame,
+    order_cols: tuple[str, ...] = ("receipt_date", "po_id", "line_no"),
+) -> DataFrame:
+    """FIFO valuation as a window over ordered PO receipts — the one method
+    the reference names but refuses (dbfn/functions.sql:233-238).
+
+    Under FIFO the oldest receipts are consumed first, so the on-hand
+    quantity is valued at the NEWEST receipt costs: order each product's
+    receipt layers newest-first, take min(layer_qty, remaining) from each
+    until the on-hand total is covered, and sum layer_take * unit_price
+    (cents-exact per layer, matching the DuckDB oracle bit-for-bit).
+
+    ``receipts`` needs (product_id, quantity, unit_price, *order_cols); the
+    ``order_cols`` tuple must be a deterministic total order (ties broken by
+    po_id/line_no). One shuffle on product_id for the window; per-product
+    layer counts are bounded (receipt history per SKU), so the partitioned
+    sort holds at 100 TB — no global sort anywhere.
+    """
+    from wsspark.queries import exactsum as ex
+
+    totals = stock.groupBy("product_id").agg(
+        F.sum("quantity_on_hand").alias("total_quantity")
+    ).filter(F.col("total_quantity") > 0)
+
+    w = (
+        Window.partitionBy("product_id")
+        .orderBy(*[F.desc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("quantity").over(w)
+    prev = cum - F.col("quantity")
+    take = F.greatest(
+        F.lit(0), F.least(F.col("quantity"), F.col("total_quantity") - prev)
+    )
+    layers = receipts.join(totals, "product_id").select(
+        "product_id",
+        "total_quantity",
+        ex.cents(take * F.col("unit_price")).alias("_layer_cents"),
+        take.alias("_take"),
+    )
+    return (
+        layers.groupBy("product_id", "total_quantity")
+        .agg(
+            F.round(F.sum("_layer_cents") / 100, 2).alias("fifo_value"),
+            F.sum("_take").alias("covered_quantity"),
+        )
+        .select(
+            "product_id",
+            "total_quantity",
+            "covered_quantity",
+            "fifo_value",
         )
     )
 

@@ -97,7 +97,10 @@ def build_reports_from_frames(
     mv = _cache(mv)
     stock = _cache(stock)
     if transfer_movements is None:
-        transfer_movements = movements.filter(F.col("movement_type") == "TRANSFER")
+        # Derive from the DQ-filtered/incremental frame, not the raw input:
+        # the reference cleans stock_movements BEFORE every transform,
+        # including warehouse_performance (etl_pipeline/main.py:66-85).
+        transfer_movements = mv.filter(F.col("movement_type") == "TRANSFER")
 
     # Shared sub-DAGs are cached: each feeds 2+ reports, and all of them are
     # key-cardinality frames (product x warehouse at most), never fact-sized.
@@ -111,7 +114,10 @@ def build_reports_from_frames(
     stock_value = _cache(financial.stock_value_report(stock, avg_cost))
 
     frames = {
-        "dead_stock_report": dead,
+        # The written report keeps only dead rows (the reference saves
+        # df_dead_stock[df_dead_stock['is_dead_stock']], inventory_metrics.py:78);
+        # inventory_summary still consumes the full annotated frame `dead`.
+        "dead_stock_report": dead.filter(F.col("is_dead_stock")),
         "inventory_summary": inventory.inventory_summary(dead, stock, mv, so_details),
         "daily_trends": daily,
         "weekly_trends": movements_ops.weekly_trends(mv),
@@ -122,7 +128,7 @@ def build_reports_from_frames(
         "stock_value_report": stock_value,
         "financial_summary": financial.financial_summary(stock_value, abc),
         "transfer_patterns": warehouse.transfer_patterns(transfer_movements),
-        "warehouse_io_summary": warehouse.warehouse_io_summary(movements),
+        "warehouse_io_summary": warehouse.warehouse_io_summary(mv),
     }
     return Reports(frames, cached)
 

@@ -558,6 +558,40 @@ VALUATION_COMPLETED_SQL = _VALUATION_SQL_TEMPLATE.format(
 """
 )
 
+
+def q_fifo_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4's FIFO branch — the method the reference refuses
+    (dbfn/functions.sql:233-238) — as a newest-first window over dated
+    receipt layers (ops.functions.fifo_stock_value)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    stock = ad.stock_from_lineitem(li, part)
+    return wfn.fifo_stock_value(stock, ad.po_receipts_from_lineitem(li))
+
+
+FIFO_VALUATION_SQL = f"""
+WITH stock AS ({ad.STOCK_SQL}),
+receipts AS ({ad.PO_RECEIPTS_SQL}),
+totals AS (
+    SELECT product_id, SUM(quantity_on_hand) AS total_quantity
+    FROM stock GROUP BY product_id HAVING SUM(quantity_on_hand) > 0
+),
+layers AS (
+    SELECT r.product_id, t.total_quantity, r.unit_price,
+           GREATEST(0, LEAST(r.quantity,
+               t.total_quantity
+               - (SUM(r.quantity) OVER (PARTITION BY r.product_id
+                      ORDER BY r.receipt_date DESC, r.po_id DESC, r.line_no DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - r.quantity))) AS take
+    FROM receipts r JOIN totals t USING (product_id)
+)
+SELECT product_id, total_quantity, SUM(take) AS covered_quantity,
+       ROUND(CAST(SUM(CAST(ROUND(take * unit_price * 100, 0) AS BIGINT))
+             AS DOUBLE) / 100, 2) AS fifo_value
+FROM layers GROUP BY product_id, total_quantity
+"""
+
 AUDIT_CUTOFF = "1999-01-01 00:00:00"
 
 
@@ -1078,6 +1112,8 @@ QUERIES = [
           "weighted-avg valuation, pipeline variant (M4 A6 J6)"),
     Query("stock_valuation_completed", q_stock_valuation_completed, VALUATION_COMPLETED_SQL,
           "weighted-avg valuation, COMPLETED-only variant (M4 J7)"),
+    Query("fifo_valuation", q_fifo_valuation, FIFO_VALUATION_SQL,
+          "FIFO valuation: newest-first window over dated receipt layers (M4 FIFO)"),
     Query("audit_diff", q_audit_diff, AUDIT_DIFF_SQL,
           "trigger/audit semantics as snapshot diff (M5 F12)"),
     Query("transfer_validation", q_transfer_validation, TRANSFER_VALIDATION_SQL,

@@ -30,8 +30,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wsspark.io import convert_ns_timestamp
 from wsspark.ops.audit import snapshot_diff
 from wsspark.ops.functions import apply_movements
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet store, returning None ONLY when the path doesn't exist
+    yet (first batch). Any other failure — corrupt files, transient IO —
+    re-raises: silently treating it as an empty store would discard all
+    accumulated state on the next overwrite."""
+    from pyspark.errors import AnalysisException
+
+    if not os.path.isdir(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+class _BatchLog:
+    """Driver-local commit log for foreachBatch sinks: records the last
+    applied batch_id so a replayed micro-batch (at-least-once delivery after
+    a crash between the sink write and the checkpoint commit) is skipped
+    instead of double-applied. The file-swap is atomic (os.replace). On a
+    real deployment against object storage this role is played by a
+    transactional table format's log (e.g. Delta); parquet + marker file is
+    the dependency-free local equivalent."""
+
+    def __init__(self, store_dir: str) -> None:
+        self.path = os.path.join(store_dir, "_last_batch")
+
+    def last_applied(self) -> int:
+        try:
+            with open(self.path) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def commit(self, batch_id: int) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self.path)
 
 # Stream-source schema for the driver's events table (TESTDATA.md). ts is
 # TIMESTAMP(NANOS) in parquet -> read as long (nanosAsLong) and convert.
@@ -60,9 +104,10 @@ def read_event_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.load()
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # Integer div, same as io.convert_ns_timestamp: a double roundtrip has
+    # ~256ns ulp at 2024-epoch nanos and could flip window/session
+    # boundaries versus the batch reader.
+    return convert_ns_timestamp(df, "ts")
 
 
 def windowed_event_counts(
@@ -135,28 +180,42 @@ class SnapshotMaintainer:
         self.audit_path = os.path.join(store_dir, "audit_log")
         self.keys = keys
         self.qty_col = qty_col
+        self._log = _BatchLog(store_dir)
 
     def _read_snapshot(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self.snapshot_path)
-        except Exception:
-            fields = [T.StructField(k, T.LongType()) for k in self.keys]
-            fields.append(T.StructField("quantity_on_hand", T.LongType()))
-            return self.spark.createDataFrame([], T.StructType(fields))
+        df = _read_parquet_or_none(self.spark, self.snapshot_path)
+        if df is not None:
+            return df
+        fields = [T.StructField(k, T.LongType()) for k in self.keys]
+        fields.append(T.StructField("quantity_on_hand", T.LongType()))
+        return self.spark.createDataFrame([], T.StructType(fields))
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between the sink write and
+        # the checkpoint commit replays the same batch_id. Skip it — the
+        # movement delta must not be double-applied to the running snapshot.
+        if batch_id <= self._log.last_applied():
+            return
         old = self._read_snapshot()
         new = apply_movements(old, batch, self.keys, self.qty_col)
-        audit = snapshot_diff(old, new, self.keys).withColumn(
-            "batch_id", F.lit(batch_id)
+        audit = snapshot_diff(old, new, self.keys)
+        # Per-batch audit partition dir, overwrite mode: a replay of a
+        # PARTIALLY-applied batch (crash mid-process_batch, before the commit
+        # marker) rewrites the same directory instead of appending duplicate
+        # audit rows. Partition discovery restores batch_id as a column.
+        audit.write.mode("overwrite").parquet(
+            os.path.join(self.audit_path, f"batch_id={batch_id}")
         )
         # Stage-then-swap: parquet sinks aren't transactional, so write the
         # new version beside the old and move it into place.
         tmp = self.snapshot_path + f"._v{batch_id}"
         new.write.mode("overwrite").parquet(tmp)
-        audit.write.mode("append").parquet(self.audit_path)
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.snapshot_path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._log.commit(batch_id)
 
     def attach(self, movements: DataFrame, checkpoint_dir: str):
         """Wire the maintainer to a movement stream; returns the query."""
@@ -271,6 +330,7 @@ class StreamingDedupIndex:
         self.bands = bands
         self.shingle_k = shingle_k
         self._dedup = _dedup
+        self._log = _BatchLog(store_dir)
 
     def _banded(self, docs: DataFrame) -> DataFrame:
         """(doc_id, band, band_hash, sh) rows for a static batch frame."""
@@ -301,11 +361,13 @@ class StreamingDedupIndex:
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # Same at-least-once guard as SnapshotMaintainer: a replayed batch
+        # must not re-append its band/shingle rows (permanently inflating
+        # bucket occupancy) or duplicate its verified pairs.
+        if batch_id <= self._log.last_applied():
+            return
         new = self._banded(batch).cache()
-        try:
-            history = self.spark.read.parquet(self.index_path)
-        except Exception:
-            history = None
+        history = _read_parquet_or_none(self.spark, self.index_path)
 
         n = new.select("doc_id", "band", "band_hash")
         pair_sets = []
@@ -343,11 +405,16 @@ class StreamingDedupIndex:
         pairs = pair_sets[0]
         for p in pair_sets[1:]:
             pairs = pairs.unionByName(p)
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            self.pairs_path
+        # Per-batch partition dirs + overwrite: replays of a partially
+        # applied batch rewrite in place instead of appending duplicates.
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self.pairs_path, f"batch_id={batch_id}")
         )
-        new.write.mode("append").parquet(self.index_path)
+        new.write.mode("overwrite").parquet(
+            os.path.join(self.index_path, f"batch_id={batch_id}")
+        )
         new.unpersist()
+        self._log.commit(batch_id)
 
     def attach(self, docs: DataFrame, checkpoint_dir: str):
         return (
