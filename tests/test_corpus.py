@@ -1,0 +1,96 @@
+"""Corpus-curation operators: decontamination finds planted overlap and
+only that; stratified sampling is deterministic and rate-proportional;
+quality gating applies rules in precedence order; quantized ANN recalls the
+exact top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wsspark.io import read_table
+from wsspark.llmops import corpus, similarity
+
+
+def test_decontam_finds_planted_overlap(spark):
+    phrase = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (100, f"benchmark question about {phrase} end"),  # benchmark
+            (1, f"train doc mentions {phrase} twice {phrase} here"),
+            (2, "totally unrelated training text with no overlap at all"),
+            (3, f"another contaminated one {phrase} yes"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared_ngrams"]
+        for r in corpus.ngram_overlap_pairs(
+            docs, F.col("doc_id") == 100, k=4
+        ).collect()
+    }
+    assert set(got) == {(1, 100), (3, 100)}
+    # doc 1 shares the two 4-grams inside the 5-word phrase (distinct
+    # shingles, so repeating the phrase doesn't double-count)
+    assert got[(1, 100)] == 2
+
+
+def test_decontam_benchmark_never_self_matches(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = corpus.ngram_overlap_pairs(docs, F.col("doc_id") % 50 == 0)
+    assert pairs.filter(F.col("doc_id") % 50 == 0).count() == 0
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.25}
+    s1 = corpus.stratified_sample(docs, rates).select("doc_id")
+    s2 = corpus.stratified_sample(docs, rates).select("doc_id")
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    assert ids1 == {r["doc_id"] for r in s2.collect()}  # no RNG drift
+
+    kept = corpus.stratified_sample(docs, rates).groupBy("lang").count()
+    totals = docs.groupBy("lang").count().withColumnRenamed("count", "n")
+    ratio = {
+        r["lang"]: r["count"] / r["n"]
+        for r in kept.join(totals, "lang").collect()
+    }
+    assert abs(ratio["en"] - 0.5) < 0.15
+    assert abs(ratio["de"] - 0.25) < 0.15
+    assert set(ratio) == {"en", "de"}  # default rate 0.0 drops other strata
+
+
+def test_quality_filter_rule_precedence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "one two"),  # 2 tokens -> TOO_SHORT
+            (2, " ".join(["the"] * 30)),  # stopword_ratio 1.0 -> STOPWORD_HEAVY
+            (3, " ".join(["aa"] * 30)),  # avg len 2.0 -> SHORT_TOKENS
+            (4, " ".join(["sufficiently"] * 30)),  # KEEP
+            (5, "the " * 2 + "x"),  # short AND stopword-heavy -> TOO_SHORT wins
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["filter_reason"]
+        for r in corpus.quality_filter(
+            docs, min_tokens=10, max_tokens=1000,
+            max_stopword_ratio=0.5, min_avg_token_len=3.5,
+        ).collect()
+    }
+    assert got == {
+        1: "TOO_SHORT",
+        2: "STOPWORD_HEAVY",
+        3: "SHORT_TOKENS",
+        4: "KEEP",
+        5: "TOO_SHORT",
+    }
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.cosine_topk(emb, qs, k=5)
+    quant = similarity.quantized_topk(emb, qs, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    q = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    assert len(e & q) / len(e) >= 0.9  # int8 shortlist keeps the real top-k

@@ -1,0 +1,109 @@
+"""Corpus curation operators for training-data pipelines: test-set
+decontamination, stratified sampling, and rule-based quality filtering.
+
+All three are deterministic and expressible in portable SQL, so each has a
+DuckDB oracle twin in wsspark.queries.llm. Scale posture:
+
+- decontamination broadcasts the benchmark shingle set (benchmark suites are
+  thousands of docs, corpora are billions — the asymmetry is the design);
+  the corpus side never shuffles, only the tiny hit-count agg does.
+- stratified sampling is a pure filter (hash of the id against a per-stratum
+  rate) — zero shuffles, no RNG state, reproducible across reruns/retries,
+  which row-level ``rand()`` sampling is NOT under task retries.
+- quality filtering is a projection over doc_stats — map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wsspark.llmops import dedup
+from wsspark.llmops.similarity import _KNUTH, _MOD32
+from wsspark.llmops.textstats import doc_stats
+
+DECONTAM_NGRAM = 4
+
+
+def ngram_overlap_pairs(
+    docs: DataFrame,
+    bench_pred: Column,
+    k: int = DECONTAM_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set decontamination: corpus documents sharing at least one
+    k-word n-gram with a benchmark document, with the shared-n-gram count.
+
+    ``bench_pred`` marks the benchmark rows inside ``docs`` (callers with a
+    separate benchmark table can union it in with a marker column). Corpus
+    rows matching the predicate are excluded from the corpus side — a doc
+    never "contaminates" itself.
+
+    Plan shape: distinct shingles explode per side; the benchmark side is
+    broadcast, so the corpus side joins map-side with no shuffle; only the
+    (doc, bench) hit counts — bounded by true contamination, tiny — shuffle
+    for the final count.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(dedup.word_shingles(text_col, k)).alias("_ng")
+    )
+    bench = (
+        docs.filter(bench_pred)
+        .select(F.col(id_col).alias("bench_id"), F.explode(
+            dedup.word_shingles(text_col, k)).alias("_ng"))
+    )
+    corpus = docs.filter(~bench_pred).select(id_col).join(sh, id_col)
+    return (
+        corpus.join(F.broadcast(bench), "_ng")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (domain/language mixing): keep
+    a row iff knuth_hash(id)/2^32 < rate(stratum). The hash is the same
+    Knuth multiplicative scheme as the IVF centroid pick — uniform over the
+    id space, replicable in any SQL engine, and stable under task retries
+    (``rand()``-based sampling resamples on retry and breaks exactly-once
+    outputs at scale)."""
+    u = F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_MOD32)) / F.lit(_MOD32)
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return docs.filter(u < rate)
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    max_stopword_ratio: float = 0.5,
+    min_avg_token_len: float = 3.5,
+) -> DataFrame:
+    """Rule-based corpus quality gate: each document gets KEEP or its FIRST
+    failing rule (precedence: length bounds, stopword density, token
+    shape) — the training-data analog of the warehouse DQ when-chain
+    (quality.dq_flag). Map-only over doc_stats; no shuffle."""
+    stats = doc_stats(docs)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "TOO_SHORT")
+        .when(F.col("n_tokens") > max_tokens, "TOO_LONG")
+        .when(F.col("stopword_ratio") > max_stopword_ratio, "STOPWORD_HEAVY")
+        .when(F.col("avg_token_len") < min_avg_token_len, "SHORT_TOKENS")
+        .otherwise("KEEP")
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "avg_token_len",
+        reason.alias("filter_reason"),
+    )

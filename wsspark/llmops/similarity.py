@@ -244,3 +244,71 @@ def quantize_int8(
 def dequantize(q_vec: Column, q_scale: Column) -> Column:
     """int8 vector + scale -> array<double> (inverse of quantize_int8)."""
     return F.transform(q_vec, lambda x: x.cast("double") * q_scale)
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist_mult: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The int8 scan path end-to-end: shortlist candidates with the
+    quantized integer dot product (the 4x-cheaper scan), then re-rank the
+    ``k * shortlist_mult`` survivors with the exact float cosine.
+
+    The integer dot is exact int arithmetic (no FP drift); the approximate
+    cosine is ``int_dot * scale_a * scale_b / (norm_a * norm_b)`` with every
+    operand explicitly cast to double so an external SQL oracle reproduces
+    the shortlist boundary bit-for-bit. At 100 TB the stage-1 scan reads
+    only the int8 column (quarter the bytes); stage 2 touches float vectors
+    for shortlist rows only.
+    """
+    corpus = quantize_int8(with_norm(vectors, vec_col), "_vec", prefix="q").select(
+        F.col(id_col).alias("neighbor_id"),
+        "_vec",
+        "_norm",
+        F.col("q_vec").alias("_qv"),
+        F.col("q_scale").alias("_qs"),
+    )
+    qs = quantize_int8(with_norm(queries, vec_col), "_vec", prefix="q").select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_query_vec"),
+        F.col("_norm").alias("_query_norm"),
+        F.col("q_vec").alias("_query_qv"),
+        F.col("q_scale").alias("_query_qs"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("_query_qv"), F.col("_qv"), lambda x, y: x.cast("int") * y.cast("int")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        int_dot.cast("double")
+        * F.col("_query_qs").cast("double")
+        * F.col("_qs").cast("double")
+        / (F.col("_query_norm") * F.col("_norm"))
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_approx", approx)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("_approx"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k * shortlist_mult)
+    )
+    exact = F.round(
+        dot(F.col("_query_vec"), F.col("_vec")) / (F.col("_query_norm") * F.col("_norm")),
+        4,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.select("query_id", "neighbor_id", exact.alias("cos_sim"))
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_r2")
+    )

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wsspark.io import read_table
-from wsspark.llmops import dedup, fingerprint, similarity, textstats
+from wsspark.llmops import corpus, dedup, fingerprint, similarity, textstats
 from wsspark.queries import Query
 from wsspark.queries import exactsum as ex
 
@@ -368,6 +368,153 @@ FROM g GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination, sampling, quality gating
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 50  # doc_id % 50 == 0 -> "benchmark" doc for decontamination
+SAMPLE_RATES = {"en": 0.5, "de": 0.3, "es": 0.2, "zh": 0.25}
+SAMPLE_DEFAULT = 0.05
+# Quality thresholds calibrated to the synthetic corpus (tokens 10-99,
+# avg_token_len ~4.2-4.8, stopword_ratio 0-0.22) so every reject reason
+# actually fires — a gate where everything passes verifies nothing.
+QF_MIN_TOKENS, QF_MAX_TOKENS = 20, 80
+QF_MAX_STOPWORD_RATIO = 0.15
+QF_MIN_AVG_TOKEN_LEN = 4.4
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: corpus docs sharing a 4-gram with a
+    benchmark doc (benchmark = doc_id % 50 == 0). Benchmark side broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.ngram_overlap_pairs(docs, F.col("doc_id") % BENCH_MOD == 0)
+
+
+_SHINGLE_SQL = f"""
+    SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(t) >= {corpus.DECONTAM_NGRAM}
+        THEN list_transform(range(1, len(t) - {corpus.DECONTAM_NGRAM} + 2),
+             i -> array_to_string(t[i:i+{corpus.DECONTAM_NGRAM}-1], ' '))
+        ELSE [array_to_string(t, ' ')] END)) AS ng
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+DECONTAM_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+bench AS (SELECT doc_id AS bench_id, ng FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+corp AS (SELECT doc_id, ng FROM sh WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared_ngrams
+FROM corp c JOIN bench b USING (ng)
+GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (domain mixing) — hash-gated,
+    no RNG, stable under retries."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.stratified_sample(
+        docs, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items())
+) + f" ELSE {SAMPLE_DEFAULT} END"
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296
+      < {_RATE_CASE}
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based corpus quality gate with first-failing-rule reasons."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.quality_filter(
+        docs,
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        max_stopword_ratio=QF_MAX_STOPWORD_RATIO,
+        min_avg_token_len=QF_MIN_AVG_TOKEN_LEN,
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+    FROM documents
+),
+s AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL})))
+                 AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+           ROUND(CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks), 4)
+               AS avg_token_len
+    FROM t
+)
+SELECT doc_id, n_tokens, stopword_ratio, avg_token_len,
+       CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'TOO_SHORT'
+            WHEN n_tokens > {QF_MAX_TOKENS} THEN 'TOO_LONG'
+            WHEN stopword_ratio > {QF_MAX_STOPWORD_RATIO} THEN 'STOPWORD_HEAVY'
+            WHEN avg_token_len < {QF_MIN_AVG_TOKEN_LEN} THEN 'SHORT_TOKENS'
+            ELSE 'KEEP' END AS filter_reason
+FROM s
+"""
+
+
+def q_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized shortlist scan + float re-rank (the 4x-cheaper ANN
+    scan path; llmops.similarity.quantized_topk)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vectors, qs = _split_queries(emb)
+    return similarity.quantized_topk(vectors, qs, k=ANN_K)
+
+
+QUANTIZED_ANN_SQL = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm,
+           list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+    FROM e
+),
+qz AS (
+    SELECT vec_id, v, nrm,
+           CAST(CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS REAL) AS scale,
+           list_transform(v, x -> CAST(ROUND(
+               x / CAST(CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS REAL),
+               0) AS INTEGER)) AS qv
+    FROM n
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_aggregate(list_transform(list_zip(q.qv, c.qv),
+               x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT)), 'sum') AS DOUBLE)
+               * CAST(q.scale AS DOUBLE) * CAST(c.scale AS DOUBLE)
+               / (q.nrm * c.nrm) AS approx,
+           q.v AS qv_f, q.nrm AS qn, c.v AS cv_f, c.nrm AS cn
+    FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % {QUERY_MOD} = 0
+),
+short AS (
+    SELECT query_id, neighbor_id, qv_f, qn, cv_f, cn
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx DESC, neighbor_id) <= {ANN_K} * 4
+)
+SELECT query_id, neighbor_id,
+       ROUND(list_aggregate(list_transform(list_zip(qv_f, cv_f),
+           x -> x[1] * x[2]), 'sum') / (qn * cn), 4) AS cos_sim
+FROM short
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {ANN_K}
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents become opaque binary
     payloads with typed metadata (the shape an image/audio corpus has), then
@@ -545,4 +692,12 @@ QUERIES = [
           "top-50 tokens by document frequency (vocabulary profile)"),
     Query("tfidf_top_terms", q_tfidf_top_terms, TFIDF_SQL,
           "per-document top TF-IDF term (broadcast df join + top-1 window)"),
+    Query("decontam_overlap", q_decontam_overlap, DECONTAM_SQL,
+          "test-set decontamination: corpus x benchmark n-gram overlap"),
+    Query("stratified_sample", q_stratified_sample, STRATIFIED_SAMPLE_SQL,
+          "deterministic hash-gated per-language sampling (domain mixing)"),
+    Query("quality_filter", q_quality_filter, QUALITY_FILTER_SQL,
+          "rule-based corpus quality gate with reject reasons"),
+    Query("quantized_ann_topk", q_quantized_ann_topk, QUANTIZED_ANN_SQL,
+          "int8-quantized shortlist + float re-rank cosine top-k"),
 ]
