@@ -45,15 +45,18 @@ def ngram_overlap_pairs(
     (doc, bench) hit counts — bounded by true contamination, tiny — shuffle
     for the final count.
     """
+    # Evaluate the benchmark predicate ONCE as a marker column on the
+    # exploded shingle frame: both sides become pure filters of one frame —
+    # no join against a (billion-row at scale) corpus id set.
     sh = docs.select(
-        F.col(id_col), F.explode(dedup.word_shingles(text_col, k)).alias("_ng")
+        F.col(id_col),
+        bench_pred.alias("_is_bench"),
+        F.explode(dedup.word_shingles(text_col, k)).alias("_ng"),
     )
-    bench = (
-        docs.filter(bench_pred)
-        .select(F.col(id_col).alias("bench_id"), F.explode(
-            dedup.word_shingles(text_col, k)).alias("_ng"))
+    bench = sh.filter(F.col("_is_bench")).select(
+        F.col(id_col).alias("bench_id"), "_ng"
     )
-    corpus = docs.filter(~bench_pred).select(id_col).join(sh, id_col)
+    corpus = sh.filter(~F.col("_is_bench")).select(id_col, "_ng")
     return (
         corpus.join(F.broadcast(bench), "_ng")
         .groupBy(id_col, "bench_id")
