@@ -67,3 +67,44 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
     assert after == 1
     assert spark.read.parquet(path).count() == 4000
+
+
+def test_xlsx_report_roundtrip(spark, tmp_path):
+    """The Excel sink writes a valid single-sheet xlsx (zip-of-XML) that
+    round-trips header and typed cell values — no openpyxl involved."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from wsspark.io import write_report
+
+    df = spark.createDataFrame(
+        [(1, "widget <&>", 9.5, True, None), (2, "gadget", -3.25, False, "x")],
+        ["id", "name", "value", "flag", "note"],
+    )
+    path = str(tmp_path / "report.xlsx")
+    write_report(df, path, fmt="xlsx")
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+                "xl/_rels/workbook.xml.rels",
+                "xl/worksheets/sheet1.xml"} <= names
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+
+    rows = sheet.findall(".//m:row", ns)
+    assert len(rows) == 3  # header + 2 data rows
+
+    def cell_values(row):
+        out = []
+        for c in row.findall("m:c", ns):
+            t = c.find("m:is/m:t", ns)
+            v = c.find("m:v", ns)
+            out.append(t.text if t is not None else (v.text if v is not None else None))
+        return out
+
+    assert cell_values(rows[0]) == ["id", "name", "value", "flag", "note"]
+    r1 = cell_values(rows[1])
+    assert r1[0] == "1" and r1[1] == "widget <&>" and float(r1[2]) == 9.5
+    assert r1[3] == "1" and r1[4] is None  # bool cell + empty cell
+    assert cell_values(rows[2])[4] == "x"

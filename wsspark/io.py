@@ -89,10 +89,13 @@ def load_tables(
 
 def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """S3 analog: one report -> one output location (reference writes one
-    file per report, etl/load/data_loader.py:26-63). Small aggregate outputs
-    coalesce to 1 file; facts should use ``write_fact_partitioned``. The
-    reference's third format, Excel (data_loader.py:55-58), is out of scope
-    here (openpyxl-class deps; a report consumer reads the CSV)."""
+    file per report in parquet/csv/xlsx, etl/load/data_loader.py:26-63).
+    Small aggregate outputs coalesce to 1 file; facts should use
+    ``write_fact_partitioned``. ``fmt='xlsx'`` covers the reference's Excel
+    path via a dependency-free writer (``write_report_xlsx``)."""
+    if fmt == "xlsx":
+        write_report_xlsx(df, path)
+        return
     writer = df.coalesce(1).write.mode("overwrite")
     if fmt == "parquet":
         writer.parquet(path)
@@ -100,6 +103,105 @@ def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         writer.option("header", "true").csv(path)
     else:
         raise ValueError(f"unsupported report format: {fmt}")
+
+
+# xlsx limits (a worksheet caps at 2^20 rows; reports are small aggregates,
+# so hitting this means someone pointed a fact at the Excel sink)
+_XLSX_MAX_ROWS = 1_048_575
+
+
+def _xlsx_col_letter(i: int) -> str:
+    """0-based column index -> A, B, ..., Z, AA, AB, ..."""
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(ord("A") + r) + out
+    return out
+
+
+def write_report_xlsx(df: DataFrame, path: str, sheet_name: str = "Report") -> None:
+    """The reference's Excel sink (etl/load/data_loader.py:55-58) without
+    the openpyxl dependency: xlsx is a zip of XML parts, and a single-sheet
+    workbook needs only five of them. Report frames are small aggregates,
+    so — exactly like the reference's ``to_excel`` — the frame is collected
+    on the driver; anything fact-sized belongs in parquet, and the sheet
+    row cap enforces that."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    rows = df.collect()
+    if len(rows) > _XLSX_MAX_ROWS:
+        raise ValueError(
+            f"xlsx sheet cap is {_XLSX_MAX_ROWS} rows; write facts as parquet"
+        )
+    cols = df.columns
+
+    def cell(r: int, c: int, v) -> str:
+        ref = f"{_xlsx_col_letter(c)}{r}"
+        if v is None:
+            return f'<c r="{ref}"/>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{escape(str(v))}</t></is></c>"
+        )
+
+    body = [
+        "<row r=\"1\">" + "".join(cell(1, c, name) for c, name in enumerate(cols)) + "</row>"
+    ]
+    for i, row in enumerate(rows, start=2):
+        body.append(
+            f'<row r="{i}">' + "".join(cell(i, c, row[c]) for c in range(len(cols))) + "</row>"
+        )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" '
+        'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
 
 
 def write_fact_partitioned(df: DataFrame, path: str, date_col: str = "movement_date") -> None:
