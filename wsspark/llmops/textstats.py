@@ -102,3 +102,79 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         best["lang"].alias("lang_pred"),
         (-best["neg_score"]).cast("long").alias("lang_score"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: the share of the most
+    frequent word (`top_word_share`) and the distinct-word ratio
+    (`unique_ratio`). High top-word share / low unique ratio flag
+    boilerplate and degenerate repetition — standard pre-training filters
+    (Rae et al. 2021 "Gopher" §A1.1 repetition rules).
+
+    Plan: explode words -> one (doc, word) count agg (map-side combinable)
+    -> one per-doc agg + a top-1 window for the argmax word. Two exchanges
+    keyed by doc_id-scale cardinality; no UDFs, no collect.
+    """
+    w = docs.select("doc_id", F.explode(tokens(text_col)).alias("w"))
+    counts = w.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    top = (
+        counts.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("cnt").desc(), F.col("w").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("w").alias("top_word"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.max("cnt").alias("_top_cnt"),
+    )
+    return (
+        stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            "top_word",
+            F.round(F.col("_top_cnt").cast("double") / F.col("n_words"), 4).alias(
+                "top_word_share"
+            ),
+            F.round(
+                F.col("n_distinct_words").cast("double") / F.col("n_words"), 4
+            ).alias("unique_ratio"),
+        )
+    )
+
+
+def bigrams(text_col: str = "text") -> Column:
+    """Word-bigram array as a pure expression (adjacent-token pairs joined
+    with a space). Empty array for docs with fewer than two tokens."""
+    return F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array() "
+        f"ELSE transform(slice(split({text_col}, ' '), 1, "
+        f"size(split({text_col}, ' ')) - 1), "
+        f"(x, i) -> concat(x, ' ', split({text_col}, ' ')[i + 1])) END"
+    )
+
+
+def bigram_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k bigram frequencies (n-gram language-model stats /
+    boilerplate detection). One explode -> one count agg (map-side
+    combinable, cardinality = vocabulary^2 observed, not corpus size) ->
+    global top-k with a total order (count desc, bigram asc) so the cut is
+    deterministic. The final sort-limit is a TakeOrderedAndProject, not a
+    full sort."""
+    return (
+        docs.select(F.explode(bigrams(text_col)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
+    )

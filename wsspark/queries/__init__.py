@@ -28,10 +28,10 @@ class Query:
 
 
 def build_registry() -> dict[str, Query]:
-    from wsspark.queries import core, llm, tpch
+    from wsspark.queries import core, llm, temporal, tpch
 
     registry: dict[str, Query] = {}
-    for mod in (core, tpch, llm):
+    for mod in (core, tpch, llm, temporal):
         for q in mod.QUERIES:
             if q.name in registry:
                 raise ValueError(f"duplicate query name {q.name}")

@@ -1075,6 +1075,31 @@ GROUP BY ROLLUP (warehouse_id, movement_type)
 """
 
 
+def q_movement_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE complement of q_movement_rollup: all four grouping sets of
+    (warehouse_id, movement_type) — including the per-type marginals ROLLUP
+    omits — still from a single shuffle (Catalyst expands grouping sets
+    map-side; the reference would need four separate pandas groupbys)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    mvs = ad.movements_from_lineitem(li)
+    return (
+        mvs.cube("warehouse_id", "movement_type")
+        .agg(
+            F.count("*").alias("n_movements"),
+            F.sum(F.col("quantity").cast("long")).alias("net_qty"),
+        )
+        .select("warehouse_id", "movement_type", "n_movements", "net_qty")
+    )
+
+
+CUBE_SQL = f"""
+SELECT warehouse_id, movement_type, COUNT(*) AS n_movements,
+       CAST(SUM(quantity) AS BIGINT) AS net_qty
+FROM ({ad.MOVEMENTS_SQL})
+GROUP BY CUBE (warehouse_id, movement_type)
+"""
+
+
 QUERIES = [
     Query("abc_analysis", q_abc_analysis, ABC_SQL,
           "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
@@ -1138,4 +1163,6 @@ QUERIES = [
           "per-warehouse daily volume z-score anomalies"),
     Query("movement_rollup", q_movement_rollup, ROLLUP_SQL,
           "ROLLUP hierarchy totals in one shuffle (grouping sets)"),
+    Query("movement_cube", q_movement_cube, CUBE_SQL,
+          "CUBE grouping-set marginals in one shuffle"),
 ]

@@ -657,6 +657,49 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) = 1
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
+REPETITION_SQL = """
+WITH w AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+s AS (
+    SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct_words,
+           MAX(cnt) AS top_cnt
+    FROM c GROUP BY 1
+),
+t AS (
+    SELECT doc_id, w AS top_word FROM c
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY cnt DESC, w ASC
+    ) = 1
+)
+SELECT s.doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words, t.top_word,
+       ROUND(CAST(top_cnt AS DOUBLE) / n_words, 4) AS top_word_share,
+       ROUND(CAST(n_distinct_words AS DOUBLE) / n_words, 4) AS unique_ratio
+FROM s JOIN t USING (doc_id)
+"""
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.bigram_topk(read_table(spark, sf_dir, "documents"), k=20)
+
+
+BIGRAM_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+b AS (
+    SELECT list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS bigram
+    FROM (SELECT toks, UNNEST(range(1, len(toks))) AS i FROM t)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -700,4 +743,8 @@ QUERIES = [
           "rule-based corpus quality gate with reject reasons"),
     Query("quantized_ann_topk", q_quantized_ann_topk, QUANTIZED_ANN_SQL,
           "int8-quantized shortlist + float re-rank cosine top-k"),
+    Query("repetition_stats", q_repetition_stats, REPETITION_SQL,
+          "Gopher-style repetition signals: top-word share + unique ratio"),
+    Query("bigram_topk", q_bigram_topk, BIGRAM_SQL,
+          "corpus-wide top-k bigram frequencies (deterministic cut)"),
 ]

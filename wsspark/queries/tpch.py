@@ -10,7 +10,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wsspark.io import read_table
@@ -247,6 +247,83 @@ GROUP BY p_brand
 """
 
 
+RETURNED_TOP_K = 20
+
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer. The fact filter
+    (l_returnflag = 'R') pushes into the parquet scan; the orderkey join is
+    the one fact-sized shuffle; customer and nation are broadcast so the
+    dimension lookups never shuffle. Top-k pinned by (revenue desc,
+    c_custkey asc) with cents-exact revenue so the cut is engine-stable."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(ex.money_sum(disc).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(RETURNED_TOP_K)
+    )
+
+
+RETURNED_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {ex.money_sum_sql(_DISC)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {RETURNED_TOP_K}
+"""
+
+
+SMALL_QTY_FRACTION = 0.5  # of the per-part average quantity
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in orders below half the part's
+    average quantity. The classic formulation is a correlated scalar
+    subquery per part; the Spark-first rewrite is ONE window average over
+    the partkey partition — a single shuffle of the fact, no second scan,
+    no join. The per-part mean is exact across engines (integral quantities
+    sum exactly in doubles), so the threshold comparison can't flip."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.avg("l_quantity").over(w)
+    return (
+        li.withColumn("_avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < SMALL_QTY_FRACTION * F.col("_avg_qty"))
+        .agg(
+            F.round(ex.money_sum(F.col("l_extendedprice")) / 7, 2).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SMALL_QTY_SQL = f"""
+WITH t AS (
+    SELECT l_extendedprice, l_quantity,
+           AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+    FROM lineitem
+)
+SELECT ROUND({ex.money_sum_sql("l_extendedprice")} / 7, 2) AS avg_yearly,
+       COUNT(*) AS n_lineitems
+FROM t
+WHERE l_quantity < {SMALL_QTY_FRACTION} * avg_qty
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, PRICING_SQL,
           "TPC-H Q1-shape grouped pricing rollup"),
@@ -260,4 +337,8 @@ QUERIES = [
           "TPC-H Q14-shape conditional agg over broadcast join"),
     Query("parts_never_sold", q_parts_never_sold, PARTS_NEVER_SOLD_SQL,
           "left_anti set-difference rollup"),
+    Query("returned_top_customers", q_returned_top_customers, RETURNED_SQL,
+          "TPC-H Q10-shape returned-revenue top-k over broadcast dims"),
+    Query("small_quantity_revenue", q_small_quantity_revenue, SMALL_QTY_SQL,
+          "TPC-H Q17-shape correlated subquery rewritten as one window pass"),
 ]
