@@ -91,3 +91,26 @@ def test_embedding_cosine_dup_pairs_planted(spark):
     )
     pairs = similarity.embedding_cosine_dup_pairs(emb, threshold=0.95).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_connected_components_known_graph(spark):
+    # two components {1,2,3} (chain: transitivity) and {10, 11}; 20 isolated
+    # (absent from pairs -> absent from output)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path graph needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+    )
+    rows = dedup.connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 13

@@ -256,3 +256,35 @@ def test_with_updated_at_stamp(spark):
     assert out["updated_at"] == dt.datetime(2026, 1, 1)
     live = with_updated_at(df).collect()[0]
     assert live["updated_at"] is not None
+
+
+def test_lifo_values_oldest_layers(spark):
+    from wsspark.ops import functions as wfn
+
+    stock = spark.createDataFrame([(1, 100, 10)], ["product_id", "warehouse_id", "quantity_on_hand"])
+    receipts = spark.createDataFrame(
+        [
+            # oldest layer: 6 @ 1.00; newest layer: 6 @ 3.00
+            (1, 6, 1.00, "2024-01-01", 1, 1),
+            (1, 6, 3.00, "2024-06-01", 2, 1),
+        ],
+        ["product_id", "quantity", "unit_price", "receipt_date", "po_id", "line_no"],
+    )
+    fifo = wfn.fifo_stock_value(stock, receipts).collect()[0]
+    lifo = wfn.lifo_stock_value(stock, receipts).collect()[0]
+    # FIFO: on-hand 10 valued at newest-first = 6@3.00 + 4@1.00 = 22.0
+    assert fifo["fifo_value"] == 22.0 and fifo["covered_quantity"] == 10
+    # LIFO: on-hand 10 valued at oldest-first = 6@1.00 + 4@3.00 = 18.0
+    assert lifo["lifo_value"] == 18.0 and lifo["covered_quantity"] == 10
+
+
+def test_calculate_stock_value_dispatches_lifo(spark):
+    from wsspark.ops import functions as wfn
+
+    stock = spark.createDataFrame([(1, 100, 5)], ["product_id", "warehouse_id", "quantity_on_hand"])
+    receipts = spark.createDataFrame(
+        [(1, 5, 2.0, "2024-01-01", 1, 1)],
+        ["product_id", "quantity", "unit_price", "receipt_date", "po_id", "line_no"],
+    )
+    out = wfn.calculate_stock_value(stock, receipts, method="LIFO").collect()[0]
+    assert out["lifo_value"] == 10.0

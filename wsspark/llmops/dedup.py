@@ -265,3 +265,59 @@ def simhash_bands(sim: DataFrame, bands: int = 4) -> DataFrame:
         ]
     )
     return sim.select("doc_id", "simhash", F.posexplode(band_arr).alias("band", "band_key"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: every node gets
+    ``cluster_id`` = the minimum node id in its component. This is the step
+    that turns pairwise near-dup output into actionable dedup GROUPS (keep
+    one representative per cluster) — pairs alone can't be acted on when
+    duplicates are transitive (A~B, B~C but A!~C).
+
+    Algorithm: iterative min-label propagation (hash-to-min). Each round is
+    one equi-join of the (cached) symmetric edge list with the current
+    labels plus a min-aggregation — all shuffles keyed by node id, AQE-skew
+    splittable. Rounds needed = graph diameter (dup clusters are
+    near-cliques, so 2-3 in practice; ``max_iter`` bounds pathological
+    chains). Per round the driver sees ONE scalar (the changed-label
+    count) for the convergence test, and ``localCheckpoint`` truncates the
+    growing lineage — the standard Spark iterative-algorithm pattern (same
+    shape GraphFrames uses). Returns (node, cluster_id), nodes = every id
+    appearing in ``pairs``.
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sym = sym.cache()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
+            sym["src"].alias("node"), "cluster_id"
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

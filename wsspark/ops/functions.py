@@ -149,8 +149,10 @@ def calculate_stock_value(
     ``receipt_date`` column — see ``fifo_stock_value``. LIFO still raises,
     mirroring the reference.
     """
-    if method == "FIFO" and "receipt_date" in po_details.columns:
-        return fifo_stock_value(stock, po_details)
+    if method in ("FIFO", "LIFO") and "receipt_date" in po_details.columns:
+        return (fifo_stock_value if method == "FIFO" else lifo_stock_value)(
+            stock, po_details
+        )
     if method != "AVG":
         raise NotImplementedError(f"valuation method {method!r} not implemented (reference parity)")
     details = po_details
@@ -201,15 +203,42 @@ def fifo_stock_value(
     layer counts are bounded (receipt history per SKU), so the partitioned
     sort holds at 100 TB — no global sort anywhere.
     """
+    return _layered_stock_value(stock, receipts, order_cols, newest_first=True,
+                                value_alias="fifo_value")
+
+
+def lifo_stock_value(
+    stock: DataFrame,
+    receipts: DataFrame,
+    order_cols: tuple[str, ...] = ("receipt_date", "po_id", "line_no"),
+) -> DataFrame:
+    """LIFO valuation: the mirror of ``fifo_stock_value``. Under LIFO the
+    NEWEST receipts are consumed first, so the on-hand quantity is valued
+    at the OLDEST receipt costs — identical window mechanics with the
+    layer order ascending instead of descending. Completes the reference's
+    declared-but-unimplemented M4 method set (dbfn/functions.sql:233-238).
+    """
+    return _layered_stock_value(stock, receipts, order_cols, newest_first=False,
+                                value_alias="lifo_value")
+
+
+def _layered_stock_value(
+    stock: DataFrame,
+    receipts: DataFrame,
+    order_cols: tuple[str, ...],
+    newest_first: bool,
+    value_alias: str,
+) -> DataFrame:
     from wsspark.queries import exactsum as ex
 
     totals = stock.groupBy("product_id").agg(
         F.sum("quantity_on_hand").alias("total_quantity")
     ).filter(F.col("total_quantity") > 0)
 
+    order = [F.desc(c) if newest_first else F.asc(c) for c in order_cols]
     w = (
         Window.partitionBy("product_id")
-        .orderBy(*[F.desc(c) for c in order_cols])
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("quantity").over(w)
@@ -226,14 +255,14 @@ def fifo_stock_value(
     return (
         layers.groupBy("product_id", "total_quantity")
         .agg(
-            F.round(F.sum("_layer_cents") / 100, 2).alias("fifo_value"),
+            F.round(F.sum("_layer_cents") / 100, 2).alias(value_alias),
             F.sum("_take").alias("covered_quantity"),
         )
         .select(
             "product_id",
             "total_quantity",
             "covered_quantity",
-            "fifo_value",
+            value_alias,
         )
     )
 

@@ -1100,6 +1100,134 @@ GROUP BY CUBE (warehouse_id, movement_type)
 """
 
 
+def q_lifo_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4's LIFO branch — the mirror of q_fifo_valuation: on-hand stock is
+    valued at the OLDEST receipt layers (ops.functions.lifo_stock_value),
+    completing the AVG/FIFO/LIFO method set the reference declares but only
+    implements for AVG (dbfn/functions.sql:233-238)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    stock = ad.stock_from_lineitem(li, part)
+    return wfn.lifo_stock_value(stock, ad.po_receipts_from_lineitem(li))
+
+
+LIFO_VALUATION_SQL = f"""
+WITH stock AS ({ad.STOCK_SQL}),
+receipts AS ({ad.PO_RECEIPTS_SQL}),
+totals AS (
+    SELECT product_id, SUM(quantity_on_hand) AS total_quantity
+    FROM stock GROUP BY product_id HAVING SUM(quantity_on_hand) > 0
+),
+layers AS (
+    SELECT r.product_id, t.total_quantity, r.unit_price,
+           GREATEST(0, LEAST(r.quantity,
+               t.total_quantity
+               - (SUM(r.quantity) OVER (PARTITION BY r.product_id
+                      ORDER BY r.receipt_date ASC, r.po_id ASC, r.line_no ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - r.quantity))) AS take
+    FROM receipts r JOIN totals t USING (product_id)
+)
+SELECT product_id, total_quantity, SUM(take) AS covered_quantity,
+       ROUND(CAST(SUM(CAST(ROUND(take * unit_price * 100, 0) AS BIGINT))
+             AS DOUBLE) / 100, 2) AS lifo_value
+FROM layers GROUP BY product_id, total_quantity
+"""
+
+
+MOVING_AVG_DAYS = 7
+
+
+def q_moving_avg_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day mean over the gap-filled daily trend — the standard
+    smoothed-trend report (pandas ``.rolling(7).mean()``). Because the
+    input calendar is gap-filled (W1), a ROWS frame of 6 preceding is
+    exactly the calendar week — no RANGE/interval frame needed, which keeps
+    the window codegen-friendly. Single-partition window over the bounded
+    day grain (same call as the Pareto cumsum: day cardinality, not fact
+    cardinality)."""
+    daily = q_daily_trends(spark, sf_dir)
+    w = Window.orderBy("bucket_date").rowsBetween(-(MOVING_AVG_DAYS - 1), 0)
+    return daily.select(
+        "bucket_date",
+        "daily_movements",
+        F.round(F.avg("daily_movements").over(w), 4).alias("moving_avg_7d"),
+        F.sum("daily_movements")
+        .over(Window.orderBy("bucket_date").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumulative_movements"),
+    )
+
+
+MOVING_AVG_SQL = f"""
+WITH daily AS ({DAILY_TRENDS_SQL})
+SELECT bucket_date, daily_movements,
+       ROUND(AVG(daily_movements) OVER (
+           ORDER BY bucket_date
+           ROWS BETWEEN {MOVING_AVG_DAYS - 1} PRECEDING AND CURRENT ROW), 4)
+           AS moving_avg_7d,
+       SUM(daily_movements) OVER (
+           ORDER BY bucket_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumulative_movements
+FROM daily
+"""
+
+
+N_DECILES = 10
+
+
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue decile table: ntile(10) over per-product revenue, then one
+    combinable agg per decile (n products, cents-exact revenue, share of
+    total). The ntile window and the Pareto cumsum share the same bounded
+    single-partition sort (product cardinality); the share denominator is a
+    window-total, not a second scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    so = ad.so_details_from_lineitem(li)
+    rev = so.groupBy("product_id").agg(
+        F.sum(ex.cents(F.col("quantity") * F.col("unit_price"))).alias("rev_cents")
+    )
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("product_id"))
+    deciles = rev.withColumn("decile", F.ntile(N_DECILES).over(w))
+    agg = deciles.groupBy("decile").agg(
+        F.count("*").alias("n_products"),
+        F.sum("rev_cents").alias("_cents"),
+    )
+    total = F.sum("_cents").over(Window.partitionBy())
+    return (
+        agg.select(
+            "decile",
+            "n_products",
+            (F.col("_cents").cast("double") / 100).alias("revenue"),
+            F.round(F.col("_cents") / total, 6).alias("revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+REVENUE_DECILES_SQL = f"""
+WITH so AS ({ad.SO_DETAILS_SQL}),
+rev AS (
+    SELECT product_id,
+           SUM(CAST(ROUND((quantity * unit_price) * 100, 0) AS BIGINT)) AS rev_cents
+    FROM so GROUP BY product_id
+),
+d AS (
+    SELECT product_id, rev_cents,
+           NTILE({N_DECILES}) OVER (ORDER BY rev_cents DESC, product_id) AS decile
+    FROM rev
+),
+agg AS (
+    SELECT decile, COUNT(*) AS n_products, SUM(rev_cents) AS cents
+    FROM d GROUP BY decile
+)
+SELECT decile, n_products,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       ROUND(CAST(cents AS DOUBLE) / SUM(cents) OVER (), 6) AS revenue_share
+FROM agg ORDER BY decile
+"""
+
+
 QUERIES = [
     Query("abc_analysis", q_abc_analysis, ABC_SQL,
           "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
@@ -1165,4 +1293,10 @@ QUERIES = [
           "ROLLUP hierarchy totals in one shuffle (grouping sets)"),
     Query("movement_cube", q_movement_cube, CUBE_SQL,
           "CUBE grouping-set marginals in one shuffle"),
+    Query("lifo_valuation", q_lifo_valuation, LIFO_VALUATION_SQL,
+          "LIFO valuation: oldest-first window over dated receipt layers (M4 LIFO)"),
+    Query("moving_avg_trends", q_moving_avg_trends, MOVING_AVG_SQL,
+          "rolling 7-day mean + cumulative total over gap-filled daily trend"),
+    Query("revenue_deciles", q_revenue_deciles, REVENUE_DECILES_SQL,
+          "ntile(10) revenue decile table with cents-exact shares"),
 ]

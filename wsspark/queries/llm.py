@@ -700,6 +700,99 @@ FROM b GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+CLUSTER_THRESHOLD = 0.9
+
+
+def _dup_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, threshold=CLUSTER_THRESHOLD, block_cols=("lang",), shingle_k=1
+    )
+    return dedup.connected_components(pairs)
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): exact-Jaccard edges at 0.9
+    within-lang, then min-label connected components — the grouping step a
+    production dedup pipeline needs because duplication is transitive. See
+    dedup.connected_components for the per-round cost model."""
+    cc = _dup_cluster_map(spark, sf_dir)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+DUP_CLUSTERS_EDGES_SQL = f"""
+WITH words AS (
+    SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+    FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM words a JOIN words b
+      ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(CAST(n_common AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_common), 4)
+          >= {CLUSTER_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM j
+    UNION ALL
+    SELECT doc_b, doc_a FROM j
+)
+"""
+
+DUP_CLUSTERS_SQL = (
+    DUP_CLUSTERS_EDGES_SQL
+    + """,
+reach(node, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node
+"""
+).replace("WITH words", "WITH RECURSIVE words", 1)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation deliverable: one representative (min doc_id) per dup
+    cluster plus every unclustered doc. A broadcast anti-join of the corpus
+    against the (tiny, cluster-sized) non-representative set — the corpus
+    is never shuffled, so the op is a single scan at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    cc = _dup_cluster_map(spark, sf_dir)
+    drop = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+DEDUP_SURVIVORS_SQL = (
+    DUP_CLUSTERS_EDGES_SQL
+    + """,
+reach(node, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst
+),
+cc AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+"""
+).replace("WITH words", "WITH RECURSIVE words", 1)
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -747,4 +840,8 @@ QUERIES = [
           "Gopher-style repetition signals: top-word share + unique ratio"),
     Query("bigram_topk", q_bigram_topk, BIGRAM_SQL,
           "corpus-wide top-k bigram frequencies (deterministic cut)"),
+    Query("dup_clusters", q_dup_clusters, DUP_CLUSTERS_SQL,
+          "connected-component near-dup clusters (iterative min-label)"),
+    Query("dedup_survivors", q_dedup_survivors, DEDUP_SURVIVORS_SQL,
+          "one representative per dup cluster + unclustered docs"),
 ]
