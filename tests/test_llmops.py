@@ -177,3 +177,84 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
     approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_pii_detection_and_redaction(spark):
+    from wsspark.llmops import pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or 555-867-5309 today", "s1"),
+            (2, "ssn 123-45-6789 leaked from 10.0.0.1", "s1"),
+            (3, "totally clean text about nothing", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    flags = {r["doc_id"]: r for r in pii.pii_flags(docs).collect()}
+    assert flags[1]["n_email"] == 1 and flags[1]["n_phone"] == 1
+    assert flags[2]["n_ssn"] == 1 and flags[2]["n_ipv4"] == 1
+    assert flags[3]["has_pii"] is False and flags[1]["has_pii"] is True
+    # SSN must be redacted as [SSN], not mistaken for a phone number
+    red = {r["doc_id"]: r["redacted_text"] for r in pii.redact_pii(docs).collect()}
+    assert "[EMAIL]" in red[1] and "[PHONE]" in red[1]
+    assert "[SSN]" in red[2] and "[IP]" in red[2]
+    assert "123-45-6789" not in red[2]
+    summary = {r["source"]: r for r in pii.pii_summary(docs).collect()}
+    assert summary["s1"]["n_docs_with_pii"] == 2
+    assert summary["s2"]["n_docs_with_pii"] == 0
+
+
+def test_normalized_dedup_catches_case_and_punct_variants(spark):
+    from wsspark.llmops import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),
+            (3, "HELLO   world."),
+            (4, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    groups = textstats.normalized_dedup_groups(docs).collect()
+    dup = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup) == 1 and dup[0]["n_docs"] == 3 and dup[0]["keep_doc_id"] == 1
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """The distributed k-means must reproduce the same deterministic recipe
+    run single-node: hash-spread init, 2 Lloyd rounds, euclidean argmin
+    with lowest-centroid tie-break."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 8)).astype("float32")
+    rows = [(i, [float(x) for x in X[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in similarity.kmeans_embeddings(emb, k=4, n_iter=2).collect()
+    }
+
+    # numpy twin of the same recipe
+    KNUTH, MOD = 2654435761, 4294967296
+    h = [(i * KNUTH) % MOD for i in range(60)]
+    picked = sorted(range(60), key=lambda i: (h[i], i))[:4]
+    cents = np.array([X[i] for i in picked], dtype="float64")
+    Xd = X.astype("float64")
+    for _ in range(2):
+        d2 = ((Xd[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        cents = np.array(
+            [
+                np.round(Xd[assign == c].mean(axis=0), 9)
+                if (assign == c).any()
+                else cents[c]
+                for c in range(4)
+            ]
+        )
+    d2 = ((Xd[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    got_arr = np.array([got[i] for i in range(60)])
+    # cluster_id is 1-based (row_number); mapping must be identical
+    assert (got_arr - 1 == want).all()

@@ -312,3 +312,72 @@ def quantized_topk(
         .filter(F.col("_r2") <= k)
         .drop("_r2")
     )
+
+
+def kmeans_embeddings(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, fully distributed and
+    deterministic: init = ``spread_centroids`` (hash-spread, id-order-free),
+    then ``n_iter`` rounds of [assign -> recompute means]. Returns
+    (vec_id, cluster_id) for the final assignment.
+
+    Scale shape per round: assignment is a broadcast crossJoin of the
+    corpus against k centroid rows + an argmin (min_by over a k-element
+    array — no window, no shuffle); the mean update is a posexplode +
+    (cluster, dim) combinable average — ONE shuffle at k x dim cardinality.
+    No driver-side collect anywhere; centroids live as a k-row DataFrame
+    that AQE broadcasts. localCheckpoint truncates the per-round lineage
+    (same pattern as connected_components). Fixed n_iter keeps the op
+    deterministic and plannable; convergence-based stopping would add one
+    scalar action per round like the dedup clustering does.
+    """
+    corpus = with_norm(vectors, vec_col).select(F.col(id_col), "_vec", "_norm")
+    corpus = corpus.localCheckpoint()
+    cents = spread_centroids(corpus, k, id_col=id_col).select(
+        "centroid_id", F.col("_vec").alias("_cvec")
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        # squared euclidean argmin via min_by over the broadcast centroids
+        d2 = F.aggregate(
+            F.zip_with(F.col("_vec"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = corpus.crossJoin(F.broadcast(c)).select(
+            F.col(id_col), "_vec", "centroid_id", d2.alias("_d2")
+        )
+        # min_by with a deterministic tiebreak on centroid_id
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.min(F.struct("_d2", "centroid_id")).alias("_best"),
+                F.first("_vec").alias("_vec"),
+            )
+            .select(id_col, "_vec", F.col("_best.centroid_id").alias("cluster_id"))
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        means = (
+            assigned.select("cluster_id", F.posexplode("_vec").alias("dim", "x"))
+            # 9dp round absorbs partition-merge-order float jitter so the
+            # assignment boundaries (and thus the output) stay deterministic
+            .groupBy("cluster_id", "dim")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_dm"))
+            .select(
+                "cluster_id",
+                F.transform(F.col("_dm"), lambda s: s["m"]).alias("_cvec"),
+            )
+        )
+        cents = means.select(
+            F.col("cluster_id").alias("centroid_id"), "_cvec"
+        ).localCheckpoint()
+    return assign(cents).select(id_col, "cluster_id")

@@ -178,3 +178,31 @@ def bigram_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFra
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(k)
     )
+
+
+def normalize_text(text_col: str = "text") -> Column:
+    """Canonical text normalization for dedup keys: lowercase, collapse
+    every non-alphanumeric run to a single space, trim. Pure codegen
+    expressions — at 100 TB this is a mapper-side projection fused into the
+    scan. (Unicode NFC/NFKC folding would slot in here via
+    ``mapInPandas`` + ``unicodedata`` when non-ASCII corpora need it.)"""
+    lowered = F.lower(F.col(text_col))
+    return F.trim(F.regexp_replace(lowered, "[^a-z0-9]+", " "))
+
+
+def normalized_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dup groups AFTER normalization — catches trivial variants
+    (case, punctuation, whitespace) that byte-exact dedup misses. One
+    map-side md5 projection + one combinable groupBy on the 128-bit key;
+    the same single-shuffle scaling as exact dedup.
+
+    Returns every group (like ``exact_dedup_groups``) so the result is a
+    falsifiable per-doc check even on dup-free corpora; filter
+    ``n_docs > 1`` for the duplicate set."""
+    keyed = docs.select(
+        "doc_id", F.md5(normalize_text(text_col)).alias("norm_hash")
+    )
+    return keyed.groupBy("norm_hash").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )

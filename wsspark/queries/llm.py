@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wsspark.io import read_table
-from wsspark.llmops import corpus, dedup, fingerprint, similarity, textstats
+from wsspark.llmops import corpus, dedup, fingerprint, pii, similarity, textstats
 from wsspark.queries import Query
 from wsspark.queries import exactsum as ex
 
@@ -793,6 +793,70 @@ WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
 ).replace("WITH words", "WITH RECURSIVE words", 1)
 
 
+def q_normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups on normalized text (case/punct/whitespace-folded) —
+    catches trivial variants byte-exact dedup misses."""
+    return textstats.normalized_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+NORMALIZED_DEDUP_SQL = """
+WITH keyed AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_hash
+    FROM documents
+)
+SELECT norm_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM keyed GROUP BY norm_hash
+"""
+
+
+def q_pii_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII prevalence per source. NOTE: the synthetic corpus contains no
+    PII, so every count is legitimately 0 here — the hash match still
+    verifies the full scan/regex/agg pipeline; positive-path detection and
+    redaction are covered in tests/test_llmops.py with planted PII."""
+    return pii.pii_summary(read_table(spark, sf_dir, "documents"))
+
+
+_PII_DUCK = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone": "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+}
+
+PII_SUMMARY_SQL = f"""
+WITH flags AS (
+    SELECT source,
+           {', '.join(
+               f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+               for name, pat in _PII_DUCK.items()
+           )}
+    FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN n_email + n_ssn + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+           AS n_docs_with_pii,
+       {', '.join(f"SUM(n_{name}) AS total_{name}" for name in _PII_DUCK)}
+FROM flags GROUP BY source
+"""
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means cluster sizes over the embeddings table
+    (similarity.kmeans_embeddings: broadcast assign + one k x dim shuffle
+    per round). Iterative -> no SQL oracle; numpy equivalence of the same
+    deterministic recipe is asserted in tests/test_llmops.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_embeddings(emb, k=8, n_iter=3)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -844,4 +908,10 @@ QUERIES = [
           "connected-component near-dup clusters (iterative min-label)"),
     Query("dedup_survivors", q_dedup_survivors, DEDUP_SURVIVORS_SQL,
           "one representative per dup cluster + unclustered docs"),
+    Query("normalized_dedup_groups", q_normalized_dedup_groups, NORMALIZED_DEDUP_SQL,
+          "exact-dup groups on case/punct/whitespace-normalized text"),
+    Query("pii_summary", q_pii_summary, PII_SUMMARY_SQL,
+          "per-source PII match prevalence (email/ssn/phone/ipv4 regexes)"),
+    Query("kmeans_cells", q_kmeans_cells, None,
+          "distributed Lloyd's k-means cluster sizes (iterative, no SQL oracle)"),
 ]
