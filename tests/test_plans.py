@@ -127,3 +127,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_movements")
         spark.sql("DROP TABLE IF EXISTS bt_stock")
+
+
+def test_dedup_survivors_anti_join_broadcasts(spark, sf_dir):
+    """The corpus side of the survivors anti-join must never shuffle: the
+    drop-list is cluster-sized and broadcast."""
+    plan = plan_of(build_registry()["dedup_survivors"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), "survivors anti-join is not broadcast"
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    """The as-of join's union + carry-forward shape must cost exactly one
+    exchange (the user_id window shuffle) over the unioned input."""
+    import re
+
+    plan = plan_of(build_registry()["purchase_last_click_asof"].fn(spark, sf_dir))
+    n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_exchanges == 1, plan
+
+
+def test_moving_avg_reuses_single_sort(spark, sf_dir):
+    """Both window frames (ma7 + cumulative) share one orderBy — the plan
+    must contain a single Window sort, not one per frame."""
+    plan = plan_of(build_registry()["moving_avg_trends"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # singlepartition window: exactly one Exchange SinglePartition for both frames
+    assert plan.count("Exchange SinglePartition") <= 1, plan
