@@ -114,3 +114,18 @@ def test_connected_components_long_chain_converges(spark):
     rows = dedup.connected_components(pairs).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert len(rows) == 13
+
+
+def test_lsh_clusters_match_exact_clusters(spark, docs):
+    """The LSH-pairs -> components scale path must produce the same cluster
+    partition as exact-pairs -> components at the same threshold (LSH with
+    verification emits a superset-free, verified edge set; components are
+    edge-order independent)."""
+    exact = dedup.connected_components(
+        dedup.jaccard_pairs(docs, threshold=0.5, shingle_k=dedup.DEFAULT_SHINGLE)
+    )
+    lsh = dedup.connected_components(
+        dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    )
+    to_map = lambda df: {r["node"]: r["cluster_id"] for r in df.collect()}
+    assert to_map(exact) == to_map(lsh)

@@ -290,9 +290,17 @@ def connected_components(
     shape GraphFrames uses). Returns (node, cluster_id), nodes = every id
     appearing in ``pairs``.
     """
+    # symmetrize with ONE evaluation of the (possibly expensive) pairs plan:
+    # a union of two projections would scan the pairs subtree twice while
+    # filling the cache; exploding a 2-struct array doesn't.
     sym = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     sym = sym.cache()
     labels = (
         sym.select(F.col("src").alias("node"))

@@ -793,6 +793,21 @@ WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
 ).replace("WITH words", "WITH RECURSIVE words", 1)
 
 
+def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of dup_clusters: MinHash-LSH candidate pairs (exact
+    Jaccard verified on candidates only — never all pairs) feeding the same
+    connected-components step. Spark-only (xxhash64 signatures have no SQL
+    twin); pair-level LSH/exact equivalence is asserted in
+    tests/test_dedup.py, and the exact-pairs clustering (dup_clusters) is
+    the hash-checked oracle twin of this plan shape."""
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def q_normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup groups on normalized text (case/punct/whitespace-folded) —
     catches trivial variants byte-exact dedup misses."""
@@ -914,4 +929,6 @@ QUERIES = [
           "per-source PII match prevalence (email/ssn/phone/ipv4 regexes)"),
     Query("kmeans_cells", q_kmeans_cells, None,
           "distributed Lloyd's k-means cluster sizes (iterative, no SQL oracle)"),
+    Query("dup_clusters_lsh", q_dup_clusters_lsh, None,
+          "scale path: MinHash-LSH pairs -> connected-component clusters"),
 ]
