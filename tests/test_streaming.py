@@ -278,3 +278,43 @@ def test_snapshot_maintainer_replay_is_idempotent(spark, tmp_path):
     import glob
 
     assert glob.glob(m.snapshot_path + "._v*") == []
+
+
+def test_stream_interval_join_matches_batch_range_join(spark, sf_dir, events_dir):
+    """Every (purchase, click-in-window) pair the batch bucketed range join
+    produces must come out of the stream-stream interval join too."""
+    stream = streaming.read_event_stream(spark, events_dir)
+    joined = streaming.stream_click_attribution(stream)
+    # stream-stream joins only support append mode (not complete)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("click_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("click_attr").toPandas()
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = (
+        p.join(
+            c,
+            (p["user_id"] == c["cu"])
+            & (c["click_ts"] >= p["purchase_ts"] - F.expr("INTERVAL 3600 SECONDS"))
+            & (c["click_ts"] < p["purchase_ts"]),
+        )
+        .select("purchase_id", "click_id")
+        .toPandas()
+    )
+    got_pairs = set(map(tuple, got[["purchase_id", "click_id"]].itertuples(index=False)))
+    want_pairs = set(map(tuple, want.itertuples(index=False)))
+    assert got_pairs == want_pairs
+    assert len(want_pairs) > 0  # the comparison is falsifiable

@@ -159,6 +159,57 @@ def session_window_stats(
     )
 
 
+def stream_click_attribution(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every click
+    by the same user in the preceding ``window_seconds`` — the streaming
+    twin of the batch bounded range join (ops.temporal.bucketed_range_count
+    / queries.temporal.purchase_click_window_counts, inner-join rows).
+
+    Both sides are the SAME input stream filtered two ways (Spark plans the
+    self-join as two stream readers). Watermarks bound the join state: a
+    click can only match purchases up to ``window_seconds`` later, so once
+    the purchase-side watermark passes click_ts + window the click's state
+    row is evicted — state size is O(events per watermark horizon), not
+    unbounded. This is the standard Structured Streaming interval-join
+    pattern (time-range condition + watermarks on both sides).
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+
+
 class SnapshotMaintainer:
     """M1 + M5 as a foreachBatch sink: maintain a snapshot parquet store from
     a movement stream and append trigger-style audit rows per micro-batch.
