@@ -127,3 +127,63 @@ def test_asof_plan_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """The union + carry-forward as-of join must agree with pandas
+    merge_asof (backward, inclusive) on randomized data."""
+    import numpy as np
+    import pandas as pd
+
+    from wsspark.ops import temporal
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 200, 150
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, n_l),
+            "lts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+            "lid": np.arange(n_l),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, n_r),
+            "rts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+            "rid": np.arange(n_r),
+        }
+    )
+    # merge_asof needs unique (k, ts) on the right for a deterministic pick;
+    # drop duplicate timestamps keeping the max rid (the tiebreak winner)
+    right_pd = (
+        right_pd.sort_values(["k", "rts", "rid"])
+        .drop_duplicates(["k", "rts"], keep="last")
+        .reset_index(drop=True)
+    )
+
+    got = (
+        temporal.asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_cols=("rid",),
+            tiebreak="rid",
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left_pd.sort_values("lts"),
+        right_pd.sort_values("rts"),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("lid").reset_index(drop=True)
+    g = got["rid"].astype("float64")
+    w = want["rid_y" if "rid_y" in want.columns else "rid"].astype("float64")
+    assert ((g == w) | (g.isna() & w.isna())).all()

@@ -377,7 +377,19 @@ def kmeans_embeddings(
                 F.transform(F.col("_dm"), lambda s: s["m"]).alias("_cvec"),
             )
         )
-        cents = means.select(
-            F.col("cluster_id").alias("centroid_id"), "_cvec"
-        ).localCheckpoint()
+        # a cluster that lost every member keeps its previous centroid
+        # (standard Lloyd treatment; without this the cluster would vanish
+        # and k would silently shrink)
+        cents = (
+            cents.alias("old")
+            .join(
+                means.select(F.col("cluster_id").alias("centroid_id"),
+                             F.col("_cvec").alias("_new")),
+                "centroid_id",
+                "left",
+            )
+            .select("centroid_id",
+                    F.coalesce(F.col("_new"), F.col("old._cvec")).alias("_cvec"))
+            .localCheckpoint()
+        )
     return assign(cents).select(id_col, "cluster_id")
