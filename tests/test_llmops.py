@@ -258,3 +258,15 @@ def test_kmeans_matches_numpy_lloyd(spark):
     got_arr = np.array([got[i] for i in range(60)])
     # cluster_id is 1-based (row_number); mapping must be identical
     assert (got_arr - 1 == want).all()
+
+
+def test_kmeans_survives_emptied_clusters(spark):
+    """Identical vectors collapse every point into cluster 1 after round
+    one; the emptied clusters must keep their centroids (not crash or
+    shrink k) and the assignment must stay deterministic."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(12)], ["vec_id", "embedding"]
+    )
+    got = similarity.kmeans_embeddings(emb, k=4, n_iter=2).collect()
+    assert len(got) == 12
+    assert {r["cluster_id"] for r in got} == {1}
