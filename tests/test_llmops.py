@@ -270,3 +270,25 @@ def test_kmeans_survives_emptied_clusters(spark):
     got = similarity.kmeans_embeddings(emb, k=4, n_iter=2).collect()
     assert len(got) == 12
     assert {r["cluster_id"] for r in got} == {1}
+
+
+def test_cross_source_overlap_positive_path(spark, tmp_path):
+    """The synthetic corpus has no cross-source verbatim dups (the driver
+    row is legitimately empty), so plant some and run the real query fn
+    over a temp sf-dir."""
+    from wsspark.queries.llm import q_cross_source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "en", "srcA", 9),
+            (2, "same text", "en", "srcB", 9),
+            (3, "same text", "en", "srcA", 9),
+            (4, "unique text", "en", "srcA", 11),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q_cross_source_overlap(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_sources"] == 2 and rows[0]["n_docs"] == 3
+    assert rows[0]["first_doc_id"] == 1

@@ -872,6 +872,151 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dedup scorecard: exact-dup copies, normalized-dup
+    copies, near-dup cluster membership, survivor count. Composes the three
+    dedup layers into the summary a curation run reports; each input is a
+    key-cardinality aggregate, so the crossJoin of 1-row frames moves no
+    data."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    exact = dedup.exact_dedup_groups(docs).agg(
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_exact_dup_copies")
+    )
+    norm = textstats.normalized_dedup_groups(docs).agg(
+        F.sum(F.col("n_docs") - 1).cast("long").alias("n_normalized_dup_copies")
+    )
+    clustered = _dup_cluster_map(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_clustered_docs"),
+        F.sum(F.when(F.col("node") != F.col("cluster_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_dup_dropped"),
+    )
+    return (
+        n_docs.crossJoin(exact)
+        .crossJoin(norm)
+        .crossJoin(clustered)
+        .select(
+            "n_docs",
+            "n_exact_dup_copies",
+            "n_normalized_dup_copies",
+            "n_clustered_docs",
+            "n_near_dup_dropped",
+            F.round(
+                (F.col("n_docs") - F.col("n_near_dup_dropped"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("survivor_rate"),
+        )
+    )
+
+
+CORPUS_DEDUP_STATS_SQL = (
+    DUP_CLUSTERS_EDGES_SQL
+    + """,
+reach(node, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst
+),
+cc AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+ex AS (
+    SELECT SUM(c - 1) AS n_exact_dup_copies FROM (
+        SELECT COUNT(*) AS c FROM documents GROUP BY md5(text))
+),
+nrm AS (
+    SELECT SUM(c - 1) AS n_normalized_dup_copies FROM (
+        SELECT COUNT(*) AS c FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+),
+cl AS (
+    SELECT COUNT(*) AS n_clustered_docs,
+           SUM(CASE WHEN node <> cluster_id THEN 1 ELSE 0 END)
+               AS n_near_dup_dropped
+    FROM cc
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_exact_dup_copies AS BIGINT) AS n_exact_dup_copies,
+       CAST(n_normalized_dup_copies AS BIGINT) AS n_normalized_dup_copies,
+       CAST(n_clustered_docs AS BIGINT) AS n_clustered_docs,
+       CAST(n_near_dup_dropped AS BIGINT) AS n_near_dup_dropped,
+       ROUND((n_docs - n_near_dup_dropped) / CAST(n_docs AS DOUBLE), 6)
+           AS survivor_rate
+FROM n, ex, nrm, cl
+"""
+).replace("WITH words", "WITH RECURSIVE words", 1)
+
+
+LENGTH_OUTLIER_LO = 0.1
+LENGTH_OUTLIER_HI = 0.99
+
+
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution outlier gate per language: percent_rank of
+    n_chars within each lang; docs under p10 (truncation suspects) or over
+    p99 (boilerplate/concatenation suspects) are flagged. One shuffle on
+    lang for the rank window — per-lang partitions are corpus-shard sized,
+    the same bounded-partition argument as every other lang-blocked op."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    pr = F.percent_rank().over(w)
+    return (
+        docs.select("doc_id", "lang", "n_chars", F.round(pr, 6).alias("length_pctile"))
+        .withColumn(
+            "length_flag",
+            F.when(F.col("length_pctile") < LENGTH_OUTLIER_LO, "too_short")
+            .when(F.col("length_pctile") > LENGTH_OUTLIER_HI, "too_long")
+            .otherwise("ok"),
+        )
+    )
+
+
+LENGTH_OUTLIERS_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       ROUND(percent_rank() OVER (
+           PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC), 6)
+           AS length_pctile,
+       CASE
+           WHEN percent_rank() OVER (
+               PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)
+               < {LENGTH_OUTLIER_LO} THEN 'too_short'
+           WHEN percent_rank() OVER (
+               PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)
+               > {LENGTH_OUTLIER_HI} THEN 'too_long'
+           ELSE 'ok'
+       END AS length_flag
+FROM documents
+"""
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Texts appearing verbatim under multiple sources — the scraped-twice
+    signal that inflates dedup rates between crawls. One md5 groupBy with a
+    distinct-source count; output is duplicate-key cardinality."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+CROSS_SOURCE_SQL = """
+SELECT md5(text) AS text_hash,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc_id
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(DISTINCT source) > 1
+"""
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -931,4 +1076,10 @@ QUERIES = [
           "distributed Lloyd's k-means cluster sizes (iterative, no SQL oracle)"),
     Query("dup_clusters_lsh", q_dup_clusters_lsh, None,
           "scale path: MinHash-LSH pairs -> connected-component clusters"),
+    Query("corpus_dedup_stats", q_corpus_dedup_stats, CORPUS_DEDUP_STATS_SQL,
+          "one-row dedup scorecard across exact/normalized/near layers"),
+    Query("length_outliers", q_length_outliers, LENGTH_OUTLIERS_SQL,
+          "percent_rank length-outlier gate per language"),
+    Query("cross_source_overlap", q_cross_source_overlap, CROSS_SOURCE_SQL,
+          "verbatim texts appearing under multiple sources"),
 ]
