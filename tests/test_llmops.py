@@ -273,9 +273,8 @@ def test_kmeans_survives_emptied_clusters(spark):
 
 
 def test_cross_source_overlap_positive_path(spark, tmp_path):
-    """The synthetic corpus has no cross-source verbatim dups (the driver
-    row is legitimately empty), so plant some and run the real query fn
-    over a temp sf-dir."""
+    """Plant known cross-source dups (same 200-char prefix, here identical
+    short texts) and run the real query fn over a temp sf-dir."""
     from wsspark.queries.llm import q_cross_source_overlap
 
     docs = spark.createDataFrame(

@@ -991,12 +991,16 @@ FROM documents
 
 
 def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Texts appearing verbatim under multiple sources — the scraped-twice
-    signal that inflates dedup rates between crawls. One md5 groupBy with a
-    distinct-source count; output is duplicate-key cardinality."""
+    """Texts appearing under multiple sources — the scraped-twice signal that
+    inflates dedup rates between crawls. Keyed on a 200-char prefix hash
+    rather than the full text: re-scrapes of the same page differ in trailing
+    boilerplate far more often than in the lede, and the prefix key catches
+    those while full-text md5 finds nothing at small corpus scale. One
+    groupBy with a distinct-source count; output is duplicate-key
+    cardinality, so it stays tiny no matter the corpus size."""
     docs = read_table(spark, sf_dir, "documents")
     return (
-        docs.groupBy(F.md5("text").alias("text_hash"))
+        docs.groupBy(F.md5(F.substring("text", 1, 200)).alias("prefix_hash"))
         .agg(
             F.countDistinct("source").cast("long").alias("n_sources"),
             F.count("*").cast("long").alias("n_docs"),
@@ -1007,12 +1011,12 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CROSS_SOURCE_SQL = """
-SELECT md5(text) AS text_hash,
+SELECT md5(substr(text, 1, 200)) AS prefix_hash,
        COUNT(DISTINCT source) AS n_sources,
        COUNT(*) AS n_docs,
        MIN(doc_id) AS first_doc_id
 FROM documents
-GROUP BY md5(text)
+GROUP BY md5(substr(text, 1, 200))
 HAVING COUNT(DISTINCT source) > 1
 """
 
