@@ -519,8 +519,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents become opaque binary
     payloads with typed metadata (the shape an image/audio corpus has), then
     an Arrow-batched mapInPandas extracts features via the stubbed decoder
-    (wsspark.llmops.multimodal). Spark-only: binary columns and the stub
-    decode have no DuckDB twin."""
+    (wsspark.llmops.multimodal). The sha256 stub makes the pass oracle-able
+    (MULTIMODAL_SQL), so the Arrow plumbing is hash-checked end-to-end."""
     from wsspark.llmops import multimodal
 
     docs = read_table(spark, sf_dir, "documents")
@@ -544,6 +544,79 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("feature").alias("feature_dim"),
         F.round(F.element_at("feature", 1), 6).alias("f0"),
     )
+
+
+# DuckDB twin of the multimodal pass: the stub decoder is sha256-based, so
+# the whole mapInPandas pipeline (payload encode, byte length, digest->float
+# feature) is expressible in SQL — the hash match end-to-end checks the Arrow
+# plumbing (ids, batching, null handling), not just the stub arithmetic.
+# DuckDB's sha256 takes VARCHAR and digests its UTF-8 bytes — exactly the
+# payload Spark builds with encode(text, 'utf-8').
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1)
+           AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       8 AS feature_dim,
+       round(((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)
+             / 255.0, 6) AS f0
+FROM documents
+"""
+
+
+def _kmeans_cells_sql(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
+    """DuckDB twin of q_kmeans_cells: the same hash-spread init (pure Knuth
+    integer arithmetic) and ``n_iter`` unrolled Lloyd rounds. Viable as an
+    exact oracle because the Spark side rounds each centroid mean to 9dp,
+    absorbing partition-merge float jitter on both engines. ``dim`` is the
+    testdata embedding width."""
+    d2 = ("list_sum(list_transform(list_zip(v.vec, c.cvec),"
+          " p -> (p[1]-p[2])*(p[1]-p[2])))")
+
+    def assign(src: str, cents: str) -> str:
+        return f"""
+  SELECT vec_id, vec, cid FROM (
+    SELECT v.vec_id, v.vec, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM {src} v CROSS JOIN {cents} c
+  ) WHERE rn = 1"""
+
+    parts = [f"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (
+           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS cid,
+         vec AS cvec
+  FROM v
+  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+  LIMIT {k}
+)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+a{i} AS ({assign('v', f'c{i - 1}')}
+),
+m{i} AS (
+  SELECT cid, list(m ORDER BY dim) AS mvec FROM (
+    SELECT a.cid, t.i AS dim, round(avg(a.vec[t.i]), 9) AS m
+    FROM a{i} a CROSS JOIN generate_series(1, {dim}) t(i)
+    GROUP BY a.cid, t.i
+  ) GROUP BY cid
+),
+c{i} AS (
+  SELECT c.cid, COALESCE(m.mvec, c.cvec) AS cvec
+  FROM c{i - 1} c LEFT JOIN m{i} m ON m.cid = c.cid
+)""")
+    parts.append(f""",
+afinal AS ({assign('v', f'c{n_iter}')}
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_vectors
+FROM afinal GROUP BY cid ORDER BY cid""")
+    return "".join(parts)
+
+
+KMEANS_CELLS_SQL = _kmeans_cells_sql()
 
 
 def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,8 +934,10 @@ FROM flags GROUP BY source
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means cluster sizes over the embeddings table
     (similarity.kmeans_embeddings: broadcast assign + one k x dim shuffle
-    per round). Iterative -> no SQL oracle; numpy equivalence of the same
-    deterministic recipe is asserted in tests/test_llmops.py."""
+    per round). Deterministic hash-spread init + 9dp-rounded means make the
+    iteration exactly reproducible, so the oracle unrolls the same rounds in
+    SQL (_kmeans_cells_sql); numpy equivalence is also asserted in
+    tests/test_llmops.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     assigned = similarity.kmeans_embeddings(emb, k=8, n_iter=3)
     return (
@@ -1048,7 +1123,7 @@ QUERIES = [
           "JSON props extraction + bucketed rollup (F7 analog)"),
     Query("sessionize", q_sessionize, SESSIONIZE_SQL,
           "gap-based sessionization (batch form of session windows)"),
-    Query("multimodal_features", q_multimodal_features, None,
+    Query("multimodal_features", q_multimodal_features, MULTIMODAL_SQL,
           "binary-column feature extraction via Arrow mapInPandas (stub decode)"),
     Query("embedding_norm_profile", q_embedding_norm_profile, EMB_NORM_SQL,
           "per-label embedding norm sanity profile"),
@@ -1076,8 +1151,8 @@ QUERIES = [
           "exact-dup groups on case/punct/whitespace-normalized text"),
     Query("pii_summary", q_pii_summary, PII_SUMMARY_SQL,
           "per-source PII match prevalence (email/ssn/phone/ipv4 regexes)"),
-    Query("kmeans_cells", q_kmeans_cells, None,
-          "distributed Lloyd's k-means cluster sizes (iterative, no SQL oracle)"),
+    Query("kmeans_cells", q_kmeans_cells, KMEANS_CELLS_SQL,
+          "distributed Lloyd's k-means cluster sizes (unrolled-Lloyd oracle)"),
     Query("dup_clusters_lsh", q_dup_clusters_lsh, None,
           "scale path: MinHash-LSH pairs -> connected-component clusters"),
     Query("corpus_dedup_stats", q_corpus_dedup_stats, CORPUS_DEDUP_STATS_SQL,
