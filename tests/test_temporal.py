@@ -187,3 +187,57 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     g = got["rid"].astype("float64")
     w = want["rid_y" if "rid_y" in want.columns else "rid"].astype("float64")
     assert ((g == w) | (g.isna() & w.isna())).all()
+
+
+def test_scd2_intervals_collapse_and_versions(spark):
+    """Runs of unchanged values collapse into one version; intervals chain
+    [from, to); the open version gets the high-date sentinel and
+    is_current; null values compare null-safely."""
+    obs = spark.createDataFrame(
+        [
+            # key 1: 10 -> 10 -> 20 -> 20 -> 10  => 3 versions
+            (1, dt.date(2024, 1, 1), 10.0),
+            (1, dt.date(2024, 1, 2), 10.0),
+            (1, dt.date(2024, 1, 3), 20.0),
+            (1, dt.date(2024, 1, 4), 20.0),
+            (1, dt.date(2024, 1, 5), 10.0),
+            # key 2: null -> null -> 5  => 2 versions (null run collapses)
+            (2, dt.date(2024, 2, 1), None),
+            (2, dt.date(2024, 2, 2), None),
+            (2, dt.date(2024, 2, 3), 5.0),
+        ],
+        ["k", "d", "v"],
+    )
+    out = temporal.scd2_intervals(obs, key="k", ts="d", value_cols=("v",))
+    rows = {(r["k"], r["version"]): r for r in out.collect()}
+    assert len(rows) == 5
+    sentinel = dt.date.fromisoformat(temporal.SCD2_OPEN_END)
+
+    r11 = rows[(1, 1)]
+    assert (r11["effective_from"], r11["effective_to"], r11["v"]) == (
+        dt.date(2024, 1, 1), dt.date(2024, 1, 3), 10.0)
+    assert not r11["is_current"]
+    r13 = rows[(1, 3)]
+    assert (r13["effective_from"], r13["effective_to"], r13["v"]) == (
+        dt.date(2024, 1, 5), sentinel, 10.0)
+    assert r13["is_current"]
+
+    r21 = rows[(2, 1)]
+    assert r21["v"] is None and r21["effective_to"] == dt.date(2024, 2, 3)
+    r22 = rows[(2, 2)]
+    assert r22["v"] == 5.0 and r22["is_current"]
+
+
+def test_scd2_plan_single_exchange(spark):
+    """Change-detect and interval-close windows share one (key, ts) sort:
+    exactly one hash exchange in the whole plan."""
+    obs = spark.range(1000).select(
+        (F.col("id") % 37).alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("d"),
+        (F.col("id") % 5).cast("double").alias("v"),
+    )
+    out = temporal.scd2_intervals(obs, key="k", ts="d", value_cols=("v",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -140,3 +140,57 @@ def bucketed_range_count(
         .groupBy(*[lb[c] for c in left.columns])
         .agg(F.count(rb["_rus"]).alias(count_alias))
     )
+
+
+# High-date sentinel for the open version. The classic choice is 9999-12-31,
+# but that overflows nanosecond datetime64 (max 2262-04-11), which Arrow/
+# pandas-based consumers of the history table may normalize to — so default
+# to the largest round ns-safe year instead.
+SCD2_OPEN_END = "2262-01-01"
+
+
+def scd2_intervals(
+    observations: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: tuple[str, ...],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a per-key time series of
+    attribute observations into validity intervals, emitting a new version
+    only when a tracked value actually changes.
+
+    The pandas/SQL-procedural version of this is a sorted per-key loop; the
+    Spark-first shape is two window passes over ONE (key, ts) sort:
+
+        1. change detection: a row opens a new version iff any value_col
+           differs (null-safely) from its lag — pure expressions;
+        2. interval close: effective_to = lead(effective_from) over the
+           surviving version rows; the open (current) version closes at the
+           SCD2_OPEN_END high-date sentinel, so range probes stay simple
+           BETWEENs and the column is never NULL.
+
+    Both windows share the same partitioning/ordering, so Catalyst reuses a
+    single exchange + sort — the whole operator is one shuffle of the
+    observation stream, no self-join against history. At 100 TB the
+    observations arrive date-partitioned and the shuffle is the only
+    movement; version counts per key are bounded by actual change
+    frequency, never by scan size.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    changed = F.lit(False)
+    for c in value_cols:
+        # null-safe "differs from previous" (IS DISTINCT FROM lag)
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    versions = observations.withColumn("_open", first | changed).filter("_open")
+    wv = Window.partitionBy(key).orderBy(ts)
+    ts_type = observations.schema[ts].dataType
+    nxt = F.lead(ts).over(wv)
+    return versions.select(
+        F.col(key),
+        F.col(ts).alias("effective_from"),
+        F.coalesce(nxt, F.lit(SCD2_OPEN_END).cast(ts_type)).alias("effective_to"),
+        *value_cols,
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(wv).cast("long").alias("version"),
+    )

@@ -170,6 +170,54 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_cost_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 cost history per product: daily unit-cost observations
+    (min over the day — min of exact IEEE divisions, no summation-order
+    jitter, so change detection is bit-exact across engines) collapsed into
+    validity intervals by ops.temporal.scd2_intervals. The dimension-history
+    table a warehouse keeps for point-in-time valuation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = (
+        li.select(
+            F.col("l_partkey").alias("product_id"),
+            F.to_date("l_shipdate").alias("obs_date"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("_cost"),
+        )
+        .groupBy("product_id", "obs_date")
+        .agg(F.min("_cost").alias("unit_cost"))
+    )
+    return temporal.scd2_intervals(
+        obs, key="product_id", ts="obs_date", value_cols=("unit_cost",)
+    )
+
+
+SCD2_SQL = """
+WITH obs AS (
+    SELECT l_partkey AS product_id,
+           CAST(l_shipdate AS DATE) AS obs_date,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem
+    GROUP BY 1, 2
+),
+flagged AS (
+    SELECT *,
+           row_number() OVER w = 1
+             OR unit_cost IS DISTINCT FROM lag(unit_cost) OVER w AS opens
+    FROM obs
+    WINDOW w AS (PARTITION BY product_id ORDER BY obs_date)
+)
+SELECT product_id,
+       obs_date AS effective_from,
+       COALESCE(lead(obs_date) OVER w2, DATE '2262-01-01') AS effective_to,
+       unit_cost,
+       lead(obs_date) OVER w2 IS NULL AS is_current,
+       row_number() OVER w2 AS version
+FROM flagged
+WHERE opens
+WINDOW w2 AS (PARTITION BY product_id ORDER BY obs_date)
+"""
+
+
 QUERIES = [
     Query(
         "purchase_last_click_asof",
@@ -194,5 +242,11 @@ QUERIES = [
         q_weekly_cohort_retention,
         COHORT_SQL,
         "weekly cohort retention over distinct (user, week) activity",
+    ),
+    Query(
+        "cost_history_scd2",
+        q_cost_history_scd2,
+        SCD2_SQL,
+        "SCD2 validity intervals: change-detect + close, one shared sort",
     ),
 ]

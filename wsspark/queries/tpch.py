@@ -324,6 +324,104 @@ WHERE l_quantity < {SMALL_QTY_FRACTION} * avg_qty
 """
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders.
+    The left outer join keeps never-ordered customers (count = 0 bucket);
+    both aggregations are map-side combinable, and the second one runs over
+    at most |distinct order counts| rows, so the only fact-sized shuffle is
+    the custkey join. At 100 TB the orders side shuffles on o_custkey —
+    bounded per-customer fan-in, no skew beyond the busiest account."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTDIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+IDLE_SINCE = "1998-01-01 00:00:00"  # lapsed = no orders on/after this date
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balances who
+    have LAPSED (no orders in the recent window — the testdata gives every
+    customer at least one order ever, so the classic never-ordered predicate
+    is vacuous), rolled up by market segment. The classic form has a scalar
+    subquery (global avg) + NOT EXISTS; Spark-first that is a 1-row
+    conditional aggregate cross-joined in (broadcast, no recompute per row)
+    + a left_anti join against the recent orders. The date filter pushes
+    into the orders scan, so the anti-join build side shrinks before it
+    moves. Balances are cents-quantized before comparison so the avg
+    threshold is engine-exact."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(IDLE_SINCE).cast("timestamp"))
+        .select("o_custkey")
+    )
+    bal_cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cust = cust.withColumn("_bal_cents", bal_cents)
+    # global avg of positive balances, in exact cents; floor keeps it a long
+    thresh = cust.agg(
+        F.floor(
+            F.sum(F.when(F.col("_bal_cents") > 0, F.col("_bal_cents")))
+            / F.count(F.when(F.col("_bal_cents") > 0, True))
+        ).alias("_avg_cents")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("_bal_cents") > F.col("_avg_cents"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("_bal_cents") / 100.0, 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_RICH_SQL = f"""
+WITH c AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer
+), t AS (
+    SELECT FLOOR(SUM(CASE WHEN bal_cents > 0 THEN bal_cents END)
+                 / COUNT(CASE WHEN bal_cents > 0 THEN TRUE END)) AS avg_cents
+    FROM c
+)
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       ROUND(SUM(bal_cents) / 100.0, 2) AS totacctbal
+FROM c CROSS JOIN t
+WHERE bal_cents > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{IDLE_SINCE}')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, PRICING_SQL,
           "TPC-H Q1-shape grouped pricing rollup"),
@@ -341,4 +439,9 @@ QUERIES = [
           "TPC-H Q10-shape returned-revenue top-k over broadcast dims"),
     Query("small_quantity_revenue", q_small_quantity_revenue, SMALL_QTY_SQL,
           "TPC-H Q17-shape correlated subquery rewritten as one window pass"),
+    Query("customer_order_distribution", q_customer_order_distribution,
+          CUSTDIST_SQL,
+          "TPC-H Q13-shape outer-join order-count distribution"),
+    Query("idle_rich_customers", q_idle_rich_customers, IDLE_RICH_SQL,
+          "TPC-H Q22-shape broadcast scalar threshold + anti-join rollup"),
 ]
