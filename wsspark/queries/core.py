@@ -1165,9 +1165,9 @@ SELECT bucket_date, daily_movements,
            ORDER BY bucket_date
            ROWS BETWEEN {MOVING_AVG_DAYS - 1} PRECEDING AND CURRENT ROW), 4)
            AS moving_avg_7d,
-       SUM(daily_movements) OVER (
+       CAST(SUM(daily_movements) OVER (
            ORDER BY bucket_date
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS cumulative_movements
 FROM daily
 """
