@@ -116,6 +116,28 @@ def test_connected_components_long_chain_converges(spark):
     assert len(rows) == 13
 
 
+def test_connected_components_high_diameter_chain(spark):
+    """A 60-node path (diameter > default max_iter) must still converge —
+    pointer jumping makes rounds O(log diameter), and a partial labeling
+    must never be returned silently (the operator raises instead)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["doc_a", "doc_b"]
+    )
+    rows = dedup.connected_components(pairs, max_iter=10).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 61
+
+
+def test_connected_components_raises_when_exhausted(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+
+
 def test_lsh_clusters_match_exact_clusters(spark, docs):
     """The LSH-pairs -> components scale path must produce the same cluster
     partition as exact-pairs -> components at the same threshold (LSH with

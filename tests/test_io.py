@@ -11,9 +11,9 @@ from pyspark.sql import functions as F
 from wsspark import io
 
 
-def test_ns_timestamp_conversion_truncates_like_duckdb(spark, sf_dir):
-    """events.ts (parquet TIMESTAMP(NANOS)) must land on DuckDB's truncated
-    microseconds exactly — integer division, no float roundtrip."""
+def test_events_ts_matches_duckdb(spark, sf_dir):
+    """events.ts (parquet timestamp[us]) must land on DuckDB's naive read
+    exactly — the NTZ->TIMESTAMP normalization may not shift any instant."""
     import duckdb
 
     got = {
@@ -31,21 +31,51 @@ def test_ns_timestamp_conversion_truncates_like_duckdb(spark, sf_dir):
     assert got == want
 
 
-def test_read_table_self_configures_nanos_conf(spark, sf_dir):
-    """A session WITHOUT the factory's nanosAsLong conf (e.g. an external
-    harness's vanilla SparkSession) must still read events.parquet —
-    read_table self-configures the runtime SQL conf before the scan.
-    Round-1 regression: 9 queries died with PARQUET_TYPE_ILLEGAL because the
-    conf lived only in session.create_session."""
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    spark.conf.unset(key)
+def test_read_table_self_configures_ntz_conf(spark, sf_dir):
+    """A session WITHOUT the factory's timestamp confs (e.g. an external
+    harness's vanilla SparkSession) must still read events.parquet as plain
+    TIMESTAMP — read_table self-configures the runtime SQL confs before the
+    scan. Round-3 regression: the driver testdata switched to timestamp[us],
+    which a default session reads as TIMESTAMP_NTZ, crashing every
+    unix_micros/watermark site downstream."""
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    spark.conf.set(key, "true")  # a vanilla session's default
     try:
         df = io.read_table(spark, sf_dir, "events")
         assert dict(df.dtypes)["ts"] == "timestamp"
         assert df.limit(1).count() == 1
-        assert spark.conf.get(key) == "true"
+        assert spark.conf.get(key) == "false"
     finally:
-        spark.conf.set(key, "true")
+        spark.conf.set(key, "false")
+
+
+def test_read_table_legacy_nanos_backcompat(spark, tmp_path):
+    """Older driver testdata stored TIMESTAMP(NANOS); read_table must still
+    read it via the nanosAsLong i64 path with DuckDB-identical truncating
+    ns->us division (no float roundtrip)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns_vals = [1704067200123456789, 1704067201999999999, 1704067203000000001]
+    table = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array(ns_vals, pa.timestamp("ns")),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(table, path)
+
+    df = io.read_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {r["event_id"]: r["ts"] for r in df.collect()}
+    want = dict(
+        duckdb.connect()
+        .execute(f"SELECT event_id, CAST(ts AS TIMESTAMP) FROM '{path}'")
+        .fetchall()
+    )
+    assert got == want
 
 
 def test_jdbc_reader_requires_bounds_with_partition_column(spark):

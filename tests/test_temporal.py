@@ -53,6 +53,31 @@ def test_asof_join_inclusive_and_tiebreak(spark):
     assert out[0]["rid"] == 101
 
 
+def test_asof_join_carries_null_payload_and_row_atomicity(spark):
+    """The matched right row must win even when its payload value is
+    legitimately NULL (per-column carry would leak an older row's value),
+    and multiple right columns must all come from that SAME row."""
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01 10:00:00"))], ["lid", "k", "lts"]
+    )
+    right = spark.createDataFrame(
+        [
+            # older row: both values present
+            (100, 10, ts("2024-01-01 08:00:00"), 5.0, "old"),
+            # latest prior row: price is NULL, label present
+            (101, 10, ts("2024-01-01 09:00:00"), None, "new"),
+        ],
+        ["rid", "k", "rts", "price", "label"],
+    )
+    out = temporal.asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=("rid", "price", "label"), tiebreak="rid",
+    ).collect()[0]
+    assert out["rid"] == 101
+    assert out["price"] is None  # NOT 5.0 from the older row
+    assert out["label"] == "new"
+
+
 def test_bucketed_range_count_exact_boundaries(spark):
     p = ts("2024-01-01 10:00:00")
     left = spark.createDataFrame([(1, 10, p)], ["lid", "k", "lts"])

@@ -34,8 +34,9 @@ TESTDATA_TABLES = (
     "embeddings",
 )
 
-# Parquet column -> nanosecond-int64 columns that need ns->us conversion
-# (Spark refuses TIMESTAMP(NANOS); we read as long via nanosAsLong).
+# Columns that may arrive as nanosecond-int64 (legacy driver testdata stored
+# TIMESTAMP(NANOS); Spark refuses those unless nanosAsLong reads them as i64).
+# Current testdata stores timestamp[us]; both generations must read correctly.
 _NS_TIMESTAMP_COLS = {"events": ("ts",)}
 
 
@@ -49,26 +50,47 @@ def convert_ns_timestamp(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
 
 
+def configure_timestamp_reads(spark: SparkSession) -> None:
+    """Self-configure the CALLER's session so every generation of the driver
+    testdata reads as plain TIMESTAMP. Both are runtime-settable SQL confs,
+    so a vanilla SparkSession (e.g. an external harness's) works too:
+
+    - ``inferTimestampNTZ.enabled=false``: parquet ``timestamp[us]`` (naive,
+      isAdjustedToUTC=false — what the current testdata stores) reads as
+      TIMESTAMP instead of TIMESTAMP_NTZ. Under the engine's pinned UTC
+      session the instant equals the stored wall value, matching DuckDB's
+      naive read bit-for-bit; it also keeps ``unix_micros``/watermark sites
+      on the one timestamp type they accept.
+    - ``nanosAsLong=true``: legacy TIMESTAMP(NANOS) files read as i64
+      (converted by ``convert_ns_timestamp``) instead of throwing
+      PARQUET_TYPE_ILLEGAL.
+    """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def normalize_timestamps(df: DataFrame, ns_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Make every temporal column plain TIMESTAMP regardless of source dtype:
+    int64-nanos columns (named in ``ns_cols``) get the exact ns->us division;
+    any TIMESTAMP_NTZ column (non-parquet sources, or a session where the
+    NTZ conf was overridden after a cached scan) is cast — exact under the
+    engine's UTC session because NTZ->LTZ reinterprets the wall value in
+    session time."""
+    dtypes = dict(df.dtypes)
+    for c in ns_cols:
+        if dtypes.get(c) == "bigint":
+            df = convert_ns_timestamp(df, c)
+    for c, t in dtypes.items():
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name in _NS_TIMESTAMP_COLS:
-        # Self-configure on the CALLER's session: nanosAsLong is a
-        # runtime-settable SQL conf, and without it Spark refuses
-        # TIMESTAMP(NANOS) parquet outright (PARQUET_TYPE_ILLEGAL). Setting
-        # it here instead of only in session.create_session means a vanilla
-        # SparkSession (e.g. an external harness's) can read every table.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        df = spark.read.parquet(path)
-    except Exception as e:  # defensive: unlisted table with nanos columns
-        if "PARQUET_TYPE_ILLEGAL" not in str(e):
-            raise
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-    for c in _NS_TIMESTAMP_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-            df = convert_ns_timestamp(df, c)
-    return df
+    configure_timestamp_reads(spark)
+    df = spark.read.parquet(path)
+    return normalize_timestamps(df, _NS_TIMESTAMP_COLS.get(name, ()))
 
 
 def load_tables(

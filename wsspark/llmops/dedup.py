@@ -279,16 +279,22 @@ def connected_components(
     one representative per cluster) — pairs alone can't be acted on when
     duplicates are transitive (A~B, B~C but A!~C).
 
-    Algorithm: iterative min-label propagation (hash-to-min). Each round is
-    one equi-join of the (cached) symmetric edge list with the current
-    labels plus a min-aggregation — all shuffles keyed by node id, AQE-skew
-    splittable. Rounds needed = graph diameter (dup clusters are
-    near-cliques, so 2-3 in practice; ``max_iter`` bounds pathological
-    chains). Per round the driver sees ONE scalar (the changed-label
-    count) for the convergence test, and ``localCheckpoint`` truncates the
-    growing lineage — the standard Spark iterative-algorithm pattern (same
-    shape GraphFrames uses). Returns (node, cluster_id), nodes = every id
-    appearing in ``pairs``.
+    Algorithm: iterative min-label propagation (hash-to-min) with pointer
+    jumping. Each round is (a) one equi-join of the (cached) symmetric edge
+    list with the current labels plus a min-aggregation, then (b) a label
+    shortcut — every node also adopts its current label's OWN label
+    (labels are min-monotone, so this only improves). The shortcut makes
+    rounds O(log diameter) instead of O(diameter): a 1M-node path converges
+    in ~20 rounds, not 1M. All shuffles are keyed by node id,
+    AQE-skew-splittable. Per round the driver sees ONE scalar (the
+    changed-label count) for the convergence test, and ``localCheckpoint``
+    truncates the growing lineage — the standard Spark iterative-algorithm
+    pattern (same shape GraphFrames uses). Returns (node, cluster_id),
+    nodes = every id appearing in ``pairs``.
+
+    Raises ``RuntimeError`` if labels are still changing after ``max_iter``
+    rounds — a partially-propagated labeling would silently split real
+    clusters, which is worse than failing.
     """
     # symmetrize with ONE evaluation of the (possibly expensive) pairs plan:
     # a union of two projections would scan the pairs subtree twice while
@@ -308,14 +314,31 @@ def connected_components(
         .select("node", F.col("node").alias("cluster_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
             sym["src"].alias("node"), "cluster_id"
         )
-        new = (
+        mins = (
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # pointer jump: label <- label(label). cluster_id is always itself a
+        # node (it's a min over node ids), so the lookup is a plain
+        # self-join; least() is belt-and-suspenders for monotonicity.
+        parent = mins.select(
+            F.col("node").alias("_cid"), F.col("cluster_id").alias("_parent")
+        )
+        new = (
+            mins.join(parent, mins["cluster_id"] == parent["_cid"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_parent"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -326,6 +349,14 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels were still changing — raise max_iter (rounds are "
+            "O(log diameter) with pointer jumping, so this indicates a "
+            "pathological graph or a bug, not a long chain)"
+        )
     return labels

@@ -51,6 +51,14 @@ def asof_join(
     wins when several share one timestamp — required for deterministic
     output; the max tiebreak wins, matching a
     ``row_number() OVER (ORDER BY ts DESC, tiebreak DESC) = 1`` oracle.
+
+    All ``right_cols`` are carried as ONE struct with a single
+    ``last(ignorenulls=True)``: the struct is non-null on every right row
+    even when its members are NULL, so (a) a legitimately-NULL value in the
+    matched right row survives (a per-column carry would skip past it to an
+    older row's value), and (b) every carried column comes from the SAME
+    right row — matching pandas ``merge_asof``, which joins rows, not
+    columns.
     """
     carried = [f"_asof_{c}" for c in right_cols]
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
@@ -59,17 +67,16 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         tb.alias("_tb"),
-        *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
+        F.struct(
+            *[F.col(c).alias(a) for c, a in zip(right_cols, carried)]
+        ).alias("_payload"),
     )
     l = left.select(
         "*",
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
-        *[
-            F.lit(None).cast(r.schema[a].dataType).alias(a)
-            for a in carried
-        ],
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
     )
     # unionByName with the left's extra payload columns nulled on the right
     u = l.unionByName(r, allowMissingColumns=True)
@@ -78,13 +85,17 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c, a in zip(right_cols, carried):
-        u = u.withColumn(c if c not in left.columns else f"{c}_right",
-                         F.last(a, ignorenulls=True).over(w))
-    out_cols = left.columns + [
+    u = u.withColumn("_carry", F.last("_payload", ignorenulls=True).over(w))
+    out_names = [
         (c if c not in left.columns else f"{c}_right") for c in right_cols
     ]
-    return u.filter(F.col("_side") == 1).select(*out_cols)
+    return u.filter(F.col("_side") == 1).select(
+        *left.columns,
+        *[
+            F.col(f"_carry.{a}").alias(o)
+            for a, o in zip(carried, out_names)
+        ],
+    )
 
 
 def bucketed_range_count(

@@ -10,10 +10,11 @@ run on local[N]):
   dynamic broadcast decisions survive a 1000× scale-up where static plans
   don't.
 - Arrow on: any unavoidable pandas interchange is columnar, not pickled rows.
-- ``nanosAsLong``: the driver testdata stores nanosecond parquet timestamps,
-  which Spark's vectorized reader refuses by default; we read them as i64 and
-  convert with integer division (see io.convert_ns_timestamp) — identical
-  truncation semantics to DuckDB's ns→µs cast.
+- Timestamp reads: the driver testdata stores naive ``timestamp[us]`` parquet
+  (older generations used TIMESTAMP(NANOS)); ``inferTimestampNTZ=false`` +
+  ``nanosAsLong=true`` make both read as plain TIMESTAMP with instants that
+  match DuckDB's naive read under the pinned UTC zone (see
+  io.configure_timestamp_reads / io.normalize_timestamps).
 """
 
 from __future__ import annotations
@@ -52,6 +53,7 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # local-mode niceties; harmless on a cluster
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("WSSPARK_UI", "false"))

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from wsspark.io import convert_ns_timestamp
+from wsspark.io import configure_timestamp_reads, convert_ns_timestamp
 from wsspark.ops.audit import snapshot_diff
 from wsspark.ops.functions import apply_movements
 
@@ -77,37 +77,59 @@ class _BatchLog:
             f.write(str(batch_id))
         os.replace(tmp, self.path)
 
-# Stream-source schema for the driver's events table (TESTDATA.md). ts is
-# TIMESTAMP(NANOS) in parquet -> read as long (nanosAsLong) and convert.
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    """Stream-source schema for the driver's events table (TESTDATA.md)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _source_ts_unit(source_dir: str) -> str:
+    """Peek at one parquet footer to learn how ``ts`` is stored: ``'ns'``
+    (legacy TIMESTAMP(NANOS) testdata, read as i64 + exact division) or
+    ``'us'`` (current ``timestamp[us]``). Streams need a declared schema up
+    front, so unlike the batch reader we must decide before the first scan —
+    guessing wrong is what silently relocated every event to 1970 when the
+    driver's testdata switched units. Defaults to 'us' when no file exists
+    yet (empty stream dir)."""
+    import pyarrow.parquet as pq
+
+    for root, _, files in os.walk(source_dir):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                t = pq.read_schema(os.path.join(root, f)).field("ts").type
+                return "ns" if str(t) in ("int64", "timestamp[ns]") else "us"
+    return "us"
 
 
 def read_event_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Parquet-directory stream of events rows (ns->us timestamp conversion
-    applied, matching the batch reader io.read_table)."""
+    """Parquet-directory stream of events rows, normalized to a plain
+    TIMESTAMP ``ts`` exactly like the batch reader io.read_table — a
+    streaming query and its batch twin must bucket every event identically."""
+    configure_timestamp_reads(spark)
+    unit = _source_ts_unit(source_dir)
+    schema = _events_stream_schema(T.LongType() if unit == "ns" else T.TimestampType())
     reader = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .option("path", source_dir)
+        spark.readStream.schema(schema).format("parquet").option("path", source_dir)
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.load()
-    # Integer div, same as io.convert_ns_timestamp: a double roundtrip has
-    # ~256ns ulp at 2024-epoch nanos and could flip window/session
-    # boundaries versus the batch reader.
-    return convert_ns_timestamp(df, "ts")
+    if unit == "ns":
+        # Integer div, same as io.convert_ns_timestamp: a double roundtrip
+        # has ~256ns ulp at 2024-epoch nanos and could flip window/session
+        # boundaries versus the batch reader.
+        df = convert_ns_timestamp(df, "ts")
+    return df
 
 
 def windowed_event_counts(
