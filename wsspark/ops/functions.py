@@ -144,10 +144,14 @@ def calculate_stock_value(
     (etl/transform/financial_metrics.py:58-62). ``completed_only`` selects
     the variant; default False = pipeline behavior (produces the goldens).
 
-    ``method='FIFO'`` goes beyond the reference (which raises,
-    dbfn/functions.sql:233-238) when ``po_details`` carries a
-    ``receipt_date`` column — see ``fifo_stock_value``. LIFO still raises,
-    mirroring the reference.
+    ``method='FIFO'`` / ``'LIFO'`` go beyond the reference (which raises
+    for both, dbfn/functions.sql:233-238) when ``po_details`` carries a
+    ``receipt_date`` column: they dispatch to ``fifo_stock_value`` /
+    ``lifo_stock_value``, whose layered-cost output schema differs from the
+    AVG variant (per-product consumed-layer valuation instead of
+    avg_cost x quantity — see those functions). Without ``receipt_date``
+    there is no cost-layer ordering, so non-AVG methods raise
+    NotImplementedError, mirroring the reference.
     """
     if method in ("FIFO", "LIFO") and "receipt_date" in po_details.columns:
         return (fifo_stock_value if method == "FIFO" else lifo_stock_value)(

@@ -114,8 +114,15 @@ WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
 
 
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: MinHash LSH candidates + exact verification (Spark-only;
-    equivalence with q_near_dup_jaccard asserted in tests at shingle_k=3).
+    """Scale path: MinHash LSH candidates + exact verification.
+
+    Oracle-able even though xxhash64 signatures have no SQL twin: the
+    output is the exact-verified jaccard of every surviving candidate, so
+    it equals the quadratic 3-shingle jaccard pair set whenever LSH recall
+    is 100% — which it is on this corpus by wide margin (every true pair
+    has jaccard >= 0.89; per-pair miss probability at s=0.89 with 8 bands
+    x 4 rows is (1 - 0.89^4)^8 ~= 4e-4). Equivalence is also asserted in
+    tests/test_dedup.py at shingle_k=3.
 
     The testdata corpus is one small parquet row-group = one input split, so
     the per-row shingle/hash work would run single-threaded; spread it
@@ -127,6 +134,43 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return dedup.minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+# 3-word-shingle exact jaccard — the quadratic twin of the LSH scale path
+# (shingle construction mirrors dedup.word_shingles: k=3, whole-text
+# fallback for sub-k docs, distinct shingles).
+SHINGLE3_EDGES_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [array_to_string(t, ' ')] END)) AS w
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jpairs AS (
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.set_size + sb.set_size - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(CAST(n_common AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_common), 4)
+          >= {JACCARD_THRESHOLD}
+)
+"""
+
+MINHASH_PAIRS_SQL = SHINGLE3_EDGES_SQL + "SELECT doc_a, doc_b, jaccard FROM jpairs"
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,16 +913,34 @@ WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
 def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path of dup_clusters: MinHash-LSH candidate pairs (exact
     Jaccard verified on candidates only — never all pairs) feeding the same
-    connected-components step. Spark-only (xxhash64 signatures have no SQL
-    twin); pair-level LSH/exact equivalence is asserted in
-    tests/test_dedup.py, and the exact-pairs clustering (dup_clusters) is
-    the hash-checked oracle twin of this plan shape."""
+    connected-components step. Oracle: recursive-CTE closure over the
+    quadratic 3-shingle jaccard edges — identical clusters whenever LSH
+    pair recall is 100% (see q_minhash_dedup_pairs; also asserted in
+    tests/test_dedup.py::test_lsh_clusters_match_exact_clusters)."""
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     pairs = dedup.minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
     cc = dedup.connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+DUP_CLUSTERS_LSH_SQL = (
+    SHINGLE3_EDGES_SQL
+    + """,
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM jpairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM jpairs
+),
+reach(node, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node
+"""
+).replace("WITH toks", "WITH RECURSIVE toks", 1)
 
 
 def q_normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1105,8 +1167,8 @@ QUERIES = [
           "exact dedup groups by content hash"),
     Query("near_dup_jaccard", q_near_dup_jaccard, NEAR_DUP_SQL,
           "exact word-set Jaccard near-dup pairs (lang-blocked)"),
-    Query("minhash_dedup_pairs", q_minhash_dedup_pairs, None,
-          "MinHash+LSH near-dup (scale path, LSH-verified)"),
+    Query("minhash_dedup_pairs", q_minhash_dedup_pairs, MINHASH_PAIRS_SQL,
+          "MinHash+LSH near-dup (scale path, exact-verified candidates)"),
     Query("simhash_fingerprints", q_simhash_fingerprints, None,
           "SimHash 64-bit fingerprints + hamming band keys"),
     Query("lang_id", q_lang_id, LANG_ID_SQL,
@@ -1153,7 +1215,7 @@ QUERIES = [
           "per-source PII match prevalence (email/ssn/phone/ipv4 regexes)"),
     Query("kmeans_cells", q_kmeans_cells, KMEANS_CELLS_SQL,
           "distributed Lloyd's k-means cluster sizes (unrolled-Lloyd oracle)"),
-    Query("dup_clusters_lsh", q_dup_clusters_lsh, None,
+    Query("dup_clusters_lsh", q_dup_clusters_lsh, DUP_CLUSTERS_LSH_SQL,
           "scale path: MinHash-LSH pairs -> connected-component clusters"),
     Query("corpus_dedup_stats", q_corpus_dedup_stats, CORPUS_DEDUP_STATS_SQL,
           "one-row dedup scorecard across exact/normalized/near layers"),
