@@ -1,7 +1,14 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
-All hashing is Spark's built-in ``xxhash64`` with integer seeds — JVM-side,
-deterministic across runs/executors, no Python in the loop.
+Hash primitives (all JVM-side, deterministic across runs/executors, no
+Python in the loop):
+- ``xxhash64`` with integer seeds where raw hash values never leave the
+  operator (MinHash signatures/bands — candidates are exact-verified
+  downstream, so the driver oracle checks the *verified* output instead).
+- ``portable_hash64`` (60-bit md5 prefix) where hash-derived values ARE the
+  output (SimHash fingerprints, winnowing fingerprints): DuckDB computes
+  the identical value via ``('0x' || substr(md5(x),1,15))::BIGINT``, which
+  is what makes those queries hash-checkable by the driver.
 
 Scale design:
 - exact dedup: one hash-groupBy over the corpus (map-side combinable).
@@ -20,6 +27,16 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 32
 DEFAULT_BANDS = 8
 DEFAULT_SHINGLE = 3
+
+
+def portable_hash64(col) -> F.Column:
+    """60-bit cross-engine hash: the first 15 hex chars of md5, parsed as a
+    non-negative BIGINT (top 4 bits always zero). DuckDB computes the same
+    value with ``('0x' || substr(md5(x), 1, 15))::BIGINT``. ~3-5x the cost
+    of xxhash64 per value but still codegen'd JVM expression work — the
+    price of driver-side falsifiability for operators whose OUTPUT is the
+    hash."""
+    return F.conv(F.substring(F.md5(F.col(col).cast("binary") if isinstance(col, str) else col.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -220,9 +237,11 @@ def minhash_dedup_pairs(
 def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document from word features: bit i of the
-    fingerprint is the sign of sum over distinct words of (+1 if
-    xxhash64(word) bit i set else -1).
+    """SimHash per document from word features: bit i of the fingerprint is
+    the sign of sum over distinct words of (+1 if portable_hash64(word) bit
+    i set else -1). The term hash is the 60-bit md5 prefix, so bits 60-63
+    are always 0 (their votes are uniformly -1) — 60 effective bits, and a
+    DuckDB oracle can recompute the fingerprint bit-for-bit.
 
     Shape: explode distinct tokens, hash each ONCE, then one hash-aggregate
     with 64 cheap conditional sums (same rationale as minhash_signatures —
@@ -235,7 +254,7 @@ def simhash(
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("_t"),
-    ).select("doc_id", F.xxhash64("_t").alias("_h"))
+    ).select("doc_id", portable_hash64(F.col("_t")).alias("_h"))
     votes = exploded.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -6,6 +6,10 @@ A document's fingerprint set is the per-window minimum of its k-gram hash
 sequence. Two documents sharing content of length >= window+k-1 share at
 least one fingerprint, so candidate retrieval is an equi-join on
 (fingerprint) — no quadratic scan. Entirely native array expressions.
+
+Gram hash = ``dedup.portable_hash64`` (60-bit md5 prefix): fingerprints are
+the operator's OUTPUT, and the portable hash lets a DuckDB oracle recompute
+the full winnowing selection value-for-value.
 """
 
 from __future__ import annotations
@@ -13,9 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wsspark.llmops.dedup import portable_hash64
+
 
 def kgram_hashes(text_col: str = "text", k: int = 5) -> Column:
-    """xxhash64 of each k-word gram (rolling sequence preserved in order)."""
+    """portable_hash64 of each k-word gram (rolling sequence, in order)."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -23,7 +29,7 @@ def kgram_hashes(text_col: str = "text", k: int = 5) -> Column:
         n >= k,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return F.transform(grams, lambda g: F.xxhash64(g))
+    return F.transform(grams, lambda g: portable_hash64(g))
 
 
 def winnow_fingerprints(

@@ -174,9 +174,37 @@ MINHASH_PAIRS_SQL = SHINGLE3_EDGES_SQL + "SELECT doc_a, doc_b, jaccard FROM jpai
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint + band keys per doc (Spark-only)."""
+    """SimHash fingerprint + band keys per doc. Hash-checkable: the term
+    hash is the portable 60-bit md5 prefix, so the DuckDB oracle recomputes
+    the fingerprint (votes, sign bits, band keys) value-for-value."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.simhash_bands(dedup.simhash(docs))
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+    FROM documents
+),
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks
+),
+votes AS (
+    SELECT doc_id, i,
+           SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM h CROSS JOIN range(60) r(i)
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+           COALESCE(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END),
+                    0)::BIGINT AS simhash
+    FROM votes GROUP BY doc_id
+)
+SELECT doc_id, simhash, band::INT AS band,
+       (simhash >> (band * 16)) & 65535 AS band_key
+FROM fp CROSS JOIN range(4) b(band)
+"""
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,10 +240,41 @@ LANG_ID_SQL = _lang_id_sql()
 
 
 def q_doc_fingerprint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints -> shared-fingerprint candidate pairs
-    (Spark-only)."""
+    """Winnowing fingerprints -> shared-fingerprint candidate pairs.
+    Hash-checkable: gram hash is the portable 60-bit md5 prefix, so the
+    DuckDB oracle replays the full winnowing selection (rolling 5-gram
+    hashes, window-4 minima, distinct fingerprints, pair counts)."""
     docs = read_table(spark, sf_dir, "documents")
     return fingerprint.fingerprint_candidates(fingerprint.winnow_fingerprints(docs))
+
+
+FINGERPRINT_CAND_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+positions AS (
+    SELECT doc_id, t, unnest(range(0, greatest(len(t) - 5, 0) + 1)) AS pos
+    FROM toks
+),
+grams AS (
+    SELECT doc_id, pos,
+           ('0x' || substr(md5(array_to_string(list_slice(t, pos + 1, pos + 5),
+                                               ' ')), 1, 15))::BIGINT AS h
+    FROM positions
+),
+mins AS (
+    SELECT doc_id, pos,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+           MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+    FROM grams
+),
+fps AS (
+    SELECT DISTINCT doc_id, m
+    FROM mins WHERE pos <= greatest(maxpos - 3, 0)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fingerprints
+FROM fps a JOIN fps b ON a.m = b.m AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
 
 # ---------------------------------------------------------------------------
 # Similarity search
@@ -1169,12 +1228,13 @@ QUERIES = [
           "exact word-set Jaccard near-dup pairs (lang-blocked)"),
     Query("minhash_dedup_pairs", q_minhash_dedup_pairs, MINHASH_PAIRS_SQL,
           "MinHash+LSH near-dup (scale path, exact-verified candidates)"),
-    Query("simhash_fingerprints", q_simhash_fingerprints, None,
-          "SimHash 64-bit fingerprints + hamming band keys"),
+    Query("simhash_fingerprints", q_simhash_fingerprints, SIMHASH_SQL,
+          "SimHash fingerprints + hamming band keys (portable hash)"),
     Query("lang_id", q_lang_id, LANG_ID_SQL,
           "stopword-profile language identification"),
-    Query("doc_fingerprint_candidates", q_doc_fingerprint_candidates, None,
-          "winnowing fingerprint candidate pairs"),
+    Query("doc_fingerprint_candidates", q_doc_fingerprint_candidates,
+          FINGERPRINT_CAND_SQL,
+          "winnowing fingerprint candidate pairs (portable hash)"),
     Query("ann_cosine_topk", q_ann_cosine_topk, ANN_SQL,
           "brute-force cosine top-k over embeddings"),
     Query("ivf_ann_topk", q_ivf_ann_topk, IVF_SQL,
