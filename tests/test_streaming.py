@@ -35,6 +35,46 @@ def run_available_now(df, spark, name: str):
     return spark.table(name)
 
 
+def test_stream_reader_handles_legacy_ns_source(spark, sf_dir, tmp_path):
+    """Legacy testdata stored events.ts as TIMESTAMP(NANOS): the stream
+    reader must detect the unit from the parquet footer and apply the exact
+    ns->us division — the round-3 corruption put every µs event in 1970
+    because the unit was assumed, not observed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = read_table(spark, sf_dir, "events").limit(20).collect()
+    table = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r["ts"] for r in rows], pa.timestamp("us")
+            ).cast(pa.timestamp("ns")),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows]),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+            "props": pa.array([r["props"] for r in rows]),
+        }
+    )
+    d = tmp_path / "ns_stream_src"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+
+    stream = streaming.read_event_stream(spark, str(d))
+    q = (
+        stream.select("event_id", "ts")
+        .writeStream.format("memory")
+        .queryName("ns_src_rows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ns_src_rows").collect()
+    want = {r["event_id"]: r["ts"] for r in rows}
+    assert {r["event_id"]: r["ts"] for r in got} == want
+
+
 def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
     stream = streaming.read_event_stream(spark, events_dir)
     got = run_available_now(
