@@ -47,7 +47,16 @@ def test_dimension_joins_broadcast(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", [n for n in build_registry() if n != "multimodal_features"]
+    "name",
+    [
+        n
+        for n in build_registry()
+        # multimodal is intentionally Arrow-Python; streaming_daily_counts
+        # EXECUTES its stream on invocation and returns a memory-sink table
+        # whose plan is a LocalTableScan (the streaming plan itself is
+        # asserted in tests/test_streaming.py)
+        if n not in ("multimodal_features", "streaming_daily_counts")
+    ],
 )
 def test_no_python_udf_in_query_plans(spark, sf_dir, name):
     """Everything except the (intentionally Arrow-Python) multimodal path

@@ -38,6 +38,12 @@ class Query:
 # 18 representative core/tpch anchors (all green in r01-r03) fill the
 # window to 50. The remaining 32 r03-green queries stay registered after
 # slot 50 and keep their local oracle-parity pytest coverage.
+#
+# Round-5 rotation (apply after CORRECTNESS_r04 confirms the new window):
+# promote the 32 queries currently past slot 50 (the r01-r03 green
+# core/tpch/llm set) back into the window and demote this round's 32 to the
+# tail, keeping ~18 slots for whichever queries changed that round — every
+# query then has a driver-green row at most one round old.
 _WINDOW_PRIORITY = (
     # temporal (never driver-checked)
     "purchase_last_click_asof",
@@ -91,15 +97,18 @@ _WINDOW_PRIORITY = (
     "pricing_summary",
     "top_unshipped_orders",
     "local_supplier_volume",
-    "order_priority_counts",
+    # slot 50: §2.10 streaming's first-ever driver row (round-3 broke the
+    # stream reader silently; a hash-checked batch/stream equivalence row is
+    # the strongest guard against that recurring)
+    "streaming_daily_counts",
 )
 
 
 def build_registry() -> dict[str, Query]:
-    from wsspark.queries import core, llm, temporal, tpch
+    from wsspark.queries import core, llm, streamq, temporal, tpch
 
     registry: dict[str, Query] = {}
-    for mod in (core, tpch, llm, temporal):
+    for mod in (core, tpch, llm, temporal, streamq):
         for q in mod.QUERIES:
             if q.name in registry:
                 raise ValueError(f"duplicate query name {q.name}")

@@ -1,7 +1,11 @@
 """LLM-data-pipeline queries over documents/embeddings/events (SURVEY.md
-§7.2 step 12). SQL-expressible ops carry DuckDB oracles; the LSH/IVF scale
-paths are Spark-only (driver records a rows-only check) and are verified
-against their exact counterparts in tests/test_llmops.py.
+§7.2 step 12). EVERY query carries a DuckDB oracle: directly SQL-expressible
+ops have literal twins; the LSH scale paths are oracle-checked on their
+exact-verified OUTPUT (valid while LSH recall is 100% on the corpus — wide
+margin here, see q_minhash_dedup_pairs); hash-valued outputs (SimHash,
+winnowing) use the portable 60-bit md5-prefix hash both engines compute
+identically. Spark/exact equivalences additionally asserted in
+tests/test_llmops.py and tests/test_dedup.py.
 """
 
 from __future__ import annotations

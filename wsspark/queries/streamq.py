@@ -1,0 +1,87 @@
+"""Driver-checkable streaming queries (SURVEY.md §2.10).
+
+Structured Streaming can't be driven by the (spark, sf_dir) -> DataFrame
+contract directly — so each query here runs a real streaming pipeline
+(parquet file source -> watermarked aggregation -> availableNow trigger ->
+memory sink) to completion INSIDE the callable and returns the sink table.
+The DuckDB oracle is the batch-SQL twin of the aggregation, which makes
+streaming the same hash-checked surface as every batch operator: the driver
+verifies that the stream path buckets/collapses every event exactly like
+batch SQL does (this is precisely the invariant that silently broke in
+round 3, when the stream reader mis-read microsecond timestamps as nanos
+and relocated every event to 1970 — a batch/stream hash comparison catches
+that class of bug; a rows-only check does not).
+
+``availableNow`` processes the whole source as bounded input and
+terminates, so results are deterministic: the watermark never discards
+anything (no batch is "late" relative to a completed run), matching the
+batch twin row-for-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wsspark import streaming
+from wsspark.queries import Query
+
+
+def _run_to_table(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
+    """Execute a streaming aggregation to completion (availableNow) into a
+    memory sink and return the materialized result. Complete output mode:
+    aggregations re-emit full state per trigger; with availableNow there is
+    exactly one final state."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _stage_stream_dir(sf_dir: str) -> str:
+    """The parquet file-stream source requires a DIRECTORY; testdata ships
+    one file per table. Symlink events.parquet into a temp dir (a driver-
+    side metadata op — no data is copied or mutated)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="wsspark_stream_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def q_streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window counts per event_type, computed by the STREAM
+    path (file source -> withWatermark -> window() agg) and verified against
+    the batch date_trunc twin."""
+    stream = streaming.read_event_stream(spark, _stage_stream_dir(sf_dir))
+    return _run_to_table(
+        streaming.windowed_event_counts(stream), spark, "q_stream_daily_counts"
+    )
+
+
+STREAMING_DAILY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+       CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS bucket_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES = [
+    Query(
+        "streaming_daily_counts",
+        q_streaming_daily_counts,
+        STREAMING_DAILY_SQL,
+        "§2.10 as a driver row: availableNow stream -> window agg == batch SQL",
+    ),
+]

@@ -101,6 +101,9 @@ def _source_ts_unit(source_dir: str) -> str:
     yet (empty stream dir)."""
     import pyarrow.parquet as pq
 
+    if os.path.isfile(source_dir):
+        t = pq.read_schema(source_dir).field("ts").type
+        return "ns" if str(t) in ("int64", "timestamp[ns]") else "us"
     for root, _, files in os.walk(source_dir):
         for f in sorted(files):
             if f.endswith(".parquet"):
