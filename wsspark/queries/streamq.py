@@ -77,11 +77,54 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization computed by the STREAM path,
+    verified against the lag-based gaps-and-islands SQL twin (session_end =
+    last event + gap, per session_window semantics)."""
+    stream = streaming.read_event_stream(spark, _stage_stream_dir(sf_dir))
+    return _run_to_table(
+        streaming.session_window_stats(stream), spark, "q_stream_sessions"
+    )
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH g AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+),
+s AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events,
+       (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100)
+           AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = [
     Query(
         "streaming_daily_counts",
         q_streaming_daily_counts,
         STREAMING_DAILY_SQL,
         "§2.10 as a driver row: availableNow stream -> window agg == batch SQL",
+    ),
+    Query(
+        "streaming_sessionize",
+        q_streaming_sessionize,
+        STREAMING_SESSIONIZE_SQL,
+        "§2.10 session windows as a driver row: stream sessions == islands SQL",
     ),
 ]

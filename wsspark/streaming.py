@@ -172,7 +172,12 @@ def session_window_stats(
         .groupBy(F.session_window(ts_col, gap).alias("session"), user_col)
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("session_value"),
+            # exact-cents sum (see queries.exactsum): associative integer
+            # addition keeps the value identical under any partial-agg
+            # order — required for the cross-engine oracle hash, and the
+            # right money discipline at scale anyway
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100
+             ).alias("session_value"),
         )
         .select(
             user_col,
