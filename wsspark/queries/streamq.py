@@ -57,6 +57,20 @@ def _stage_stream_dir(sf_dir: str) -> str:
     return d
 
 
+def _run_append_to_table(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
+    """Append-mode twin of ``_run_to_table`` for non-aggregated streaming
+    output (stream-stream joins emit rows as matches become final)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day window counts per event_type, computed by the STREAM
     path (file source -> withWatermark -> window() agg) and verified against
@@ -114,6 +128,31 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase <- clicks in the prior hour)
+    computed by the STREAM path and verified against the batch inner-join
+    twin — the streaming counterpart of purchase_click_window_counts."""
+    stream = streaming.read_event_stream(spark, _stage_stream_dir(sf_dir))
+    return _run_append_to_table(
+        streaming.stream_click_attribution(stream), spark, "q_stream_click_attr"
+    )
+
+
+STREAMING_CLICK_ATTR_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 3600 SECOND
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 QUERIES = [
     Query(
         "streaming_daily_counts",
@@ -126,5 +165,11 @@ QUERIES = [
         q_streaming_sessionize,
         STREAMING_SESSIONIZE_SQL,
         "§2.10 session windows as a driver row: stream sessions == islands SQL",
+    ),
+    Query(
+        "streaming_click_attribution",
+        q_streaming_click_attribution,
+        STREAMING_CLICK_ATTR_SQL,
+        "§2.10 stream-stream interval join as a driver row == batch inner join",
     ),
 ]
