@@ -116,3 +116,33 @@ def test_results_independent_of_partitioning(spark):
     a = sorted(map(tuple, base.repartition(3).collect()))
     b = sorted(map(tuple, base.repartition(17).collect()))
     assert a == b
+
+
+def test_portable_hash64_matches_duckdb(spark):
+    """The portable 60-bit md5-prefix hash must agree between Spark
+    (conv(substr(md5, 1, 15), 16, 10)) and DuckDB
+    (('0x' || substr(md5, 1, 15))::BIGINT) on arbitrary strings — SimHash
+    and winnowing oracles are valid only under this cross-engine identity.
+    Deterministic corpus: ASCII, unicode, empty, whitespace, long strings."""
+    import duckdb
+
+    from wsspark.llmops.dedup import portable_hash64
+
+    samples = (
+        ["", " ", "a", "hello world", "x" * 1000, "tab\tnewline\n", "0x15"]
+        + [f"tok{i}" for i in range(200)]
+        + ["ünïcödé", "中文字符", "emoji 🙂 text", "a b  c   d"]
+    )
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_hash64("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        s: con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        for s in samples
+    }
+    assert got == want
