@@ -93,6 +93,21 @@ def test_embedding_cosine_dup_pairs_planted(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
 
+def test_lsh_bucket_cap_drops_boilerplate_bucket(spark):
+    """max_bucket_size must drop pathological buckets (pair count is
+    quadratic in dup-cluster size) while leaving modest clusters intact."""
+    boiler = [(i, "common boilerplate text repeated across the whole crawl")
+              for i in range(30)]
+    pair = [(100, "a genuinely unique document body with its own words here"),
+            (101, "a genuinely unique document body with its own words here")]
+    docs = spark.createDataFrame(boiler + pair, ["doc_id", "text"])
+    uncapped = dedup.minhash_dedup_pairs(docs, threshold=0.9)
+    assert uncapped.count() == (30 * 29) // 2 + 1  # full boilerplate explosion
+    capped = dedup.minhash_dedup_pairs(docs, threshold=0.9, max_bucket_size=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # boilerplate bucket dropped, real pair kept
+
+
 def test_connected_components_known_graph(spark):
     # two components {1,2,3} (chain: transitivity) and {10, 11}; 20 isolated
     # (absent from pairs -> absent from output)

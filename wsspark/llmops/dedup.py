@@ -183,11 +183,29 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = DEFAULT_BANDS,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidates.
     Self-join runs per (band, band_hash) bucket — near-linear when dup rate
-    is modest; hot buckets are handled by AQE skew splitting."""
+    is modest; hot buckets are handled by AQE skew splitting.
+
+    ``max_bucket_size`` guards the hyper-duplication regime (measured: 16
+    mutually-near-dup copies of a 5k corpus = 600k candidate pairs, OOM on
+    a 1 GB heap — candidate count is QUADRATIC in dup-cluster size by
+    definition of pairwise output). Buckets larger than the cap are dropped
+    before the self-join: on web-scale corpora such buckets are almost
+    always boilerplate, and production LSH dedup (after an exact-dedup
+    pre-pass collapses identical copies) routes them to cluster-level
+    handling instead of pair explosion. Default None preserves exact
+    pairwise semantics (required by the oracle-checked queries)."""
     banded = lsh_band_keys(signatures, bands, num_hashes)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("_bucket_n", F.count("*").over(w))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -210,12 +228,16 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = DEFAULT_SHINGLE,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale-path near-dup detection: LSH candidates, then *exact* Jaccard
     verification of candidates only (estimated-signature similarity is never
-    reported — candidates are re-checked against true shingle sets)."""
+    reported — candidates are re-checked against true shingle sets).
+    ``max_bucket_size`` (see lsh_candidate_pairs) caps pathological
+    boilerplate buckets on hyper-duplicated corpora; leave None for exact
+    pairwise semantics."""
     sigs = minhash_signatures(docs, num_hashes, text_col, id_col, shingle_k)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes, max_bucket_size)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_k).alias("sh")
     )
