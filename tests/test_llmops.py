@@ -38,6 +38,25 @@ def test_ivf_scores_match_bruteforce(spark, emb):
     assert recall > 0.4, f"IVF recall@5 too low: {recall:.2f}"
 
 
+def test_ivf_prebuilt_index_matches_one_shot(spark, emb):
+    """ivf_build_index + ivf_search (the amortized production shape) must
+    return exactly what the one-shot ivf_topk plan returns — a cached index
+    may never change results."""
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    one_shot = sorted(map(tuple, similarity.ivf_topk(emb, queries, k=5).collect()))
+    assigned, cents = similarity.ivf_build_index(emb)
+    assigned = assigned.cache()
+    cents = cents.cache()
+    try:
+        split = sorted(
+            map(tuple, similarity.ivf_search(assigned, cents, queries, k=5).collect())
+        )
+        assert split == one_shot
+    finally:
+        assigned.unpersist()
+        cents.unpersist()
+
+
 def test_ivf_recall_on_clustered_corpus(spark):
     """At real scale IVF lives or dies on centroid spread: on a corpus WITH
     cluster structure (the case IVF exists for), hash-spread centroids +
