@@ -58,6 +58,15 @@ def test_oracle_parity(q, spark, sf_dir, duck):
     assert list(got.columns) == list(want.columns), (
         f"{q.name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
+    # int-vs-float divergence (e.g. DuckDB HUGEINT fetched as float64 vs
+    # Spark bigint) stringifies differently in the driver's value hash even
+    # when numerically equal — the r04 pii_summary red. Fail it here.
+    dtype_diffs = [
+        f"{c}: spark={gt} oracle={wt}"
+        for c, gt, wt in zip(got.columns, got.dtypes, want.dtypes)
+        if str(gt) != str(wt)
+    ]
+    assert not dtype_diffs, f"{q.name}: dtype divergence {dtype_diffs}"
     assert len(got) == len(want), f"{q.name}: row count {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]

@@ -57,7 +57,10 @@ def value_hash(pdf: pd.DataFrame) -> str:
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 h.update(b"\x00NULL")
             elif isinstance(v, float):
-                h.update(f"{v:.10g}".encode())
+                # repr, NOT %.10g: the driver stringifies dtypes as-is, so
+                # float 0.0 must hash differently from int 0 or the sim
+                # passes where the driver fails (the r04 pii_summary red).
+                h.update(repr(v).encode())
             else:
                 h.update(str(v).encode())
             h.update(b"\x1f")
@@ -120,13 +123,19 @@ def main() -> int:
             continue
         rows_ok = len(got) == len(want)
         cols_ok = list(got.columns) == list(want.columns)
+        # int-vs-float divergence stringifies differently in the driver's
+        # hash even when values are numerically equal — fail it here.
+        dtypes_ok = cols_ok and [str(t) for t in got.dtypes] == [
+            str(t) for t in want.dtypes
+        ]
         hash_ok = cols_ok and rows_ok and value_hash(got) == value_hash(want)
-        status = "pass" if (rows_ok and cols_ok and hash_ok) else "FAIL"
+        status = "pass" if (rows_ok and cols_ok and dtypes_ok and hash_ok) else "FAIL"
         results[name] = {
             "status": status,
             "rows": len(got),
             "oracle_rows": len(want),
             "cols_ok": cols_ok,
+            "dtypes_ok": dtypes_ok,
             "hash_ok": hash_ok,
         }
         if status == "pass":
@@ -136,8 +145,15 @@ def main() -> int:
             n_fail += 1
             print(
                 f"FAIL  {name}: rows {len(got)}/{len(want)} cols_ok={cols_ok} "
-                f"hash_ok={hash_ok}"
+                f"dtypes_ok={dtypes_ok} hash_ok={hash_ok}"
             )
+            if cols_ok and not dtypes_ok:
+                diverged = [
+                    f"{c}: spark={gt} oracle={wt}"
+                    for c, gt, wt in zip(got.columns, got.dtypes, want.dtypes)
+                    if str(gt) != str(wt)
+                ]
+                print(f"      dtype divergence: {diverged}")
             if cols_ok and rows_ok and not hash_ok:
                 # locate the first differing column for debugging
                 for c in got.columns:

@@ -1049,9 +1049,11 @@ WITH flags AS (
     FROM documents
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN n_email + n_ssn + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
-           AS n_docs_with_pii,
-       {', '.join(f"SUM(n_{name}) AS total_{name}" for name in _PII_DUCK)}
+       CAST(SUM(CASE WHEN n_email + n_ssn + n_phone + n_ipv4 > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       {', '.join(
+           f"CAST(SUM(n_{name}) AS BIGINT) AS total_{name}" for name in _PII_DUCK
+       )}
 FROM flags GROUP BY source
 """
 
