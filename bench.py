@@ -75,17 +75,18 @@ def main() -> None:
     from wsspark.pipeline import run_pipeline
 
     # Steady-state measurement: one discarded warmup run (whole-stage-codegen
-    # JIT adds 2-8 s of per-plan jitter on first execution), then the best of
-    # two measured runs — residual C2-recompilation/AQE noise showed up as
-    # occasional multi-second spikes on single warm runs.
+    # JIT adds 2-8 s of per-plan jitter on first execution), then the MEDIAN
+    # of three measured runs — r04's only apparent regressions (+0.15-0.25 s)
+    # were single-warm-run noise; a median makes variance and regression
+    # distinguishable while staying robust to one-off GC/C2 spikes.
     def timed(fn) -> float:
         fn()
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
-        return round(min(samples), 3)
+        return round(sorted(samples)[1], 3)
 
     timings["q0_full_etl_12_reports"] = timed(
         lambda: run_pipeline(spark, sf_dir, tempfile.mkdtemp(prefix="wsspark_bench_"))

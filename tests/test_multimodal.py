@@ -54,3 +54,104 @@ def test_resize_plumbing(spark, media):
     assert bytes(out[1]["resized"]).startswith(b"RESIZED[224x224]")
     assert bytes(out[1]["resized"]).endswith(b"fake-image-bytes")
     assert out[4]["resized"] is None  # null payload flows through
+
+
+# ---------------------------------------------------------------------------
+# Real decode path: uncompressed 24-bit BMP / binary P6 PPM parsed
+# pixel-for-pixel (no codec libs involved).
+
+
+def make_bmp(pixels):
+    """Encode rows of (r, g, b) tuples as a bottom-up 24-bit BI_RGB BMP."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    data = bytearray()
+    for row in reversed(pixels):  # positive height => bottom-up storage
+        rb = bytearray()
+        for r, g, b in row:
+            rb += bytes((b, g, r))  # BGR on disk
+        rb += b"\x00" * (stride - len(rb))
+        data += rb
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(data)
+
+
+def make_ppm(pixels):
+    h, w = len(pixels), len(pixels[0])
+    body = bytes(v for row in pixels for px in row for v in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+PIXELS_4X4 = [
+    [(x * 16, y * 16, x + y) for x in range(4)] for y in range(4)
+]
+
+
+def expected_features(pixels):
+    flat = [px for row in pixels for px in row]
+    n = len(flat)
+    lums = [(r + g + b) / 3.0 for r, g, b in flat]
+    return [
+        float(len(pixels[0])),
+        float(len(pixels)),
+        round(sum(p[0] for p in flat) / n, 6),
+        round(sum(p[1] for p in flat) / n, 6),
+        round(sum(p[2] for p in flat) / n, 6),
+        round(min(lums), 6),
+        round(max(lums), 6),
+        round(sum(lums) / n, 6),
+    ]
+
+
+def test_bmp_decodes_to_exact_pixel_features():
+    got = multimodal.decode_image_stub(make_bmp(PIXELS_4X4))
+    assert got == expected_features(PIXELS_4X4)
+
+
+def test_ppm_decodes_to_exact_pixel_features():
+    assert multimodal.decode_image_stub(make_ppm(PIXELS_4X4)) == expected_features(
+        PIXELS_4X4
+    )
+
+
+def test_bmp_and_ppm_agree_pixelwise():
+    # same pixels, two encodings, one feature vector
+    assert multimodal.decode_image_stub(
+        make_bmp(PIXELS_4X4)
+    ) == multimodal.decode_image_stub(make_ppm(PIXELS_4X4))
+
+
+def test_bmp_decode_through_spark_arrow_path(spark):
+    rows = [(10, "image", make_bmp(PIXELS_4X4), "image/bmp", 4, 4, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(media).collect()
+    assert len(out) == 1
+    assert out[0]["feature"] == expected_features(PIXELS_4X4)
+
+
+def test_malformed_bmp_falls_back_to_digest():
+    # valid magic, garbage header: strict parser must reject, not misdecode
+    payload = b"BM" + b"\x01" * 60
+    feat = multimodal.decode_image_stub(payload)
+    assert len(feat) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in feat)  # digest fake, not pixel stats
+
+
+def test_real_resize_nearest_neighbor(spark):
+    rows = [(20, "image", make_bmp(PIXELS_4X4), "image/bmp", 4, 4, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, target_w=2, target_h=2).collect()
+    resized = bytes(out[0]["resized"])
+    # nearest-neighbor 4x4 -> 2x2 samples source pixels (0,0)(2,0)(0,2)(2,2)
+    want = make_ppm(
+        [
+            [PIXELS_4X4[0][0], PIXELS_4X4[0][2]],
+            [PIXELS_4X4[2][0], PIXELS_4X4[2][2]],
+        ]
+    )
+    assert resized == want

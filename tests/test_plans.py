@@ -51,11 +51,12 @@ def test_dimension_joins_broadcast(spark, sf_dir):
     [
         n
         for n in build_registry()
-        # multimodal is intentionally Arrow-Python; streaming_daily_counts
-        # EXECUTES its stream on invocation and returns a memory-sink table
-        # whose plan is a LocalTableScan (the streaming plan itself is
+        # multimodal is intentionally Arrow-Python; streamq queries EXECUTE
+        # their full stream on invocation and return a memory-sink table
+        # whose plan is a vacuous LocalTableScan (the streaming plans are
         # asserted in tests/test_streaming.py)
-        if n not in ("multimodal_features", "streaming_daily_counts")
+        if n not in ("multimodal_features",)
+        and not n.startswith("streaming_")
     ],
 )
 def test_no_python_udf_in_query_plans(spark, sf_dir, name):

@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (image/audio codecs are not available in
-this environment — see ``decode_image_stub``): it produces a deterministic
-fake feature vector from the bytes so the Spark-side contract — schema,
-batching, partitioning, UDF signature — is real and fully tested. Swapping
-in PIL/librosa/ffmpeg is a one-function change inside the mapInPandas body;
-the dataflow (scan -> repartition -> Arrow batches -> struct output) is what
-matters at 100 TB.
+The decode step is REAL for uncompressed formats: 24-bit BI_RGB BMP and
+binary PPM (P6) payloads are parsed pixel-for-pixel in pure Python inside
+the mapInPandas body and reduced to exact image statistics — proving the
+Arrow path end-to-end (bytes in, decoded features out). Compressed codecs
+(PNG/JPEG) raise ``NotImplementedError`` — an honest boundary, since no
+codec libs ship in this environment; swapping in PIL/torchvision is a
+one-function change with an identical signature. Unknown payloads fall
+back to a deterministic sha256 digest vector so the contract — schema,
+batching, partitioning, UDF signature — stays testable on opaque testdata.
 """
 
 from __future__ import annotations
@@ -51,6 +53,75 @@ FEATURE_SCHEMA = StructType(
 FEATURE_DIM = 8
 
 
+def _make_pixel_parser():
+    """Pure-Python parser for the two uncompressed formats we can decode
+    without codec libraries. Returns ``parse(payload) -> (w, h, rgb)`` where
+    ``rgb`` is a flat top-down row-major bytes of RGB triples, or ``None``
+    when the payload is not a strictly-valid 24-bit BI_RGB BMP or binary
+    P6 PPM. Strictness matters: header fields are fully validated so random
+    binary payloads (the synthetic testdata) can never false-positive into
+    the decode path (probability ~2^-80), keeping the sha256 fallback —
+    and the driver oracle built on it — deterministic."""
+    import struct as _struct
+
+    def _parse_bmp(b: bytes):
+        if len(b) < 54:
+            return None
+        file_size, _r1, _r2, off = _struct.unpack_from("<IHHI", b, 2)
+        hdr_size, w, h, planes, bpp, comp = _struct.unpack_from("<IiiHHI", b, 14)
+        if (
+            hdr_size != 40
+            or planes != 1
+            or bpp != 24
+            or comp != 0  # BI_RGB only; RLE is a compressed codec
+            or file_size != len(b)
+            or not (0 < w <= 1 << 15)
+            or not (0 < abs(h) <= 1 << 15)
+        ):
+            return None
+        stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        n_rows = abs(h)
+        if off < 54 or off + stride * n_rows > len(b):
+            return None
+        # h > 0 means bottom-up row order; pixels are BGR
+        row_ids = range(n_rows - 1, -1, -1) if h > 0 else range(n_rows)
+        out = bytearray()
+        for r in row_ids:
+            row = b[off + r * stride : off + r * stride + w * 3]
+            for i in range(0, w * 3, 3):
+                out += bytes((row[i + 2], row[i + 1], row[i]))
+        return w, n_rows, bytes(out)
+
+    def _parse_ppm(b: bytes):
+        # P6 <ws> width <ws> height <ws> maxval <one ws> raw RGB rows
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while pos < len(b) and b[pos : pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                return None
+            fields.append(int(b[start:pos]))
+        w, h, maxval = fields
+        if maxval != 255 or not (0 < w <= 1 << 15) or not (0 < h <= 1 << 15):
+            return None
+        pos += 1  # exactly one whitespace byte after maxval, per spec
+        if pos + w * h * 3 > len(b):
+            return None
+        return w, h, b[pos : pos + w * h * 3]
+
+    def parse(b: bytes):
+        if b[:2] == b"BM":
+            return _parse_bmp(b)
+        if b[:2] == b"P6":
+            return _parse_ppm(b)
+        return None
+
+    return parse
+
+
 def _make_decode_stub(feature_dim: int):
     """Build the decode closure OUTSIDE module scope: the returned function
     has a non-resolvable qualname, so cloudpickle serializes it by VALUE
@@ -59,19 +130,44 @@ def _make_decode_stub(feature_dim: int):
     a UDF should ship to a 1000-executor cluster."""
     import hashlib as _hashlib
 
+    parse = _make_pixel_parser()
+
     def decode(payload):
-        """Deterministic fake 'decode + feature extract': digest bytes into
-        a fixed-dim vector. Replace with a real codec (PIL / torchvision) in
-        production — signature and output shape stay identical. Raises
-        NotImplementedError for payloads tagged as real codecs we cannot
-        decode here, making the stub boundary explicit."""
+        """Decode + feature extract. Uncompressed BMP/PPM payloads are
+        REALLY decoded: the 8-dim feature is (width, height, mean R/G/B,
+        min/max/mean luminance) computed from actual pixels, 6dp-rounded
+        for cross-engine hash stability. PNG/JPEG raise (no codec libs
+        here — explicit boundary). Anything else digests to a
+        deterministic sha256 fake so opaque testdata still flows."""
         if payload is None:
             return None
-        if bytes(payload[:4]) in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+        b = bytes(payload)
+        if b[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
             raise NotImplementedError(
-                "real image decoding requires PIL/opencv, not available in this env"
+                "compressed image decoding requires PIL/opencv, not available "
+                "in this env"
             )
-        digest = _hashlib.sha256(bytes(payload)).digest()
+        img = parse(b)
+        if img is not None:
+            w, h, rgb = img
+            n_px = w * h
+            sr = sum(rgb[0::3])
+            sg = sum(rgb[1::3])
+            sb = sum(rgb[2::3])
+            lums = [
+                rgb[i] + rgb[i + 1] + rgb[i + 2] for i in range(0, 3 * n_px, 3)
+            ]
+            return [
+                float(w),
+                float(h),
+                round(sr / n_px, 6),
+                round(sg / n_px, 6),
+                round(sb / n_px, 6),
+                round(min(lums) / 3.0, 6),
+                round(max(lums) / 3.0, 6),
+                round(sum(lums) / (3.0 * n_px), 6),
+            ][:feature_dim]
+        digest = _hashlib.sha256(b).digest()
         return [digest[i] / 255.0 for i in range(feature_dim)]
 
     return decode
@@ -141,23 +237,39 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Resize *plumbing* over image rows: Arrow-batched mapInPandas with the
-    decode/resize/encode step stubbed (no codec libs in this environment —
-    the stub emits a deterministic tag + original bytes so the dataflow,
-    schema, and batch shape are real and testable; swap the body for
-    PIL.Image.resize in production)."""
+    """Resize over image rows, Arrow-batched. Parseable payloads (24-bit
+    BMP / P6 PPM) are REALLY resized — nearest-neighbor sampling over the
+    decoded pixel grid, re-encoded as binary P6 PPM. Compressed codecs
+    raise (no codec libs in this environment); opaque payloads get the
+    deterministic tag+bytes stub so the dataflow stays testable end-to-end
+    on synthetic data."""
+
+    parse = _make_pixel_parser()
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag = f"RESIZED[{target_w}x{target_h}]".encode()
+        header = f"P6\n{target_w} {target_h}\n255\n".encode()
 
-        def stub(payload):
+        def one(payload):
             if payload is None:
                 return None
-            if bytes(payload[:4]) in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+            b = bytes(payload)
+            if b[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
                 raise NotImplementedError(
-                    "real image resize requires PIL/opencv, not available in this env"
+                    "compressed image resize requires PIL/opencv, not "
+                    "available in this env"
                 )
-            return tag + bytes(payload)
+            img = parse(b)
+            if img is None:
+                return tag + b
+            w, h, rgb = img
+            out = bytearray(header)
+            for y in range(target_h):
+                sy = y * h // target_h
+                for x in range(target_w):
+                    i = 3 * (sy * w + x * w // target_w)
+                    out += rgb[i : i + 3]
+            return bytes(out)
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -165,7 +277,7 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) ->
                     "media_id": pdf["media_id"],
                     "target_w": target_w,
                     "target_h": target_h,
-                    "resized": pdf["payload"].map(stub),
+                    "resized": pdf["payload"].map(one),
                 }
             )
 

@@ -40,20 +40,33 @@ def _run_to_table(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"stream {name} did not finish within 300s")
     return spark.table(name)
+
+
+_STREAM_SRC_DIRS: dict[str, str] = {}
 
 
 def _stage_stream_dir(sf_dir: str) -> str:
     """The parquet file-stream source requires a DIRECTORY; testdata ships
-    one file per table. Symlink events.parquet into a temp dir (a driver-
-    side metadata op — no data is copied or mutated)."""
+    one file per table. Symlink events.parquet into a per-session temp dir
+    (a driver-side metadata op — no data is copied or mutated), reused
+    across invocations for the same sf_dir and removed at exit."""
+    d = _STREAM_SRC_DIRS.get(sf_dir)
+    if d is not None and os.path.isdir(d):
+        return d
+    import atexit
+    import shutil
     import tempfile
 
     d = tempfile.mkdtemp(prefix="wsspark_stream_src_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
     )
+    _STREAM_SRC_DIRS[sf_dir] = d
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
 
@@ -67,7 +80,9 @@ def _run_append_to_table(df: DataFrame, spark: SparkSession, name: str) -> DataF
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"stream {name} did not finish within 300s")
     return spark.table(name)
 
 
