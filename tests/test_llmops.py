@@ -87,6 +87,56 @@ def test_ivf_recall_on_clustered_corpus(spark):
     assert recall >= 0.9, f"IVF recall@5 on clustered corpus: {recall:.2f}"
 
 
+def test_ivf_default_probe_holds_recall_on_structureless_corpus(spark, emb):
+    """The shipped DEFAULT may not silently trade recall away: on the
+    synthetic (effectively unclustered — IVF's worst case) testdata
+    corpus, auto_n_probe must hold recall@5 >= 0.9 vs brute force. The
+    r05 sweep measured fixed n_probe=4 at 0.38-0.56 recall here, which is
+    why the default is corpus-proportional (see PLANS.md ANN recall)."""
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"default-probe IVF recall@5: {recall:.2f}"
+
+
+def test_ivf_probe_for_recall_tunes_down_on_clustered_corpus(spark):
+    """The per-corpus tuner must exploit real cluster structure: on a
+    16-cluster corpus it should certify a probe count far below the
+    recall-first default while meeting the target."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    dim, n_clusters, per_cluster = 32, 16, 64
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        member = centers[c] + 0.05 * rng.normal(size=(per_cluster, dim))
+        member /= np.linalg.norm(member, axis=1, keepdims=True)
+        for m in member:
+            rows.append((vid, [float(x) for x in m]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 128 == 0)
+    n_probe, recall = similarity.ivf_probe_for_recall(
+        emb, queries, k=5, target_recall=0.9
+    )
+    n_cells = similarity.auto_n_cells(emb.select("vec_id"))
+    assert recall >= 0.9
+    assert n_probe < similarity.auto_n_probe(n_cells), (
+        f"tuner found no structure: n_probe={n_probe} vs default "
+        f"{similarity.auto_n_probe(n_cells)} of {n_cells} cells"
+    )
+
+
 def test_embedding_dup_pairs_finds_planted_dups(spark):
     """Positive path for the cell-blocked near-dup operator: planted
     near-identical vectors must surface above a high threshold."""

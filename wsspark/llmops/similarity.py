@@ -153,19 +153,39 @@ def ivf_build_index(
     return assigned, centroids
 
 
+def auto_n_probe(n_cells: int) -> int:
+    """Recall-first default probe count: 3/4 of the cells, floor 4.
+
+    Measured on the synthetic sf0.1 embeddings (2000 vecs, dim 64, 44
+    cells — effectively UNCLUSTERED data, IVF's worst case): recall@5 vs
+    brute force is ~linear in the probed fraction (n_probe 4 -> 0.38,
+    16 -> 0.72, 32 -> 0.92, 48 -> 1.0; k-means-refined centroids shift
+    each point up ~0.1 but don't change the slope), so no small fixed
+    probe can meet a 0.9 recall bar here. Real embedding corpora have
+    cluster structure that concentrates neighbors in few cells — there a
+    caller-set n_probe of 4-16 is the right speed/recall trade, tuned per
+    corpus with ``ivf_probe_for_recall``. The DEFAULT must not silently
+    ship 0.38 recall, so it buys recall >=0.9 on even structureless data
+    at the cost of scanning ~75% of cells. See PLANS.md (ANN recall)."""
+    return max(4, -(-3 * n_cells // 4))
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Search a prebuilt IVF index: queries probe ``n_probe`` cells, scan
-    only those cells' vectors. Because each corpus vector lives in exactly
-    one cell, every (query, neighbor) pair is scored at most once — no
-    dedup/distinct shuffle on the scored frame."""
+    """Search a prebuilt IVF index: queries probe ``n_probe`` cells
+    (default: recall-first ``auto_n_probe``), scan only those cells'
+    vectors. Because each corpus vector lives in exactly one cell, every
+    (query, neighbor) pair is scored at most once — no dedup/distinct
+    shuffle on the scored frame."""
+    if n_probe is None:
+        n_probe = auto_n_probe(centroids.count())
     qs = with_norm(queries, vec_col).select(F.col(id_col), "_vec", "_norm")
     q_assigned = ivf_assign(qs, centroids, n_probe=n_probe, id_col=id_col).select(
         F.col(id_col).alias("query_id"),
@@ -194,7 +214,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_cells: int | None = None,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -204,6 +224,48 @@ def ivf_topk(
     against it."""
     assigned, centroids = ivf_build_index(vectors, n_cells, vec_col, id_col)
     return ivf_search(assigned, centroids, queries, k, n_probe, vec_col, id_col)
+
+
+def ivf_probe_for_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    target_recall: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[int, float]:
+    """Tune ``n_probe`` for a corpus: smallest probe count whose recall@k
+    against brute-force ground truth meets ``target_recall`` on the given
+    query sample. Returns ``(n_probe, measured_recall)``.
+
+    This is an explicitly EAGER diagnostic (index-build + one brute-force
+    pass over the query sample + a doubling sweep of tiny count() scalars)
+    — run it once per corpus at ingest/index time, then pass the returned
+    n_probe to ``ivf_search`` for every subsequent query batch. At 100 TB
+    the query sample stays small (hundreds), so the brute-force truth pass
+    is |sample| x N — the same cost as one exact search, amortized over
+    the index lifetime."""
+    truth = cosine_topk(vectors, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    truth = truth.persist()
+    n_truth = truth.count()
+    assigned, centroids = ivf_build_index(vectors, None, vec_col, id_col)
+    assigned = assigned.persist()
+    n_cells = centroids.count()
+    n_probe, recall = 4, 0.0
+    while True:
+        res = ivf_search(
+            assigned, centroids, queries, k, n_probe, vec_col, id_col
+        ).select("query_id", "neighbor_id")
+        hits = truth.join(res, ["query_id", "neighbor_id"], "left_semi").count()
+        recall = hits / n_truth if n_truth else 1.0
+        if recall >= target_recall or n_probe >= n_cells:
+            break
+        n_probe = min(n_cells, n_probe * 2)
+    truth.unpersist()
+    assigned.unpersist()
+    return n_probe, recall
 
 
 def embedding_cosine_dup_pairs(

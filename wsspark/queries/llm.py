@@ -365,11 +365,14 @@ corpus_assign AS (
         ORDER BY {_CELL_COS_SQL} DESC, centroid_id) <= 1
 ),
 q_assign AS (
+    -- auto_n_probe: recall-first default, GREATEST(4, CEIL(3/4 n_cells))
     SELECT vec_id AS query_id, centroid_id, v AS qv, nrm AS qnrm
     FROM en CROSS JOIN cents
     WHERE vec_id % {QUERY_MOD} = 0
     QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-        ORDER BY {_CELL_COS_SQL} DESC, centroid_id) <= 4
+        ORDER BY {_CELL_COS_SQL} DESC, centroid_id)
+        <= (SELECT GREATEST(4, CAST(CEIL(3.0 * n_cells / 4) AS BIGINT))
+            FROM params)
 ),
 pairs AS (
     SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -619,6 +622,72 @@ SELECT query_id, neighbor_id,
 FROM short
 QUALIFY ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {ANN_K}
+"""
+
+
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both approximate ANN paths (IVF at its auto_n_probe
+    default, int8 quantized shortlist) against brute-force ground truth — the
+    accuracy/probe trade-off IS the operator's spec at 100 TB, so it ships
+    as a registered, driver-hash-checked diagnostic instead of an ad-hoc
+    notebook check. One row per method: truth pairs, hit pairs, recall.
+    All three top-k frames are computed in one plan; the left-semi hit
+    joins are on (query_id, neighbor_id) — tiny frames, broadcast by AQE.
+    Measured corpus recall is recorded in PLANS.md."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vectors, qs = _split_queries(emb)
+    truth = similarity.cosine_topk(vectors, qs, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    methods = {
+        "ivf": similarity.ivf_topk(vectors, qs, k=ANN_K),
+        "quantized": similarity.quantized_topk(vectors, qs, k=ANN_K),
+    }
+    out = None
+    for method, approx in sorted(methods.items()):
+        hits = truth.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        row = (
+            truth.agg(F.count("*").alias("n_truth_pairs"))
+            .crossJoin(hits.agg(F.count("*").alias("n_hit_pairs")))
+            .select(
+                F.lit(method).alias("method"),
+                "n_truth_pairs",
+                "n_hit_pairs",
+                F.round(
+                    F.col("n_hit_pairs") / F.col("n_truth_pairs"), 4
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method")
+
+
+ANN_RECALL_SQL = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({ANN_SQL})),
+ivf AS (SELECT query_id, neighbor_id FROM ({IVF_SQL})),
+quant AS (SELECT query_id, neighbor_id FROM ({QUANTIZED_ANN_SQL})),
+m AS (
+    SELECT 'ivf' AS method,
+           (SELECT COUNT(*) FROM truth) AS n_truth_pairs,
+           (SELECT COUNT(*) FROM truth t
+             WHERE EXISTS (SELECT 1 FROM ivf a
+                           WHERE a.query_id = t.query_id
+                             AND a.neighbor_id = t.neighbor_id)) AS n_hit_pairs
+    UNION ALL
+    SELECT 'quantized',
+           (SELECT COUNT(*) FROM truth),
+           (SELECT COUNT(*) FROM truth t
+             WHERE EXISTS (SELECT 1 FROM quant a
+                           WHERE a.query_id = t.query_id
+                             AND a.neighbor_id = t.neighbor_id))
+)
+SELECT method, n_truth_pairs, n_hit_pairs,
+       ROUND(CAST(n_hit_pairs AS DOUBLE) / n_truth_pairs, 4) AS recall_at_k
+FROM m ORDER BY method
 """
 
 
@@ -1267,6 +1336,8 @@ QUERIES = [
           "rule-based corpus quality gate with reject reasons"),
     Query("quantized_ann_topk", q_quantized_ann_topk, QUANTIZED_ANN_SQL,
           "int8-quantized shortlist + float re-rank cosine top-k"),
+    Query("ann_recall_at_k", q_ann_recall_at_k, ANN_RECALL_SQL,
+          "recall@k of IVF + quantized ANN vs brute-force ground truth"),
     Query("repetition_stats", q_repetition_stats, REPETITION_SQL,
           "Gopher-style repetition signals: top-word share + unique ratio"),
     Query("bigram_topk", q_bigram_topk, BIGRAM_SQL,
