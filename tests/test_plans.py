@@ -165,3 +165,31 @@ def test_moving_avg_reuses_single_sort(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # singlepartition window: exactly one Exchange SinglePartition for both frames
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_salted_agg_plan_has_salt_stage(spark, sf_dir):
+    """The registered salted aggregation must actually salt: stage 1
+    exchanges on (product_id, _salt) so a hot key spreads over n_salts
+    reducers, stage 2 exchanges on product_id alone carrying at most
+    n_salts partial rows per key."""
+    import re
+
+    plan = plan_of(build_registry()["salted_product_totals"].fn(spark, sf_dir))
+    assert "xxhash64" in plan, "salt derivation missing from plan"
+    # formatted explain puts the partitioning on the Exchange's Arguments
+    # line, not inline with the node name
+    exchanges = re.findall(r"hashpartitioning\(([^)]+)\)", plan)
+    assert any("_salt" in e for e in exchanges), "stage-1 salt exchange missing"
+    assert any("product_id" in e and "_salt" not in e for e in exchanges), (
+        "stage-2 merge exchange missing"
+    )
+
+
+def test_replicated_skew_join_plan_replicates_build(spark, sf_dir):
+    """The skew join must replicate the build side (explode over the salt
+    sequence) and join on (key, salt) — never a plain single-reducer-per-
+    hot-key join on product_id alone."""
+    plan = plan_of(build_registry()["skew_join_brand_revenue"].fn(spark, sf_dir))
+    assert "explode" in plan.lower(), "build-side salt replication missing"
+    assert "_salt" in plan, "join not keyed by salt"
+    assert "BatchEvalPython" not in plan

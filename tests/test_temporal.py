@@ -266,3 +266,87 @@ def test_scd2_plan_single_exchange(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Generative parity with pandas merge_asof — pins the full as-of semantics
+# (backward inclusive, max-tiebreak on ts ties, same-row struct carry
+# including legitimately-NULL payloads: the round-3 bug class).
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _asof_case(draw):
+    key = st.integers(0, 2)
+    tstamp = st.integers(0, 30)
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 12))
+    left = [(i, draw(key), draw(tstamp)) for i in range(n_left)]
+    right = [
+        (
+            100 + i,
+            draw(key),
+            draw(tstamp),
+            draw(st.one_of(st.none(), st.integers(-5, 5))),
+        )
+        for i in range(n_right)
+    ]
+    return left, right
+
+
+@given(_asof_case())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    """asof_join == pandas merge_asof(direction='backward',
+    allow_exact_matches=True) on randomized keys/timestamps, including
+    duplicate timestamps on both sides, keys missing from either side, and
+    NULL payload values in the matched right row (which must survive the
+    carry, not fall through to an older row)."""
+    import pandas as pd
+
+    left, right = case
+    ldf = spark.createDataFrame(left, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(right, "rid long, k long, rts long, val long")
+    out = temporal.asof_join(
+        ldf,
+        rdf,
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        right_cols=("rid", "val"),
+        tiebreak="rid",
+    )
+    got = {r["lid"]: (r["rid"], r["val"]) for r in out.collect()}
+
+    lp = pd.DataFrame(left, columns=["lid", "k", "lts"]).sort_values(
+        ["lts", "lid"], kind="mergesort"
+    )
+    rp = (
+        pd.DataFrame(right, columns=["rid", "k", "rts", "val"])
+        .astype({"rid": "int64", "k": "int64", "rts": "int64", "val": "float64"})
+        .sort_values(["rts", "rid"], kind="mergesort")
+    )
+    exp = pd.merge_asof(
+        lp,
+        rp,
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(row.lid): (
+            None if pd.isna(row.rid) else int(row.rid),
+            None if pd.isna(row.val) else int(row.val),
+        )
+        for row in exp.itertuples(index=False)
+    }
+    assert got == want

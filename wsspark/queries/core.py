@@ -1227,6 +1227,101 @@ SELECT decile, n_products,
 FROM agg ORDER BY decile
 """
 
+# ---------------------------------------------------------------------------
+# Skew paths (wsspark.skew) as driver-falsifiable rows: the reference bakes
+# in 80/20 hot-product skew (gen/generate_data.py:114-117), so the salted
+# two-phase agg and the replicated skew join are first-class operators, not
+# just pytest-covered helpers. Both are semantically identical to their
+# unsalted forms — which is exactly what the oracle verifies.
+# ---------------------------------------------------------------------------
+
+
+def q_salted_product_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-product movement totals via skew.salted_agg: stage 1 partials on
+    (product_id, salt) so a hot product spreads over 16 reducers, stage 2
+    merges partials per product. Quantities are integral doubles, so the
+    two-phase sum is exact and order-independent (= the single-pass oracle).
+    Plan shape (asserted in tests/test_plans.py): xxhash64 salt, two
+    HashAggregate pairs, ONE exchange keyed by product alone."""
+    from wsspark import skew
+
+    li = read_table(spark, sf_dir, "lineitem")
+    m = ad.movements_from_lineitem(li)
+    out = skew.salted_agg(
+        m,
+        keys=["product_id"],
+        aggs={
+            "total_qty": "sum(quantity)",
+            "n_moves": "count(*)",
+            "max_qty": "max(quantity)",
+        },
+        salt_source=["warehouse_id", "reference_id"],
+    )
+    return out.select(
+        "product_id",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        F.col("n_moves").cast("long").alias("n_moves"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
+SALTED_TOTALS_SQL = f"""
+WITH m AS ({ad.MOVEMENTS_SQL})
+SELECT product_id,
+       CAST(SUM(quantity) AS DOUBLE) AS total_qty,
+       COUNT(*) AS n_moves,
+       CAST(MAX(quantity) AS DOUBLE) AS max_qty
+FROM m GROUP BY product_id
+"""
+
+
+def q_skew_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movement revenue per part brand via skew.replicated_skew_join:
+    the part side replicates 8x and the (hot-keyed) movement side salts,
+    so no single reducer owns a hot product's rows even when the build
+    side exceeds the broadcast threshold. Cents-exact revenue keeps the
+    result bit-identical to the plain-join oracle."""
+    from wsspark import skew
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("product_id"), "p_brand", "p_retailprice"
+    )
+    m = ad.movements_from_lineitem(li).withColumn(
+        "abs_qty", F.abs(F.col("quantity"))
+    )
+    joined = skew.replicated_skew_join(
+        m,
+        part,
+        keys=["product_id"],
+        n_salts=8,
+        probe_salt_source=["warehouse_id", "reference_id"],
+    )
+    cents = ex.cents(F.col("abs_qty") * F.col("p_retailprice"))
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.sum(cents).alias("_c"),
+            F.count("*").cast("long").alias("n_moves"),
+        )
+        .select(
+            "p_brand",
+            (F.col("_c").cast("double") / 100).alias("gross_value"),
+            "n_moves",
+        )
+    )
+
+
+SKEW_JOIN_SQL = f"""
+WITH m AS ({ad.MOVEMENTS_SQL})
+SELECT p.p_brand,
+       CAST(SUM(CAST(ROUND(ABS(m.quantity) * p.p_retailprice * 100, 0)
+                AS BIGINT)) AS DOUBLE) / 100 AS gross_value,
+       COUNT(*) AS n_moves
+FROM m JOIN part p ON m.product_id = p.p_partkey
+GROUP BY p.p_brand
+"""
+
 
 QUERIES = [
     Query("abc_analysis", q_abc_analysis, ABC_SQL,
@@ -1299,4 +1394,8 @@ QUERIES = [
           "rolling 7-day mean + cumulative total over gap-filled daily trend"),
     Query("revenue_deciles", q_revenue_deciles, REVENUE_DECILES_SQL,
           "ntile(10) revenue decile table with cents-exact shares"),
+    Query("salted_product_totals", q_salted_product_totals, SALTED_TOTALS_SQL,
+          "hot-key-safe two-phase salted aggregation (skew.salted_agg)"),
+    Query("skew_join_brand_revenue", q_skew_join_brand_revenue, SKEW_JOIN_SQL,
+          "replicated-build salted equi-join (skew.replicated_skew_join)"),
 ]
