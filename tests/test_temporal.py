@@ -303,7 +303,7 @@ def _asof_case(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_asof_join_matches_pandas_merge_asof(spark, case):
+def test_asof_join_property_merge_asof(spark, case):
     """asof_join == pandas merge_asof(direction='backward',
     allow_exact_matches=True) on randomized keys/timestamps, including
     duplicate timestamps on both sides, keys missing from either side, and
@@ -348,5 +348,48 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
             None if pd.isna(row.val) else int(row.val),
         )
         for row in exp.itertuples(index=False)
+    }
+    assert got == want
+
+
+@st.composite
+def _range_case(draw):
+    key = st.integers(0, 2)
+    tus = st.integers(0, 20_000_000)  # 0-20s in microseconds
+    n_left = draw(st.integers(1, 10))
+    n_right = draw(st.integers(0, 15))
+    w = draw(st.sampled_from([1, 2, 5]))
+    left = [(i, draw(key), draw(tus)) for i in range(n_left)]
+    right = [(draw(key), draw(tus)) for _ in range(n_right)]
+    return left, right, w
+
+
+@given(_range_case())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bucketed_range_count_matches_bruteforce(spark, case):
+    """bucketed_range_count == the brute-force inequality count on
+    randomized keys and SUB-SECOND timestamps: the two-bucket equi-join
+    decomposition plus exact microsecond bounds must never over- or
+    under-count at bucket edges, window boundaries (inclusive start,
+    exclusive end), or for zero-match left rows."""
+    left, right, w = case
+    ldf = spark.createDataFrame(left, "lid long, k long, tus long").select(
+        "lid", "k", F.timestamp_micros("tus").alias("ts")
+    )
+    rdf = spark.createDataFrame(right, "k long, tus long").select(
+        "k", F.timestamp_micros("tus").alias("rts")
+    )
+    out = temporal.bucketed_range_count(
+        ldf, rdf, on="k", left_ts="ts", right_ts="rts", window_seconds=w
+    )
+    got = {r["lid"]: r["n_in_window"] for r in out.collect()}
+    wus = w * 1_000_000
+    want = {
+        lid: sum(1 for rk, rus in right if rk == k and lus - wus <= rus < lus)
+        for lid, k, lus in left
     }
     assert got == want
