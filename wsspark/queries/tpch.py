@@ -422,6 +422,152 @@ ORDER BY c_mktsegment
 """
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between (supplier nation, customer
+    nation) pairs per ship year. Six-table chain where every dimension
+    (customer, supplier, nation twice) broadcasts — the only shuffle is
+    the final (nation, nation, year) rollup, which map-side combines. The
+    same nation table is broadcast under two aliases; Catalyst plans it as
+    two independent builds, so no ambiguity and no self-join shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("_sn_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("_cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            ex.money_sum(disc).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+NATION_TRADE_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       {ex.money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_nation_year_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: gross margin by supplier nation and order year
+    (testdata has no partsupp, so the cost leg is the part's retail price x
+    quantity — same join/agg skeleton, deterministic data). Revenue and
+    cost are summed as independent exact cent longs and differenced, so
+    the margin is order-independent to the cent across engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cost = F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            (ex.money_sum(disc) - ex.money_sum(cost)).alias("gross_margin"),
+            ex.money_sum(disc).alias("revenue"),
+        )
+    )
+
+
+NATION_MARGIN_SQL = f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+       {ex.money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")}
+           - {ex.money_sum_sql("p.p_retailprice * l.l_quantity")} AS gross_margin,
+       {ex.money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+LARGE_ORDER_MIN_QTY = 150
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with their customer. The HAVING filter collapses the fact
+    FIRST (one groupBy on the already-order-keyed scan), so only the few
+    qualifying order keys join back — orders/customer broadcast against
+    that tiny set. Pinned (total_qty DESC, o_orderkey) top-100."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))  # integral doubles: exact
+        .filter(F.col("total_qty") > LARGE_ORDER_MIN_QTY)
+    )
+    return (
+        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+LARGE_ORDERS_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey, SUM(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > {LARGE_ORDER_MIN_QTY}
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       big.total_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY big.total_qty DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, PRICING_SQL,
           "TPC-H Q1-shape grouped pricing rollup"),
@@ -444,4 +590,10 @@ QUERIES = [
           "TPC-H Q13-shape outer-join order-count distribution"),
     Query("idle_rich_customers", q_idle_rich_customers, IDLE_RICH_SQL,
           "TPC-H Q22-shape broadcast scalar threshold + anti-join rollup"),
+    Query("nation_trade_volume", q_nation_trade_volume, NATION_TRADE_SQL,
+          "TPC-H Q7-shape 6-way chain with a dimension broadcast twice"),
+    Query("nation_year_margin", q_nation_year_margin, NATION_MARGIN_SQL,
+          "TPC-H Q9-shape margin rollup, cents-exact sum difference"),
+    Query("large_orders", q_large_orders, LARGE_ORDERS_SQL,
+          "TPC-H Q18-shape HAVING-collapsed fact + broadcast join-back"),
 ]
