@@ -358,3 +358,65 @@ def test_stream_interval_join_matches_batch_range_join(spark, sf_dir, events_dir
     want_pairs = set(map(tuple, want.itertuples(index=False)))
     assert got_pairs == want_pairs
     assert len(want_pairs) > 0  # the comparison is falsifiable
+
+
+def test_distinct_daily_actors_dedups_across_batches(spark, tmp_path):
+    """The dropDuplicates state store must suppress a duplicate key arriving
+    in a LATER micro-batch (same user/type/day), while a new day for the
+    same user still emits — cross-batch state, restored from the
+    checkpoint between availableNow runs."""
+    import datetime as dt
+    import os
+
+    from wsspark import streaming as stx
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+    schema = "event_id LONG, ts TIMESTAMP, event_type STRING, user_id LONG"
+    day = dt.datetime(2024, 1, 10)
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        out = stx.distinct_daily_actors(stream)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # batch 1: user 1 clicks twice on Jan 10 (in-batch dup), user 2 once
+    spark.createDataFrame(
+        [
+            (1, day + dt.timedelta(hours=1), "click", 1),
+            (2, day + dt.timedelta(hours=2), "click", 1),
+            (3, day + dt.timedelta(hours=3), "click", 2),
+        ],
+        schema,
+    ).write.parquet(src + "/b1")
+    run_batch()
+    # batch 2: user 1 clicks Jan 10 AGAIN (cross-batch dup -> suppressed)
+    # and Jan 11 (new day -> emitted)
+    spark.createDataFrame(
+        [
+            (4, day + dt.timedelta(hours=5), "click", 1),
+            (5, day + dt.timedelta(days=1), "click", 1),
+        ],
+        schema,
+    ).write.parquet(src + "/b2")
+    run_batch()
+
+    got = {
+        (r["user_id"], r["event_type"], r["day"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        (1, "click", day),
+        (2, "click", day),
+        (1, "click", day + dt.timedelta(days=1)),
+    }

@@ -168,12 +168,35 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def q_streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-evicted streaming dropDuplicates computed by the STREAM
+    path and verified against batch SELECT DISTINCT — the stateful dedup
+    twin of the batch event_dedup_first_daily operator."""
+    stream = streaming.read_event_stream(spark, _stage_stream_dir(sf_dir))
+    return _run_append_to_table(
+        streaming.distinct_daily_actors(stream), spark, "q_stream_event_dedup"
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events
+"""
+
+
 QUERIES = [
     Query(
         "streaming_daily_counts",
         q_streaming_daily_counts,
         STREAMING_DAILY_SQL,
         "§2.10 as a driver row: availableNow stream -> window agg == batch SQL",
+    ),
+    Query(
+        "streaming_event_dedup",
+        q_streaming_event_dedup,
+        STREAMING_DEDUP_SQL,
+        "§2.10 stateful dedup: watermark-evicted dropDuplicates == DISTINCT",
     ),
     Query(
         "streaming_sessionize",

@@ -189,6 +189,28 @@ def session_window_stats(
     )
 
 
+def distinct_daily_actors(
+    events: DataFrame,
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming deduplication with bounded state: first sighting of each
+    (user_id, event_type, day) key emits one row; later duplicates are
+    dropped by the dropDuplicates state store. The truncated event-time
+    column ``day`` is part of the dedup key AND carries the watermark, so
+    state for a day is EVICTED once the watermark passes it — the shape
+    that keeps streaming dedup O(active window) instead of O(history) at
+    100 TB. Output is the distinct key set (no first-arrival payload
+    columns), which makes the result deterministic and batch-SQL
+    oracle-able: identical to SELECT DISTINCT over the bounded input."""
+    return (
+        events.withColumn("day", F.date_trunc("day", F.col(ts_col)))
+        .withWatermark("day", watermark)
+        .dropDuplicates(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+
+
 def stream_click_attribution(
     events: DataFrame,
     window_seconds: int = 3600,
