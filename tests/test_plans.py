@@ -193,3 +193,22 @@ def test_replicated_skew_join_plan_replicates_build(spark, sf_dir):
     assert "explode" in plan.lower(), "build-side salt replication missing"
     assert "_salt" in plan, "join not keyed by salt"
     assert "BatchEvalPython" not in plan
+
+
+def test_new_tpch_shapes_broadcast_dimensions(spark, sf_dir):
+    """Q7/Q9/Q18 shapes must broadcast every dimension: the only sort-merge
+    /shuffle joins allowed are fact-to-fact (lineitem-orders)."""
+    reg = build_registry()
+    for name in ("nation_trade_volume", "nation_year_margin", "large_orders"):
+        plan = plan_of(reg[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}: dimensions not broadcast"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian fallback"
+
+
+def test_large_orders_collapses_fact_before_join(spark, sf_dir):
+    """Q18's HAVING filter must run on the fact aggregate BEFORE any join:
+    the join-back inputs are the filtered aggregate and broadcast dims."""
+    plan = plan_of(build_registry()["large_orders"].fn(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("BroadcastHashJoin")
+    assert agg_pos != -1 and join_pos != -1
