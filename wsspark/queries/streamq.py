@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from wsspark import streaming
+from wsspark.io import read_table
 from wsspark.queries import Query
 
 
@@ -185,6 +186,28 @@ FROM events
 """
 
 
+def q_streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join computed by the STREAM path (events
+    stream enriched with the static customer dimension per micro-batch)
+    and verified against the batch join twin."""
+    stream = streaming.read_event_stream(spark, _stage_stream_dir(sf_dir))
+    dim = read_table(spark, sf_dir, "customer")
+    return _run_to_table(
+        streaming.stream_static_enrichment(stream, dim),
+        spark,
+        "q_stream_seg_counts",
+    )
+
+
+STREAMING_SEGMENT_SQL = """
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     Query(
         "streaming_daily_counts",
@@ -197,6 +220,12 @@ QUERIES = [
         q_streaming_event_dedup,
         STREAMING_DEDUP_SQL,
         "§2.10 stateful dedup: watermark-evicted dropDuplicates == DISTINCT",
+    ),
+    Query(
+        "streaming_segment_counts",
+        q_streaming_segment_counts,
+        STREAMING_SEGMENT_SQL,
+        "§2.10 stream-static broadcast enrichment == batch join twin",
     ),
     Query(
         "streaming_sessionize",

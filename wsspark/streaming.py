@@ -189,6 +189,28 @@ def session_window_stats(
     )
 
 
+def stream_static_enrichment(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    seg_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins against a STATIC
+    dimension (broadcast — the stream side never shuffles for the join),
+    then rolls up counts and cents-exact value per (segment, event_type).
+    The static side is re-resolvable per batch in production (slowly
+    refreshed dim tables); no state beyond the aggregation itself."""
+    joined = events.join(
+        F.broadcast(dim.select(dim_key, seg_col)), F.col(key) == F.col(dim_key)
+    )
+    return joined.groupBy(seg_col, "event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100
+         ).alias("total_value"),
+    )
+
+
 def distinct_daily_actors(
     events: DataFrame,
     watermark: str = "1 day",
