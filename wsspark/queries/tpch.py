@@ -568,6 +568,157 @@ LIMIT 100
 """
 
 
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum shipped revenue. The
+    classic form computes the max in a scalar subquery over a view; the
+    Spark-first shape is ONE aggregate pass + a max window over the empty
+    partition (broadcast-size frame, no second fact scan), then an exact
+    equality filter — safe because revenue is a cents-exact double."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(ex.money_sum(disc).alias("total_revenue"))
+    top = (
+        rev.withColumn(
+            "_max", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .drop("_max")
+    )
+    return (
+        top.join(F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           {ex.money_sum_sql("l_extendedprice * (1 - l_discount)")}
+               AS total_revenue
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def q_bracketed_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate over part
+    attributes x quantity brackets. One broadcast part join; the
+    disjunction stays a single native predicate (Catalyst factors the
+    common conjuncts), no union-of-three-scans."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q, sz = F.col("l_quantity"), F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11) & sz.between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20) & sz.between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & q.between(20, 30) & sz.between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            ex.money_sum(disc).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRACKETED_SQL = f"""
+SELECT p.p_brand,
+       {ex.money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+       AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+       AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30
+       AND p.p_size BETWEEN 1 AND 15)
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+MKT_SHARE_REGION = "ASIA"
+MKT_SHARE_NATION = "NATION_4"
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's shipped revenue
+    per order year. Share = conditional cents sum / total cents sum in a
+    single aggregate pass (no second scan, no join-back); both sums are
+    exact longs so the 6dp share is engine-stable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MKT_SHARE_REGION
+    )
+    disc_cents = ex.cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    sn = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("_sn_name")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cr_key")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), customer.c_nationkey == F.col("_cn_key"))
+        .join(F.broadcast(region), F.col("_cr_key") == region.r_regionkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("_sn_key"))
+    )
+    in_nation = F.when(
+        F.col("_sn_name") == MKT_SHARE_NATION, disc_cents
+    ).otherwise(F.lit(0))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            (F.sum(in_nation).cast("double") / 100).alias("nation_revenue"),
+            (F.sum(disc_cents).cast("double") / 100).alias("region_revenue"),
+            F.round(F.sum(in_nation) / F.sum(disc_cents), 6).alias("mkt_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+MKT_SHARE_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CASE WHEN n1.n_name = '{MKT_SHARE_NATION}'
+                THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                          AS BIGINT) ELSE 0 END) AS DOUBLE) / 100
+           AS nation_revenue,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                AS BIGINT)) AS DOUBLE) / 100 AS region_revenue,
+       ROUND(CAST(SUM(CASE WHEN n1.n_name = '{MKT_SHARE_NATION}'
+                      THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                      * 100, 0) AS BIGINT) ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                        AS BIGINT)), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey AND r.r_name = '{MKT_SHARE_REGION}'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, PRICING_SQL,
           "TPC-H Q1-shape grouped pricing rollup"),
@@ -596,4 +747,10 @@ QUERIES = [
           "TPC-H Q9-shape margin rollup, cents-exact sum difference"),
     Query("large_orders", q_large_orders, LARGE_ORDERS_SQL,
           "TPC-H Q18-shape HAVING-collapsed fact + broadcast join-back"),
+    Query("top_supplier_revenue", q_top_supplier_revenue, TOP_SUPPLIER_SQL,
+          "TPC-H Q15-shape argmax via window over one aggregate pass"),
+    Query("bracketed_part_revenue", q_bracketed_part_revenue, BRACKETED_SQL,
+          "TPC-H Q19-shape OR-of-ANDs bracket predicate revenue"),
+    Query("nation_market_share", q_nation_market_share, MKT_SHARE_SQL,
+          "TPC-H Q8-shape conditional-share per year, single pass"),
 ]
