@@ -217,3 +217,30 @@ def test_malformed_wav_falls_back_to_digest():
     feat = multimodal.decode_image_stub(payload)
     assert len(feat) == multimodal.FEATURE_DIM
     assert all(0.0 <= v <= 1.0 for v in feat)
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: a malformed payload must NEVER crash the decoder (an executor
+# exception at 100 TB kills the whole stage) — every input either decodes,
+# falls back to the digest vector, or raises the explicit codec
+# NotImplementedError. Nothing else may escape.
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_magic_prefixes = st.sampled_from(
+    [b"", b"BM", b"P6", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"\x89PNG",
+     b"\xff\xd8\xff\xe0"]
+)
+
+
+@given(_magic_prefixes, st.binary(min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_decode_never_crashes_on_malformed_payloads(prefix, junk):
+    payload = prefix + junk
+    try:
+        out = multimodal.decode_image_stub(payload)
+    except NotImplementedError:
+        return  # the explicit codec boundary — allowed
+    assert isinstance(out, list) and len(out) == multimodal.FEATURE_DIM
