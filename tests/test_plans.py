@@ -196,19 +196,105 @@ def test_replicated_skew_join_plan_replicates_build(spark, sf_dir):
 
 
 def test_new_tpch_shapes_broadcast_dimensions(spark, sf_dir):
-    """Q7/Q9/Q18 shapes must broadcast every dimension: the only sort-merge
+    """Q7/Q9/Q18 shapes must broadcast their small side: the only sort-merge
     /shuffle joins allowed are fact-to-fact (lineitem-orders)."""
     reg = build_registry()
     for name in ("nation_trade_volume", "nation_year_margin", "large_orders"):
         plan = plan_of(reg[name].fn(spark, sf_dir))
-        assert "BroadcastHashJoin" in plan, f"{name}: dimensions not broadcast"
+        assert "BroadcastHashJoin" in plan, f"{name}: small side not broadcast"
         assert "CartesianProduct" not in plan, f"{name}: cartesian fallback"
 
 
-def test_large_orders_collapses_fact_before_join(spark, sf_dir):
-    """Q18's HAVING filter must run on the fact aggregate BEFORE any join:
-    the join-back inputs are the filtered aggregate and broadcast dims."""
-    plan = plan_of(build_registry()["large_orders"].fn(spark, sf_dir))
+def _tree_nodes(plan: str):
+    """(indent, name, id) triples from the formatted-explain tree section
+    (the first paragraph after '== Physical Plan ==')."""
+    import re
+
+    tree = plan.split("\n\n", 1)[0]
+    out = []
+    for line in tree.splitlines():
+        m = re.match(r"^([:+\-\s*]*)([A-Za-z][^(]*)\((\d+)\)\s*$", line)
+        if m:
+            out.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+    return out
+
+
+def _broadcast_subtrees(plan: str):
+    """For each BroadcastExchange in the tree: (first non-Filter/Project
+    descendant name, set of descendant node ids)."""
+    nodes = _tree_nodes(plan)
+    subtrees = []
+    for i, (ind, name, _nid) in enumerate(nodes):
+        if "BroadcastExchange" not in name:
+            continue
+        desc, child = set(), None
+        for ind2, name2, nid2 in nodes[i + 1:]:
+            if ind2 <= ind:
+                break
+            if child is None and name2 not in ("Filter", "Project"):
+                child = name2
+            desc.add(nid2)
+        subtrees.append((child, desc))
+    return subtrees
+
+
+def _scan_ids_for(plan: str, table: str):
+    """Node ids of parquet scans whose Location mentions <table>.parquet."""
+    import re
+
+    ids, cur = set(), None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) Scan parquet", line)
+        if m:
+            cur = int(m.group(1))
+            continue
+        if cur is not None and "Location" in line:
+            if f"{table}.parquet" in line:
+                ids.add(cur)
+            cur = None
+    return ids
+
+
+def test_large_orders_scale_safe_build_sides(spark, sf_dir):
+    """Q18 at 100 TB: the HAVING set is ~20% of orders, so NO base table may
+    ever be a broadcast build side. The fact collapses through the l_orderkey
+    aggregate, shuffle-joins orders, and only the limit-bounded top-100 frame
+    is broadcast into customer — i.e. (a) the customer scan is never inside a
+    BroadcastExchange, and (b) any BroadcastExchange whose subtree touches a
+    fact scan must be fed by TakeOrderedAndProject (the distributed top-k).
+
+    Auto-broadcast is disabled while building the plan: at test SF Catalyst
+    legitimately broadcasts small tables by stats; with it off, the only
+    broadcasts left are the HINTED ones — exactly what survives at 100 TB."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        plan = plan_of(build_registry()["large_orders"].fn(spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("BroadcastHashJoin")
     assert agg_pos != -1 and join_pos != -1
+
+    customer_ids = _scan_ids_for(plan, "customer")
+    fact_ids = _scan_ids_for(plan, "orders") | _scan_ids_for(plan, "lineitem")
+    assert customer_ids and fact_ids, "scan nodes not found in formatted plan"
+    subtrees = _broadcast_subtrees(plan)
+    assert subtrees, "no BroadcastExchange in plan"
+    for child, desc in subtrees:
+        assert not (customer_ids & desc), "customer is a broadcast build side"
+        if fact_ids & desc:
+            assert child == "TakeOrderedAndProject", (
+                f"fact-scale broadcast not limit-bounded (child={child})"
+            )

@@ -524,10 +524,19 @@ LARGE_ORDER_MIN_QTY = 150
 
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total line quantity exceeds a
-    threshold, with their customer. The HAVING filter collapses the fact
-    FIRST (one groupBy on the already-order-keyed scan), so only the few
-    qualifying order keys join back — orders/customer broadcast against
-    that tiny set. Pinned (total_qty DESC, o_orderkey) top-100."""
+    threshold, with their customer. Pinned (total_qty DESC, o_orderkey)
+    top-100.
+
+    Scale shape (the HAVING set is ~20% of orders — measured on the
+    testdata — so NEITHER it nor any base table is broadcastable at
+    100 TB): the fact collapses through one l_orderkey groupBy, shuffle-
+    joins orders on the same key (the aggregate's partitioning is reused;
+    only orders exchanges), the top-100 is taken DISTRIBUTED
+    (TakeOrderedAndProject — each partition keeps 100, driver merges),
+    and only that 100-row frame is broadcast into customer. Taking the
+    limit before the customer join is exact because o_custkey → customer
+    is FK-intact (verified 0 orphans on the testdata; TPC-H guarantees
+    referential integrity)."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -536,9 +545,15 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("total_qty"))  # integral doubles: exact
         .filter(F.col("total_qty") > LARGE_ORDER_MIN_QTY)
     )
+    top = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+                "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
     return (
-        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        customer.join(F.broadcast(top), top.o_custkey == customer.c_custkey)
         .select(
             "c_name",
             "o_custkey",
@@ -548,7 +563,6 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
-        .limit(100)
     )
 
 
