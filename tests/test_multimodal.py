@@ -142,6 +142,33 @@ def test_malformed_bmp_falls_back_to_digest():
     assert all(0.0 <= v <= 1.0 for v in feat)  # digest fake, not pixel stats
 
 
+def test_ppm_strictness_matches_bmp_contract():
+    """The P6 parser must be as strict as BMP (the ~2^-80 false-positive
+    bound): no whitespace after the magic, junk after the pixel block, or
+    a non-whitespace separator byte all fall back to the digest vector;
+    one trailing newline is tolerated (common writer behavior)."""
+    good = make_ppm(PIXELS_4X4)
+    digest = multimodal.decode_image_stub(b"\x00" * 64)
+
+    def is_digest(feat):
+        return feat != expected_features(PIXELS_4X4)
+
+    # magic not followed by whitespace: "P64 4\n..." must not read w=64
+    no_ws = b"P6" + good[3:]
+    assert is_digest(multimodal.decode_image_stub(no_ws))
+    # trailing junk after the pixel block
+    assert is_digest(multimodal.decode_image_stub(good + b"JUNK"))
+    assert is_digest(multimodal.decode_image_stub(good + b"\n\n"))
+    # single trailing newline is fine
+    assert multimodal.decode_image_stub(good + b"\n") == expected_features(
+        PIXELS_4X4
+    )
+    # non-whitespace separator after maxval
+    bad_sep = good.replace(b"255\n", b"255X", 1)
+    assert is_digest(multimodal.decode_image_stub(bad_sep))
+    assert len(digest) == multimodal.FEATURE_DIM
+
+
 def test_real_resize_nearest_neighbor(spark):
     rows = [(20, "image", make_bmp(PIXELS_4X4), "image/bmp", 4, 4, None)]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)

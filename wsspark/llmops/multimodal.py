@@ -93,7 +93,15 @@ def _make_pixel_parser():
         return w, n_rows, bytes(out)
 
     def _parse_ppm(b: bytes):
-        # P6 <ws> width <ws> height <ws> maxval <one ws> raw RGB rows
+        # P6 <ws> width <ws> height <ws> maxval <one ws> raw RGB rows.
+        # Symmetric strictness with the BMP parser (the ~2^-80
+        # false-positive bound): the magic must be FOLLOWED by whitespace
+        # (else b"P6123..." silently reads "123" as width), the single
+        # byte after maxval must itself be whitespace, and the payload
+        # length must be exactly header + w*h*3 (one optional trailing
+        # newline tolerated) so trailing junk falls back to sha256.
+        if not b[2:3].isspace():
+            return None
         pos, fields = 2, []
         while len(fields) < 3:
             while pos < len(b) and b[pos : pos + 1].isspace():
@@ -107,10 +115,15 @@ def _make_pixel_parser():
         w, h, maxval = fields
         if maxval != 255 or not (0 < w <= 1 << 15) or not (0 < h <= 1 << 15):
             return None
-        pos += 1  # exactly one whitespace byte after maxval, per spec
-        if pos + w * h * 3 > len(b):
+        if not b[pos : pos + 1].isspace():
             return None
-        return w, h, b[pos : pos + w * h * 3]
+        pos += 1  # exactly one whitespace byte after maxval, per spec
+        end = pos + w * h * 3
+        if end > len(b):
+            return None
+        if len(b) > end and not (len(b) == end + 1 and b[end:] in (b"\n", b"\r")):
+            return None
+        return w, h, b[pos:end]
 
     def parse(b: bytes):
         if b[:2] == b"BM":

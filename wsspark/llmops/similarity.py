@@ -131,14 +131,18 @@ def ivf_build_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Build the IVF index: ``(assigned, centroids)``. Centroids default to
-    a deterministic hash-spread sample (``spread_centroids``) with
-    ``n_cells`` ~sqrt(N) (``auto_n_cells``); pass ``centroids`` — a
+) -> tuple[DataFrame, DataFrame, int]:
+    """Build the IVF index: ``(assigned, centroids, n_cells)``. Centroids
+    default to a deterministic hash-spread sample (``spread_centroids``)
+    with ``n_cells`` ~sqrt(N) (``auto_n_cells``); pass ``centroids`` — a
     (centroid_id, _vec, _norm) frame, e.g. k-means-refined means — to
     build over trained cells instead (measured: +0.1 recall at equal
     probe on the synthetic corpus, see PLANS.md ANN recall). Each corpus
     vector is assigned to exactly ONE cell either way.
+
+    ``n_cells`` is resolved HERE (one tiny count at build time when the
+    caller didn't fix it) so ``ivf_search`` can derive its default
+    ``n_probe`` without firing a hidden per-search Spark job.
 
     This is the expensive phase — N x n_cells centroid dot products — and
     in production it runs ONCE (persist/cache ``assigned``) and is
@@ -152,10 +156,12 @@ def ivf_build_index(
         if n_cells is None:
             n_cells = auto_n_cells(corpus)
         centroids = spread_centroids(corpus, n_cells, id_col=id_col)
+    elif n_cells is None:
+        n_cells = centroids.count()
     assigned = ivf_assign(corpus, centroids, n_probe=1, id_col=id_col).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id", "_vec", "_norm"
     )
-    return assigned, centroids
+    return assigned, centroids, n_cells
 
 
 def kmeans_centroids(
@@ -165,12 +171,30 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Lloyd-refined centroids in the (centroid_id, _vec, _norm) shape
-    ``ivf_build_index`` accepts — the trained-cell upgrade path for IVF.
-    Same distributed iteration as ``kmeans_embeddings`` (broadcast argmin,
-    one k x dim exchange per round), returning the means instead of the
-    assignment."""
-    corpus = with_norm(vectors, vec_col).select(F.col(id_col), "_vec", "_norm")
+    """SPHERICAL Lloyd-refined centroids in the (centroid_id, _vec, _norm)
+    shape ``ivf_build_index`` accepts — the trained-cell upgrade path for
+    IVF. Same distributed iteration as ``kmeans_embeddings`` (broadcast
+    argmin, one k x dim exchange per round), returning the means instead
+    of the assignment.
+
+    ``ivf_assign``/``ivf_search`` assign by COSINE, so the refinement must
+    optimize the same metric: corpus vectors and the per-round means are
+    unit-normalized (spherical k-means), which makes the squared-Euclidean
+    argmin below identical to the cosine argmin (||a-b||^2 = 2 - 2cos for
+    unit vectors). Refining unnormalized means by plain Euclidean distance
+    — the pre-round-6 behavior — silently optimizes a different objective
+    than the one search uses."""
+    corpus = (
+        with_norm(vectors, vec_col)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("_vec"),
+                lambda x: x / F.greatest(F.col("_norm"), F.lit(1e-12)),
+            ).alias("_vec"),
+        )
+        .withColumn("_norm", norm(F.col("_vec")))
+    )
     corpus = corpus.localCheckpoint()
     cents = spread_centroids(corpus, k, id_col=id_col).select(
         "centroid_id", F.col("_vec").alias("_cvec")
@@ -214,7 +238,15 @@ def kmeans_centroids(
             )
             .select(
                 "centroid_id",
-                F.coalesce(F.col("_new"), F.col("old._cvec")).alias("_cvec"),
+                F.coalesce(F.col("_new"), F.col("old._cvec")).alias("_m"),
+            )
+            .select("centroid_id", "_m", norm(F.col("_m")).alias("_mn"))
+            .select(
+                "centroid_id",
+                F.transform(
+                    F.col("_m"),
+                    lambda x: x / F.greatest(F.col("_mn"), F.lit(1e-12)),
+                ).alias("_cvec"),
             )
             .localCheckpoint()
         )
@@ -248,14 +280,20 @@ def ivf_search(
     n_probe: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Search a prebuilt IVF index: queries probe ``n_probe`` cells
     (default: recall-first ``auto_n_probe``), scan only those cells'
     vectors. Because each corpus vector lives in exactly one cell, every
     (query, neighbor) pair is scored at most once — no dedup/distinct
-    shuffle on the scored frame."""
+    shuffle on the scored frame.
+
+    Stays LAZY when ``n_probe`` is given, or when ``n_cells`` (returned
+    by ``ivf_build_index``) is passed for the auto default. Only the
+    both-None fallback fires an eager count — per-search, so avoid it on
+    hot paths."""
     if n_probe is None:
-        n_probe = auto_n_probe(centroids.count())
+        n_probe = auto_n_probe(n_cells if n_cells is not None else centroids.count())
     qs = with_norm(queries, vec_col).select(F.col(id_col), "_vec", "_norm")
     q_assigned = ivf_assign(qs, centroids, n_probe=n_probe, id_col=id_col).select(
         F.col(id_col).alias("query_id"),
@@ -292,8 +330,10 @@ def ivf_topk(
     oracle-checked query shape). For repeated searching, call
     ``ivf_build_index`` once, persist ``assigned``, and ``ivf_search``
     against it."""
-    assigned, centroids = ivf_build_index(vectors, n_cells, vec_col, id_col)
-    return ivf_search(assigned, centroids, queries, k, n_probe, vec_col, id_col)
+    assigned, centroids, n_cells = ivf_build_index(vectors, n_cells, vec_col, id_col)
+    return ivf_search(
+        assigned, centroids, queries, k, n_probe, vec_col, id_col, n_cells=n_cells
+    )
 
 
 def ivf_probe_for_recall(
@@ -320,9 +360,8 @@ def ivf_probe_for_recall(
     )
     truth = truth.persist()
     n_truth = truth.count()
-    assigned, centroids = ivf_build_index(vectors, None, vec_col, id_col)
+    assigned, centroids, n_cells = ivf_build_index(vectors, None, vec_col, id_col)
     assigned = assigned.persist()
-    n_cells = centroids.count()
     n_probe, recall = 4, 0.0
     while True:
         res = ivf_search(
