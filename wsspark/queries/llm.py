@@ -1312,8 +1312,6 @@ QUERIES = [
           "winnowing fingerprint candidate pairs (portable hash)"),
     Query("ann_cosine_topk", q_ann_cosine_topk, ANN_SQL,
           "brute-force cosine top-k over embeddings"),
-    Query("ivf_ann_topk", q_ivf_ann_topk, IVF_SQL,
-          "IVF-bucketed approximate cosine top-k"),
     Query("embedding_dup_pairs", q_embedding_dup_pairs, EMB_DUP_SQL,
           "embedding-cosine near-dup pairs, cell-blocked"),
     Query("json_extract_agg", q_json_extract_agg, JSON_EXTRACT_SQL,
@@ -1334,8 +1332,6 @@ QUERIES = [
           "deterministic hash-gated per-language sampling (domain mixing)"),
     Query("quality_filter", q_quality_filter, QUALITY_FILTER_SQL,
           "rule-based corpus quality gate with reject reasons"),
-    Query("quantized_ann_topk", q_quantized_ann_topk, QUANTIZED_ANN_SQL,
-          "int8-quantized shortlist + float re-rank cosine top-k"),
     Query("ann_recall_at_k", q_ann_recall_at_k, ANN_RECALL_SQL,
           "recall@k of IVF + quantized ANN vs brute-force ground truth"),
     Query("repetition_stats", q_repetition_stats, REPETITION_SQL,
@@ -1360,4 +1356,21 @@ QUERIES = [
           "percent_rank length-outlier gate per language"),
     Query("cross_source_overlap", q_cross_source_overlap, CROSS_SOURCE_SQL,
           "verbatim texts appearing under multiple sources"),
+]
+
+# Registry-slot policy (round 6): the driver window holds 50 of a 100-query
+# ceiling (2x window = the every-other-round verification guarantee pinned
+# by tests/test_registry.py). When the registry nears the ceiling, CONSOLIDATE
+# before relaxing the bound: near-duplicate diagnostics whose outputs are
+# constituents of a stronger registered check get folded here. These keep
+# their full DuckDB-oracle hash check in pytest (tests/test_folded_oracles.py,
+# which reuses tools/driver_sim's canonical/hash compare at sf0.001) — they
+# just no longer consume driver slots. ivf_ann_topk and quantized_ann_topk
+# are the constituents of ann_recall_at_k (which hash-checks recall of BOTH
+# against brute-force truth every rotation).
+FOLDED_QUERIES = [
+    Query("ivf_ann_topk", q_ivf_ann_topk, IVF_SQL,
+          "IVF-bucketed approximate cosine top-k"),
+    Query("quantized_ann_topk", q_quantized_ann_topk, QUANTIZED_ANN_SQL,
+          "int8-quantized shortlist + float re-rank cosine top-k"),
 ]
