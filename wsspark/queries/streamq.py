@@ -47,15 +47,15 @@ def _run_to_table(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
 
 
-_STREAM_SRC_DIRS: dict[str, str] = {}
+_STREAM_SRC_DIRS: dict[tuple[str, str], str] = {}
 
 
-def _stage_stream_dir(sf_dir: str) -> str:
+def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     """The parquet file-stream source requires a DIRECTORY; testdata ships
-    one file per table. Symlink events.parquet into a per-session temp dir
+    one file per table. Symlink <table>.parquet into a per-session temp dir
     (a driver-side metadata op — no data is copied or mutated), reused
-    across invocations for the same sf_dir and removed at exit."""
-    d = _STREAM_SRC_DIRS.get(sf_dir)
+    across invocations for the same (sf_dir, table) and removed at exit."""
+    d = _STREAM_SRC_DIRS.get((sf_dir, table))
     if d is not None and os.path.isdir(d):
         return d
     import atexit
@@ -64,9 +64,9 @@ def _stage_stream_dir(sf_dir: str) -> str:
 
     d = tempfile.mkdtemp(prefix="wsspark_stream_src_")
     os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+        os.path.join(sf_dir, f"{table}.parquet"), os.path.join(d, f"{table}.parquet")
     )
-    _STREAM_SRC_DIRS[sf_dir] = d
+    _STREAM_SRC_DIRS[(sf_dir, table)] = d
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
@@ -169,6 +169,66 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+LOW_STOCK_RP = 25
+
+
+def q_streaming_low_stock_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL operator (applyInPandasWithState running
+    balances, streaming.low_stock_alerts) as a driver row: lineitem
+    streamed as signed stock movements, per-(product, warehouse) balance
+    accumulated in the state store, one alert row per key whose balance
+    ends at-or-below the reorder point.
+
+    The single-file source makes availableNow process exactly ONE
+    micro-batch, so the emitted alerts equal the batch HAVING twin below
+    (balance = batch_delta = total signed quantity) — which is what makes
+    the stateful path hash-checkable. Multi-batch state accumulation and
+    restart recovery are pinned separately by
+    tests/test_streaming.py::test_low_stock_alerts_stateful_across_batches
+    (batch boundaries there are explicit, deterministic files)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", _stage_stream_dir(sf_dir, "lineitem"))
+        .load()
+    )
+    movements = src.select(
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_suppkey").alias("warehouse_id"),
+        F.when(F.col("l_returnflag") == "R", -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+        .alias("quantity"),
+    )
+    alerts = streaming.low_stock_alerts(movements, reorder_points=LOW_STOCK_RP)
+    return _run_append_to_table(alerts, spark, "q_stream_low_stock")
+
+
+STREAMING_LOW_STOCK_SQL = f"""
+SELECT l_partkey AS product_id,
+       l_suppkey AS warehouse_id,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                     ELSE l_quantity END) AS BIGINT) AS balance,
+       CAST({LOW_STOCK_RP} AS BIGINT) AS reorder_point,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                     ELSE l_quantity END) AS BIGINT) AS batch_delta
+FROM lineitem
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+               ELSE l_quantity END) <= {LOW_STOCK_RP}
+"""
+
+
 def q_streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-evicted streaming dropDuplicates computed by the STREAM
     path and verified against batch SELECT DISTINCT — the stateful dedup
@@ -238,5 +298,11 @@ QUERIES = [
         q_streaming_click_attribution,
         STREAMING_CLICK_ATTR_SQL,
         "§2.10 stream-stream interval join as a driver row == batch inner join",
+    ),
+    Query(
+        "streaming_low_stock_alerts",
+        q_streaming_low_stock_alerts,
+        STREAMING_LOW_STOCK_SQL,
+        "§2.10 applyInPandasWithState running balances == batch HAVING twin",
     ),
 ]
