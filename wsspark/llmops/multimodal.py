@@ -54,15 +54,22 @@ FEATURE_DIM = 8
 
 
 def _make_pixel_parser():
-    """Pure-Python parser for the two uncompressed formats we can decode
-    without codec libraries. Returns ``parse(payload) -> (w, h, rgb)`` where
-    ``rgb`` is a flat top-down row-major bytes of RGB triples, or ``None``
-    when the payload is not a strictly-valid 24-bit BI_RGB BMP or binary
-    P6 PPM. Strictness matters: header fields are fully validated so random
-    binary payloads (the synthetic testdata) can never false-positive into
-    the decode path (probability ~2^-80), keeping the sha256 fallback —
-    and the driver oracle built on it — deterministic."""
+    """Pure-Python parser for the formats decodable without codec
+    libraries: uncompressed 24-bit BI_RGB BMP, binary P6 PPM, and —
+    stdlib ``zlib`` being a real inflate — non-interlaced 8-bit RGB/RGBA
+    PNG. Returns ``parse(payload) -> (w, h, rgb)`` where ``rgb`` is a
+    flat top-down row-major bytes of RGB triples, ``None`` when the
+    payload is not strictly valid (digest fallback), and raises
+    ``NotImplementedError`` for structurally-valid PNG variants that DO
+    need a codec lib (palette/gray/16-bit/interlaced — same honesty
+    contract as non-PCM WAV). Strictness matters: header fields and PNG
+    chunk CRCs are fully validated so random binary payloads (the
+    synthetic testdata) can never false-positive into the decode path
+    (probability ~2^-80; for PNG every chunk must clear a CRC32),
+    keeping the sha256 fallback — and the driver oracle built on it —
+    deterministic."""
     import struct as _struct
+    import zlib as _zlib
 
     def _parse_bmp(b: bytes):
         if len(b) < 54:
@@ -125,11 +132,107 @@ def _make_pixel_parser():
             return None
         return w, h, b[pos:end]
 
+    _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+    def _paeth(a: int, up: int, c: int) -> int:
+        p = a + up - c
+        pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return up if pb <= pc else c
+
+    def _parse_png(b: bytes):
+        # Chunk walk with full CRC verification; IHDR first, IDAT
+        # concatenated, IEND must terminate the payload exactly.
+        if b[:8] != _PNG_SIG or len(b) < 8 + 12:
+            return None
+        pos, ihdr, idat, seen_end = 8, None, [], False
+        while pos + 12 <= len(b):
+            (length,) = _struct.unpack_from(">I", b, pos)
+            ctype = b[pos + 4 : pos + 8]
+            if length > len(b) or pos + 12 + length > len(b):
+                return None
+            data = b[pos + 8 : pos + 8 + length]
+            (crc,) = _struct.unpack_from(">I", b, pos + 8 + length)
+            if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                return None
+            pos += 12 + length
+            if ihdr is None:
+                if ctype != b"IHDR" or length != 13:
+                    return None
+                ihdr = data
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                if length != 0:
+                    return None
+                seen_end = True
+                break
+        if ihdr is None or not seen_end or pos != len(b) or not idat:
+            return None
+        w, h, depth, ctype_, comp, filt, interlace = _struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+        if comp != 0 or filt != 0:
+            return None
+        if not (0 < w <= 1 << 15) or not (0 < h <= 1 << 15):
+            return None
+        if depth not in (1, 2, 4, 8, 16) or ctype_ not in (0, 2, 3, 4, 6):
+            return None
+        if interlace not in (0, 1):
+            return None
+        if depth != 8 or ctype_ not in (2, 6) or interlace == 1:
+            raise NotImplementedError(
+                "PNG palette/gray/16-bit/interlaced decoding requires "
+                "PIL/opencv, not available in this env"
+            )
+        try:
+            raw = _zlib.decompress(b"".join(idat))
+        except _zlib.error:
+            return None
+        ch = 3 if ctype_ == 2 else 4
+        stride = w * ch
+        if len(raw) != h * (1 + stride):
+            return None
+        out = bytearray()
+        prev = bytearray(stride)
+        pos = 0
+        for _y in range(h):
+            f = raw[pos]
+            row = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if f == 1:  # Sub
+                for i in range(ch, stride):
+                    row[i] = (row[i] + row[i - ch]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = row[i - ch] if i >= ch else 0
+                    row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = row[i - ch] if i >= ch else 0
+                    c = prev[i - ch] if i >= ch else 0
+                    row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
+            elif f != 0:
+                return None
+            prev = row
+            if ch == 3:
+                out += row
+            else:  # RGBA: features are over color channels; drop alpha
+                for i in range(0, stride, 4):
+                    out += row[i : i + 3]
+        return w, h, bytes(out)
+
     def parse(b: bytes):
         if b[:2] == b"BM":
             return _parse_bmp(b)
         if b[:2] == b"P6":
             return _parse_ppm(b)
+        if b[:8] == _PNG_SIG:
+            return _parse_png(b)
         return None
 
     return parse
@@ -195,21 +298,22 @@ def _make_decode_stub(feature_dim: int):
     parse_wav = _make_wav_parser()
 
     def decode(payload):
-        """Decode + feature extract. Uncompressed BMP/PPM payloads are
-        REALLY decoded: the 8-dim feature is (width, height, mean R/G/B,
-        min/max/mean luminance) computed from actual pixels; 16-bit PCM
-        WAV payloads likewise decode to (channels, rate, frames,
-        duration_ms, rms, peak, mean, zero-crossing rate). 6dp-rounded
-        for cross-engine hash stability. PNG/JPEG and non-PCM audio raise
-        (no codec libs here — explicit boundary). Anything else digests
-        to a deterministic sha256 fake so opaque testdata still flows."""
+        """Decode + feature extract. BMP/PPM and — via stdlib zlib —
+        non-interlaced 8-bit RGB/RGBA PNG payloads are REALLY decoded:
+        the 8-dim feature is (width, height, mean R/G/B, min/max/mean
+        luminance) computed from actual pixels; 16-bit PCM WAV payloads
+        likewise decode to (channels, rate, frames, duration_ms, rms,
+        peak, mean, zero-crossing rate). 6dp-rounded for cross-engine
+        hash stability. JPEG, PNG palette/gray/16-bit/interlaced, and
+        non-PCM audio raise (those genuinely need codec libs — explicit
+        boundary). Anything else digests to a deterministic sha256 fake
+        so opaque testdata still flows."""
         if payload is None:
             return None
         b = bytes(payload)
-        if b[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+        if b[:4] == b"\xff\xd8\xff\xe0":
             raise NotImplementedError(
-                "compressed image decoding requires PIL/opencv, not available "
-                "in this env"
+                "JPEG decoding requires PIL/opencv, not available in this env"
             )
         wav = parse_wav(b)
         if wav is not None:
