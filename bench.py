@@ -42,6 +42,12 @@ HEADLINE = {
     "q12_minhash_dedup": "minhash_dedup_pairs",
     "q13_ann_cosine_topk": "ann_cosine_topk",
     "q14_sessionize": "sessionize",
+    # round-6 rotation: the heaviest multi-join shape (Q7 two-fact join with
+    # broadcast dims), the collapsed-fact top-k (Q18), and the skew-safe
+    # salted aggregate — previously correctness-only, now perf-tracked.
+    "q15_nation_trade_volume": "nation_trade_volume",
+    "q16_large_orders": "large_orders",
+    "q17_salted_product_totals": "salted_product_totals",
 }
 
 
@@ -88,15 +94,37 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return round(sorted(samples)[1], 3)
 
-    timings["q0_full_etl_12_reports"] = timed(
-        lambda: run_pipeline(spark, sf_dir, tempfile.mkdtemp(prefix="wsspark_bench_"))
-    )
-    for label, name in HEADLINE.items():
-        timings[label] = timed(
-            lambda name=name: materialize(registry[name].fn(spark, sf_dir))
+    def run_suite(suite_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        out["q0_full_etl_12_reports"] = timed(
+            lambda: run_pipeline(
+                spark, suite_dir, tempfile.mkdtemp(prefix="wsspark_bench_")
+            )
         )
+        for label, name in HEADLINE.items():
+            out[label] = timed(
+                lambda name=name: materialize(registry[name].fn(spark, suite_dir))
+            )
+        return out
 
+    timings = run_suite(sf_dir)
     total = round(sum(timings.values()), 3)
+
+    # Second scale point: the same suite + methodology at a smaller SF makes
+    # the scaling SLOPE a tracked number — the strongest single-node evidence
+    # for 100x extrapolation. Opt out with SPARK_GRAFT_SECOND_SF="".
+    scales: dict[str, dict] = {str(sf): {"total": total, "queries": timings}}
+    second = os.environ.get("SPARK_GRAFT_SECOND_SF", "/root/testdata/sf0.01")
+    if second and os.path.isdir(second) and os.path.abspath(second) != os.path.abspath(
+        sf_dir
+    ):
+        second_sf = os.path.basename(second.rstrip("/")).replace("sf", "")
+        second_timings = run_suite(second)
+        scales[second_sf] = {
+            "total": round(sum(second_timings.values()), 3),
+            "queries": second_timings,
+        }
+
     print(
         json.dumps(
             {
@@ -105,6 +133,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "scales": scales,
             }
         )
     )
