@@ -6,10 +6,15 @@ at 100 TB turns any per-product shuffle into a straggler problem. AQE's
 skew-join splitting (on by default in wsspark.session) covers sort-merge
 joins; these helpers cover the two cases AQE does not:
 
-- ``salted_agg``: high-cardinality aggregation where a few keys dominate —
-  pre-aggregate on (key, salt) so no single reducer owns a hot key, then
-  combine the per-salt partials. Works for any algebraic aggregate
-  (sum/count/min/max expressible as partial + merge).
+- ``salted_agg``: pre-aggregate on (key, salt) so no single reducer owns a
+  hot key, then combine the per-salt partials. MEASURED (r06,
+  tools/measure_skew.py, PLANS.md skew section): for algebraic aggregates
+  Spark's map-side partial aggregation already collapses a hot key to one
+  row per input partition — partition boundaries are the salt — so plain
+  ``groupBy`` beats this helper by ~20-25% there. Reach for it only where
+  the partial-agg path can't protect the reducer: holistic aggregates
+  (collect_list-style state), bounding per-reducer memory explicitly, or
+  porting a pipeline from an engine without map-side combine.
 - ``replicated_skew_join``: equi-join where the build side is too big to
   broadcast and the probe side has hot keys — replicate each build row to
   every salt bucket and salt the probe rows, so a hot key's rows spread
@@ -23,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_SALTS = 16
+# Measured (r06, PLANS.md skew section): replicated_skew_join wall-clock
+# improves monotonically with salt count on a 50%-hot-key frame (18.9 s
+# plain -> 6.8 s @8 -> 5.1 s @32 at 20M rows); the build side is replicated
+# n_salts-fold, so this default assumes a small-but-above-broadcast build.
+# At cluster scale set n_salts ~ executor-core count.
+DEFAULT_SALTS = 32
 
 
 def _salt_col(n_salts: int, *cols: str) -> Column:
