@@ -229,6 +229,67 @@ HAVING SUM(CASE WHEN l_returnflag = 'R' THEN -l_quantity
 """
 
 
+def q_streaming_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch upsert sink (SnapshotMaintainer: M1 snapshot
+    maintenance + M5 audit CDC as a streaming store) as a driver row:
+    lineitem streamed as signed movements into a fresh parquet store, the
+    final snapshot read back and hash-checked against the batch
+    signed-sum twin. Exercises the full sink path — batch-id-idempotent
+    log, stage-then-swap snapshot write, per-batch audit partition —
+    under the driver's vanilla session. Multi-batch replay/idempotence
+    semantics stay pinned by tests/test_streaming.py (explicit files and
+    a forced batch replay there)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", _stage_stream_dir(sf_dir, "lineitem"))
+        .load()
+    )
+    movements = src.select(
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_suppkey").alias("warehouse_id"),
+        F.when(F.col("l_returnflag") == "R", -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+        .cast("long")
+        .alias("quantity"),
+    )
+    store = tempfile.mkdtemp(prefix="wsspark_snapq_store_")
+    ckpt = tempfile.mkdtemp(prefix="wsspark_snapq_ckpt_")
+    for d in (store, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    maintainer = streaming.SnapshotMaintainer(spark, store)
+    q = maintainer.attach(movements, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("snapshot upsert stream did not finish within 300s")
+    return spark.read.parquet(os.path.join(store, "snapshot"))
+
+
+STREAMING_SNAPSHOT_SQL = """
+SELECT l_partkey AS product_id,
+       l_suppkey AS warehouse_id,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                     ELSE l_quantity END) AS BIGINT) AS quantity_on_hand
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
 def q_streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-evicted streaming dropDuplicates computed by the STREAM
     path and verified against batch SELECT DISTINCT — the stateful dedup
@@ -304,5 +365,11 @@ QUERIES = [
         q_streaming_low_stock_alerts,
         STREAMING_LOW_STOCK_SQL,
         "§2.10 applyInPandasWithState running balances == batch HAVING twin",
+    ),
+    Query(
+        "streaming_snapshot_upsert",
+        q_streaming_snapshot_upsert,
+        STREAMING_SNAPSHOT_SQL,
+        "§2.10 foreachBatch upsert store: final snapshot == batch signed sum",
     ),
 ]
