@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from wsspark import streaming
 from wsspark.io import read_table
 from wsspark.queries import Query
+from wsspark.queries import llm as llmq
 
 
 def _run_to_table(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
@@ -290,6 +291,51 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup index (StreamingDedupIndex: MinHash+LSH
+    banding per micro-batch, candidates checked against the accumulated
+    corpus BEFORE insertion) as a driver row: the documents table streamed
+    through a fresh index store. With the single-file source there is
+    exactly one batch, so the detected pairs are the within-batch pair set
+    — which, at 100% LSH recall on this corpus (min true-pair jaccard
+    ~0.89), equals the quadratic 3-shingle jaccard twin that also oracles
+    the batch minhash_dedup_pairs query. Cross-batch arrival ordering and
+    replay idempotence stay pinned by tests/test_streaming_dedup.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", _stage_stream_dir(sf_dir, "documents"))
+        .load()
+    )
+    store = tempfile.mkdtemp(prefix="wsspark_dedupq_store_")
+    ckpt = tempfile.mkdtemp(prefix="wsspark_dedupq_ckpt_")
+    for d in (store, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    index = streaming.StreamingDedupIndex(spark, store, threshold=0.6)
+    q = index.attach(src, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("dedup index stream did not finish within 300s")
+    return spark.read.parquet(os.path.join(store, "dup_pairs")).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
 def q_streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-evicted streaming dropDuplicates computed by the STREAM
     path and verified against batch SELECT DISTINCT — the stateful dedup
@@ -371,5 +417,13 @@ QUERIES = [
         q_streaming_snapshot_upsert,
         STREAMING_SNAPSHOT_SQL,
         "§2.10 foreachBatch upsert store: final snapshot == batch signed sum",
+    ),
+    Query(
+        "streaming_dedup_index",
+        q_streaming_dedup_index,
+        # the same quadratic 3-shingle jaccard twin that checks the batch
+        # LSH query — one oracle definition pins both paths
+        llmq.MINHASH_PAIRS_SQL,
+        "streaming MinHash+LSH index: arrival-time pairs == quadratic jaccard",
     ),
 ]
