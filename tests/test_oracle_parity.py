@@ -92,3 +92,54 @@ def test_spark_only_queries_run(q, spark, sf_dir):
     df = q.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_percentile_within_gk_bound(spark, sf_dir):
+    """The 100 TB quantile path: approx_percentile (mergeable GK sketch)
+    must land within its advertised rank-error bound of the exact
+    percentile query it replaces — for every brand and every tracked p,
+    the sketch value must lie between the exact (p - 1/acc) and
+    (p + 1/acc) quantiles."""
+    from pyspark.sql import functions as F
+
+    from wsspark.io import read_table
+    from wsspark.queries.tpch import QUANTILE_PS
+
+    import bisect
+    from collections import defaultdict
+
+    acc = 1000
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select(F.col("p_partkey"), "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    approx = {
+        r["p_brand"]: [r[f"ap_{int(p*100)}"] for p in QUANTILE_PS]
+        for r in j.groupBy("p_brand")
+        .agg(
+            *[
+                F.approx_percentile(
+                    "l_extendedprice", F.lit(p), F.lit(acc)
+                ).alias(f"ap_{int(p*100)}")
+                for p in QUANTILE_PS
+            ]
+        )
+        .collect()
+    }
+    groups = defaultdict(list)
+    for r in j.select("p_brand", "l_extendedprice").collect():
+        groups[r["p_brand"]].append(r["l_extendedprice"])
+    assert set(groups) == set(approx)
+    for brand, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for p, ap in zip(QUANTILE_PS, approx[brand]):
+            # the sketch returns an actual element; its rank interval must
+            # overlap [p*n +- (n/acc + 1)] (GK guarantee plus one rank of
+            # discretization slack for returning a member, not an interpolant)
+            lo_rank = bisect.bisect_left(vals, ap)
+            hi_rank = bisect.bisect_right(vals, ap)
+            target = p * n
+            slack = n / acc + 1
+            assert lo_rank - slack <= target <= hi_rank + slack, (
+                brand, p, n, lo_rank, hi_rank, target
+            )

@@ -733,9 +733,61 @@ ORDER BY 1
 """
 
 
+QUANTILE_PS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand exact price quantiles (linear interpolation, the
+    percentile_cont definition both engines share — verified 4dp-identical
+    to DuckDB quantile_cont on this data).
+
+    Scale note: EXACT percentile buffers each group's values (Spark's
+    Percentile aggregate holds a per-group counts-map), which is fine at
+    dimension-bounded group counts like 25 brands but is the wrong tool
+    for billion-row groups; the 100 TB path is approx_percentile — a
+    mergeable, map-side-combinable GK sketch whose rank error is bounded
+    by 1/accuracy. tests/test_oracle_parity.py pins the sketch's error
+    against this exact query so the scale path's accuracy contract is
+    itself tested."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), "p_brand"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            *[
+                F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(
+                    f"p{int(p * 100)}"
+                )
+                for p in QUANTILE_PS
+            ],
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_QUANTILES_SQL = """
+SELECT p_brand,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, PRICING_SQL,
           "TPC-H Q1-shape grouped pricing rollup"),
+    Query("brand_price_quantiles", q_brand_price_quantiles,
+          BRAND_QUANTILES_SQL,
+          "exact per-brand price quantiles (percentile_cont semantics)"),
     Query("top_unshipped_orders", q_top_unshipped_orders, UNSHIPPED_SQL,
           "TPC-H Q3-shape selective join + pinned top-k"),
     Query("local_supplier_volume", q_local_supplier_volume, VOLUME_SQL,
