@@ -458,7 +458,16 @@ class StreamingDedupIndex:
         self._log = _BatchLog(store_dir)
 
     def _banded(self, docs: DataFrame) -> DataFrame:
-        """(doc_id, band, band_hash, sh) rows for a static batch frame."""
+        """(doc_id, band, band_hash, sh) rows for a static batch frame.
+
+        The micro-batch often arrives as ONE input split (a single file per
+        trigger), which would run the whole shingle/hash signature build
+        single-threaded — the same pitfall the batch minhash query hit
+        (queries/llm.py q_minhash_dedup_pairs); spread it first, the
+        repartition is no-op-sized next to the work it parallelizes."""
+        docs = docs.repartition(
+            self.spark.sparkContext.defaultParallelism, "doc_id"
+        )
         d = self._dedup
         sigs = d.minhash_signatures(docs, self.num_hashes, shingle_k=self.shingle_k)
         banded = d.lsh_band_keys(sigs, self.bands, self.num_hashes)
