@@ -430,3 +430,31 @@ def test_decode_never_crashes_on_malformed_payloads(prefix, junk):
     except NotImplementedError:
         return  # the explicit codec boundary — allowed
     assert isinstance(out, list) and len(out) == multimodal.FEATURE_DIM
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.sampled_from([2, 6]),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_png_roundtrip_random_images_and_filters(w, h, color_type, data):
+    """Any image encoded with any mix of per-row filter types must decode
+    to exactly its source pixels (alpha dropped for RGBA)."""
+    pixels = [
+        [
+            tuple(
+                data.draw(st.integers(0, 255))
+                for _ in range(3 if color_type == 2 else 4)
+            )
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+    got = multimodal.decode_image_stub(
+        make_png(pixels, color_type=color_type, row_filters=filters)
+    )
+    rgb = [[p[:3] for p in row] for row in pixels]
+    assert got == expected_features(rgb), (w, h, color_type, filters)
