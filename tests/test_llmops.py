@@ -397,3 +397,20 @@ def test_ivf_with_kmeans_centroids_improves_recall(spark, emb):
     # from trained centroids pass silently): spherical refinement must not
     # lose to its own unrefined starting points.
     assert trained >= spread, (trained, spread)
+
+
+def test_bigram_lm_scores_order_fluency(spark):
+    """The corpus-LM score must rank repeated fluent text above gibberish
+    whose bigrams never repeat — the signal a perplexity filter sells."""
+    from wsspark.llmops import textstats
+
+    common = ("the cat sat on the mat " * 5).strip()
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, "zq xv qk jw vz kx wj")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.bigram_lm_scores(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[1]["ppl"] < out[3]["ppl"]
+    assert out[1]["n_bigrams"] == 29

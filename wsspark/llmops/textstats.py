@@ -180,6 +180,53 @@ def bigram_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFra
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document statistical-LM quality score WITHOUT an external model:
+    train an add-one-smoothed bigram model on the corpus itself and score
+    each doc by its mean natural-log bigram probability (and perplexity
+    ``exp(-score)``) — the classic cheap perplexity filter of a
+    training-data pipeline; fluent/common text scores high, gibberish and
+    boilerplate-free noise score low.
+
+    ``P(w2|w1) = (c(w1 w2) + 1) / (c_prefix(w1) + V)`` over bigram
+    POSITIONS (occurrences, not distinct types). Docs with fewer than two
+    tokens have no bigrams and produce no row.
+
+    Scale shape: one bigram explode (corpus-linear) feeds two map-side-
+    combined aggregates whose cardinality is observed bigram/prefix TYPES
+    (vocabulary-bounded, not corpus-bounded); the per-position frame then
+    joins the model keyed by type and takes the 1-row vocabulary size via
+    a broadcast crossJoin — never a collected driver value (the
+    tfidf_top_terms discipline)."""
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(bigrams(text_col)).alias("bigram")
+    )
+    c2 = pos.groupBy("bigram").agg(F.count("*").alias("_c2"))
+    c1 = (
+        c2.groupBy(F.split(F.col("bigram"), " ")[0].alias("_w1"))
+        .agg(F.sum("_c2").alias("_c1"))
+    )
+    vocab = docs.select(F.explode(tokens(text_col)).alias("_w")).agg(
+        F.countDistinct("_w").alias("_V")
+    )
+    lp = F.log(
+        (F.col("_c2") + F.lit(1.0)) / (F.col("_c1") + F.col("_V"))
+    )
+    scored = (
+        pos.join(c2, "bigram")
+        .join(c1, F.split(F.col("bigram"), " ")[0] == F.col("_w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("_lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 4).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("_lp")), 4).alias("ppl"),
+    )
+
+
 def normalize_text(text_col: str = "text") -> Column:
     """Canonical text normalization for dedup keys: lowercase, collapse
     every non-alphanumeric run to a single space, trim. Pure codegen

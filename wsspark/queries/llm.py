@@ -910,6 +910,51 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(read_table(spark, sf_dir, "documents"))
 
 
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM perplexity filter (see
+    llmops.textstats.bigram_lm_scores) — the statistical quality signal a
+    training-data pipeline computes when no external LM is available."""
+    return textstats.bigram_lm_scores(read_table(spark, sf_dir, "documents"))
+
+
+BIGRAM_LM_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                                 i -> array_to_string(list_slice(t, i, i + 1), ' '))
+             ELSE [] END) AS bigram
+    FROM toks
+),
+c2 AS (SELECT bigram, COUNT(*) AS c2 FROM pos GROUP BY 1),
+c1 AS (
+    SELECT string_split(bigram, ' ')[1] AS w1, SUM(c2) AS c1
+    FROM c2 GROUP BY 1
+),
+v AS (
+    SELECT COUNT(DISTINCT w) AS vsize
+    FROM (SELECT unnest(t) AS w FROM toks)
+),
+scored AS (
+    SELECT p.doc_id,
+           ln((c2.c2 + 1.0) / (c1.c1 + v.vsize)) AS lp
+    FROM pos p
+    JOIN c2 USING (bigram)
+    JOIN c1 ON string_split(p.bigram, ' ')[1] = c1.w1
+    CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(lp), 4) AS avg_logprob,
+       ROUND(EXP(-AVG(lp)), 4) AS ppl
+FROM scored
+GROUP BY 1
+"""
+
+
 REPETITION_SQL = """
 WITH w AS (
     SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
@@ -1336,6 +1381,8 @@ QUERIES = [
           "recall@k of IVF + quantized ANN vs brute-force ground truth"),
     Query("repetition_stats", q_repetition_stats, REPETITION_SQL,
           "Gopher-style repetition signals: top-word share + unique ratio"),
+    Query("bigram_lm_scores", q_bigram_lm_scores, BIGRAM_LM_SQL,
+          "corpus-self-trained bigram LM perplexity quality filter"),
     Query("bigram_topk", q_bigram_topk, BIGRAM_SQL,
           "corpus-wide top-k bigram frequencies (deterministic cut)"),
     Query("dup_clusters", q_dup_clusters, DUP_CLUSTERS_SQL,
