@@ -414,3 +414,23 @@ def test_bigram_lm_scores_order_fluency(spark):
     assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
     assert out[1]["ppl"] < out[3]["ppl"]
     assert out[1]["n_bigrams"] == 29
+
+
+def test_bigram_lm_scores_exact_hand_computed(spark):
+    """Pin the exact smoothing arithmetic on a corpus small enough to do by
+    hand: docs 'a b a' and 'a b'. Bigrams: d1 -> [a b, b a], d2 -> [a b].
+    c2(a b)=2, c2(b a)=1; prefix counts c1(a)=2, c1(b)=1; V=2.
+    P(a b)=(2+1)/(2+2)=0.75, P(b a)=(1+1)/(1+2)=2/3."""
+    import math
+
+    from wsspark.llmops import textstats
+
+    docs = spark.createDataFrame([(1, "a b a"), (2, "a b")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.bigram_lm_scores(docs).collect()}
+    d1 = (math.log(0.75) + math.log(2 / 3)) / 2
+    d2 = math.log(0.75)
+    assert out[1]["n_bigrams"] == 2 and out[2]["n_bigrams"] == 1
+    assert out[1]["avg_logprob"] == round(d1, 4)
+    assert out[2]["avg_logprob"] == round(d2, 4)
+    assert out[1]["ppl"] == round(math.exp(-d1), 4)
+    assert out[2]["ppl"] == round(math.exp(-d2), 4)

@@ -298,3 +298,15 @@ def test_large_orders_scale_safe_build_sides(spark, sf_dir):
             assert child == "TakeOrderedAndProject", (
                 f"fact-scale broadcast not limit-bounded (child={child})"
             )
+
+
+def test_bigram_lm_vocab_is_broadcast_not_collected(spark, sf_dir):
+    """bigram_lm_scores must stay lazy: the vocabulary size V rides in as
+    the `_V` column of a broadcast 1-row aggregate (the tfidf discipline),
+    never as a driver-side count baked into the smoothing expression."""
+    import re
+
+    plan = plan_of(build_registry()["bigram_lm_scores"].fn(spark, sf_dir))
+    assert "_V" in plan, "V is not flowing as a broadcast aggregate column"
+    assert not re.search(r"/ \(_c1L?#\d+ \+ [0-9]", plan), "V baked in as literal"
+    assert "BatchEvalPython" not in plan
