@@ -138,3 +138,48 @@ def test_xlsx_report_roundtrip(spark, tmp_path):
     assert r1[0] == "1" and r1[1] == "widget <&>" and float(r1[2]) == 9.5
     assert r1[3] == "1" and r1[4] is None  # bool cell + empty cell
     assert cell_values(rows[2])[4] == "x"
+
+
+def test_read_table_any_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    """CSV and JSON sources must produce row-identical frames to the
+    parquet read under the declared schema — including timestamp columns
+    and full-precision doubles (a lossy text round-trip would silently
+    flip every downstream driver hash)."""
+    from wsspark.io import read_table, read_table_any
+
+    ref = read_table(spark, sf_dir, "lineitem")
+    csv_dir = str(tmp_path / "li_csv")
+    json_dir = str(tmp_path / "li_json")
+    ref.write.option("header", "true").mode("overwrite").csv(csv_dir)
+    ref.write.mode("overwrite").json(json_dir)
+
+    want = sorted(map(tuple, ref.collect()))
+    got_csv = sorted(
+        map(tuple, read_table_any(spark, csv_dir, schema=ref.schema, fmt="csv").collect())
+    )
+    got_json = sorted(
+        map(tuple, read_table_any(spark, json_dir, schema=ref.schema, fmt="json").collect())
+    )
+    assert got_csv == want
+    assert got_json == want
+
+
+def test_read_table_any_refuses_schemaless_text(spark, tmp_path):
+    import pytest as _pytest
+
+    from wsspark.io import read_table_any
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,2\n")
+    with _pytest.raises(ValueError, match="explicit schema"):
+        read_table_any(spark, str(p))
+
+
+def test_read_table_any_sniffs_parquet(spark, sf_dir):
+    from wsspark.io import read_table, read_table_any
+    import os
+
+    path = os.path.join(sf_dir, "region.parquet")
+    a = sorted(map(tuple, read_table_any(spark, path).collect()))
+    b = sorted(map(tuple, read_table(spark, sf_dir, "region").collect()))
+    assert a == b

@@ -109,6 +109,60 @@ def load_tables(
     return out
 
 
+def read_table_any(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    ts_ns_cols: tuple[str, ...] = (),
+    fmt: str | None = None,
+) -> DataFrame:
+    """S1 widened to heterogeneous sources: read one logical table from
+    parquet, CSV (with header) or JSON-lines — a file or a directory of
+    files — under the SAME timestamp/normalization contract as the parquet
+    reader.
+
+    Text formats carry no type metadata, so a ``schema`` is REQUIRED for
+    csv/json: schema inference re-types columns by content (an
+    all-integers-plus-one-null CSV column becomes double; dates stay
+    strings) and silently changes every downstream hash — the engine
+    refuses to guess. ``fmt`` overrides extension sniffing for
+    extension-less directories. At scale this is the ingest edge: the
+    declared schema applies at scan time (no inference pass over the
+    data), and csv/json scans still get partition parallelism and column
+    pruning-by-projection even though those formats cannot push filters."""
+    if fmt is None:
+        probe = path
+        if os.path.isdir(path):
+            files = [
+                f
+                for f in sorted(os.listdir(path))
+                if not f.startswith(("_", "."))
+            ]
+            if not files:
+                raise ValueError(f"no data files under {path}")
+            probe = files[0]
+        ext = os.path.splitext(probe)[1].lstrip(".").lower()
+        fmt = {"parquet": "parquet", "csv": "csv", "json": "json"}.get(ext)
+        if fmt is None:
+            raise ValueError(
+                f"cannot sniff format from {probe!r}; pass fmt= explicitly"
+            )
+    configure_timestamp_reads(spark)
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "csv":
+        if schema is None:
+            raise ValueError("csv sources require an explicit schema")
+        df = spark.read.schema(schema).option("header", "true").csv(path)
+    elif fmt == "json":
+        if schema is None:
+            raise ValueError("json sources require an explicit schema")
+        df = spark.read.schema(schema).json(path)
+    else:
+        raise ValueError(f"unsupported source format {fmt!r}")
+    return normalize_timestamps(df, ts_ns_cols)
+
+
 def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """S3 analog: one report -> one output location (reference writes one
     file per report in parquet/csv/xlsx, etl/load/data_loader.py:26-63).
