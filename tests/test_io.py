@@ -183,3 +183,15 @@ def test_read_table_any_sniffs_parquet(spark, sf_dir):
     a = sorted(map(tuple, read_table_any(spark, path).collect()))
     b = sorted(map(tuple, read_table(spark, sf_dir, "region").collect()))
     assert a == b
+
+
+def test_read_table_any_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the second self-describing columnar source: schema rides in
+    the file, no explicit schema needed, content identical to parquet."""
+    from wsspark.io import read_table, read_table_any
+
+    ref = read_table(spark, sf_dir, "nation")
+    orc_dir = str(tmp_path / "nation_orc")
+    ref.write.mode("overwrite").orc(orc_dir)
+    got = sorted(map(tuple, read_table_any(spark, orc_dir, fmt="orc").collect()))
+    assert got == sorted(map(tuple, ref.collect()))

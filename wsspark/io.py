@@ -142,7 +142,12 @@ def read_table_any(
                 raise ValueError(f"no data files under {path}")
             probe = files[0]
         ext = os.path.splitext(probe)[1].lstrip(".").lower()
-        fmt = {"parquet": "parquet", "csv": "csv", "json": "json"}.get(ext)
+        fmt = {
+            "parquet": "parquet",
+            "csv": "csv",
+            "json": "json",
+            "orc": "orc",
+        }.get(ext)
         if fmt is None:
             raise ValueError(
                 f"cannot sniff format from {probe!r}; pass fmt= explicitly"
@@ -150,6 +155,9 @@ def read_table_any(
     configure_timestamp_reads(spark)
     if fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        # self-describing like parquet: schema optional, pushdown-capable
+        df = spark.read.orc(path)
     elif fmt == "csv":
         if schema is None:
             raise ValueError("csv sources require an explicit schema")
