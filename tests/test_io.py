@@ -195,3 +195,17 @@ def test_read_table_any_orc_roundtrip(spark, sf_dir, tmp_path):
     ref.write.mode("overwrite").orc(orc_dir)
     got = sorted(map(tuple, read_table_any(spark, orc_dir, fmt="orc").collect()))
     assert got == sorted(map(tuple, ref.collect()))
+
+
+def test_write_report_json_orc_sinks(spark, sf_dir, tmp_path):
+    from wsspark.io import read_table, read_table_any, write_report
+
+    ref = read_table(spark, sf_dir, "region")
+    want = sorted(map(tuple, ref.collect()))
+    jp, op = str(tmp_path / "r_json"), str(tmp_path / "r_orc")
+    write_report(ref, jp, fmt="json")
+    write_report(ref, op, fmt="orc")
+    assert sorted(
+        map(tuple, read_table_any(spark, jp, schema=ref.schema, fmt="json").collect())
+    ) == want
+    assert sorted(map(tuple, read_table_any(spark, op, fmt="orc").collect())) == want

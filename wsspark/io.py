@@ -185,6 +185,10 @@ def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         writer.parquet(path)
     elif fmt == "csv":
         writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         raise ValueError(f"unsupported report format: {fmt}")
 
