@@ -24,6 +24,8 @@ FLOAT_QUERIES = [
     "ann_recall_at_k",
     "repetition_stats",
     "brand_price_quantiles",
+    "tfidf_top_terms",
+    "weekly_cohort_retention",
 ]
 
 
