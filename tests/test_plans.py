@@ -310,3 +310,35 @@ def test_bigram_lm_vocab_is_broadcast_not_collected(spark, sf_dir):
     assert "_V" in plan, "V is not flowing as a broadcast aggregate column"
     assert not re.search(r"/ \(_c1L?#\d+ \+ [0-9]", plan), "V baked in as literal"
     assert "BatchEvalPython" not in plan
+
+
+def test_fuzzy_join_collapses_vocabulary_before_self_join(spark, sf_dir):
+    """fuzzy_name_pairs must compare within the DISTINCT name vocabulary,
+    never all-pairs over the fact: the plan needs (a) no cartesian product,
+    (b) a HashAggregate BELOW the self-join on both sides (the vocabulary
+    collapse), so the quadratic comparison is bounded by block sizes."""
+    plan = plan_of(build_registry()["fuzzy_name_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # an equi hash join on the block key, with a grouping aggregate feeding
+    # EACH side (4 HashAggregate operators: partial+final per input)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("(") and plan.count("HashAggregate") >= 4, (
+        "vocabulary aggregate missing from a join input"
+    )
+
+
+def test_approx_distinct_is_partition_invariant(spark, sf_dir):
+    """The HLL++ estimate must not depend on shuffle layout (register-max
+    merge is commutative), or the driver hash would flip between runs."""
+    from wsspark.queries.tpch import q_approx_distinct_accuracy
+
+    base = q_approx_distinct_accuracy(spark, sf_dir).collect()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = q_approx_distinct_accuracy(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert sorted(map(tuple, base)) == sorted(map(tuple, alt))
+    assert all(r.within_tol for r in base)

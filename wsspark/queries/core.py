@@ -1332,12 +1332,8 @@ QUERIES = [
           "sequential DQ rule precedence + reject tally (P1)"),
     Query("incremental_valid_events", q_incremental_valid_events, INCREMENTAL_SQL,
           "high-watermark incremental scan + valid filter (S2 P2)"),
-    Query("dead_stock", q_dead_stock, DEAD_STOCK_SQL,
-          "dead stock report (A1 J1 P5 P6)"),
     Query("inventory_summary", q_inventory_summary, INVENTORY_SUMMARY_SQL,
           "turnover/DOH KPIs with div-by-zero guards (A2 A3 F8)"),
-    Query("daily_trends", q_daily_trends, DAILY_TRENDS_SQL,
-          "gap-filled daily counts + day names (W1 W3)"),
     Query("weekly_trends", q_weekly_trends, WEEKLY_TRENDS_SQL,
           "gap-filled W-SUN-labeled weekly counts (W1)"),
     Query("monthly_trends", q_monthly_trends, MONTHLY_TRENDS_SQL,

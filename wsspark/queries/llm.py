@@ -1414,10 +1414,27 @@ QUERIES = [
 # which reuses tools/driver_sim's canonical/hash compare at sf0.001) — they
 # just no longer consume driver slots. ivf_ann_topk and quantized_ann_topk
 # are the constituents of ann_recall_at_k (which hash-checks recall of BOTH
-# against brute-force truth every rotation).
+# against brute-force truth every rotation). dead_stock is the raw
+# per-position frame whose identical upstream (inv.dead_stock_report — same
+# call, same args) is re-verified through dead_stock_aging's bucketed rollup;
+# daily_trends is consumed verbatim by moving_avg_trends (its first two
+# columns ARE the daily_trends frame) with day-name labeling hash-checked by
+# peak_day_of_week.
+def _folded_core():
+    from wsspark.queries import core
+
+    return [
+        Query("dead_stock", core.q_dead_stock, core.DEAD_STOCK_SQL,
+              "dead stock report (A1 J1 P5 P6)"),
+        Query("daily_trends", core.q_daily_trends, core.DAILY_TRENDS_SQL,
+              "gap-filled daily counts + day names (W1 W3)"),
+    ]
+
+
 FOLDED_QUERIES = [
     Query("ivf_ann_topk", q_ivf_ann_topk, IVF_SQL,
           "IVF-bucketed approximate cosine top-k"),
     Query("quantized_ann_topk", q_quantized_ann_topk, QUANTIZED_ANN_SQL,
           "int8-quantized shortlist + float re-rank cosine top-k"),
+    *_folded_core(),
 ]

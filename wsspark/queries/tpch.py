@@ -782,7 +782,146 @@ ORDER BY 1
 """
 
 
+FUZZY_MAX_DIST = 4
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join (entity-resolution / fuzzy dedup): candidate
+    part-name pairs within Levenshtein distance ``FUZZY_MAX_DIST``, blocked
+    on the trailing word so the quadratic comparison runs only inside small
+    same-noun blocks — the standard blocking strategy that makes edit-
+    distance joins tractable at scale (all-pairs is O(n^2); blocked pairs
+    are O(sum b_i^2) with b_i bounded by the name vocabulary).
+
+    Scale shape for 100 TB: the fact-sized part table first collapses
+    through a groupBy to its DISTINCT name vocabulary (the only full
+    shuffle, map-side combinable, output is vocabulary-sized not
+    fact-sized); the self-join then shuffles that tiny frame on the block
+    key; per-name part counts ride along from the same aggregate so no
+    join back to the fact is needed. The reference has no fuzzy matching;
+    this extends its dedup family (cf. normalized_dedup_groups) the way a
+    catalog-cleanup pipeline needs."""
+    part = read_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("block", F.regexp_extract(F.col("p_name"), r"([^ ]+)$", 1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "block",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "block",
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_SQL = f"""
+WITH names AS (
+    SELECT p_name, COUNT(*) AS n_parts,
+           regexp_extract(p_name, '([^ ]+)$', 1) AS block
+    FROM part GROUP BY 1
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
+
+APPROX_RSD = 0.05
+APPROX_TOL = 3 * APPROX_RSD
+
+
+def q_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch accuracy certification, in the ann_recall_at_k style:
+    for each high-cardinality key column, compute the exact distinct count
+    AND ``approx_count_distinct`` (rsd=``APPROX_RSD``) in one aggregate
+    pass, and emit whether the sketch landed within 3*rsd of truth. The
+    driver hash-checks (column_name, exact, within_tol) against an oracle
+    asserting within_tol=TRUE — if Spark's sketch ever drifts outside the
+    published bound on this data, the row goes red.
+
+    Determinism: HLL++ hashes values with a fixed seed and merges registers
+    by max — commutative and order/partitioning-insensitive — so the approx
+    estimate is stable across shuffle layouts (pinned by the partition-
+    invariance suite pattern). Scale story: at 100 TB the exact
+    countDistinct side (a full shuffle of the key space) is what you CANNOT
+    afford per-query; the sketch is one map-side pass with a
+    constant-size merge. This query is the certification you run once at a
+    verifiable scale so the sketch can be trusted alone at full scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    ev = read_table(spark, sf_dir, "events")
+
+    def check(df: DataFrame, col: str) -> DataFrame:
+        row = df.agg(
+            F.countDistinct(col).alias("exact_distinct"),
+            F.approx_count_distinct(col, APPROX_RSD).alias("_approx"),
+        )
+        return row.select(
+            F.lit(col).alias("column_name"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(F.col("_approx") - F.col("exact_distinct"))
+                <= F.lit(APPROX_TOL) * F.col("exact_distinct")
+            ).alias("within_tol"),
+        )
+
+    frames = [
+        check(li, "l_orderkey"),
+        check(li, "l_partkey"),
+        check(li, "l_suppkey"),
+        check(orders, "o_custkey"),
+        check(ev, "user_id"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("column_name")
+
+
+APPROX_DISTINCT_SQL = """
+SELECT column_name, exact_distinct, TRUE AS within_tol FROM (
+    SELECT 'l_orderkey' AS column_name,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events
+)
+ORDER BY column_name
+"""
+
+
 QUERIES = [
+    Query("fuzzy_name_pairs", q_fuzzy_name_pairs, FUZZY_SQL,
+          "blocked Levenshtein fuzzy-match join over the name vocabulary"),
+    Query("approx_distinct_accuracy", q_approx_distinct_accuracy,
+          APPROX_DISTINCT_SQL,
+          "HLL++ approx-distinct certified within 3*rsd of exact"),
     Query("pricing_summary", q_pricing_summary, PRICING_SQL,
           "TPC-H Q1-shape grouped pricing rollup"),
     Query("brand_price_quantiles", q_brand_price_quantiles,
