@@ -434,3 +434,60 @@ def test_bigram_lm_scores_exact_hand_computed(spark):
     assert out[2]["avg_logprob"] == round(d2, 4)
     assert out[1]["ppl"] == round(math.exp(-d1), 4)
     assert out[2]["ppl"] == round(math.exp(-d2), 4)
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    """Chunking must stay a narrow transformation: no Exchange anywhere in
+    the operator's plan (the registered query adds a presentation orderBy;
+    the OPERATOR pipelines with the scan)."""
+    from tests.test_plans import plan_of
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = plan_of(textstats.doc_chunks(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doc_chunks_rejects_degenerate_overlap():
+    import pyspark.sql  # noqa: F401  (spark not needed; validation is eager)
+
+    with pytest.raises(ValueError):
+        textstats.doc_chunks(None, chunk_size=50, overlap=50)
+
+
+@pytest.mark.parametrize("chunk_size,overlap", [(200, 50), (64, 0), (10, 9)])
+def test_doc_chunks_cover_and_reconstruct(spark, chunk_size, overlap):
+    """Property over varied lengths incl. boundary cases: chunks cover every
+    character, consecutive chunks overlap by exactly `overlap`, and the
+    document reconstructs from chunk 0 + the post-overlap suffix of each
+    later chunk."""
+    stride = chunk_size - overlap
+    lengths = [1, overlap + 1 if overlap else 1, chunk_size - 1, chunk_size,
+               chunk_size + 1, 2 * chunk_size, 553, 5 * stride + 3]
+    rows = [(i, "".join(chr(97 + (i + j) % 26) for j in range(n)))
+            for i, n in enumerate(lengths)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.doc_chunks(
+        docs, chunk_size=chunk_size, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(lengths)))
+    for doc_id, text in rows:
+        chunks = by_doc[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.chunk_text == text[c.chunk_start:c.chunk_start + chunk_size]
+            assert c.chunk_len == len(c.chunk_text)
+        # exact overlap between consecutive chunks
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_start - a.chunk_start == stride
+        # full reconstruction
+        rebuilt = chunks[0].chunk_text + "".join(
+            c.chunk_text[overlap:] for c in chunks[1:]
+        )
+        assert rebuilt == text
+        # no degenerate tail: every later chunk adds > overlap... i.e. its
+        # post-overlap suffix is non-empty
+        assert all(len(c.chunk_text) > overlap for c in chunks[1:])

@@ -253,3 +253,51 @@ def normalized_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFram
         F.count("*").cast("long").alias("n_docs"),
         F.min("doc_id").alias("keep_doc_id"),
     )
+
+
+def doc_chunks(
+    docs: DataFrame,
+    chunk_size: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size overlapping character chunking — the training-data prep
+    step that turns documents into model-sized windows (context packing /
+    RAG indexing). Chunk i covers [i*stride, i*stride + chunk_size) with
+    stride = chunk_size - overlap; start offsets run while
+    start <= len - overlap - 1, which guarantees (a) full coverage (the
+    last start is >= len - chunk_size) and (b) every chunk after the first
+    contributes more than ``overlap`` new characters — no degenerate
+    fully-contained tail chunk.
+
+    Scale shape: ``explode`` is a NARROW transformation — no shuffle, no
+    state; output bytes = input * (1 + overlap/stride). At 100 TB this
+    pipelines with the parquet scan partition-by-partition, and the chunk
+    frame inherits the input partitioning for any downstream shuffle.
+    The reference has no chunking (it is a relational stock engine); this
+    extends the llmops text family the way a pretraining corpus build
+    needs. Character-grain is the deterministic baseline; token-aligned
+    variants change only the start-offset expression."""
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    stride = chunk_size - overlap
+    n = F.length(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    ).select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.substring(F.col("_t"), F.col("chunk_start") + 1, chunk_size).alias(
+            "chunk_text"
+        ),
+        F.length(
+            F.substring(F.col("_t"), F.col("chunk_start") + 1, chunk_size)
+        ).alias("chunk_len"),
+    )

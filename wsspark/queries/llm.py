@@ -1337,6 +1337,46 @@ HAVING COUNT(DISTINCT source) > 1
 """
 
 
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 50
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmops.textstats.doc_chunks over the documents table. The full
+    chunk text rides in the output so the driver hash covers the substring
+    arithmetic, not just the offsets."""
+    return textstats.doc_chunks(
+        read_table(spark, sf_dir, "documents"),
+        chunk_size=CHUNK_SIZE,
+        overlap=CHUNK_OVERLAP,
+    ).orderBy("doc_id", "chunk_id")
+
+
+# identical start-offset rule: multiples of stride while
+# start <= len - overlap - 1 (generate_series upper bound is inclusive,
+# matching Spark's F.sequence)
+DOC_CHUNKS_SQL = f"""
+WITH starts AS (
+    SELECT doc_id, text,
+           UNNEST(generate_series(
+               0, GREATEST(LENGTH(text) - {CHUNK_OVERLAP} - 1, 0),
+               {CHUNK_SIZE - CHUNK_OVERLAP})) AS chunk_start
+    FROM documents
+),
+numbered AS (
+    SELECT doc_id, chunk_start,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_start)
+                - 1 AS INTEGER) AS chunk_id,
+           SUBSTRING(text, chunk_start + 1, {CHUNK_SIZE}) AS chunk_text
+    FROM starts
+)
+SELECT doc_id, chunk_id, CAST(chunk_start AS INTEGER) AS chunk_start,
+       chunk_text, CAST(LENGTH(chunk_text) AS INTEGER) AS chunk_len
+FROM numbered
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -1403,6 +1443,9 @@ QUERIES = [
           "percent_rank length-outlier gate per language"),
     Query("cross_source_overlap", q_cross_source_overlap, CROSS_SOURCE_SQL,
           "verbatim texts appearing under multiple sources"),
+    Query("doc_chunks", q_doc_chunks, DOC_CHUNKS_SQL,
+          "overlapping fixed-size chunking (training-window prep, "
+          "shuffle-free explode)"),
 ]
 
 # Registry-slot policy (round 6): the driver window holds 50 of a 100-query
