@@ -94,3 +94,53 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     q = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
     assert len(e & q) / len(e) >= 0.9  # int8 shortlist keeps the real top-k
+
+
+def test_per_group_sample_matches_duckdb_oracle(spark, sf_dir):
+    """Full pytest-side oracle (the folded-query discipline): the md5-rank
+    sample must be byte-identical to the same SQL in DuckDB — that IS the
+    portability claim of using md5-of-decimal-string as the sort key."""
+    import os
+
+    import duckdb
+
+    got = sorted(
+        (r.lang, r.doc_id)
+        for r in corpus.per_group_sample(
+            read_table(spark, sf_dir, "documents"), k=5
+        ).select("lang", "doc_id").collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"""
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM '{os.path.join(sf_dir, "documents.parquet")}'
+            ) WHERE rk <= 5
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_per_group_sample_exact_k_and_partition_invariant(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = corpus.per_group_sample(docs, k=3)
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    group_sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(3, group_sizes[lang])
+    base = sorted((r.lang, r.doc_id) for r in out.select("lang", "doc_id").collect())
+    alt = sorted(
+        (r.lang, r.doc_id)
+        for r in corpus.per_group_sample(docs.repartition(7), k=3)
+        .select("lang", "doc_id")
+        .collect()
+    )
+    assert base == alt

@@ -242,3 +242,57 @@ def test_minhash_dedup_pairs_brackets_brute_force(spark, texts):
     for pair, j in true_jac.items():
         if j >= 0.9:
             assert pair in got, (pair, j)
+
+
+# ---------------------------------------------------------------------------
+# blocked_fuzzy_pairs: generative check against brute force. The blocking
+# CONTRACT is exact (not probabilistic, unlike LSH): the operator must return
+# precisely the within-block pairs under the distance threshold.
+# ---------------------------------------------------------------------------
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_WORD = st.text(alphabet="abcde", min_size=1, max_size=5)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    names=st.lists(
+        st.tuples(_WORD, _WORD).map(lambda t: f"{t[0]} {t[1]}"),
+        min_size=2, max_size=25, unique=True,
+    ),
+    max_dist=st.integers(min_value=0, max_value=4),
+)
+def test_blocked_fuzzy_pairs_equals_brute_force(spark, names, max_dist):
+    from wsspark.llmops.dedup import blocked_fuzzy_pairs
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame([(n,) for n in names], "name string")
+        .withColumn("block", F.regexp_extract(F.col("name"), r"([^ ]+)$", 1))
+    )
+    got = {
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in blocked_fuzzy_pairs(df, max_dist).collect()
+    }
+    want = {
+        (a, b, _lev(a, b))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if a.rsplit(" ", 1)[-1] == b.rsplit(" ", 1)[-1] and _lev(a, b) <= max_dist
+    }
+    assert got == want

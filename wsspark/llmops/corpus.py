@@ -15,7 +15,7 @@ DuckDB oracle twin in wsspark.queries.llm. Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from wsspark.llmops import dedup
@@ -109,4 +109,35 @@ def quality_filter(
         "stopword_ratio",
         "avg_token_len",
         reason.alias("filter_reason"),
+    )
+
+
+def per_group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size-per-group sampling (the reservoir-sample
+    use case: k exemplars per language/source/domain for eyeballing or
+    eval sets): rank rows inside each group by a portable uniform hash of
+    the id — md5 of the id's decimal string, which DuckDB computes
+    identically — and keep the first ``k``.
+
+    Versus ``stratified_sample`` (rate-based, output size varies with
+    group size), this pins an exact per-group count. Same determinism
+    contract: no rand(), so the sample is identical across reruns, task
+    retries, and partition layouts. Scale shape: one hash-partition
+    exchange on the group key + a streaming rank; with AQE skew handling a
+    hot group still ranks in parallel per partition before the final
+    window. For billion-row groups where even one sort is too much, the
+    scale path is a two-phase top-k (per-partition heap then merge —
+    Spark's TakeOrderedAndProject shape) on the same hash ordering."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("sample_rank")
     )

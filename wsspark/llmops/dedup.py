@@ -411,3 +411,40 @@ def connected_components(
             "pathological graph or a bug, not a long chain)"
         )
     return labels
+
+
+def blocked_fuzzy_pairs(
+    names: DataFrame,
+    max_dist: int,
+    name_col: str = "name",
+    block_col: str = "block",
+) -> DataFrame:
+    """Blocked edit-distance self-join (entity resolution / fuzzy dedup):
+    all pairs (name_a < name_b) sharing a block key with
+    levenshtein(name_a, name_b) <= max_dist. Any extra columns on
+    ``names`` ride along suffixed _a/_b.
+
+    The caller supplies the blocking key (trailing word, phonetic code,
+    length bucket, ...) — blocking is what bounds the quadratic
+    comparison to O(sum of block-size^2) and is the same
+    recall-for-tractability trade LSH banding makes: cross-block pairs
+    are unfindable by contract. ``names`` should already be a collapsed
+    vocabulary (one row per distinct name), never the raw fact."""
+    payload = [c for c in names.columns if c not in (name_col, block_col)]
+    a = names.select(
+        F.col(name_col).alias("name_a"),
+        F.col(block_col).alias(block_col),
+        *[F.col(c).alias(f"{c}_a") for c in payload],
+    )
+    b = names.select(
+        F.col(name_col).alias("name_b"),
+        F.col(block_col).alias(block_col),
+        *[F.col(c).alias(f"{c}_b") for c in payload],
+    )
+    return (
+        a.join(b, block_col)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .drop(block_col)
+    )

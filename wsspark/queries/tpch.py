@@ -801,27 +801,16 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back to the fact is needed. The reference has no fuzzy matching;
     this extends its dedup family (cf. normalized_dedup_groups) the way a
     catalog-cleanup pipeline needs."""
+    from wsspark.llmops.dedup import blocked_fuzzy_pairs
+
     part = read_table(spark, sf_dir, "part")
     names = (
         part.groupBy("p_name")
         .agg(F.count("*").alias("n_parts"))
         .withColumn("block", F.regexp_extract(F.col("p_name"), r"([^ ]+)$", 1))
     )
-    a = names.select(
-        F.col("p_name").alias("name_a"),
-        F.col("n_parts").alias("n_parts_a"),
-        "block",
-    )
-    b = names.select(
-        F.col("p_name").alias("name_b"),
-        F.col("n_parts").alias("n_parts_b"),
-        "block",
-    )
     return (
-        a.join(b, "block")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        blocked_fuzzy_pairs(names, FUZZY_MAX_DIST, name_col="p_name")
         .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
         .orderBy("name_a", "name_b")
     )
