@@ -342,3 +342,44 @@ def test_approx_distinct_is_partition_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert sorted(map(tuple, base)) == sorted(map(tuple, alt))
     assert all(r.within_tol for r in base)
+
+
+# Shuffle-budget tripwire: the measured exchange count (range/hash shuffles,
+# NOT broadcasts) of each headline query at the suite's default SF. A future
+# change that adds a shuffle — or flips a broadcast join to sort-merge — to a
+# heavy path fails here before it costs anything at scale. Budgets are the
+# CURRENT plans, not aspirations; lower them if a plan improves.
+EXCHANGE_BUDGET = {
+    "abc_analysis": 2,
+    "dq_flag_summary": 1,
+    "transfer_patterns": 3,
+    "warehouse_io_pivot": 2,
+    "snapshot_recompute": 1,
+    "stock_valuation_all": 3,
+    "pricing_summary": 1,
+    "top_unshipped_orders": 1,
+    "doc_stats": 0,
+    "minhash_dedup_pairs": 3,
+    "ann_cosine_topk": 1,
+    "sessionize": 1,
+    "nation_trade_volume": 1,
+    "large_orders": 2,
+    "salted_product_totals": 2,
+    "fuzzy_name_pairs": 3,
+    "doc_chunks": 1,  # presentation orderBy only; the operator itself is 0
+}
+
+
+@pytest.mark.parametrize("name,budget", sorted(EXCHANGE_BUDGET.items()))
+def test_headline_shuffle_budget(spark, sf_dir, name, budget):
+    import re
+
+    if not sf_dir.rstrip("/").endswith("sf0.001"):
+        pytest.skip("budgets pinned against sf0.001 statistics")
+    plan = plan_of(build_registry()[name].fn(spark, sf_dir))
+    got = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert got <= budget, (
+        f"{name}: {got} shuffle exchanges (budget {budget}) — a shuffle "
+        "crept into a headline plan; explain() it and either remove the "
+        "exchange or consciously raise the budget here"
+    )
