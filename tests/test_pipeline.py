@@ -35,13 +35,20 @@ def test_incremental_early_exit(spark, sf_dir, tmp_path):
 
 def test_run_summary_row_shape(spark, sf_dir):
     reports = pipeline.build_reports(spark, sf_dir)
-    ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
-    row = pipeline.run_summary_row(reports, ts).collect()
-    assert len(row) == 1
-    r = row[0]
-    assert r["abc_a"] + r["abc_b"] + r["abc_c"] > 0
-    assert r["total_inventory_value"] > 0
-    assert r["run_timestamp"] == dt.datetime(2026, 1, 1)
+    try:
+        ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        row = pipeline.run_summary_row(reports, ts).collect()
+        assert len(row) == 1
+        r = row[0]
+        assert r["abc_a"] + r["abc_b"] + r["abc_c"] > 0
+        assert r["total_inventory_value"] > 0
+        assert r["run_timestamp"] == dt.datetime(2026, 1, 1)
+    finally:
+        # Cached report frames must not outlive the test: Spark's cache
+        # manager substitutes cached sub-plans into any later query sharing
+        # the lineage, which flips join strategies and breaks the hermetic
+        # shuffle-budget assertions in test_plans.py.
+        reports.release()
 
 
 def test_bad_load_type_rejected(spark, sf_dir, tmp_path):

@@ -11,6 +11,17 @@ from wsspark.io import read_table
 from wsspark.queries import build_registry
 
 
+@pytest.fixture(autouse=True)
+def _hermetic_cache(spark):
+    """Shuffle-budget and join-strategy assertions must not see another
+    module's leftover cached frames: the cache manager substitutes cached
+    sub-plans into matching lineage, and InMemoryRelation stats can flip a
+    broadcast join to sort-merge (observed in round 6 via a test_pipeline
+    leak)."""
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(df) -> str:
     return df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -323,7 +334,7 @@ def test_fuzzy_join_collapses_vocabulary_before_self_join(spark, sf_dir):
     # an equi hash join on the block key, with a grouping aggregate feeding
     # EACH side (4 HashAggregate operators: partial+final per input)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
-    assert plan.count("(") and plan.count("HashAggregate") >= 4, (
+    assert plan.count("HashAggregate") >= 4, (
         "vocabulary aggregate missing from a join input"
     )
 
@@ -382,4 +393,35 @@ def test_headline_shuffle_budget(spark, sf_dir, name, budget):
         f"{name}: {got} shuffle exchanges (budget {budget}) — a shuffle "
         "crept into a headline plan; explain() it and either remove the "
         "exchange or consciously raise the budget here"
+    )
+
+
+def test_cache_substitution_is_reversible(spark, sf_dir):
+    """Pin the caching contract discovered in round 6: while the pipeline's
+    shared frames are cached, a registry query sharing their lineage
+    substitutes InMemoryRelation sub-plans (cached-stat substitution can even
+    flip join strategies); Reports.release() must fully restore the pure
+    parquet plan. This makes the behavior an asserted feature instead of a
+    hazard found via a flaky shuffle budget."""
+    from wsspark import pipeline
+
+    name = "stock_valuation_all"
+    fn = build_registry()[name].fn
+
+    baseline = plan_of(fn(spark, sf_dir))
+    assert "InMemoryTableScan" not in baseline
+
+    reports = pipeline.build_reports(spark, sf_dir)
+    try:
+        cached_plan = plan_of(fn(spark, sf_dir))
+        assert "InMemoryTableScan" in cached_plan, (
+            "pipeline caches no longer substitute into stock_valuation_all's "
+            "lineage — the shared-scan reuse contract broke"
+        )
+    finally:
+        reports.release()
+
+    restored = plan_of(fn(spark, sf_dir))
+    assert "InMemoryTableScan" not in restored, (
+        "Reports.release() left cached sub-plans behind"
     )
