@@ -91,46 +91,84 @@ def main() -> None:
     # of three measured runs — r04's only apparent regressions (+0.15-0.25 s)
     # were single-warm-run noise; a median makes variance and regression
     # distinguishable while staying robust to one-off GC/C2 spikes.
-    def timed(fn) -> float:
+    def timed(fn) -> tuple[float, float, float]:
+        """(median, min, max) of three measured runs after one warmup.
+
+        The min/max spread is recorded so round-over-round deltas are
+        adjudicable from the artifact alone: BENCH_r06 showed a uniform
+        23-87% drift that turned out to be ambient host contention, but
+        proving that required re-running the whole suite. With per-query
+        dispersion in the JSON, a shifted median inside the min/max envelope
+        of the previous round reads as noise; a median outside it reads as a
+        regression.
+        """
         fn()
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
-        return round(sorted(samples)[1], 3)
+        samples.sort()
+        return round(samples[1], 3), round(samples[0], 3), round(samples[2], 3)
+
+    dispersion: dict[str, dict[str, float]] = {}
 
     def run_suite(suite_dir: str) -> dict[str, float]:
         out: dict[str, float] = {}
-        out["q0_full_etl_12_reports"] = timed(
+
+        def record(label: str, fn) -> None:
+            med, lo, hi = timed(fn)
+            out[label] = med
+            dispersion[label] = {"min": lo, "max": hi}
+
+        record(
+            "q0_full_etl_12_reports",
             lambda: run_pipeline(
                 spark, suite_dir, tempfile.mkdtemp(prefix="wsspark_bench_")
-            )
+            ),
         )
         for label, name in HEADLINE.items():
-            out[label] = timed(
-                lambda name=name: materialize(registry[name].fn(spark, suite_dir))
+            record(
+                label,
+                lambda name=name: materialize(registry[name].fn(spark, suite_dir)),
             )
         return out
 
+    try:
+        load_at_start = os.getloadavg()
+    except OSError:
+        load_at_start = None
     timings = run_suite(sf_dir)
     total = round(sum(timings.values()), 3)
+    headline_dispersion = dict(dispersion)
 
     # Second scale point: the same suite + methodology at a smaller SF makes
     # the scaling SLOPE a tracked number — the strongest single-node evidence
     # for 100x extrapolation. Opt out with SPARK_GRAFT_SECOND_SF="".
-    scales: dict[str, dict] = {str(sf): {"total": total, "queries": timings}}
+    scales: dict[str, dict] = {
+        str(sf): {
+            "total": total,
+            "queries": timings,
+            "dispersion": headline_dispersion,
+        }
+    }
     second = os.environ.get("SPARK_GRAFT_SECOND_SF", "/root/testdata/sf0.01")
     if second and os.path.isdir(second) and os.path.abspath(second) != os.path.abspath(
         sf_dir
     ):
         second_sf = os.path.basename(second.rstrip("/")).replace("sf", "")
+        dispersion.clear()
         second_timings = run_suite(second)
         scales[second_sf] = {
             "total": round(sum(second_timings.values()), 3),
             "queries": second_timings,
+            "dispersion": dict(dispersion),
         }
 
+    try:
+        load_at_end = os.getloadavg()
+    except OSError:
+        load_at_end = None
     print(
         json.dumps(
             {
@@ -140,6 +178,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "scales": scales,
+                "dispersion": headline_dispersion,
+                # 1/5/15-min host load at run start+end: a high ambient load
+                # stamp contextualizes a slow round without a re-run.
+                "loadavg_start": load_at_start,
+                "loadavg_end": load_at_end,
             }
         )
     )
