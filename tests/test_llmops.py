@@ -491,3 +491,65 @@ def test_doc_chunks_cover_and_reconstruct(spark, chunk_size, overlap):
         # no degenerate tail: every later chunk adds > overlap... i.e. its
         # post-overlap suffix is non-empty
         assert all(len(c.chunk_text) > overlap for c in chunks[1:])
+
+
+def test_pack_chunks_partition_and_budget_properties(spark):
+    """Packing invariants over a randomized-length corpus: (a) every chunk
+    lands in exactly one pack; (b) no pack overflows budget by a full
+    chunk (total < budget + max_chunk_len); (c) every NON-final pack in a
+    group fills past budget - max_chunk_len (the straddle bounds both
+    ways); (d) the result is identical under a different input
+    partitioning (pure hash ordering, no rand())."""
+    from wsspark.llmops import corpus, textstats
+
+    budget, chunk_size = 500, 120
+    rows = [(i, "x" * (17 * i % 947 + 1)) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = textstats.doc_chunks(docs, chunk_size=chunk_size, overlap=30)
+    n_chunks_in = chunks.count()
+    packs = corpus.pack_chunks(
+        chunks, budget=budget, n_groups=4
+    ).collect()
+
+    # (a) exactly-once: counts add up AND the uid multiset is the input's
+    assert sum(p.n_chunks for p in packs) == n_chunks_in
+    uids = [u for p in packs for u in p.chunk_uids.split(",")]
+    assert len(uids) == len(set(uids)) == n_chunks_in
+    for p in packs:
+        assert p.n_chunks == len(p.chunk_uids.split(","))
+        assert p.fill_ratio == round(p.total_chars / budget, 4)
+
+    # (b)+(c) straddle bounds
+    last_seq = {}
+    for p in packs:
+        last_seq[p.pack_group] = max(last_seq.get(p.pack_group, -1), p.pack_seq)
+    for p in packs:
+        assert p.total_chars < budget + chunk_size, p
+        if p.pack_seq != last_seq[p.pack_group]:
+            assert p.total_chars > budget - chunk_size, p
+
+    # (d) partition invariance
+    repacked = corpus.pack_chunks(
+        chunks.repartition(7), budget=budget, n_groups=4
+    ).collect()
+    key = lambda p: (p.pack_group, p.pack_seq)  # noqa: E731
+    assert sorted(map(tuple, repacked)) == sorted(map(tuple, packs)), (
+        "pack assignment depends on input partitioning"
+    )
+
+
+def test_pack_chunks_plan_reuses_group_partitioning(spark, sf_dir):
+    """The pack rollup must NOT re-shuffle: window partitions by
+    pack_group, and the (pack_group, pack_seq) aggregate's clustering
+    requirement is satisfied by that same partitioning (subset-key rule),
+    so the OPERATOR costs exactly one Exchange."""
+    import re
+
+    from tests.test_plans import plan_of
+    from wsspark.llmops import corpus, textstats
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = plan_of(corpus.pack_chunks(textstats.doc_chunks(docs)))
+    n = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n == 1, f"pack_chunks costs {n} exchanges (want 1):\n{plan}"
+    assert "BatchEvalPython" not in plan

@@ -112,6 +112,70 @@ def quality_filter(
     )
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 1000,
+    n_groups: int = 8,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    len_col: str = "chunk_len",
+) -> DataFrame:
+    """Deterministic concat-and-split packing of variable-length chunks into
+    fixed-budget training sequences — the step after ``doc_chunks`` in a
+    pretraining corpus build (chunk -> pack -> sample).
+
+    Semantics (the standard pretraining packer, cut rounded to a chunk
+    boundary): chunks are laid out in a fixed pseudo-random order — md5 of
+    ``doc_id:chunk_id``, so neighboring chunks of one document scatter
+    across packs — and the running length is cut at every ``budget``
+    boundary. A chunk straddling a boundary joins the pack where it STARTS,
+    so a pack may overflow ``budget`` by at most ``max(chunk_len) - 1``;
+    every non-final pack in a group also fills past
+    ``budget - max(chunk_len)``. (Splitting the straddler instead changes
+    only the assignment expression; keeping chunks atomic preserves the
+    chunk -> pack provenance an audit needs.)
+
+    Scale shape: ``n_groups`` hash groups bound the window state — one
+    hash-partition exchange on the group key, a streaming running sum per
+    group (no global single-partition sort, which is the naive packer's
+    scale-killer), then one combinable groupBy for the pack rollup. At
+    100 TB, size n_groups ~ cluster parallelism; packing quality is
+    unaffected because the order inside each group is already uniform.
+    Determinism contract matches the rest of corpus.py: pure hash ordering,
+    no rand(), identical output under any input partitioning/retries, and a
+    DuckDB oracle twin computes it verbatim (portable md5 / hex-prefix
+    arithmetic)."""
+    uid = F.concat_ws(":", F.col(id_col), F.col(chunk_id_col))
+    keyed = chunks.select(
+        uid.alias("chunk_uid"),
+        F.md5(uid).alias("_pack_key"),
+        F.col(len_col).alias("_len"),
+        F.pmod(dedup.portable_hash64(uid), F.lit(n_groups))
+        .cast("int")
+        .alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("_pack_key", "chunk_uid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = keyed.withColumn(
+        "pack_seq",
+        F.floor(F.coalesce(F.sum("_len").over(w), F.lit(0)) / budget).cast("int"),
+    )
+    return (
+        assigned.groupBy("pack_group", "pack_seq")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("_len").alias("total_chars"),
+            F.round(F.sum("_len") / F.lit(budget), 4).alias("fill_ratio"),
+            F.concat_ws(",", F.array_sort(F.collect_list("chunk_uid"))).alias(
+                "chunk_uids"
+            ),
+        )
+    )
+
+
 def per_group_sample(
     df: DataFrame,
     k: int,

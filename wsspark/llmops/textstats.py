@@ -286,18 +286,23 @@ def doc_chunks(
     starts = F.sequence(
         F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
     )
+    # Only id_col + the aliased text enter the intermediate frame, so the
+    # temp name can collide only with id_col itself — make it impossible.
+    tmp = "_t"
+    while tmp == id_col:
+        tmp += "_"
     return docs.select(
         F.col(id_col),
-        F.col(text_col).alias("_t"),
+        F.col(text_col).alias(tmp),
         F.posexplode(starts).alias("chunk_id", "chunk_start"),
     ).select(
         id_col,
         "chunk_id",
         "chunk_start",
-        F.substring(F.col("_t"), F.col("chunk_start") + 1, chunk_size).alias(
+        F.substring(F.col(tmp), F.col("chunk_start") + 1, chunk_size).alias(
             "chunk_text"
         ),
         F.length(
-            F.substring(F.col("_t"), F.col("chunk_start") + 1, chunk_size)
+            F.substring(F.col(tmp), F.col("chunk_start") + 1, chunk_size)
         ).alias("chunk_len"),
     )

@@ -1384,8 +1384,6 @@ QUERIES = [
           "ROLLUP hierarchy totals in one shuffle (grouping sets)"),
     Query("movement_cube", q_movement_cube, CUBE_SQL,
           "CUBE grouping-set marginals in one shuffle"),
-    Query("lifo_valuation", q_lifo_valuation, LIFO_VALUATION_SQL,
-          "LIFO valuation: oldest-first window over dated receipt layers (M4 LIFO)"),
     Query("moving_avg_trends", q_moving_avg_trends, MOVING_AVG_SQL,
           "rolling 7-day mean + cumulative total over gap-filled daily trend"),
     Query("revenue_deciles", q_revenue_deciles, REVENUE_DECILES_SQL,

@@ -1377,6 +1377,70 @@ ORDER BY doc_id, chunk_id
 """
 
 
+PACK_BUDGET = 1000
+PACK_GROUPS = 8
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmops.corpus.pack_chunks over doc_chunks(documents): the chunk ->
+    pack stage of a pretraining corpus build. The chunk_uids string rides
+    in the output so the driver hash pins the exact pack membership, not
+    just the rollup stats."""
+    chunks = textstats.doc_chunks(
+        read_table(spark, sf_dir, "documents"),
+        chunk_size=CHUNK_SIZE,
+        overlap=CHUNK_OVERLAP,
+    )
+    return corpus.pack_chunks(
+        chunks, budget=PACK_BUDGET, n_groups=PACK_GROUPS
+    ).orderBy("pack_group", "pack_seq")
+
+
+# identical layout rule: chunks ordered by md5(doc_id:chunk_id) inside a
+# 60-bit-hash group, packs cut where the EXCLUSIVE running length crosses a
+# budget multiple (the straddling chunk joins the pack where it starts)
+PACK_CHUNKS_SQL = f"""
+WITH starts AS (
+    SELECT doc_id, text,
+           UNNEST(generate_series(
+               0, GREATEST(LENGTH(text) - {CHUNK_OVERLAP} - 1, 0),
+               {CHUNK_SIZE - CHUNK_OVERLAP})) AS chunk_start
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_start)
+                - 1 AS INTEGER) AS chunk_id,
+           LENGTH(SUBSTRING(text, chunk_start + 1, {CHUNK_SIZE})) AS chunk_len
+    FROM starts
+),
+keyed AS (
+    SELECT doc_id || ':' || chunk_id AS chunk_uid,
+           md5(doc_id || ':' || chunk_id) AS pack_key,
+           chunk_len,
+           CAST(('0x' || substr(md5(doc_id || ':' || chunk_id), 1, 15))::BIGINT
+                % {PACK_GROUPS} AS INTEGER) AS pack_group
+    FROM chunks
+),
+assigned AS (
+    SELECT *,
+           CAST(FLOOR(COALESCE(SUM(chunk_len) OVER (
+               PARTITION BY pack_group ORDER BY pack_key, chunk_uid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {PACK_BUDGET}) AS INTEGER) AS pack_seq
+    FROM keyed
+)
+SELECT pack_group, pack_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_len) AS BIGINT) AS total_chars,
+       ROUND(SUM(chunk_len) / {PACK_BUDGET}.0, 4) AS fill_ratio,
+       string_agg(chunk_uid, ',' ORDER BY chunk_uid) AS chunk_uids
+FROM assigned
+GROUP BY pack_group, pack_seq
+ORDER BY pack_group, pack_seq
+"""
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -1446,6 +1510,9 @@ QUERIES = [
     Query("doc_chunks", q_doc_chunks, DOC_CHUNKS_SQL,
           "overlapping fixed-size chunking (training-window prep, "
           "shuffle-free explode)"),
+    Query("pack_chunks", q_pack_chunks, PACK_CHUNKS_SQL,
+          "deterministic fixed-budget sequence packing of doc_chunks "
+          "(chunk -> pack stage of a pretraining corpus build)"),
 ]
 
 # Registry-slot policy (round 6): the driver window holds 50 of a 100-query
@@ -1471,6 +1538,15 @@ def _folded_core():
               "dead stock report (A1 J1 P5 P6)"),
         Query("daily_trends", core.q_daily_trends, core.DAILY_TRENDS_SQL,
               "gap-filled daily counts + day names (W1 W3)"),
+        # Folded r7 (pack_chunks took its slot): LIFO shares the layered
+        # receipt machinery with the registered fifo_valuation — identical
+        # window/lineage, only the consumption sort direction differs
+        # (ops/functions.py layered_valuation) — so FIFO's driver hash
+        # re-verifies the shared path every rotation while LIFO's own
+        # direction flip stays hash-checked here.
+        Query("lifo_valuation", core.q_lifo_valuation, core.LIFO_VALUATION_SQL,
+              "LIFO valuation: newest-first consumption over dated receipt "
+              "layers (M4 LIFO)"),
     ]
 
 
