@@ -425,3 +425,16 @@ def test_cache_substitution_is_reversible(spark, sf_dir):
     assert "InMemoryTableScan" not in restored, (
         "Reports.release() left cached sub-plans behind"
     )
+
+
+def test_approx_distinct_one_scan_per_table(spark, sf_dir):
+    """All of a table's columns certify off ONE scan (lineitem's three via
+    a single Expand-based multi-distinct aggregate): 3 tables -> exactly 3
+    FileScans, not one per certified column (5)."""
+    df = build_registry()["approx_distinct_accuracy"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert plan.count("FileScan parquet") == 3, plan

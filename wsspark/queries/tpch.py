@@ -839,7 +839,9 @@ def q_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch accuracy certification, in the ann_recall_at_k style:
     for each high-cardinality key column, compute the exact distinct count
     AND ``approx_count_distinct`` (rsd=``APPROX_RSD``) in one aggregate
-    pass, and emit whether the sketch landed within 3*rsd of truth. The
+    pass PER TABLE (all of a table's columns certify off a single scan —
+    lineitem's three go through one Expand-based multi-distinct aggregate,
+    plan-asserted), and emit whether the sketch landed within 3*rsd. The
     driver hash-checks (column_name, exact, within_tol) against an oracle
     asserting within_tol=TRUE — if Spark's sketch ever drifts outside the
     published bound on this data, the row goes red.
@@ -856,26 +858,37 @@ def q_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     ev = read_table(spark, sf_dir, "events")
 
-    def check(df: DataFrame, col: str) -> DataFrame:
-        row = df.agg(
-            F.countDistinct(col).alias("exact_distinct"),
-            F.approx_count_distinct(col, APPROX_RSD).alias("_approx"),
-        )
-        return row.select(
-            F.lit(col).alias("column_name"),
-            F.col("exact_distinct").cast("long").alias("exact_distinct"),
-            (
-                F.abs(F.col("_approx") - F.col("exact_distinct"))
-                <= F.lit(APPROX_TOL) * F.col("exact_distinct")
-            ).alias("within_tol"),
+    def check(df: DataFrame, cols: list[str]) -> DataFrame:
+        # ALL of a table's columns certify in ONE aggregate pass (one scan
+        # per table, 3 total — not one per column), then the single result
+        # row unpivots to per-column rows via an explode of structs.
+        aggs = []
+        for c in cols:
+            aggs.append(F.countDistinct(c).alias(f"_exact_{c}"))
+            aggs.append(
+                F.approx_count_distinct(c, APPROX_RSD).alias(f"_approx_{c}")
+            )
+        per_col = [
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"_exact_{c}").cast("long").alias("exact_distinct"),
+                (
+                    F.abs(F.col(f"_approx_{c}") - F.col(f"_exact_{c}"))
+                    <= F.lit(APPROX_TOL) * F.col(f"_exact_{c}")
+                ).alias("within_tol"),
+            )
+            for c in cols
+        ]
+        return (
+            df.agg(*aggs)
+            .select(F.explode(F.array(*per_col)).alias("_s"))
+            .select("_s.*")
         )
 
     frames = [
-        check(li, "l_orderkey"),
-        check(li, "l_partkey"),
-        check(li, "l_suppkey"),
-        check(orders, "o_custkey"),
-        check(ev, "user_id"),
+        check(li, ["l_orderkey", "l_partkey", "l_suppkey"]),
+        check(orders, ["o_custkey"]),
+        check(ev, ["user_id"]),
     ]
     out = frames[0]
     for f in frames[1:]:
