@@ -104,3 +104,59 @@ def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
     idx = spark.read.parquet(index.index_path)
     # exactly one band row per (doc, band): 8 bands x 2 docs
     assert idx.count() == 16
+
+
+def test_streaming_chunk_dedup_across_batches(spark, tmp_path):
+    """Chunk-grain ingest dedup: a passage arriving in batch 2 that
+    duplicates batch-1 content is flagged with first_* pointing at the
+    TRUE first occurrence (history, not the local batch); novel content
+    extends the index; replays are idempotent."""
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ck")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+
+    # chunk_size 40 / overlap 0: doc text below 40 chars = exactly 1 chunk,
+    # so chunk identity == text identity and the expectations are readable.
+    dedup = streaming.StreamingChunkDedup(spark, store, chunk_size=40, overlap=0)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+        q = dedup.attach(stream, ckpt)
+        q.awaitTermination(120)
+
+    t1 = "alpha beta gamma delta"
+    t2 = "completely different text"
+    spark.createDataFrame([(1, t1), (2, t2)], SCHEMA).write.parquet(src + "/b1")
+    run()
+    a1 = {(r.doc_id, r.chunk_id): r
+          for r in spark.read.parquet(dedup.assignments_path).collect()}
+    assert not a1[(1, 0)].is_dup and not a1[(2, 0)].is_dup
+
+    # batch 2: exact copy of doc 1's text, a within-batch dup pair, a novel
+    spark.createDataFrame(
+        [(3, t1), (4, "same same"), (5, "same same"), (6, "fresh stuff")],
+        SCHEMA,
+    ).write.parquet(src + "/b2")
+    run()
+    a = {(r.doc_id, r.chunk_id): r
+         for r in spark.read.parquet(dedup.assignments_path).collect()}
+    # cross-batch dup points at the batch-1 occurrence
+    assert a[(3, 0)].is_dup and a[(3, 0)].first_doc_id == 1 \
+        and a[(3, 0)].first_chunk_id == 0
+    # within-batch pair: first occurrence wins by (doc_id, chunk_id) order
+    assert not a[(4, 0)].is_dup
+    assert a[(5, 0)].is_dup and a[(5, 0)].first_doc_id == 4
+    assert not a[(6, 0)].is_dup
+
+    # index holds one row per UNIQUE chunk hash: t1, t2, "same same", "fresh"
+    idx = spark.read.parquet(dedup.index_path).collect()
+    assert len(idx) == len({r.chunk_hash for r in idx}) == 4
+    # the dup'd hash is indexed under its first occurrence, not the replayer
+    by_hash = {r.chunk_hash: r for r in idx}
+    assert by_hash[a[(3, 0)].chunk_hash].first_doc_id == 1
+
+    # replay idempotence: re-running an already-applied batch is a no-op
+    n_before = spark.read.parquet(dedup.assignments_path).count()
+    dedup.process_batch(spark.createDataFrame([(3, t1)], SCHEMA), 0)
+    assert spark.read.parquet(dedup.assignments_path).count() == n_before

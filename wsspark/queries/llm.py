@@ -1444,8 +1444,6 @@ ORDER BY pack_group, pack_seq
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
-    Query("token_counts", q_token_counts, TOKEN_COUNTS_SQL,
-          "whitespace + BPE-ish token counting"),
     Query("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
           "exact dedup groups by content hash"),
     Query("near_dup_jaccard", q_near_dup_jaccard, NEAR_DUP_SQL,
@@ -1555,5 +1553,11 @@ FOLDED_QUERIES = [
           "IVF-bucketed approximate cosine top-k"),
     Query("quantized_ann_topk", q_quantized_ann_topk, QUANTIZED_ANN_SQL,
           "int8-quantized shortlist + float re-rank cosine top-k"),
+    # Folded r7 (streaming_chunk_dedup took its slot): n_ws_tokens is the
+    # SAME F.size(tokens(text)) expression doc_stats registers as n_tokens
+    # — the whitespace tokenizer stays driver-verified every rotation
+    # through doc_stats; the BPE-ish regex count keeps its hash check here.
+    Query("token_counts", q_token_counts, TOKEN_COUNTS_SQL,
+          "whitespace + BPE-ish token counting"),
     *_folded_core(),
 ]

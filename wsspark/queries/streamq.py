@@ -375,6 +375,90 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level incremental dedup at ingest (StreamingChunkDedup:
+    doc_chunks per micro-batch, every chunk hash checked against the
+    accumulated index BEFORE insertion) as a driver row: the documents
+    table streamed through a fresh store. With the single-file source
+    there is exactly one batch, so the assignments equal the batch
+    first-occurrence window the oracle computes; cross-batch arrival
+    ordering and replay idempotence stay pinned by
+    tests/test_streaming_dedup.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", _stage_stream_dir(sf_dir, "documents"))
+        .load()
+    )
+    store = tempfile.mkdtemp(prefix="wsspark_chunkdedup_store_")
+    ckpt = tempfile.mkdtemp(prefix="wsspark_chunkdedup_ckpt_")
+    for d in (store, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    dedup = streaming.StreamingChunkDedup(
+        spark, store, chunk_size=llmq.CHUNK_SIZE, overlap=llmq.CHUNK_OVERLAP
+    )
+    q = dedup.attach(src, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("chunk dedup stream did not finish within 300s")
+    return spark.read.parquet(dedup.assignments_path).select(
+        "doc_id", "chunk_id", "chunk_hash", "is_dup",
+        "first_doc_id", "first_chunk_id",
+    )
+
+
+# single-batch twin: dup = an earlier (doc_id, chunk_id) with the same
+# chunk hash; first_* = the first occurrence in that order. Chunk layout
+# is the same starts rule DOC_CHUNKS_SQL pins.
+STREAMING_CHUNK_DEDUP_SQL = f"""
+WITH starts AS (
+    SELECT doc_id, text,
+           UNNEST(generate_series(
+               0, GREATEST(LENGTH(text) - {llmq.CHUNK_OVERLAP} - 1, 0),
+               {llmq.CHUNK_SIZE - llmq.CHUNK_OVERLAP})) AS chunk_start
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_start)
+                - 1 AS INTEGER) AS chunk_id,
+           md5(SUBSTRING(text, chunk_start + 1, {llmq.CHUNK_SIZE}))
+               AS chunk_hash
+    FROM starts
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                              ORDER BY doc_id, chunk_id) AS rn,
+           FIRST_VALUE(doc_id) OVER (PARTITION BY chunk_hash
+                                     ORDER BY doc_id, chunk_id)
+               AS first_doc_id,
+           FIRST_VALUE(chunk_id) OVER (PARTITION BY chunk_hash
+                                       ORDER BY doc_id, chunk_id)
+               AS first_chunk_id
+    FROM hashed
+)
+SELECT doc_id, chunk_id, chunk_hash, rn > 1 AS is_dup,
+       first_doc_id, CAST(first_chunk_id AS INTEGER) AS first_chunk_id
+FROM ranked
+"""
+
+
 QUERIES = [
     Query(
         "streaming_daily_counts",
@@ -425,5 +509,11 @@ QUERIES = [
         # LSH query — one oracle definition pins both paths
         llmq.MINHASH_PAIRS_SQL,
         "streaming MinHash+LSH index: arrival-time pairs == quadratic jaccard",
+    ),
+    Query(
+        "streaming_chunk_dedup",
+        q_streaming_chunk_dedup,
+        STREAMING_CHUNK_DEDUP_SQL,
+        "chunk-level incremental dedup at ingest == first-occurrence window",
     ),
 ]

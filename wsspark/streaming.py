@@ -557,3 +557,117 @@ class StreamingDedupIndex:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class StreamingChunkDedup:
+    """Chunk-level EXACT dedup at ingest — the production shape for
+    continuous corpus building: each arriving document is chunked
+    (llmops.textstats.doc_chunks) and every chunk's content hash is checked
+    against the accumulated chunk index BEFORE being added to it, so
+    duplicated passages (boilerplate, syndicated paragraphs, re-crawls) are
+    flagged at arrival instead of in a nightly O(corpus) sweep.
+
+    Per batch: chunk -> md5(chunk_text) -> a within-batch first-occurrence
+    window over the hash, then one equi-join against the history index
+    (chunk_hash, first_doc_id, first_chunk_id — globally unique per hash by
+    construction, so the join can never fan out). A chunk is a dup if its
+    hash hits history, or an earlier (doc_id, chunk_id) in the SAME batch;
+    ``first_*`` always points at the true first occurrence. Novel hashes
+    append to the index; every chunk's verdict appends to
+    ``assignments_path``. Same at-least-once guard as the other foreachBatch
+    sinks (_BatchLog + per-batch partition overwrite): replays rewrite in
+    place, never double-append.
+
+    Scale: work per batch = batch chunks (window on the batch side only) +
+    one hash-join against the index. The index grows with UNIQUE corpus
+    content; at 100 TB it lives bucketed by chunk_hash so the per-batch
+    join shuffles only the batch side into the index's bucket layout, and
+    the md5 keyspace is uniform by construction — no skew. Exact-hash
+    granularity is the complement of StreamingDedupIndex's MinHash NEAR-dup
+    at document grain: run both to reject verbatim passages and re-crawled
+    near-copies in the same ingest pass.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        chunk_size: int = 200,
+        overlap: int = 50,
+    ) -> None:
+        self.spark = spark
+        self.index_path = os.path.join(store_dir, "chunk_index")
+        self.assignments_path = os.path.join(store_dir, "chunk_assignments")
+        self.chunk_size = chunk_size
+        self.overlap = overlap
+        self._log = _BatchLog(store_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from wsspark.llmops import textstats
+
+        if batch_id <= self._log.last_applied():
+            return
+        # Single-file triggers arrive as one split; spread the chunk/hash
+        # work (same pitfall note as StreamingDedupIndex._banded).
+        docs = batch.repartition(
+            self.spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        chunks = textstats.doc_chunks(
+            docs, chunk_size=self.chunk_size, overlap=self.overlap
+        )
+        w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+        ranked = chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.md5("chunk_text").alias("chunk_hash"),
+        ).select(
+            "*",
+            F.row_number().over(w).alias("_rn"),
+            F.first("doc_id").over(w).alias("_batch_first_doc"),
+            F.first("chunk_id").over(w).alias("_batch_first_chunk"),
+        )
+        history = _read_parquet_or_none(self.spark, self.index_path)
+        if history is not None:
+            h = history.select(
+                "chunk_hash",
+                F.col("first_doc_id").alias("_h_doc"),
+                F.col("first_chunk_id").alias("_h_chunk"),
+            )
+            ranked = ranked.join(h, "chunk_hash", "left")
+        else:
+            ranked = ranked.withColumn(
+                "_h_doc", F.lit(None).cast("long")
+            ).withColumn("_h_chunk", F.lit(None).cast("int"))
+        out = ranked.select(
+            "doc_id",
+            "chunk_id",
+            "chunk_hash",
+            (F.col("_h_doc").isNotNull() | (F.col("_rn") > 1)).alias("is_dup"),
+            F.coalesce("_h_doc", "_batch_first_doc").alias("first_doc_id"),
+            F.coalesce("_h_chunk", "_batch_first_chunk").alias("first_chunk_id"),
+        ).cache()
+        try:
+            out.write.mode("overwrite").parquet(
+                os.path.join(self.assignments_path, f"batch_id={batch_id}")
+            )
+            novel = out.filter(~F.col("is_dup")).select(
+                "chunk_hash",
+                F.col("doc_id").alias("first_doc_id"),
+                F.col("chunk_id").alias("first_chunk_id"),
+            )
+            novel.write.mode("overwrite").parquet(
+                os.path.join(self.index_path, f"batch_id={batch_id}")
+            )
+        finally:
+            out.unpersist()
+        self._log.commit(batch_id)
+
+    def attach(self, docs: DataFrame, checkpoint_dir: str):
+        return (
+            docs.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
