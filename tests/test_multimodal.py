@@ -194,20 +194,51 @@ def test_real_resize_nearest_neighbor(spark):
 # Real PNG decode: stdlib zlib inflate + per-row unfilter, no codec libs.
 
 
-def make_png(pixels, color_type=2, row_filters=None, depth=8, interlace=0):
-    """Encode rows of (r,g,b[,a]) tuples as a non-interlaced 8-bit PNG,
-    exercising the chosen per-row filter types (0..4)."""
+def make_png(
+    pixels, color_type=2, row_filters=None, depth=8, interlace=0, palette=None
+):
+    """Encode a non-interlaced PNG exercising the chosen per-row filter
+    types (0..4). ``pixels`` rows hold (r,g,b[,a]) tuples for color types
+    2/6, scalar samples for grayscale (0), (g, a) pairs for gray+alpha
+    (4), and palette INDICES for type 3 (with ``palette`` = list of RGB
+    triples). Sub-byte depths (1/2/4) pack samples MSB-first for types
+    0/3."""
     import struct
     import zlib
 
     h, w = len(pixels), len(pixels[0])
-    ch = 3 if color_type == 2 else 4
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
 
-    def px(p):
-        p = tuple(p)
-        return bytes(p[:ch]) if len(p) >= ch else bytes(p) + b"\xff" * (ch - len(p))
+    def samples(p):
+        if color_type in (2, 6):
+            p = tuple(p)
+            return (
+                list(p[:ch]) if len(p) >= ch else list(p) + [255] * (ch - len(p))
+            )
+        if color_type == 4:
+            return list(p)
+        return [p]  # 0 / 3: scalar sample
 
-    rows = [b"".join(px(p) for p in row) for row in pixels]
+    def pack_row(row):
+        flat = [s for p in row for s in samples(p)]
+        if depth == 16:  # 8-bit source scaled up; decoder raises pre-inflate
+            return b"".join(struct.pack(">H", s * 257) for s in flat)
+        if depth == 8:
+            return bytes(flat)
+        packed, acc, nbits = bytearray(), 0, 0
+        for s in flat:
+            acc = (acc << depth) | s
+            nbits += depth
+            if nbits == 8:
+                packed.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            packed.append(acc << (8 - nbits))
+        return bytes(packed)
+
+    rows = [pack_row(row) for row in pixels]
+    stride = (w * ch * depth + 7) // 8
+    bpp = max(1, ch * depth // 8)
     filters = row_filters if row_filters is not None else [0] * h
 
     def paeth(a, b, c):
@@ -216,12 +247,12 @@ def make_png(pixels, color_type=2, row_filters=None, depth=8, interlace=0):
         return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
 
     raw = bytearray()
-    prev = bytes(w * ch)
+    prev = bytes(stride)
     for row, f in zip(rows, filters):
         raw.append(f)
         n = len(row)
-        left = lambda i: row[i - ch] if i >= ch else 0
-        upleft = lambda i: prev[i - ch] if i >= ch else 0
+        left = lambda i: row[i - bpp] if i >= bpp else 0
+        upleft = lambda i: prev[i - bpp] if i >= bpp else 0
         if f == 0:
             filt = row
         elif f == 1:
@@ -249,9 +280,15 @@ def make_png(pixels, color_type=2, row_filters=None, depth=8, interlace=0):
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    plte = (
+        chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+        if palette is not None
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -301,35 +338,77 @@ def test_png_strictness_falls_back_to_digest():
 
 
 def test_png_unsupported_variants_raise():
-    gray = [[(v, v, v) for v, _, _ in row] for row in PIXELS_4X4]
     with pytest.raises(NotImplementedError, match="PNG"):
         multimodal.decode_image_stub(make_png(PIXELS_4X4, interlace=1))
-    # grayscale (color type 0): re-encode IHDR only; pixel data irrelevant
-    # because the type check precedes inflate
-    import struct
-    import zlib
-
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
-
-    def chunk(ctype, data):
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
-    payload = (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
-        + chunk(b"IEND", b"")
-    )
-    with pytest.raises(NotImplementedError, match="PNG"):
-        multimodal.decode_image_stub(payload)
     with pytest.raises(NotImplementedError, match="PNG"):
         multimodal.decode_image_stub(make_png(PIXELS_4X4, depth=16))
-    assert gray  # silence unused warning if strategies change
+
+
+def test_png_grayscale_decodes_like_expanded_rgb():
+    """Color type 0: sample g must land as RGB (g,g,g) — verified against
+    the RGB decode of the expanded image, across all filter types."""
+    gray = [[r for r, _, _ in row] for row in PIXELS_4X4]
+    rgb = [[(v, v, v) for v in row] for row in gray]
+    got = multimodal.decode_image_stub(
+        make_png(gray, color_type=0, row_filters=[0, 1, 2, 4])
+    )
+    assert got == expected_features(rgb)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_grayscale_scales_by_bit_replication(depth):
+    """1/2/4-bit grayscale: packed samples unpack MSB-first and scale by
+    255/(2^d-1) — e.g. 2-bit 0b11 -> 255, 0b01 -> 85."""
+    hi = (1 << depth) - 1
+    gray = [[0, hi, hi, 0, 1 % (hi + 1)] for _ in range(3)]
+    scale = 255 // hi
+    rgb = [[(v * scale,) * 3 for v in row] for row in gray]
+    got = multimodal.decode_image_stub(
+        make_png(gray, color_type=0, depth=depth, row_filters=[0, 2, 1])
+    )
+    assert got == expected_features(rgb)
+
+
+def test_png_gray_alpha_drops_alpha():
+    gray = [[r for r, _, _ in row] for row in PIXELS_4X4]
+    ga = [[(v, (v * 7) % 256) for v in row] for row in gray]
+    rgb = [[(v, v, v) for v in row] for row in gray]
+    got = multimodal.decode_image_stub(
+        make_png(ga, color_type=4, row_filters=[0, 1, 3, 4])
+    )
+    assert got == expected_features(rgb)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_palette_decodes_through_plte(depth):
+    pal = [(250, 10, 30), (0, 128, 255)] + (
+        [(5, 250, 125)] if depth > 1 else []
+    )
+    n = len(pal)
+    idx = [[(x + y) % n for x in range(6)] for y in range(4)]
+    rgb = [[pal[i] for i in row] for row in idx]
+    got = multimodal.decode_image_stub(
+        make_png(idx, color_type=3, depth=depth, palette=pal,
+                 row_filters=[0, 1, 2, 4])
+    )
+    assert got == expected_features(rgb)
+
+
+def test_png_palette_strictness():
+    pal = [(250, 10, 30), (0, 128, 255)]
+    idx = [[0, 1, 1, 0]]
+
+    def is_digest(payload):
+        feat = multimodal.decode_image_stub(payload)
+        return len(feat) == multimodal.FEATURE_DIM and feat[0] != 4.0
+
+    # palette type without a PLTE chunk is structurally invalid -> digest
+    assert is_digest(make_png(idx, color_type=3, palette=None))
+    # an index past the palette end is corruption -> digest
+    assert is_digest(make_png([[0, 1, 2, 0]], color_type=3, palette=pal))
+    # PLTE on a grayscale type is forbidden by the spec -> digest
+    gray = [[10, 20, 30, 40]]
+    assert is_digest(make_png(gray, color_type=0, palette=pal))
 
 
 def test_png_decode_through_spark_arrow_path(spark):

@@ -141,12 +141,25 @@ def _make_pixel_parser():
             return a
         return up if pb <= pc else c
 
+    # channels per PNG color type, and the bit depths the spec allows each
+    _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    _PNG_DEPTHS = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }
+
     def _parse_png(b: bytes):
         # Chunk walk with full CRC verification; IHDR first, IDAT
-        # concatenated, IEND must terminate the payload exactly.
+        # concatenated, IEND must terminate the payload exactly. Decodes
+        # every non-interlaced <=8-bit variant: truecolor (2), RGBA (6),
+        # grayscale (0, incl. 1/2/4-bit), gray+alpha (4), and palette (3,
+        # incl. 1/2/4-bit via PLTE); 16-bit and Adam7 stay explicit raises.
         if b[:8] != _PNG_SIG or len(b) < 8 + 12:
             return None
-        pos, ihdr, idat, seen_end = 8, None, [], False
+        pos, ihdr, idat, plte, seen_end = 8, None, [], None, False
         while pos + 12 <= len(b):
             (length,) = _struct.unpack_from(">I", b, pos)
             ctype = b[pos + 4 : pos + 8]
@@ -161,6 +174,11 @@ def _make_pixel_parser():
                 if ctype != b"IHDR" or length != 13:
                     return None
                 ihdr = data
+            elif ctype == b"PLTE":
+                # must precede IDAT, 1..256 RGB triples (png spec 11.2.3)
+                if idat or plte is not None or length % 3 or not 0 < length <= 768:
+                    return None
+                plte = data
             elif ctype == b"IDAT":
                 idat.append(data)
             elif ctype == b"IEND":
@@ -177,53 +195,88 @@ def _make_pixel_parser():
             return None
         if not (0 < w <= 1 << 15) or not (0 < h <= 1 << 15):
             return None
-        if depth not in (1, 2, 4, 8, 16) or ctype_ not in (0, 2, 3, 4, 6):
+        if ctype_ not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[ctype_]:
             return None
         if interlace not in (0, 1):
             return None
-        if depth != 8 or ctype_ not in (2, 6) or interlace == 1:
+        if ctype_ == 3 and plte is None:
+            return None
+        if plte is not None and ctype_ in (0, 4):
+            return None  # PLTE forbidden for grayscale types (spec 11.2.3)
+        if depth == 16 or interlace == 1:
             raise NotImplementedError(
-                "PNG palette/gray/16-bit/interlaced decoding requires "
-                "PIL/opencv, not available in this env"
+                "PNG 16-bit/interlaced decoding requires PIL/opencv, not "
+                "available in this env"
             )
         try:
             raw = _zlib.decompress(b"".join(idat))
         except _zlib.error:
             return None
-        ch = 3 if ctype_ == 2 else 4
-        stride = w * ch
+        ch = _PNG_CHANNELS[ctype_]
+        # Filters operate on BYTES: stride is the packed row length and the
+        # left-neighbor distance bpp floors at one byte for sub-byte depths
+        # (png spec 9.2).
+        stride = (w * ch * depth + 7) // 8
+        bpp = max(1, ch * depth // 8)
         if len(raw) != h * (1 + stride):
             return None
         out = bytearray()
         prev = bytearray(stride)
         pos = 0
+        # sub-byte samples scale to 8-bit by bit replication (255/(2^d-1))
+        scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
+        n_pal = len(plte) // 3 if plte is not None else 0
         for _y in range(h):
             f = raw[pos]
             row = bytearray(raw[pos + 1 : pos + 1 + stride])
             pos += 1 + stride
             if f == 1:  # Sub
-                for i in range(ch, stride):
-                    row[i] = (row[i] + row[i - ch]) & 0xFF
+                for i in range(bpp, stride):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
             elif f == 2:  # Up
                 for i in range(stride):
                     row[i] = (row[i] + prev[i]) & 0xFF
             elif f == 3:  # Average
                 for i in range(stride):
-                    a = row[i - ch] if i >= ch else 0
+                    a = row[i - bpp] if i >= bpp else 0
                     row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
             elif f == 4:  # Paeth
                 for i in range(stride):
-                    a = row[i - ch] if i >= ch else 0
-                    c = prev[i - ch] if i >= ch else 0
+                    a = row[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
                     row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
             elif f != 0:
                 return None
             prev = row
-            if ch == 3:
+            if depth < 8:  # unpack w samples MSB-first; padding bits ignored
+                mask = (1 << depth) - 1
+                vals = [
+                    (row[(x * depth) // 8] >> (8 - depth - (x * depth) % 8))
+                    & mask
+                    for x in range(w)
+                ]
+            else:
+                vals = None
+            if ctype_ == 2:
                 out += row
-            else:  # RGBA: features are over color channels; drop alpha
+            elif ctype_ == 6:  # drop alpha
                 for i in range(0, stride, 4):
                     out += row[i : i + 3]
+            elif ctype_ == 0:
+                gs = vals if vals is not None else row
+                for g in gs:
+                    v = g * scale
+                    out += bytes((v, v, v))
+            elif ctype_ == 4:  # gray + alpha pairs; drop alpha
+                for i in range(0, stride, 2):
+                    g = row[i]
+                    out += bytes((g, g, g))
+            else:  # palette lookup; an out-of-range index is corruption
+                idxs = vals if vals is not None else row
+                for ix in idxs:
+                    if ix >= n_pal:
+                        return None
+                    out += plte[3 * ix : 3 * ix + 3]
         return w, h, bytes(out)
 
     def parse(b: bytes):
@@ -299,15 +352,16 @@ def _make_decode_stub(feature_dim: int):
 
     def decode(payload):
         """Decode + feature extract. BMP/PPM and — via stdlib zlib —
-        non-interlaced 8-bit RGB/RGBA PNG payloads are REALLY decoded:
-        the 8-dim feature is (width, height, mean R/G/B, min/max/mean
-        luminance) computed from actual pixels; 16-bit PCM WAV payloads
-        likewise decode to (channels, rate, frames, duration_ms, rms,
-        peak, mean, zero-crossing rate). 6dp-rounded for cross-engine
-        hash stability. JPEG, PNG palette/gray/16-bit/interlaced, and
-        non-PCM audio raise (those genuinely need codec libs — explicit
-        boundary). Anything else digests to a deterministic sha256 fake
-        so opaque testdata still flows."""
+        every non-interlaced <=8-bit PNG variant (truecolor, RGBA,
+        grayscale incl. 1/2/4-bit, gray+alpha, palette incl. 1/2/4-bit)
+        are REALLY decoded: the 8-dim feature is (width, height, mean
+        R/G/B, min/max/mean luminance) computed from actual pixels;
+        16-bit PCM WAV payloads likewise decode to (channels, rate,
+        frames, duration_ms, rms, peak, mean, zero-crossing rate).
+        6dp-rounded for cross-engine hash stability. JPEG, PNG
+        16-bit/interlaced, and non-PCM audio raise (those genuinely need
+        codec libs — explicit boundary). Anything else digests to a
+        deterministic sha256 fake so opaque testdata still flows."""
         if payload is None:
             return None
         b = bytes(payload)
