@@ -48,6 +48,9 @@ HEADLINE = {
     "q15_nation_trade_volume": "nation_trade_volume",
     "q16_large_orders": "large_orders",
     "q17_salted_product_totals": "salted_product_totals",
+    # round-7: the chunk -> pack corpus-prep chain (doc_chunks explode +
+    # single-exchange packing) joins the perf-tracked set.
+    "q18_pack_chunks": "pack_chunks",
 }
 
 
