@@ -964,3 +964,112 @@ def test_jpeg_roundtrip_random_images(w, h, sampling, gray, dri, data):
         assert _max_err(rgb, want) <= 6, (w, h, sampling, dri)
     else:
         assert _max_err(rgb, pixels) <= 6, (w, h, sampling, dri)
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG: the video modality made real — container walk + the
+# JPEG decoder per sampled frame.
+# ---------------------------------------------------------------------------
+
+
+def make_avi(jpeg_frames, width, height, us_per_frame=100_000):
+    """Minimal-but-valid RIFF AVI wrapping Motion-JPEG frames: hdrl with
+    avih + one vids strl (strh/strf biCompression='MJPG'), then movi with
+    one 00dc chunk per frame. Independent of the product parser."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I4I",
+        us_per_frame, 0, 0, 0, len(jpeg_frames), 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<I", 0)
+        + struct.pack("<HHI", 0, 0, 0)
+        + struct.pack("<IIII", 1, 1_000_000 // us_per_frame, 0, len(jpeg_frames))
+        + struct.pack("<IiI", 0, -1, 0) + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", 0, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+SOLIDS = [(220, 40, 40), (40, 220, 40), (40, 40, 220)]
+
+
+def _solid_frames(n=3, w=16, h=16):
+    return [
+        make_jpeg([[SOLIDS[i % 3]] * w for _ in range(h)]) for i in range(n)
+    ]
+
+
+def test_avi_parser_structural():
+    frames = _solid_frames(3)
+    avi = make_avi(frames, 16, 16, us_per_frame=100_000)
+    parse = multimodal._make_avi_parser()
+    got = parse(avi)
+    assert got is not None
+    w, h, uspf, got_frames = got
+    assert (w, h, uspf) == (16, 16, 100_000)
+    assert got_frames == frames
+    # strictness: truncated, resized, junk all digest-fallback (None)
+    assert parse(avi[:-3]) is None
+    assert parse(avi + b"x") is None
+    assert parse(b"RIFF" + avi[4:]) is not None  # sanity: untouched passes
+
+
+def test_avi_non_mjpg_codec_raises():
+    frames = _solid_frames(1)
+    avi = make_avi(frames, 16, 16)
+    # flip BOTH biCompression and the handler fourcc to a real codec id
+    h264 = avi.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError, match="Motion-JPEG"):
+        multimodal._make_avi_parser()(h264)
+
+
+def test_extract_frame_features_decodes_sampled_frames(spark):
+    """10 fps stream (100ms/frame), 1-per-300ms sampling: frames 0, 3, 6
+    decode — each a distinct solid color, so the features identify exactly
+    which frame was picked."""
+    frames = _solid_frames(9)
+    avi = make_avi(frames, 16, 16, us_per_frame=100_000)
+    rows = [(70, "video", avi, "video/avi", 16, 16, 900)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = sorted(
+        multimodal.extract_frame_features(media, every_ms=300).collect(),
+        key=lambda r: r["frame_ts_ms"],
+    )
+    assert [(r["frame_ts_ms"], r["frame_index"]) for r in out] == [
+        (0, 0), (300, 3), (600, 6)
+    ]
+    for r in out:
+        want = SOLIDS[r["frame_index"] % 3]
+        got = r["feature"]
+        assert (got[0], got[1]) == (16.0, 16.0)
+        # solid-color JPEG round-trip: mean channel within rounding
+        assert all(abs(got[2 + c] - want[c]) <= 3 for c in range(3)), r
+
+
+def test_extract_frame_features_opaque_payload_digests(spark):
+    rows = [(71, "video", b"not-an-avi", "video/mp4", None, None, 2500)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_frame_features(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000]
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in out)
+    # deterministic across runs
+    again = multimodal.extract_frame_features(media, every_ms=1000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
