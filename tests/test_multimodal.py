@@ -1073,3 +1073,205 @@ def test_extract_frame_features_opaque_payload_digests(spark):
     # deterministic across runs
     again = multimodal.extract_frame_features(media, every_ms=1000).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# GIF: independent encoder (own LZW compressor) vs the from-spec decoder.
+# ---------------------------------------------------------------------------
+
+
+def lzw_compress(min_code, data):
+    """GIF-variant LZW: emits clear first, variable code size LSB-first,
+    dictionary capped at 4096, EOI last."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    size = min_code + 1
+    bits = []
+
+    def emit(code):
+        for i in range(size):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << size) and size < 12:
+                size += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        out.append(byte)
+    return bytes(out)
+
+
+def make_gif(
+    frames,
+    palette,
+    delays_ms=None,
+    interlace=False,
+    transparent=None,
+    disposals=None,
+    version=b"GIF89a",
+    bg_index=0,
+):
+    """frames: list of 2-D index arrays (full canvas, same dims). palette:
+    list of (r,g,b). Emits a GCE per frame when delays/transparency given."""
+    import math
+
+    h, w = len(frames[0]), len(frames[0][0])
+    n_pal = max(2, 1 << max(1, math.ceil(math.log2(len(palette)))))
+    pal_bits = max(1, (n_pal - 1).bit_length())
+    n_pal = 1 << pal_bits
+    pal = bytes(
+        v
+        for i in range(n_pal)
+        for v in (palette[i] if i < len(palette) else (0, 0, 0))
+    )
+    out = bytearray()
+    out += version
+    out += bytes((w & 255, w >> 8, h & 255, h >> 8))
+    out += bytes((0x80 | (pal_bits - 1), bg_index, 0))
+    out += pal
+    min_code = max(2, pal_bits)
+    for k, frame in enumerate(frames):
+        delay = (delays_ms or [0] * len(frames))[k] // 10
+        disp = (disposals or [0] * len(frames))[k]
+        if delays_ms is not None or transparent is not None or disp:
+            flags = (disp & 7) << 2
+            tr = 0
+            if transparent is not None:
+                flags |= 1
+                tr = transparent
+            out += bytes((0x21, 0xF9, 4, flags, delay & 255, delay >> 8, tr, 0))
+        out += bytes((0x2C, 0, 0, 0, 0, w & 255, w >> 8, h & 255, h >> 8))
+        out += bytes((0x40 if interlace else 0x00,))
+        rows = list(range(h))
+        if interlace:
+            rows = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+        idx = bytes(frame[r][c] for r in rows for c in range(w))
+        out += bytes((min_code,))
+        comp = lzw_compress(min_code, idx)
+        for i in range(0, len(comp), 255):
+            blockb = comp[i : i + 255]
+            out += bytes((len(blockb),)) + blockb
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+GIF_PAL = [(250, 10, 30), (0, 128, 255), (5, 250, 125), (200, 200, 0)]
+
+
+def test_gif_static_decodes_exact():
+    idx = [[(x + y) % 4 for x in range(7)] for y in range(5)]
+    rgb = [[GIF_PAL[i] for i in row] for row in idx]
+    got = multimodal.decode_image_stub(make_gif([idx], GIF_PAL))
+    assert got == expected_features(rgb)
+
+
+def test_gif_87a_and_interlace():
+    idx = [[(x * y) % 4 for x in range(9)] for y in range(11)]
+    rgb = [[GIF_PAL[i] for i in row] for row in idx]
+    plain = multimodal.decode_image_stub(make_gif([idx], GIF_PAL, version=b"GIF87a"))
+    inter = multimodal.decode_image_stub(make_gif([idx], GIF_PAL, interlace=True))
+    assert plain == inter == expected_features(rgb)
+
+
+def test_gif_lzw_crosses_code_size_boundaries():
+    """A 64x64 noise image with a 4-color palette forces the LZW dictionary
+    through multiple code-size bumps (and past early clear codes)."""
+    idx = [[(x * 7 + y * 13 + (x * y) % 5) % 4 for x in range(64)] for y in range(64)]
+    rgb = [[GIF_PAL[i] for i in row] for row in idx]
+    got = multimodal.decode_image_stub(make_gif([idx], GIF_PAL))
+    assert got == expected_features(rgb)
+
+
+def test_gif_animation_frames_composite_and_sample(spark):
+    """3 frames at 200ms each; sampling at 300ms picks frames 0 and 1
+    (timeline 0-199, 200-399, 400-599); solid distinct colors identify
+    the frame."""
+    frames = [[[i] * 8 for _ in range(8)] for i in range(3)]
+    gif = make_gif(frames, GIF_PAL, delays_ms=[200, 200, 200])
+    rows = [(80, "video", gif, "image/gif", 8, 8, 600)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = sorted(
+        multimodal.extract_frame_features(media, every_ms=300).collect(),
+        key=lambda r: r["frame_ts_ms"],
+    )
+    assert [(r["frame_ts_ms"], r["frame_index"]) for r in out] == [(0, 0), (300, 1)]
+    for r in out:
+        want = GIF_PAL[r["frame_index"]]
+        assert [r["feature"][2 + c] for c in range(3)] == [float(v) for v in want]
+
+
+def test_gif_transparency_composites_over_previous():
+    """Frame 2 is transparent except one pixel: the composited result is
+    frame 1 with that single pixel changed."""
+    f1 = [[0] * 4 for _ in range(4)]
+    f2 = [[3 if (r, c) == (1, 2) else 1 for c in range(4)] for r in range(4)]
+    gif = make_gif([f1, f2], GIF_PAL, delays_ms=[100, 100], transparent=1)
+    parse = multimodal._make_gif_parser()
+    w, h, frames = parse(gif)
+    assert (w, h) == (4, 4) and len(frames) == 2
+    want = [
+        [GIF_PAL[3] if (r, c) == (1, 2) else GIF_PAL[0] for c in range(4)]
+        for r in range(4)
+    ]
+    flat = bytes(v for row in want for p in row for v in p)
+    assert frames[1][1] == flat
+    assert frames[1][0] == 100  # delay carried per frame
+
+
+def test_gif_strictness_falls_back_to_digest():
+    idx = [[(x + y) % 4 for x in range(7)] for y in range(5)]
+    rgb = [[GIF_PAL[i] for i in row] for row in idx]
+    good = make_gif([idx], GIF_PAL)
+
+    def is_digest(payload):
+        return multimodal.decode_image_stub(payload) != expected_features(rgb)
+
+    assert is_digest(good + b"x")  # junk after trailer
+    assert is_digest(good[:-1])  # missing trailer
+    assert is_digest(good[:20])  # truncated mid-structure
+    # corrupt a byte inside the LZW data: decode must fail closed
+    corrupted = bytearray(good)
+    corrupted[-8] ^= 0x55
+    assert is_digest(bytes(corrupted))
+
+
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(2, 8), st.booleans(), st.data())
+@settings(max_examples=80, deadline=None)
+def test_gif_roundtrip_random_images(w, h, n_colors, interlace, data):
+    """Random dims x palette size x interlace: the LZW+palette round-trip
+    must be EXACT (GIF is lossless)."""
+    palette = [
+        tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+        for _ in range(n_colors)
+    ]
+    idx = [
+        [data.draw(st.integers(0, n_colors - 1)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    got = multimodal.decode_image_stub(make_gif([idx], palette, interlace=interlace))
+    rgb = [[palette[i] for i in row] for row in idx]
+    assert got == expected_features(rgb), (w, h, n_colors, interlace)

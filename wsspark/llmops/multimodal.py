@@ -693,6 +693,7 @@ def _make_pixel_parser():
         return w, h, bytes(out)
 
     _parse_jpeg = _make_jpeg_parser()
+    _parse_gif = _make_gif_parser()
 
     def parse(b: bytes):
         if b[:2] == b"BM":
@@ -703,6 +704,12 @@ def _make_pixel_parser():
             return _parse_png(b)
         if b[:2] == b"\xff\xd8":
             return _parse_jpeg(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            gif = _parse_gif(b)
+            if gif is None:
+                return None
+            w, h, frames = gif
+            return w, h, frames[0][1]  # static path: first composited frame
         return None
 
     return parse
@@ -752,6 +759,227 @@ def _make_wav_parser():
             return None
         samples = _struct.unpack(f"<{len(data) // 2}h", data)
         return n_ch, rate, samples
+
+    return parse
+
+
+def _make_gif_parser():
+    """From-spec GIF87a/89a decoder in pure Python: logical screen +
+    global/local color tables, the LZW variable-code-size decompressor
+    (GIF's defining codec — clear/EOI codes, dictionary growth to 4096,
+    LSB-first packing), 4-pass interlace reordering, and frame compositing
+    (disposal none/keep accumulate onto the canvas; disposal 2 restores
+    the background; transparency skips pixels). Returns ``parse(b) ->
+    (w, h, [(delay_ms, rgb_bytes), ...])`` — one entry per frame,
+    composited, each ``rgb`` full-canvas top-down RGB — or ``None`` for
+    structurally-invalid payloads (the digest-fallback contract: exact
+    trailer at end-of-bytes, consistent sub-block chains, in-range LZW
+    codes). Nothing in GIF needs an external codec lib, so this parser
+    has no NotImplementedError surface — disposal 3 (restore-previous)
+    is honored too since a previous-canvas copy is cheap at these sizes."""
+
+    def _lzw(min_code: int, data: bytes, n_expected: int):
+        if not 2 <= min_code <= 11:
+            raise ValueError
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        # dictionary: entries as (prefix_index, last_byte); roots are bytes
+        out = bytearray()
+        bitpos = 0
+        nbits = len(data) * 8
+
+        def read_code(size):
+            nonlocal bitpos
+            if bitpos + size > nbits:
+                raise ValueError
+            v = 0
+            for i in range(size):
+                byte = data[(bitpos + i) >> 3]
+                v |= ((byte >> ((bitpos + i) & 7)) & 1) << i  # LSB-first
+            bitpos += size
+            return v
+
+        def reset():
+            return list(range(1 << min_code)) + [None, None], min_code + 1
+
+        table, size = reset()
+        prev = None
+        while True:
+            code = read_code(size)
+            if code == clear:
+                table, size = reset()
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if code < len(table) and table[code] is not None or code < clear:
+                entry = _expand(table, code)
+            elif code == len(table) and prev is not None:
+                entry = _expand(table, prev)
+                entry = entry + entry[:1]
+            else:
+                raise ValueError
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append((prev, entry[0]))
+                # The decoder's table lags the encoder by ONE pending entry
+                # (the encoder adds right after emitting; the decoder only
+                # learns that entry's last byte from the NEXT code), so the
+                # size bump fires at 2^size - 1, not 2^size — the canonical
+                # GIF-LZW off-by-one.
+                if len(table) == (1 << size) - 1 and size < 12:
+                    size += 1
+            prev = code
+            if len(out) >= n_expected:
+                # spec: EOI should follow; tolerate it arriving next read
+                nxt = read_code(size) if bitpos + size <= nbits else eoi
+                if nxt not in (eoi, clear):
+                    raise ValueError
+                break
+        if len(out) != n_expected:
+            raise ValueError
+        return bytes(out)
+
+    def _expand(table, code):
+        # walk the prefix chain; roots are ints (the byte value)
+        parts = []
+        while True:
+            e = table[code]
+            if isinstance(e, int):
+                parts.append(e)
+                break
+            code, byte = e
+            parts.append(byte)
+        return bytes(reversed(parts))
+
+    _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+    def parse(b: bytes):
+        if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 14:
+            return None
+        w = b[6] | (b[7] << 8)
+        h = b[8] | (b[9] << 8)
+        packed, bg_index = b[10], b[11]
+        if not (0 < w <= 1 << 14) or not (0 < h <= 1 << 14):
+            return None
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            if pos + 3 * n > len(b):
+                return None
+            gct = b[pos : pos + 3 * n]
+            pos += 3 * n
+
+        def sub_blocks(p):
+            chunks = []
+            while True:
+                if p >= len(b):
+                    raise ValueError
+                n = b[p]
+                p += 1
+                if n == 0:
+                    return b"".join(chunks), p
+                if p + n > len(b):
+                    raise ValueError
+                chunks.append(b[p : p + n])
+                p += n
+
+        canvas = bytearray(w * h * 3)
+        if gct is not None and 3 * bg_index + 3 <= len(gct):
+            bg = gct[3 * bg_index : 3 * bg_index + 3]
+            for i in range(0, len(canvas), 3):
+                canvas[i : i + 3] = bg
+        frames: list[tuple[int, bytes]] = []
+        delay_ms = 0
+        transparent = None
+        disposal = 0
+        try:
+            while True:
+                if pos >= len(b):
+                    return None  # no trailer
+                block = b[pos]
+                pos += 1
+                if block == 0x3B:  # trailer — must end the payload exactly
+                    if pos != len(b) or not frames:
+                        return None
+                    return w, h, frames
+                if block == 0x21:  # extension
+                    if pos >= len(b):
+                        return None
+                    label = b[pos]
+                    pos += 1
+                    data, pos = sub_blocks(pos)
+                    if label == 0xF9:  # graphic control
+                        if len(data) != 4:
+                            return None
+                        flags = data[0]
+                        disposal = (flags >> 2) & 7
+                        delay_ms = (data[1] | (data[2] << 8)) * 10
+                        transparent = data[3] if flags & 1 else None
+                    continue
+                if block != 0x2C:
+                    return None
+                if pos + 9 > len(b):
+                    return None
+                fx = b[pos] | (b[pos + 1] << 8)
+                fy = b[pos + 2] | (b[pos + 3] << 8)
+                fw = b[pos + 4] | (b[pos + 5] << 8)
+                fh = b[pos + 6] | (b[pos + 7] << 8)
+                fpacked = b[pos + 8]
+                pos += 9
+                if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+                    return None
+                ct = gct
+                if fpacked & 0x80:
+                    n = 2 << (fpacked & 7)
+                    if pos + 3 * n > len(b):
+                        return None
+                    ct = b[pos : pos + 3 * n]
+                    pos += 3 * n
+                if ct is None:
+                    return None
+                if pos >= len(b):
+                    return None
+                min_code = b[pos]
+                pos += 1
+                data, pos = sub_blocks(pos)
+                idx = _lzw(min_code, data, fw * fh)
+                n_colors = len(ct) // 3
+                if any(i >= n_colors for i in idx):
+                    return None
+                if fpacked & 0x40:  # 4-pass interlace: reorder rows
+                    rows = [idx[r * fw : (r + 1) * fw] for r in range(fh)]
+                    ordered: list[bytes | None] = [None] * fh
+                    src = 0
+                    for start, step in _INTERLACE:
+                        for r in range(start, fh, step):
+                            ordered[r] = rows[src]
+                            src += 1
+                    idx = b"".join(ordered)  # type: ignore[arg-type]
+                before = bytes(canvas) if disposal == 3 else None
+                for r in range(fh):
+                    crow = (fy + r) * w
+                    for c in range(fw):
+                        px = idx[r * fw + c]
+                        if px == transparent:
+                            continue
+                        o = 3 * (crow + fx + c)
+                        canvas[o : o + 3] = ct[3 * px : 3 * px + 3]
+                frames.append((delay_ms, bytes(canvas)))
+                if disposal == 2 and gct is not None:
+                    bg = gct[3 * bg_index : 3 * bg_index + 3]
+                    for r in range(fh):
+                        crow = (fy + r) * w
+                        for c in range(fw):
+                            o = 3 * (crow + fx + c)
+                            canvas[o : o + 3] = bg
+                elif disposal == 3 and before is not None:
+                    canvas = bytearray(before)
+                disposal = 0
+                transparent = None
+                delay_ms = 0
+        except ValueError:
+            return None
 
     return parse
 
@@ -986,19 +1214,53 @@ def extract_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     timestamp is picked by the stream's own clock (``us_per_frame``), and
     ONLY those frames run the baseline JPEG decoder — a 1 fps sample of a
     30 fps stream decodes 1/30th of the frames, which is the point of
-    sampling at 100 TB. Opaque payloads emit metadata-driven timestamps
-    with deterministic digest features (the ``sample_frames`` plumbing
-    contract); non-MJPG codecs raise. One output row per sampled frame."""
+    sampling at 100 TB. Animated GIFs decode too (LZW + compositing, with
+    each frame's own delay driving the timeline). Opaque payloads emit
+    metadata-driven timestamps with deterministic digest features (the
+    ``sample_frames`` plumbing contract); non-MJPG AVI codecs raise. One
+    output row per sampled frame."""
     decode = _make_decode_stub(FEATURE_DIM)
     parse_avi = _make_avi_parser()
+    parse_gif = _make_gif_parser()
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+
+        def pixel_feature(w, h, rgb):
+            n_px = w * h
+            lums = [rgb[i] + rgb[i + 1] + rgb[i + 2] for i in range(0, 3 * n_px, 3)]
+            return [
+                float(w),
+                float(h),
+                round(sum(rgb[0::3]) / n_px, 6),
+                round(sum(rgb[1::3]) / n_px, 6),
+                round(sum(rgb[2::3]) / n_px, 6),
+                round(min(lums) / 3.0, 6),
+                round(max(lums) / 3.0, 6),
+                round(sum(lums) / (3.0 * n_px), 6),
+            ][:FEATURE_DIM]
 
         def rows_for(media_id, payload, duration_ms):
             if payload is None:
                 return
             b = bytes(payload)
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                gif = parse_gif(b)
+                if gif is not None:
+                    w, h, frames = gif
+                    # frame k covers [start_k, start_k + delay_k); sample
+                    # every_ms against that timeline (0-delay frames get
+                    # the GIF default of one tick so they stay sampleable)
+                    starts, t = [], 0
+                    for delay_ms, _rgb in frames:
+                        starts.append(t)
+                        t += max(delay_ms, 10)
+                    for ts in range(0, max(t, 1), every_ms):
+                        idx = max(i for i, s in enumerate(starts) if s <= ts)
+                        yield media_id, ts, idx, pixel_feature(
+                            w, h, frames[idx][1]
+                        )
+                    return
             avi = parse_avi(b)
             if avi is None:
                 # opaque payload: metadata-driven timestamps, digest features
