@@ -238,40 +238,56 @@ def make_png(
             packed.append(acc << (8 - nbits))
         return bytes(packed)
 
-    rows = [pack_row(row) for row in pixels]
-    stride = (w * ch * depth + 7) // 8
     bpp = max(1, ch * depth // 8)
-    filters = row_filters if row_filters is not None else [0] * h
+    filters = row_filters if row_filters is not None else [0]
 
     def paeth(a, b, c):
         q = a + b - c
         pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
         return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
 
+    if interlace:
+        groups = []
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            xs = list(range(x0, w, dx))
+            g = [[pixels[y][x] for x in xs] for y in range(y0, h, dy)]
+            if g and xs:
+                groups.append(g)
+    else:
+        groups = [pixels]
+
     raw = bytearray()
-    prev = bytes(stride)
-    for row, f in zip(rows, filters):
-        raw.append(f)
-        n = len(row)
-        left = lambda i: row[i - bpp] if i >= bpp else 0
-        upleft = lambda i: prev[i - bpp] if i >= bpp else 0
-        if f == 0:
-            filt = row
-        elif f == 1:
-            filt = bytes((row[i] - left(i)) & 0xFF for i in range(n))
-        elif f == 2:
-            filt = bytes((row[i] - prev[i]) & 0xFF for i in range(n))
-        elif f == 3:
-            filt = bytes(
-                (row[i] - ((left(i) + prev[i]) >> 1)) & 0xFF for i in range(n)
-            )
-        else:
-            filt = bytes(
-                (row[i] - paeth(left(i), prev[i], upleft(i))) & 0xFF
-                for i in range(n)
-            )
-        raw += filt
-        prev = row
+    fi = 0
+    for g in groups:
+        prev = bytes(len(pack_row(g[0])))
+        for prow in g:
+            f = filters[fi % len(filters)]
+            fi += 1
+            raw.append(f)
+            row = pack_row(prow)
+            n = len(row)
+            left = lambda i: row[i - bpp] if i >= bpp else 0
+            upleft = lambda i: prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                filt = row
+            elif f == 1:
+                filt = bytes((row[i] - left(i)) & 0xFF for i in range(n))
+            elif f == 2:
+                filt = bytes((row[i] - prev[i]) & 0xFF for i in range(n))
+            elif f == 3:
+                filt = bytes(
+                    (row[i] - ((left(i) + prev[i]) >> 1)) & 0xFF for i in range(n)
+                )
+            else:
+                filt = bytes(
+                    (row[i] - paeth(left(i), prev[i], upleft(i))) & 0xFF
+                    for i in range(n)
+                )
+            raw += filt
+            prev = row
 
     def chunk(ctype, data):
         return (
@@ -339,11 +355,51 @@ def test_png_strictness_falls_back_to_digest():
     assert is_digest(good[:-5])
 
 
-def test_png_unsupported_variants_raise():
-    with pytest.raises(NotImplementedError, match="PNG"):
-        multimodal.decode_image_stub(make_png(PIXELS_4X4, interlace=1))
-    with pytest.raises(NotImplementedError, match="PNG"):
-        multimodal.decode_image_stub(make_png(PIXELS_4X4, depth=16))
+def test_png_16bit_reduces_to_high_byte():
+    """16-bit samples (encoded v*257, so high byte == v) decode exactly:
+    the spec-sanctioned 16->8 reduction keeps the high byte."""
+    got = multimodal.decode_image_stub(
+        make_png(PIXELS_4X4, depth=16, row_filters=[0, 1, 2, 4])
+    )
+    assert got == expected_features(PIXELS_4X4)
+    # 16-bit grayscale too (bpp = 2 exercises the filter neighbor offset)
+    gray = [[r for r, _, _ in row] for row in PIXELS_4X4]
+    rgb = [[(v, v, v) for v in row] for row in gray]
+    got = multimodal.decode_image_stub(
+        make_png(gray, color_type=0, depth=16, row_filters=[4, 3, 2, 1])
+    )
+    assert got == expected_features(rgb)
+
+
+@pytest.mark.parametrize("dims", [(4, 4), (8, 8), (9, 10), (16, 11), (3, 2), (1, 1)])
+def test_png_adam7_interlace_decodes(dims):
+    """Adam7: every pass is its own filtered sub-image; small dims leave
+    some passes empty (zero bytes). Must equal the straight decode."""
+    w, h = dims
+    pixels = [
+        [((x * 31) % 256, (y * 53) % 256, (x * 7 + y * 11) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    plain = multimodal.decode_image_stub(make_png(pixels))
+    inter = multimodal.decode_image_stub(
+        make_png(pixels, interlace=1, row_filters=[0, 1, 2, 3, 4])
+    )
+    assert plain == inter == expected_features(pixels), dims
+
+
+def test_png_adam7_with_palette_and_16bit():
+    pal = [(250, 10, 30), (0, 128, 255), (5, 250, 125)]
+    idx = [[(x + y) % 3 for x in range(9)] for y in range(6)]
+    rgb = [[pal[i] for i in row] for row in idx]
+    got = multimodal.decode_image_stub(
+        make_png(idx, color_type=3, palette=pal, interlace=1,
+                 row_filters=[0, 1])
+    )
+    assert got == expected_features(rgb)
+    got16 = multimodal.decode_image_stub(
+        make_png(PIXELS_4X4, depth=16, interlace=1, row_filters=[2, 4])
+    )
+    assert got16 == expected_features(PIXELS_4X4)
 
 
 def test_png_grayscale_decodes_like_expanded_rgb():

@@ -1,15 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step is REAL: 24-bit BI_RGB BMP, binary PPM (P6),
-non-interlaced <=8-bit PNG (stdlib zlib inflate + from-spec unfiltering),
-and baseline Huffman JPEG (from-spec pure-Python decoder: DQT/DHT/SOF0/
-SOS, IDCT, chroma upsampling, YCbCr) payloads are parsed pixel-for-pixel
-inside the mapInPandas body and reduced to exact image statistics —
-proving the Arrow path end-to-end (bytes in, decoded features out). The
-remaining honest ``NotImplementedError`` boundaries are the profiles
-that genuinely need codec libs: progressive/arithmetic/12-bit JPEG,
-16-bit/interlaced PNG, non-PCM WAV. Unknown payloads fall back to a
+The decode step is REAL: 24-bit BI_RGB BMP, binary PPM (P6), the
+COMPLETE PNG still-image spec (all color types, 1/2/4/8/16-bit depths,
+straight and Adam7-interlaced — stdlib zlib inflate + from-spec
+unfiltering), baseline Huffman JPEG (from-spec pure-Python decoder:
+DQT/DHT/SOF0/SOS, IDCT, chroma upsampling, YCbCr), full GIF87a/89a
+(LZW, palettes, interlace, animation compositing), 16-bit PCM WAV, and
+Motion-JPEG AVI payloads are parsed pixel-for-pixel inside the
+mapInPandas body and reduced to exact statistics — proving the Arrow
+path end-to-end (bytes in, decoded features out). The remaining honest
+``NotImplementedError`` boundaries are the profiles that genuinely need
+codec libs: progressive/arithmetic/12-bit JPEG, non-PCM WAV, non-MJPG
+AVI video codecs. Unknown payloads fall back to a
 deterministic sha256 digest vector so the contract — schema, batching,
 partitioning, UDF signature — stays testable on opaque testdata.
 """
@@ -473,9 +476,9 @@ def _make_pixel_parser():
     (w, h, rgb)`` where ``rgb`` is a flat top-down row-major bytes of
     RGB triples, ``None`` when the payload is not strictly valid
     (digest fallback), and raises ``NotImplementedError`` for
-    structurally-valid variants that DO need a codec lib (PNG
-    16-bit/interlaced; JPEG progressive/arithmetic/12-bit — same
-    honesty contract as non-PCM WAV). Strictness matters: header
+    structurally-valid variants that DO need a codec lib (JPEG
+    progressive/arithmetic/12-bit — same honesty contract as non-PCM
+    WAV; PNG and GIF decode completely). Strictness matters: header
     fields and PNG chunk CRCs are fully validated so random binary
     payloads (the synthetic testdata) can never false-positive into
     the decode path (probability ~2^-80; for PNG every chunk must
@@ -567,9 +570,9 @@ def _make_pixel_parser():
     def _parse_png(b: bytes):
         # Chunk walk with full CRC verification; IHDR first, IDAT
         # concatenated, IEND must terminate the payload exactly. Decodes
-        # every non-interlaced <=8-bit variant: truecolor (2), RGBA (6),
-        # grayscale (0, incl. 1/2/4-bit), gray+alpha (4), and palette (3,
-        # incl. 1/2/4-bit via PLTE); 16-bit and Adam7 stay explicit raises.
+        # the complete still-image spec: truecolor (2), RGBA (6),
+        # grayscale (0), gray+alpha (4), palette (3 via PLTE), every legal
+        # depth 1/2/4/8/16, straight or Adam7-interlaced.
         if b[:8] != _PNG_SIG or len(b) < 8 + 12:
             return None
         pos, ihdr, idat, plte, seen_end = 8, None, [], None, False
@@ -616,80 +619,120 @@ def _make_pixel_parser():
             return None
         if plte is not None and ctype_ in (0, 4):
             return None  # PLTE forbidden for grayscale types (spec 11.2.3)
-        if depth == 16 or interlace == 1:
-            raise NotImplementedError(
-                "PNG 16-bit/interlaced decoding requires PIL/opencv, not "
-                "available in this env"
-            )
         try:
             raw = _zlib.decompress(b"".join(idat))
         except _zlib.error:
             return None
         ch = _PNG_CHANNELS[ctype_]
-        # Filters operate on BYTES: stride is the packed row length and the
-        # left-neighbor distance bpp floors at one byte for sub-byte depths
-        # (png spec 9.2).
-        stride = (w * ch * depth + 7) // 8
-        bpp = max(1, ch * depth // 8)
-        if len(raw) != h * (1 + stride):
-            return None
-        out = bytearray()
-        prev = bytearray(stride)
-        pos = 0
-        # sub-byte samples scale to 8-bit by bit replication (255/(2^d-1))
+        # sub-byte samples scale to 8-bit by bit replication (255/(2^d-1));
+        # 16-bit samples reduce to their high byte (the spec's sanctioned
+        # 16->8 approximation, spec 13.12)
         scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
         n_pal = len(plte) // 3 if plte is not None else 0
-        for _y in range(h):
-            f = raw[pos]
-            row = bytearray(raw[pos + 1 : pos + 1 + stride])
-            pos += 1 + stride
-            if f == 1:  # Sub
-                for i in range(bpp, stride):
-                    row[i] = (row[i] + row[i - bpp]) & 0xFF
-            elif f == 2:  # Up
-                for i in range(stride):
-                    row[i] = (row[i] + prev[i]) & 0xFF
-            elif f == 3:  # Average
-                for i in range(stride):
-                    a = row[i - bpp] if i >= bpp else 0
-                    row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
-            elif f == 4:  # Paeth
-                for i in range(stride):
-                    a = row[i - bpp] if i >= bpp else 0
-                    c = prev[i - bpp] if i >= bpp else 0
-                    row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
-            elif f != 0:
-                return None
-            prev = row
-            if depth < 8:  # unpack w samples MSB-first; padding bits ignored
+
+        def unfilter(pass_w, pass_h, pos):
+            """Unfilter ``pass_h`` scanlines of a (sub)image ``pass_w``
+            pixels wide starting at raw[pos]. Filters operate on BYTES:
+            stride is the packed row length and the left-neighbor distance
+            bpp floors at one byte for sub-byte depths (png spec 9.2)."""
+            stride = (pass_w * ch * depth + 7) // 8
+            bpp = max(1, ch * depth // 8)
+            rows = []
+            prev = bytearray(stride)
+            for _y in range(pass_h):
+                if pos + 1 + stride > len(raw):
+                    raise ValueError
+                f = raw[pos]
+                row = bytearray(raw[pos + 1 : pos + 1 + stride])
+                pos += 1 + stride
+                if f == 1:  # Sub
+                    for i in range(bpp, stride):
+                        row[i] = (row[i] + row[i - bpp]) & 0xFF
+                elif f == 2:  # Up
+                    for i in range(stride):
+                        row[i] = (row[i] + prev[i]) & 0xFF
+                elif f == 3:  # Average
+                    for i in range(stride):
+                        a = row[i - bpp] if i >= bpp else 0
+                        row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    for i in range(stride):
+                        a = row[i - bpp] if i >= bpp else 0
+                        c = prev[i - bpp] if i >= bpp else 0
+                        row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
+                elif f != 0:
+                    raise ValueError
+                prev = row
+                rows.append(row)
+            return rows, pos
+
+        def row_rgb(row, n_px):
+            """One unfiltered scanline -> n_px 3-byte RGB pixels."""
+            if depth < 8:
                 mask = (1 << depth) - 1
                 vals = [
                     (row[(x * depth) // 8] >> (8 - depth - (x * depth) % 8))
                     & mask
-                    for x in range(w)
+                    for x in range(n_px)
                 ]
-            else:
-                vals = None
-            if ctype_ == 2:
-                out += row
-            elif ctype_ == 6:  # drop alpha
-                for i in range(0, stride, 4):
-                    out += row[i : i + 3]
-            elif ctype_ == 0:
-                gs = vals if vals is not None else row
-                for g in gs:
-                    v = g * scale
-                    out += bytes((v, v, v))
-            elif ctype_ == 4:  # gray + alpha pairs; drop alpha
-                for i in range(0, stride, 2):
-                    g = row[i]
-                    out += bytes((g, g, g))
-            else:  # palette lookup; an out-of-range index is corruption
-                idxs = vals if vals is not None else row
-                for ix in idxs:
+                if ctype_ == 0:
+                    return [bytes((v * scale,) * 3) for v in vals]
+                pix = []
+                for ix in vals:  # palette; out-of-range = corruption
                     if ix >= n_pal:
-                        return None
-                    out += plte[3 * ix : 3 * ix + 3]
+                        raise ValueError
+                    pix.append(plte[3 * ix : 3 * ix + 3])
+                return pix
+            if depth == 16:
+                row = row[0::2]  # big-endian samples: keep the high byte
+            if ctype_ == 2:
+                return [row[3 * x : 3 * x + 3] for x in range(n_px)]
+            if ctype_ == 6:  # drop alpha
+                return [row[4 * x : 4 * x + 3] for x in range(n_px)]
+            if ctype_ == 0:
+                return [bytes((row[x],) * 3) for x in range(n_px)]
+            if ctype_ == 4:  # gray + alpha pairs; drop alpha
+                return [bytes((row[2 * x],) * 3) for x in range(n_px)]
+            pix = []
+            for x in range(n_px):  # 8-bit palette
+                ix = row[x]
+                if ix >= n_pal:
+                    raise ValueError
+                pix.append(plte[3 * ix : 3 * ix + 3])
+            return pix
+
+        out = bytearray(w * h * 3)
+        try:
+            if interlace == 0:
+                rows, pos = unfilter(w, h, 0)
+                if pos != len(raw):
+                    return None
+                for y, row in enumerate(rows):
+                    px = row_rgb(row, w)
+                    o = y * w * 3
+                    for x in range(w):
+                        out[o + 3 * x : o + 3 * x + 3] = px[x]
+            else:  # Adam7: 7 passes, each its own filtered sub-image
+                pos = 0
+                for x0, y0, dx, dy in (
+                    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+                ):
+                    pw = (w - x0 + dx - 1) // dx
+                    ph = (h - y0 + dy - 1) // dy
+                    if pw <= 0 or ph <= 0:
+                        continue  # empty pass contributes NO bytes
+                    rows, pos = unfilter(pw, ph, pos)
+                    for r, row in enumerate(rows):
+                        px = row_rgb(row, pw)
+                        y = y0 + r * dy
+                        for i in range(pw):
+                            o = 3 * (y * w + x0 + i * dx)
+                            out[o : o + 3] = px[i]
+                if pos != len(raw):
+                    return None
+        except ValueError:
+            return None
         return w, h, bytes(out)
 
     _parse_jpeg = _make_jpeg_parser()
@@ -1077,18 +1120,18 @@ def _make_decode_stub(feature_dim: int):
     parse_wav = _make_wav_parser()
 
     def decode(payload):
-        """Decode + feature extract. BMP/PPM, every non-interlaced
-        <=8-bit PNG variant (truecolor, RGBA, grayscale incl. 1/2/4-bit,
-        gray+alpha, palette incl. 1/2/4-bit), and baseline Huffman JPEG
-        (grayscale or YCbCr, any sampling, DRI/RSTn) are REALLY decoded:
-        the 8-dim feature is (width, height, mean R/G/B, min/max/mean
-        luminance) computed from actual pixels; 16-bit PCM WAV payloads
-        likewise decode to (channels, rate, frames, duration_ms, rms,
-        peak, mean, zero-crossing rate). 6dp-rounded for cross-engine
-        hash stability. Progressive/arithmetic/12-bit JPEG, PNG
-        16-bit/interlaced, and non-PCM audio raise (those genuinely need
-        codec libs — explicit boundary). Anything else digests to a
-        deterministic sha256 fake so opaque testdata still flows."""
+        """Decode + feature extract. BMP/PPM, the complete PNG spec
+        (all color types, 1-16-bit, straight/Adam7), baseline Huffman
+        JPEG (grayscale or YCbCr, any sampling, DRI/RSTn), and GIF
+        (first composited frame) are REALLY decoded: the 8-dim feature
+        is (width, height, mean R/G/B, min/max/mean luminance) computed
+        from actual pixels; 16-bit PCM WAV payloads likewise decode to
+        (channels, rate, frames, duration_ms, rms, peak, mean,
+        zero-crossing rate). 6dp-rounded for cross-engine hash
+        stability. Progressive/arithmetic/12-bit JPEG and non-PCM audio
+        raise (those genuinely need codec libs — explicit boundary).
+        Anything else digests to a deterministic sha256 fake so opaque
+        testdata still flows."""
         if payload is None:
             return None
         b = bytes(payload)
