@@ -1331,3 +1331,148 @@ def test_gif_roundtrip_random_images(w, h, n_colors, interlace, data):
     got = multimodal.decode_image_stub(make_gif([idx], palette, interlace=interlace))
     rgb = [[palette[i] for i in row] for row in idx]
     assert got == expected_features(rgb), (w, h, n_colors, interlace)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV: independent encoder (the standard quantizer) vs the
+# decoder's step-table reconstruction.
+# ---------------------------------------------------------------------------
+
+IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def make_adpcm_wav(samples_by_ch, rate=8000, data_bytes_per_ch=4):
+    """Encode per-channel int16 sample lists as block-structured IMA ADPCM
+    (format 0x11) using the standard quantizer. Each block holds
+    1 + 2*data_bytes_per_ch samples per channel."""
+    import struct
+
+    n_ch = len(samples_by_ch)
+    spb = 1 + 2 * data_bytes_per_ch  # samples per channel per block
+    block_align = 4 * n_ch + data_bytes_per_ch * n_ch
+    assert data_bytes_per_ch % 4 == 0 or n_ch == 1
+
+    idxs = [0] * n_ch
+    blocks = bytearray()
+    n = len(samples_by_ch[0])
+    for start in range(0, n, spb):
+        chunk = [ch[start : start + spb] for ch in samples_by_ch]
+        if len(chunk[0]) < spb:
+            break  # encoder emits whole blocks only
+        nibbles = [[] for _ in range(n_ch)]
+        for c in range(n_ch):
+            pred = chunk[c][0]
+            blocks += struct.pack("<hBB", pred, idxs[c], 0)
+            for s in chunk[c][1:]:
+                step = IMA_STEPS[idxs[c]]
+                diff = s - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                vpdiff = step >> 3
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                    vpdiff += step
+                step >>= 1
+                if diff >= step:
+                    nib |= 2
+                    diff -= step
+                    vpdiff += step
+                step >>= 1
+                if diff >= step:
+                    nib |= 1
+                    vpdiff += step
+                pred += -vpdiff if nib & 8 else vpdiff
+                pred = max(-32768, min(32767, pred))
+                idxs[c] = max(0, min(88, idxs[c] + IMA_INDEX[nib & 7]))
+                nibbles[c].append(nib)
+        # all channel headers are already appended; now the interleaved
+        # 4-byte-per-channel nibble groups
+        pos = 0
+        while pos < 2 * data_bytes_per_ch:
+            for c in range(n_ch):
+                four = nibbles[c][pos : pos + 8]
+                for i in range(0, 8, 2):
+                    lo = four[i] if i < len(four) else 0
+                    hi = four[i + 1] if i + 1 < len(four) else 0
+                    blocks.append(lo | (hi << 4))
+            pos += 8
+
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_ch, rate, rate * block_align // spb,
+        block_align, 4, 2, spb,
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    if len(blocks) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_adpcm_hand_computed_vector():
+    """Ground truth from the published step tables, computed by hand:
+    predictor 0, index 0 (step 7); nibble 2 -> +3; nibble 0xF -> -11."""
+    import struct
+
+    block = struct.pack("<hBB", 0, 0, 0) + bytes([0xF2, 0, 0, 0])
+    parse = multimodal._make_wav_parser()
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 8, 4, 2, 9)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(block)) + block
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    n_ch, rate, samples = parse(wav)
+    assert (n_ch, rate) == (1, 8000)
+    assert samples[0] == 0  # block header predictor is sample 0
+    assert samples[1] == 3  # step 7: diff = 7>>1 = 3, index -1 -> clamp 0
+    assert samples[2] == -8  # 0xF: -(0 + 7 + 3 + 1) = -11 from 3
+    assert len(samples) == 9
+
+
+def test_adpcm_roundtrip_tracks_waveform():
+    """The encoder/decoder pair must track a band-limited waveform within
+    adaptive-step error; exact sample count/channels/rate preserved."""
+    import math
+
+    n = 81  # 1 header + 80 nibbles at 40 data bytes per channel
+    mono = [int(8000 * math.sin(2 * math.pi * i / 32)) for i in range(n)]
+    wav = make_adpcm_wav([mono], data_bytes_per_ch=40)
+    n_ch, rate, samples = multimodal._make_wav_parser()(wav)
+    assert (n_ch, rate, len(samples)) == (1, 8000, n)
+    # the adaptive quantizer starts cold at index 0 and must slew its step
+    # up toward the signal — large attack error is CORRECT ADPCM behavior;
+    # after convergence (~16 samples here) tracking is tight
+    errs = [abs(a - b) for a, b in zip(samples, mono)]
+    assert max(errs[16:]) < 600, max(errs[16:])
+
+    stereo_l = mono
+    stereo_r = [-v for v in mono]
+    wav2 = make_adpcm_wav([stereo_l, stereo_r], data_bytes_per_ch=40)
+    n_ch2, _rate2, s2 = multimodal._make_wav_parser()(wav2)
+    assert n_ch2 == 2 and len(s2) == 2 * n
+    errl = [abs(a - b) for a, b in zip(s2[0::2], stereo_l)]
+    errr = [abs(a - b) for a, b in zip(s2[1::2], stereo_r)]
+    assert max(errl[16:]) < 600 and max(errr[16:]) < 600
+
+    # the feature path flows through the same decode
+    feat = multimodal.decode_image_stub(wav)
+    assert feat[0] == 1.0 and feat[1] == 8000.0 and feat[2] == float(n)
+
+
+def test_wav_truly_unsupported_codec_still_raises():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 0)  # MP3 in WAV
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(NotImplementedError, match="audio"):
+        multimodal.decode_image_stub(wav)

@@ -787,14 +787,19 @@ def _make_wav_parser():
             pos += 8 + sz + (sz & 1)  # chunks pad to even offsets
         if fmt is None or data is None or len(fmt) < 16:
             return None
-        audio_fmt, n_ch, rate, _br, _ba, bits = _struct.unpack_from(
+        audio_fmt, n_ch, rate, _br, block_align, bits = _struct.unpack_from(
             "<HHIIHH", fmt, 0
         )
         if not (1 <= n_ch <= 16) or rate <= 0:
             return None
+        if audio_fmt == 0x11 and bits == 4:  # IMA ADPCM (DVI), from spec
+            samples = _decode_ima_adpcm(data, n_ch, block_align)
+            if samples is None:
+                return None
+            return n_ch, rate, samples
         if audio_fmt != 1 or bits != 16:
             raise NotImplementedError(
-                "compressed/non-16-bit-PCM audio decoding requires codec "
+                "non-PCM/non-IMA-ADPCM audio decoding requires codec "
                 "libs, not available in this env"
             )
         frame = 2 * n_ch
@@ -802,6 +807,72 @@ def _make_wav_parser():
             return None
         samples = _struct.unpack(f"<{len(data) // 2}h", data)
         return n_ch, rate, samples
+
+    # IMA/DVI ADPCM step tables (the published constants ARE the spec)
+    _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+    _IMA_STEPS = (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    )
+
+    def _decode_ima_adpcm(data, n_ch, block_align):
+        """Block-structured IMA ADPCM: per block and channel a 4-byte
+        header (int16 predictor, step index, reserved), then nibble data
+        interleaved in 4-byte-per-channel groups; nibbles low-first."""
+        if block_align < 4 * n_ch or block_align % 4 or len(data) % block_align:
+            return None
+        out: list[list[int]] = []
+        for base in range(0, len(data), block_align):
+            block = data[base : base + block_align]
+            preds, idxs = [], []
+            chans: list[list[int]] = []
+            for c in range(n_ch):
+                p = _struct.unpack_from("<h", block, 4 * c)[0]
+                ix = block[4 * c + 2]
+                if ix > 88 or block[4 * c + 3] != 0:
+                    return None
+                preds.append(p)
+                idxs.append(ix)
+                chans.append([p])
+
+            def step_one(c, nib):
+                step = _IMA_STEPS[idxs[c]]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                p = preds[c] + (-diff if nib & 8 else diff)
+                p = -32768 if p < -32768 else (32767 if p > 32767 else p)
+                preds[c] = p
+                ix = idxs[c] + _IMA_INDEX[nib & 7]
+                idxs[c] = 0 if ix < 0 else (88 if ix > 88 else ix)
+                chans[c].append(p)
+
+            pos2 = 4 * n_ch
+            while pos2 < block_align:
+                for c in range(n_ch):
+                    for byte in block[pos2 + 4 * c : pos2 + 4 * c + 4]:
+                        step_one(c, byte & 0x0F)
+                        step_one(c, byte >> 4)
+                pos2 += 4 * n_ch
+            out.append(chans)
+        # interleave channels per frame across blocks
+        samples: list[int] = []
+        for chans in out:
+            n = len(chans[0])
+            for i in range(n):
+                for c in range(n_ch):
+                    samples.append(chans[c][i])
+        return tuple(samples)
 
     return parse
 
