@@ -916,11 +916,10 @@ def test_jpeg_strictness_falls_back_to_digest():
 
 def test_jpeg_unsupported_profiles_raise():
     good = make_jpeg(GRAD_16)
-    # rewrite SOF0 -> SOF2 (progressive), fixing nothing else: the marker
-    # class check fires before any entropy decoding
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        multimodal.decode_image_stub(prog)
+    # lossless (SOF3): the marker class check fires before entropy decode
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(NotImplementedError, match="lossless"):
+        multimodal.decode_image_stub(lossless)
     # 12-bit precision: SOF precision byte is right after the length
     sof_at = good.find(b"\xff\xc0")
     twelve = good[: sof_at + 4] + b"\x0c" + good[sof_at + 5 :]
@@ -931,6 +930,11 @@ def test_jpeg_unsupported_profiles_raise():
     pq1 = good[: dqt_at + 4] + b"\x10" + good[dqt_at + 5 :]
     with pytest.raises(NotImplementedError, match="quantization"):
         multimodal.decode_image_stub(pq1)
+    # a SOF0 stream rewritten to claim SOF2 has baseline scan headers that
+    # are INVALID under progressive validation -> digest fallback, no raise
+    prog_invalid = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    feat = multimodal.decode_image_stub(prog_invalid)
+    assert len(feat) == multimodal.FEATURE_DIM
 
 
 def test_jpeg_zigzag_tables_agree():
@@ -1476,3 +1480,339 @@ def test_wav_truly_unsupported_codec_still_raises():
     wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     with pytest.raises(NotImplementedError, match="audio"):
         multimodal.decode_image_stub(wav)
+
+
+# EOB-run symbols (r<<4 | 0) for progressive AC scans
+JPEG_AC_SYMBOLS_PROG = sorted(set(JPEG_AC_SYMBOLS) | {r << 4 for r in range(16)})
+
+
+def make_progressive_jpeg(pixels, sampling=(1, 1), gray=False, al=1,
+                          spectral_split=6):
+    """Progressive JFIF encoder (SOF2): interleaved DC first scan at
+    successive-approximation Al, DC refinement scans down to 0, per-component
+    AC first scans split at ``spectral_split`` (two spectral bands), then AC
+    refinement scans — the full spec G.1.2 scan script. Flat Huffman tables
+    (DC cats at 4 bits, AC symbols incl. EOBn at 8 bits); EOB runs span
+    consecutive all-zero blocks."""
+    import struct
+
+    import numpy as np
+
+    h, w = len(pixels), len(pixels[0])
+    rgb = np.array([[list(p) for p in row] for row in pixels], dtype=np.float64)
+    A = np.array(
+        [
+            [
+                (1 / np.sqrt(2) if u == 0 else 1.0) / 2.0
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    )
+    if gray:
+        comps = [(1, 1, 1)]
+        planes = {1: 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]}
+    else:
+        hs, vs = sampling
+        comps = [(1, hs, vs), (2, 1, 1), (3, 1, 1)]
+        planes = {
+            1: 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2],
+            2: -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+            + 0.5 * rgb[..., 2] + 128,
+            3: 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+            - 0.081312 * rgb[..., 2] + 128,
+        }
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def prep(plane, chs, cvs):
+        if (chs, cvs) != (hmax, vmax):
+            fy, fx = vmax // cvs, hmax // chs
+            ph = -(-plane.shape[0] // fy) * fy
+            pw = -(-plane.shape[1] // fx) * fx
+            p = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+            plane = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * cvs * 8, mcus_x * chs * 8
+        return np.pad(plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])), mode="edge")
+
+    # quantized zigzag coefficient blocks per component, (bx,by) -> [64]
+    blocks = {}
+    grids = {}
+    for cid, chs, cvs in comps:
+        pl = prep(planes[cid], chs, cvs)
+        nbx, nby = pl.shape[1] // 8, pl.shape[0] // 8
+        grids[cid] = (nbx, nby)
+        bl = {}
+        for by in range(nby):
+            for bx in range(nbx):
+                g = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                F = np.round(A.T @ g @ A).astype(int)  # quant all-ones
+                bl[(bx, by)] = [int(F.flat[JPEG_ZZ[k]]) for k in range(64)]
+        blocks[cid] = bl
+
+    # --- bit writer (per scan)
+    bits = []
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def huff_dc(cat):
+        put(cat, 4)
+
+    def huff_ac(sym):
+        put(JPEG_AC_SYMBOLS_PROG.index(sym), 8)
+
+    def flush():
+        bb = bits[:]
+        while len(bb) % 8:
+            bb.append(1)
+        raw = bytearray()
+        for i in range(0, len(bb), 8):
+            byte = 0
+            for bt in bb[i : i + 8]:
+                byte = (byte << 1) | bt
+            raw.append(byte)
+            if byte == 0xFF:
+                raw.append(0x00)
+        bits.clear()
+        return bytes(raw)
+
+    def cat_of(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def put_val(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def pt(v, shift):  # point transform: toward-zero shift (spec G.1.2.2)
+        return v >> shift if v >= 0 else -((-v) >> shift)
+
+    scans = []  # (scan_header_bytes, entropy_bytes)
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids, ss, se, ah, al_):
+        body = bytes([len(comp_ids)]) + b"".join(
+            bytes((cid, 0x00)) for cid in comp_ids
+        ) + bytes((ss, se, (ah << 4) | al_))
+        return seg(0xDA, body)
+
+    # scan 1: interleaved DC first at Al=al
+    preds = {cid: 0 for cid, *_ in comps}
+    for u in range(mcus_x * mcus_y):
+        my, mx = divmod(u, mcus_x)
+        for cid, chs, cvs in comps:
+            for byi in range(cvs):
+                for bxi in range(chs):
+                    dc = pt(blocks[cid][(mx * chs + bxi, my * cvs + byi)][0], al)
+                    diff = dc - preds[cid]
+                    preds[cid] = dc
+                    t = cat_of(diff)
+                    huff_dc(t)
+                    put_val(diff, t)
+    scans.append((sos([c[0] for c in comps], 0, 0, 0, al), flush()))
+
+    # DC refinement scans: one bit per block, Al descending
+    for a in range(al - 1, -1, -1):
+        for u in range(mcus_x * mcus_y):
+            my, mx = divmod(u, mcus_x)
+            for cid, chs, cvs in comps:
+                for byi in range(cvs):
+                    for bxi in range(chs):
+                        put((blocks[cid][(mx * chs + bxi, my * cvs + byi)][0] >> a) & 1, 1)
+        scans.append((sos([c[0] for c in comps], 0, 0, a + 1, a), flush()))
+
+    # AC scans per component: two spectral bands, first at Al=al
+    bands = [(1, spectral_split - 1), (spectral_split, 63)]
+    bands = [(s, e) for s, e in bands if s <= e]
+    for cid, chs, cvs in comps:
+        nbx, nby = grids[cid]
+        order = [(bx, by) for by in range(nby) for bx in range(nbx)]
+        for ss, se in bands:
+            eobrun = 0
+
+            def flush_eobrun():
+                nonlocal eobrun
+                while eobrun > 0:
+                    r = min(eobrun.bit_length() - 1, 14)
+                    huff_ac(r << 4)
+                    put(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for pos_ in order:
+                zz = blocks[cid][pos_]
+                vals = [pt(zz[k], al) for k in range(ss, se + 1)]
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                run = 0
+                last_nz = max(i for i, v in enumerate(vals) if v)
+                for i in range(last_nz + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        huff_ac(0xF0)
+                        run -= 16
+                    s = cat_of(v)
+                    huff_ac((run << 4) | s)
+                    put_val(v, s)
+                    run = 0
+                if last_nz < se - ss:
+                    eobrun += 1
+            flush_eobrun()
+            scans.append((sos([cid], ss, se, 0, al), flush()))
+
+    # AC refinement scans (spec G.1.2.3, IJG encode_mcu_AC_refine shape)
+    for a in range(al - 1, -1, -1):
+        for cid, chs, cvs in comps:
+            nbx, nby = grids[cid]
+            order = [(bx, by) for by in range(nby) for bx in range(nbx)]
+            for ss, se in bands:
+                eobrun = 0
+                pending_br = []
+
+                def flush_eob_and_br():
+                    nonlocal eobrun
+                    while eobrun > 0:
+                        r = min(eobrun.bit_length() - 1, 14)
+                        huff_ac(r << 4)
+                        put(eobrun - (1 << r), r)
+                        eobrun = 0
+                    for bt in pending_br:
+                        put(bt, 1)
+                    pending_br.clear()
+
+                for pos_ in order:
+                    zz = blocks[cid][pos_]
+                    absv = [abs(pt(zz[k], a)) for k in range(ss, se + 1)]
+                    newly = [i for i, v in enumerate(absv) if v == 1]
+                    eob_i = newly[-1] if newly else -1
+                    r = 0
+                    br = []
+                    for i, v in enumerate(absv):
+                        if v == 0:
+                            r += 1
+                            continue
+                        if v > 1:
+                            # history coefficient: buffered correction bit
+                            br.append((abs(zz[ss + i]) >> a) & 1)
+                            continue
+                        # newly significant (|v| == 1)
+                        while r > 15 and i <= eob_i:
+                            flush_eob_and_br()
+                            huff_ac(0xF0)
+                            r -= 16
+                            for bt in br:
+                                put(bt, 1)
+                            br.clear()
+                        flush_eob_and_br()
+                        huff_ac((r << 4) | 1)
+                        put(1 if zz[ss + i] > 0 else 0, 1)
+                        for bt in br:
+                            put(bt, 1)
+                        br.clear()
+                        r = 0
+                    if r > 0 or br:
+                        eobrun += 1
+                        pending_br.extend(br)
+                        if eobrun == 0x7FFF:
+                            flush_eob_and_br()
+                flush_eob_and_br()
+                scans.append((sos([cid], ss, se, a + 1, a), flush()))
+
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_counts = [0] * 16
+    ac_counts[7] = len(JPEG_AC_SYMBOLS_PROG)
+    dht = seg(
+        0xC4,
+        bytes([0x00] + dc_counts) + bytes(range(12))
+        + bytes([0x10] + ac_counts) + bytes(JPEG_AC_SYMBOLS_PROG),
+    )
+    sof_body = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        bytes((cid, (chs << 4) | cvs, 0)) for cid, chs, cvs in comps
+    )
+    out = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC2, sof_body)
+        + dht
+    )
+    for hdr, data in scans:
+        out += hdr + data
+    return out + b"\xff\xd9"
+
+
+def test_progressive_jpeg_roundtrip_444():
+    """Full progressive scan script (DC Al=1 + refine, two AC bands at
+    Al=1 + refines) must reconstruct the image as well as baseline."""
+    w, h, rgb = _jpeg_pixels(make_progressive_jpeg(GRAD_16))
+    assert (w, h) == (16, 16)
+    assert _max_err(rgb, GRAD_16) <= 4
+
+
+def test_progressive_jpeg_grayscale():
+    gray = [[(v, v, v) for v, _, _ in row] for row in GRAD_16]
+    w, h, rgb = _jpeg_pixels(make_progressive_jpeg(gray, gray=True))
+    assert _max_err(rgb, gray) <= 3
+
+
+def test_progressive_jpeg_420():
+    w, h, rgb = _jpeg_pixels(make_progressive_jpeg(SMOOTH_16, sampling=(2, 2)))
+    assert _max_err(rgb, SMOOTH_16) <= 16
+
+
+def test_progressive_jpeg_no_successive_approximation():
+    """Spectral selection only (Al=0): DC scan + AC band scans, no
+    refinement passes at all."""
+    w, h, rgb = _jpeg_pixels(make_progressive_jpeg(GRAD_16, al=0))
+    assert _max_err(rgb, GRAD_16) <= 4
+
+
+def test_progressive_jpeg_odd_dims_and_split():
+    pix = [row[:11] for row in GRAD_16[:13]]
+    w, h, rgb = _jpeg_pixels(make_progressive_jpeg(pix, spectral_split=20))
+    assert (w, h) == (11, 13)
+    assert _max_err(rgb, pix) <= 4
+
+
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.sampled_from([(1, 1), (2, 2)]),
+    st.integers(0, 2),
+    st.integers(2, 40),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_progressive_jpeg_roundtrip_random(w, h, sampling, al, split, data):
+    """Random dims x sampling x successive-approximation depth x spectral
+    split point: progressive must reconstruct like baseline (solid color
+    when chroma is subsampled, random pixels at 4:4:4)."""
+    if sampling == (1, 1):
+        pixels = [
+            [tuple(data.draw(st.integers(0, 255)) for _ in range(3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        tol = 6
+    else:
+        p = tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+        pixels = [[p] * w for _ in range(h)]
+        tol = 4
+    payload = make_progressive_jpeg(pixels, sampling=sampling, al=al, spectral_split=split)
+    img = multimodal._make_jpeg_parser()(payload)
+    assert img is not None, (w, h, sampling, al, split)
+    dw, dh, rgb = img
+    assert (dw, dh) == (w, h)
+    assert _max_err(rgb, pixels) <= tol, (w, h, sampling, al, split)

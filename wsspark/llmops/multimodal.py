@@ -11,8 +11,8 @@ Motion-JPEG AVI payloads are parsed pixel-for-pixel inside the
 mapInPandas body and reduced to exact statistics — proving the Arrow
 path end-to-end (bytes in, decoded features out). The remaining honest
 ``NotImplementedError`` boundaries are the profiles that genuinely need
-codec libs: progressive/arithmetic/12-bit JPEG, non-PCM WAV, non-MJPG
-AVI video codecs. Unknown payloads fall back to a
+codec libs: lossless/arithmetic/12-bit JPEG, non-PCM/non-IMA-ADPCM
+WAV, non-MJPG AVI video codecs. Unknown payloads fall back to a
 deterministic sha256 digest vector so the contract — schema, batching,
 partitioning, UDF signature — stays testable on opaque testdata.
 """
@@ -59,20 +59,22 @@ FEATURE_DIM = 8
 
 
 def _make_jpeg_parser():
-    """From-spec baseline JPEG (ITU-T T.81) decoder in pure Python:
-    sequential DCT, Huffman entropy coding, 8-bit precision, grayscale or
-    YCbCr with any sampling factors, interleaved and single-component
-    scans, DRI/RSTn restart markers. Returns ``parse(b) -> (w, h, rgb)``
-    top-down row-major RGB, ``None`` for structurally-invalid payloads
-    (the digest-fallback contract shared with BMP/PPM/PNG — the stream
-    must start SOI, every segment length must be consistent, Huffman
-    decode must land exactly, and EOI must terminate the payload), and
-    raises ``NotImplementedError`` for the profiles that are genuinely
-    out of scope: progressive (SOF2), extended/lossless/hierarchical
-    SOFs, arithmetic coding (DAC / SOF9+), and 12/16-bit precision.
-    Chroma upsampling is sample replication (nearest); the IDCT is the
-    textbook separable float DCT-III — both verified in
-    tests/test_multimodal.py against an independent numpy encoder."""
+    """From-spec Huffman JPEG (ITU-T T.81) decoder in pure Python:
+    baseline (SOF0), extended sequential (SOF1), and PROGRESSIVE (SOF2)
+    with full spectral selection + successive approximation (DC
+    first/refine, AC first with EOB runs, AC refinement with correction
+    bits — spec G.1.2); 8-bit precision, grayscale or YCbCr with any
+    sampling factors, interleaved and single-component scans, DRI/RSTn
+    restart markers. Coefficients accumulate across scans (zigzag,
+    undequantized) and render once at EOI — baseline is just the
+    one-scan case. Returns ``parse(b) -> (w, h, rgb)`` top-down
+    row-major RGB, ``None`` for structurally-invalid payloads (the
+    digest-fallback contract shared with BMP/PPM/PNG), and raises
+    ``NotImplementedError`` only for lossless/hierarchical SOFs,
+    arithmetic coding, and 12/16-bit precision. Chroma upsampling is
+    sample replication (nearest); the IDCT is the textbook separable
+    float DCT-III — all verified in tests/test_multimodal.py against
+    independent numpy encoders for both sequential and progressive."""
     import math as _math
     import struct as _struct
 
@@ -162,9 +164,13 @@ def _make_jpeg_parser():
         qt: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
         frame = None  # (w, h, [(cid, hs, vs, tq)])
+        progressive = False
         restart_interval = 0
-        planes: dict[int, bytearray] = {}
-        plane_dims: dict[int, tuple[int, int]] = {}
+        # per-component DCT coefficients accumulate across scans (zigzag
+        # order, undequantized) and render once at EOI — the architecture
+        # progressive requires, and baseline is just its one-scan case
+        coeffs: dict[int, dict[tuple[int, int], list[int]]] = {}
+        dc_done: set[int] = set()
         decoded_any_scan = False
         pos = 2
         try:
@@ -192,9 +198,12 @@ def _make_jpeg_parser():
                     raise _Bad
                 seg = b[pos + 2 : pos + seglen]
                 pos += seglen
-                if marker == 0xC0:  # SOF0 baseline
+                if marker in (0xC0, 0xC1, 0xC2):
+                    # SOF0 baseline / SOF1 extended-sequential (identical at
+                    # 8-bit precision) / SOF2 progressive
                     if frame is not None or len(seg) < 6:
                         raise _Bad
+                    progressive = marker == 0xC2
                     prec, h, w, ncomp = seg[0], (seg[1] << 8) | seg[2], (
                         seg[3] << 8
                     ) | seg[4], seg[5]
@@ -215,12 +224,11 @@ def _make_jpeg_parser():
                             raise _Bad
                         comps.append((cid, hs, vs, tq))
                     frame = (w, h, comps)
-                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                                 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xCC):
                     raise NotImplementedError(
-                        "JPEG progressive/extended/lossless/arithmetic "
-                        "decoding requires codec libs, not available in "
-                        "this env"
+                        "JPEG lossless/hierarchical/arithmetic decoding "
+                        "requires codec libs, not available in this env"
                     )
                 elif marker == 0xC4:  # DHT, possibly several tables
                     p = 0
@@ -269,25 +277,51 @@ def _make_jpeg_parser():
                     vmax = max(c[2] for c in comps)
                     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
                     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                    if progressive:
+                        is_dc = ss == 0
+                        if is_dc:
+                            if se != 0:
+                                raise _Bad
+                        else:
+                            # AC scans carry exactly one component
+                            if ns != 1 or not 1 <= ss <= se <= 63:
+                                raise _Bad
+                        if al > 13 or (ah != 0 and ah != al + 1):
+                            raise _Bad
+                    else:
+                        if ss != 0 or se != 63 or ah != 0 or al != 0:
+                            raise _Bad
+                        is_dc = True  # sequential decodes DC+AC in one pass
                     scan_comps = []
                     for i in range(ns):
                         cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                         td, ta = tt >> 4, tt & 15
                         match = [c for c in comps if c[0] == cs]
-                        if not match or (0, td) not in huff or (1, ta) not in huff:
+                        if not match:
                             raise _Bad
                         cid, hs, vs, tq = match[0]
                         if tq not in qt:
                             raise _Bad
-                        if cid not in planes:
-                            pw, ph = mcus_x * hs * 8, mcus_y * vs * 8
-                            planes[cid] = bytearray(pw * ph)
-                            plane_dims[cid] = (pw, ph)
+                        need_dc = (not progressive) or (is_dc and ah == 0)
+                        need_ac = (not progressive) or not is_dc
+                        if need_dc and (0, td) not in huff:
+                            raise _Bad
+                        if need_ac and (1, ta) not in huff:
+                            raise _Bad
+                        if progressive and not is_dc and cid not in dc_done:
+                            raise _Bad  # spec: a DC scan must come first
+                        coeffs.setdefault(cid, {})
                         scan_comps.append(
-                            (cid, hs, vs, qt[tq], huff[(0, td)], huff[(1, ta)])
+                            (
+                                cid,
+                                hs,
+                                vs,
+                                huff.get((0, td)),
+                                huff.get((1, ta)),
+                            )
                         )
-                    # ss/se/ah/al at seg[-3:] are fixed in baseline; accept
-                    # as-is (progressive already raised at SOF).
 
                     # --- entropy-coded segment: bit reader with stuffing
                     bitbuf, bitcnt = 0, 0
@@ -328,16 +362,23 @@ def _make_jpeg_parser():
                                 return sym
                         raise _Bad
 
-                    def decode_block(dc_tbl, ac_tbl, q, pred):
-                        t = huffdec(dc_tbl)
+                    def blk(cid, bx, by):
+                        c = coeffs[cid]
+                        blk_ = c.get((bx, by))
+                        if blk_ is None:
+                            blk_ = [0] * 64
+                            c[(bx, by)] = blk_
+                        return blk_
+
+                    def seq_block(coef, dt, at, pred):
+                        t = huffdec(dt)
                         if t > 11:
                             raise _Bad
                         dc = pred + extend(receive(t), t)
-                        coef = [0] * 64
-                        coef[0] = dc * q[0]
+                        coef[0] = dc
                         k = 1
                         while k < 64:
-                            rs = huffdec(ac_tbl)
+                            rs = huffdec(at)
                             r, s = rs >> 4, rs & 15
                             if s == 0:
                                 if r == 15:
@@ -347,17 +388,90 @@ def _make_jpeg_parser():
                             k += r
                             if k > 63 or s > 10:
                                 raise _Bad
-                            coef[_ZZ[k]] = extend(receive(s), s) * q[k]
+                            coef[k] = extend(receive(s), s)
                             k += 1
-                        return dc, _idct(coef)
+                        return dc
 
-                    def put_block(cid, bx, by, px):
-                        pw, _ph = plane_dims[cid]
-                        plane = planes[cid]
-                        ox, oy = bx * 8, by * 8
-                        for yy in range(8):
-                            row = (oy + yy) * pw + ox
-                            plane[row : row + 8] = px[yy * 8 : yy * 8 + 8]
+                    def dc_first(coef, dt, pred):
+                        t = huffdec(dt)
+                        if t > 11:
+                            raise _Bad
+                        dc = pred + extend(receive(t), t)
+                        coef[0] = dc << al
+                        return dc
+
+                    def dc_refine(coef):
+                        if next_bit():
+                            coef[0] |= 1 << al
+
+                    def ac_first(coef, at):
+                        nonlocal eobrun
+                        if eobrun > 0:
+                            eobrun -= 1
+                            return
+                        k = ss
+                        while k <= se:
+                            rs = huffdec(at)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) - 1 + (
+                                        receive(r) if r else 0
+                                    )
+                                    return
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se or s > 10:
+                                raise _Bad
+                            coef[k] = extend(receive(s), s) << al
+                            k += 1
+
+                    def ac_refine(coef, at):
+                        nonlocal eobrun
+                        p1, m1 = 1 << al, -1 << al
+
+                        def correct(k):
+                            # append the scan's bit to an already-nonzero
+                            # coefficient (spec G.1.2.3)
+                            if next_bit() and not (coef[k] & p1):
+                                coef[k] += p1 if coef[k] > 0 else m1
+
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = huffdec(at)
+                                r, s = rs >> 4, rs & 15
+                                val = 0
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = (1 << r) + (
+                                            receive(r) if r else 0
+                                        )
+                                        break
+                                    # ZRL: r = 15 -> skip 16 zero-history
+                                else:
+                                    if s != 1:
+                                        raise _Bad
+                                    val = p1 if next_bit() else m1
+                                while k <= se:
+                                    if coef[k]:
+                                        correct(k)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    coef[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            # finish this block with correction bits only
+                            while k <= se:
+                                if coef[k]:
+                                    correct(k)
+                                k += 1
+                            eobrun -= 1
 
                     def expect_restart(m):
                         nonlocal pos, bitbuf, bitcnt
@@ -371,50 +485,67 @@ def _make_jpeg_parser():
                         pos += 2
 
                     preds = {cid: 0 for cid, *_ in scan_comps}
+                    eobrun = 0
                     rst_m, since_rst = 0, 0
 
                     def maybe_restart():
-                        nonlocal rst_m, since_rst
+                        nonlocal rst_m, since_rst, eobrun
                         since_rst += 1
                         if restart_interval and since_rst == restart_interval:
                             expect_restart(rst_m)
                             rst_m = (rst_m + 1) & 7
                             since_rst = 0
+                            eobrun = 0
                             for c in preds:
                                 preds[c] = 0
 
+                    def decode_unit(cid, dt, at, bx, by):
+                        coef = blk(cid, bx, by)
+                        if not progressive:
+                            preds[cid] = seq_block(coef, dt, at, preds[cid])
+                        elif is_dc:
+                            if ah == 0:
+                                preds[cid] = dc_first(coef, dt, preds[cid])
+                            else:
+                                dc_refine(coef)
+                        else:
+                            if ah == 0:
+                                ac_first(coef, at)
+                            else:
+                                ac_refine(coef, at)
+
                     if ns == 1:
-                        # non-interleaved: MCU = one block over the
-                        # component's own block grid
-                        cid, hs, vs, q, dt, at = scan_comps[0]
+                        # non-interleaved: one block per unit over the
+                        # component's own used block grid
+                        cid, hs, vs, dt, at = scan_comps[0]
                         cw = (w * hs + hmax - 1) // hmax
                         chh = (h * vs + vmax - 1) // vmax
                         nbx, nby = (cw + 7) // 8, (chh + 7) // 8
                         n_units = nbx * nby
                         for u in range(n_units):
                             by, bx = divmod(u, nbx)
-                            preds[cid], px = decode_block(dt, at, q, preds[cid])
-                            put_block(cid, bx, by, px)
+                            decode_unit(cid, dt, at, bx, by)
                             if u != n_units - 1:
                                 maybe_restart()
                     else:
                         n_units = mcus_x * mcus_y
                         for u in range(n_units):
                             my, mx = divmod(u, mcus_x)
-                            for cid, hs, vs, q, dt, at in scan_comps:
+                            for cid, hs, vs, dt, at in scan_comps:
                                 for byi in range(vs):
                                     for bxi in range(hs):
-                                        preds[cid], px = decode_block(
-                                            dt, at, q, preds[cid]
-                                        )
-                                        put_block(
+                                        decode_unit(
                                             cid,
+                                            dt,
+                                            at,
                                             mx * hs + bxi,
                                             my * vs + byi,
-                                            px,
                                         )
                             if u != n_units - 1:
                                 maybe_restart()
+                    if not progressive or is_dc:
+                        for cid, *_ in scan_comps:
+                            dc_done.add(cid)
                     decoded_any_scan = True
                 elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
                     continue  # APPn / COM
@@ -425,10 +556,48 @@ def _make_jpeg_parser():
         if frame is None:
             return None
         w, h, comps = frame
-        if any(c[0] not in planes for c in comps):
-            return None  # a component never got a scan
+        if any(c[0] not in dc_done for c in comps):
+            return None  # a component never got a (DC) scan
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        # render: dequantize + IDCT every accumulated block (blocks no scan
+        # touched stay all-zero -> flat 128 after level shift)
+        planes: dict[int, bytearray] = {}
+        plane_dims: dict[int, tuple[int, int]] = {}
+        zero_px = None
+        for cid, hs, vs, tq in comps:
+            if tq not in qt:
+                return None
+            q = qt[tq]
+            pw, ph = mcus_x * hs * 8, mcus_y * vs * 8
+            plane = bytearray(pw * ph)
+            for (bx, by), zz in coeffs.get(cid, {}).items():
+                if bx * 8 >= pw or by * 8 >= ph:
+                    return None
+                nat = [0] * 64
+                for k in range(64):
+                    if zz[k]:
+                        nat[_ZZ[k]] = zz[k] * q[k]
+                px = _idct(nat)
+                ox, oy = bx * 8, by * 8
+                for yy in range(8):
+                    row = (oy + yy) * pw + ox
+                    plane[row : row + 8] = px[yy * 8 : yy * 8 + 8]
+            if zero_px is None:
+                zero_px = _idct([0] * 64)[0]  # 128
+            # untouched plane bytes are 0; set them to the zero-block value
+            touched = coeffs.get(cid, {})
+            for byy in range(ph // 8):
+                for bxx in range(pw // 8):
+                    if (bxx, byy) not in touched:
+                        for yy in range(8):
+                            row = (byy * 8 + yy) * pw + bxx * 8
+                            for xx in range(8):
+                                plane[row + xx] = zero_px
+            planes[cid] = plane
+            plane_dims[cid] = (pw, ph)
         out = bytearray(w * h * 3)
         if len(comps) == 1:
             cid = comps[0][0]
@@ -477,8 +646,9 @@ def _make_pixel_parser():
     RGB triples, ``None`` when the payload is not strictly valid
     (digest fallback), and raises ``NotImplementedError`` for
     structurally-valid variants that DO need a codec lib (JPEG
-    progressive/arithmetic/12-bit — same honesty contract as non-PCM
-    WAV; PNG and GIF decode completely). Strictness matters: header
+    lossless/arithmetic/12-bit — same honesty contract as exotic WAV
+    codecs; PNG, GIF, and sequential+progressive JPEG decode
+    completely). Strictness matters: header
     fields and PNG chunk CRCs are fully validated so random binary
     payloads (the synthetic testdata) can never false-positive into
     the decode path (probability ~2^-80; for PNG every chunk must
@@ -1199,8 +1369,9 @@ def _make_decode_stub(feature_dim: int):
         from actual pixels; 16-bit PCM WAV payloads likewise decode to
         (channels, rate, frames, duration_ms, rms, peak, mean,
         zero-crossing rate). 6dp-rounded for cross-engine hash
-        stability. Progressive/arithmetic/12-bit JPEG and non-PCM audio
-        raise (those genuinely need codec libs — explicit boundary).
+        stability. Lossless/arithmetic/12-bit JPEG and non-PCM,
+        non-IMA-ADPCM audio raise (those genuinely need codec libs —
+        explicit boundary).
         Anything else digests to a deterministic sha256 fake so opaque
         testdata still flows."""
         if payload is None:
