@@ -1816,3 +1816,53 @@ def test_progressive_jpeg_roundtrip_random(w, h, sampling, al, split, data):
     dw, dh, rgb = img
     assert (dw, dh) == (w, h)
     assert _max_err(rgb, pixels) <= tol, (w, h, sampling, al, split)
+
+
+def test_frame_features_null_duration_opaque_payload(spark):
+    """NULL duration_ms on an opaque video payload: Arrow->pandas renders
+    the nullable long as NaN — must emit the single ts=0 digest row, not
+    crash the task (regression: int(NaN) ValueError)."""
+    rows = [(72, "video", b"not-a-container", "video/mp4", None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_frame_features(media, every_ms=1000).collect()
+    assert [(r["frame_ts_ms"], r["frame_index"]) for r in out] == [(0, 0)]
+    assert len(out[0]["feature"]) == multimodal.FEATURE_DIM
+
+
+def test_gif_disposal2_out_of_range_bg_index_no_corruption():
+    """disposal=2 with bg_index past the palette end must not shrink the
+    canvas (regression: short-slice assignment deleted bytes)."""
+    f1 = [[0] * 4 for _ in range(4)]
+    f2 = [[1] * 4 for _ in range(4)]
+    gif = make_gif(
+        [f1, f2], GIF_PAL[:2], delays_ms=[100, 100], disposals=[2, 0],
+        bg_index=9,
+    )
+    parsed = multimodal._make_gif_parser()(gif)
+    assert parsed is not None
+    w, h, frames = parsed
+    assert all(len(rgb) == w * h * 3 for _d, rgb in frames)
+
+
+def test_adpcm_uneven_channel_groups_fall_back_to_digest():
+    """Stereo block_align whose nibble area is not a whole number of
+    4-byte-per-channel groups is structurally invalid -> None (digest),
+    not an IndexError (regression)."""
+    import struct
+
+    block = struct.pack("<hBB", 0, 0, 0) * 2 + b"\x00" * 4  # align 12, 2ch
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 12, 4, 2, 9)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(block)) + block
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert multimodal._make_wav_parser()(wav) is None
+
+
+def test_feature_math_single_source():
+    """extract_features and extract_frame_features must share the feature
+    implementation (one factory), not parallel copies."""
+    import inspect
+
+    src = inspect.getsource(multimodal)
+    assert src.count("def pixel_feature(") == 1
+    assert src.count("def digest_vec(") == 1

@@ -995,7 +995,11 @@ def _make_wav_parser():
         """Block-structured IMA ADPCM: per block and channel a 4-byte
         header (int16 predictor, step index, reserved), then nibble data
         interleaved in 4-byte-per-channel groups; nibbles low-first."""
-        if block_align < 4 * n_ch or block_align % 4 or len(data) % block_align:
+        if (
+            block_align < 4 * n_ch
+            or (block_align - 4 * n_ch) % (4 * n_ch)
+            or len(data) % block_align
+        ):
             return None
         out: list[list[int]] = []
         for base in range(0, len(data), block_align):
@@ -1250,7 +1254,9 @@ def _make_gif_parser():
                         o = 3 * (crow + fx + c)
                         canvas[o : o + 3] = ct[3 * px : 3 * px + 3]
                 frames.append((delay_ms, bytes(canvas)))
-                if disposal == 2 and gct is not None:
+                if disposal == 2 and gct is not None and (
+                    3 * bg_index + 3 <= len(gct)
+                ):
                     bg = gct[3 * bg_index : 3 * bg_index + 3]
                     for r in range(fh):
                         crow = (fy + r) * w
@@ -1349,16 +1355,44 @@ def _make_avi_parser():
     return parse
 
 
+def _make_feature_fns(feature_dim: int):
+    """Single source for the pixel-feature and digest-fallback math shared
+    by ``extract_features`` and ``extract_frame_features`` — the two must
+    stay bit-identical for cross-engine hash stability. A factory (not
+    module-level functions) so every consumer closure stays
+    by-value-picklable into self-contained executor tasks."""
+    import hashlib as _hashlib
+
+    def pixel_feature(w, h, rgb):
+        n_px = w * h
+        lums = [rgb[i] + rgb[i + 1] + rgb[i + 2] for i in range(0, 3 * n_px, 3)]
+        return [
+            float(w),
+            float(h),
+            round(sum(rgb[0::3]) / n_px, 6),
+            round(sum(rgb[1::3]) / n_px, 6),
+            round(sum(rgb[2::3]) / n_px, 6),
+            round(min(lums) / 3.0, 6),
+            round(max(lums) / 3.0, 6),
+            round(sum(lums) / (3.0 * n_px), 6),
+        ][:feature_dim]
+
+    def digest_vec(b):
+        d = _hashlib.sha256(b).digest()
+        return [d[i] / 255.0 for i in range(feature_dim)]
+
+    return pixel_feature, digest_vec
+
+
 def _make_decode_stub(feature_dim: int):
     """Build the decode closure OUTSIDE module scope: the returned function
     has a non-resolvable qualname, so cloudpickle serializes it by VALUE
     into the mapInPandas task. Executors therefore never need the wsspark
     package on their PYTHONPATH — the task is self-contained, which is how
     a UDF should ship to a 1000-executor cluster."""
-    import hashlib as _hashlib
-
     parse = _make_pixel_parser()
     parse_wav = _make_wav_parser()
+    pixel_feature, digest_vec = _make_feature_fns(feature_dim)
 
     def decode(payload):
         """Decode + feature extract. BMP/PPM, the complete PNG spec
@@ -1407,25 +1441,8 @@ def _make_decode_stub(feature_dim: int):
         img = parse(b)
         if img is not None:
             w, h, rgb = img
-            n_px = w * h
-            sr = sum(rgb[0::3])
-            sg = sum(rgb[1::3])
-            sb = sum(rgb[2::3])
-            lums = [
-                rgb[i] + rgb[i + 1] + rgb[i + 2] for i in range(0, 3 * n_px, 3)
-            ]
-            return [
-                float(w),
-                float(h),
-                round(sr / n_px, 6),
-                round(sg / n_px, 6),
-                round(sb / n_px, 6),
-                round(min(lums) / 3.0, 6),
-                round(max(lums) / 3.0, 6),
-                round(sum(lums) / (3.0 * n_px), 6),
-            ][:feature_dim]
-        digest = _hashlib.sha256(b).digest()
-        return [digest[i] / 255.0 for i in range(feature_dim)]
+            return pixel_feature(w, h, rgb)
+        return digest_vec(b)
 
     return decode
 
@@ -1433,7 +1450,7 @@ def _make_decode_stub(feature_dim: int):
 decode_image_stub = _make_decode_stub(FEATURE_DIM)
 
 
-def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas pass over binary payloads -> feature vectors.
 
     Arrow ships columnar batches to Python; each batch is processed
@@ -1507,24 +1524,9 @@ def extract_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     decode = _make_decode_stub(FEATURE_DIM)
     parse_avi = _make_avi_parser()
     parse_gif = _make_gif_parser()
+    pixel_feature, digest_vec = _make_feature_fns(FEATURE_DIM)
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
-
-        def pixel_feature(w, h, rgb):
-            n_px = w * h
-            lums = [rgb[i] + rgb[i + 1] + rgb[i + 2] for i in range(0, 3 * n_px, 3)]
-            return [
-                float(w),
-                float(h),
-                round(sum(rgb[0::3]) / n_px, 6),
-                round(sum(rgb[1::3]) / n_px, 6),
-                round(sum(rgb[2::3]) / n_px, 6),
-                round(min(lums) / 3.0, 6),
-                round(max(lums) / 3.0, 6),
-                round(sum(lums) / (3.0 * n_px), 6),
-            ][:FEATURE_DIM]
-
         def rows_for(media_id, payload, duration_ms):
             if payload is None:
                 return
@@ -1548,11 +1550,17 @@ def extract_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     return
             avi = parse_avi(b)
             if avi is None:
-                # opaque payload: metadata-driven timestamps, digest features
-                dur = int(duration_ms) if duration_ms is not None else 0
+                # opaque payload: metadata-driven timestamps, digest
+                # features. duration_ms is NULLABLE: Arrow->pandas renders
+                # a nullable long column with nulls as float64 NaN, which
+                # passes an `is not None` check — compare NaN != NaN too.
+                dur = (
+                    0
+                    if duration_ms is None or duration_ms != duration_ms
+                    else int(duration_ms)
+                )
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
-                    d = _hashlib.sha256(b + str(ts).encode()).digest()
-                    yield media_id, ts, i, [d[j] / 255.0 for j in range(FEATURE_DIM)]
+                    yield media_id, ts, i, digest_vec(b + str(ts).encode())
                 return
             _w, _h, us_per_frame, frames = avi
             dur_ms = len(frames) * us_per_frame // 1000
@@ -1590,12 +1598,13 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Resize over image rows, Arrow-batched. Parseable payloads (24-bit
-    BMP / P6 PPM) are REALLY resized — nearest-neighbor sampling over the
-    decoded pixel grid, re-encoded as binary P6 PPM. Compressed codecs
-    raise (no codec libs in this environment); opaque payloads get the
-    deterministic tag+bytes stub so the dataflow stays testable end-to-end
-    on synthetic data."""
+    """Resize over image rows, Arrow-batched. Every decodable payload
+    (BMP, PPM, full PNG, sequential + progressive JPEG, GIF first frame)
+    is REALLY resized — nearest-neighbor sampling over the decoded pixel
+    grid, re-encoded as binary P6 PPM. Only the genuinely codec-lib-bound
+    profiles raise (lossless/arithmetic/12-bit JPEG); opaque payloads get
+    the deterministic tag+bytes stub so the dataflow stays testable
+    end-to-end on synthetic data."""
 
     parse = _make_pixel_parser()
 
