@@ -1,0 +1,107 @@
+"""Incremental MV maintenance (wsspark/ops/incremental.py).
+
+The driver-verified contract is `incremental_refresh(log, cutoff) ==
+full recompute` at one pinned cutoff; these tests widen that to the whole
+cutoff range (both degenerate ends included) and pin the scale shape: with
+the MV store bucketed on the MV keys, the merge's only exchange is the
+delta side.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wsspark import adapters as ad
+from wsspark.io import read_table, write_bucketed_table
+from wsspark.ops import incremental as ivm
+
+
+@pytest.fixture(scope="module")
+def movements(spark, sf_dir):
+    mvs = ad.movements_from_lineitem(read_table(spark, sf_dir, "lineitem"))
+    mvs = mvs.localCheckpoint()
+    yield mvs
+
+
+def full_recompute(mvs):
+    state = ivm.movement_mv(mvs)
+    return state.select(
+        "warehouse_id",
+        "product_id",
+        "n_movements",
+        "net_qty",
+        "last_movement_at",
+        F.round(
+            F.col("net_qty").cast("double") / F.col("n_movements"), 4
+        ).alias("avg_qty"),
+    )
+
+
+def as_sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("warehouse_id", "product_id").collect()]
+
+
+@pytest.mark.parametrize(
+    "cutoff",
+    [
+        "1990-01-01 00:00:00",  # everything is delta (base MV empty)
+        "1997-01-01 00:00:00",  # interior split
+        "2001-06-01 00:00:00",  # the registered query's watermark
+        "2005-01-01 00:00:00",  # everything is base (delta empty)
+    ],
+)
+def test_refresh_equals_full_recompute(movements, cutoff):
+    got = as_sorted_rows(ivm.incremental_refresh(movements, cutoff))
+    want = as_sorted_rows(full_recompute(movements))
+    assert got == want
+
+
+def test_merge_is_associative_across_three_batches(movements):
+    """Two successive delta merges == one full recompute: the shape of a
+    real rolling refresh (day N state + day N+1 delta + day N+2 delta)."""
+    c1, c2 = "1997-01-01 00:00:00", "2000-01-01 00:00:00"
+    d = F.col("movement_date")
+    s0 = ivm.movement_mv(movements.filter(d < F.lit(c1).cast("timestamp")))
+    d1 = ivm.movement_mv(
+        movements.filter(
+            (d >= F.lit(c1).cast("timestamp"))
+            & (d < F.lit(c2).cast("timestamp"))
+        )
+    )
+    d2 = ivm.movement_mv(movements.filter(d >= F.lit(c2).cast("timestamp")))
+    # re-aggregate the intermediate merge back into MV state (drop avg)
+    mid = ivm.merge_mv(s0, d1).drop("avg_qty")
+    got = as_sorted_rows(ivm.merge_mv(mid, d2))
+    want = as_sorted_rows(full_recompute(movements))
+    assert got == want
+
+
+def test_bucketed_mv_merge_shuffles_only_delta(spark, movements):
+    """With the MV store bucketed on the MV keys, the refresh plan's only
+    Exchange is the delta aggregate finding its buckets — refresh cost is
+    O(delta), the whole point of keeping the state."""
+    cut = F.lit("2001-06-01 00:00:00").cast("timestamp")
+    write_bucketed_table(
+        ivm.movement_mv(movements.filter(F.col("movement_date") < cut)),
+        "mv_store",
+        ivm.MV_KEYS,
+        n_buckets=4,
+        sort_cols=ivm.MV_KEYS,
+    )
+    try:
+        delta = ivm.movement_mv(
+            movements.filter(F.col("movement_date") >= cut)
+        )
+        merged = ivm.merge_mv(spark.table("mv_store"), delta)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange")
+        # delta side: one exchange for its partial->final agg landing on
+        # the bucket layout; the store side must contribute none.
+        assert n_exchange <= 1, f"MV store side shuffled:\n{plan}"
+        # and the merge still produces the recompute answer
+        got = as_sorted_rows(merged)
+        want = as_sorted_rows(full_recompute(movements))
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mv_store")

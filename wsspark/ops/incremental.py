@@ -1,0 +1,103 @@
+"""Incremental materialized-view maintenance (IVM) for movement rollups.
+
+The reference recomputes every report from the full fact table each run
+(`etl/main.py` full-load path re-reads everything; its incremental mode,
+`etl/extract/data_extractor.py` high-watermark, still re-aggregates the
+whole extract).  At 100 TB a daily refresh cannot re-touch the corpus: the
+standard warehouse answer is a self-maintainable materialized view — keep
+the aggregate state, aggregate ONLY the delta (the rows past the last
+refresh watermark), and merge by key.
+
+Algebra (insert-only deltas, which is what an append-only movement log
+produces):
+
+- ``COUNT`` and ``SUM`` are self-maintainable: merged = base + delta.
+- ``MAX`` is self-maintainable under inserts: merged = greatest(base,
+  delta) (Spark's ``greatest`` ignores NULLs, so keys present on one side
+  only keep their value).  Under deletes/updates MAX would need a re-scan
+  of the key's history — out of scope for an append-only log and
+  documented here so nobody reuses this for a CDC stream with deletes.
+- ``AVG`` is derived, not stored: recomputed as merged SUM / merged COUNT
+  after the merge (storing the ratio would break the algebra).
+
+Scale shape: the merge is a keyed full-outer join of the MV store with the
+delta aggregate.  The delta partial-aggregates map-side first, so the join
+right side is |delta keys| (~0.1% of the corpus on a daily watermark), and
+when the MV store is persisted with ``io.write_bucketed_table`` on the MV
+keys the store side needs NO exchange — the only shuffle in the whole
+refresh is the tiny delta finding its buckets
+(tests/test_incremental.py::test_bucketed_mv_merge_shuffles_only_delta).
+That is the 100 TB win: refresh cost is O(delta), not O(corpus).
+
+Full-outer is required (new keys appear in the delta, cold keys exist only
+in the base) and full-outer cannot broadcast in Spark — the bucketed store
+is the correct scale path, not a hint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MV_KEYS = ("warehouse_id", "product_id")
+
+
+def movement_mv(mvs: DataFrame) -> DataFrame:
+    """Aggregate state of the movements MV: one row per (warehouse,
+    product) with the self-maintainable measures (count, sum, max)."""
+    return mvs.groupBy(*MV_KEYS).agg(
+        F.count("*").alias("n_movements"),
+        F.sum(F.col("quantity").cast("long")).alias("net_qty"),
+        F.max("movement_date").alias("last_movement_at"),
+    )
+
+
+def _merged(a: str, b: str) -> Column:
+    return F.coalesce(F.col(a), F.lit(0)) + F.coalesce(F.col(b), F.lit(0))
+
+
+def merge_mv(base_mv: DataFrame, delta_mv: DataFrame) -> DataFrame:
+    """Merge a delta aggregate into the MV state by key.
+
+    Returns the refreshed MV with the same schema as ``movement_mv`` plus
+    the derived ``avg_qty``.  ``base_mv`` may be a bucketed-table read (no
+    exchange) or any DataFrame with the MV schema.
+    """
+    on = list(MV_KEYS)
+    base = base_mv.select(
+        *on,
+        F.col("n_movements").alias("_bn"),
+        F.col("net_qty").alias("_bq"),
+        F.col("last_movement_at").alias("_bt"),
+    )
+    delta = delta_mv.select(
+        *on,
+        F.col("n_movements").alias("_dn"),
+        F.col("net_qty").alias("_dq"),
+        F.col("last_movement_at").alias("_dt"),
+    )
+    n = _merged("_bn", "_dn")
+    q = _merged("_bq", "_dq")
+    return (
+        base.join(delta, on, "full_outer")
+        .select(
+            *on,
+            n.alias("n_movements"),
+            q.alias("net_qty"),
+            # greatest skips NULLs: one-sided keys keep their own max
+            F.greatest("_bt", "_dt").alias("last_movement_at"),
+            F.round(q.cast("double") / n, 4).alias("avg_qty"),
+        )
+    )
+
+
+def incremental_refresh(mvs: DataFrame, cutoff) -> DataFrame:
+    """End-to-end refresh: split the log at the watermark, aggregate each
+    side, merge.  Equivalent by construction to ``movement_mv`` over the
+    full log plus the derived avg — the equivalence is the driver-verified
+    contract (oracle = full recompute in DuckDB) and is property-tested
+    across cutoffs including both degenerate ends."""
+    cut = F.lit(cutoff).cast("timestamp")
+    base = movement_mv(mvs.filter(F.col("movement_date") < cut))
+    delta = movement_mv(mvs.filter(F.col("movement_date") >= cut))
+    return merge_mv(base, delta)

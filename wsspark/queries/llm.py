@@ -1545,6 +1545,13 @@ def _folded_core():
         Query("lifo_valuation", core.q_lifo_valuation, core.LIFO_VALUATION_SQL,
               "LIFO valuation: newest-first consumption over dated receipt "
               "layers (M4 LIFO)"),
+        # Folded r7 (incremental_mv_refresh took its slot): CUBE and ROLLUP
+        # share the single-shuffle grouping-sets expansion — same adapter
+        # frame, same measures, Catalyst's Expand in both plans — so the
+        # registered movement_rollup re-verifies the shared path every
+        # rotation while CUBE's extra marginals keep their hash check here.
+        Query("movement_cube", core.q_movement_cube, core.CUBE_SQL,
+              "CUBE grouping-set marginals in one shuffle"),
     ]
 
 
