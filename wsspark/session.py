@@ -54,6 +54,10 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # INT96 timestamps carry no parquet min/max statistics, which
+        # forfeits row-group pruning on every date predicate; write
+        # standard TIMESTAMP_MICROS instead (what the testdata uses too)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # local-mode niceties; harmless on a cluster
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("WSSPARK_UI", "false"))
