@@ -1866,3 +1866,88 @@ def test_feature_math_single_source():
     src = inspect.getsource(multimodal)
     assert src.count("def pixel_feature(") == 1
     assert src.count("def digest_vec(") == 1
+
+
+# ---------------------------------------------------------------------------
+# audio_spectral_features: real framed FFT analysis
+# ---------------------------------------------------------------------------
+
+
+def test_spectral_pure_tone_centroid_and_flatness(spark):
+    """A pure sine at bin-aligned f0 must yield centroid ~= f0, rolloff
+    ~= f0 and near-zero flatness; white-ish noise must be much flatter."""
+    import math
+    import random
+
+    from wsspark.llmops.multimodal import audio_spectral_features
+
+    rate, n = 8000, 4096
+    f0 = 1000.0  # exactly bin 32 of a 256-point FFT at 8 kHz
+    tone = [int(20000 * math.sin(2 * math.pi * f0 * i / rate)) for i in range(n)]
+    rng = random.Random(7)
+    noise = [rng.randint(-20000, 20000) for _ in range(n)]
+    media = spark.createDataFrame(
+        [(1, bytearray(make_wav(tone))), (2, bytearray(make_wav(noise)))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in audio_spectral_features(media, n_fft=256, hop=128).collect()
+    }
+    t, z = rows[1], rows[2]
+    assert abs(t.centroid_hz - f0) < 25.0, t.centroid_hz
+    assert abs(t.rolloff85_hz - f0) < 32.0, t.rolloff85_hz
+    assert t.flatness < 0.01
+    assert z.flatness > 0.2
+    assert z.centroid_hz > 1500.0  # noise spreads energy across the band
+    assert t.n_frames == 1 + (n - 256) // 128
+
+
+def test_spectral_matches_naive_dft_single_frame(spark):
+    """One exact frame (payload length == n_fft, so a single frame and the
+    Hann window is the only transform): the operator's centroid must agree
+    with a from-the-definition O(n^2) DFT computed in pure Python."""
+    import cmath
+    import math
+    import random
+
+    from wsspark.llmops.multimodal import audio_spectral_features
+
+    n_fft, rate = 64, 8000
+    rng = random.Random(11)
+    samples = [rng.randint(-15000, 15000) for _ in range(n_fft)]
+    media = spark.createDataFrame(
+        [(1, bytearray(make_wav(samples, rate=rate)))],
+        "media_id long, payload binary",
+    )
+    row = audio_spectral_features(media, n_fft=n_fft, hop=n_fft).first()
+
+    x = [
+        (s / 32768.0)
+        * (0.5 - 0.5 * math.cos(2 * math.pi * i / (n_fft - 1)))
+        for i, s in enumerate(samples)
+    ]
+    power = []
+    for k in range(n_fft // 2 + 1):
+        c = sum(
+            xi * cmath.exp(-2j * math.pi * k * i / n_fft)
+            for i, xi in enumerate(x)
+        )
+        power.append(abs(c) ** 2)
+    freqs = [k * rate / n_fft for k in range(n_fft // 2 + 1)]
+    want_centroid = sum(f * p for f, p in zip(freqs, power)) / sum(power)
+    assert row.n_frames == 1
+    assert abs(row.centroid_hz - want_centroid) < 1e-3
+
+
+def test_spectral_non_audio_payload_yields_nulls(spark):
+    from wsspark.llmops.multimodal import audio_spectral_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"not a wav")), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_spectral_features(media).collect()}
+    assert rows[1].centroid_hz is None and rows[1].n_frames is None
+    assert rows[2].centroid_hz is None
+    assert len(rows) == 2  # undecodable rows are KEPT for corpus accounting
