@@ -1,0 +1,64 @@
+"""PageRank (wsspark/ops/graph.py): hand-computed reference on a small
+graph incl. a dangling node, rank-mass conservation, and the registered
+query's edge semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from wsspark.ops.graph import pagerank
+
+
+def py_pagerank(edges, n_iter=5, d=0.85):
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            contrib[t] += r[s] * w / out_w[s]
+        dang = sum(r[v] for v in nodes if v not in out_w)
+        r = {
+            v: (1 - d) / n + d * (contrib[v] + dang / n) for v in nodes
+        }
+    return r
+
+
+@pytest.fixture(scope="module")
+def toy_edges():
+    # 1 -> 2 (heavy), 1 -> 3 (light), 2 -> 3, 3 is DANGLING
+    return [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0)]
+
+
+def test_pagerank_matches_reference(spark, toy_edges):
+    df = spark.createDataFrame(toy_edges, "src long, dst long, w double")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=5).collect()}
+    want = py_pagerank(toy_edges, n_iter=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_rank_mass_is_conserved(spark, toy_edges):
+    df = spark.createDataFrame(toy_edges, "src long, dst long, w double")
+    for it in (1, 3, 7):
+        total = sum(r.rank for r in pagerank(df, n_iter=it).collect())
+        assert total == pytest.approx(1.0, abs=1e-12), it
+
+
+def test_heavier_inflow_ranks_higher(spark):
+    # every node points at 9; 9 points back at 0 only
+    edges = [(i, 9, 1.0) for i in range(9)] + [(9, 0, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=10).collect()}
+    # the 9<->0 cycle oscillates between iterations, so compare only
+    # parity-free facts: both cycle members dominate the leaves, leaves
+    # are symmetric, and the whole vector matches the reference exactly.
+    assert min(got[9], got[0]) > 10 * got[1]
+    assert got[1] == pytest.approx(got[5], abs=1e-12)  # symmetric leaves
+    want = py_pagerank(edges, n_iter=10)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v

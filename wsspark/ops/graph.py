@@ -1,0 +1,90 @@
+"""Iterative graph analytics over the warehouse transfer network.
+
+The reference treats transfers as flat route aggregates
+(etl/transform/warehouse_performance.py:17-44 — per-route counts/qty).
+The natural follow-up question a network of warehouses raises — which
+warehouses are structurally central to the flow — is a fixpoint
+computation, not a single aggregate. ``pagerank`` implements the weighted
+PageRank iteration as a bounded loop of DataFrame joins:
+
+    r_{t+1}(v) = (1-d)/N + d * ( Σ_{u→v} r_t(u) · w(u,v)/W(u)
+                                 + Σ_{dangling u} r_t(u) / N )
+
+Design for scale (the llmops dup_clusters pointer-jumping rules apply):
+
+- The edge transition matrix (edge weight / source out-weight) is
+  computed ONCE and ``localCheckpoint``-ed: every iteration reuses the
+  materialized partitions instead of re-deriving the join lineage.
+- Each iteration is one join (ranks ⨝ edges on src, both sides keyed the
+  same way, so a co-partitioned layout shuffles ranks only) plus one
+  groupBy(dst); rank state is localCheckpointed per iteration so the
+  plan stays O(1) deep instead of O(iterations) (on a cluster,
+  ``checkpoint``/persist-to-storage replaces localCheckpoint for fault
+  tolerance).
+- Dangling mass is folded in via a 1-row aggregate cross-joined onto the
+  update — NO driver-side collect inside the loop. The only driver
+  scalar is N (graph order), computed once up front.
+- Iterations are a fixed count, mirroring the unrolled-CTE oracle; a
+  convergence-threshold variant changes only the loop condition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over ``edges`` (src, dst, weight); returns
+    (node, rank) with Σ rank = 1 at every step."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("_ow"))
+    trans = (
+        edges.join(out_w, src)
+        .select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            (F.col(weight).cast("double") / F.col("_ow")).alias("_p"),
+        )
+        .localCheckpoint()
+    )
+    has_out = trans.select(F.col("_src").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            trans.join(ranks, trans["_src"] == ranks["node"])
+            .groupBy("_dst")
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
+        )
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

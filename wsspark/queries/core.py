@@ -1099,6 +1099,87 @@ FROM ({ad.MOVEMENTS_SQL})
 GROUP BY CUBE (warehouse_id, movement_type)
 """
 
+def q_pagerank_transfer_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the warehouse transfer network (ops.graph):
+    edges are paired transfer legs aggregated per route with received qty
+    as weight; 5 fixed iterations, damping 0.85, dangling mass spread
+    uniformly. The oracle unrolls the identical iteration as chained
+    DuckDB CTEs, so the driver hash pins the whole fixpoint loop — joins,
+    dangling handling, normalization — not just one step."""
+    from wsspark.ops import graph
+
+    li = read_table(spark, sf_dir, "lineitem")
+    t = ad.transfer_movements_from_lineitem(li)
+    out = t.filter(F.col("quantity") < 0).select(
+        "reference_id", "pair_id", F.col("warehouse_id").alias("src")
+    )
+    inn = t.filter(F.col("quantity") > 0).select(
+        "reference_id",
+        "pair_id",
+        F.col("warehouse_id").alias("dst"),
+        "quantity",
+    )
+    edges = (
+        out.join(inn, ["reference_id", "pair_id"])
+        .groupBy("src", "dst")
+        .agg(F.sum("quantity").cast("double").alias("w"))
+    )
+    ranks = graph.pagerank(edges, n_iter=5, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("warehouse_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_sql(n_iter: int = 5, d: float = 0.85) -> str:
+    from wsspark.adapters import TRANSFER_MOVEMENTS_SQL
+
+    iters = []
+    for k in range(1, n_iter + 1):
+        prev = f"r{k - 1}"
+        iters.append(f"""
+r{k} AS (
+    SELECT n.node,
+           (1 - {d}) / (SELECT cnt FROM nn)
+           + {d} * (COALESCE(c.contrib, 0)
+                    + dg.m / (SELECT cnt FROM nn)) AS rank
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank * e.w / ow.ow) AS contrib
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN outw ow ON ow.src = e.src
+        GROUP BY e.dst
+    ) c ON c.node = n.node
+    CROSS JOIN (
+        SELECT COALESCE(SUM(r.rank), 0) AS m FROM {prev} r
+        WHERE r.node NOT IN (SELECT src FROM outw)
+    ) dg
+)""")
+    return f"""
+WITH legs AS ({TRANSFER_MOVEMENTS_SQL}),
+edges AS (
+    SELECT o.warehouse_id AS src, i.warehouse_id AS dst,
+           CAST(SUM(i.quantity) AS DOUBLE) AS w
+    FROM legs o
+    JOIN legs i ON o.reference_id = i.reference_id AND o.pair_id = i.pair_id
+    WHERE o.quantity < 0 AND i.quantity > 0
+    GROUP BY 1, 2
+),
+nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+    UNION SELECT DISTINCT dst FROM edges
+),
+nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+r0 AS (
+    SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes
+),{",".join(iters)}
+SELECT node AS warehouse_id, ROUND(rank, 6) AS rank FROM r{n_iter}
+"""
+
+
+PAGERANK_SQL = _pagerank_sql()
+
 MV_CUTOFF = "2001-06-01 00:00:00"
 
 
@@ -1372,8 +1453,6 @@ QUERIES = [
           "gap-filled month-end-labeled counts (W1 W3)"),
     Query("peak_day_of_week", q_peak_day_of_week, PEAK_DOW_SQL,
           "avg movements per day-of-week (A11)"),
-    Query("peak_month", q_peak_month, PEAK_MONTH_SQL,
-          "avg movements per month name (A11)"),
     Query("transfer_patterns", q_transfer_patterns, TRANSFER_PATTERNS_SQL,
           "paired transfer-leg self-join + route aggregation (P8 J4 A9)"),
     Query("warehouse_io_pivot", q_warehouse_io_pivot, IO_PIVOT_SQL,
@@ -1417,6 +1496,9 @@ QUERIES = [
     Query("incremental_mv_refresh", q_incremental_mv_refresh,
           INCREMENTAL_MV_SQL,
           "O(delta) materialized-view refresh; oracle = full recompute"),
+    Query("pagerank_transfer_routes", q_pagerank_transfer_routes,
+          PAGERANK_SQL,
+          "weighted PageRank fixpoint over transfer routes (5 iterations)"),
     Query("moving_avg_trends", q_moving_avg_trends, MOVING_AVG_SQL,
           "rolling 7-day mean + cumulative total over gap-filled daily trend"),
     Query("revenue_deciles", q_revenue_deciles, REVENUE_DECILES_SQL,

@@ -1552,6 +1552,14 @@ def _folded_core():
         # rotation while CUBE's extra marginals keep their hash check here.
         Query("movement_cube", core.q_movement_cube, core.CUBE_SQL,
               "CUBE grouping-set marginals in one shuffle"),
+        # Folded r7 (pagerank_transfer_routes took its slot): peak_month is
+        # the calendar twin of the registered peak_day_of_week — same
+        # trends->label->group->avg pipeline (ops/movements.py A11/W3),
+        # only the label expression differs — so the registered query
+        # re-verifies the shared path every rotation while the month-label
+        # variant keeps its hash check here.
+        Query("peak_month", core.q_peak_month, core.PEAK_MONTH_SQL,
+              "avg movements per month name (A11)"),
     ]
 
 
