@@ -1465,8 +1465,6 @@ QUERIES = [
           "reorder-point report, 3-way join (M3 J5 P9 P11)"),
     Query("stock_valuation_all", q_stock_valuation_all, VALUATION_ALL_SQL,
           "weighted-avg valuation, pipeline variant (M4 A6 J6)"),
-    Query("stock_valuation_completed", q_stock_valuation_completed, VALUATION_COMPLETED_SQL,
-          "weighted-avg valuation, COMPLETED-only variant (M4 J7)"),
     Query("fifo_valuation", q_fifo_valuation, FIFO_VALUATION_SQL,
           "FIFO valuation: newest-first window over dated receipt layers (M4 FIFO)"),
     Query("audit_diff", q_audit_diff, AUDIT_DIFF_SQL,

@@ -1441,6 +1441,39 @@ ORDER BY pack_group, pack_seq
 """
 
 
+def q_embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment statistics (llmops.pca): one mapInPandas
+    pass accumulates per-partition Gram partials (numpy matmul over Arrow
+    batches), combined into the population covariance matrix. The driver
+    row verifies the upper-triangle 8x8 block against DuckDB's covar_pop —
+    hash-proving the distributed accumulation exactly; the eigen layer on
+    top (pca/project) is pytest-verified vs numpy on the same matrix."""
+    from wsspark.llmops import pca
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    cov = pca.covariance(embs)
+    rows = [
+        (i + 1, j + 1, round(float(cov[i, j]), 6))
+        for i in range(8)
+        for j in range(i, 8)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+def _covariance_block_sql(block: int = 8) -> str:
+    parts = [
+        f"SELECT {i} AS i, {j} AS j, "
+        f"ROUND(covar_pop(embedding[{i}], embedding[{j}]), 6) AS cov "
+        f"FROM embeddings"
+        for i in range(1, block + 1)
+        for j in range(i, block + 1)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+EMB_COV_SQL = _covariance_block_sql()
+
+
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
@@ -1469,6 +1502,9 @@ QUERIES = [
           "binary-column feature extraction via Arrow mapInPandas (stub decode)"),
     Query("embedding_norm_profile", q_embedding_norm_profile, EMB_NORM_SQL,
           "per-label embedding norm sanity profile"),
+    Query("embedding_covariance_block", q_embedding_covariance_block,
+          EMB_COV_SQL,
+          "distributed Gram-partial covariance vs covar_pop (PCA base)"),
     Query("token_doc_frequency", q_token_doc_frequency, TOKEN_DF_SQL,
           "top-50 tokens by document frequency (vocabulary profile)"),
     Query("tfidf_top_terms", q_tfidf_top_terms, TFIDF_SQL,
@@ -1560,6 +1596,15 @@ def _folded_core():
         # variant keeps its hash check here.
         Query("peak_month", core.q_peak_month, core.PEAK_MONTH_SQL,
               "avg movements per month name (A11)"),
+        # Folded r7 (embedding_covariance_block took its slot): the J7
+        # COMPLETED-only valuation shares every op with the registered
+        # stock_valuation_all (same weighted-avg join chain,
+        # queries/core.py — only the status filter differs), so the
+        # registered query re-verifies the shared path every rotation
+        # while the filtered variant keeps its hash check here.
+        Query("stock_valuation_completed", core.q_stock_valuation_completed,
+              core.VALUATION_COMPLETED_SQL,
+              "weighted-avg valuation, COMPLETED-only variant (M4 J7)"),
     ]
 
 
