@@ -438,3 +438,16 @@ def test_approx_distinct_one_scan_per_table(spark, sf_dir):
         )
     )
     assert plan.count("FileScan parquet") == 3, plan
+
+
+def test_dq_expectations_single_scan(spark, sf_dir):
+    """The expectations audit must evaluate every constraint in ONE pass:
+    exactly one file scan in the plan, no per-constraint jobs. (The
+    distinct-count constraint adds an Expand, not a second scan.)"""
+    import re
+
+    plan = plan_of(build_registry()["dq_expectations"].fn(spark, sf_dir))
+    # count scan NODES (the "(n) Scan parquet" details entries), not tree
+    # echoes of the same node
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan

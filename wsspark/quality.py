@@ -68,3 +68,84 @@ def incremental_filter(
     skipping) or JDBC source — check ``PushedFilters`` in ``.explain``.
     """
     return movements.filter(F.col(date_col) > F.lit(last_run_timestamp))
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations audit (deequ-style, one aggregate pass)
+# ---------------------------------------------------------------------------
+#
+# The reference's DQ layer flags ROWS (P1/P2, dq_flag above). A 100 TB
+# pipeline also needs the TABLE-level audit that gates a batch before it
+# ships: completeness / uniqueness / range / allowed-values constraints,
+# all evaluated in ONE aggregate pass over the data (every metric is an
+# algebraic aggregate, so the scan is single, map-side combinable, and
+# adding a constraint adds a column to the agg — not a job). The result
+# is one row per constraint: (check_name, metric, threshold, passed).
+
+
+def expectation_specs() -> list[tuple]:
+    """(name, metric expression, comparator, threshold) — expressions must
+    all be algebraic aggregates so the audit stays a single pass."""
+    n = F.count(F.lit(1)).cast("double")
+    return [
+        (
+            "completeness_ship_date",
+            F.count("movement_date").cast("double") / n,
+            ">=", 0.99,
+        ),
+        (
+            # concat_ws (not multi-col countDistinct) so null handling is
+            # engine-independent: Spark's n-ary COUNT DISTINCT drops rows
+            # containing any null; a concatenated key keeps them.
+            "uniqueness_reference_line",
+            F.countDistinct(
+                F.concat_ws("|", "reference_id", "product_id",
+                            "warehouse_id", "movement_date")
+            ).cast("double") / n,
+            ">=", 0.95,
+        ),
+        (
+            "non_degenerate_quantity",
+            F.avg((F.abs(F.col("quantity")) > 0).cast("double")),
+            ">=", 0.999,
+        ),
+        (
+            "quantity_within_bounds",
+            F.max(F.abs(F.col("quantity"))).cast("double"),
+            "<=", 60.0,
+        ),
+        (
+            "movement_type_in_domain",
+            F.avg(F.col("movement_type").isin("A", "N", "R").cast("double")),
+            ">=", 1.0,
+        ),
+        (
+            "mean_abs_quantity_sane",
+            F.avg(F.abs(F.col("quantity"))),
+            "<=", 40.0,
+        ),
+    ]
+
+
+def expectation_report(df: DataFrame, specs: list[tuple] | None = None) -> DataFrame:
+    """Evaluate every constraint in one aggregate job and unpivot to one
+    row per constraint via ``stack`` — no per-constraint scan, no driver
+    loop over data."""
+    specs = expectation_specs() if specs is None else specs
+    agg = df.agg(
+        *[F.round(expr, 6).alias(f"_m{i}") for i, (_, expr, _, _) in enumerate(specs)]
+    )
+    stack_args = ", ".join(
+        f"'{name}', _m{i}, '{op}', CAST({thr} AS DOUBLE)"
+        for i, (name, _, op, thr) in enumerate(specs)
+    )
+    stacked = agg.selectExpr(
+        f"stack({len(specs)}, {stack_args}) AS (check_name, metric, op, threshold)"
+    )
+    passed = (
+        F.when(F.col("op") == ">=", F.col("metric") >= F.col("threshold"))
+        .otherwise(F.col("metric") <= F.col("threshold"))
+    )
+    return stacked.select(
+        "check_name", "metric", "op", "threshold", passed.alias("passed")
+    )

@@ -1180,6 +1180,51 @@ SELECT node AS warehouse_id, ROUND(rank, 6) AS rank FROM r{n_iter}
 
 PAGERANK_SQL = _pagerank_sql()
 
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative table-level expectations audit (quality.expectation_report):
+    six completeness/uniqueness/domain/range constraints evaluated in ONE
+    aggregate pass (plan-asserted single scan in tests/test_plans.py) and
+    unpivoted via stack — the deequ-style batch gate the reference's
+    row-level DQ flags (P1/P2) don't cover."""
+    li = read_table(spark, sf_dir, "lineitem")
+    from wsspark.quality import expectation_report
+
+    return expectation_report(ad.movements_from_lineitem(li))
+
+
+_DQ_EXPECT_METRICS = [
+    ("completeness_ship_date",
+     "ROUND(CAST(COUNT(movement_date) AS DOUBLE) / COUNT(*), 6)", ">=", 0.99),
+    ("uniqueness_reference_line",
+     "ROUND(CAST(COUNT(DISTINCT concat_ws('|', reference_id, product_id, "
+     "warehouse_id, movement_date)) AS DOUBLE) / COUNT(*), 6)", ">=", 0.95),
+    ("non_degenerate_quantity",
+     "ROUND(AVG(CASE WHEN ABS(quantity) > 0 THEN 1.0 ELSE 0.0 END), 6)",
+     ">=", 0.999),
+    ("quantity_within_bounds",
+     "ROUND(CAST(MAX(ABS(quantity)) AS DOUBLE), 6)", "<=", 60.0),
+    ("movement_type_in_domain",
+     "ROUND(AVG(CASE WHEN movement_type IN ('A','N','R') THEN 1.0 "
+     "ELSE 0.0 END), 6)", ">=", 1.0),
+    ("mean_abs_quantity_sane", "ROUND(AVG(ABS(quantity)), 6)", "<=", 40.0),
+]
+
+
+def _dq_expectations_sql() -> str:
+    metrics = ", ".join(
+        f"{expr} AS m{i}" for i, (_, expr, _, _) in enumerate(_DQ_EXPECT_METRICS)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS check_name, m{i} AS metric, '{op}' AS op, "
+        f"CAST({thr} AS DOUBLE) AS threshold, "
+        f"m{i} {op} {thr} AS passed FROM a"
+        for i, (name, _, op, thr) in enumerate(_DQ_EXPECT_METRICS)
+    )
+    return f"WITH m AS ({ad.MOVEMENTS_SQL}),\na AS (SELECT {metrics} FROM m)\n{rows}"
+
+
+DQ_EXPECTATIONS_SQL = _dq_expectations_sql()
+
 MV_CUTOFF = "2001-06-01 00:00:00"
 
 
@@ -1441,14 +1486,14 @@ QUERIES = [
           "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
     Query("abc_class_counts", q_abc_class_counts, ABC_COUNTS_SQL,
           "products per ABC class (A7)"),
+    Query("dq_expectations", q_dq_expectations, DQ_EXPECTATIONS_SQL,
+          "one-pass declarative expectations audit (deequ-style gate)"),
     Query("dq_flag_summary", q_dq_flag_summary, DQ_FLAG_SQL,
           "sequential DQ rule precedence + reject tally (P1)"),
     Query("incremental_valid_events", q_incremental_valid_events, INCREMENTAL_SQL,
           "high-watermark incremental scan + valid filter (S2 P2)"),
     Query("inventory_summary", q_inventory_summary, INVENTORY_SUMMARY_SQL,
           "turnover/DOH KPIs with div-by-zero guards (A2 A3 F8)"),
-    Query("weekly_trends", q_weekly_trends, WEEKLY_TRENDS_SQL,
-          "gap-filled W-SUN-labeled weekly counts (W1)"),
     Query("monthly_trends", q_monthly_trends, MONTHLY_TRENDS_SQL,
           "gap-filled month-end-labeled counts (W1 W3)"),
     Query("peak_day_of_week", q_peak_day_of_week, PEAK_DOW_SQL,

@@ -1605,6 +1605,14 @@ def _folded_core():
         Query("stock_valuation_completed", core.q_stock_valuation_completed,
               core.VALUATION_COMPLETED_SQL,
               "weighted-avg valuation, COMPLETED-only variant (M4 J7)"),
+        # Folded r7 (dq_expectations took its slot): weekly_trends shares
+        # the W1 calendar gap-fill machinery with the registered
+        # monthly_trends and moving_avg_trends (ops/movements.py resample
+        # helper; only the W-SUN label grain differs), so the registered
+        # pair re-verifies the shared path every rotation while the weekly
+        # grain keeps its hash check here.
+        Query("weekly_trends", core.q_weekly_trends, core.WEEKLY_TRENDS_SQL,
+              "gap-filled W-SUN-labeled weekly counts (W1)"),
     ]
 
 
