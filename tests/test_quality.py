@@ -1,4 +1,6 @@
+"""Table-level expectations audit (wsspark/quality.py expectation_report)."""
 
+from __future__ import annotations
 
 # ---------------------------------------------------------------------------
 # expectations audit

@@ -1196,7 +1196,7 @@ _DQ_EXPECT_METRICS = [
     ("completeness_ship_date",
      "ROUND(CAST(COUNT(movement_date) AS DOUBLE) / COUNT(*), 6)", ">=", 0.99),
     ("uniqueness_reference_line",
-     "ROUND(CAST(COUNT(DISTINCT concat_ws('|', reference_id, product_id, "
+     "ROUND(CAST(COUNT(DISTINCT (reference_id, product_id, "
      "warehouse_id, movement_date)) AS DOUBLE) / COUNT(*), 6)", ">=", 0.95),
     ("non_degenerate_quantity",
      "ROUND(AVG(CASE WHEN ABS(quantity) > 0 THEN 1.0 ELSE 0.0 END), 6)",
