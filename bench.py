@@ -51,6 +51,13 @@ HEADLINE = {
     # round-7: the chunk -> pack corpus-prep chain (doc_chunks explode +
     # single-exchange packing) joins the perf-tracked set.
     "q18_pack_chunks": "pack_chunks",
+    # round-7 additions: the iterative-fixpoint shape (5 chained
+    # join+agg+checkpoint rounds), the O(delta) MV refresh merge, and the
+    # one-pass expectations audit — three execution shapes the headline
+    # set didn't cover.
+    "q19_pagerank_routes": "pagerank_transfer_routes",
+    "q20_incremental_mv": "incremental_mv_refresh",
+    "q21_dq_expectations": "dq_expectations",
 }
 
 

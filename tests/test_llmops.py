@@ -553,3 +553,59 @@ def test_pack_chunks_plan_reuses_group_partitioning(spark, sf_dir):
     n = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
     assert n == 1, f"pack_chunks costs {n} exchanges (want 1):\n{plan}"
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# doc_chunks_tokens: token-aligned chunking
+# ---------------------------------------------------------------------------
+
+
+def test_doc_chunks_tokens_coverage_and_budget(spark):
+    from wsspark.llmops.textstats import doc_chunks_tokens
+
+    texts = [
+        (1, " ".join(f"w{i}" for i in range(100))),
+        (2, " ".join(f"x{i}" for i in range(7))),   # shorter than one chunk
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = doc_chunks_tokens(df, chunk_tokens=16, overlap_tokens=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        # every chunk fits the budget; non-final chunks are exactly full
+        assert all(r.n_chunk_tokens <= 16 for r in rows)
+        assert all(r.n_chunk_tokens == 16 for r in rows[:-1])
+        # no word is ever split and offsets reconstruct the window
+        for r in rows:
+            assert r.chunk_text.split(" ") == toks[r.tok_start:r.tok_start + 16]
+        # full coverage: last window reaches the end of the token list
+        assert rows[-1].tok_start + rows[-1].n_chunk_tokens == len(toks)
+        # stride contract: consecutive starts advance by chunk - overlap
+        starts = [r.tok_start for r in rows]
+        assert starts == list(range(0, len(starts) * 12, 12))
+
+
+def test_doc_chunks_tokens_is_shuffle_free(spark):
+    from wsspark.llmops.textstats import doc_chunks_tokens
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        doc_chunks_tokens(df, chunk_tokens=4, overlap_tokens=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doc_chunks_tokens_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from wsspark.llmops.textstats import doc_chunks_tokens
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        doc_chunks_tokens(df, chunk_tokens=4, overlap_tokens=4)

@@ -306,3 +306,48 @@ def doc_chunks(
             F.substring(F.col(tmp), F.col("chunk_start") + 1, chunk_size)
         ).alias("chunk_len"),
     )
+
+
+def doc_chunks_tokens(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-aligned training-window chunking — the token-budget twin of
+    ``doc_chunks``: windows of ``chunk_tokens`` whitespace tokens advancing
+    by ``chunk_tokens - overlap_tokens``, so no word is ever split and
+    every chunk fits a fixed token budget (what a tokenizer-fed packer
+    needs; ``pack_chunks`` consumes either grain).
+
+    Same scale shape as the char-grain version: posexplode(sequence) over
+    a pre-split token array is a NARROW transformation — zero Exchange,
+    pipelines with the scan, output inherits input partitioning. Slicing
+    the shared token array per window costs O(chunk) per chunk (no
+    re-tokenization per window)."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap {overlap_tokens} must be < chunk_tokens {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap_tokens - 1, F.lit(0)), F.lit(stride)
+    )
+    tmp = "_toks"
+    while tmp == id_col:
+        tmp += "_"
+    window = F.slice(F.col(tmp), F.col("tok_start") + 1, chunk_tokens)
+    return docs.select(
+        F.col(id_col),
+        toks.alias(tmp),
+        F.posexplode(starts).alias("chunk_id", "tok_start"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

@@ -1484,8 +1484,6 @@ GROUP BY p.p_brand
 QUERIES = [
     Query("abc_analysis", q_abc_analysis, ABC_SQL,
           "Pareto/ABC revenue classification (P4 A4 A5 W2 F1)"),
-    Query("abc_class_counts", q_abc_class_counts, ABC_COUNTS_SQL,
-          "products per ABC class (A7)"),
     Query("dq_expectations", q_dq_expectations, DQ_EXPECTATIONS_SQL,
           "one-pass declarative expectations audit (deequ-style gate)"),
     Query("dq_flag_summary", q_dq_flag_summary, DQ_FLAG_SQL,

@@ -1377,6 +1377,50 @@ ORDER BY doc_id, chunk_id
 """
 
 
+TOK_CHUNK = 40
+TOK_OVERLAP = 5
+
+
+def q_doc_chunks_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmops.textstats.doc_chunks_tokens over the documents table: the
+    token-budget chunking grain (windows of whole whitespace tokens, no
+    word split). Full chunk text in the output, so the driver hash covers
+    the slice + re-join, not just the offsets."""
+    return textstats.doc_chunks_tokens(
+        read_table(spark, sf_dir, "documents"),
+        chunk_tokens=TOK_CHUNK,
+        overlap_tokens=TOK_OVERLAP,
+    ).orderBy("doc_id", "chunk_id")
+
+
+# identical start rule over TOKEN indexes; list_slice is 1-based inclusive
+# and clamps at the list end, matching Spark's F.slice
+DOC_CHUNKS_TOKENS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+starts AS (
+    SELECT doc_id, toks,
+           UNNEST(generate_series(
+               0, GREATEST(len(toks) - {TOK_OVERLAP} - 1, 0),
+               {TOK_CHUNK - TOK_OVERLAP})) AS tok_start
+    FROM t
+),
+windows AS (
+    SELECT doc_id, tok_start,
+           list_slice(toks, tok_start + 1, tok_start + {TOK_CHUNK}) AS w
+    FROM starts
+)
+SELECT doc_id,
+       CAST(tok_start / {TOK_CHUNK - TOK_OVERLAP} AS BIGINT) AS chunk_id,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(len(w) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(w, ' ') AS chunk_text
+FROM windows
+ORDER BY doc_id, chunk_id
+"""
+
+
 PACK_BUDGET = 1000
 PACK_GROUPS = 8
 
@@ -1544,6 +1588,9 @@ QUERIES = [
     Query("doc_chunks", q_doc_chunks, DOC_CHUNKS_SQL,
           "overlapping fixed-size chunking (training-window prep, "
           "shuffle-free explode)"),
+    Query("doc_chunks_tokens", q_doc_chunks_tokens, DOC_CHUNKS_TOKENS_SQL,
+          "token-aligned chunking grain (whole-token windows, no split "
+          "words; shuffle-free explode)"),
     Query("pack_chunks", q_pack_chunks, PACK_CHUNKS_SQL,
           "deterministic fixed-budget sequence packing of doc_chunks "
           "(chunk -> pack stage of a pretraining corpus build)"),
@@ -1613,6 +1660,13 @@ def _folded_core():
         # grain keeps its hash check here.
         Query("weekly_trends", core.q_weekly_trends, core.WEEKLY_TRENDS_SQL,
               "gap-filled W-SUN-labeled weekly counts (W1)"),
+        # Folded r7 (doc_chunks_tokens took its slot): abc_class_counts is
+        # the A7 per-class tally DERIVED from the registered abc_analysis
+        # frame (same Pareto pipeline, one extra groupBy), so abc_analysis
+        # re-verifies the shared path every rotation while the class-count
+        # rollup keeps its hash check here.
+        Query("abc_class_counts", core.q_abc_class_counts,
+              core.ABC_COUNTS_SQL, "ABC class counts (A7)"),
     ]
 
 
