@@ -62,6 +62,8 @@ def pagerank(
         .localCheckpoint()
     )
     has_out = trans.select(F.col("_src").alias("node")).distinct()
+    # the dangling SET is static — resolve it once, not per iteration
+    dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for _ in range(n_iter):
@@ -71,7 +73,7 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
         )
         dangling = (
-            ranks.join(has_out, "node", "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         ranks = (
