@@ -1,0 +1,89 @@
+"""StreamingMVMaintainer: batch-by-batch merge must equal the full
+recompute, and an at-least-once replay of an already-applied batch must be
+a no-op (the foreachBatch idempotence contract)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wsspark.ops.incremental import movement_mv
+from wsspark.streaming import StreamingMVMaintainer
+
+SCHEMA = (
+    "product_id long, warehouse_id long, quantity double, "
+    "movement_date timestamp"
+)
+
+
+def mk_batch(spark, rows):
+    return spark.createDataFrame(
+        [(p, w, float(q), dt.datetime(2001, m, d)) for p, w, q, m, d in rows],
+        SCHEMA,
+    )
+
+
+@pytest.fixture()
+def batches(spark):
+    return [
+        mk_batch(spark, [(1, 10, 5, 1, 1), (1, 10, 3, 1, 2), (2, 10, 7, 1, 3)]),
+        mk_batch(spark, [(1, 10, -4, 2, 1), (3, 11, 9, 2, 2)]),
+        mk_batch(spark, [(2, 10, 1, 3, 1), (1, 10, 2, 3, 5), (3, 11, -9, 3, 7)]),
+    ]
+
+
+def state_rows(spark, store):
+    df = spark.read.parquet(os.path.join(store, "mv"))
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_batchwise_merge_equals_full_recompute(spark, tmp_path, batches):
+    store = str(tmp_path / "store")
+    m = StreamingMVMaintainer(spark, store)
+    for i, b in enumerate(batches):
+        m.process_batch(b, i)
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    want = sorted(tuple(r) for r in movement_mv(full).collect())
+    assert state_rows(spark, store) == want
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path, batches):
+    store = str(tmp_path / "store")
+    m = StreamingMVMaintainer(spark, store)
+    m.process_batch(batches[0], 0)
+    m.process_batch(batches[1], 1)
+    before = state_rows(spark, store)
+    # at-least-once replay: same batch_id arrives again (crash after commit)
+    m.process_batch(batches[1], 1)
+    m.process_batch(batches[0], 0)
+    assert state_rows(spark, store) == before
+    # and a fresh maintainer over the same store resumes, not restarts
+    m2 = StreamingMVMaintainer(spark, store)
+    m2.process_batch(batches[1], 1)  # replay across restart: still skipped
+    assert state_rows(spark, store) == before
+    m2.process_batch(batches[2], 2)
+    full = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = sorted(tuple(r) for r in movement_mv(full).collect())
+    assert state_rows(spark, store) == want
+
+
+def test_max_is_maintained_across_out_of_order_batches(spark, tmp_path):
+    """last_movement_at must be the true max even when a later batch
+    carries earlier event times (insert-only MAX maintenance)."""
+    store = str(tmp_path / "store")
+    m = StreamingMVMaintainer(spark, store)
+    m.process_batch(
+        mk_batch(spark, [(1, 10, 5, 6, 15)]), 0  # june
+    )
+    m.process_batch(
+        mk_batch(spark, [(1, 10, 2, 3, 1)]), 1  # march (late arrival)
+    )
+    df = spark.read.parquet(os.path.join(store, "mv"))
+    row = df.filter(F.col("product_id") == 1).first()
+    assert row.last_movement_at == dt.datetime(2001, 6, 15)
+    assert row.n_movements == 2 and row.net_qty == 7

@@ -1514,8 +1514,6 @@ QUERIES = [
           "trigger/audit semantics as snapshot diff (M5 F12)"),
     Query("transfer_validation", q_transfer_validation, TRANSFER_VALIDATION_SQL,
           "transfer_stock validation rules (M2)"),
-    Query("top10_products", q_top10_products, TOP10_SQL,
-          "top-k with pinned tie-break (W4)"),
     Query("stock_as_of", q_stock_as_of, STOCK_AS_OF_SQL,
           "point-in-time snapshot via event-sourcing invariant"),
     Query("movement_quantity_quantiles", q_movement_quantity_quantiles,

@@ -1667,6 +1667,13 @@ def _folded_core():
         # rollup keeps its hash check here.
         Query("abc_class_counts", core.q_abc_class_counts,
               core.ABC_COUNTS_SQL, "ABC class counts (A7)"),
+        # Folded r7 (streaming_mv_refresh took its slot): top10_products is
+        # the W4 pinned-order top-k shape the registered
+        # top_unshipped_orders re-verifies every rotation (same
+        # orderBy+limit machinery, different fact); the product-revenue
+        # variant keeps its hash check here.
+        Query("top10_products", core.q_top10_products, core.TOP10_SQL,
+              "top-k with pinned tie-break (W4)"),
     ]
 
 

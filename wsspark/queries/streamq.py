@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from wsspark import streaming
 from wsspark.io import read_table
 from wsspark.queries import Query
+from wsspark.queries import core as coreq
 from wsspark.queries import llm as llmq
 
 
@@ -459,6 +460,67 @@ FROM ranked
 """
 
 
+def q_streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous MV maintenance (StreamingMVMaintainer) as a driver row:
+    lineitem streamed as dated signed movements into a fresh MV store,
+    each micro-batch partially aggregated and key-merged (foreachBatch,
+    batch-id-idempotent, stage-then-swap). The final store plus the
+    derived avg is hash-checked against the SAME full-recompute oracle as
+    the batch operator (core.INCREMENTAL_MV_SQL) — one oracle pins both
+    the batch and the streaming refresh paths. Multi-batch merge + replay
+    idempotence are pinned in tests/test_streaming_mv.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", _stage_stream_dir(sf_dir, "lineitem"))
+        .load()
+    )
+    movements = src.select(
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_suppkey").alias("warehouse_id"),
+        F.when(F.col("l_returnflag") == "R", -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+        .alias("quantity"),
+        F.col("l_shipdate").alias("movement_date"),
+    )
+    store = tempfile.mkdtemp(prefix="wsspark_mvq_store_")
+    ckpt = tempfile.mkdtemp(prefix="wsspark_mvq_ckpt_")
+    for d in (store, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    maintainer = streaming.StreamingMVMaintainer(spark, store)
+    q = maintainer.attach(movements, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("MV refresh stream did not finish within 300s")
+    mv = spark.read.parquet(os.path.join(store, "mv"))
+    return mv.select(
+        "warehouse_id",
+        "product_id",
+        "n_movements",
+        "net_qty",
+        "last_movement_at",
+        F.round(
+            F.col("net_qty").cast("double") / F.col("n_movements"), 4
+        ).alias("avg_qty"),
+    )
+
+
 QUERIES = [
     Query(
         "streaming_daily_counts",
@@ -515,5 +577,13 @@ QUERIES = [
         q_streaming_chunk_dedup,
         STREAMING_CHUNK_DEDUP_SQL,
         "chunk-level incremental dedup at ingest == first-occurrence window",
+    ),
+    Query(
+        "streaming_mv_refresh",
+        q_streaming_mv_refresh,
+        # the batch incremental-refresh oracle verbatim: one full-recompute
+        # definition pins both the batch and streaming maintenance paths
+        coreq.INCREMENTAL_MV_SQL,
+        "continuous MV maintenance: foreachBatch merge == full recompute",
     ),
 ]

