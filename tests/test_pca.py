@@ -79,3 +79,17 @@ def test_pc1_variance_dominates_random_direction(spark, sf_dir, emb_np):
         r = rng.randn(emb_np.shape[1])
         r /= np.linalg.norm(r)
         assert ev[0] >= np.var(emb_np @ r) - 1e-12
+
+
+def test_whitened_coordinates_have_identity_covariance(spark, sf_dir):
+    from wsspark.llmops.pca import whiten
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    out = whiten(embs, k=6)
+    m = np.stack(
+        [np.asarray(r.white) for r in out.select("white").collect()]
+    )
+    cov = np_cov(m)
+    assert np.allclose(cov, np.eye(6), atol=1e-6), cov
+    # and the mean is removed
+    assert np.max(np.abs(m.mean(axis=0))) < 1e-9

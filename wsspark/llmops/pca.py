@@ -73,15 +73,22 @@ def gram_moments(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return embs.select(vec_col).mapInPandas(_part, _MOMENT_SCHEMA)
 
 
-def covariance(embs: DataFrame, vec_col: str = "embedding") -> np.ndarray:
-    """Population covariance matrix (d×d numpy) from one distributed pass."""
+def moments(
+    embs: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, population covariance) from one distributed pass."""
     parts = gram_moments(embs, vec_col).collect()  # O(partitions) rows
     n = sum(p["n"] for p in parts)
     s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
     g = np.sum([np.asarray(p["g"]) for p in parts], axis=0)
     d = s.shape[0]
     mu = s / n
-    return g.reshape(d, d) / n - np.outer(mu, mu)
+    return n, mu, g.reshape(d, d) / n - np.outer(mu, mu)
+
+
+def covariance(embs: DataFrame, vec_col: str = "embedding") -> np.ndarray:
+    """Population covariance matrix (d×d numpy) from one distributed pass."""
+    return moments(embs, vec_col)[2]
 
 
 def pca(
@@ -132,3 +139,41 @@ def project(
             yield pdf
 
     return embs.mapInPandas(_proj, out_schema)
+
+
+def whiten(
+    embs: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "white",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA whitening: center on the corpus mean, project onto the top-k
+    axes and scale each by 1/sqrt(eigenvalue), so the output coordinates
+    have identity covariance (the standard embedding postprocess before
+    cosine-based dedup/retrieval — removes dominant-direction bias). One
+    distributed moments pass + one broadcast-matmul pass; the transform
+    matrix is k×d driver math."""
+    _, mu, cov = moments(embs, vec_col)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order] / np.sqrt(vals[order] + eps)  # d×k
+    comp = w.T  # k×d
+    out_schema = StructType(
+        list(embs.schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()), True)]
+    )
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                m = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                scores = (m - mu[None, :]) @ comp.T
+                pdf = pdf.assign(**{out_col: [list(r) for r in scores]})
+            else:
+                pdf = pdf.assign(**{out_col: []})
+            yield pdf
+
+    return embs.mapInPandas(_apply, out_schema)
