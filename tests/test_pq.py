@@ -1,0 +1,90 @@
+"""Product quantization (wsspark/llmops/pq.py): deterministic training,
+round-trip encoding of centroids, ADC-vs-exact consistency, and the
+measured recall floor of the shortlist + re-rank compose."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wsspark.io import read_table
+from wsspark.llmops import pq
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    embs = read_table(spark, sf_dir, "embeddings")
+    rows = embs.select("vec_id", "embedding").collect()
+    x = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(x)
+    return embs, ids, np.stack([x[i] for i in ids])
+
+
+@pytest.fixture(scope="module")
+def trained(corpus):
+    embs, ids, m = corpus
+    books = pq.train_codebooks(embs, m=16, k=32, sample=500)
+    codes = pq.encode(embs, books).localCheckpoint()
+    return books, codes
+
+
+def test_training_is_deterministic(corpus):
+    embs, _, _ = corpus
+    b1 = pq.train_codebooks(embs, m=8, k=16, sample=300)
+    b2 = pq.train_codebooks(embs, m=8, k=16, sample=300)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (8, 16, 8)
+
+
+def test_centroid_encodes_to_itself(spark, trained):
+    """A vector assembled FROM centroids must encode back to exactly those
+    codes (zero quantization error round trip)."""
+    books, _ = trained
+    m, k, sub = books.shape
+    picked = [(j * 7) % k for j in range(m)]
+    vec = np.concatenate([books[j, picked[j]] for j in range(m)])
+    df = spark.createDataFrame(
+        [(1, [float(v) for v in vec])], "vec_id long, embedding array<double>"
+    )
+    row = pq.encode(df, books).first()
+    assert row.codes == picked
+
+
+def test_adc_distance_matches_decoded_distance(spark, trained, corpus):
+    """ADC distance must equal the exact distance to the DECODED
+    (reconstructed) vector — the defining identity of the method."""
+    books, codes = trained
+    embs, ids, mat = corpus
+    m, k, sub = books.shape
+    q = mat[3]
+    got = {
+        r.vec_id: r.adc_dist
+        for r in pq.adc_topk(codes, books, q, topk=len(ids)).collect()
+    }
+    code_rows = {r.vec_id: r.codes for r in codes.collect()}
+    for vid in ids[:25]:
+        recon = np.concatenate(
+            [books[j, code_rows[vid][j]] for j in range(m)]
+        )
+        want = ((recon - q) ** 2).sum()
+        assert got[vid] == pytest.approx(want, abs=1e-5), vid
+
+
+def test_shortlist_rerank_recall_floor(trained, corpus):
+    """Pinned measured floor: PQ(16x32) shortlist 10*topk + exact re-rank
+    reaches mean recall@10 >= 0.9 (observed 0.99) and min >= 0.7
+    (observed 0.9) over 15 corpus queries."""
+    books, codes = trained
+    embs, ids, mat = corpus
+    recalls = []
+    for qi in range(0, 30, 2):
+        q = mat[qi]
+        d = ((mat - q) ** 2).sum(axis=1)
+        true = {ids[j] for j in np.argsort(d)[:10]}
+        got = {
+            r.vec_id
+            for r in pq.search_rerank(embs, codes, books, q, topk=10).collect()
+        }
+        recalls.append(len(true & got) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+    assert min(recalls) >= 0.7, recalls
