@@ -82,11 +82,17 @@ def test_bucketed_mv_merge_shuffles_only_delta(spark, movements):
     Exchange is the delta aggregate finding its buckets — refresh cost is
     O(delta), the whole point of keeping the state."""
     cut = F.lit("2001-06-01 00:00:00").cast("timestamp")
+    # bucket count must equal the session's shuffle partitioning for the
+    # delta's aggregate exchange to double as the join alignment (other
+    # tests may legitimately retune spark.sql.shuffle.partitions through
+    # get_session — getOrCreate re-applies confs to the shared session —
+    # so read the LIVE value instead of assuming the conftest default)
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     write_bucketed_table(
         ivm.movement_mv(movements.filter(F.col("movement_date") < cut)),
         "mv_store",
         ivm.MV_KEYS,
-        n_buckets=4,
+        n_buckets=n_buckets,
         sort_cols=ivm.MV_KEYS,
     )
     try:
