@@ -62,3 +62,9 @@ def test_heavier_inflow_ranks_higher(spark):
     want = py_pagerank(edges, n_iter=10)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_empty_graph_raises(spark):
+    df = spark.createDataFrame([], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(df)

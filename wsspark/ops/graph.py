@@ -51,6 +51,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge frame (no nodes)")
     out_w = edges.groupBy(src).agg(F.sum(weight).alias("_ow"))
     trans = (
         edges.join(out_w, src)
