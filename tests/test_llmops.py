@@ -436,6 +436,78 @@ def test_bigram_lm_scores_exact_hand_computed(spark):
     assert out[2]["ppl"] == round(math.exp(-d2), 4)
 
 
+def test_semantic_dedup_survivors_greedy_policy(spark):
+    """SemDeDup keep-set on a hand-checkable corpus (threshold 0.99):
+    vec 2 is a near-dup of vec 1, vec 4 of vec 2, vec 3 is orthogonal.
+    Greedy keep-first-by-id: 2 is dominated by 1; 4 is dominated by 2
+    EVEN THOUGH 2 itself is dropped (the policy is pairwise, not
+    survivor-relative — matching the oracle SQL exactly). Survivors are
+    {1, 3}."""
+    from wsspark.llmops import similarity
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.01]),
+        (3, [0.0, 1.0]),
+        (4, [1.0, 0.02]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.semantic_dedup_survivors(emb, threshold=0.99)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 3]
+
+
+def test_cross_doc_ngram_dup_semantics(spark):
+    """Hand-checkable corpus for the cross-doc duplicated n-gram profile
+    (n=3): doc 1 and doc 2 share the window 'a b c'; doc 3 repeats its own
+    trigram twice but shares nothing cross-doc; doc 4 is shorter than n.
+
+    doc 1 'a b c d'   -> windows [a b c, b c d]; 'a b c' is cross-doc dup.
+    doc 2 'x a b c'   -> windows [x a b, a b c]; 'a b c' dup.
+    doc 3 'p q r p q r p q' -> 6 windows, 'p q r' twice WITHIN the doc only
+                               (1 distinct doc) -> 0 dup windows.
+    doc 4 'u v'       -> no windows -> 0/0/0.0.
+    """
+    from wsspark.llmops import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "x a b c"),
+            (3, "p q r p q r p q"),
+            (4, "u v"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.cross_doc_ngram_dup(docs, n=3).collect()
+    }
+    assert len(out) == 4
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (2, 1)
+    assert out[1]["dup_ratio"] == 0.5
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (2, 1)
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (6, 0)
+    assert out[3]["dup_ratio"] == 0.0
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"]) == (0, 0)
+    assert out[4]["dup_ratio"] == 0.0
+
+
+def test_cross_doc_ngram_dup_partition_invariance(spark, sf_dir):
+    """The profile is a pure corpus function: repartitioning the input must
+    not change a single row (the md5 gram keying and both aggs are
+    partitioning-independent)."""
+    from wsspark.llmops import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = textstats.cross_doc_ngram_dup(docs).orderBy("doc_id").collect()
+    b = (
+        textstats.cross_doc_ngram_dup(docs.repartition(13, "source"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
 def test_doc_chunks_is_shuffle_free(spark, sf_dir):
     """Chunking must stay a narrow transformation: no Exchange anywhere in
     the operator's plan (the registered query adds a presentation orderBy;

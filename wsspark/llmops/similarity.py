@@ -414,6 +414,37 @@ def embedding_cosine_dup_pairs(
     )
 
 
+def semantic_dedup_survivors(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup keep-set (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): drop every vector that has a cosine near-duplicate
+    with a SMALLER id at or above ``threshold``; keep the rest. This is
+    the deterministic greedy keep-first-by-id policy — no connected
+    components needed, and transitive chains behave like SemDeDup's
+    per-cluster epsilon pruning (the chain minimum always survives; a
+    later chain member survives only if nothing earlier is within
+    threshold of it).
+
+    Completes the embedding dedup chain the way ``dedup_survivors`` does
+    for MinHash text dedup: ``embedding_cosine_dup_pairs`` generates the
+    candidates (cell-blocked, never all-pairs), the dominated set is the
+    distinct greater-id side, and survivors are a left_anti join. At
+    near-dup densities the dominated set is a small fraction of the
+    corpus, so it is broadcast — the anti-join costs no extra shuffle on
+    the corpus side. No UDFs, no collect."""
+    pairs = embedding_cosine_dup_pairs(
+        vectors, threshold, vec_col, id_col, n_cells
+    )
+    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return vectors.join(F.broadcast(dominated), id_col, "left_anti")
+
+
 def normalize(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec") -> DataFrame:
     """Unit-normalize vectors (zero vectors -> null). Normalizing once at
     ingest turns every cosine downstream into a plain dot product — at

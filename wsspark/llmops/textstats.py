@@ -255,6 +255,85 @@ def normalized_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
+def cross_doc_ngram_dup(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicated n-gram profile: for every document, the
+    fraction of its token n-gram WINDOWS whose n-gram also occurs in at
+    least one OTHER document — the substring-granularity duplication
+    signal behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"). Complements the existing
+    family: ``repetition_stats`` measures WITHIN-doc repetition,
+    ``near_dup_jaccard``/minhash measure whole-doc similarity; this is the
+    cross-doc, sub-document grain (boilerplate headers, license blocks,
+    templated spans).
+
+    Per doc: ``n_windows`` (token positions admitting an n-gram),
+    ``n_dup_windows`` (positions whose n-gram appears in >= 2 distinct
+    docs), ``dup_ratio``. Docs shorter than ``n`` tokens report 0/0/0.0.
+
+    Scale shape: each n-gram is keyed by a PORTABLE 64-bit md5 prefix
+    (16 hex chars — replicable in any SQL engine) so the gram shuffles
+    move fixed 16-byte keys, never n-gram strings. Three exchanges total:
+    (1) gram-key doc-count agg (map-side combinable after the in-doc
+    distinct), (2) the count join-back, co-partitioned with (1) on the
+    same key so AQE reuses the exchange, (3) the final per-doc agg. The
+    explode itself is narrow and pipelines with the scan. At 100 TB the
+    doc-count frame can be swapped for a bloom filter over dup grams
+    (build from the agg, broadcast, filter map-side) to drop exchange (2);
+    the keyed-join form is kept here because it is exact and the oracle
+    can replicate it verbatim. No UDFs, no collect."""
+    if n < 2:
+        raise ValueError(f"n-gram size must be >= 2, got {n}")
+    tmp = "_toks"
+    while tmp == id_col:
+        tmp += "_"
+    gram_keys = F.when(
+        F.size(F.col(tmp)) >= n,
+        F.expr(
+            f"transform(sequence(1, size({tmp}) - {n - 1}), "
+            f"i -> substring(md5(array_join(slice({tmp}, i, {n}), ' ')), 1, 16))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    g = docs.select(F.col(id_col), tokens(text_col).alias(tmp)).select(
+        F.col(id_col), F.explode(gram_keys).alias("gram_key")
+    )
+    gram_docs = g.groupBy("gram_key").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    per_doc = (
+        g.join(gram_docs, "gram_key")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("_nw"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("_ndup"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_nw", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("_ndup", F.lit(0)).cast("long").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.when(F.col("n_windows") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_dup_windows") / F.col("n_windows")
+                ),
+                4,
+            ),
+        )
+    )
+
+
 def doc_chunks(
     docs: DataFrame,
     chunk_size: int = 200,

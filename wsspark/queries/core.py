@@ -1492,8 +1492,6 @@ QUERIES = [
           "high-watermark incremental scan + valid filter (S2 P2)"),
     Query("inventory_summary", q_inventory_summary, INVENTORY_SUMMARY_SQL,
           "turnover/DOH KPIs with div-by-zero guards (A2 A3 F8)"),
-    Query("monthly_trends", q_monthly_trends, MONTHLY_TRENDS_SQL,
-          "gap-filled month-end-labeled counts (W1 W3)"),
     Query("peak_day_of_week", q_peak_day_of_week, PEAK_DOW_SQL,
           "avg movements per day-of-week (A11)"),
     Query("transfer_patterns", q_transfer_patterns, TRANSFER_PATTERNS_SQL,

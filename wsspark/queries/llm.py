@@ -416,6 +416,31 @@ WHERE a.vec_id < b.vec_id
           / (a.nrm * b.nrm), 4) >= {EMB_DUP_THRESHOLD}
 """
 
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmops.similarity.semantic_dedup_survivors: SemDeDup keep-set over
+    the embeddings table — every vector NOT dominated by a smaller-id
+    cosine near-duplicate at the shared EMB_DUP_THRESHOLD. The embedding
+    dedup chain's survivor stage (candidate pairs are the registered
+    embedding_dup_pairs)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.semantic_dedup_survivors(emb, threshold=EMB_DUP_THRESHOLD)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+# survivors = embeddings minus the distinct greater-id side of the SAME
+# cell-blocked pair query the driver verifies as embedding_dup_pairs
+# (nested WITH inside the subquery is the full EMB_DUP_SQL verbatim)
+SEMANTIC_SURVIVORS_SQL = f"""
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT id_b FROM ({EMB_DUP_SQL}) p)
+ORDER BY e.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: JSON extraction + sessionization
 # ---------------------------------------------------------------------------
@@ -1485,6 +1510,56 @@ ORDER BY pack_group, pack_seq
 """
 
 
+NGRAM_DUP_N = 5
+
+
+def q_dup_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmops.textstats.cross_doc_ngram_dup over the documents table: the
+    fraction of each document's token 5-gram windows whose 5-gram occurs
+    in at least one OTHER document (Lee et al. 2022 substring-granularity
+    duplication signal — the cross-doc complement of repetition_stats'
+    within-doc measures)."""
+    return textstats.cross_doc_ngram_dup(
+        read_table(spark, sf_dir, "documents"), n=NGRAM_DUP_N
+    ).orderBy("doc_id")
+
+
+# identical gram keying: 16-hex md5 prefix of the space-joined token
+# window (portable across engines); a window is "dup" iff its gram occurs
+# in >= 2 DISTINCT documents. generate_series(1, len-4) is empty when
+# len(toks) < 5, matching the Spark branch that emits array().
+DUP_NGRAM_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           substring(md5(array_to_string(
+               list_slice(toks, i, i + {NGRAM_DUP_N - 1}), ' ')), 1, 16)
+               AS gram_key
+    FROM t, LATERAL (SELECT UNNEST(generate_series(
+        1, len(toks) - {NGRAM_DUP_N - 1})) AS i) s
+),
+gram_docs AS (
+    SELECT gram_key, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram_key
+),
+per_doc AS (
+    SELECT g.doc_id,
+           COUNT(*) AS nw,
+           SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS ndup
+    FROM grams g JOIN gram_docs d USING (gram_key)
+    GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(p.nw, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.ndup, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(CASE WHEN COALESCE(p.nw, 0) = 0 THEN 0.0
+             ELSE CAST(p.ndup AS DOUBLE) / p.nw END, 4) AS dup_ratio
+FROM t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed second-moment statistics (llmops.pca): one mapInPandas
     pass accumulates per-partition Gram partials (numpy matmul over Arrow
@@ -1521,8 +1596,6 @@ EMB_COV_SQL = _covariance_block_sql()
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
-    Query("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
-          "exact dedup groups by content hash"),
     Query("near_dup_jaccard", q_near_dup_jaccard, NEAR_DUP_SQL,
           "exact word-set Jaccard near-dup pairs (lang-blocked)"),
     Query("minhash_dedup_pairs", q_minhash_dedup_pairs, MINHASH_PAIRS_SQL,
@@ -1594,6 +1667,13 @@ QUERIES = [
     Query("pack_chunks", q_pack_chunks, PACK_CHUNKS_SQL,
           "deterministic fixed-budget sequence packing of doc_chunks "
           "(chunk -> pack stage of a pretraining corpus build)"),
+    Query("dup_ngram_profile", q_dup_ngram_profile, DUP_NGRAM_SQL,
+          "cross-doc duplicated n-gram fraction per doc (substring-grain "
+          "dup signal, portable md5-keyed grams)"),
+    Query("semantic_dedup_survivors", q_semantic_dedup_survivors,
+          SEMANTIC_SURVIVORS_SQL,
+          "SemDeDup keep-set: anti-join of the cell-blocked embedding "
+          "dup pairs (greedy keep-first-by-id)"),
 ]
 
 # Registry-slot policy (round 6): the driver window holds 50 of a 100-query
@@ -1654,10 +1734,10 @@ def _folded_core():
               "weighted-avg valuation, COMPLETED-only variant (M4 J7)"),
         # Folded r7 (dq_expectations took its slot): weekly_trends shares
         # the W1 calendar gap-fill machinery with the registered
-        # monthly_trends and moving_avg_trends (ops/movements.py resample
-        # helper; only the W-SUN label grain differs), so the registered
-        # pair re-verifies the shared path every rotation while the weekly
-        # grain keeps its hash check here.
+        # moving_avg_trends (ops/movements.py resample helper; only the
+        # W-SUN label grain differs), so the registered query re-verifies
+        # the shared path every rotation while the weekly grain keeps its
+        # hash check here.
         Query("weekly_trends", core.q_weekly_trends, core.WEEKLY_TRENDS_SQL,
               "gap-filled W-SUN-labeled weekly counts (W1)"),
         # Folded r7 (doc_chunks_tokens took its slot): abc_class_counts is
@@ -1674,6 +1754,14 @@ def _folded_core():
         # variant keeps its hash check here.
         Query("top10_products", core.q_top10_products, core.TOP10_SQL,
               "top-k with pinned tie-break (W4)"),
+        # Folded r7 (dup_ngram_profile took its slot): monthly_trends is
+        # the ME-label grain of the same W1 calendar gap-fill machinery
+        # the registered moving_avg_trends re-verifies every rotation
+        # (ops/movements.py resample helper; daily/weekly grains already
+        # folded), so the month-end labeling keeps its hash check here.
+        Query("monthly_trends", core.q_monthly_trends,
+              core.MONTHLY_TRENDS_SQL,
+              "gap-filled month-end-labeled counts (W1 W3)"),
     ]
 
 
@@ -1688,5 +1776,12 @@ FOLDED_QUERIES = [
     # through doc_stats; the BPE-ish regex count keeps its hash check here.
     Query("token_counts", q_token_counts, TOKEN_COUNTS_SQL,
           "whitespace + BPE-ish token counting"),
+    # Folded r7 (semantic_dedup_survivors took its slot): the registered
+    # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
+    # (its exact-dup layer IS this query's frame) and the registered
+    # normalized_dedup_groups re-verifies the md5-groupBy machinery every
+    # rotation; the raw per-group frame keeps its hash check here.
+    Query("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
+          "exact dedup groups by content hash"),
     *_folded_core(),
 ]
