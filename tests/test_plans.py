@@ -378,6 +378,9 @@ EXCHANGE_BUDGET = {
     "salted_product_totals": 2,
     "fuzzy_name_pairs": 3,
     "doc_chunks": 1,  # presentation orderBy only; the operator itself is 0
+    # 3 operator exchanges (gram agg, count join-back, per-doc agg; the
+    # doc join-back broadcasts at this SF) + the presentation orderBy
+    "dup_ngram_profile": 4,
 }
 
 
@@ -451,3 +454,20 @@ def test_dq_expectations_single_scan(spark, sf_dir):
     # echoes of the same node
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_survivors_anti_join_broadcasts(spark, sf_dir):
+    """The SemDeDup keep-set's corpus-side anti-join must broadcast the
+    dominated-id set (duplicates-only — tiny relative to the corpus), so
+    the survivors step adds no shuffle on the corpus side."""
+    import re
+
+    from wsspark.io import read_table
+    from wsspark.llmops import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = plan_of(similarity.semantic_dedup_survivors(emb, threshold=0.4))
+    assert "LeftAnti" in plan, plan
+    # every LeftAnti in the tree section must be the broadcast form
+    assert not re.search(r"(?<!Broadcast)HashJoin LeftAnti", plan), plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
