@@ -508,6 +508,63 @@ def test_cross_doc_ngram_dup_partition_invariance(spark, sf_dir):
     assert a == b
 
 
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_NG_VOCAB = [f"w{i}" for i in range(12)]
+
+
+@st.composite
+def _ngram_corpus(draw):
+    """Small-vocab corpora (12 words) so cross-doc n-gram collisions are
+    common, plus an occasional doc shorter than n to hit the 0-window
+    branch."""
+    n_docs = draw(st.integers(2, 5))
+    docs = []
+    for _ in range(n_docs):
+        toks = draw(st.lists(st.sampled_from(_NG_VOCAB), min_size=1, max_size=14))
+        docs.append(" ".join(toks))
+    return docs
+
+
+@given(_ngram_corpus(), st.integers(2, 4))
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_cross_doc_ngram_dup_matches_brute_force(spark, texts, n):
+    """cross_doc_ngram_dup == the obvious quadratic Python computation on
+    randomized small-vocab corpora: per-position window counting, dup iff
+    the window's n-gram occurs in >= 2 distinct docs."""
+    from wsspark.llmops import textstats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    grams = {
+        i: [
+            " ".join(t.split(" ")[p : p + n])
+            for p in range(len(t.split(" ")) - n + 1)
+        ]
+        for i, t in rows
+    }
+    owners: dict[str, set] = {}
+    for i, gs in grams.items():
+        for gram in gs:
+            owners.setdefault(gram, set()).add(i)
+    want = {}
+    for i, gs in grams.items():
+        ndup = sum(1 for gram in gs if len(owners[gram]) >= 2)
+        ratio = round(ndup / len(gs), 4) if gs else 0.0
+        want[i] = (len(gs), ndup, ratio)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio"])
+        for r in textstats.cross_doc_ngram_dup(docs, n=n).collect()
+    }
+    assert got == want
+
+
 def test_doc_chunks_is_shuffle_free(spark, sf_dir):
     """Chunking must stay a narrow transformation: no Exchange anywhere in
     the operator's plan (the registered query adds a presentation orderBy;
