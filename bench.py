@@ -58,6 +58,9 @@ HEADLINE = {
     "q19_pagerank_routes": "pagerank_transfer_routes",
     "q20_incremental_mv": "incremental_mv_refresh",
     "q21_dq_expectations": "dq_expectations",
+    # round-7 third wave: the llmops flagship — the fused quality-gate ->
+    # LSH-dedup -> chunk -> pack corpus build, end to end.
+    "q22_corpus_build": "corpus_build_summary",
 }
 
 

@@ -144,3 +144,51 @@ def test_per_group_sample_exact_k_and_partition_invariant(spark, sf_dir):
         .collect()
     )
     assert base == alt
+
+
+def test_build_corpus_stage_invariants(spark, sf_dir):
+    """The end-to-end chain's containment and conservation contracts:
+    survivors <= kept <= docs (by id subset), chunks cover exactly the
+    survivor set, chunk chars reconstruct each survivor's length, and the
+    summary row equals the stage counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    kw = dict(
+        min_tokens=20, max_tokens=80, max_stopword_ratio=0.15,
+        min_avg_token_len=4.4, dedup_threshold=0.6,
+        chunk_size=200, overlap=50, pack_budget=1000, pack_groups=8,
+    )
+    stages = corpus.build_corpus(docs, **kw)
+    doc_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    kept_ids = {r.doc_id for r in stages["kept"].select("doc_id").collect()}
+    surv_ids = {
+        r.doc_id for r in stages["survivors"].select("doc_id").collect()
+    }
+    assert surv_ids <= kept_ids <= doc_ids
+    # chunking covers exactly the survivors, and chunk chars sum to the
+    # overlap-inflated total (every chunk after the first re-covers
+    # `overlap` chars)
+    chunk_rows = stages["chunks"].select("doc_id", "chunk_len").collect()
+    assert {r.doc_id for r in chunk_rows} == surv_ids
+    lens = {
+        r.doc_id: r.n for r in stages["survivors"]
+        .select("doc_id", F.length("text").alias("n")).collect()
+    }
+    from collections import defaultdict
+    per_doc = defaultdict(lambda: [0, 0])  # [n_chunks, total_chars]
+    for r in chunk_rows:
+        per_doc[r.doc_id][0] += 1
+        per_doc[r.doc_id][1] += r.chunk_len
+    for did, (nch, tot) in per_doc.items():
+        assert tot == lens[did] + 50 * (nch - 1), did
+    # summary row equals the stage counts
+    s = corpus.corpus_build_summary(docs, **kw).collect()[0]
+    assert s.n_docs == len(doc_ids)
+    assert s.n_quality_kept == len(kept_ids)
+    assert s.n_survivors == len(surv_ids)
+    assert s.n_dup_dropped == len(kept_ids) - len(surv_ids)
+    assert s.n_chunks == len(chunk_rows)
+    assert s.total_chunk_chars == sum(r.chunk_len for r in chunk_rows)
+    packs = stages["packs"].collect()
+    assert s.n_packs == len(packs)
+    assert sum(p.n_chunks for p in packs) == s.n_chunks
+    assert sum(p.total_chars for p in packs) == s.total_chunk_chars

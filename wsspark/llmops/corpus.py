@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 from wsspark.llmops import dedup
 from wsspark.llmops.similarity import _KNUTH, _MOD32
-from wsspark.llmops.textstats import doc_stats
 
 DECONTAM_NGRAM = 4
 
@@ -84,6 +83,43 @@ def stratified_sample(
     return docs.filter(u < rate)
 
 
+def with_quality_reason(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    max_stopword_ratio: float = 0.5,
+    min_avg_token_len: float = 3.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Map-only quality gate that KEEPS the payload columns: every input
+    column plus the three gating stats and ``filter_reason`` (KEEP or the
+    FIRST failing rule; precedence: length bounds, stopword density, token
+    shape — the training-data analog of the warehouse DQ when-chain,
+    quality.dq_flag). Zero shuffles, so downstream stages (dedup, chunking)
+    can consume the text directly without joining the verdicts back —
+    the shape a fused corpus pipeline needs at 100 TB. The stat
+    expressions are textstats.stat_exprs, the same single source doc_stats
+    uses."""
+    from wsspark.llmops.textstats import stat_exprs
+
+    s = stat_exprs(text_col)
+    reason = (
+        F.when(s["n_tokens"] < min_tokens, "TOO_SHORT")
+        .when(s["n_tokens"] > max_tokens, "TOO_LONG")
+        .when(s["stopword_ratio"] > max_stopword_ratio, "STOPWORD_HEAVY")
+        .when(s["avg_token_len"] < min_avg_token_len, "SHORT_TOKENS")
+        .otherwise("KEEP")
+    )
+    return docs.withColumns(
+        {
+            "n_tokens": s["n_tokens"],
+            "stopword_ratio": s["stopword_ratio"],
+            "avg_token_len": s["avg_token_len"],
+            "filter_reason": reason,
+        }
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     min_tokens: int = 10,
@@ -91,24 +127,17 @@ def quality_filter(
     max_stopword_ratio: float = 0.5,
     min_avg_token_len: float = 3.5,
 ) -> DataFrame:
-    """Rule-based corpus quality gate: each document gets KEEP or its FIRST
-    failing rule (precedence: length bounds, stopword density, token
-    shape) — the training-data analog of the warehouse DQ when-chain
-    (quality.dq_flag). Map-only over doc_stats; no shuffle."""
-    stats = doc_stats(docs)
-    reason = (
-        F.when(F.col("n_tokens") < min_tokens, "TOO_SHORT")
-        .when(F.col("n_tokens") > max_tokens, "TOO_LONG")
-        .when(F.col("stopword_ratio") > max_stopword_ratio, "STOPWORD_HEAVY")
-        .when(F.col("avg_token_len") < min_avg_token_len, "SHORT_TOKENS")
-        .otherwise("KEEP")
-    )
-    return stats.select(
+    """Rule-based corpus quality gate: the stats-and-verdict projection of
+    ``with_quality_reason`` (doc_id + gating stats + filter_reason).
+    Map-only; no shuffle."""
+    return with_quality_reason(
+        docs, min_tokens, max_tokens, max_stopword_ratio, min_avg_token_len
+    ).select(
         "doc_id",
         "n_tokens",
         "stopword_ratio",
         "avg_token_len",
-        reason.alias("filter_reason"),
+        "filter_reason",
     )
 
 
@@ -204,4 +233,104 @@ def per_group_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
         .drop("sample_rank")
+    )
+
+
+def build_corpus(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    max_stopword_ratio: float = 0.5,
+    min_avg_token_len: float = 3.5,
+    dedup_threshold: float = 0.6,
+    chunk_size: int = 200,
+    overlap: int = 50,
+    pack_budget: int = 1000,
+    pack_groups: int = 8,
+) -> dict[str, DataFrame]:
+    """The end-to-end corpus build — the llmops analog of the warehouse
+    pipeline's build_reports: quality gate -> near-dup survivor selection
+    -> chunk -> pack, each stage exposed as a lazy frame so callers can
+    sink any intermediate.
+
+    Stage shapes (all previously verified operators, here fused):
+    - ``flagged``: map-only with_quality_reason — zero shuffles, text kept.
+    - ``kept``: the KEEP rows (still map-only; fuses into the scan).
+    - ``survivors``: MinHash-LSH candidate pairs (never all-pairs) at
+      ``dedup_threshold`` over the kept text, connected components, then a
+      broadcast left_anti of the non-representative ids — the corpus side
+      is never shuffled by the dedup decision.
+    - ``chunks``: shuffle-free overlapping char chunking of survivors.
+    - ``packs``: fixed-budget deterministic packing (one exchange).
+
+    At 100 TB the chain's only corpus-scale exchanges are inside the LSH
+    banding and the pack grouping; quality gating and chunking pipeline
+    with the scan, and every stage is deterministic (hash-ordered, no
+    rand()), so a retry or re-run reproduces byte-identical output."""
+    flagged = with_quality_reason(
+        docs, min_tokens, max_tokens, max_stopword_ratio, min_avg_token_len
+    )
+    kept = flagged.filter(F.col("filter_reason") == "KEEP").drop(
+        "n_tokens", "stopword_ratio", "avg_token_len", "filter_reason"
+    )
+    pairs = dedup.minhash_dedup_pairs(kept, threshold=dedup_threshold)
+    cc = dedup.connected_components(pairs)
+    non_rep = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = kept.join(F.broadcast(non_rep), "doc_id", "left_anti")
+    from wsspark.llmops.textstats import doc_chunks
+
+    chunks = doc_chunks(survivors, chunk_size=chunk_size, overlap=overlap)
+    packs = pack_chunks(chunks, budget=pack_budget, n_groups=pack_groups)
+    return {
+        "flagged": flagged,
+        "kept": kept,
+        "survivors": survivors,
+        "chunks": chunks,
+        "packs": packs,
+    }
+
+
+def corpus_build_summary(docs: DataFrame, **kwargs) -> DataFrame:
+    """One-row scorecard of the full corpus build (docs in -> quality kept
+    -> dedup survivors -> chunks -> packs): the falsifiable end-to-end
+    contract for the chain. ``overall_fill_ratio`` divides exact integer
+    totals once (total chunk chars over pack capacity), so the value is
+    deterministic under any partitioning and replicable in SQL."""
+    budget = kwargs.get("pack_budget", 1000)
+    stages = build_corpus(docs, **kwargs)
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    n_kept = stages["kept"].agg(
+        F.count("*").cast("long").alias("n_quality_kept")
+    )
+    n_surv = stages["survivors"].agg(
+        F.count("*").cast("long").alias("n_survivors")
+    )
+    ch = stages["chunks"].agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("total_chunk_chars"),
+    )
+    pk = stages["packs"].agg(F.count("*").cast("long").alias("n_packs"))
+    return (
+        n_docs.crossJoin(n_kept)
+        .crossJoin(n_surv)
+        .crossJoin(ch)
+        .crossJoin(pk)
+        .select(
+            "n_docs",
+            "n_quality_kept",
+            (F.col("n_quality_kept") - F.col("n_survivors"))
+            .cast("long")
+            .alias("n_dup_dropped"),
+            "n_survivors",
+            "n_chunks",
+            "total_chunk_chars",
+            "n_packs",
+            F.round(
+                F.col("total_chunk_chars")
+                / (F.col("n_packs") * F.lit(budget)),
+                4,
+            ).alias("overall_fill_ratio"),
+        )
     )

@@ -36,6 +36,28 @@ def bpe_ish_tokens(text_col: str = "text") -> Column:
     )
 
 
+def stat_exprs(
+    text_col: str = "text", stopwords: tuple[str, ...] = STOPWORDS
+) -> dict[str, Column]:
+    """The shared per-document quality-stat expressions (single source of
+    truth for doc_stats and the map-only quality gate): token count, char
+    count, mean token length (chars minus separators over tokens), and
+    stopword ratio — all native codegen expressions."""
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.length(F.col(text_col))
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "n_chars_actual": n_chars.cast("long"),
+        "avg_token_len": F.round(
+            (n_chars - (n_tokens - 1)).cast("double") / n_tokens, 4
+        ),
+        "stopword_ratio": F.round(n_stop.cast("double") / n_tokens, 4),
+    }
+
+
 def doc_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -44,22 +66,17 @@ def doc_stats(
     max_stopword_ratio: float = 0.5,
 ) -> DataFrame:
     """Length / token / stopword-based quality scoring per document."""
-    toks = tokens(text_col)
-    stop_arr = F.array(*[F.lit(s) for s in stopwords])
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_chars = F.length(F.col(text_col))
-    avg_tok = F.round(
-        (n_chars - (n_tokens - 1)).cast("double") / n_tokens, 4
-    )  # chars minus separators
-    ratio = F.round(n_stop.cast("double") / n_tokens, 4)
+    s = stat_exprs(text_col, stopwords)
     return docs.select(
         "doc_id",
-        n_tokens.cast("long").alias("n_tokens"),
-        n_chars.cast("long").alias("n_chars_actual"),
-        avg_tok.alias("avg_token_len"),
-        ratio.alias("stopword_ratio"),
-        ((n_tokens >= min_tokens) & (ratio <= max_stopword_ratio)).alias("is_quality"),
+        s["n_tokens"].alias("n_tokens"),
+        s["n_chars_actual"].alias("n_chars_actual"),
+        s["avg_token_len"].alias("avg_token_len"),
+        s["stopword_ratio"].alias("stopword_ratio"),
+        (
+            (s["n_tokens"] >= min_tokens)
+            & (s["stopword_ratio"] <= max_stopword_ratio)
+        ).alias("is_quality"),
     )
 
 

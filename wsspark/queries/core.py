@@ -1492,8 +1492,6 @@ QUERIES = [
           "high-watermark incremental scan + valid filter (S2 P2)"),
     Query("inventory_summary", q_inventory_summary, INVENTORY_SUMMARY_SQL,
           "turnover/DOH KPIs with div-by-zero guards (A2 A3 F8)"),
-    Query("peak_day_of_week", q_peak_day_of_week, PEAK_DOW_SQL,
-          "avg movements per day-of-week (A11)"),
     Query("transfer_patterns", q_transfer_patterns, TRANSFER_PATTERNS_SQL,
           "paired transfer-leg self-join + route aggregation (P8 J4 A9)"),
     Query("warehouse_io_pivot", q_warehouse_io_pivot, IO_PIVOT_SQL,

@@ -1560,6 +1560,145 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmops.corpus.corpus_build_summary: the END-TO-END corpus build
+    (quality gate -> MinHash-LSH dedup survivors -> chunk -> pack) as one
+    driver-hashed scorecard row — the llmops flagship the way
+    q0_full_etl is the warehouse flagship. Every constant is shared with
+    the already-registered constituent queries (quality_filter thresholds,
+    minhash JACCARD_THRESHOLD, doc_chunks CHUNK_SIZE/OVERLAP, pack_chunks
+    PACK_BUDGET/PACK_GROUPS), so this row pins the COMPOSITION: stage
+    wiring, filter-before-dedup ordering, survivor anti-join, and the
+    chunk->pack totals."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.corpus_build_summary(
+        docs,
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        max_stopword_ratio=QF_MAX_STOPWORD_RATIO,
+        min_avg_token_len=QF_MIN_AVG_TOKEN_LEN,
+        dedup_threshold=JACCARD_THRESHOLD,
+        chunk_size=CHUNK_SIZE,
+        overlap=CHUNK_OVERLAP,
+        pack_budget=PACK_BUDGET,
+        pack_groups=PACK_GROUPS,
+    )
+
+
+# The composed twin: quality stats (QUALITY_FILTER_SQL machinery) ->
+# quadratic 3-shingle jaccard edges over the KEPT subset (valid while LSH
+# recall is 100% — same equivalence the dup_clusters_lsh oracle relies on)
+# -> recursive-CTE components -> survivor anti-filter -> the doc_chunks /
+# pack_chunks machinery verbatim -> one scorecard row.
+CORPUS_BUILD_SQL = f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id, text, string_split(text, ' ') AS toks,
+           length(text) AS nc
+    FROM documents
+),
+s AS (
+    SELECT doc_id, text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL})))
+                 AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+           ROUND(CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks), 4)
+               AS avg_token_len
+    FROM t
+),
+kept AS (
+    SELECT doc_id, text FROM s
+    WHERE n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+      AND stopword_ratio <= {QF_MAX_STOPWORD_RATIO}
+      AND avg_token_len >= {QF_MIN_AVG_TOKEN_LEN}
+),
+ktoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM kept),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(tk) >= 3
+             THEN list_transform(range(1, len(tk) - 1),
+                                 i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+             ELSE [array_to_string(tk, ' ')] END)) AS w
+    FROM ktoks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(CAST(n_common AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_common), 4)
+          >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM j
+    UNION ALL
+    SELECT doc_b, doc_a FROM j
+),
+reach(node, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst
+),
+cc AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+survivors AS (
+    SELECT doc_id, text FROM kept
+    WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+),
+starts AS (
+    SELECT doc_id, text,
+           UNNEST(generate_series(
+               0, GREATEST(LENGTH(text) - {CHUNK_OVERLAP} - 1, 0),
+               {CHUNK_SIZE - CHUNK_OVERLAP})) AS chunk_start
+    FROM survivors
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_start)
+                - 1 AS INTEGER) AS chunk_id,
+           LENGTH(SUBSTRING(text, chunk_start + 1, {CHUNK_SIZE})) AS chunk_len
+    FROM starts
+),
+keyed AS (
+    SELECT md5(doc_id || ':' || chunk_id) AS pack_key,
+           doc_id || ':' || chunk_id AS chunk_uid,
+           chunk_len,
+           CAST(('0x' || substr(md5(doc_id || ':' || chunk_id), 1, 15))::BIGINT
+                % {PACK_GROUPS} AS INTEGER) AS pack_group
+    FROM chunks
+),
+assigned AS (
+    SELECT *,
+           CAST(FLOOR(COALESCE(SUM(chunk_len) OVER (
+               PARTITION BY pack_group ORDER BY pack_key, chunk_uid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {PACK_BUDGET}) AS INTEGER) AS pack_seq
+    FROM keyed
+),
+packs AS (
+    SELECT pack_group, pack_seq, COUNT(*) AS n
+    FROM assigned GROUP BY 1, 2
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_quality_kept,
+       CAST((SELECT COUNT(*) FROM kept)
+            - (SELECT COUNT(*) FROM survivors) AS BIGINT) AS n_dup_dropped,
+       CAST((SELECT COUNT(*) FROM survivors) AS BIGINT) AS n_survivors,
+       CAST((SELECT COUNT(*) FROM chunks) AS BIGINT) AS n_chunks,
+       CAST((SELECT COALESCE(SUM(chunk_len), 0) FROM chunks) AS BIGINT)
+           AS total_chunk_chars,
+       CAST((SELECT COUNT(*) FROM packs) AS BIGINT) AS n_packs,
+       ROUND(CAST((SELECT SUM(chunk_len) FROM chunks) AS DOUBLE)
+             / ((SELECT COUNT(*) FROM packs) * {PACK_BUDGET}), 4)
+           AS overall_fill_ratio
+"""
+
+
 def q_embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed second-moment statistics (llmops.pca): one mapInPandas
     pass accumulates per-partition Gram partials (numpy matmul over Arrow
@@ -1674,6 +1813,9 @@ QUERIES = [
           SEMANTIC_SURVIVORS_SQL,
           "SemDeDup keep-set: anti-join of the cell-blocked embedding "
           "dup pairs (greedy keep-first-by-id)"),
+    Query("corpus_build_summary", q_corpus_build_summary, CORPUS_BUILD_SQL,
+          "end-to-end corpus build scorecard: quality gate -> LSH dedup "
+          "survivors -> chunk -> pack (llmops flagship)"),
 ]
 
 # Registry-slot policy (round 6): the driver window holds 50 of a 100-query
@@ -1762,6 +1904,14 @@ def _folded_core():
         Query("monthly_trends", core.q_monthly_trends,
               core.MONTHLY_TRENDS_SQL,
               "gap-filled month-end-labeled counts (W1 W3)"),
+        # Folded r7 (corpus_build_summary took its slot): peak_day_of_week
+        # is the last of the A11/W3 trends->label->group->avg family still
+        # holding a driver slot (peak_month and the daily/weekly/monthly
+        # grains are already folded); the registered moving_avg_trends
+        # re-verifies the shared W1 calendar machinery every rotation while
+        # the day-name labeling keeps its hash check here.
+        Query("peak_day_of_week", core.q_peak_day_of_week, core.PEAK_DOW_SQL,
+              "avg movements per day-of-week (A11)"),
     ]
 
 
