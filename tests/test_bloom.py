@@ -1,0 +1,122 @@
+"""Native-expression broadcast Bloom filter (llmops.bloom) and its
+consumer, the bloom-backed cross-doc n-gram dup profile: membership
+soundness (never a false negative), measured false positives when the
+filter is deliberately undersized (the test is falsifiable), engine
+portability of the bit arithmetic, and the no-extra-corpus-shuffle plan
+contract."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from wsspark.io import read_table
+from wsspark.llmops import bloom, textstats
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bloom_membership_sound_and_complete_enough(spark):
+    """Every inserted key passes (no false negatives — a hard guarantee);
+    with a well-sized filter, none of 200 disjoint non-members pass."""
+    keys = spark.range(100).select(
+        F.substring(F.md5(F.concat(F.lit("in:"), F.col("id"))), 1, 16).alias(
+            "k"
+        )
+    )
+    bitmap = bloom.bloom_bitmap(keys, "k", n_bits=1 << 16, k=4)
+    probe = spark.range(300).select(
+        F.when(
+            F.col("id") < 100,
+            F.substring(F.md5(F.concat(F.lit("in:"), F.col("id"))), 1, 16),
+        )
+        .otherwise(
+            F.substring(F.md5(F.concat(F.lit("out:"), F.col("id"))), 1, 16)
+        )
+        .alias("k"),
+        (F.col("id") < 100).alias("member"),
+    )
+    got = bloom.with_bloom_test(probe, "k", bitmap, n_bits=1 << 16, k=4)
+    rows = got.collect()
+    assert all(r.bloom_hit for r in rows if r.member)
+    false_pos = sum(1 for r in rows if r.bloom_hit and not r.member)
+    assert false_pos == 0  # 2^16 bits for 100 keys: fp ~ 1e-9 per probe
+
+
+def test_bloom_ngram_profile_no_false_negatives(spark, sf_dir):
+    """Per doc, the bloom profile's dup-window count is >= the exact
+    profile's (no false negatives), and with the default 2^20-bit filter
+    it is exactly equal on this corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in textstats.cross_doc_ngram_dup(docs).collect()
+    }
+    approx = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in textstats.cross_doc_ngram_dup_bloom(docs).collect()
+    }
+    assert set(approx) == set(exact)
+    for d, (nw, ndup) in exact.items():
+        assert approx[d][0] == nw
+        assert approx[d][1] >= ndup, d
+    assert approx == exact  # sized filter: zero false positives here
+
+
+def test_bloom_ngram_profile_undersized_filter_shows_fp(spark, sf_dir):
+    """Falsifiability check: a deliberately tiny (256-bit) filter must
+    produce false positives (else the soundness test above proves
+    nothing), and still never a false negative."""
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        r.doc_id: r.n_dup_windows
+        for r in textstats.cross_doc_ngram_dup(docs).collect()
+    }
+    tiny = {
+        r.doc_id: r.n_dup_windows
+        for r in textstats.cross_doc_ngram_dup_bloom(
+            docs, n_bits=256
+        ).collect()
+    }
+    assert all(tiny[d] >= exact[d] for d in exact)
+    assert sum(tiny[d] - exact[d] for d in exact) > 0
+
+
+def test_bloom_profile_saves_the_join_back_shuffle(spark, sf_dir):
+    """The bloom variant must not shuffle the gram-position stream for
+    membership: its corpus-scale exchanges are the dup agg and the
+    per-doc agg; the bitmap/pack exchanges move ~n_bits/63 rows. The
+    exact variant's plan carries the gram join-back instead. Both stay
+    UDF-free."""
+    docs = read_table(spark, sf_dir, "documents")
+    pb = _plan(textstats.cross_doc_ngram_dup_bloom(docs))
+    assert "BatchEvalPython" not in pb
+    # membership is a broadcast NLJ of the 1-row packed map, never a
+    # shuffled join of the position stream against the dup keys
+    assert "BroadcastNestedLoopJoin" in pb
+    n_ex = len(re.findall(r"\(\d+\) Exchange", pb))
+    assert n_ex <= 4, pb  # 2 corpus-scale + bitmap bit_or + 1-row pack
+
+
+def test_bloom_bitmap_is_partition_invariant(spark):
+    keys = spark.range(500).select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 16).alias("k")
+    )
+    a = sorted(
+        (r.word_idx, r.bits)
+        for r in bloom.bloom_bitmap(keys, "k", n_bits=4096).collect()
+    )
+    b = sorted(
+        (r.word_idx, r.bits)
+        for r in bloom.bloom_bitmap(
+            keys.repartition(11), "k", n_bits=4096
+        ).collect()
+    )
+    assert a == b and len(a) > 0

@@ -378,9 +378,10 @@ EXCHANGE_BUDGET = {
     "salted_product_totals": 2,
     "fuzzy_name_pairs": 3,
     "doc_chunks": 1,  # presentation orderBy only; the operator itself is 0
-    # 3 operator exchanges (gram agg, count join-back, per-doc agg; the
-    # doc join-back broadcasts at this SF) + the presentation orderBy
-    "dup_ngram_profile": 4,
+    # 2 operator exchanges (min/max gram dup agg + per-doc agg; the dup
+    # join-back rides the gram agg's partitioning and the doc join-back
+    # broadcasts at this SF) + the presentation orderBy
+    "dup_ngram_profile": 3,
 }
 
 
@@ -390,7 +391,12 @@ def test_headline_shuffle_budget(spark, sf_dir, name, budget):
 
     if not sf_dir.rstrip("/").endswith("sf0.001"):
         pytest.skip("budgets pinned against sf0.001 statistics")
-    plan = plan_of(build_registry()[name].fn(spark, sf_dir))
+    # budgets also guard folded queries (still live operators with a
+    # pytest-side oracle) — resolve from either table
+    from wsspark.queries.llm import FOLDED_QUERIES
+
+    lookup = {**build_registry(), **{q.name: q for q in FOLDED_QUERIES}}
+    plan = plan_of(lookup[name].fn(spark, sf_dir))
     got = len(re.findall(r"\(\d+\) Exchange", plan))
     assert got <= budget, (
         f"{name}: {got} shuffle exchanges (budget {budget}) — a shuffle "

@@ -294,17 +294,60 @@ def cross_doc_ngram_dup(
 
     Scale shape: each n-gram is keyed by a PORTABLE 64-bit md5 prefix
     (16 hex chars — replicable in any SQL engine) so the gram shuffles
-    move fixed 16-byte keys, never n-gram strings. Three exchanges total:
-    (1) gram-key doc-count agg (map-side combinable after the in-doc
-    distinct), (2) the count join-back, co-partitioned with (1) on the
-    same key so AQE reuses the exchange, (3) the final per-doc agg. The
-    explode itself is narrow and pipelines with the scan. At 100 TB the
-    doc-count frame can be swapped for a bloom filter over dup grams
-    (build from the agg, broadcast, filter map-side) to drop exchange (2);
-    the keyed-join form is kept here because it is exact and the oracle
-    can replicate it verbatim. No UDFs, no collect."""
+    move fixed 16-byte keys, never n-gram strings. Two exchanges total
+    (plan-asserted): (1) the gram-key dup agg — ">= 2 distinct docs" is
+    computed as min(doc) != max(doc), a plain combinable agg, where
+    countDistinct would two-phase the gram stream through an extra
+    shuffle — and (2) the final per-doc agg; the dup join-back rides
+    exchange (1)'s partitioning. The explode itself is narrow and
+    pipelines with the scan. The 100 TB upgrade is
+    ``cross_doc_ngram_dup_bloom`` below: it replaces the join-back (whose
+    build side is gram-scale, unbroadcastable at corpus size) with a
+    broadcast Bloom membership test. The exact keyed-join form is kept as
+    the oracle-verbatim baseline. No UDFs, no collect."""
     if n < 2:
         raise ValueError(f"n-gram size must be >= 2, got {n}")
+    g = _gram_positions(docs, n, text_col, id_col)
+    # ">= 2 distinct docs" needs only min != max — a plain combinable
+    # min/max agg, ONE exchange, where countDistinct would two-phase the
+    # same gram stream through an extra shuffle
+    gram_docs = g.groupBy("gram_key").agg(
+        (F.min(id_col) != F.max(id_col)).alias("_dup")
+    )
+    per_doc = (
+        g.join(gram_docs, "gram_key")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("_nw"),
+            F.sum(F.col("_dup").cast("int")).cast("long").alias("_ndup"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_nw", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("_ndup", F.lit(0)).cast("long").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.when(F.col("n_windows") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_dup_windows") / F.col("n_windows")
+                ),
+                4,
+            ),
+        )
+    )
+
+
+def _gram_positions(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, gram_key) per token n-gram WINDOW position — the shared
+    narrow explode both dup-profile variants consume. Keys are the
+    portable 16-hex md5 prefix of the space-joined window."""
     tmp = "_toks"
     while tmp == id_col:
         tmp += "_"
@@ -315,21 +358,54 @@ def cross_doc_ngram_dup(
             f"i -> substring(md5(array_join(slice({tmp}, i, {n}), ' ')), 1, 16))"
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
-    g = docs.select(F.col(id_col), tokens(text_col).alias(tmp)).select(
+    return docs.select(F.col(id_col), tokens(text_col).alias(tmp)).select(
         F.col(id_col), F.explode(gram_keys).alias("gram_key")
     )
-    gram_docs = g.groupBy("gram_key").agg(
-        F.count_distinct(F.col(id_col)).alias("_nd")
+
+
+def cross_doc_ngram_dup_bloom(
+    docs: DataFrame,
+    n: int = 5,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The SCALE path of ``cross_doc_ngram_dup``: same per-doc duplicated
+    n-gram profile, but the corpus-scale count join-back is replaced by a
+    broadcast Bloom membership test (llmops.bloom) over the dup-gram set.
+
+    Exchange accounting vs the exact variant: the exact form shuffles the
+    full gram-position stream TWICE (doc-count agg + count join-back);
+    here the position stream shuffles only for the doc-count agg that
+    derives the dup keys — the membership test is k broadcast joins
+    against a ~n_bits/63-row bitmap, entirely map-side. One corpus-scale
+    exchange saved, which at 100 TB is the dominant cost.
+
+    Accuracy contract: NO false negatives (every truly duplicated window
+    counts), false positives at the standard bloom rate — so per doc
+    ``n_dup_windows`` here is >= the exact value, with overshoot bounded
+    by fp ~ (1 - e^(-k*n_dup/n_bits))^k (size n_bits >= 16x the expected
+    dup-gram count for < 0.3%). The whole filter is deterministic md5
+    arithmetic, so the approximate answer itself is exactly reproducible
+    — and exactly replicable by the DuckDB oracle, which is why this
+    query keeps a full driver hash check despite being approximate."""
+    from wsspark.llmops import bloom
+
+    if n < 2:
+        raise ValueError(f"n-gram size must be >= 2, got {n}")
+    g = _gram_positions(docs, n, text_col, id_col)
+    dup_keys = (
+        g.groupBy("gram_key")
+        .agg((F.min(id_col) != F.max(id_col)).alias("_dup"))
+        .filter(F.col("_dup"))
+        .select("gram_key")
     )
-    per_doc = (
-        g.join(gram_docs, "gram_key")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("_nw"),
-            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("_ndup"),
-        )
+    bitmap = bloom.bloom_bitmap(dup_keys, "gram_key", n_bits, k)
+    tested = bloom.with_bloom_test(g, "gram_key", bitmap, n_bits, k)
+    per_doc = tested.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_nw"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("long").alias("_ndup"),
     )
     return (
         docs.select(id_col)

@@ -1699,6 +1699,102 @@ SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
 """
 
 
+BLOOM_BITS = 1 << 20
+BLOOM_K = 4
+
+
+def q_dup_ngram_bloom_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of dup_ngram_profile: same per-doc duplicated
+    n-gram profile with the corpus-scale count join-back replaced by a
+    broadcast Bloom membership test (llmops.bloom — native bit_or bitmap,
+    Kirsch-Mitzenmacher double hashing over the portable md5 key). The
+    filter is deterministic md5 arithmetic, so even though the operator
+    is approximate-by-contract (no false negatives, bounded false
+    positives), its OUTPUT is exactly reproducible — and the oracle
+    recomputes the identical bitmap and probes, so the driver hash pins
+    the whole approximate path bit-for-bit."""
+    return textstats.cross_doc_ngram_dup_bloom(
+        read_table(spark, sf_dir, "documents"),
+        n=NGRAM_DUP_N,
+        n_bits=BLOOM_BITS,
+        k=BLOOM_K,
+    ).orderBy("doc_id")
+
+
+def _dup_ngram_bloom_sql(n_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> str:
+    """The bloom twin: identical gram keys, dup set via min<>max, the
+    same 63-bit-word bit_or bitmap, and k left joins replicating the k
+    probes (1::BIGINT << 63 would overflow where Spark wraps — the shared
+    63-bit word convention keeps both engines in range)."""
+    probe = "((h1 + {i}*h2) % {m})"
+    joins = "\n".join(
+        f"    LEFT JOIN bitmap b{i} ON b{i}.word_idx = "
+        f"CAST(FLOOR({probe.format(i=i, m=n_bits)} / 63) AS BIGINT)"
+        for i in range(1, k + 1)
+    )
+    cond = "\n           AND ".join(
+        f"(COALESCE(b{i}.bits, 0) & (1::BIGINT << "
+        f"CAST({probe.format(i=i, m=n_bits)} % 63 AS INTEGER))) <> 0"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           substring(md5(array_to_string(
+               list_slice(toks, i, i + {NGRAM_DUP_N - 1}), ' ')), 1, 16)
+               AS gram_key
+    FROM t, LATERAL (SELECT UNNEST(generate_series(
+        1, len(toks) - {NGRAM_DUP_N - 1})) AS i) s
+),
+dup_keys AS (
+    SELECT gram_key FROM grams
+    GROUP BY gram_key HAVING MIN(doc_id) <> MAX(doc_id)
+),
+pos AS (
+    SELECT ((h1 + i.i * h2) % {n_bits}) AS p
+    FROM (SELECT ('0x' || substr(gram_key, 1, 8))::BIGINT AS h1,
+                 ('0x' || substr(gram_key, 9, 8))::BIGINT AS h2
+          FROM dup_keys),
+         (SELECT UNNEST(generate_series(1, {k})) AS i) i
+),
+bitmap AS (
+    SELECT CAST(FLOOR(p / 63) AS BIGINT) AS word_idx,
+           bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS bits
+    FROM pos GROUP BY 1
+),
+probes AS (
+    SELECT doc_id,
+           ('0x' || substr(gram_key, 1, 8))::BIGINT AS h1,
+           ('0x' || substr(gram_key, 9, 8))::BIGINT AS h2
+    FROM grams
+),
+tested AS (
+    SELECT doc_id,
+           ({cond}) AS hit
+    FROM probes
+{joins}
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS nw,
+           SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS ndup
+    FROM tested GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(p.nw, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.ndup, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(CASE WHEN COALESCE(p.nw, 0) = 0 THEN 0.0
+             ELSE CAST(p.ndup AS DOUBLE) / p.nw END, 4) AS dup_ratio
+FROM t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+DUP_NGRAM_BLOOM_SQL = _dup_ngram_bloom_sql()
+
+
 def q_embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed second-moment statistics (llmops.pca): one mapInPandas
     pass accumulates per-partition Gram partials (numpy matmul over Arrow
@@ -1735,8 +1831,6 @@ EMB_COV_SQL = _covariance_block_sql()
 QUERIES = [
     Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
           "text quality scoring: tokens/chars/stopword ratio"),
-    Query("near_dup_jaccard", q_near_dup_jaccard, NEAR_DUP_SQL,
-          "exact word-set Jaccard near-dup pairs (lang-blocked)"),
     Query("minhash_dedup_pairs", q_minhash_dedup_pairs, MINHASH_PAIRS_SQL,
           "MinHash+LSH near-dup (scale path, exact-verified candidates)"),
     Query("simhash_fingerprints", q_simhash_fingerprints, SIMHASH_SQL,
@@ -1797,9 +1891,6 @@ QUERIES = [
           "percent_rank length-outlier gate per language"),
     Query("cross_source_overlap", q_cross_source_overlap, CROSS_SOURCE_SQL,
           "verbatim texts appearing under multiple sources"),
-    Query("doc_chunks", q_doc_chunks, DOC_CHUNKS_SQL,
-          "overlapping fixed-size chunking (training-window prep, "
-          "shuffle-free explode)"),
     Query("doc_chunks_tokens", q_doc_chunks_tokens, DOC_CHUNKS_TOKENS_SQL,
           "token-aligned chunking grain (whole-token windows, no split "
           "words; shuffle-free explode)"),
@@ -1816,6 +1907,10 @@ QUERIES = [
     Query("corpus_build_summary", q_corpus_build_summary, CORPUS_BUILD_SQL,
           "end-to-end corpus build scorecard: quality gate -> LSH dedup "
           "survivors -> chunk -> pack (llmops flagship)"),
+    Query("dup_ngram_bloom_profile", q_dup_ngram_bloom_profile,
+          DUP_NGRAM_BLOOM_SQL,
+          "scale path of dup_ngram_profile: broadcast Bloom membership "
+          "(native bit_or bitmap, deterministic md5 probes)"),
 ]
 
 # Registry-slot policy (round 6): the driver window holds 50 of a 100-query
@@ -1933,5 +2028,24 @@ FOLDED_QUERIES = [
     # rotation; the raw per-group frame keeps its hash check here.
     Query("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
           "exact dedup groups by content hash"),
+    # Folded r7 (dup_ngram_bloom_profile took its slot): the char-grain
+    # chunk machinery is recomputed VERBATIM inside two registered
+    # oracles every rotation — pack_chunks' twin re-derives the chunks
+    # (PACK_CHUNKS_SQL starts/chunks CTEs) and corpus_build_summary's
+    # twin does the same over survivors — while doc_chunks_tokens keeps
+    # the explode shape registered; the raw char-grain frame keeps its
+    # hash check here.
+    Query("doc_chunks", q_doc_chunks, DOC_CHUNKS_SQL,
+          "overlapping fixed-size chunking (training-window prep, "
+          "shuffle-free explode)"),
+    # Folded r7 (window-balance fold; dedup family consolidation): the
+    # registered dup_clusters invokes dedup.jaccard_pairs VERBATIM (same
+    # lang blocking, same 1-shingle grain, higher threshold) every
+    # rotation, and minhash_dedup_pairs' exact-verified output is
+    # hypothesis-tested to bracket the brute-force pairs
+    # (tests/test_dedup.py); the 0.6-threshold quadratic pair listing
+    # keeps its hash check here.
+    Query("near_dup_jaccard", q_near_dup_jaccard, NEAR_DUP_SQL,
+          "exact word-set Jaccard near-dup pairs (lang-blocked)"),
     *_folded_core(),
 ]
