@@ -378,6 +378,9 @@ EXCHANGE_BUDGET = {
     "salted_product_totals": 2,
     "fuzzy_name_pairs": 3,
     "doc_chunks": 1,  # presentation orderBy only; the operator itself is 0
+    # per-(order,supplier) agg + orderkey window + per-supplier agg; the
+    # fact subtree appears once (window rewrite, no Q21 self-joins)
+    "late_sole_supplier": 3,
     # 2 operator exchanges (min/max gram dup agg + per-doc agg; the dup
     # join-back rides the gram agg's partitioning and the doc join-back
     # broadcasts at this SF) + the presentation orderBy
@@ -477,3 +480,14 @@ def test_semantic_survivors_anti_join_broadcasts(spark, sf_dir):
     # every LeftAnti in the tree section must be the broadcast form
     assert not re.search(r"(?<!Broadcast)HashJoin LeftAnti", plan), plan
     assert "BroadcastHashJoin LeftAnti" in plan, plan
+
+
+def test_late_sole_supplier_scans_fact_once(spark, sf_dir):
+    """The Q21-shape rewrite must not replicate the fact subtree: the
+    naive EXISTS/NOT-EXISTS plan scans lineitem three times; the window
+    form scans each table exactly once."""
+    import re
+
+    plan = plan_of(build_registry()["late_sole_supplier"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan
+    assert "TakeOrderedAndProject" in plan

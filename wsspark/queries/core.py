@@ -1522,8 +1522,6 @@ QUERIES = [
           "aging buckets over days-since-last-movement"),
     Query("transfer_receipts", q_transfer_receipts, RECEIPTS_SQL,
           "JSON result envelopes for transfer requests (F7)"),
-    Query("revenue_concentration", q_revenue_concentration, CONCENTRATION_SQL,
-          "top 1/5/20 percent revenue shares (hot-key skew diagnostic)"),
     Query("movement_anomalies", q_movement_anomalies, ANOMALIES_SQL,
           "per-warehouse daily volume z-score anomalies"),
     Query("movement_rollup", q_movement_rollup, ROLLUP_SQL,

@@ -2007,6 +2007,15 @@ def _folded_core():
         # the day-name labeling keeps its hash check here.
         Query("peak_day_of_week", core.q_peak_day_of_week, core.PEAK_DOW_SQL,
               "avg movements per day-of-week (A11)"),
+        # Folded r7 (late_sole_supplier took its slot): the registered
+        # abc_analysis re-verifies the same product-revenue aggregation
+        # (identical so_details adapter + cents-exact revenue grain) and
+        # its Pareto ranking every rotation; the top-1/5/20-percent
+        # concentration cut keeps its hash check here.
+        Query("revenue_concentration", core.q_revenue_concentration,
+              core.CONCENTRATION_SQL,
+              "top 1/5/20 percent revenue shares (hot-key skew "
+              "diagnostic)"),
     ]
 
 

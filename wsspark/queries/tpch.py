@@ -961,3 +961,103 @@ QUERIES = [
     Query("nation_market_share", q_nation_market_share, MKT_SHARE_SQL,
           "TPC-H Q8-shape conditional-share per year, single pass"),
 ]
+
+
+LATE_DAYS = 90
+WAIT_TOPK = 20
+
+
+def q_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted to this
+    schema: testdata lineitem has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + 90 days. A supplier is blamed for an order
+    iff the order used >1 distinct supplier, the supplier shipped a late
+    line, and NO other supplier shipped late — the classic
+    EXISTS/NOT-EXISTS pair (ref: the reference engine has no such query;
+    this extends the §2.6 semi/anti family to its hardest shape).
+
+    Rewrite: instead of two correlated self-joins on the fact (the naive
+    Q21 plan — three lineitem scans), ONE li ⨝ orders pass derives a
+    per-(order, supplier) late flag, and the per-order supplier /
+    late-supplier counts come from a WINDOW over the same frame — no
+    second aggregate branch, no self-join, so the fact subtree appears
+    exactly once in the plan. Partitioning chains: hash(orderkey) from
+    the join satisfies the (orderkey, suppkey) grouping clustering AND
+    the orderkey window, so the whole per-order pipeline rides one
+    exchange; supplier is a broadcast and the top-k is a single
+    TakeOrderedAndProject pass."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supplier = read_table(spark, sf_dir, "supplier")
+    flags = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        ).alias("_late"),
+    )
+    per_so = flags.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_supp_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        per_so.withColumn("_n_supp", F.count("*").over(w))
+        .withColumn("_n_late", F.sum(F.col("_supp_late").cast("int")).over(w))
+        .filter(
+            F.col("_supp_late")
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+    return (
+        blamed.join(
+            F.broadcast(
+                supplier.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_name"
+                )
+            ),
+            "l_suppkey",
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(WAIT_TOPK)
+    )
+
+
+LATE_SOLE_SQL = f"""
+WITH flags AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY AS late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_so AS (
+    SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+    FROM flags GROUP BY 1, 2
+),
+per_o AS (
+    SELECT l_orderkey, COUNT(*) AS n_supp,
+           SUM(CASE WHEN supp_late THEN 1 ELSE 0 END) AS n_late
+    FROM per_so GROUP BY 1
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_so ps
+JOIN per_o po ON ps.l_orderkey = po.l_orderkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE ps.supp_late AND po.n_supp > 1 AND po.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT {WAIT_TOPK}
+"""
+
+QUERIES.append(
+    Query("late_sole_supplier", q_late_sole_supplier, LATE_SOLE_SQL,
+          "TPC-H Q21-shape sole-late-supplier blame: EXISTS/NOT-EXISTS "
+          "pair rewritten as stacked same-key aggregations")
+)
