@@ -160,3 +160,83 @@ def test_streaming_chunk_dedup_across_batches(spark, tmp_path):
     n_before = spark.read.parquet(dedup.assignments_path).count()
     dedup.process_batch(spark.createDataFrame([(3, t1)], SCHEMA), 0)
     assert spark.read.parquet(dedup.assignments_path).count() == n_before
+
+
+def test_streaming_bloom_ngram_index_across_batches(spark, tmp_path):
+    """The constant-state bloom index: batch-2 windows whose 5-grams
+    arrived in batch 1 are flagged via the ACCUMULATED bloom (no raw
+    history rescan is even possible — only the bitmap survives), fresh
+    content is not flagged (no false positives at this filter size), and
+    the state stays exactly one bitmap frame bounded by n_bits/63 rows
+    across batches."""
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ck")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+
+    idx = streaming.StreamingBloomNgramIndex(spark, store, n=5, n_bits=1 << 16)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+        q = idx.attach(stream, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA).write.parquet(
+        src + "/b1"
+    )
+    run()
+    p1 = {
+        r.doc_id: (r.n_windows, r.n_seen_windows)
+        for r in spark.read.parquet(idx.profiles_path).collect()
+    }
+    # batch 1: nothing seen before (docs share no 5-gram)
+    assert p1[1][1] == 0 and p1[2][1] == 0 and p1[1][0] > 0
+    state1 = spark.read.parquet(idx.bloom_path).count()
+
+    # batch 2: doc 3 repeats BASE verbatim (every window seen via the
+    # bloom), doc 4 is fresh content (nothing seen)
+    fresh = "novel words that never appeared before in any earlier batch at all"
+    spark.createDataFrame([(3, BASE), (4, fresh)], SCHEMA).write.parquet(
+        src + "/b2"
+    )
+    run()
+    p2 = {
+        r.doc_id: (r.n_windows, r.n_seen_windows)
+        for r in spark.read.parquet(idx.profiles_path).collect()
+    }
+    assert p2[3][0] == p1[1][0]  # same text, same window count
+    assert p2[3][1] == p2[3][0], "verbatim re-arrival must be fully flagged"
+    assert p2[4][1] == 0, "fresh content falsely flagged (fp at this size?)"
+    # constant state: one bitmap frame, bounded by n_bits/63 words, and
+    # NOT growing with corpus content (supersets batch-1 words only)
+    state2 = spark.read.parquet(idx.bloom_path).count()
+    assert state2 <= (1 << 16) // 63 + 1
+    assert state2 >= state1
+
+
+def test_streaming_bloom_ngram_replay_is_idempotent(spark, tmp_path):
+    """Replaying an already-applied batch id must change neither the
+    profiles nor the bloom state (at-least-once foreachBatch)."""
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+    idx = streaming.StreamingBloomNgramIndex(spark, store, n=5, n_bits=1 << 16)
+    batch = spark.createDataFrame([(1, BASE), (2, BASE)], SCHEMA)
+    idx.process_batch(batch, 0)
+    before_p = sorted(
+        map(tuple, spark.read.parquet(idx.profiles_path).collect())
+    )
+    before_s = sorted(
+        map(tuple, spark.read.parquet(idx.bloom_path).collect())
+    )
+    idx.process_batch(batch, 0)  # replay
+    assert sorted(
+        map(tuple, spark.read.parquet(idx.profiles_path).collect())
+    ) == before_p
+    assert sorted(
+        map(tuple, spark.read.parquet(idx.bloom_path).collect())
+    ) == before_s
+    # and the within-batch arrival order: doc 2 (later) is fully seen
+    p = {r.doc_id: r for r in spark.read.parquet(idx.profiles_path).collect()}
+    assert p[2].n_seen_windows == p[2].n_windows
+    assert p[1].n_seen_windows == 0

@@ -1510,8 +1510,6 @@ QUERIES = [
           "trigger/audit semantics as snapshot diff (M5 F12)"),
     Query("transfer_validation", q_transfer_validation, TRANSFER_VALIDATION_SQL,
           "transfer_stock validation rules (M2)"),
-    Query("stock_as_of", q_stock_as_of, STOCK_AS_OF_SQL,
-          "point-in-time snapshot via event-sourcing invariant"),
     Query("movement_quantity_quantiles", q_movement_quantity_quantiles,
           QUANTILES_SQL, "exact quantiles per movement type (approx at scale)"),
     Query("daily_trend_windows", q_daily_trend_windows, DAILY_WINDOWS_SQL,

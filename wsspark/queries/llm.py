@@ -2016,6 +2016,14 @@ def _folded_core():
               core.CONCENTRATION_SQL,
               "top 1/5/20 percent revenue shares (hot-key skew "
               "diagnostic)"),
+        # Folded r7 (streaming_bloom_ngram_index took its slot):
+        # stock_as_of is snapshot_recompute's signed-sum machinery (M1,
+        # ops/functions.snapshot_from_movements — same call) with a
+        # pushdown cutoff filter; the registered snapshot_recompute
+        # re-verifies the shared path every rotation while the
+        # point-in-time cut keeps its hash check here.
+        Query("stock_as_of", core.q_stock_as_of, core.STOCK_AS_OF_SQL,
+              "point-in-time snapshot via event-sourcing invariant"),
     ]
 
 

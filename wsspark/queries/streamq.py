@@ -521,6 +521,91 @@ def q_streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_streaming_bloom_ngram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-state cross-doc n-gram index at ingest
+    (StreamingBloomNgramIndex): the documents table streamed through a
+    fresh store. With the single-file source there is exactly one batch,
+    so every verdict comes from the EXACT within-batch earlier-doc check
+    (the accumulated-bloom path starts empty) and the output equals the
+    oracle's first-occurrence computation; cross-batch bloom behavior
+    (no false negatives vs history, constant state size, replay
+    idempotence) is pinned by tests/test_streaming_dedup.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", _stage_stream_dir(sf_dir, "documents"))
+        .load()
+    )
+    store = tempfile.mkdtemp(prefix="wsspark_ngrambloom_store_")
+    ckpt = tempfile.mkdtemp(prefix="wsspark_ngrambloom_ckpt_")
+    for d in (store, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    idx = streaming.StreamingBloomNgramIndex(
+        spark, store, n=llmq.NGRAM_DUP_N, n_bits=llmq.BLOOM_BITS,
+        k=llmq.BLOOM_K,
+    )
+    q = idx.attach(src, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("ngram bloom stream did not finish within 300s")
+    return (
+        spark.read.parquet(idx.profiles_path)
+        .select("doc_id", "n_windows", "n_seen_windows", "seen_ratio")
+        .orderBy("doc_id")
+    )
+
+
+# single-batch twin: a window is "seen" iff an EARLIER doc (smaller
+# doc_id = earlier arrival within the batch) contains the same gram —
+# the same gram keying as the batch dup_ngram oracles
+STREAMING_BLOOM_NGRAM_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           substring(md5(array_to_string(
+               list_slice(toks, i, i + {llmq.NGRAM_DUP_N - 1}), ' ')), 1, 16)
+               AS gram_key
+    FROM t, LATERAL (SELECT UNNEST(generate_series(
+        1, len(toks) - {llmq.NGRAM_DUP_N - 1})) AS i) s
+),
+first AS (
+    SELECT gram_key, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+),
+per_doc AS (
+    SELECT g.doc_id, COUNT(*) AS nw,
+           SUM(CASE WHEN g.doc_id > f.first_doc THEN 1 ELSE 0 END) AS nseen
+    FROM grams g JOIN first f USING (gram_key)
+    GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COALESCE(p.nw, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.nseen, 0) AS BIGINT) AS n_seen_windows,
+       ROUND(CASE WHEN COALESCE(p.nw, 0) = 0 THEN 0.0
+             ELSE CAST(p.nseen AS DOUBLE) / p.nw END, 4) AS seen_ratio
+FROM t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query(
         "streaming_daily_counts",
@@ -577,6 +662,13 @@ QUERIES = [
         q_streaming_chunk_dedup,
         STREAMING_CHUNK_DEDUP_SQL,
         "chunk-level incremental dedup at ingest == first-occurrence window",
+    ),
+    Query(
+        "streaming_bloom_ngram_index",
+        q_streaming_bloom_ngram_index,
+        STREAMING_BLOOM_NGRAM_SQL,
+        "constant-state bloom n-gram index at ingest == first-occurrence "
+        "window (state = one bitmap, forever)",
     ),
     Query(
         "streaming_mv_refresh",

@@ -673,6 +673,125 @@ class StreamingChunkDedup:
         )
 
 
+class StreamingBloomNgramIndex:
+    """CONSTANT-STATE cross-doc n-gram duplication signal at ingest — the
+    third member of the streaming dedup family, with the state profile the
+    other two cannot have: StreamingChunkDedup's index grows with unique
+    corpus content and StreamingDedupIndex's with unique documents, but a
+    Bloom filter's union is plain bit OR, so this index's entire state is
+    ONE bitmap frame (~n_bits/63 rows, ~2 MiB at 2^24 bits) FOREVER,
+    regardless of corpus size. At 100 TB that is the difference between a
+    growing side-input and a broadcastable constant; the price is the
+    bloom contract (no false negatives, corpus-growth-dependent false
+    positives — size n_bits for the expected distinct-gram count, and
+    rebuild-to-resize offline when the corpus outgrows it).
+
+    Per batch: the arriving docs' token n-gram windows (the same
+    _gram_positions explode the batch profiles use) are flagged
+    ``seen_before`` iff the gram hits the ACCUMULATED bloom (some prior
+    batch contained it) or an earlier doc in the same batch contains it
+    (exact, batch-local min-doc — cheap and removes any within-batch fp).
+    Per-doc profiles (n_windows, n_seen_windows, seen_ratio) append per
+    batch; the state update is bloom_bitmap(batch grams) bit_or-merged
+    into the store. Durability mirrors SnapshotMaintainer: batch-id apply
+    log (at-least-once replays skipped) + stage-then-swap writes.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        n: int = 5,
+        n_bits: int = 1 << 20,
+        k: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.bloom_path = os.path.join(store_dir, "ngram_bloom")
+        self.profiles_path = os.path.join(store_dir, "ngram_profiles")
+        self.n = n
+        self.n_bits = n_bits
+        self.k = k
+        self._log = _BatchLog(store_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from wsspark.llmops import bloom
+        from wsspark.llmops.textstats import _gram_positions
+
+        if batch_id <= self._log.last_applied():
+            return
+        docs = batch.repartition(
+            self.spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        g = _gram_positions(docs, self.n, "text", "doc_id")
+        # exact within-batch "an earlier doc contains this gram"
+        first = g.groupBy("gram_key").agg(F.min("doc_id").alias("_first_doc"))
+        flagged = g.join(first, "gram_key")
+        history = _read_parquet_or_none(self.spark, self.bloom_path)
+        if history is not None:
+            flagged = bloom.with_bloom_test(
+                flagged, "gram_key", history, self.n_bits, self.k,
+                out_col="_hist_hit",
+            )
+        else:
+            flagged = flagged.withColumn("_hist_hit", F.lit(False))
+        seen = F.col("_hist_hit") | (F.col("doc_id") > F.col("_first_doc"))
+        per_doc = (
+            docs.select("doc_id")
+            .join(
+                flagged.groupBy("doc_id").agg(
+                    F.count("*").cast("long").alias("_nw"),
+                    F.sum(seen.cast("int")).cast("long").alias("_nseen"),
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("_nw", F.lit(0)).cast("long").alias("n_windows"),
+                F.coalesce("_nseen", F.lit(0))
+                .cast("long")
+                .alias("n_seen_windows"),
+            )
+            .withColumn(
+                "seen_ratio",
+                F.round(
+                    F.when(F.col("n_windows") == 0, F.lit(0.0)).otherwise(
+                        F.col("n_seen_windows") / F.col("n_windows")
+                    ),
+                    4,
+                ),
+            )
+        )
+        per_doc.write.mode("overwrite").parquet(
+            os.path.join(self.profiles_path, f"batch_id={batch_id}")
+        )
+        batch_bm = bloom.bloom_bitmap(
+            g.select("gram_key").distinct(), "gram_key", self.n_bits, self.k
+        )
+        merged = batch_bm if history is None else (
+            batch_bm.unionByName(history)
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        tmp = self.bloom_path + f"._v{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            self.bloom_path
+        )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._log.commit(batch_id)
+
+    def attach(self, docs: DataFrame, checkpoint_dir: str):
+        return (
+            docs.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
 class StreamingMVMaintainer:
     """Continuous materialized-view maintenance — the streaming twin of
     ops.incremental.incremental_refresh: each micro-batch is partially
