@@ -61,6 +61,9 @@ HEADLINE = {
     # round-7 third wave: the llmops flagship — the fused quality-gate ->
     # LSH-dedup -> chunk -> pack corpus build, end to end.
     "q22_corpus_build": "corpus_build_summary",
+    # the Q21 EXISTS/NOT-EXISTS shape as a single-window rewrite — the
+    # heaviest fact-fact correlation pattern in the registry.
+    "q23_late_sole_supplier": "late_sole_supplier",
 }
 
 
