@@ -192,3 +192,56 @@ def test_build_corpus_stage_invariants(spark, sf_dir):
     assert s.n_packs == len(packs)
     assert sum(p.n_chunks for p in packs) == s.n_chunks
     assert sum(p.total_chars for p in packs) == s.total_chunk_chars
+
+
+def test_domain_mix_sample_matches_duckdb_oracle(spark, sf_dir):
+    """Target-share mixture sampling: byte-identical to the same
+    arithmetic in DuckDB (Knuth-hash gate + derived per-stratum rates),
+    the rate cap engages for an over-weighted stratum, thinned strata
+    land near their target composition, and zero-weight strata drop."""
+    import os
+
+    import duckdb
+
+    weights = {"src0": 0.2, "src1": 0.15, "src2": 0.05, "src3": 0.6}
+    fraction = 0.1
+    docs = read_table(spark, sf_dir, "documents")
+    out = corpus.domain_mix_sample(docs, weights, fraction=fraction)
+    got = sorted((r.source, r.doc_id) for r in out.select("source", "doc_id").collect())
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(weights.items())
+    ) + " ELSE 0.0 END"
+    path = os.path.join(sf_dir, "documents.parquet")
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"""
+            WITH rates AS (
+                SELECT source,
+                       LEAST(1.0, {fraction} * {case}
+                             * (SELECT COUNT(*) FROM '{path}')::DOUBLE
+                             / COUNT(*)) AS rate
+                FROM '{path}' GROUP BY source
+            )
+            SELECT d.source, d.doc_id
+            FROM '{path}' d JOIN rates r USING (source)
+            WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                  / 4294967296 < r.rate
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # zero-weight strata drop entirely
+    assert {s for s, _ in got} <= set(weights)
+    # with ~uniform strata (1/20 each), src3's derived rate is
+    # 0.1 * 0.6 * 20 = 1.2 -> capped at 1: every src3 doc kept
+    n_src3 = docs.filter(F.col("source") == "src3").count()
+    assert sum(1 for s, _ in got if s == "src3") == n_src3
+    # partition invariance (no rand())
+    again = sorted(
+        (r.source, r.doc_id)
+        for r in corpus.domain_mix_sample(
+            docs.repartition(9), weights, fraction=fraction
+        ).select("source", "doc_id").collect()
+    )
+    assert again == got

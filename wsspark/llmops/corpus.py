@@ -83,6 +83,63 @@ def stratified_sample(
     return docs.filter(u < rate)
 
 
+def domain_mix_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    fraction: float = 0.1,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample to a TARGET domain mixture (the DoReMi / Pile-style corpus
+    composition step): ``weights`` gives each stratum's desired SHARE of
+    the output and ``fraction`` the desired overall sampling rate; the
+    per-stratum keep-rate is derived from the corpus's actual counts:
+
+        rate_s = min(1, fraction * w_s * N / n_s)
+
+    so over-represented domains are thinned toward their target share and
+    under-represented ones keep everything they have (a rate is capped at
+    1 — without replacement, a domain cannot exceed its supply; the cap
+    is the standard behavior and the achieved share then undershoots the
+    target, visibly in the summary query).
+
+    Versus ``stratified_sample`` (caller supplies rates directly), this
+    derives the rates FROM a target composition — one tiny per-stratum
+    count aggregate, broadcast back onto the corpus, then the same
+    deterministic Knuth-hash gate (no rand(): stable under retries,
+    replicable in any SQL engine). Strata absent from ``weights`` get
+    weight 0 and drop. Scale: the count agg is map-side combinable with
+    stratum-cardinality output; the rate join broadcasts; the filter is
+    map-side — one corpus-scale aggregation, zero corpus shuffles on the
+    output path."""
+    n_total = docs.select(
+        F.count("*").cast("double").alias("_n_total")
+    )
+    counts = (
+        docs.groupBy(strata_col)
+        .agg(F.count("*").cast("double").alias("_n_s"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    w = F.lit(0.0)
+    for stratum, share in sorted(weights.items()):
+        w = F.when(
+            F.col(strata_col) == stratum, F.lit(float(share))
+        ).otherwise(w)
+    rates = counts.select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(fraction)) * w * F.col("_n_total") / F.col("_n_s"),
+        ).alias("_rate"),
+    )
+    u = F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_MOD32)) / F.lit(_MOD32)
+    return (
+        docs.join(F.broadcast(rates), strata_col)
+        .filter(u < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def with_quality_reason(
     docs: DataFrame,
     min_tokens: int = 10,
