@@ -88,3 +88,45 @@ def test_shortlist_rerank_recall_floor(trained, corpus):
         recalls.append(len(true & got) / 10)
     assert np.mean(recalls) >= 0.9, recalls
     assert min(recalls) >= 0.7, recalls
+
+
+def test_ivf_pq_compose_recall(spark, trained, corpus):
+    """The full ladder compose (IVF cells -> PQ ADC -> exact re-rank):
+    recall@10 vs brute force over 10 query vectors. Cell misses dominate
+    (the PQ re-rank is near-exact), so the floor tracks IVF recall at the
+    same probe count — measured on the driver corpus and pinned
+    conservatively. Also pins determinism: two runs agree exactly."""
+    from wsspark.llmops import similarity
+
+    books, codes = trained
+    embs, ids, mat = corpus
+    assigned, centroids, n_cells = similarity.ivf_build_index(embs)
+    n_probe = similarity.auto_n_probe(n_cells)
+    recalls = []
+    for qi in range(10):
+        q = mat[qi]
+        truth = set(
+            np.argsort(((mat - q) ** 2).sum(axis=1))[:10].tolist()
+        )
+        truth = {ids[t] for t in truth}
+        got = [
+            r.vec_id
+            for r in pq.ivf_pq_search(
+                embs, assigned, centroids, codes, books, q,
+                topk=10, n_probe=n_probe,
+            ).collect()
+        ]
+        assert len(got) == len(set(got)) == 10
+        recalls.append(len(truth & set(got)) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.8, recalls
+    assert min(recalls) >= 0.5, recalls
+    # determinism: the compose is pure hash + argmin arithmetic
+    q = mat[0]
+    a = [r.vec_id for r in pq.ivf_pq_search(
+        embs, assigned, centroids, codes, books, q, topk=10,
+        n_probe=n_probe).collect()]
+    b = [r.vec_id for r in pq.ivf_pq_search(
+        embs, assigned, centroids, codes, books, q, topk=10,
+        n_probe=n_probe).collect()]
+    assert a == b

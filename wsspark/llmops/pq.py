@@ -206,3 +206,74 @@ def search_rerank(
         .orderBy("dist", id_col)
         .limit(topk)
     )
+
+
+def ivf_pq_search(
+    embs: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    topk: int = 10,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full production ANN compose — every rung of the ladder at once:
+    IVF cells cut the candidate set sub-linearly (only ``n_probe`` cells'
+    vectors are considered), PQ ADC scores those candidates from their
+    1-byte-per-subspace codes (no float reads), and the exact re-rank
+    touches only the ``shortlist`` survivors. This is the layout a 100 TB
+    embedding corpus actually serves from: codes partitioned BY CELL on
+    disk, so the probe prunes partitions before any scan; here the cell
+    restriction is a broadcast join of the (tiny) probed-cell list onto
+    the assignment frame and a semi-join onto the codes — same semantics,
+    in-memory form.
+
+    Recall contract: cell misses dominate (the PQ shortlist re-rank is
+    near-exact at 10x over-fetch, measured 0.99 mean in test_pq), so
+    compose recall ~= IVF recall at the same n_probe — measured and
+    pinned in tests/test_pq.py. Everything stays lazy: the probed-cell
+    list is a limit-2 frame, never collected."""
+    from wsspark.llmops.similarity import dot, with_norm
+
+    q = np.asarray(query, dtype=np.float64)
+    spark = embs.sparkSession
+    q_df = spark.createDataFrame(
+        [(0, [float(v) for v in q])], f"{id_col} long, {vec_col} array<double>"
+    )
+    qn = with_norm(q_df, vec_col).select(
+        F.col("_vec").alias("_qvec"), F.col("_norm").alias("_qnorm")
+    )
+    probed = (
+        centroids.crossJoin(F.broadcast(qn))
+        .select(
+            "centroid_id",
+            (
+                dot(F.col("_vec"), F.col("_qvec"))
+                / (F.col("_norm") * F.col("_qnorm"))
+            ).alias("_cos"),
+        )
+        .orderBy(F.col("_cos").desc(), "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    # ivf_build_index's assignment frame carries the id as neighbor_id
+    aid = "neighbor_id" if "neighbor_id" in assigned.columns else id_col
+    cand = (
+        assigned.join(F.broadcast(probed), "centroid_id")
+        .select(F.col(aid).alias(id_col))
+    )
+    sub_codes = codes.join(cand, id_col, "left_semi")
+    return search_rerank(
+        embs,
+        sub_codes,
+        codebooks,
+        q,
+        topk=topk,
+        shortlist=shortlist,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
