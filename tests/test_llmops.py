@@ -738,3 +738,63 @@ def test_doc_chunks_tokens_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         doc_chunks_tokens(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_normalize_unicode_folds_variants(spark):
+    """NFKC + casefold must merge the classic trivial-variant families:
+    fullwidth latin, the fi ligature, eszett, precomposed-vs-combining
+    accents, and case — while NFC (canonical only) keeps compatibility
+    variants distinct. Plan stays a narrow Arrow pass."""
+    from wsspark.llmops import textstats
+
+    rows = [
+        (1, "ＳＰＡＲＫ"),            # fullwidth -> "spark"
+        (2, "ﬁle STRASSE"),          # ligature + eszett -> "file strasse"
+        (3, "café"),           # e + combining acute -> "café"
+        (4, "CAFÉ"),                 # precomposed, cased
+        (5, None),                   # null passthrough
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.norm_text
+        for r in textstats.normalize_unicode(docs).collect()
+    }
+    assert out[1] == "spark"
+    assert out[2] == "file strasse"
+    assert out[3] == out[4] == "café"
+    assert out[5] is None
+    # canonical-only form keeps compatibility variants distinct
+    nfc = {
+        r.doc_id: r.norm_text
+        for r in textstats.normalize_unicode(
+            docs, form="NFC", casefold=False
+        ).collect()
+    }
+    assert nfc[1] == "ＳＰＡＲＫ" and nfc[3] == "café"
+    # narrow Arrow pass: no shuffle, no row-at-a-time Python
+    plan = textstats.normalize_unicode(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "MapInPandas" in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_normalize_unicode_feeds_dedup_groups(spark):
+    """The stated purpose: after unicode normalization, variant documents
+    collapse into one normalized-dedup group."""
+    from wsspark.llmops import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "Ｃａｆé ﬁle"), (2, "café file"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    normed = textstats.normalize_unicode(docs).drop("text").withColumnRenamed(
+        "norm_text", "text"
+    )
+    groups = {
+        r.keep_doc_id: r.n_docs
+        for r in textstats.normalized_dedup_groups(normed).collect()
+    }
+    assert groups == {1: 2, 3: 1}

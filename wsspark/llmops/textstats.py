@@ -249,9 +249,58 @@ def normalize_text(text_col: str = "text") -> Column:
     every non-alphanumeric run to a single space, trim. Pure codegen
     expressions — at 100 TB this is a mapper-side projection fused into the
     scan. (Unicode NFC/NFKC folding would slot in here via
-    ``mapInPandas`` + ``unicodedata`` when non-ASCII corpora need it.)"""
+    ``normalize_unicode`` below when non-ASCII corpora need it.)"""
     lowered = F.lower(F.col(text_col))
     return F.trim(F.regexp_replace(lowered, "[^a-z0-9]+", " "))
+
+
+def normalize_unicode(
+    docs: DataFrame,
+    form: str = "NFKC",
+    casefold: bool = True,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Unicode normalization for multilingual dedup keys — the slot-in
+    ``normalize_text`` documents for non-ASCII corpora: compatibility
+    forms (NFKC) fold fullwidth forms, ligatures, and compatibility
+    variants to canonical codepoints, and ``casefold`` applies the full
+    Unicode case folding (stronger than lower(): it folds eszett,
+    final sigma, etc.). Without this, byte-exact and md5-keyed dedup
+    misses trivially-variant duplicates in any corpus with non-ASCII
+    content.
+
+    Spark has no native Unicode-normalization expression, so this is the
+    same deliberate Arrow boundary as the multimodal decoders: a narrow
+    ``mapInPandas`` (stdlib ``unicodedata``, no per-row Python UDF), zero
+    shuffle, pipelines with the scan. All other input columns pass
+    through untouched."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    if text_col not in docs.columns:
+        raise ValueError(f"missing text column {text_col!r}")
+    from pyspark.sql import types as T
+
+    # StructType.add MUTATES (and DataFrame.schema is cached) — build a
+    # fresh StructType so the input frame's schema is never corrupted
+    schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            s = pdf[text_col].map(
+                lambda t: unicodedata.normalize(form, t) if t is not None else None
+            )
+            if casefold:
+                s = s.map(lambda t: t.casefold() if t is not None else None)
+            pdf = pdf.copy()
+            pdf[out_col] = s
+            yield pdf
+
+    return docs.mapInPandas(run, schema=schema)
 
 
 def normalized_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
