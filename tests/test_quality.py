@@ -53,3 +53,59 @@ def test_expectation_report_all_green_on_clean_frame(spark):
         "quantity double, movement_date timestamp, movement_type string",
     )
     assert all(r.passed for r in expectation_report(df).collect())
+
+
+def test_profile_table_matches_duckdb_oracle(spark, sf_dir):
+    """The one-pass profiler (exact-distinct form) must agree bit-for-bit
+    with the same per-column arithmetic in DuckDB, including the
+    cast-to-string rendering of min/max across long, double, string and
+    timestamp columns."""
+    import os
+
+    import duckdb
+
+    from wsspark.io import read_table
+    from wsspark.quality import profile_table
+
+    got = {
+        r.column: (r.n_nonnull, r.n_null, r.n_distinct, r.min_value, r.max_value)
+        for r in profile_table(
+            read_table(spark, sf_dir, "orders"), exact_distinct=True
+        ).collect()
+    }
+    path = os.path.join(sf_dir, "orders.parquet")
+    con = duckdb.connect()
+    cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
+    for c in cols:
+        nn, nu, nd, mn, mx = con.execute(
+            f"""SELECT COUNT({c}), SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+                       COUNT(DISTINCT {c}),
+                       CAST(MIN({c}) AS VARCHAR), CAST(MAX({c}) AS VARCHAR)
+                FROM '{path}'"""
+        ).fetchone()
+        assert got[c] == (nn, nu or 0, nd, mn, mx), c
+    assert set(got) == set(cols)
+
+
+def test_profile_table_single_scan_and_null_accounting(spark):
+    """One aggregate job over one scan regardless of column count, and
+    null/non-null counts that sum to the row count."""
+    import re
+
+    from wsspark.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (None, "d")],
+        "k long, v string",
+    )
+    prof = profile_table(df, exact_distinct=True)
+    plan = prof._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Scan", plan)) <= 1
+    rows = {r.column: r for r in prof.collect()}
+    assert rows["k"].n_nonnull == 3 and rows["k"].n_null == 1
+    assert rows["v"].n_nonnull == 3 and rows["v"].n_null == 1
+    assert rows["k"].min_value == "1" and rows["k"].max_value == "3"

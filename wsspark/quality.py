@@ -150,3 +150,52 @@ def expectation_report(df: DataFrame, specs: list[tuple] | None = None) -> DataF
     return stacked.select(
         "check_name", "metric", "op", "threshold", passed.alias("passed")
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One-pass deequ-style column profiler: per column, the counts and
+    bounds a pipeline owner reads before writing expectations —
+    (column, n_nonnull, n_null, n_distinct, min_value, max_value), min and
+    max rendered as strings so one typed frame profiles every column type.
+
+    The whole profile is ONE aggregate job over ONE scan (the
+    ``expectation_report`` discipline — no per-column jobs, no driver
+    loop), unpivoted to rows via ``stack``. Distinct counts default to
+    HLL++ ``approx_count_distinct`` — at 100 TB exact per-column distinct
+    counts would add one Expand-widened shuffle PER COLUMN, while the
+    sketch rides the same single pass within its certified +/-3-rsd band
+    (see approx_distinct_accuracy, which pins sketch error per column
+    family); pass ``exact_distinct=True`` for dimension-bounded frames
+    and tests (the pytest oracle compares the exact form bit-for-bit
+    against DuckDB)."""
+    cols = columns if columns is not None else df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    aggs = []
+    for i, c in enumerate(cols):
+        nd = (
+            F.countDistinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(F.col(c))
+        )
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"_nn{i}"),
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_nu{i}"),
+            nd.cast("long").alias(f"_nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx{i}"),
+        ]
+    agg = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn{i}, _nu{i}, _nd{i}, _mn{i}, _mx{i}"
+        for i, c in enumerate(cols)
+    )
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_nonnull, n_null, n_distinct, min_value, max_value)"
+    )
