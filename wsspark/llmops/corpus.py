@@ -354,7 +354,16 @@ def corpus_build_summary(docs: DataFrame, **kwargs) -> DataFrame:
     -> dedup survivors -> chunks -> packs): the falsifiable end-to-end
     contract for the chain. ``overall_fill_ratio`` divides exact integer
     totals once (total chunk chars over pack capacity), so the value is
-    deterministic under any partitioning and replicable in SQL."""
+    deterministic under any partitioning and replicable in SQL.
+
+    The five aggregate branches re-derive a shared lineage (Spark has no
+    cross-branch common-subplan reuse), but MEASURED at sf0.1 that is
+    not worth pinning: the chain's expensive part — the LSH banded
+    frame — is already localCheckpointed INSIDE minhash_dedup_pairs, so
+    each branch's re-derivation is cheap projections over the cached
+    bands. Checkpointing the survivor frame here (lazy or eager) was a
+    wash (3.7-4.3 s either way, PLANS round-7 wrap), so the summary
+    stays a pure lazy composition."""
     budget = kwargs.get("pack_budget", 1000)
     stages = build_corpus(docs, **kwargs)
     n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
