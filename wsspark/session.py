@@ -15,6 +15,18 @@ run on local[N]):
   ``nanosAsLong=true`` make both read as plain TIMESTAMP with instants that
   match DuckDB's naive read under the pinned UTC zone (see
   io.configure_timestamp_reads / io.normalize_timestamps).
+- Spill-aware partition sizing, pinned EXPLICITLY rather than inherited,
+  so the 100 TB math is visible: scan splits at 128 MiB
+  (``files.maxPartitionBytes`` — ~800k input splits for 100 TB, each
+  decompressing to a comfortably-in-memory task) and AQE coalesces
+  shuffle output toward 64 MiB (``advisoryPartitionSizeInBytes``). The
+  static ``shuffle.partitions`` is deliberately just a pre-AQE ceiling:
+  size it 2-3x total cores on a real cluster (e.g. ~6000 for 1000
+  executors x 2 cores) and let coalescing shrink small stages; skewed
+  keys split under the same advisory target via skewJoin. Executor-memory
+  rule of thumb these defaults encode: a 64-128 MiB partition needs
+  ~0.5-1 GiB of task heap through a hash aggregate — 4 GiB/core
+  executors hold 4-8 concurrent tasks without spill.
 """
 
 from __future__ import annotations
@@ -51,6 +63,11 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # explicit spill-aware sizing (Spark's defaults, pinned so the
+        # 100 TB partition math in the module docstring stays true even
+        # if upstream defaults move)
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
