@@ -109,3 +109,57 @@ def test_profile_table_single_scan_and_null_accounting(spark):
     assert rows["k"].n_nonnull == 3 and rows["k"].n_null == 1
     assert rows["v"].n_nonnull == 3 and rows["v"].n_null == 1
     assert rows["k"].min_value == "1" and rows["k"].max_value == "3"
+
+
+def test_rfm_segments_match_duckdb_oracle(spark, sf_dir):
+    """RFM segmentation must be byte-identical to the same triple-ntile
+    SQL in DuckDB — the pinned customer-id tiebreaks make every tile cut
+    deterministic, and monetary is exact integer cents."""
+    import os
+
+    import duckdb
+
+    from wsspark.io import read_table
+    from wsspark.ops.financial import rfm_segments
+
+    as_of = "2001-09-01"
+    got = sorted(
+        map(
+            tuple,
+            rfm_segments(
+                read_table(spark, sf_dir, "orders"), as_of=as_of
+            ).collect(),
+        )
+    )
+    path = os.path.join(sf_dir, "orders.parquet")
+    con = duckdb.connect()
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"""
+                WITH per_cust AS (
+                    SELECT o_custkey AS custkey,
+                           CAST(DATE '{as_of}' - CAST(MAX(o_orderdate) AS DATE)
+                                AS BIGINT) AS recency_days,
+                           CAST(COUNT(*) AS BIGINT) AS frequency,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                                AS BIGINT) AS monetary_cents
+                    FROM '{path}' GROUP BY 1
+                )
+                SELECT custkey, recency_days, frequency, monetary_cents,
+                       NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS r,
+                       NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS f,
+                       NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS m,
+                       CAST(NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS VARCHAR)
+                       || CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS VARCHAR)
+                       || CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS VARCHAR)
+                           AS segment
+                FROM per_cust
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # every tile value in range, best segment present on this corpus
+    assert all(1 <= r[4] <= 5 and 1 <= r[5] <= 5 and 1 <= r[6] <= 5 for r in got)

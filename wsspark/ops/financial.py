@@ -134,3 +134,53 @@ def financial_summary(stock_value: DataFrame, abc: DataFrame) -> DataFrame:
         "total_inventory_value",
         F.struct(F.col("A"), F.col("B"), F.col("C")).alias("abc_summary"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    as_of: str,
+    n_tiles: int = 5,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics triple
+    quantile cut: per customer, Recency (days from last order to
+    ``as_of``), Frequency (order count), Monetary (cents-exact spend),
+    each ntile'd into ``n_tiles`` buckets (R: most recent = tile 1;
+    F/M: largest = tile 1, the conventional orientation), plus the
+    concatenated segment label ("111" = best customers).
+
+    Determinism discipline: every ntile ORDER BY carries the customer id
+    as the final tiebreak, so equal metrics always split identically —
+    the same pinned-tie-break rule as the ABC Pareto cut — and monetary
+    sums are exact integer cents. Scale shape: one map-side-combinable
+    groupBy(customer) over the order fact, then three window passes over
+    the per-customer frame (customer-dimension-sized, not fact-sized);
+    at billions of customers swap ntile for a two-pass percentile split,
+    same note as the Pareto window."""
+    from wsspark.queries.exactsum import cents
+
+    per_cust = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
+        F.datediff(F.lit(as_of).cast("date"), F.max(date_col))
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(cents(F.col(amount_col))).cast("long").alias("monetary_cents"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    w_m = Window.orderBy(
+        F.col("monetary_cents").desc(), F.col("custkey").asc()
+    )
+    return per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(n_tiles).over(w_r).alias("r"),
+        F.ntile(n_tiles).over(w_f).alias("f"),
+        F.ntile(n_tiles).over(w_m).alias("m"),
+    ).withColumn(
+        "segment", F.concat_ws("", F.col("r"), F.col("f"), F.col("m"))
+    )
