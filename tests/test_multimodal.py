@@ -1703,11 +1703,11 @@ def make_progressive_jpeg(pixels, sampling=(1, 1), gray=False, al=1,
                         if v == 0:
                             r += 1
                             continue
-                        if v > 1:
-                            # history coefficient: buffered correction bit
-                            br.append((abs(zz[ss + i]) >> a) & 1)
-                            continue
-                        # newly significant (|v| == 1)
+                        # ZRL flush runs for ANY nonzero coefficient — IJG
+                        # encode_mcu_AC_refine tests `r > 15 && k <= EOB`
+                        # BEFORE the history branch, so correction bits for
+                        # history coefficients beyond a 16-zero span land in
+                        # the clump after the ZRL, not the one before it.
                         while r > 15 and i <= eob_i:
                             flush_eob_and_br()
                             huff_ac(0xF0)
@@ -1715,6 +1715,11 @@ def make_progressive_jpeg(pixels, sampling=(1, 1), gray=False, al=1,
                             for bt in br:
                                 put(bt, 1)
                             br.clear()
+                        if v > 1:
+                            # history coefficient: buffered correction bit
+                            br.append((abs(zz[ss + i]) >> a) & 1)
+                            continue
+                        # newly significant (|v| == 1)
                         flush_eob_and_br()
                         huff_ac((r << 4) | 1)
                         put(1 if zz[ss + i] > 0 else 0, 1)
@@ -1816,6 +1821,42 @@ def test_progressive_jpeg_roundtrip_random(w, h, sampling, al, split, data):
     dw, dh, rgb = img
     assert (dw, dh) == (w, h)
     assert _max_err(rgb, pixels) <= tol, (w, h, sampling, al, split)
+
+
+# 4x17 RGB pixels (row-major, 3 bytes each) that historically desynced the
+# AC-refinement bitstream: >15 zero-history positions precede a history
+# (|v|>1) coefficient, so an encoder that defers the ZRL flush to the
+# newly-significant branch dumps the history correction bits into the wrong
+# bit clump (encoder bug fixed above; spec G.1.2.3 / IJG
+# encode_mcu_AC_refine). Fixed bytes so the case survives Hypothesis
+# database resets and any RNG drift.
+_PROG_ZRL_REGRESSION_PIXELS = bytes.fromhex(
+    "6b84c50d6370ca0282b65b0d9625bb0437d9b2d831c8998822ebdc83a4001760"
+    "f6c3a090c6b3f545dd245898937832cbf12dd51108d602c140713ce167747b43"
+    "2dfaa98f6f60485b57b9a4925b143e6c207118343b36ebe8b6886840a25e9722"
+    "2cec22940d315f6ac24cff40ae4a6ce367a8ade5be1cf579ecae09c6278e6f01"
+    "b50ebcd3742df51e44148a8f2be21e3f42a47e9da5369990f63d4b1227b06775"
+    "568ac100080995f669be52ea46a4b66ae4bfb026fc860805def1bedd0ef6e96a"
+    "fad80249b32ebd8b61edb587"
+)
+
+
+def test_progressive_jpeg_zrl_history_correction_regression():
+    """Regression: Al=1 / 4:4:4 / spectral split 2 image whose AC
+    refinement needs a ZRL flush before a history-coefficient correction
+    bit. The pre-fix test encoder desynced here and the decoder (rightly)
+    returned None."""
+    w, h = 4, 17
+    it = iter(_PROG_ZRL_REGRESSION_PIXELS)
+    pixels = [
+        [tuple(next(it) for _ in range(3)) for _ in range(w)] for _ in range(h)
+    ]
+    payload = make_progressive_jpeg(pixels, sampling=(1, 1), al=1, spectral_split=2)
+    img = multimodal._make_jpeg_parser()(payload)
+    assert img is not None
+    dw, dh, rgb = img
+    assert (dw, dh) == (w, h)
+    assert _max_err(rgb, pixels) <= 6
 
 
 def test_frame_features_null_duration_opaque_payload(spark):
