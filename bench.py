@@ -185,6 +185,33 @@ def main() -> None:
         load_at_end = os.getloadavg()
     except OSError:
         load_at_end = None
+    # Artifact contract (BENCH_r07 regression: the one-line JSON grew past the
+    # driver's tail capture and the recorded artifact had "parsed": null).
+    # The LAST stdout line is now a compact headline — total + per-query
+    # medians at the primary sf only — guaranteed to fit the tail capture.
+    # The full detail (second scale point, min/max dispersion, loadavg) goes
+    # to a sidecar file plus one preceding stdout line, so nothing is lost
+    # but nothing bulky rides on the machine-read line either.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "scales": scales,
+        # 1/5/15-min host load at run start+end: a high ambient load
+        # stamp contextualizes a slow round without a re-run.
+        "loadavg_start": load_at_start,
+        "loadavg_end": load_at_end,
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        sidecar = None
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
@@ -193,12 +220,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "scales": scales,
-                "dispersion": headline_dispersion,
-                # 1/5/15-min host load at run start+end: a high ambient load
-                # stamp contextualizes a slow round without a re-run.
-                "loadavg_start": load_at_start,
-                "loadavg_end": load_at_end,
+                "detail": sidecar,
             }
         )
     )
