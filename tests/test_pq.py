@@ -130,3 +130,46 @@ def test_ivf_pq_compose_recall(spark, trained, corpus):
         embs, assigned, centroids, codes, books, q, topk=10,
         n_probe=n_probe).collect()]
     assert a == b
+
+
+def test_driver_row_in_cell_shortlist_recall_is_exact(spark, sf_dir, corpus):
+    """Contract behind the registered ivf_pq_search driver row: at the
+    row's pinned parameters (m=16, k=32, 30x-topk shortlist) the PQ
+    shortlist retains EVERY true in-cell top-10 for the pinned query ids,
+    so the exact re-rank equals the probed-cell exact top-k the DuckDB
+    twin computes. 10x is the documented production trade (recall ~0.99);
+    the driver row over-fetches because the synthetic corpus is uniform
+    random — PQ's worst case."""
+    from wsspark.llmops import similarity
+    from wsspark.queries.llm import (
+        PQ_QUERY_IDS,
+        PQ_SHORTLIST,
+        PQ_TOPK,
+        q_ivf_pq_search,
+    )
+
+    embs, ids, mat = corpus
+    idx = {vid: i for i, vid in enumerate(ids)}
+    assigned, centroids, n_cells = similarity.ivf_build_index(embs)
+    n_probe = similarity.auto_n_probe(n_cells)
+    cell_of = {r.neighbor_id: r.centroid_id for r in assigned.collect()}
+    cents = {
+        r.centroid_id: np.asarray(r._vec, dtype=np.float64)
+        for r in centroids.collect()
+    }
+    got = {}
+    for r in q_ivf_pq_search(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(got) == set(PQ_QUERY_IDS)
+    assert PQ_SHORTLIST >= 30 * PQ_TOPK
+    for qid in PQ_QUERY_IDS:
+        q = mat[idx[qid]]
+        qn = np.linalg.norm(q)
+        cos = {
+            c: float(v @ q) / (np.linalg.norm(v) * qn) for c, v in cents.items()
+        }
+        probed = set(sorted(cos, key=lambda c: (-cos[c], c))[:n_probe])
+        cand = [vid for vid in ids if cell_of[vid] in probed]
+        d = {vid: float(((mat[idx[vid]] - q) ** 2).sum()) for vid in cand}
+        truth = sorted(cand, key=lambda vid: (round(d[vid], 6), vid))[:PQ_TOPK]
+        assert got[qid] == truth, qid

@@ -1386,6 +1386,48 @@ FROM agg ORDER BY decile
 """
 
 # ---------------------------------------------------------------------------
+# RFM customer segmentation: the triple-ntile quantile cut over the order
+# fact. One combinable groupBy(customer) then three window passes over the
+# customer-dimension-sized frame; pinned custkey tiebreaks + cents-exact
+# monetary make the tile cuts byte-identical across engines.
+# ---------------------------------------------------------------------------
+
+RFM_AS_OF = "2001-09-01"  # > max(o_orderdate) in the testdata; deterministic
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (wsspark.ops.financial.rfm_segments): Recency /
+    Frequency / Monetary each ntile(5)'d with customer-id tiebreaks, plus
+    the concatenated segment label."""
+    return fin.rfm_segments(read_table(spark, sf_dir, "orders"), as_of=RFM_AS_OF)
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey AS custkey,
+           CAST(DATE '{RFM_AS_OF}' - CAST(o_orderdate_max AS DATE) AS BIGINT)
+               AS recency_days,
+           frequency, monetary_cents
+    FROM (
+        SELECT o_custkey, MAX(o_orderdate) AS o_orderdate_max,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    )
+)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS r,
+       NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS f,
+       NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS m,
+       CAST(NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS VARCHAR)
+       || CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS VARCHAR)
+       || CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS VARCHAR)
+           AS segment
+FROM per_cust
+"""
+
+# ---------------------------------------------------------------------------
 # Skew paths (wsspark.skew) as driver-falsifiable rows: the reference bakes
 # in 80/20 hot-product skew (gen/generate_data.py:114-117), so the salted
 # two-phase agg and the replicated skew join are first-class operators, not
@@ -1534,6 +1576,8 @@ QUERIES = [
           "rolling 7-day mean + cumulative total over gap-filled daily trend"),
     Query("revenue_deciles", q_revenue_deciles, REVENUE_DECILES_SQL,
           "ntile(10) revenue decile table with cents-exact shares"),
+    Query("rfm_segments", q_rfm_segments, RFM_SQL,
+          "RFM triple-ntile customer segmentation, pinned tiebreaks"),
     Query("salted_product_totals", q_salted_product_totals, SALTED_TOTALS_SQL,
           "hot-key-safe two-phase salted aggregation (skew.salted_agg)"),
     Query("skew_join_brand_revenue", q_skew_join_brand_revenue, SKEW_JOIN_SQL,

@@ -650,6 +650,99 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+# Pinned query ids for the IVF+PQ compose row: literals (not a % split) so
+# the DuckDB twin selects the identical set without replicating the PQ
+# training sample; all < 500, so they exist at every testdata scale.
+PQ_QUERY_IDS = (3, 42, 137, 256)
+PQ_TOPK = 10
+# 30x over-fetch, not the production 10x: the synthetic embeddings are
+# uniform random — PQ's worst case, no cluster structure to absorb
+# quantization error — and at 10x the shortlist measurably drops ~1 true
+# in-cell neighbor per 40 at sf0.001/sf0.1. 30x is measured recall-1.0 at
+# every testdata scale while still pruning (sf0.1: ~1500 candidates -> 300).
+PQ_SHORTLIST = 30 * PQ_TOPK
+
+
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN ladder as one driver-hash-checked row set:
+    IVF cells prune the corpus to the probed cells, PQ ADC (m=16, k=32
+    codebooks trained on the deterministic md5 sample) scores those
+    candidates from 1-byte codes into a 10x-topk shortlist, and the exact
+    L2 re-rank touches only the shortlist survivors
+    (llmops/pq.ivf_pq_search).
+
+    Oracle contract: the DuckDB twin replicates the DETERMINISTIC half of
+    the ladder — hash-spread IVF cells, auto_n_probe probed cells, exact
+    L2^2 top-k over every probed-cell candidate — but NOT the PQ
+    shortlist. The hashes therefore match iff ADC never drops a true
+    in-cell top-k vector from its 10x shortlist, which makes the driver
+    row a standing falsifiable check on the whole PQ path (a codebook,
+    encode, or distance-table bug that costs even one true neighbor goes
+    red); the in-cell shortlist recall this relies on is measured ~1.0
+    and pinned in tests/test_pq.py."""
+    import numpy as np
+
+    from wsspark.llmops import pq
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned, centroids, n_cells = similarity.ivf_build_index(emb)
+    # One eager materialization each: 4 query branches reuse the index and
+    # codes instead of re-running the N x cells assign / encode per branch.
+    assigned = assigned.localCheckpoint()
+    centroids = centroids.localCheckpoint()
+    books = pq.train_codebooks(emb, m=16, k=32, sample=500)
+    codes = pq.encode(emb, books).localCheckpoint()
+    n_probe = similarity.auto_n_probe(n_cells)
+    qvecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(*PQ_QUERY_IDS)).collect()
+    }
+    out = None
+    for qid in PQ_QUERY_IDS:
+        res = pq.ivf_pq_search(
+            emb, assigned, centroids, codes, books, qvecs[qid],
+            topk=PQ_TOPK, n_probe=n_probe, shortlist=PQ_SHORTLIST,
+        ).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "dist",
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
+IVF_PQ_SQL = f"""
+WITH {_EMB_NORMED_SQL},
+corpus_assign AS (
+    SELECT vec_id, centroid_id, v
+    FROM en CROSS JOIN cents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY {_CELL_COS_SQL} DESC, centroid_id) <= 1
+),
+probed AS (
+    SELECT vec_id AS query_id, centroid_id, v AS qv
+    FROM en CROSS JOIN cents
+    WHERE vec_id IN {PQ_QUERY_IDS}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY {_CELL_COS_SQL} DESC, centroid_id)
+        <= (SELECT GREATEST(4, CAST(CEIL(3.0 * n_cells / 4) AS BIGINT))
+            FROM params)
+),
+cand AS (
+    SELECT p.query_id, ca.vec_id AS neighbor_id,
+           ROUND(list_aggregate(list_transform(list_zip(p.qv, ca.v),
+               x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum'), 6) AS dist
+    FROM probed p JOIN corpus_assign ca USING (centroid_id)
+)
+SELECT query_id, neighbor_id, dist
+FROM cand
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dist, neighbor_id) <= {PQ_TOPK}
+"""
+
+
 def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of both approximate ANN paths (IVF at its auto_n_probe
     default, int8 quantized shortlist) against brute-force ground truth — the
@@ -1833,8 +1926,6 @@ QUERIES = [
           "text quality scoring: tokens/chars/stopword ratio"),
     Query("minhash_dedup_pairs", q_minhash_dedup_pairs, MINHASH_PAIRS_SQL,
           "MinHash+LSH near-dup (scale path, exact-verified candidates)"),
-    Query("simhash_fingerprints", q_simhash_fingerprints, SIMHASH_SQL,
-          "SimHash fingerprints + hamming band keys (portable hash)"),
     Query("lang_id", q_lang_id, LANG_ID_SQL,
           "stopword-profile language identification"),
     Query("doc_fingerprint_candidates", q_doc_fingerprint_candidates,
@@ -1844,6 +1935,8 @@ QUERIES = [
           "brute-force cosine top-k over embeddings"),
     Query("embedding_dup_pairs", q_embedding_dup_pairs, EMB_DUP_SQL,
           "embedding-cosine near-dup pairs, cell-blocked"),
+    Query("ivf_pq_search", q_ivf_pq_search, IVF_PQ_SQL,
+          "full ANN ladder: IVF cells -> PQ ADC shortlist -> exact re-rank"),
     Query("json_extract_agg", q_json_extract_agg, JSON_EXTRACT_SQL,
           "JSON props extraction + bucketed rollup (F7 analog)"),
     Query("sessionize", q_sessionize, SESSIONIZE_SQL,
@@ -2064,5 +2157,14 @@ FOLDED_QUERIES = [
     # keeps its hash check here.
     Query("near_dup_jaccard", q_near_dup_jaccard, NEAR_DUP_SQL,
           "exact word-set Jaccard near-dup pairs (lang-blocked)"),
+    # Folded r8 (ivf_pq_search took its slot; fingerprint-family
+    # consolidation): the registered doc_fingerprint_candidates
+    # re-verifies the portable 60-bit md5-prefix hash + shingle machinery
+    # every rotation (fingerprint.py shares the hash helper), and the
+    # banded-LSH bucketing shape stays registered through
+    # minhash_dedup_pairs / dup_clusters_lsh; the SimHash bit-vote
+    # fingerprint + hamming band keys keep their hash check here.
+    Query("simhash_fingerprints", q_simhash_fingerprints, SIMHASH_SQL,
+          "SimHash fingerprints + hamming band keys (portable hash)"),
     *_folded_core(),
 ]
