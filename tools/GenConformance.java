@@ -136,14 +136,13 @@ public class GenConformance {
         BufferedImage dec = ImageIO.read(new ByteArrayInputStream(payload));
         byte[] src = rawRGB(dec);
         write(name + ".src", src);
-        // tol covers IDCT + chroma-upsample implementation differences
-        // between ImageIO's decoder and the from-spec Python one: the
-        // upsampling filter is spec-unconstrained (ImageIO interpolates,
-        // the Python decoder replicates) and measured worst-case decoder
-        // vs decoder divergence on these smooth gradients is 13 — a real
-        // decode bug (bitstream desync, wrong plane) shows up as 10x
-        // this, plus the test separately bounds MEAN error at 6.
-        entry(name, "pixel", im.getWidth(), im.getHeight(), name + ".src", 16, note);
+        // tol covers residual IDCT implementation differences between
+        // ImageIO's (libjpeg-family) decoder and the from-spec Python
+        // one. With libjpeg-parity fancy chroma upsampling in the Python
+        // decoder the measured divergence on this corpus is max 2 /
+        // mean 0.03; tol 4 leaves float-vs-fixed IDCT headroom while any
+        // real decode bug (desync, wrong plane) is 50x over.
+        entry(name, "pixel", im.getWidth(), im.getHeight(), name + ".src", 4, note);
     }
 
     public static void main(String[] args) throws Exception {

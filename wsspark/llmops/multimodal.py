@@ -72,7 +72,11 @@ def _make_jpeg_parser():
     digest-fallback contract shared with BMP/PPM/PNG), and raises
     ``NotImplementedError`` only for lossless/hierarchical SOFs,
     arithmetic coding, and 12/16-bit precision. Chroma upsampling is
-    sample replication (nearest); the IDCT is the textbook separable
+    libjpeg-parity triangle interpolation ("fancy" upsampling) for the
+    2x ratios (h2v1/h2v2) and sample replication otherwise — the same
+    policy as libjpeg's jdsample.c, so decodes track the
+    libjpeg-family decoders real payloads are judged against
+    (tests/fixtures/conformance); the IDCT is the textbook separable
     float DCT-III — all verified in tests/test_multimodal.py against
     independent numpy encoders for both sequential and progressive."""
     import math as _math
@@ -612,19 +616,80 @@ def _make_jpeg_parser():
                     o += 3
             return w, h, bytes(out)
         (cy, hy, vy, _), (cb, hb, vb, _), (cr, hr, vr, _) = comps
-        pwy = plane_dims[cy][0]
-        pwb = plane_dims[cb][0]
-        pwr = plane_dims[cr][0]
-        py_, pb_, pr_ = planes[cy], planes[cb], planes[cr]
+
+        def _fancy_rows(plane, pw, cw, chh, fx, fy):
+            """libjpeg jdsample.c triangle upsampling (h2v1_fancy /
+            h2v2_fancy): 3/4-1/4 weighting toward the nearer sample with
+            libjpeg's exact rounding biases, edge samples clamped. Returns
+            a list of full-resolution rows (fy*chh rows of 2*cw bytes)."""
+            out = []
+            if fy == 2:
+                for j in range(2 * chh):
+                    jn = j >> 1
+                    jf = jn + (1 if (j & 1) else -1)
+                    jf = 0 if jf < 0 else (chh - 1 if jf >= chh else jf)
+                    r0, r1 = jn * pw, jf * pw
+                    t = [plane[r0 + i] * 3 + plane[r1 + i] for i in range(cw)]
+                    row = bytearray(2 * cw)
+                    if cw == 1:
+                        row[0] = (t[0] * 4 + 8) >> 4
+                        row[1] = (t[0] * 4 + 7) >> 4
+                    else:
+                        row[0] = (t[0] * 4 + 8) >> 4
+                        row[1] = (t[0] * 3 + t[1] + 7) >> 4
+                        for i in range(1, cw - 1):
+                            row[2 * i] = (t[i] * 3 + t[i - 1] + 8) >> 4
+                            row[2 * i + 1] = (t[i] * 3 + t[i + 1] + 7) >> 4
+                        row[2 * cw - 2] = (t[cw - 1] * 3 + t[cw - 2] + 8) >> 4
+                        row[2 * cw - 1] = (t[cw - 1] * 4 + 7) >> 4
+                    out.append(row)
+                return out
+            for j in range(chh):
+                s = plane[j * pw : j * pw + cw]
+                row = bytearray(2 * cw)
+                if cw == 1:
+                    row[0] = row[1] = s[0]
+                else:
+                    row[0] = s[0]
+                    row[1] = (s[0] * 3 + s[1] + 2) >> 2
+                    for i in range(1, cw - 1):
+                        row[2 * i] = (s[i] * 3 + s[i - 1] + 1) >> 2
+                        row[2 * i + 1] = (s[i] * 3 + s[i + 1] + 2) >> 2
+                    row[2 * cw - 2] = (s[cw - 1] * 3 + s[cw - 2] + 1) >> 2
+                    row[2 * cw - 1] = s[cw - 1]
+                out.append(row)
+            return out
+
+        def _sampler(cid, hc, vc):
+            """Full-resolution sample accessor for one component: direct
+            for full-size planes, libjpeg-parity fancy upsampling for the
+            2x ratios, spec-legal replication for everything else (the
+            same split libjpeg makes — only h2v1/h2v2 get the triangle
+            filter)."""
+            pw = plane_dims[cid][0]
+            plane = planes[cid]
+            if hc == hmax and vc == vmax:
+                return lambda y, x: plane[y * pw + x]
+            if hmax % hc == 0 and vmax % vc == 0:
+                fx, fy = hmax // hc, vmax // vc
+                if fx == 2 and fy in (1, 2):
+                    cw = -(-(w * hc) // hmax)
+                    chh = -(-(h * vc) // vmax)
+                    rows = _fancy_rows(plane, pw, cw, chh, fx, fy)
+                    return lambda y, x: rows[y][x]
+            return lambda y, x: plane[(y * vc // vmax) * pw + (x * hc // hmax)]
+
+        sy_, sb_, sr_ = (
+            _sampler(cy, hy, vy),
+            _sampler(cb, hb, vb),
+            _sampler(cr, hr, vr),
+        )
         for y in range(h):
-            ry = (y * vy // vmax) * pwy
-            rb = (y * vb // vmax) * pwb
-            rr = (y * vr // vmax) * pwr
             o = y * w * 3
             for x in range(w):
-                yv = py_[ry + (x * hy // hmax)]
-                cbv = pb_[rb + (x * hb // hmax)] - 128
-                crv = pr_[rr + (x * hr // hmax)] - 128
+                yv = sy_(y, x)
+                cbv = sb_(y, x) - 128
+                crv = sr_(y, x) - 128
                 r = int(round(yv + 1.402 * crv))
                 g = int(round(yv - 0.344136 * cbv - 0.714136 * crv))
                 bl = int(round(yv + 1.772 * cbv))
