@@ -64,7 +64,21 @@ HEADLINE = {
     # the Q21 EXISTS/NOT-EXISTS shape as a single-window rewrite — the
     # heaviest fact-fact correlation pattern in the registry.
     "q23_late_sole_supplier": "late_sole_supplier",
+    # round-9: the two newest driver queries join the perf-tracked set.
+    # rfm_segments exercises the triple-ntile segmentation windows;
+    # ivf_pq_search is the most plan-fragile operator in the repo (broadcast
+    # codebooks -> IVF cell pruning -> PQ ADC shortlist -> exact re-rank) —
+    # a plan regression there would pass CORRECTNESS but blow up wall time.
+    "q24_rfm_segments": "rfm_segments",
+    "q25_ivf_pq_search": "ivf_pq_search",
 }
+
+# q0b: the reference's flagship operational mode (--load_type incremental,
+# etl/config/config.yaml:11-15). A fixed watermark leaves a ~2.5% tail delta
+# at every testdata SF (lineitem spans 1995-01..2001-11 at all scales), so
+# the high-watermark pushdown path (wsspark/quality.py:58) gets a tracked
+# perf number alongside the full load.
+INCREMENTAL_SINCE = "2001-09-01 00:00:00"
 
 
 def materialize(df) -> int:
@@ -141,6 +155,16 @@ def main() -> None:
             "q0_full_etl_12_reports",
             lambda: run_pipeline(
                 spark, suite_dir, tempfile.mkdtemp(prefix="wsspark_bench_")
+            ),
+        )
+        record(
+            "q0b_incremental_etl",
+            lambda: run_pipeline(
+                spark,
+                suite_dir,
+                tempfile.mkdtemp(prefix="wsspark_bench_inc_"),
+                load_type="incremental",
+                incremental_since=INCREMENTAL_SINCE,
             ),
         )
         for label, name in HEADLINE.items():
