@@ -163,3 +163,80 @@ def test_rfm_segments_match_duckdb_oracle(spark, sf_dir):
     assert got == want and len(got) > 0
     # every tile value in range, best segment present on this corpus
     assert all(1 <= r[4] <= 5 and 1 <= r[5] <= 5 and 1 <= r[6] <= 5 for r in got)
+
+
+def test_rfm_percentile_method_matches_ntile_modulo_boundary_ties(spark, sf_dir):
+    """The scalable two-pass percentile cut (method='percentile') must agree
+    with the driver-verified ntile cut everywhere except tied runs that
+    straddle an ntile boundary — the one documented semantic difference
+    (value-based cuts keep equal metrics together; ntile splits them by
+    custkey) — and even there by at most one tile. On a metric with
+    distinct values at every boundary (monetary_cents here) the two methods
+    must be row-exact, which pins the percentile index convention
+    (ascending '>', descending '<=') against ntile's split points."""
+    from wsspark.io import read_table
+    from wsspark.ops.financial import rfm_segments
+
+    as_of = "2001-09-01"
+    orders = read_table(spark, sf_dir, "orders")
+    nt = {
+        r["custkey"]: r
+        for r in rfm_segments(orders, as_of=as_of).collect()
+    }
+    pc = {
+        r["custkey"]: r
+        for r in rfm_segments(orders, as_of=as_of, method="percentile").collect()
+    }
+    assert set(nt) == set(pc) and len(nt) > 0
+    for tile_col, metric in (
+        ("r", "recency_days"),
+        ("f", "frequency"),
+        ("m", "monetary_cents"),
+    ):
+        # metric values whose tied run straddles an ntile boundary: the
+        # same value maps to >1 tile in the ntile output
+        tiles_by_value: dict[int, set[int]] = {}
+        for row in nt.values():
+            tiles_by_value.setdefault(row[metric], set()).add(row[tile_col])
+        straddling = {v for v, tiles in tiles_by_value.items() if len(tiles) > 1}
+        for k, row in nt.items():
+            if row[metric] in straddling:
+                assert abs(row[tile_col] - pc[k][tile_col]) <= 1, (tile_col, k)
+            else:
+                assert row[tile_col] == pc[k][tile_col], (tile_col, k)
+
+
+def test_rfm_percentile_plan_has_no_window_or_global_sort(spark, sf_dir):
+    """The percentile path is the billions-of-customers shape: no Window
+    operator, no global Sort, and the only single-partition exchange is the
+    sketch-merge of the 1-row boundary aggregate (carries one GK sketch per
+    partition, never customer rows). The boundary frame must come back via a
+    broadcast join."""
+    from wsspark.io import read_table
+    from wsspark.ops.financial import rfm_segments
+
+    df = rfm_segments(
+        read_table(spark, sf_dir, "orders"),
+        as_of="2001-09-01",
+        method="percentile",
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan.split("== Physical Plan ==")[-1].split(
+        "===== Subqueries"
+    )[0] or "SortAggregate" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # and the default ntile path keeps its exact semantics (Window present)
+    nt_plan = rfm_segments(
+        read_table(spark, sf_dir, "orders"), as_of="2001-09-01"
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Window" in nt_plan

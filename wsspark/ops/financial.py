@@ -13,6 +13,10 @@ Scale notes:
   frame. A global ORDER BY window is a single-partition operation; at true
   100 TB catalog sizes (billions of products) swap in a two-pass percentile
   partitioning — for any realistic product dimension this is the right plan.
+  The two-pass pattern exists in code as ``_rfm_percentile_cut`` (broadcast
+  GK-sketch boundaries + expression-only assignment, no Window): an ABC cut
+  at billions of products would use the same shape with revenue-share
+  boundaries from a weighted quantile sketch.
 """
 
 from __future__ import annotations
@@ -143,22 +147,37 @@ def rfm_segments(
     cust_col: str = "o_custkey",
     date_col: str = "o_orderdate",
     amount_col: str = "o_totalprice",
+    method: str = "ntile",
 ) -> DataFrame:
     """RFM customer segmentation — the classic marketing-analytics triple
     quantile cut: per customer, Recency (days from last order to
     ``as_of``), Frequency (order count), Monetary (cents-exact spend),
-    each ntile'd into ``n_tiles`` buckets (R: most recent = tile 1;
+    each cut into ``n_tiles`` buckets (R: most recent = tile 1;
     F/M: largest = tile 1, the conventional orientation), plus the
     concatenated segment label ("111" = best customers).
 
-    Determinism discipline: every ntile ORDER BY carries the customer id
-    as the final tiebreak, so equal metrics always split identically —
-    the same pinned-tie-break rule as the ABC Pareto cut — and monetary
-    sums are exact integer cents. Scale shape: one map-side-combinable
-    groupBy(customer) over the order fact, then three window passes over
-    the per-customer frame (customer-dimension-sized, not fact-sized);
-    at billions of customers swap ntile for a two-pass percentile split,
-    same note as the Pareto window."""
+    Two cut strategies, same output schema:
+
+    - ``method='ntile'`` (default, the driver-verified row set): exact
+      equal-count tiles via three global ``ntile`` windows. Every ORDER BY
+      carries the customer id as the final tiebreak, so equal metrics
+      always split identically — the same pinned-tie-break rule as the
+      ABC Pareto cut — and monetary sums are exact integer cents. The
+      global windows imply a single-partition sort of the per-customer
+      frame: fine while that frame is a dimension, the wrong shape at
+      billions of customers.
+    - ``method='percentile'`` (the 100 TB shape): a two-pass split — one
+      map-side-combinable ``percentile_approx`` aggregation yields the
+      ``n_tiles - 1`` boundary values per metric (a mergeable GK sketch;
+      the shuffle carries one sketch per partition, never rows), the
+      1-row boundary frame is broadcast back, and tile assignment is a
+      pure array expression. No Window, no single-partition sort.
+      Semantics differ from ntile only on ties: customers sharing a
+      metric value always land in the same tile (value-based cut),
+      whereas ntile splits tied runs across a tile boundary by custkey.
+      Equivalence away from boundary-tied values is pinned in
+      tests/test_quality.py.
+    """
     from wsspark.queries.exactsum import cents
 
     per_cust = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
@@ -168,19 +187,72 @@ def rfm_segments(
         F.count("*").cast("long").alias("frequency"),
         F.sum(cents(F.col(amount_col))).cast("long").alias("monetary_cents"),
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
-    w_m = Window.orderBy(
-        F.col("monetary_cents").desc(), F.col("custkey").asc()
+    if method == "percentile":
+        segmented = _rfm_percentile_cut(per_cust, n_tiles)
+    elif method == "ntile":
+        w_r = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+        w_f = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+        w_m = Window.orderBy(
+            F.col("monetary_cents").desc(), F.col("custkey").asc()
+        )
+        segmented = per_cust.select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            F.ntile(n_tiles).over(w_r).alias("r"),
+            F.ntile(n_tiles).over(w_f).alias("f"),
+            F.ntile(n_tiles).over(w_m).alias("m"),
+        )
+    else:
+        raise ValueError(f"method must be ntile|percentile, got {method!r}")
+    return segmented.withColumn(
+        "segment", F.concat_ws("", F.col("r"), F.col("f"), F.col("m"))
     )
-    return per_cust.select(
+
+
+def _rfm_percentile_cut(per_cust: DataFrame, n_tiles: int) -> DataFrame:
+    """Broadcast-boundary tile assignment for rfm_segments(method='percentile').
+
+    Boundaries sit at quantiles t/n (ascending recency) and (n-t)/n
+    (descending frequency/monetary), t = 1..n-1; a value's tile is one plus
+    the number of boundaries it falls past, evaluated as a native
+    size(filter(...)) over the broadcast boundary arrays — whole-stage
+    codegen, no UDF, no Window."""
+    qs_asc = [t / n_tiles for t in range(1, n_tiles)]
+    qs_desc = [(n_tiles - t) / n_tiles for t in range(1, n_tiles)]
+    # accuracy=1e6: boundary error <= N/1e6 ranks — exact on dimension-sized
+    # frames, a few-rank wobble at billions of customers, with sketch memory
+    # still O(accuracy) per partition (GK bound), not O(rows).
+    acc = F.lit(1_000_000)
+    bounds = per_cust.agg(
+        F.percentile_approx("recency_days", qs_asc, acc).alias("rb"),
+        F.percentile_approx("frequency", qs_desc, acc).alias("fb"),
+        F.percentile_approx("monetary_cents", qs_desc, acc).alias("mb"),
+    )
+
+    def tile_asc(col: str, barr: str):
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(barr), lambda b: F.col(col) > b))
+        ).cast("int")
+
+    def tile_desc(col: str, barr: str):
+        # <= (not <): percentile_approx returns the element at ceil(p*N)
+        # ranks, which for a descending cut is the FIRST row of the next
+        # tile — inclusive comparison reproduces ntile's split on distinct
+        # values (verified row-exact in tests/test_quality.py).
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(barr), lambda b: F.col(col) <= b))
+        ).cast("int")
+
+    return per_cust.crossJoin(F.broadcast(bounds)).select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(n_tiles).over(w_r).alias("r"),
-        F.ntile(n_tiles).over(w_f).alias("f"),
-        F.ntile(n_tiles).over(w_m).alias("m"),
-    ).withColumn(
-        "segment", F.concat_ws("", F.col("r"), F.col("f"), F.col("m"))
+        tile_asc("recency_days", "rb").alias("r"),
+        tile_desc("frequency", "fb").alias("f"),
+        tile_desc("monetary_cents", "mb").alias("m"),
     )
