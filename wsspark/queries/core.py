@@ -1225,6 +1225,47 @@ def _dq_expectations_sql() -> str:
 
 DQ_EXPECTATIONS_SQL = _dq_expectations_sql()
 
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass deequ-style column profiler (quality.profile_table) over the
+    orders table: per column (n_nonnull, n_null, n_distinct, min, max) from
+    ONE aggregate over ONE scan, unpivoted via stack. exact_distinct=True so
+    the oracle comparison is bit-for-bit (the HLL++ default is the 100 TB
+    path; its error band is certified separately by
+    approx_distinct_accuracy)."""
+    from wsspark.quality import profile_table
+
+    return profile_table(
+        read_table(spark, sf_dir, "orders"),
+        columns=_PROFILE_COLS,
+        exact_distinct=True,
+    )
+
+
+def _profile_table_sql() -> str:
+    aggs = ", ".join(
+        f"CAST(COUNT({c}) AS BIGINT) AS _nn{i}, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS _nu{i}, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS _nd{i}, "
+        f"CAST(MIN({c}) AS VARCHAR) AS _mn{i}, "
+        f"CAST(MAX({c}) AS VARCHAR) AS _mx{i}"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", _nn{i} AS n_nonnull, _nu{i} AS n_null, "
+        f"_nd{i} AS n_distinct, _mn{i} AS min_value, _mx{i} AS max_value FROM a"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    return f"WITH a AS (SELECT {aggs} FROM orders)\n{rows}"
+
+
+PROFILE_TABLE_SQL = _profile_table_sql()
+
 MV_CUTOFF = "2001-06-01 00:00:00"
 
 

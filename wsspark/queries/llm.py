@@ -2117,6 +2117,16 @@ def _folded_core():
         # point-in-time cut keeps its hash check here.
         Query("stock_as_of", core.q_stock_as_of, core.STOCK_AS_OF_SQL,
               "point-in-time snapshot via event-sourcing invariant"),
+        # Added r9 (registry at the 100-slot ceiling, so the profiler's
+        # driver-grade evidence lives here): the one-pass column profiler
+        # was previously the only first-class operator whose sole oracle
+        # was a hand-built fixture pytest; this folds it into the
+        # driver-identical hash harness over real testdata. The registered
+        # dq_expectations re-verifies the shared one-scan stack-unpivot
+        # machinery (quality.py) every rotation.
+        Query("profile_table", core.q_profile_table, core.PROFILE_TABLE_SQL,
+              "one-pass deequ-style column profiler (counts, exact "
+              "distincts, min/max per column)"),
     ]
 
 
