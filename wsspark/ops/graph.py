@@ -26,8 +26,9 @@ Design for scale (the llmops dup_clusters pointer-jumping rules apply):
   query; the fixed job/stage overhead dominates wall time on
   dimension-sized graphs. On a billion-edge graph the trade reverses
   toward more frequent checkpoints (lineage replay cost dominates), so
-  the cadence is a parameter (on a cluster, ``checkpoint``/
-  persist-to-storage replaces localCheckpoint for fault tolerance).
+  the cadence is a parameter, and ``checkpoint_dir=`` switches every
+  materialization point to the storage-backed ``checkpoint()`` for
+  cluster fault tolerance (tests/test_graph.py pins result equality).
 - Dangling mass is folded in via a 1-row aggregate cross-joined onto the
   update — NO driver-side collect inside the loop. The dangling-node
   flag is STATIC, so it is computed once and carried as a column of the
@@ -52,27 +53,44 @@ def pagerank(
     dst: str = "dst",
     weight: str = "w",
     checkpoint_interval: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` (src, dst, weight); returns
-    (node, rank) with Σ rank = 1 at every step."""
-    nodes = (
+    (node, rank) with Σ rank = 1 at every step.
+
+    ``checkpoint_dir``: when set, every materialization point uses a
+    RELIABLE storage-backed ``checkpoint()`` rooted there instead of
+    ``localCheckpoint()`` — the billion-edge cluster mode, where executor
+    loss must not force a full lineage replay (localCheckpoint blocks are
+    gone with the executor; reliable checkpoints live in shared storage).
+    Sets the context's checkpoint dir as a side effect (a
+    SparkContext-global setting)."""
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    nodes = _ckpt(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty edge frame (no nodes)")
     out_w = edges.groupBy(src).agg(F.sum(weight).alias("_ow"))
-    trans = (
+    trans = _ckpt(
         edges.join(out_w, src)
         .select(
             F.col(src).alias("_src"),
             F.col(dst).alias("_dst"),
             (F.col(weight).cast("double") / F.col("_ow")).alias("_p"),
         )
-        .localCheckpoint()
     )
     has_out = trans.select(
         F.col("_src").alias("node"), F.lit(True).alias("_has_out")
@@ -80,13 +98,12 @@ def pagerank(
     # the dangling FLAG is static — resolve it once and carry it as a
     # column of the rank state, so each iteration's dangling mass is a
     # plain filtered aggregate (no join)
-    nodes_f = (
+    nodes_f = _ckpt(
         nodes.join(has_out, "node", "left")
         .select(
             "node",
             (~F.coalesce(F.col("_has_out"), F.lit(False))).alias("_dang"),
         )
-        .localCheckpoint()
     )
     ranks = nodes_f.select("node", "_dang", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
@@ -114,5 +131,5 @@ def pagerank(
         )
         # bound plan depth without a materialization job per iteration
         if (it + 1) % checkpoint_interval == 0 and it != n_iter - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = _ckpt(ranks)
     return ranks.select("node", "rank")
