@@ -617,9 +617,10 @@ def _make_jpeg_parser():
             return w, h, bytes(out)
         (cy, hy, vy, _), (cb, hb, vb, _), (cr, hr, vr, _) = comps
 
-        def _fancy_rows(plane, pw, cw, chh, fx, fy):
+        def _fancy_rows(plane, pw, cw, chh, fy):
             """libjpeg jdsample.c triangle upsampling (h2v1_fancy /
-            h2v2_fancy): 3/4-1/4 weighting toward the nearer sample with
+            h2v2_fancy, horizontal ratio 2 only — the caller gates on
+            fx == 2): 3/4-1/4 weighting toward the nearer sample with
             libjpeg's exact rounding biases, edge samples clamped. Returns
             a list of full-resolution rows (fy*chh rows of 2*cw bytes)."""
             out = []
@@ -675,7 +676,7 @@ def _make_jpeg_parser():
                 if fx == 2 and fy in (1, 2):
                     cw = -(-(w * hc) // hmax)
                     chh = -(-(h * vc) // vmax)
-                    rows = _fancy_rows(plane, pw, cw, chh, fx, fy)
+                    rows = _fancy_rows(plane, pw, cw, chh, fy)
                     return lambda y, x: rows[y][x]
             return lambda y, x: plane[(y * vc // vmax) * pw + (x * hc // hmax)]
 
