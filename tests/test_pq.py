@@ -173,3 +173,36 @@ def test_driver_row_in_cell_shortlist_recall_is_exact(spark, sf_dir, corpus):
         d = {vid: float(((mat[idx[vid]] - q) ** 2).sum()) for vid in cand}
         truth = sorted(cand, key=lambda vid: (round(d[vid], 6), vid))[:PQ_TOPK]
         assert got[qid] == truth, qid
+
+
+def test_multi_query_search_matches_single_query_loop(spark, trained, corpus):
+    """ivf_pq_search_multi must return, per query, EXACTLY the rows of the
+    single-query compose — same rounding, same (dist, id) tiebreaks — so
+    the batched serving shape can replace the per-query loop anywhere
+    (including the driver row) without changing a single hash."""
+    from wsspark.llmops import similarity
+
+    books, codes = trained
+    embs, ids, mat = corpus
+    assigned, centroids, n_cells = similarity.ivf_build_index(embs)
+    n_probe = similarity.auto_n_probe(n_cells)
+    qids = [ids[0], ids[7], ids[23]]
+    queries = {qid: mat[ids.index(qid)] for qid in qids}
+
+    multi = pq.ivf_pq_search_multi(
+        embs, assigned, centroids, codes, books, queries,
+        topk=10, n_probe=n_probe,
+    ).collect()
+    got = {
+        qid: sorted(
+            (r.neighbor_id, r.dist) for r in multi if r.query_id == qid
+        )
+        for qid in qids
+    }
+    for qid in qids:
+        single = pq.ivf_pq_search(
+            embs, assigned, centroids, codes, books, queries[qid],
+            topk=10, n_probe=n_probe,
+        ).collect()
+        want = sorted((r.vec_id, r.dist) for r in single)
+        assert got[qid] == want, qid

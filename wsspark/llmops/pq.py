@@ -277,3 +277,139 @@ def ivf_pq_search(
         vec_col=vec_col,
         id_col=id_col,
     )
+
+
+def ivf_pq_search_multi(
+    embs: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: dict[int, np.ndarray],
+    topk: int = 10,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched form of ``ivf_pq_search``: all query vectors ride ONE pass
+    through each ladder rung instead of a per-query job chain — the shape
+    an online ANN service actually runs (requests are micro-batched, the
+    index is shared). Per query the selected rows are IDENTICAL to the
+    single-query compose (same rounding, same (dist, id) tiebreaks; pinned
+    in tests/test_pq.py): the per-query ``orderBy().limit()`` becomes a
+    ``row_number`` window partitioned by query_id — many small sorted
+    partitions, no global sort, no per-query job fan-out.
+
+    Scale shape: the query set is request-sized (broadcast everywhere it
+    appears); candidate generation is one broadcast join of the probed
+    (query, cell) list onto the assignment frame; ADC scores every
+    (query, candidate) pair in one Arrow pass with a (Q, k, m) table
+    tensor; the exact re-rank touches only Q*shortlist rows."""
+    from pyspark.sql import Window
+
+    from wsspark.llmops.similarity import dot, with_norm
+
+    if shortlist is None:
+        shortlist = 10 * topk
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+    qids = sorted(queries)
+    qmat = np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids])
+    # (Q, k, m) ADC tables: tables[qi, c, j] = ||q_j - centroid_cj||^2
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((books[j] - qv[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+            for qv in qmat
+        ]
+    )
+    qpos = {q: i for i, q in enumerate(qids)}
+
+    spark = embs.sparkSession
+    q_df = spark.createDataFrame(
+        [(int(q), [float(v) for v in queries[q]]) for q in qids],
+        f"query_id long, {vec_col} array<double>",
+    )
+    qn = with_norm(q_df, vec_col).select(
+        "query_id",
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), "centroid_id"
+    )
+    probed = (
+        centroids.crossJoin(F.broadcast(qn))
+        .select(
+            "query_id",
+            "centroid_id",
+            (
+                dot(F.col("_vec"), F.col("_qvec"))
+                / (F.col("_norm") * F.col("_qnorm"))
+            ).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w_cell))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    aid = "neighbor_id" if "neighbor_id" in assigned.columns else id_col
+    cand = assigned.join(F.broadcast(probed), "centroid_id").select(
+        "query_id", F.col(aid).alias(id_col)
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField(id_col, LongType(), False),
+            StructField("adc_dist", DoubleType(), False),
+        ]
+    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cd = np.stack([np.asarray(c) for c in pdf["codes"]])
+            qi = pdf["query_id"].map(qpos).to_numpy()
+            dist = tables[qi[:, None], cd, np.arange(m)[None, :]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    id_col: pdf[id_col],
+                    "adc_dist": np.round(dist, 6),
+                }
+            )
+
+    scored = (
+        codes.join(cand, id_col)
+        .select("query_id", id_col, "codes")
+        .mapInPandas(_score, schema)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", id_col)
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", id_col)
+    )
+
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_qvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_final = Window.partitionBy("query_id").orderBy("dist", id_col)
+    return (
+        embs.join(F.broadcast(short), id_col)
+        .join(F.broadcast(qn.select("query_id", "_qvec")), "query_id")
+        .select("query_id", id_col, F.round(d2, 6).alias("dist"))
+        .withColumn("_rn", F.row_number().over(w_final))
+        .filter(F.col("_rn") <= topk)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "dist")
+    )

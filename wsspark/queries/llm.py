@@ -699,18 +699,14 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.vec_id: np.asarray(r.embedding, dtype=np.float64)
         for r in emb.filter(F.col("vec_id").isin(*PQ_QUERY_IDS)).collect()
     }
-    out = None
-    for qid in PQ_QUERY_IDS:
-        res = pq.ivf_pq_search(
-            emb, assigned, centroids, codes, books, qvecs[qid],
-            topk=PQ_TOPK, n_probe=n_probe, shortlist=PQ_SHORTLIST,
-        ).select(
-            F.lit(qid).cast("long").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            "dist",
-        )
-        out = res if out is None else out.unionByName(res)
-    return out
+    # All 4 queries ride ONE pass through each ladder rung (probe, ADC,
+    # re-rank) — per-query results identical to the single-query loop
+    # (pinned in tests/test_pq.py), with 4x fewer jobs: the online-serving
+    # micro-batch shape.
+    return pq.ivf_pq_search_multi(
+        emb, assigned, centroids, codes, books, qvecs,
+        topk=PQ_TOPK, n_probe=n_probe, shortlist=PQ_SHORTLIST,
+    )
 
 
 IVF_PQ_SQL = f"""
