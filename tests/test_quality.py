@@ -240,3 +240,52 @@ def test_rfm_percentile_plan_has_no_window_or_global_sort(spark, sf_dir):
         )
     )
     assert "Window" in nt_plan
+
+
+def test_abc_partitioned_matches_window_form(spark, sf_dir):
+    """abc_analysis_partitioned (two-level bucket prefix sum — the
+    billions-of-products shape) must agree with the global-window form
+    row for row: identical class labels, cumulative sums within 1e-9
+    relative (float summation-order is the only difference), and its
+    plan must contain no global-sort Window (every Window partitioned by
+    bucket) with single-partition exchanges only for the 1-row scalar
+    aggregates."""
+    from wsspark.io import read_table
+    from wsspark.ops.financial import (
+        abc_analysis,
+        abc_analysis_partitioned,
+        revenue_per_product,
+    )
+    from wsspark import adapters
+
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = revenue_per_product(adapters.so_details_from_lineitem(li))
+    want = {
+        r["product_id"]: r for r in abc_analysis(revenue).collect()
+    }
+    got_df = abc_analysis_partitioned(revenue, n_buckets=16)
+    got = {r["product_id"]: r for r in got_df.collect()}
+    assert set(got) == set(want) and len(got) > 100
+    for k, g in got.items():
+        w = want[k]
+        assert g["abc_class"] == w["abc_class"], k
+        assert abs(g["revenue_cumsum"] - w["revenue_cumsum"]) <= 1e-9 * max(
+            1.0, abs(w["revenue_cumsum"])
+        ), k
+        assert abs(g["revenue_percent"] - w["revenue_percent"]) <= 1e-9, k
+        assert g["revenue"] == w["revenue"] and abs(
+            g["total_revenue"] - w["total_revenue"]
+        ) <= 1e-6, k
+
+    plan = got_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    # every Window must be partitioned (by _bucket) — no global window
+    for spec in re.findall(r"Arguments: \[sum[^\]]*windowspec[^\n]*", plan):
+        assert "_bucket" in spec, spec
+    # SinglePartition exchanges only feed the 1-row scalar aggregates
+    assert plan.count("Exchange SinglePartition") <= 2, plan

@@ -72,6 +72,82 @@ def abc_analysis(
     )
 
 
+def abc_analysis_partitioned(
+    revenue: DataFrame,
+    key: str = "product_id",
+    threshold_a: float = ABC_THRESHOLD_A,
+    threshold_b: float = ABC_THRESHOLD_B,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The billions-of-products form of ``abc_analysis``: the global
+    Pareto running sum WITHOUT the single-partition window.
+
+    Two-level prefix sum: (1) bucket every row by broadcast revenue
+    quantile boundaries (one mergeable percentile_approx aggregate — the
+    same GK-sketch pass as ``_rfm_percentile_cut``); (2) per-bucket
+    running sums via a window PARTITIONED by bucket (parallel, each
+    partition ~N/n_buckets rows); (3) add each bucket's starting offset,
+    accumulated on the driver from the O(n_buckets) bucket totals (the
+    same bounded-collect contract as the PCA partials) and joined back as
+    a broadcast dimension. Buckets cut on revenue VALUE, so every
+    (revenue, key) tie run lives inside one bucket and the concatenated
+    per-bucket order IS the global (revenue desc, key) order — the result
+    is row-identical to the window form up to float summation order
+    (offsets accumulate bucket subtotals; the window accumulates rows —
+    equality within 1e-9 relative is pinned in tests/test_quality.py).
+    """
+    spark = revenue.sparkSession
+    qs = [(n_buckets - t) / n_buckets for t in range(1, n_buckets)]
+    aggs = revenue.agg(
+        F.sum("revenue").alias("_total"),
+        F.percentile_approx("revenue", qs, F.lit(1_000_000)).alias("_bb"),
+    )
+    # bucket 0 = highest revenue; descending-cut convention as
+    # _rfm_percentile_cut (inclusive <=: the boundary element opens the
+    # next bucket)
+    df = revenue.crossJoin(F.broadcast(aggs)).withColumn(
+        "_bucket",
+        F.size(F.filter(F.col("_bb"), lambda b: F.col("revenue") <= b)),
+    )
+    bucket_totals = sorted(
+        df.groupBy("_bucket").agg(F.sum("revenue").alias("_bsum")).collect(),
+        key=lambda r: r["_bucket"],
+    )
+    offsets, acc = [], 0.0
+    for r in bucket_totals:
+        offsets.append((r["_bucket"], acc))
+        acc += r["_bsum"]
+    off_df = spark.createDataFrame(offsets, "_bucket int, _off double")
+    w_cum = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.desc("revenue"), F.asc(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(off_df), "_bucket")
+        .withColumn(
+            "revenue_cumsum", F.col("_off") + F.sum("revenue").over(w_cum)
+        )
+        .withColumn(
+            "revenue_percent", F.col("revenue_cumsum") / F.col("_total")
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("revenue_percent") <= threshold_a, "A")
+            .when(F.col("revenue_percent") <= threshold_b, "B")
+            .otherwise("C"),
+        )
+        .select(
+            key,
+            "revenue",
+            F.col("_total").alias("total_revenue"),
+            "revenue_cumsum",
+            "revenue_percent",
+            "abc_class",
+        )
+    )
+
+
 def abc_class_counts(abc: DataFrame) -> DataFrame:
     """A7: products per ABC class."""
     return abc.groupBy("abc_class").agg(F.count("*").alias("n_products"))
