@@ -165,6 +165,138 @@ public class GenConformance2 {
               0, 1, "ImageIO PNG, color type 3 (palette)");
     }
 
+    static void pngLowDepth() throws Exception {
+        // 1-bit: TYPE_BYTE_BINARY default = black/white bilevel
+        int w = 14, h = 9;
+        BufferedImage bw = new BufferedImage(w, h,
+            BufferedImage.TYPE_BYTE_BINARY);
+        byte[] src1 = new byte[w * h * 3];
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int v = ((x * 3 + y * y) % 5 < 2) ? 1 : 0;
+                bw.getRaster().setSample(x, y, 0, v);
+                int o = (y * w + x) * 3;
+                byte b = (byte) (v == 1 ? 255 : 0);
+                src1[o] = src1[o + 1] = src1[o + 2] = b;
+            }
+        ImageIO.write(bw, "png", new File(DIR, "png_1bit_14x9.png"));
+        write("png_1bit_14x9.png.src", src1);
+        entry("png_1bit_14x9.png", "pixel", w, h, "png_1bit_14x9.png.src",
+              0, 1, "ImageIO PNG, 1-bit bilevel");
+
+        // 4-bit palette: TYPE_BYTE_BINARY with a 16-color ICM
+        byte[] rp = new byte[16], gp = new byte[16], bp = new byte[16];
+        for (int i = 0; i < 16; i++) {
+            rp[i] = (byte) (i * 17);
+            gp[i] = (byte) (255 - i * 17);
+            bp[i] = (byte) ((i * 53) & 0xFF);
+        }
+        IndexColorModel icm = new IndexColorModel(4, 16, rp, gp, bp);
+        int w2 = 9, h2 = 6;
+        BufferedImage p4 = new BufferedImage(w2, h2,
+            BufferedImage.TYPE_BYTE_BINARY, icm);
+        byte[] src4 = new byte[w2 * h2 * 3];
+        for (int y = 0; y < h2; y++)
+            for (int x = 0; x < w2; x++) {
+                int ix = (x * 7 + y * 3) % 16;
+                p4.getRaster().setSample(x, y, 0, ix);
+                int o = (y * w2 + x) * 3;
+                src4[o] = rp[ix]; src4[o + 1] = gp[ix]; src4[o + 2] = bp[ix];
+            }
+        ImageIO.write(p4, "png", new File(DIR, "png_4bit_pal_9x6.png"));
+        write("png_4bit_pal_9x6.png.src", src4);
+        entry("png_4bit_pal_9x6.png", "pixel", w2, h2,
+              "png_4bit_pal_9x6.png.src", 0, 1,
+              "ImageIO PNG, 4-bit palette");
+    }
+
+    static void jpegGray() throws Exception {
+        int w = 17, h = 11;
+        BufferedImage im = new BufferedImage(w, h,
+            BufferedImage.TYPE_BYTE_GRAY);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                im.getRaster().setSample(x, y, 0,
+                    (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2);
+        ImageWriter wr = ImageIO.getImageWritersByFormatName("jpeg").next();
+        ImageWriteParam p = wr.getDefaultWriteParam();
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+        p.setCompressionQuality(0.9f);
+        File f = new File(DIR, "jpeg_gray_17x11.jpg");
+        try (ImageOutputStream os = ImageIO.createImageOutputStream(f)) {
+            wr.setOutput(os);
+            wr.write(null, new IIOImage(im, null, null), p);
+        }
+        wr.dispose();
+        byte[] payload = java.nio.file.Files.readAllBytes(f.toPath());
+        BufferedImage dec = ImageIO.read(new ByteArrayInputStream(payload));
+        // read the decoded Y samples via the RASTER, tripled to RGB:
+        // getRGB on a TYPE_BYTE_GRAY image converts linear gray -> sRGB
+        // (gamma), but the JPEG's single component IS the Y sample the
+        // decoder under test returns (same discipline as png_gray in
+        // GenConformance.java)
+        byte[] src = new byte[w * h * 3];
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int v = dec.getRaster().getSample(x, y, 0);
+                int o = (y * w + x) * 3;
+                src[o] = src[o + 1] = src[o + 2] = (byte) v;
+            }
+        write("jpeg_gray_17x11.jpg.src", src);
+        entry("jpeg_gray_17x11.jpg", "pixel", w, h, "jpeg_gray_17x11.jpg.src",
+              4, 1, "ImageIO grayscale (1-component) JPEG, odd dims; "
+              + "expected = ImageIO decode");
+    }
+
+    static void gifInterlaced() throws Exception {
+        int w = 13, h = 10;
+        byte[] rp = {5, (byte) 250, 30, (byte) 120};
+        byte[] gp = {15, 10, (byte) 220, (byte) 120};
+        byte[] bp = {25, 45, 5, (byte) 200};
+        IndexColorModel icm = new IndexColorModel(2, 4, rp, gp, bp);
+        BufferedImage im = new BufferedImage(w, h,
+            BufferedImage.TYPE_BYTE_INDEXED, icm);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                im.getRaster().setSample(x, y, 0, (x * 2 + y) % 4);
+        ImageWriter wr = ImageIO.getImageWritersByFormatName("gif").next();
+        ImageWriteParam p = wr.getDefaultWriteParam();
+        IIOMetadata md = wr.getDefaultImageMetadata(
+            new ImageTypeSpecifier(im), p);
+        String fmt = md.getNativeMetadataFormatName();
+        IIOMetadataNode root = (IIOMetadataNode) md.getAsTree(fmt);
+        IIOMetadataNode desc = childOrNew(root, "ImageDescriptor");
+        desc.setAttribute("imageLeftPosition", "0");
+        desc.setAttribute("imageTopPosition", "0");
+        desc.setAttribute("imageWidth", Integer.toString(w));
+        desc.setAttribute("imageHeight", Integer.toString(h));
+        desc.setAttribute("interlaceFlag", "TRUE");
+        md.setFromTree(fmt, root);
+        File f = new File(DIR, "gif_interlaced_13x10.gif");
+        try (ImageOutputStream os = ImageIO.createImageOutputStream(f)) {
+            wr.setOutput(os);
+            wr.write(null, new IIOImage(im, null, md), p);
+        }
+        wr.dispose();
+        // sanity: the image descriptor's interlace bit must be set
+        byte[] b = java.nio.file.Files.readAllBytes(f.toPath());
+        boolean found = false;
+        for (int i = 0; i < b.length - 9; i++)
+            if ((b[i] & 0xFF) == 0x2C) {
+                int fw = (b[i + 5] & 0xFF) | ((b[i + 6] & 0xFF) << 8);
+                int fh = (b[i + 7] & 0xFF) | ((b[i + 8] & 0xFF) << 8);
+                if (fw == w && fh == h) {
+                    found = (b[i + 9] & 0x40) != 0;
+                    break;
+                }
+            }
+        if (!found) throw new IllegalStateException("GIF not interlaced");
+        write("gif_interlaced_13x10.gif.src", rawRGB(im));
+        entry("gif_interlaced_13x10.gif", "gif", w, h,
+              "gif_interlaced_13x10.gif.src", 0, 1,
+              "ImageIO GIF, 4-pass interlaced");
+    }
+
     // ---------- PPM ----------
 
     static void ppm() throws Exception {
@@ -569,6 +701,9 @@ public class GenConformance2 {
         pngInterlaced();
         pngGray16();
         pngPalette();
+        pngLowDepth();
+        jpegGray();
+        gifInterlaced();
         ppm();
         gifAnimated();
         wavAdpcm(1);
