@@ -120,3 +120,93 @@ def test_bloom_bitmap_is_partition_invariant(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_bloom_pruned_join_matches_plain_join(spark, sf_dir):
+    """bloom_pruned_join must be row-identical to the plain join for
+    inner and left_semi (no false negatives; fp rows die in the join),
+    must actually prune (surviving probe rows ~ matches + fp, far below
+    the full fact), and must reject semantics-changing join types."""
+    import pytest
+
+    from wsspark.llmops.bloom import bloom_pruned_join
+
+    li = read_table(spark, sf_dir, "lineitem")
+    # selective build side: ~2% of orders
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    build = orders.select("l_orderkey", "o_totalprice")
+
+    plain = li.join(build, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "o_totalprice"
+    )
+    pruned = bloom_pruned_join(li, build, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "o_totalprice"
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, pruned.collect()))
+    assert a == b and len(a) > 0
+
+    semi_plain = sorted(
+        r.l_orderkey
+        for r in li.join(build, "l_orderkey", "left_semi")
+        .select("l_orderkey")
+        .collect()
+    )
+    semi_bloom = sorted(
+        r.l_orderkey
+        for r in bloom_pruned_join(li, build, "l_orderkey", how="left_semi")
+        .select("l_orderkey")
+        .collect()
+    )
+    assert semi_plain == semi_bloom
+
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_pruned_join(li, build, "l_orderkey", how="left")
+
+
+def test_bloom_pruned_join_prunes_before_the_shuffle(spark, sf_dir):
+    """The plan must show the bloom membership test on the probe side
+    BELOW the join (broadcast 1-row packed map, expression-only filter),
+    and the survivor count must track the true match rate, not the fact
+    size — that is the shuffled-row reduction."""
+    from wsspark.llmops.bloom import bloom_bitmap, with_bloom_test
+
+    li = read_table(spark, sf_dir, "lineitem")
+    keys = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 16
+            ).alias("_bk")
+        )
+    )
+    bitmap = bloom_bitmap(keys, "_bk")
+    probed = with_bloom_test(
+        li.withColumn(
+            "_bk",
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 16),
+        ),
+        "_bk",
+        bitmap,
+    )
+    n_total = li.count()
+    n_pass = probed.filter("bloom_hit").count()
+    n_true = li.join(
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    ).count()
+    assert n_true <= n_pass  # no false negatives
+    # fp head-room: survivors are matches + a small fp fraction of the rest
+    assert n_pass <= n_true + max(50, int(0.01 * n_total)), (
+        n_total, n_pass, n_true,
+    )
+    assert n_pass < n_total * 0.5  # it genuinely pruned on this workload
+    plan = _plan(probed)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row packed map
