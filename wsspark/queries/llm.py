@@ -76,6 +76,41 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bloom_pruned_join end-to-end no-false-negative check on real data:
+    lineitem probe-pruned by a broadcast Bloom of the high-value order
+    keys, then inner-joined. Row-identical to the plain join by contract
+    (llmops/bloom.bloom_pruned_join), so the DuckDB oracle is simply the
+    plain join — ANY dropped match (a false negative anywhere in the
+    hash/bitmap/probe chain) goes red in the driver-identical hash."""
+    from wsspark.llmops.bloom import bloom_pruned_join
+
+    li = read_table(spark, sf_dir, "lineitem")
+    build = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.round("o_totalprice", 2).alias("order_total"),
+        )
+    )
+    return bloom_pruned_join(li, build, "l_orderkey").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        "order_total",
+    )
+
+
+BLOOM_PRUNED_JOIN_SQL = """
+SELECT l.l_orderkey,
+       CAST(l.l_linenumber AS BIGINT) AS line_no,
+       ROUND(o.o_totalprice, 2) AS order_total
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 400000
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(read_table(spark, sf_dir, "documents"))
 
@@ -2172,5 +2207,9 @@ FOLDED_QUERIES = [
     # fingerprint + hamming band keys keep their hash check here.
     Query("simhash_fingerprints", q_simhash_fingerprints, SIMHASH_SQL,
           "SimHash fingerprints + hamming band keys (portable hash)"),
+    # Added r9: the pruned join's no-false-negative contract, checked with
+    # the driver's own hash machinery against the plain-join oracle.
+    Query("bloom_pruned_join", q_bloom_pruned_join, BLOOM_PRUNED_JOIN_SQL,
+          "bloom probe-side pruned inner join == plain join"),
     *_folded_core(),
 ]
