@@ -210,3 +210,31 @@ def test_bloom_pruned_join_prunes_before_the_shuffle(spark, sf_dir):
     plan = _plan(probed)
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row packed map
+
+
+def test_bloom_pruned_join_edge_cases(spark):
+    """Constructed edges: an EMPTY build side yields an empty join (the
+    empty bitmap rejects every probe row — and even if it passed rows,
+    the join drops them); NULL probe keys behave as in a plain inner join
+    (dropped); duplicate keys on both sides keep full join multiplicity
+    (the bitmap is idempotent per key, pruning never dedups)."""
+    from wsspark.llmops.bloom import bloom_pruned_join
+
+    probe = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d"), (3, "e")],
+        "k long, v string",
+    )
+    build = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (9, 90.0)], "k long, w double"
+    )
+
+    got = sorted(
+        map(tuple, bloom_pruned_join(probe, build, "k").collect())
+    )
+    want = sorted(map(tuple, probe.join(build, "k").collect()))
+    assert got == want
+    # multiplicity: key 1 has 2 probe rows x 2 build rows = 4
+    assert sum(1 for r in got if r[0] == 1) == 4
+
+    empty_build = build.filter(F.lit(False))
+    assert bloom_pruned_join(probe, empty_build, "k").count() == 0
