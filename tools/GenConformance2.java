@@ -248,6 +248,55 @@ public class GenConformance2 {
               + "expected = ImageIO decode");
     }
 
+    static void jpeg422() throws Exception {
+        // 4:2:2 (h2v1) chroma subsampling via native-metadata sampling
+        // factors (ImageIO honors them: default Y is 2x2; forcing
+        // VsamplingFactor=1 yields SOF H=2 V=1) — certifies the decoder's
+        // h2v1 fancy-upsampling branch against an independent encoder.
+        int w = 18, h = 13;
+        BufferedImage im = makeSmoothRGB(w, h);
+        ImageWriter wr = ImageIO.getImageWritersByFormatName("jpeg").next();
+        ImageWriteParam p = wr.getDefaultWriteParam();
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+        p.setCompressionQuality(0.9f);
+        IIOMetadata md = wr.getDefaultImageMetadata(
+            new ImageTypeSpecifier(im), p);
+        String fmt = md.getNativeMetadataFormatName();
+        IIOMetadataNode root = (IIOMetadataNode) md.getAsTree(fmt);
+        org.w3c.dom.NodeList sofs = root.getElementsByTagName("sof");
+        org.w3c.dom.NodeList comps = ((IIOMetadataNode) sofs.item(0))
+            .getElementsByTagName("componentSpec");
+        ((IIOMetadataNode) comps.item(0)).setAttribute("VsamplingFactor", "1");
+        md.setFromTree(fmt, root);
+        File f = new File(DIR, "jpeg_422_18x13.jpg");
+        try (ImageOutputStream os = ImageIO.createImageOutputStream(f)) {
+            wr.setOutput(os);
+            wr.write(null, new IIOImage(im, null, md), p);
+        }
+        wr.dispose();
+        byte[] b = java.nio.file.Files.readAllBytes(f.toPath());
+        // sanity: SOF0 component 1 must carry H=2 V=1
+        boolean ok = false;
+        for (int i = 2; i + 4 < b.length; ) {
+            if ((b[i] & 0xFF) != 0xFF) { i++; continue; }
+            int m = b[i + 1] & 0xFF;
+            int ln = ((b[i + 2] & 0xFF) << 8) | (b[i + 3] & 0xFF);
+            if (m == 0xC0) {
+                int hv = b[i + 11] & 0xFF;
+                ok = (hv >> 4) == 2 && (hv & 15) == 1;
+                break;
+            }
+            if (m == 0xDA) break;
+            i += 2 + ln;
+        }
+        if (!ok) throw new IllegalStateException("JPEG not h2v1");
+        BufferedImage dec = ImageIO.read(new ByteArrayInputStream(b));
+        write("jpeg_422_18x13.jpg.src", rawRGB(dec));
+        entry("jpeg_422_18x13.jpg", "pixel", w, h, "jpeg_422_18x13.jpg.src",
+              4, 1, "ImageIO JPEG, 4:2:2 (h2v1) subsampling via metadata; "
+              + "expected = ImageIO decode");
+    }
+
     static void gifInterlaced() throws Exception {
         int w = 13, h = 10;
         byte[] rp = {5, (byte) 250, 30, (byte) 120};
@@ -703,6 +752,7 @@ public class GenConformance2 {
         pngPalette();
         pngLowDepth();
         jpegGray();
+        jpeg422();
         gifInterlaced();
         ppm();
         gifAnimated();
