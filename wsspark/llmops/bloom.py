@@ -1,5 +1,7 @@
 """A broadcast Bloom filter built ENTIRELY from native Spark expressions —
-no UDFs, no driver-side sketch object, no collect.
+no UDFs, no per-row driver involvement; the only driver materialization
+is the O(n_bits/63) bitmap densification (bounded by the CONFIGURED
+filter size, never by data — 130 KiB at 2^20 bits).
 
 Why another membership structure: the classic scale upgrade for
 "filter a huge stream by membership in a derived key set" (dup n-grams,
@@ -18,9 +20,13 @@ sides distributed and JVM-native:
   portable. ~n_bits/63 rows total (a 2^20-bit filter = 16645 rows
   ~ 130 KiB — broadcast territory). Built with one combinable ``bit_or``
   aggregate over exploded positions.
-- ``with_bloom_test(df, col, bitmap, ...)`` — k broadcast hash joins
-  (one per probe position) + bit tests; entirely map-side, pipelines
-  with the scan. A row passes iff ALL k probed bits are set.
+- ``with_bloom_test(df, col, bitmap, ...)`` — the bitmap densified to
+  one broadcast array<long> row; membership = k O(1) ordinal bit tests,
+  entirely map-side, pipelining with the scan. A row passes iff ALL k
+  probed bits are set.
+- ``bloom_pruned_join(probe, build, on)`` — the operator form of runtime
+  row-level filtering: prune the probe fact before its shuffle,
+  row-identical to the plain inner/left_semi join.
 
 Hashing is the Kirsch-Mitzenmacher double-hashing scheme over a PORTABLE
 base: the two 32-bit halves of the key's 16-hex md5 prefix, probe i at
