@@ -178,8 +178,10 @@ def bloom_pruned_join(
     Bloom bitmap of the build side's join keys and filter the probe side
     BEFORE its shuffle, so only (true matches + the fp rate) ever leave
     the probe scan. This is the operator form of Spark's internal runtime
-    row-level filtering — reusable, deterministic (portable md5 double
-    hashing, no per-run sketch), and oracle-friendly.
+    row-level filtering — reusable, deterministic (seeded xxhash64 double
+    hashing on the raw key, no per-run sketch), and oracle-friendly: the
+    output is row-identical to the plain join, so the oracle IS the plain
+    join (driver-hash-checked as the folded query ``bloom_pruned_join``).
 
     Correctness: the bloom has NO false negatives, so for ``inner`` and
     ``left_semi`` joins the result is row-identical to the plain join
