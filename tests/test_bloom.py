@@ -238,3 +238,26 @@ def test_bloom_pruned_join_edge_cases(spark):
 
     empty_build = build.filter(F.lit(False))
     assert bloom_pruned_join(probe, empty_build, "k").count() == 0
+
+
+def test_bloom_membership_xxhash64_path(spark):
+    """The xxhash64 fast path gives the same hard no-false-negative
+    guarantee on RAW (non-hex) keys of any type, with zero false
+    positives at this sizing — and its 31-bit hash reduction keeps every
+    probe inside ANSI long arithmetic (negative xxhash64 outputs
+    included)."""
+    keys = spark.range(100).select((F.col("id") * 7919 - 300000).alias("k"))
+    bitmap = bloom.bloom_bitmap(
+        keys, "k", n_bits=1 << 16, k=4, hash="xxhash64"
+    )
+    probe = spark.range(300).select(
+        F.when(F.col("id") < 100, F.col("id") * 7919 - 300000)
+        .otherwise(F.col("id") * 7919 + 9999991)
+        .alias("k"),
+        (F.col("id") < 100).alias("member"),
+    )
+    rows = bloom.with_bloom_test(
+        probe, "k", bitmap, n_bits=1 << 16, k=4, hash="xxhash64"
+    ).collect()
+    assert all(r.bloom_hit for r in rows if r.member)
+    assert sum(1 for r in rows if r.bloom_hit and not r.member) == 0
