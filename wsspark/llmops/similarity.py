@@ -14,7 +14,7 @@ queries broadcast — no all-pairs shuffle ever materializes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -631,3 +631,68 @@ def kmeans_embeddings(
             .localCheckpoint()
         )
     return assign(cents).select(id_col, "cluster_id")
+
+
+def write_ivf_store(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int | None = None,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, int]:
+    """Persist the IVF index AS A CELL-PARTITIONED PARQUET STORE — the
+    on-disk layout a 100 TB embedding corpus actually serves from: one
+    directory per cell (``centroid_id=<c>/``), so a probed search reads
+    ``n_probe / n_cells`` of the corpus from storage and Catalyst's
+    partition pruning (not a filter over a full scan) enforces it — the
+    layout q25's in-memory broadcast-join restriction models. Returns
+    ``(centroids, n_cells)``; persist the centroid frame beside the store
+    (it is sqrt(N)-sized) to search without rebuilding."""
+    assigned, centroids, n_cells = ivf_build_index(
+        vectors, n_cells, vec_col, id_col, centroids=centroids
+    )
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    return centroids, n_cells
+
+
+def ivf_search_store(
+    spark: SparkSession,
+    path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int | None = None,
+    n_cells: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a ``write_ivf_store`` layout reading ONLY the probed cells'
+    partitions. The per-query probed cells are resolved to LITERAL ids
+    first (one collect of <= queries x n_probe ids — request-sized,
+    never corpus-sized) precisely so the ``isin`` lands in the reader as
+    a partition filter: ``inputFiles()`` of the pruned frame contains
+    only ``centroid_id=<probed>`` paths (asserted in
+    tests/test_llmops.py). Results are row-identical to ``ivf_search``
+    over the full in-memory index: each query still scores exactly its
+    own probed cells (the union-pruned store is a superset per query;
+    the per-query cell join restricts it back)."""
+    if n_probe is None:
+        n_probe = auto_n_probe(
+            n_cells if n_cells is not None else centroids.count()
+        )
+    qs = with_norm(queries, vec_col).select(F.col(id_col), "_vec", "_norm")
+    probed_ids = sorted(
+        r["centroid_id"]
+        for r in ivf_assign(qs, centroids, n_probe=n_probe, id_col=id_col)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    )
+    store = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(*[int(c) for c in probed_ids])
+    )
+    return ivf_search(
+        store, centroids, queries, k, n_probe, vec_col, id_col,
+        n_cells=n_cells,
+    )
