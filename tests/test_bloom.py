@@ -261,3 +261,18 @@ def test_bloom_membership_xxhash64_path(spark):
     ).collect()
     assert all(r.bloom_hit for r in rows if r.member)
     assert sum(1 for r in rows if r.bloom_hit and not r.member) == 0
+
+
+def test_bloom_pruned_join_rejects_mismatched_key_types(spark):
+    """xxhash64 is type-sensitive (int 5 and bigint 5 hash differently),
+    so coercible-but-different key types — which a plain join silently
+    casts — would turn every true match into a false negative. The
+    operator must fail loudly instead."""
+    import pytest
+
+    from wsspark.llmops.bloom import bloom_pruned_join
+
+    probe = spark.createDataFrame([(1, "a")], "k int, v string")
+    build = spark.createDataFrame([(1, 1.0)], "k long, w double")
+    with pytest.raises(ValueError, match="identical key types"):
+        bloom_pruned_join(probe, build, "k")

@@ -136,11 +136,26 @@ def with_bloom_test(
     scaled with filter size instead of being flat (PLANS.md round 9).
     No join per probe (a k-join formulation replicates the bitmap-build
     subtree k times), and the probed stream never shuffles. Missing
-    words test as 0, so an empty filter rejects everything."""
+    words test as 0, so an empty filter rejects everything.
+
+    The densifying collect makes this call EAGER: the bitmap's lineage
+    executes here, not at the probe's first action (total work is
+    unchanged — the old lazy-map plan evaluated the bitmap subtree at
+    action time anyway — but schema-probing a returned frame no longer
+    costs zero). In foreachBatch loops the per-batch collect is the
+    bounded n_bits/63 rows, a deliberate trade for O(1) probes."""
     n_words = n_bits // 63 + 1
     dense = [0] * n_words
     for r in bitmap.select("word_idx", "bits").collect():
-        dense[int(r["word_idx"])] = int(r["bits"])
+        w = int(r["word_idx"])
+        if not 0 <= w < n_words:
+            raise ValueError(
+                f"bitmap word_idx {w} out of range for n_bits={n_bits} "
+                f"({n_words} words): the bitmap was built with a different "
+                f"n_bits — a bloom filter cannot be resized; rebuild it at "
+                f"the new size"
+            )
+        dense[w] = int(r["bits"])
     packed = df.sparkSession.createDataFrame(
         [(dense,)], "_bloom_arr array<long>"
     )
@@ -201,6 +216,21 @@ def bloom_pruned_join(
         raise ValueError(
             "bloom_pruned_join preserves semantics only for inner/left_semi"
             f" joins, got {how!r}"
+        )
+    # xxhash64 is TYPE-sensitive: int 5 and bigint 5 hash differently, so
+    # mixed-but-coercible key types (which a plain join silently casts)
+    # would turn every true match into a bloom false negative. Fail loudly
+    # instead of returning a silently near-empty join.
+    p_type = dict(probe.dtypes).get(on)
+    b_type = dict(build.dtypes).get(on)
+    if p_type is None or b_type is None:
+        raise ValueError(f"join key {on!r} missing from probe or build side")
+    if p_type != b_type:
+        raise ValueError(
+            f"bloom_pruned_join requires identical key types on both sides "
+            f"(xxhash64 is type-sensitive; a plain join would coerce): "
+            f"probe.{on} is {p_type}, build.{on} is {b_type} — cast one "
+            f"side first"
         )
     bitmap = bloom_bitmap(
         build.select(on), on, n_bits=n_bits, k=k, hash="xxhash64"

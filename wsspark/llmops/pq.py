@@ -236,7 +236,14 @@ def ivf_pq_search(
     near-exact at 10x over-fetch, measured 0.99 mean in test_pq), so
     compose recall ~= IVF recall at the same n_probe — measured and
     pinned in tests/test_pq.py. Everything stays lazy: the probed-cell
-    list is a limit-2 frame, never collected."""
+    list is a limit-2 frame, never collected.
+
+    ``ivf_pq_search_multi`` reimplements this ladder with per-query
+    windows for batched serving; the two formulations are DELIBERATELY
+    independent (orderBy().limit() vs row_number) and pinned
+    row-identical in tests/test_pq.py — a cross-implementation check, so
+    any semantic drift in either (rounding, tiebreaks, probing) goes red
+    there. Change them in sync."""
     from wsspark.llmops.similarity import dot, with_norm
 
     q = np.asarray(query, dtype=np.float64)

@@ -681,6 +681,12 @@ def ivf_search_store(
         n_probe = auto_n_probe(
             n_cells if n_cells is not None else centroids.count()
         )
+    # Pin the (request-sized) query frame: the probed-cell collect below
+    # and the search plan returned to the caller both evaluate `queries`,
+    # and a nondeterministic frame (limit without order, sampling) could
+    # otherwise probe cells for one set of queries and search for another
+    # — silently missing neighbors.
+    queries = queries.localCheckpoint()
     qs = with_norm(queries, vec_col).select(F.col(id_col), "_vec", "_norm")
     probed_ids = sorted(
         r["centroid_id"]

@@ -105,10 +105,16 @@ def abc_analysis_partitioned(
     # bucket 0 = highest revenue; descending-cut convention as
     # _rfm_percentile_cut (inclusive <=: the boundary element opens the
     # next bucket)
+    # Materialize the bucketed frame ONCE: the bucket-totals collect below
+    # and the returned plan both consume it — without this, the revenue
+    # rollup + GK sketch + bucketing would execute twice per call, and any
+    # divergence between the two evaluations (nondeterministic input,
+    # sketch merge order shifting a boundary) would silently desynchronize
+    # the driver-collected offsets from the recomputed buckets.
     df = revenue.crossJoin(F.broadcast(aggs)).withColumn(
         "_bucket",
         F.size(F.filter(F.col("_bb"), lambda b: F.col("revenue") <= b)),
-    )
+    ).localCheckpoint()
     bucket_totals = sorted(
         df.groupBy("_bucket").agg(F.sum("revenue").alias("_bsum")).collect(),
         key=lambda r: r["_bucket"],
