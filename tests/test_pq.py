@@ -206,3 +206,53 @@ def test_multi_query_search_matches_single_query_loop(spark, trained, corpus):
         ).collect()
         want = sorted((r.vec_id, r.dist) for r in single)
         assert got[qid] == want, qid
+
+
+def test_pq_store_search_matches_in_memory_and_prunes(
+    spark, trained, corpus, tmp_path
+):
+    """The on-disk PQ store (write_ivf_pq_store / ivf_pq_search_store)
+    must return rows IDENTICAL to the in-memory ladder over the same
+    index + codebooks, and its plan must show all three prunings: a
+    centroid_id PartitionFilter on the scans (directory pruning), an
+    ADC scan whose ReadSchema carries the codes but NOT the float
+    vectors (column pruning), and a re-rank scan that reads the vectors
+    but not the codes."""
+    import re
+
+    from wsspark.llmops import similarity
+
+    books, codes = trained
+    embs, ids, mat = corpus
+    assigned, centroids, n_cells = similarity.ivf_build_index(embs)
+    path = str(tmp_path / "pq_store")
+    centroids2, books2, n_cells2 = pq.write_ivf_pq_store(
+        embs, path, centroids=centroids, codebooks=books
+    )
+    assert n_cells2 == n_cells and books2 is books
+
+    for qid in (ids[3], ids[11]):
+        q = mat[ids.index(qid)]
+        got_df = pq.ivf_pq_search_store(
+            spark, path, centroids, books, q, topk=10, n_probe=3
+        )
+        got = [(r[0], r[1]) for r in got_df.collect()]
+        want = [
+            (r[0], r[1])
+            for r in pq.ivf_pq_search(
+                embs, assigned, centroids, codes, books, q,
+                topk=10, n_probe=3,
+            ).collect()
+        ]
+        assert got == want and len(got) == 10
+
+    plan = got_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pfs and all("centroid_id" in p for p in pfs), plan
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert any("codes" in s and "_vec" not in s for s in schemas), schemas
+    assert any("_vec" in s and "codes" not in s for s in schemas), schemas

@@ -420,3 +420,105 @@ def ivf_pq_search_multi(
         .filter(F.col("_rn") <= topk)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "dist")
     )
+
+
+def write_ivf_pq_store(
+    vectors: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 4096,
+    n_cells: int | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, np.ndarray, int]:
+    """Persist the FULL production ANN layout: one parquet directory per
+    IVF cell, each row carrying the PQ codes (the scan payload for ADC)
+    AND the float vector (read only by the re-rank). Returns
+    ``(centroids, codebooks, n_cells)`` — keep both beside the store;
+    they are sqrt(N)- and (m*k*d/m)-sized. A 100 TB corpus serves from
+    exactly this shape: the probe prunes PARTITIONS (directory listing),
+    ADC prunes COLUMNS (codes-only ReadSchema), and the float vectors are
+    touched for shortlist rows only — all three prunings are
+    plan-asserted in tests/test_pq.py."""
+    from wsspark.llmops.similarity import ivf_build_index
+
+    assigned, centroids, n_cells = ivf_build_index(
+        vectors, n_cells, vec_col, id_col, centroids=centroids
+    )
+    if codebooks is None:
+        codebooks = train_codebooks(
+            vectors, m=m, k=k, vec_col=vec_col, id_col=id_col, sample=sample
+        )
+    codes = encode(vectors, codebooks, vec_col=vec_col, id_col=id_col)
+    store = assigned.select(
+        F.col("neighbor_id").alias(id_col), "centroid_id", "_vec", "_norm"
+    ).join(codes, id_col)
+    store.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    return centroids, codebooks, n_cells
+
+
+def ivf_pq_search_store(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    topk: int = 10,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a ``write_ivf_pq_store`` layout with all three prunings
+    live: probed cells resolved to LITERAL ids (one O(n_probe) collect,
+    request-sized) so the reader partition-prunes; the ADC pass selects
+    only (id, codes) so the scan's ReadSchema drops the float vectors;
+    the exact re-rank semi-joins the shortlist back onto the pruned
+    store's vectors. Row-identical to ``ivf_pq_search`` over the same
+    index/codebooks (pinned in tests/test_pq.py)."""
+    from wsspark.llmops.similarity import dot, with_norm
+
+    if shortlist is None:
+        shortlist = 10 * topk
+    q = np.asarray(query, dtype=np.float64)
+    q_df = spark.createDataFrame(
+        [(0, [float(v) for v in q])], f"{id_col} long, {vec_col} array<double>"
+    )
+    qn = with_norm(q_df, vec_col).select(
+        F.col("_vec").alias("_qvec"), F.col("_norm").alias("_qnorm")
+    )
+    probed_ids = sorted(
+        r["centroid_id"]
+        for r in centroids.crossJoin(F.broadcast(qn))
+        .select(
+            "centroid_id",
+            (
+                dot(F.col("_vec"), F.col("_qvec"))
+                / (F.col("_norm") * F.col("_qnorm"))
+            ).alias("_cos"),
+        )
+        .orderBy(F.col("_cos").desc(), "centroid_id")
+        .limit(n_probe)
+        .collect()
+    )
+    pruned = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(*[int(c) for c in probed_ids])
+    )
+    cand_codes = pruned.select(id_col, "codes")
+    short = adc_topk(cand_codes, codebooks, q, topk=shortlist, id_col=id_col)
+    d2 = F.aggregate(
+        F.zip_with(F.col("_vec"), F.array(*[F.lit(float(v)) for v in q]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pruned.select(id_col, "_vec")
+        .join(F.broadcast(short.select(id_col)), id_col, "left_semi")
+        .select(id_col, F.round(d2, 6).alias("dist"))
+        .orderBy("dist", id_col)
+        .limit(topk)
+    )
