@@ -572,3 +572,58 @@ def doc_chunks_tokens(
         F.size(window).cast("long").alias("n_chunk_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+def token_heavy_hitters(
+    docs: DataFrame,
+    support: float = 0.002,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT frequent tokens via the two-pass heavy-hitters pattern —
+    the classic sketch family's fourth member beside HLL distinct
+    (approx_distinct_accuracy), GK quantiles (brand_price_quantiles),
+    and Bloom membership:
+
+    1. Sketch pass: Spark's ``freqItems`` (a distributed, mergeable
+       Karp/Misra-Gries variant) returns a CANDIDATE set guaranteed to
+       contain every token with frequency > support — false positives
+       possible, false negatives not. The candidate list collected to
+       the driver is bounded by ~1/support (the CONFIGURED support,
+       never corpus size).
+    2. Verify pass: one exact groupBy counting ONLY candidate tokens
+       (broadcast isin prunes before the shuffle), filtered against the
+       exact total with the sketch's strict-inequality guarantee.
+
+    Because the final filter applies exact counts to a superset, the
+    output is EXACTLY {token : count > support * total} no matter what
+    the sketch over-returned — deterministic and fully oracle-able
+    (folded query ``token_heavy_hitters``), while the heavy lifting
+    stays one sketch pass + one pruned count at any scale."""
+    if not 0 < support < 1:
+        raise ValueError(f"support must be in (0,1), got {support}")
+    toks = docs.select(F.explode(tokens(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    cand = toks.stat.freqItems(["token"], support).collect()[0][0]
+    if not cand:
+        return toks.select(
+            F.col("token"),
+            F.lit(0).cast("long").alias("n_occurrences"),
+            F.lit(0.0).alias("token_share"),
+        ).limit(0)
+    total = toks.agg(F.count("*").cast("long").alias("_total"))
+    return (
+        toks.filter(F.col("token").isin(*[str(c) for c in cand]))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.lit(support) * F.col("_total"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("_total"), 6).alias(
+                "token_share"
+            ),
+        )
+    )

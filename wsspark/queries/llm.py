@@ -76,6 +76,33 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent tokens via sketch-candidates + exact-verify
+    (llmops/textstats.token_heavy_hitters): the freqItems pass bounds the
+    work, the verify pass makes the output exact — so the DuckDB twin is
+    the plain exact computation and the hashes must match bit for bit
+    (any sketch false NEGATIVE would drop a row and go red)."""
+    return textstats.token_heavy_hitters(
+        read_table(spark, sf_dir, "documents"), support=0.002
+    )
+
+
+TOKEN_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+    SELECT t.token
+    FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    WHERE t.token <> ''
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6) AS token_share
+FROM toks
+GROUP BY token
+HAVING COUNT(*) > 0.002 * (SELECT n FROM tot)
+"""
+
+
 def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bloom_pruned_join end-to-end no-false-negative check on real data:
     lineitem probe-pruned by a broadcast Bloom of the high-value order
@@ -2211,5 +2238,10 @@ FOLDED_QUERIES = [
     # the driver's own hash machinery against the plain-join oracle.
     Query("bloom_pruned_join", q_bloom_pruned_join, BLOOM_PRUNED_JOIN_SQL,
           "bloom probe-side pruned inner join == plain join"),
+    # Added r9: the fourth sketch family (frequent items) — candidates
+    # from freqItems, exact verify pass, exact DuckDB twin.
+    Query("token_heavy_hitters", q_token_heavy_hitters,
+          TOKEN_HEAVY_HITTERS_SQL,
+          "exact frequent tokens via sketch-candidates + exact verify"),
     *_folded_core(),
 ]
