@@ -873,3 +873,29 @@ def test_ivf_store_partition_pruned_search_matches_in_memory(spark, sf_dir, tmp_
     data_f = _re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if data_f:
         assert "centroid_id" not in data_f.group(1), plan
+
+
+def test_token_heavy_hitters_edges(spark):
+    """High support with no qualifying token returns an EMPTY frame with
+    the full schema (the no-candidates early path); invalid support
+    raises; and on a constructed corpus the output is exactly the
+    above-threshold tokens with exact counts."""
+    import pytest
+
+    from wsspark.llmops.textstats import token_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a b c d e"), (3, "a f g h i")],
+        "doc_id long, text string",
+    )
+    # 15 tokens; 'a' = 6 (0.40), 'b' = 2 (0.133), rest 1 each
+    got = {
+        r.token: (r.n_occurrences, r.token_share)
+        for r in token_heavy_hitters(docs, support=0.2).collect()
+    }
+    assert got == {"a": (6, 0.4)}
+    hi = token_heavy_hitters(docs, support=0.9)
+    assert hi.count() == 0
+    assert hi.columns == ["token", "n_occurrences", "token_share"]
+    with pytest.raises(ValueError, match="support"):
+        token_heavy_hitters(docs, support=0.0)
