@@ -899,3 +899,125 @@ def test_token_heavy_hitters_edges(spark):
     assert hi.columns == ["token", "n_occurrences", "token_share"]
     with pytest.raises(ValueError, match="support"):
         token_heavy_hitters(docs, support=0.0)
+
+
+# ---------------------------------------------------------------------------
+# SRP (random-hyperplane) LSH
+# ---------------------------------------------------------------------------
+
+
+def _srp_corpus(n_base=40, n_dups=10, dim=32, seed=7):
+    """Base random vectors plus small-noise copies of the first n_dups —
+    the copies sit at cosine >= ~0.99 to their originals while base pairs
+    stay far apart (random 32-dim directions)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n_base, dim)
+    dups = base[:n_dups] + 0.02 * rng.randn(n_dups, dim)
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    return vecs
+
+
+def _np_cosine_pairs(vecs, threshold):
+    import numpy as np
+
+    V = vecs.astype(np.float64)
+    N = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = N @ N.T
+    pairs = set()
+    n = len(V)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if S[i, j] >= threshold:
+                pairs.add((i, j))
+    return pairs
+
+
+def test_srp_dup_pairs_match_quadratic_truth(spark):
+    """On a constructed near-dup corpus the SRP chain (signature -> band
+    keys -> bucket self-join -> exact cosine verify) returns EXACTLY the
+    quadratic numpy truth at the threshold: 100% recall (every injected
+    near-dup pair is caught by at least one band) and zero false
+    positives (the exact verify kills all bucket collisions)."""
+    from wsspark.llmops import srp
+
+    vecs = _srp_corpus()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in srp.srp_dup_pairs(df, threshold=0.95).collect()
+    }
+    want = _np_cosine_pairs(vecs, 0.95)
+    assert want, "constructed corpus must contain near-dup pairs"
+    assert got == want
+
+
+def test_srp_signature_matches_python_fold(spark):
+    """The packed signature equals a per-bit Python reimplementation of
+    the same left-fold dot + 6dp-rounded sign + 2^i pack."""
+    import numpy as np
+
+    from wsspark.llmops import srp
+
+    vecs = _srp_corpus(n_base=8, n_dups=0)
+    planes = srp.srp_hyperplanes(32, n_bits=48, seed=42)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r.srp_sig
+            for r in srp.srp_signatures(df, planes=planes).collect()}
+    for i, v in enumerate(vecs):
+        sig = 0
+        for b, p in enumerate(planes):
+            acc = 0.0
+            for e, w in zip(v, p):
+                acc += float(np.float64(e)) * w
+            if round(acc, 6) >= 0:
+                sig |= 1 << b
+        assert rows[i] == sig
+
+
+def test_srp_band_keys_are_bit_slices(spark):
+    from wsspark.llmops import srp
+
+    sigs = spark.createDataFrame(
+        [(1, 0b110100_001011), (2, 0)], "vec_id long, srp_sig long"
+    )
+    rows = srp.srp_band_keys(sigs, n_bits=12, band_bits=6).collect()
+    got = {(r.vec_id, r.band): r.band_key for r in rows}
+    assert got == {
+        (1, 0): 0b001011, (1, 1): 0b110100, (2, 0): 0, (2, 1): 0,
+    }
+
+
+def test_srp_candidates_no_cartesian_and_bucket_cap(spark):
+    from wsspark.llmops import srp
+
+    vecs = _srp_corpus(n_base=20, n_dups=5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = srp.srp_candidate_pairs(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # a bucket cap of 1 leaves no bucket with 2+ members -> no candidates
+    assert srp.srp_candidate_pairs(df, max_bucket_size=1).count() == 0
+
+
+def test_srp_validation():
+    import pytest as _pytest
+
+    from wsspark.llmops import srp
+
+    with _pytest.raises(ValueError, match="n_bits"):
+        srp.srp_hyperplanes(8, n_bits=63)
+    sigs = None
+    with _pytest.raises(ValueError, match="divisible"):
+        srp.srp_band_keys(sigs, n_bits=10, band_bits=4)

@@ -1,0 +1,239 @@
+"""Signed-random-projection (SRP / random-hyperplane) LSH over embedding
+columns — the TRAIN-FREE near-duplicate scale path for vectors.
+
+Charikar's random-hyperplane LSH (STOC 2002, "Similarity estimation
+techniques from rounding algorithms"): bit i of a vector's signature is
+the side of hyperplane ``r_i`` it falls on (``sign(<v, r_i>)``), and
+``P[bit_a == bit_b] = 1 - theta(a,b)/pi`` — so vectors at high cosine
+share almost all bits, and banding the signature (identical to the
+MinHash banding in ``dedup.lsh_candidate_pairs``) yields candidate pairs
+with no all-pairs comparison.
+
+Position in the ANN/dedup ladder (``similarity.py`` / ``pq.py``):
+
+- ``embedding_cosine_dup_pairs`` blocks by IVF cell — better selectivity
+  at moderate similarity, but needs centroids (a training/spread pass).
+- SRP needs NO training and no corpus statistics: the hyperplanes are a
+  seed. That makes it the right shape for STREAMING ingest (a new
+  vector's bucket keys depend on nothing but the vector) and for
+  high-threshold near-dup (cos >= 0.9, where bit-agreement ~ 0.9+).
+- It is the embedding-space counterpart of the text-side
+  ``fingerprint.simhash_fingerprints`` (which bit-votes token hashes);
+  here the projections are real Gaussian hyperplanes over real vectors.
+
+Scale notes (100 TB): signatures are one narrow projection over the
+corpus (native expressions, JVM codegen — no Python); band keys explode
+to ``n_bands`` narrow rows per vector; the candidate self-join runs per
+(band, key) bucket — never a cartesian (plan-asserted in
+tests/test_llmops.py). Hyperplanes are literals compiled into the plan
+(n_bits x dim doubles ~ tens of KB), not a broadcast join.
+
+Oracle discipline: planes are rounded to 6 decimals so the identical
+literals embed in a DuckDB twin, and the dot product folds left-to-right
+exactly like DuckDB's ``list_dot_product`` (verified bit-exact) — so the
+signature query is hash-oracle-able (wsspark/queries/llm.py,
+``srp_signatures`` in FOLDED_QUERIES). The sign is taken on the dot
+ROUNDED to 6dp, keeping the bit well-defined across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wsspark.llmops.similarity import as_double, dot, with_norm
+
+DEFAULT_N_BITS = 48
+DEFAULT_BAND_BITS = 6
+DEFAULT_SEED = 42
+
+
+def srp_hyperplanes(
+    dim: int, n_bits: int = DEFAULT_N_BITS, seed: int = DEFAULT_SEED
+) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes, rounded to 6 decimals so the
+    exact same literals parse to the exact same doubles in Spark and in
+    the DuckDB oracle. ``n_bits`` must fit a non-negative BIGINT
+    signature (packed bit i -> weight 2^i)."""
+    if not 1 <= n_bits <= 62:
+        raise ValueError(f"n_bits must be in [1, 62], got {n_bits}")
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in rng.randn(dim)] for _ in range(n_bits)
+    ]
+
+
+def srp_signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Packed SRP signature as one BIGINT: bit i is 1 iff
+    ``round(<vec, plane_i>, 6) >= 0``. One native expression — transform
+    over the literal plane array computes each dot with the same
+    left-fold ``similarity.dot`` uses everywhere, then a zip_with against
+    the power-of-two weights packs the bits. No Python, no shuffle."""
+    v = as_double(vec)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(x) for x in p]) for p in planes]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda p: (F.round(dot(v, p), 6) >= 0).cast("long"),
+    )
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(len(planes))])
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda b, w: b * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _resolve_planes(
+    df: DataFrame,
+    vec_col: str,
+    n_bits: int,
+    seed: int,
+    planes: list[list[float]] | None,
+) -> list[list[float]]:
+    if planes is not None:
+        return planes
+    # Dimension from the schema when the testdata carries it nowhere else:
+    # one cheap first() on a single-column projection (metadata-sized, not
+    # a corpus collect).
+    dim = len(df.select(vec_col).first()[0])
+    return srp_hyperplanes(dim, n_bits, seed)
+
+
+def srp_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = DEFAULT_N_BITS,
+    seed: int = DEFAULT_SEED,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """(id, srp_sig) — the packed signature per vector. Deterministic in
+    (data, seed); hash-oracle-checked against a DuckDB twin built from
+    the identical plane literals (tests/test_folded_oracles.py)."""
+    planes = _resolve_planes(df, vec_col, n_bits, seed, planes)
+    return df.select(
+        F.col(id_col),
+        srp_signature_col(F.col(vec_col), planes).alias("srp_sig"),
+    )
+
+
+def srp_band_keys(
+    signatures: DataFrame,
+    n_bits: int = DEFAULT_N_BITS,
+    band_bits: int = DEFAULT_BAND_BITS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, band, band_key) bucket rows, band_key = the band's bit slice
+    of the packed signature (shiftright + mask — no re-projection). The
+    joinable index form, same shape as ``dedup.lsh_band_keys``."""
+    if n_bits % band_bits:
+        raise ValueError("n_bits must be divisible by band_bits")
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("srp_sig"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
+    )
+
+
+def srp_candidate_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = DEFAULT_N_BITS,
+    band_bits: int = DEFAULT_BAND_BITS,
+    seed: int = DEFAULT_SEED,
+    planes: list[list[float]] | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs: vectors sharing any band's bit
+    pattern. The self-join is per (band, band_key) bucket — the plan is a
+    hash join on the band keys, never a cartesian. ``max_bucket_size``
+    guards the hyper-duplication regime exactly as in
+    ``dedup.lsh_candidate_pairs`` (pair count is quadratic in dup-cluster
+    size by definition of pairwise output)."""
+    planes = _resolve_planes(df, vec_col, n_bits, seed, planes)
+    sigs = srp_signatures(df, vec_col, id_col, n_bits, seed, planes)
+    banded = srp_band_keys(sigs, len(planes), band_bits, id_col)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    # Materialize the narrow band frame once so both join sides don't
+    # re-run the n_bits-projection expression (same rationale measured in
+    # dedup.lsh_candidate_pairs).
+    banded = banded.localCheckpoint(eager=False)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def srp_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = DEFAULT_N_BITS,
+    band_bits: int = DEFAULT_BAND_BITS,
+    seed: int = DEFAULT_SEED,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH candidates + EXACT cosine
+    verify: (id_a, id_b, cos_sim) for every candidate pair at or above
+    ``threshold``. False positives die in the exact filter; recall is the
+    banding probability ``1 - (1 - p^band_bits)^n_bands`` with
+    ``p = 1 - theta/pi`` (>= 0.998 for cos 0.95 at the 48/6 defaults),
+    measured 100% on the constructed corpus in tests/test_llmops.py.
+
+    The train-free twin of ``similarity.embedding_cosine_dup_pairs``:
+    same output contract, no centroid pass — usable on a stream."""
+    planes = _resolve_planes(df, vec_col, n_bits, seed, None)
+    cands = srp_candidate_pairs(
+        df, vec_col, id_col, len(planes), band_bits, seed, planes,
+        max_bucket_size,
+    )
+    normed = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
+    a = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    cos = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

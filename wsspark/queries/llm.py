@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wsspark.io import read_table
-from wsspark.llmops import corpus, dedup, fingerprint, pii, similarity, textstats
+from wsspark.llmops import corpus, dedup, fingerprint, pii, similarity, srp, textstats
 from wsspark.queries import Query
 from wsspark.queries import exactsum as ex
 
@@ -101,6 +101,32 @@ FROM toks
 GROUP BY token
 HAVING COUNT(*) > 0.002 * (SELECT n FROM tot)
 """
+
+
+def q_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed 48-bit random-hyperplane signatures (llmops/srp): bit i =
+    side of Gaussian hyperplane i, planes derived from the fixed seed and
+    rounded to 6dp so the DuckDB twin embeds the IDENTICAL literals. The
+    dot-product fold is left-to-right in double on both engines (verified
+    bit-exact vs DuckDB's list_dot_product), and the sign is taken on the
+    6dp-rounded dot — so the packed BIGINT must match bit for bit; any
+    projection/pack/ordering divergence goes red in the hash."""
+    return srp.srp_signatures(
+        read_table(spark, sf_dir, "embeddings"), planes=_SRP_PLANES
+    )
+
+
+_SRP_PLANES = srp.srp_hyperplanes(dim=64)  # testdata embedding dim
+
+SRP_SIGNATURES_SQL = "SELECT vec_id, CAST({} AS BIGINT) AS srp_sig FROM embeddings".format(
+    " + ".join(
+        "CASE WHEN ROUND(list_dot_product(embedding::DOUBLE[], [{}]::DOUBLE[]), 6)"
+        " >= 0 THEN CAST({} AS BIGINT) ELSE CAST(0 AS BIGINT) END".format(
+            ", ".join(repr(x) for x in p), 1 << i
+        )
+        for i, p in enumerate(_SRP_PLANES)
+    )
+)
 
 
 def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2243,5 +2269,13 @@ FOLDED_QUERIES = [
     Query("token_heavy_hitters", q_token_heavy_hitters,
           TOKEN_HEAVY_HITTERS_SQL,
           "exact frequent tokens via sketch-candidates + exact verify"),
+    # Added r9: the train-free embedding LSH family (llmops/srp). The
+    # signature projection is the family's entire numeric surface (band
+    # keys are bit slices of it; candidates are an equi-join on them), so
+    # the bit-exact DuckDB twin here covers the whole chain's arithmetic;
+    # banding recall semantics are pinned on a constructed near-dup
+    # corpus in tests/test_llmops.py.
+    Query("srp_signatures", q_srp_signatures, SRP_SIGNATURES_SQL,
+          "packed random-hyperplane LSH signatures (bit-exact twin)"),
     *_folded_core(),
 ]
