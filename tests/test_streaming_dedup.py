@@ -240,3 +240,87 @@ def test_streaming_bloom_ngram_replay_is_idempotent(spark, tmp_path):
     p = {r.doc_id: r for r in spark.read.parquet(idx.profiles_path).collect()}
     assert p[2].n_seen_windows == p[2].n_windows
     assert p[1].n_seen_windows == 0
+
+
+# ---------------------------------------------------------------------------
+# StreamingSrpIndex (embedding near-dup at ingest)
+# ---------------------------------------------------------------------------
+
+VEC_SCHEMA = "vec_id LONG, embedding ARRAY<FLOAT>"
+
+
+def _srp_vectors(n_base=30, n_dups=8, dim=32, seed=11):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n_base, dim)
+    dups = base[:n_dups] + 0.02 * rng.randn(n_dups, dim)
+    return np.vstack([base, dups]).astype(np.float32)
+
+
+def _rows(vecs, ids):
+    return [(int(i), [float(x) for x in vecs[i]]) for i in ids]
+
+
+def test_streaming_srp_index_matches_batch_operator(spark, tmp_path):
+    """Pairs accumulated across a 3-batch arrival equal the batch
+    srp_dup_pairs output on the full corpus (as unordered pairs): the
+    band keys are seed-only, so batching cannot change the candidate set
+    — the property that makes SRP the streaming-safe vector LSH."""
+    from wsspark.llmops import srp
+
+    vecs = _srp_vectors(dim=32)
+    n = len(vecs)
+    df_all = spark.createDataFrame(_rows(vecs, range(n)), VEC_SCHEMA)
+    want = {
+        frozenset((r.id_a, r.id_b))
+        for r in srp.srp_dup_pairs(df_all, threshold=0.95).collect()
+    }
+    assert want, "constructed corpus must contain near-dup pairs"
+
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+    index = streaming.StreamingSrpIndex(
+        spark, str(tmp_path / "vstore"), threshold=0.95, dim=32
+    )
+
+    def run():
+        stream = spark.readStream.schema(VEC_SCHEMA).parquet(src + "/*")
+        q = index.attach(stream, str(tmp_path / "vck"))
+        q.awaitTermination(120)
+
+    # arrival order splits most dup pairs across batches
+    thirds = [range(0, 13), range(13, 26), range(26, n)]
+    for i, ids in enumerate(thirds, 1):
+        spark.createDataFrame(_rows(vecs, ids), VEC_SCHEMA).write.parquet(
+            src + f"/b{i}"
+        )
+        run()
+
+    got = {
+        frozenset((r.id_a, r.id_b))
+        for r in spark.read.parquet(index.pairs_path).collect()
+    }
+    assert got == want
+    # index accumulated every vector's band rows
+    assert (
+        spark.read.parquet(index.index_path).select("vec_id").distinct().count()
+        == n
+    )
+
+
+def test_streaming_srp_index_replay_idempotent(spark, tmp_path):
+    """Re-applying an already-committed batch_id is a no-op: no duplicate
+    pair rows, no inflated index buckets."""
+    vecs = _srp_vectors(n_base=10, n_dups=4, dim=32)
+    df = spark.createDataFrame(_rows(vecs, range(len(vecs))), VEC_SCHEMA)
+    index = streaming.StreamingSrpIndex(
+        spark, str(tmp_path / "rstore"), threshold=0.95, dim=32
+    )
+    index.process_batch(df, 0)
+    pairs_once = spark.read.parquet(index.pairs_path).count()
+    idx_once = spark.read.parquet(index.index_path).count()
+    assert pairs_once > 0
+    index.process_batch(df, 0)  # replay
+    assert spark.read.parquet(index.pairs_path).count() == pairs_once
+    assert spark.read.parquet(index.index_path).count() == idx_once

@@ -559,6 +559,141 @@ class StreamingDedupIndex:
         )
 
 
+class StreamingSrpIndex:
+    """Incremental EMBEDDING near-duplicate detection — the streaming form
+    of ``llmops.srp.srp_dup_pairs``, and the concrete reason SRP is the
+    streaming-safe vector LSH: a new vector's band keys depend only on the
+    fixed hyperplane seed — no trained centroids (IVF) or codebooks (PQ) —
+    so arrival order can never invalidate the index and there is no
+    retrain/rebuild cycle.
+
+    Per batch: SRP signatures + band-key slices for the new vectors;
+    candidate pairs = (new x new) and (new x history) sharing any
+    (band, band_key) bucket; candidates are verified with EXACT cosine over
+    the stored vectors; verified pairs append to ``pairs_path`` and the new
+    vectors' (band rows, vector, norm) append to the index. Work per batch
+    scales with batch size x bucket occupancy, never corpus size — the
+    history is touched only through the band-key equi-join. Same
+    at-least-once guard as the other foreachBatch sinks (_BatchLog +
+    per-batch partition overwrite)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        threshold: float = 0.95,
+        dim: int = 64,
+        n_bits: int = 48,
+        band_bits: int = 6,
+        seed: int = 42,
+    ) -> None:
+        from wsspark.llmops import srp as _srp
+
+        self.spark = spark
+        self.index_path = os.path.join(store_dir, "banded_index")
+        self.pairs_path = os.path.join(store_dir, "dup_pairs")
+        self.threshold = threshold
+        self.n_bits = n_bits
+        self.band_bits = band_bits
+        self.planes = _srp.srp_hyperplanes(dim, n_bits, seed)
+        self._srp = _srp
+        self._log = _BatchLog(store_dir)
+
+    def _banded(self, vectors: DataFrame) -> DataFrame:
+        """(vec_id, band, band_key, _vec, _norm) rows for a static batch
+        frame. Single-file micro-batches arrive as one split — spread the
+        projection work first (same pitfall as StreamingDedupIndex)."""
+        from wsspark.llmops.similarity import with_norm
+
+        vectors = vectors.repartition(
+            self.spark.sparkContext.defaultParallelism, "vec_id"
+        )
+        sigs = self._srp.srp_signatures(vectors, planes=self.planes)
+        banded = self._srp.srp_band_keys(sigs, self.n_bits, self.band_bits)
+        vecs = with_norm(vectors).select("vec_id", "_vec", "_norm")
+        return banded.join(vecs, "vec_id")
+
+    def _verified_pairs(
+        self, cands: DataFrame, left: DataFrame, right: DataFrame
+    ) -> DataFrame:
+        from wsspark.llmops.similarity import dot
+
+        a = left.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("_vec").alias("_va"),
+            F.col("_norm").alias("_na"),
+        ).distinct()
+        b = right.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("_vec").alias("_vb"),
+            F.col("_norm").alias("_nb"),
+        ).distinct()
+        cos = F.round(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4
+        )
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select("id_a", "id_b", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= self.threshold)
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._log.last_applied():
+            return
+        new = self._banded(batch).cache()
+        history = _read_parquet_or_none(self.spark, self.index_path)
+
+        n = new.select("vec_id", "band", "band_key")
+        a, b = n.alias("a"), n.alias("b")
+        nn = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+            )
+            .distinct()
+        )
+        pairs = self._verified_pairs(nn, new, new)
+        if history is not None:
+            h = history.select("vec_id", "band", "band_key")
+            nh = (
+                n.alias("a")
+                .join(
+                    h.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")),
+                )
+                .select(
+                    F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                )
+                .distinct()
+            )
+            pairs = pairs.unionByName(self._verified_pairs(nh, new, history))
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self.pairs_path, f"batch_id={batch_id}")
+        )
+        new.write.mode("overwrite").parquet(
+            os.path.join(self.index_path, f"batch_id={batch_id}")
+        )
+        new.unpersist()
+        self._log.commit(batch_id)
+
+    def attach(self, vectors: DataFrame, checkpoint_dir: str):
+        return (
+            vectors.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
 class StreamingChunkDedup:
     """Chunk-level EXACT dedup at ingest — the production shape for
     continuous corpus building: each arriving document is chunked
