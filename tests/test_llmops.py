@@ -1021,3 +1021,101 @@ def test_srp_validation():
     sigs = None
     with _pytest.raises(ValueError, match="divisible"):
         srp.srp_band_keys(sigs, n_bits=10, band_bits=4)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_corpus(spark):
+    rows = []
+    for i, (tok, n) in enumerate(
+        [("alpha", 50), ("beta", 20), ("gamma", 7), ("delta", 3), ("eps", 1)]
+    ):
+        rows += [(i * 1000 + j, tok) for j in range(n)]
+    return spark.createDataFrame(rows, "row_id long, key string")
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide(spark):
+    """CMS contract: est >= true count ALWAYS; with width >> distinct
+    keys the probability of any collision across all depths is tiny, so
+    on this corpus every estimate is exact (deterministic given the md5
+    hashing and fixed keys)."""
+    from wsspark.llmops import cms
+
+    df = _cms_corpus(spark)
+    sk = cms.cms_sketch(df, "key", width=1024, depth=4)
+    est = {
+        r.key: r.est
+        for r in cms.cms_estimate(sk, df.select("key"), "key", 1024, 4).collect()
+    }
+    true = {r.key: r.cnt for r in df.groupBy("key").agg(
+        F.count("*").alias("cnt")).collect()}
+    for k, t in true.items():
+        assert est[k] >= t
+    assert est == true  # wide sketch -> no collisions on 5 keys
+
+
+def test_cms_overcount_bounded_under_collisions(spark):
+    """Force collisions (width=2): estimates still never underestimate and
+    never exceed the total stream count."""
+    from wsspark.llmops import cms
+
+    df = _cms_corpus(spark)
+    total = df.count()
+    sk = cms.cms_sketch(df, "key", width=2, depth=4)
+    est = {
+        r.key: r.est
+        for r in cms.cms_estimate(sk, df.select("key"), "key", 2, 4).collect()
+    }
+    true = {r.key: r.cnt for r in df.groupBy("key").agg(
+        F.count("*").alias("cnt")).collect()}
+    for k, t in true.items():
+        assert t <= est[k] <= total
+
+
+def test_cms_merge_is_linear(spark):
+    """sketch(A ++ B) == merge(sketch(A), sketch(B)) counter for counter."""
+    from wsspark.llmops import cms
+
+    df = _cms_corpus(spark)
+    a = df.filter(F.col("row_id") % 2 == 0)
+    b = df.filter(F.col("row_id") % 2 == 1)
+    whole = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms.cms_sketch(df, "key", width=64, depth=4).collect()
+    }
+    merged = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms.cms_merge(
+            cms.cms_sketch(a, "key", width=64, depth=4),
+            cms.cms_sketch(b, "key", width=64, depth=4),
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_weighted_and_unseen_and_validation(spark):
+    from wsspark.llmops import cms
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 2)], "key string, w long"
+    )
+    sk = cms.cms_sketch(df, "key", width=512, depth=4, weight_col="w")
+    est = {
+        r.key: r.est
+        for r in cms.cms_estimate(
+            sk,
+            spark.createDataFrame([("a",), ("b",), ("zzz",)], "key string"),
+            "key", 512, 4,
+        ).collect()
+    }
+    assert est["a"] == 15 and est["b"] == 2
+    assert est["zzz"] == 0  # all-absent probes -> 0 (no phantom counts)
+    with pytest.raises(ValueError, match="width"):
+        cms.cms_sketch(df, "key", width=1)
+    with pytest.raises(ValueError, match="depth"):
+        cms.cms_sketch(df, "key", depth=0)
+    with pytest.raises(ValueError, match="at least one"):
+        cms.cms_merge()

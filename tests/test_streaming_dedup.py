@@ -324,3 +324,85 @@ def test_streaming_srp_index_replay_idempotent(spark, tmp_path):
     index.process_batch(df, 0)  # replay
     assert spark.read.parquet(index.pairs_path).count() == pairs_once
     assert spark.read.parquet(index.index_path).count() == idx_once
+
+
+# ---------------------------------------------------------------------------
+# StreamingCmsCounter (constant-state frequency estimation)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cms_matches_batch_sketch_and_truth(spark, tmp_path):
+    """After a 3-batch ingest the store equals the batch cms_sketch over
+    the concatenated stream counter-for-counter (linearity), estimates
+    never underestimate, and the state row count is bounded by
+    width x depth no matter how many batches passed."""
+    from pyspark.sql import functions as F
+
+    from wsspark.llmops import cms
+
+    batches = [
+        [("alpha",)] * 10 + [("beta",)] * 3,
+        [("alpha",)] * 5 + [("gamma",)] * 7,
+        [("beta",)] * 2 + [("delta",)] * 1,
+    ]
+    schema = "key STRING"
+    counter = streaming.StreamingCmsCounter(
+        spark, str(tmp_path / "cstore"), width=512, depth=4
+    )
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    for i, rows in enumerate(batches, 1):
+        spark.createDataFrame(rows, schema).write.parquet(src + f"/b{i}")
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        q = counter.attach(stream, str(tmp_path / "cck"))
+        q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    df_all = spark.createDataFrame(all_rows, schema)
+    want = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms.cms_sketch(df_all, "key", width=512, depth=4).collect()
+    }
+    got_sketch = spark.read.parquet(counter.sketch_path)
+    got = {(r.depth, r.bucket): r.cnt for r in got_sketch.collect()}
+    assert got == want
+    assert got_sketch.count() <= 512 * 4
+
+    est = {
+        r.key: r.est
+        for r in counter.estimate(df_all.select("key").distinct()).collect()
+    }
+    true = {
+        r.key: r.cnt
+        for r in df_all.groupBy("key").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert est == {"alpha": 15, "beta": 5, "gamma": 7, "delta": 1}
+    for k, t in true.items():
+        assert est[k] >= t
+
+
+def test_streaming_cms_replay_and_empty_store(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    counter = streaming.StreamingCmsCounter(
+        spark, str(tmp_path / "rstore"), width=64, depth=4
+    )
+    keys = spark.createDataFrame([("a",), ("b",)], "key STRING")
+    # empty store -> all-zero estimates, schema stable
+    est0 = {r.key: r.est for r in counter.estimate(keys).collect()}
+    assert est0 == {"a": 0, "b": 0}
+
+    df = spark.createDataFrame([("a",)] * 4 + [("b",)], "key STRING")
+    counter.process_batch(df, 0)
+    once = {
+        (r.depth, r.bucket): r.cnt
+        for r in spark.read.parquet(counter.sketch_path).collect()
+    }
+    counter.process_batch(df, 0)  # replay must not double-count
+    again = {
+        (r.depth, r.bucket): r.cnt
+        for r in spark.read.parquet(counter.sketch_path).collect()
+    }
+    assert once == again
+    est = {r.key: r.est for r in counter.estimate(keys).collect()}
+    assert est == {"a": 4, "b": 1}

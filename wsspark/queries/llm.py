@@ -103,6 +103,50 @@ HAVING COUNT(*) > 0.002 * (SELECT n FROM tot)
 """
 
 
+CMS_WIDTH = 256
+CMS_DEPTH = 4
+
+
+def q_cms_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch counters over the documents token stream
+    (llmops/cms.cms_sketch): deterministic md5 Kirsch-Mitzenmacher
+    arithmetic, so the whole approximate structure — every counter in
+    the width x depth matrix — is recomputed by the DuckDB twin and
+    hash-checked bit for bit. Estimate-side guarantees (never an
+    underestimate; bounded overcount) are pinned in tests/test_llmops.py."""
+    from wsspark.llmops import cms
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return cms.cms_sketch(toks, "token", width=CMS_WIDTH, depth=CMS_DEPTH)
+
+
+CMS_TOKEN_SKETCH_SQL = f"""
+WITH toks AS (
+    SELECT t.token
+    FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    WHERE t.token <> ''
+),
+h AS (
+    SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS h1,
+           ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2
+    FROM toks
+),
+e AS (
+    SELECT i.depth, ((h1 + i.depth * h2) % {CMS_WIDTH}) AS bucket
+    FROM h, (SELECT UNNEST(generate_series(1, {CMS_DEPTH})) AS depth) i
+)
+SELECT CAST(depth AS INTEGER) AS depth,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM e
+GROUP BY depth, bucket
+"""
+
+
 def q_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed 48-bit random-hyperplane signatures (llmops/srp): bit i =
     side of Gaussian hyperplane i, planes derived from the fixed seed and
@@ -2277,5 +2321,13 @@ FOLDED_QUERIES = [
     # corpus in tests/test_llmops.py.
     Query("srp_signatures", q_srp_signatures, SRP_SIGNATURES_SQL,
           "packed random-hyperplane LSH signatures (bit-exact twin)"),
+    # Added r9: the sketch family's frequency member (llmops/cms). The
+    # counter matrix is the operator's entire state — estimates are min
+    # probes over it — so the bit-exact twin here pins the whole
+    # approximate structure; the estimate-side guarantees (no
+    # underestimate, bounded overcount, merge linearity) are pinned in
+    # tests/test_llmops.py.
+    Query("cms_token_sketch", q_cms_token_sketch, CMS_TOKEN_SKETCH_SQL,
+          "count-min sketch counters (bit-exact twin)"),
     *_folded_core(),
 ]

@@ -927,6 +927,81 @@ class StreamingBloomNgramIndex:
         )
 
 
+class StreamingCmsCounter:
+    """CONSTANT-STATE streaming frequency estimation — the CMS twin of
+    StreamingBloomNgramIndex's state profile: counters are linear
+    (llmops/cms), so the per-batch state update is ``sketch(batch)``
+    merged into the store by a groupBy sum over <= width x depth rows,
+    and the ENTIRE state stays that fixed-size frame forever, regardless
+    of how much stream has passed through. The bloom index answers "seen
+    before?"; this answers "roughly how often?" — together they are the
+    bounded-memory pair a 100 TB ingest pipeline keeps per feed.
+
+    ``estimate(keys)`` serves point estimates from the store with the
+    batch operator's guarantees: never an underestimate of the true
+    ingested count, overcount bounded by the width. Durability mirrors
+    the other foreachBatch sinks: batch-id apply log (at-least-once
+    replays skipped — a replayed batch must not double-count) +
+    stage-then-swap store writes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        key_col: str = "key",
+        width: int = 1024,
+        depth: int = 4,
+        weight_col: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.sketch_path = os.path.join(store_dir, "cms_sketch")
+        self.key_col = key_col
+        self.width = width
+        self.depth = depth
+        self.weight_col = weight_col
+        self._log = _BatchLog(store_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from wsspark.llmops import cms
+
+        if batch_id <= self._log.last_applied():
+            return
+        batch_sk = cms.cms_sketch(
+            batch, self.key_col, self.width, self.depth, self.weight_col
+        )
+        history = _read_parquet_or_none(self.spark, self.sketch_path)
+        merged = batch_sk if history is None else cms.cms_merge(batch_sk, history)
+        tmp = self.sketch_path + f"._v{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            self.sketch_path
+        )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._log.commit(batch_id)
+
+    def estimate(self, keys: DataFrame) -> DataFrame:
+        from wsspark.llmops import cms
+
+        history = _read_parquet_or_none(self.spark, self.sketch_path)
+        if history is None:
+            return keys.select(self.key_col).distinct().withColumn(
+                "est", F.lit(0).cast("long")
+            )
+        return cms.cms_estimate(
+            history, keys, self.key_col, self.width, self.depth
+        )
+
+    def attach(self, rows: DataFrame, checkpoint_dir: str):
+        return (
+            rows.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
 class StreamingMVMaintainer:
     """Continuous materialized-view maintenance — the streaming twin of
     ops.incremental.incremental_refresh: each micro-batch is partially
