@@ -1119,3 +1119,124 @@ def test_cms_weighted_and_unseen_and_validation(spark):
         cms.cms_sketch(df, "key", depth=0)
     with pytest.raises(ValueError, match="at least one"):
         cms.cms_merge()
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval + RRF fusion
+# ---------------------------------------------------------------------------
+
+_BM25_DOCS = [
+    (1, "spark query join fast"),
+    (2, "spark spark spark slow"),
+    (3, "vector hash scan join query"),
+    (4, "totally unrelated words here"),
+    (5, "query query join spark scan"),
+]
+
+
+def _bm25_reference(docs, queries, k=3, k1=1.2, b=0.75):
+    import collections
+    import math
+
+    N = len(docs)
+    toks = {d: t.split() for d, t in docs}
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / N
+    df = collections.Counter()
+    for t in toks.values():
+        for term in set(t):
+            df[term] += 1
+
+    def score(q, d):
+        s = 0.0
+        for term in set(q.split()):
+            tf = toks[d].count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (N - df[term] + 0.5) / (df[term] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+        return round(s, 6)
+
+    out = {}
+    for qid, qt in queries:
+        ranked = sorted(
+            ((score(qt, d), d) for d, _ in docs if score(qt, d) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        out[qid] = [(d, s, i + 1) for i, (s, d) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    from wsspark.llmops import retrieval
+
+    queries = [(10, "spark query"), (20, "vector scan"), (30, "nosuchterm")]
+    ddf = spark.createDataFrame(_BM25_DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    got = {}
+    for r in retrieval.bm25_search(ddf, qdf, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score, r.rank))
+    for qid in got:
+        got[qid].sort(key=lambda x: x[2])
+    want = _bm25_reference(_BM25_DOCS, queries)
+    assert got[10] == want[10]
+    assert got[20] == want[20]
+    # a query matching nothing returns no rows, not zero-score noise
+    assert 30 not in got
+
+
+def test_bm25_duplicate_query_terms_count_once(spark):
+    from wsspark.llmops import retrieval
+
+    ddf = spark.createDataFrame(_BM25_DOCS, "doc_id long, text string")
+    once = spark.createDataFrame([(1, "spark join")], "query_id long, text string")
+    twice = spark.createDataFrame(
+        [(1, "spark spark join")], "query_id long, text string"
+    )
+    a = {(r.doc_id, r.score) for r in retrieval.bm25_search(ddf, once, k=5).collect()}
+    b = {(r.doc_id, r.score) for r in retrieval.bm25_search(ddf, twice, k=5).collect()}
+    assert a == b
+
+
+def test_rrf_fuse_properties(spark):
+    from wsspark.llmops import retrieval
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "query_id long, doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)], "query_id long, doc_id long, rank int"
+    )
+    got = {
+        r.doc_id: (r.rrf_score, r.rank)
+        for r in retrieval.rrf_fuse([r1, r2], k=4).collect()
+    }
+    # doc 20 appears in both -> highest fused score
+    assert got[20][1] == 1
+    assert got[20][0] == round(1 / 62 + 1 / 61, 6)
+    # docs in only one list contribute only that term
+    assert got[10][0] == round(1 / 61, 6)
+    assert got[40][0] == round(1 / 62, 6)
+    assert got[30][0] == round(1 / 63, 6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        retrieval.rrf_fuse([])
+
+
+def test_hybrid_related_docs_excludes_self_and_fuses(spark, sf_dir):
+    from wsspark.io import read_table
+    from wsspark.llmops import retrieval
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    qids = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
+    out = retrieval.hybrid_related_docs(docs, emb, qids, k=5).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert r.doc_id != r.query_id  # self never returned
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5

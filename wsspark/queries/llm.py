@@ -103,6 +103,147 @@ HAVING COUNT(*) > 0.002 * (SELECT n FROM tot)
 """
 
 
+BM25_K = 5
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k (llmops/retrieval.bm25_search) with the ANN
+    convention's query set (doc_id % 100 == 0, the query docs' own text
+    — more-like-this). Every score is deterministic arithmetic and ranks
+    order by the 6dp-ROUNDED score then doc_id, so the DuckDB twin
+    recomputing the identical postings/idf/tf-norm pipeline must match
+    the ranking hash exactly."""
+    from wsspark.llmops import retrieval
+
+    docs = read_table(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return retrieval.bm25_search(docs, qs, k=BM25_K)
+
+
+_BM25_CORE_SQL = """
+d AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+    FROM documents
+),
+post AS (
+    SELECT doc_id, len(tk) AS dl, t.term, COUNT(*) AS tf
+    FROM d, UNNEST(tk) AS t(term)
+    GROUP BY doc_id, len(tk), t.term
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(tk)) AS avgdl FROM d),
+q AS (SELECT doc_id AS query_id, tk FROM d WHERE doc_id % 100 = 0),
+qterms AS (SELECT DISTINCT query_id, t.term FROM q, UNNEST(tk) AS t(term)),
+tdf AS (
+    SELECT term, COUNT(*) AS df_t FROM post
+    WHERE term IN (SELECT DISTINCT term FROM qterms)
+    GROUP BY term
+),
+qs AS (
+    SELECT qt.query_id, qt.term,
+           LN(1 + ((SELECT n_docs FROM stats) - df_t + 0.5) / (df_t + 0.5))
+               AS idf
+    FROM qterms qt JOIN tdf USING (term)
+),
+scored AS (
+    SELECT qs.query_id, p.doc_id,
+           ROUND(SUM(qs.idf * p.tf * 2.2
+                     / (p.tf + 1.2 * (1 - 0.75
+                        + 0.75 * p.dl / (SELECT avgdl FROM stats)))), 6)
+               AS score
+    FROM post p JOIN qs ON p.term = qs.term
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id)
+               AS INTEGER) AS rank
+    FROM scored
+)
+"""
+
+BM25_SQL = f"""
+WITH {_BM25_CORE_SQL}
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+def q_hybrid_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid related-documents retrieval: BM25 more-like-this fused with
+    exact cosine over the embedding table by reciprocal-rank fusion
+    (llmops/retrieval.hybrid_related_docs). The twin recomputes BOTH legs
+    (the BM25 pipeline above, the ANN_SQL cosine pairs) and the
+    1/(60+rank) fusion arithmetic — rank-only fusion keeps the whole
+    composition exactly SQL-expressible."""
+    from wsspark.llmops import retrieval
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    qids = docs.filter(F.col("doc_id") % QUERY_MOD == 0).select("doc_id")
+    return retrieval.hybrid_related_docs(docs, emb, qids, k=BM25_K)
+
+
+HYBRID_SQL = f"""
+WITH {_BM25_CORE_SQL},
+lex AS (
+    SELECT query_id, doc_id, score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id)
+               AS INTEGER) AS rank
+    FROM ranked
+    WHERE rank <= {BM25_K + 1} AND doc_id <> query_id
+),
+e AS (SELECT vec_id, embedding FROM embeddings),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+       WHERE vec_id % 100 = 0),
+pairs AS (
+    SELECT qv.query_id, e.vec_id AS doc_id,
+           ROUND(
+               list_aggregate(list_transform(list_zip(qv.qe, e.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(qv.qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+               4) AS cos_sim
+    FROM qv JOIN e ON e.vec_id <> qv.query_id
+),
+sem AS (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, doc_id)
+               AS INTEGER) AS rank
+    FROM pairs
+    QUALIFY rank <= {BM25_K}
+),
+contrib AS (
+    SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id)
+                   AS INTEGER) AS rank
+        FROM lex QUALIFY rank <= {BM25_K}
+    )
+    UNION ALL
+    SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM sem
+),
+fused AS (
+    SELECT query_id, doc_id, ROUND(SUM(c), 6) AS rrf_score
+    FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+    FROM fused
+)
+WHERE rank <= {BM25_K}
+"""
+
+
 CMS_WIDTH = 256
 CMS_DEPTH = 4
 
@@ -2329,5 +2470,14 @@ FOLDED_QUERIES = [
     # tests/test_llmops.py.
     Query("cms_token_sketch", q_cms_token_sketch, CMS_TOKEN_SKETCH_SQL,
           "count-min sketch counters (bit-exact twin)"),
+    # Added r9: lexical retrieval + hybrid fusion (llmops/retrieval) —
+    # the text side of the retrieval pair whose vector side is the ANN
+    # ladder. Ranks order by 6dp-rounded scores so the full pipelines
+    # (postings -> idf -> tf-norm -> top-k; + cosine leg + RRF) are
+    # exactly SQL-expressible and hash-checked end to end.
+    Query("bm25_search", q_bm25_search, BM25_SQL,
+          "Okapi BM25 top-k more-like-this ranking"),
+    Query("hybrid_related_docs", q_hybrid_related_docs, HYBRID_SQL,
+          "BM25 + cosine reciprocal-rank-fusion hybrid retrieval"),
     *_folded_core(),
 ]
