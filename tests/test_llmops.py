@@ -1240,3 +1240,54 @@ def test_hybrid_related_docs_excludes_self_and_fuses(spark, sf_dir):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_append_ivf_store_equals_rebuild(spark, sf_dir, tmp_path):
+    """Appending new vectors to a frozen-centroid store yields a store
+    whose searches are row-identical to a fresh build over the union, and
+    the appended files land only in their assigned cells' partition
+    directories."""
+    from wsspark.io import read_table
+    from wsspark.llmops import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    centroids, n_cells = similarity.write_ivf_store(old, inc_path)
+    centroids = centroids.localCheckpoint()  # freeze the codebook
+    similarity.append_ivf_store(new, inc_path, centroids)
+
+    full_path = str(tmp_path / "ivf_full")
+    similarity.write_ivf_store(emb, full_path, centroids=centroids,
+                               n_cells=n_cells)
+
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in similarity.ivf_search_store(
+            spark, inc_path, centroids, queries, k=5, n_cells=n_cells
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in similarity.ivf_search_store(
+            spark, full_path, centroids, queries, k=5, n_cells=n_cells
+        ).collect()
+    }
+    assert got == want and got
+    # appended rows live under centroid_id=<cell> dirs of their assignment
+    import os as _os
+
+    cells = {
+        d for d in _os.listdir(inc_path) if d.startswith("centroid_id=")
+    }
+    assigned_cells = {
+        f"centroid_id={r.centroid_id}"
+        for r in similarity.ivf_assign(
+            similarity.with_norm(new).select("vec_id", "_vec", "_norm"),
+            centroids, n_probe=1,
+        ).select("centroid_id").distinct().collect()
+    }
+    assert assigned_cells <= cells

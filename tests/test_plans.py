@@ -491,3 +491,59 @@ def test_late_sole_supplier_scans_fact_once(spark, sf_dir):
     plan = plan_of(build_registry()["late_sole_supplier"].fn(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_sketch_single_scan_single_shuffle(spark, sf_dir):
+    """The CMS build is ONE combinable aggregation: one corpus scan, one
+    exchange (the partial aggregate shrinks the shuffle to <= width x
+    depth rows per partition), no Python anywhere."""
+    from wsspark.llmops import cms
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    plan = cms.cms_sketch(toks, "token", width=256, depth=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_scans_corpus_twice_and_broadcasts_query_side(spark, sf_dir):
+    """bm25_search touches the corpus exactly twice: the N/avgdl stats
+    pass (the one parquet scan visible in the final plan) and the
+    postings build (inside the one-time localCheckpoint materialization
+    of the query-vocabulary-pruned `matched` frame). Everything joined
+    against postings-derived frames is broadcast; no cartesian, no
+    Python."""
+    from wsspark.llmops import retrieval
+
+    docs = read_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark query join"), (2, "vector hash")],
+        "query_id long, text string",
+    )
+    out = retrieval.bm25_search(docs, qs, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1  # stats pass only
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan or \
+        "Scan rdd" in plan.lower()  # the checkpointed matched frame
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_srp_signature_projection_is_shuffle_free(spark, sf_dir):
+    """The SRP signature is a pure projection: zero exchanges between the
+    parquet scan and the output — at 100 TB it pipelines with the scan."""
+    from wsspark.llmops import srp
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = srp.srp_signatures(emb, planes=srp.srp_hyperplanes(64))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 0
+    assert "BatchEvalPython" not in plan

@@ -10,11 +10,13 @@ fusion step that merges the two rankings without score calibration.
   per-doc grouping key, so no second pass or join for ``dl``).
 - ``bm25_search``: Okapi BM25 (Robertson et al., TREC-3; the
   non-negative Lucene idf variant ``ln(1 + (N - df + .5)/(df + .5))``)
-  for a small query frame against the corpus. Scale shape: corpus-sized
-  frames are touched exactly twice (the postings build and one broadcast
-  join against the query-term stats); ``df``/``idf`` are computed on the
-  QUERY vocabulary only (query-terms x corpus-df semi-shape), never the
-  full vocabulary; the final top-k window partitions by query. Distinct
+  for a small query frame against the corpus. Scale shape: the corpus is
+  scanned exactly TWICE (the postings build and the N/avgdl stats pass);
+  postings are immediately pruned to the query vocabulary by a broadcast
+  join and that small ``matched`` frame (sum of query-term dfs, the rows
+  scoring must touch anyway) is materialized once — ``df``/``idf`` and
+  the scoring join both derive from it, so nothing corpus-sized is ever
+  re-exploded; the final top-k window partitions by query. Distinct
   query terms score once (documented choice — short-query convention).
 - ``rrf_fuse``: reciprocal-rank fusion (Cormack, Clarke & Buettcher,
   SIGIR 2009): ``score = sum_r 1/(k0 + rank_r)`` over the input
@@ -86,14 +88,17 @@ def bm25_search(
         )
         .distinct()
     )
-    # df over the QUERY vocabulary only: semi-join postings down to query
-    # terms first, then count docs per term.
-    term_df = (
-        postings.join(
-            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-        )
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("df_t"))
+    # Prune the corpus-sized postings to the QUERY vocabulary once and
+    # materialize the (small: sum of query-term dfs) result — both the df
+    # aggregation and the scoring join derive from it, so the corpus is
+    # scanned exactly twice total (postings + stats), never re-exploded
+    # per derived frame (plan-asserted in tests/test_plans.py).
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+    # (doc_id, term) is unique in postings, so count(*) per term == df.
+    term_df = matched.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_t")
     )
     qstats = (
         qterms.join(term_df, "term")  # terms absent from the corpus drop out
@@ -108,7 +113,7 @@ def bm25_search(
         .select("query_id", "term", "idf", "avgdl")
     )
     scored = (
-        postings.join(F.broadcast(qstats), "term")
+        matched.join(F.broadcast(qstats), "term")
         .withColumn(
             "_contrib",
             F.col("idf")

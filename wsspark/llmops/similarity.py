@@ -656,6 +656,31 @@ def write_ivf_store(
     return centroids, n_cells
 
 
+def append_ivf_store(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally extend a ``write_ivf_store`` layout: assign ONLY the
+    new vectors to the EXISTING centroids and append them into their
+    cells' partition directories — no rebuild, no touch of resident data.
+    This is the ingest half of the serving story: with fixed centroids
+    the cell of a vector depends on nothing but the vector (the same
+    property that makes SRP streaming-safe holds for a FROZEN IVF
+    codebook), so appends commute and the store after any append sequence
+    equals a fresh build over the union (pinned in tests/test_llmops.py).
+    Cell balance degrades only as far as the data drifts from the
+    centroid sample — re-train + rewrite offline when probed-cell sizes
+    skew (the classic IVF re-index cadence)."""
+    corpus = with_norm(new_vectors, vec_col).select(F.col(id_col), "_vec", "_norm")
+    assigned = ivf_assign(corpus, centroids, n_probe=1, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id", "_vec", "_norm"
+    )
+    assigned.write.partitionBy("centroid_id").mode("append").parquet(path)
+
+
 def ivf_search_store(
     spark: SparkSession,
     path: str,
