@@ -1,5 +1,6 @@
 """Snapshot store: atomic manifest-pinned commits, snapshot isolation,
-time travel, schema gating, optimistic concurrency, vacuum safety."""
+time travel, schema gating, optimistic concurrency, vacuum safety,
+CDC reads, manifest-stats file skipping, exactly-once streaming sink."""
 
 from __future__ import annotations
 
@@ -142,3 +143,138 @@ def test_compact_is_a_version_and_preserves_pinned_reads(spark, tmp_path):
     # after vacuum to the compacted version only, data still reads
     ss.snap_vacuum(root, keep_last=1)
     assert ss.snap_read(spark, root).count() == 50
+
+
+def test_read_changes_is_exact_append_delta(spark, tmp_path):
+    root = str(tmp_path / "t8")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    ss.snap_commit(_df(spark, 10, 25), root, mode="append")
+    ss.snap_commit(_df(spark, 25, 30), root, mode="append")
+    # delta (0 -> 2] = exactly the rows versions 1 and 2 added
+    delta = ss.snap_read_changes(spark, root, since=0)
+    assert {r.id for r in delta.collect()} == set(range(10, 30))
+    assert {r.id for r in ss.snap_read_changes(spark, root, 1, 2).collect()} == set(
+        range(25, 30)
+    )
+    # empty delta (since == until) keeps names/types
+    empty = ss.snap_read_changes(spark, root, 2, 2)
+    assert empty.count() == 0 and empty.columns == ["id", "val"]
+    with pytest.raises(ValueError, match="since <= until"):
+        ss.snap_read_changes(spark, root, 2, 1)
+
+
+def test_read_changes_refuses_overwrite_lineage(spark, tmp_path):
+    """An overwrite in (since, until] means the delta is not an append
+    set — the honest behavior is a refusal, not a wrong diff."""
+    root = str(tmp_path / "t9")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    ss.snap_commit(_df(spark, 50, 55), root, mode="overwrite")
+    ss.snap_commit(_df(spark, 55, 60), root, mode="append")
+    with pytest.raises(ValueError, match="overwrite"):
+        ss.snap_read_changes(spark, root, since=0)
+    # but the post-overwrite segment is a clean append delta
+    assert {r.id for r in ss.snap_read_changes(spark, root, 1, 2).collect()} == set(
+        range(55, 60)
+    )
+
+
+def test_tail_cursor_protocol(spark, tmp_path):
+    root = str(tmp_path / "t10")
+    ss.snap_commit(_df(spark, 0, 5), root)
+    delta, cursor = ss.snap_tail(spark, root, since=0)
+    assert delta.count() == 0 and cursor == 0
+    ss.snap_commit(_df(spark, 5, 9), root, mode="append")
+    delta, cursor = ss.snap_tail(spark, root, since=cursor)
+    assert {r.id for r in delta.collect()} == {5, 6, 7, 8} and cursor == 1
+
+
+def test_stats_skipping_prunes_clustered_files(spark, tmp_path):
+    """Range-clustered commit + manifest min/max stats: a narrow range
+    predicate plans a strict subset of files, and the pruned read equals
+    the full filtered read exactly."""
+    root = str(tmp_path / "t11")
+    df = _df(spark, 0, 10_000).repartitionByRange(16, "id")
+    ss.snap_commit(df, root, stats_cols=["id"])
+    kept, total = ss.snap_prune_files(root, "id", 100, 150)
+    assert total == 16 and 1 <= len(kept) <= 2  # ~selectivity x files
+    got = ss.snap_read_between(spark, root, "id", 100, 150)
+    assert {r.id for r in got.collect()} == set(range(100, 151))
+    # files without stats are kept (skipping never changes results):
+    # append WITHOUT stats_cols, then prune -> the new file always reads
+    ss.snap_commit(_df(spark, 20_000, 20_010).coalesce(1), root, mode="append")
+    kept2, total2 = ss.snap_prune_files(root, "id", 100, 150)
+    assert total2 == 17 and len(kept2) == len(kept) + 1
+    got2 = ss.snap_read_between(spark, root, "id", 100, 150)
+    assert got2.count() == 51  # residual filter still exact
+    # disjoint range with full stats -> zero files planned, schema kept
+    ss.snap_compact(spark, root, stats_cols=["id"])
+    none_df = ss.snap_read_between(spark, root, "id", -50, -1)
+    assert none_df.count() == 0 and none_df.columns == ["id", "val"]
+
+
+def test_stats_survive_append_and_serialize_timestamps(spark, tmp_path):
+    root = str(tmp_path / "t12")
+    ts = spark.range(0, 100).select(
+        F.col("id"),
+        F.timestamp_add("DAY", F.col("id").cast("int"), F.lit("2024-01-01").cast("timestamp")).alias("ts"),
+    )
+    ss.snap_commit(ts.repartitionByRange(4, "ts"), root, stats_cols=["ts"])
+    import datetime as dt
+
+    kept, total = ss.snap_prune_files(
+        root, "ts", dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 10)
+    )
+    assert total == 4 and len(kept) == 1
+    got = ss.snap_read_between(
+        spark, root, "ts", dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 10)
+    )
+    assert got.count() == 6  # days 5..10 inclusive
+
+
+def test_snap_sink_exactly_once_under_replay(spark, tmp_path):
+    """The foreachBatch sink: a replayed micro-batch (same batch id) is a
+    no-op; distinct ids append. This is the crash window between sink
+    write and checkpoint commit, simulated directly."""
+    root = str(tmp_path / "t13")
+    sink = ss.snap_sink(root)
+    sink(_df(spark, 0, 5), 0)
+    sink(_df(spark, 5, 10), 1)
+    sink(_df(spark, 5, 10), 1)  # replay -> skipped
+    sink(_df(spark, 3, 4), 0)   # stale replay -> skipped
+    assert ss.snap_read(spark, root).count() == 10
+    assert ss.snap_versions(root) == [0, 1]
+    assert ss.snap_tag(root) == 1
+
+
+def test_snap_sink_end_to_end_streaming_restart(spark, tmp_path):
+    """Real Structured Streaming run: file source, one file per
+    micro-batch, availableNow; then new files + restart from the same
+    checkpoint continues the lineage without duplicating rows."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "t14")
+    _df(spark, 0, 10).coalesce(1).write.parquet(src)
+    _df(spark, 10, 20).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, val long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ss.snap_sink(root))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {r.id for r in ss.snap_read(spark, root).collect()} == set(range(20))
+    _df(spark, 20, 30).coalesce(1).write.mode("append").parquet(src)
+    run()  # restart from checkpoint: only the new file lands
+    assert ss.snap_read(spark, root).count() == 30
+    # the CDC read composes: everything after the first run's cursor
+    tags = [ss._read_manifest(root, v)["tag"] for v in ss.snap_versions(root)]
+    assert tags == sorted(tags)  # monotone batch ids

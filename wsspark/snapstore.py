@@ -24,7 +24,24 @@ commit publishes an immutable MANIFEST (the explicit file list + schema
   reprocessing, audits, reproducible training snapshots);
 - ``snap_vacuum`` deletes data files no retained manifest references —
   compaction/rewrite garbage collection with readers still safe on
-  retained versions.
+  retained versions;
+- incremental (CDC) reads: for an append-only lineage the delta between
+  two versions is exactly the manifest file-list difference, so
+  ``snap_read_changes`` yields the new rows without a watermark column
+  and without scanning resident data (``snap_tail`` is the one-arg
+  "everything since my last checkpoint" form);
+- data skipping: ``snap_commit(stats_cols=[...])`` records per-FILE
+  min/max for the named columns in the manifest (one aggregation over
+  the just-written files — no footer reads at query time), and
+  ``snap_read_between`` plans only the files whose [min, max] overlaps
+  the predicate range, applying the exact residual filter after. With a
+  range-clustered write (``repartitionByRange`` / ``layout.write_zordered``)
+  this is the Delta/Iceberg skipping story in one JSON field;
+- exactly-once streaming publish: ``snap_sink(root)`` is a foreachBatch
+  target that stamps each commit with the micro-batch id (``tag``) and
+  skips any batch id at-or-below the last published tag, closing the
+  replay window between sink write and checkpoint commit — the commit
+  IS the idempotence marker, no side log.
 
 Append commits validate the schema against the parent manifest (exact
 StructType match — evolution is an explicit overwrite, not an accident).
@@ -41,6 +58,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -80,8 +98,49 @@ def _list_parquet(d: str) -> list[str]:
     )
 
 
+def _json_stat(v):
+    """Manifest-serializable min/max: datetimes/dates become ISO strings
+    (lexicographic order == temporal order, so range overlap tests stay
+    plain string comparisons)."""
+    return v.isoformat() if hasattr(v, "isoformat") else v
+
+
+def _collect_file_stats(
+    spark: SparkSession, commit_dir: str, stats_cols: list[str]
+) -> dict:
+    """Per-file min/max of ``stats_cols`` over the just-written commit
+    directory: ONE distributed aggregation grouped on the hidden
+    ``_metadata.file_path`` column — output is O(files x cols) rows, the
+    only thing the driver ever holds."""
+    from urllib.parse import unquote, urlparse
+
+    df = spark.read.parquet(commit_dir)
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    rows = (
+        df.select(F.col("_metadata.file_path").alias("__path"), *stats_cols)
+        .groupBy("__path")
+        .agg(*aggs)
+        .collect()
+    )
+    stats: dict = {}
+    for r in rows:
+        path = unquote(urlparse(r["__path"]).path)
+        stats[path] = {
+            c: [_json_stat(r[f"__min_{c}"]), _json_stat(r[f"__max_{c}"])]
+            for c in stats_cols
+        }
+    return stats
+
+
 def snap_commit(
-    df: DataFrame, root: str, mode: str = "append", tag: int | str | None = None
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    tag: int | str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Publish ``df`` as the next version; returns the version number.
 
@@ -91,7 +150,10 @@ def snap_commit(
     rewrites resident data. ``tag`` rides in the manifest (e.g. a
     streaming batch id) so idempotent writers can detect an
     already-published attempt: the commit IS the marker, closing the
-    crash window a separate apply-log would leave."""
+    crash window a separate apply-log would leave. ``stats_cols``
+    records per-file min/max for those columns in the manifest (see
+    ``snap_read_between``); appends keep the parent's stats for resident
+    files untouched."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode}")
     os.makedirs(_manifest_dir(root), exist_ok=True)
@@ -99,6 +161,7 @@ def snap_commit(
     version = 0 if parent is None else parent + 1
 
     parent_files: list[str] = []
+    parent_stats: dict = {}
     if mode == "append" and parent is not None:
         pm = _read_manifest(root, parent)
         if json.loads(pm["schema"]) != json.loads(df.schema.json()):
@@ -107,18 +170,26 @@ def snap_commit(
                 "mode='overwrite' for an explicit schema change"
             )
         parent_files = pm["files"]
+        parent_stats = pm.get("file_stats", {})
 
     commit_dir = os.path.join(
         root, "data", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("error").parquet(commit_dir)
+    new_files = _list_parquet(commit_dir)
+    file_stats = dict(parent_stats)
+    if stats_cols and new_files:
+        file_stats.update(
+            _collect_file_stats(df.sparkSession, commit_dir, list(stats_cols))
+        )
     manifest = {
         "version": version,
         "parent": parent,
         "mode": mode,
         "tag": tag,
         "schema": df.schema.json(),
-        "files": parent_files + _list_parquet(commit_dir),
+        "files": parent_files + new_files,
+        "file_stats": file_stats,
     }
     try:
         # O_EXCL publish: exactly one committer wins version N
@@ -163,8 +234,130 @@ def snap_read(
     return spark.read.schema(schema).parquet(*m["files"])
 
 
+def snap_read_changes(
+    spark: SparkSession, root: str, since: int, until: int | None = None
+) -> DataFrame:
+    """Rows added after version ``since`` up to ``until`` (default
+    CURRENT) — the CDC read: for an append-only lineage the delta is
+    EXACTLY the manifest file-list difference, so incremental consumers
+    scan only new files, no watermark column and no resident-data scan.
+
+    Raises if any version in (since, until] is an ``overwrite`` — there
+    the delta is not expressible as added files (rows may have been
+    removed or rewritten) and the honest answer is "re-read the
+    snapshot", not a silently wrong diff."""
+    if until is None:
+        until = snap_current_version(root)
+        if until is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    if not 0 <= since <= until:
+        raise ValueError(f"need 0 <= since <= until, got {since}..{until}")
+    for v in range(since + 1, until + 1):
+        if _read_manifest(root, v)["mode"] != "append":
+            raise ValueError(
+                f"version {v} is an overwrite — the {since}..{until} delta "
+                "is not an append set; re-read the full snapshot instead"
+            )
+    m = _read_manifest(root, until)
+    base = set(_read_manifest(root, since)["files"])
+    new_files = [f for f in m["files"] if f not in base]
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if not new_files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*new_files)
+
+
+def snap_tail(spark: SparkSession, root: str, since: int) -> tuple[DataFrame, int]:
+    """Convenience CDC cursor: ``(changes since <since>, CURRENT)`` — the
+    caller persists the returned version as its next checkpoint."""
+    cur = snap_current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    return snap_read_changes(spark, root, since, cur), cur
+
+
+def snap_prune_files(
+    root: str, col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], int]:
+    """The planning half of data skipping: ``(files whose [min, max]
+    overlaps [lo, hi], total files in the manifest)``. Files with no
+    recorded stats for ``col`` (written without ``stats_cols``, or an
+    all-NULL file) are KEPT — skipping must never change results.
+    Driver-side dict lookups over the manifest only; no file is opened."""
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    lo, hi = _json_stat(lo), _json_stat(hi)
+    stats = m.get("file_stats", {})
+    kept = []
+    for f in m["files"]:
+        mm = stats.get(f, {}).get(col)
+        if mm is None or mm[0] is None or mm[1] is None:
+            kept.append(f)  # unknown -> must read
+        elif not (mm[0] > hi or mm[1] < lo):
+            kept.append(f)
+    return kept, len(m["files"])
+
+
+def snap_read_between(
+    spark: SparkSession, root: str, col: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """Range read with manifest-stats file skipping: plan ONLY the files
+    whose recorded [min, max] for ``col`` overlaps [lo, hi], then apply
+    the exact residual ``BETWEEN`` filter (skipping is a superset
+    optimization, never the semantics). With a range-clustered write
+    (``repartitionByRange`` or ``layout.write_zordered``) the kept set is
+    ~selectivity x files; with random layout it degrades safely to a
+    full read. At 100 TB this is the difference between a metadata
+    lookup and a million footer reads."""
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    files, _total = snap_prune_files(root, col, lo, hi, version)
+    schema = T.StructType.fromJson(json.loads(_read_manifest(root, version)["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    )
+
+
+def snap_sink(root: str, stats_cols: list[str] | None = None):
+    """Exactly-once foreachBatch publisher: commit each micro-batch as an
+    append tagged with its batch id, skipping any batch at-or-below the
+    last published tag. Structured Streaming replays a micro-batch when
+    the job dies between the sink write and the checkpoint commit
+    (at-least-once delivery); because the tag rides IN the atomic
+    manifest publish, a replayed batch sees itself already committed and
+    becomes a no-op — no separate apply-log with its own crash window.
+    Contract: this sink is the store's only writer (tags must be
+    monotone).
+
+        q = (df.writeStream.foreachBatch(snap_sink(root))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        last = snap_tag(root)
+        if isinstance(last, int) and batch_id <= last:
+            return
+        snap_commit(
+            batch_df, root, mode="append", tag=int(batch_id), stats_cols=stats_cols
+        )
+
+    return _apply
+
+
 def snap_compact(
-    spark: SparkSession, root: str, target_file_mb: int = 256
+    spark: SparkSession,
+    root: str,
+    target_file_mb: int = 256,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Small-file compaction as JUST ANOTHER COMMIT: read CURRENT,
     rewrite into ~``target_file_mb`` files, publish as an overwrite
@@ -173,7 +366,10 @@ def snap_compact(
     lands; the superseded small files stay on disk (still referenced by
     older manifests) until ``snap_vacuum`` retires them — the
     listing-coupled ``io.compact_parquet`` cannot offer either property.
-    Returns the new version."""
+    Pass ``stats_cols`` to (re)record skipping stats — compaction is the
+    natural moment, and ``repartitionByRange`` on the stats column before
+    calling makes the rewritten files skippable. Returns the new
+    version."""
     version = snap_current_version(root)
     if version is None:
         raise FileNotFoundError(f"no committed version in {root}")
@@ -181,7 +377,9 @@ def snap_compact(
     size_bytes = sum(os.path.getsize(f) for f in m["files"])
     n_files = max(1, -(-size_bytes // (target_file_mb * 1024 * 1024)))
     df = snap_read(spark, root, version)
-    return snap_commit(df.repartition(int(n_files)), root, mode="overwrite")
+    return snap_commit(
+        df.repartition(int(n_files)), root, mode="overwrite", stats_cols=stats_cols
+    )
 
 
 def snap_versions(root: str) -> list[int]:
