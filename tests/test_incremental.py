@@ -111,3 +111,45 @@ def test_bucketed_mv_merge_shuffles_only_delta(spark, movements):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS mv_store")
+
+
+def test_snapstore_mv_refresh_tracks_cdc_feed(spark, movements, tmp_path):
+    """MV maintained off the snapstore CDC feed: each refresh merges only
+    the delta commit, the manifest tag is the cursor (idempotent no-op at
+    an unchanged fact version), a fact overwrite falls back to a full
+    recompute, and the MV's own history time-travels."""
+    from wsspark import snapstore as ss
+
+    fact_root = str(tmp_path / "fact")
+    mv_root = str(tmp_path / "mv")
+    cut1, cut2 = "1995-01-01", "1998-01-01"
+    b0 = movements.filter(F.col("movement_date") < cut1)
+    b1 = movements.filter(F.col("movement_date").between(cut1, cut2))
+    b2 = movements.filter(F.col("movement_date") > cut2)
+
+    ss.snap_commit(b0, fact_root)
+    assert ivm.snapstore_mv_refresh(spark, fact_root, mv_root) == 0
+    assert as_sorted_rows(ss.snap_read(spark, mv_root)) == as_sorted_rows(
+        full_recompute(b0)
+    )
+
+    ss.snap_commit(b1, fact_root, mode="append")
+    ss.snap_commit(b2, fact_root, mode="append")
+    assert ivm.snapstore_mv_refresh(spark, fact_root, mv_root) == 2
+    assert as_sorted_rows(ss.snap_read(spark, mv_root)) == as_sorted_rows(
+        full_recompute(movements)
+    )
+    # idempotent: same fact version -> no new MV version
+    versions_before = ss.snap_versions(mv_root)
+    assert ivm.snapstore_mv_refresh(spark, fact_root, mv_root) == 2
+    assert ss.snap_versions(mv_root) == versions_before
+    # MV time travel: version 0 still reflects fact version 0
+    assert as_sorted_rows(ss.snap_read(spark, mv_root, 0)) == as_sorted_rows(
+        full_recompute(b0)
+    )
+    # fact backfill (overwrite) -> CDC refuses, refresh recomputes fully
+    ss.snap_commit(b1.unionByName(b2), fact_root, mode="overwrite")
+    assert ivm.snapstore_mv_refresh(spark, fact_root, mv_root) == 3
+    assert as_sorted_rows(ss.snap_read(spark, mv_root)) == as_sorted_rows(
+        full_recompute(b1.unionByName(b2))
+    )

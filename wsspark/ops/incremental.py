@@ -101,3 +101,63 @@ def incremental_refresh(mvs: DataFrame, cutoff) -> DataFrame:
     base = movement_mv(mvs.filter(F.col("movement_date") < cut))
     delta = movement_mv(mvs.filter(F.col("movement_date") >= cut))
     return merge_mv(base, delta)
+
+
+def _with_avg(mv: DataFrame) -> DataFrame:
+    return mv.select(
+        *MV_KEYS,
+        "n_movements",
+        "net_qty",
+        "last_movement_at",
+        F.round(
+            F.col("net_qty").cast("double") / F.col("n_movements"), 4
+        ).alias("avg_qty"),
+    )
+
+
+def snapstore_mv_refresh(spark, fact_root: str, mv_root: str) -> int:
+    """Self-maintaining MV over a snapstore fact table, driven by the
+    store's CDC feed instead of a watermark column.
+
+    The MV lives in its OWN snapstore whose manifest ``tag`` records the
+    fact version the state reflects — cursor and state commit in ONE
+    atomic manifest publish, so a crash between "computed" and
+    "recorded" cannot desync them (the watermark-file equivalent has
+    that window). Refresh: read the fact delta since the tagged version
+    (``snap_read_changes`` — only NEW files are scanned, no watermark
+    scan of resident data), aggregate it, ``merge_mv`` into the MV
+    CURRENT, overwrite-commit tagged with the consumed fact version.
+    Re-running at an unchanged fact version is a no-op; a fact
+    OVERWRITE in the consumed range (backfill/compaction of the fact)
+    makes the CDC read refuse, and the refresh falls back to an honest
+    full recompute — never a silently wrong merge. The MV store's
+    history doubles as free MV time travel.
+
+    Returns the fact version the MV now reflects.
+    """
+    from wsspark import snapstore as ss
+
+    fact_version = ss.snap_current_version(fact_root)
+    if fact_version is None:
+        raise FileNotFoundError(f"no committed fact version in {fact_root}")
+    cursor = ss.snap_tag(mv_root)
+    if cursor == fact_version:
+        return fact_version  # idempotent no-op
+
+    if cursor is None:
+        refreshed = _with_avg(
+            movement_mv(ss.snap_read(spark, fact_root, fact_version))
+        )
+    else:
+        try:
+            delta = ss.snap_read_changes(
+                spark, fact_root, since=cursor, until=fact_version
+            )
+            base = ss.snap_read(spark, mv_root).drop("avg_qty")
+            refreshed = merge_mv(base, movement_mv(delta))
+        except ValueError:  # overwrite in (cursor, fact_version]
+            refreshed = _with_avg(
+                movement_mv(ss.snap_read(spark, fact_root, fact_version))
+            )
+    ss.snap_commit(refreshed, mv_root, mode="overwrite", tag=fact_version)
+    return fact_version
