@@ -1,0 +1,188 @@
+"""Distributed logistic regression — the learned document-quality scorer.
+
+Production corpora replace hand-tuned keep/drop rules with a small learned
+classifier (the CCNet / GPT-3 "quality model" pattern: train on cheap
+labels, keep documents whose predicted quality clears a threshold, or
+importance-sample by the score). The reference has no learning stage at
+all (its quality signal is the DQ when-chain); this module supplies the
+Spark-native training loop so the corpus build can distill its rule gate
+(``corpus.with_quality_reason``) — or any other label source — into a
+smooth, thresholdable probability.
+
+Engine shape (the part that must survive 100 TB):
+
+- **Full-batch gradient descent where one iteration = ONE aggregation.**
+  The weight vector lives on the driver (k+1 floats); each step embeds the
+  weights as LITERALS in a native expression, so margin, sigmoid, and the
+  per-feature gradient components are whole-stage-codegen arithmetic, and
+  the only data movement is a k+2-column partial-aggregated ``avg`` (the
+  same map-side-combine shape as any global mean — bytes per partition,
+  never rows). No MLlib vector UDT, no Python in the loop, no
+  per-row UDF.
+- **Standardize once, scan memory thereafter.** Features are z-scored with
+  moments from one aggregation, then the (label, features) projection is
+  cached; the training loop's N scans hit the cached columnar frame, not
+  the source table. At cluster scale that cache is the standard iterative-
+  algorithm trade (same as ``ops.graph.pagerank``'s checkpoint cadence).
+- **Deterministic up to float addition order.** Fixed iterations, fixed
+  step, float64 everywhere; the only nondeterminism is partial-sum
+  ordering (~1e-12), so the pytest oracle is a from-scratch numpy GD run
+  that must match every weight to 1e-6 relative — the same
+  numpy-equality discipline as ``llmops.pca``.
+
+The model is a plain dict (weights + the standardization moments), so
+scoring (``score_logreg``) reproduces training-time standardization
+exactly and is itself one map-only native expression — the 100 TB scoring
+pass is a scan, not a join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _standardize_moments(df: DataFrame, feature_cols: list[str]) -> dict:
+    """Per-feature mean / population-stddev in one aggregation."""
+    aggs = []
+    for c in feature_cols:
+        aggs.append(F.avg(F.col(c).cast("double")).alias(f"__m_{c}"))
+        aggs.append(F.stddev_pop(F.col(c).cast("double")).alias(f"__s_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    if any(row[f"__m_{c}"] is None for c in feature_cols):
+        raise ValueError("empty training frame (or an all-NULL feature)")
+    return {
+        c: (
+            float(row[f"__m_{c}"]),
+            max(float(row[f"__s_{c}"] or 0.0), 1e-12),
+        )
+        for c in feature_cols
+    }
+
+
+def _margin(weights: list[float], feature_cols: list[str]) -> Column:
+    """w0 + sum_i w_i * x_i with the weights as literals — pure codegen."""
+    m = F.lit(float(weights[0]))
+    for w, c in zip(weights[1:], feature_cols):
+        m = m + F.lit(float(w)) * F.col(c)
+    return m
+
+
+def fit_logreg(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 80,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> dict:
+    """Train by full-batch GD; returns the model dict
+    ``{"features", "weights", "moments", "loss"}`` (weights[0] is the
+    intercept, on STANDARDIZED features; ``loss`` is the final mean
+    log-loss, tracked so callers can assert convergence).
+
+    Each iteration: p = sigmoid(margin); gradient_j = mean((p - y) * x_j)
+    (+ l2 * w_j on the non-intercept weights); w -= lr * gradient. The
+    mean (not sum) makes the step size corpus-size-invariant.
+    """
+    if not feature_cols:
+        raise ValueError("need at least one feature column")
+    moments = _standardize_moments(df, feature_cols)
+    proj = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        *[
+            ((F.col(c).cast("double") - F.lit(moments[c][0])) / F.lit(moments[c][1])).alias(c)
+            for c in feature_cols
+        ],
+    ).persist()
+    try:
+        proj.count()  # materializes the cache
+        k = len(feature_cols)
+        w = [0.0] * (k + 1)
+        loss = float("nan")
+        for _ in range(iters):
+            margin = _margin(w, feature_cols)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            resid = p - F.col("__y")
+            # clamped log-loss: standard numerical guard
+            eps = 1e-12
+            ll = -(
+                F.col("__y") * F.log(F.greatest(p, F.lit(eps)))
+                + (F.lit(1.0) - F.col("__y"))
+                * F.log(F.greatest(F.lit(1.0) - p, F.lit(eps)))
+            )
+            aggs = [F.avg(resid).alias("g0"), F.avg(ll).alias("loss")]
+            aggs += [
+                F.avg(resid * F.col(c)).alias(f"g{j + 1}")
+                for j, c in enumerate(feature_cols)
+            ]
+            row = proj.agg(*aggs).collect()[0]
+            loss = float(row["loss"])
+            w[0] -= lr * float(row["g0"])
+            for j in range(1, k + 1):
+                w[j] -= lr * (float(row[f"g{j}"]) + l2 * w[j])
+        return {
+            "features": list(feature_cols),
+            "weights": w,
+            "moments": moments,
+            "loss": loss,
+        }
+    finally:
+        proj.unpersist()
+
+
+def score_expr(model: dict) -> Column:
+    """The scoring expression: sigmoid over training-time-standardized
+    features, all literals — map-only, no join, no Python."""
+    feature_cols = model["features"]
+    w = model["weights"]
+    m = F.lit(float(w[0]))
+    for wi, c in zip(w[1:], feature_cols):
+        mean, std = model["moments"][c]
+        m = m + F.lit(float(wi)) * (
+            (F.col(c).cast("double") - F.lit(mean)) / F.lit(std)
+        )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+
+
+def score_logreg(
+    df: DataFrame, model: dict, out_col: str = "quality_prob"
+) -> DataFrame:
+    return df.withColumn(out_col, score_expr(model))
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    iters: int = 80,
+    lr: float = 1.0,
+    **gate_kwargs,
+) -> dict:
+    """Distill the rule-based gate into a smooth scorer: features are the
+    gate's own native stat expressions (log1p token count, stopword
+    ratio, average token length), labels are its KEEP verdicts — the
+    weak-supervision recipe that turns a hard when-chain into a ranked
+    probability the sampler can threshold or importance-weight.
+    ``gate_kwargs`` forward to ``with_quality_reason`` (the teacher's
+    thresholds)."""
+    from wsspark.llmops.corpus import with_quality_reason
+
+    flagged = with_quality_reason(docs, text_col=text_col, **gate_kwargs).select(
+        (F.col("filter_reason") == "KEEP").cast("int").alias("label"),
+        F.log1p(F.col("n_tokens").cast("double")).alias("log_tokens"),
+        F.col("stopword_ratio").cast("double").alias("stopword_ratio"),
+        F.col("avg_token_len").cast("double").alias("avg_token_len"),
+    )
+    return fit_logreg(
+        flagged,
+        ["log_tokens", "stopword_ratio", "avg_token_len"],
+        "label",
+        iters=iters,
+        lr=lr,
+    )
+
+
+def sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))
