@@ -153,6 +153,27 @@ def score_logreg(
     return df.withColumn(out_col, score_expr(model))
 
 
+def with_quality_features(
+    docs: DataFrame, text_col: str = "text", **gate_kwargs
+) -> DataFrame:
+    """Every input column plus the quality-model feature columns
+    (log_tokens, stopword_ratio, avg_token_len) and the teacher's
+    ``filter_reason`` — map-only, the single source both training and
+    scoring use so the features can never drift between them."""
+    from wsspark.llmops.corpus import with_quality_reason
+
+    return with_quality_reason(docs, text_col=text_col, **gate_kwargs).withColumns(
+        {
+            "log_tokens": F.log1p(F.col("n_tokens").cast("double")),
+            "stopword_ratio": F.col("stopword_ratio").cast("double"),
+            "avg_token_len": F.col("avg_token_len").cast("double"),
+        }
+    )
+
+
+QUALITY_FEATURES = ["log_tokens", "stopword_ratio", "avg_token_len"]
+
+
 def train_quality_classifier(
     docs: DataFrame,
     text_col: str = "text",
@@ -167,21 +188,42 @@ def train_quality_classifier(
     probability the sampler can threshold or importance-weight.
     ``gate_kwargs`` forward to ``with_quality_reason`` (the teacher's
     thresholds)."""
-    from wsspark.llmops.corpus import with_quality_reason
-
-    flagged = with_quality_reason(docs, text_col=text_col, **gate_kwargs).select(
+    flagged = with_quality_features(docs, text_col=text_col, **gate_kwargs).select(
         (F.col("filter_reason") == "KEEP").cast("int").alias("label"),
-        F.log1p(F.col("n_tokens").cast("double")).alias("log_tokens"),
-        F.col("stopword_ratio").cast("double").alias("stopword_ratio"),
-        F.col("avg_token_len").cast("double").alias("avg_token_len"),
+        *QUALITY_FEATURES,
     )
-    return fit_logreg(
-        flagged,
-        ["log_tokens", "stopword_ratio", "avg_token_len"],
-        "label",
-        iters=iters,
-        lr=lr,
-    )
+    return fit_logreg(flagged, QUALITY_FEATURES, "label", iters=iters, lr=lr)
+
+
+def quality_weighted_sample(
+    docs: DataFrame,
+    model: dict,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance-sample by predicted quality: keep a row iff
+    u(id) < p^(1/T), where p is the model's probability and u is the
+    repo's deterministic Knuth-hash uniform (``corpus.stratified_sample``
+    — stable under task retries, unlike ``rand()``). T=1 keeps docs in
+    proportion to quality; T -> inf flattens toward keep-everything;
+    T -> 0 sharpens toward a hard argmax gate — the temperature-mixing
+    knob corpus recipes tune. Map-only: the score and the gate are one
+    native expression, no join, no shuffle. ``docs`` must carry the
+    model's feature columns (for the quality model, pass a
+    ``with_quality_features`` frame)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    missing = [c for c in model["features"] if c not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"frame lacks model feature columns {missing}; derive them "
+            "first (e.g. with_quality_features)"
+        )
+    from wsspark.llmops.corpus import _KNUTH, _MOD32
+
+    u = F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_MOD32)) / F.lit(_MOD32)
+    keep_p = F.pow(score_expr(model), F.lit(1.0 / float(temperature)))
+    return docs.filter(u < keep_p)
 
 
 def sigmoid(x: float) -> float:

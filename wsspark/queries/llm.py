@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wsspark.io import read_table
-from wsspark.llmops import corpus, dedup, fingerprint, pii, similarity, srp, textstats
+from wsspark.llmops import corpus, dedup, fingerprint, hashvec, pii, similarity, srp, textstats
 from wsspark.queries import Query
 from wsspark.queries import exactsum as ex
 
@@ -2399,6 +2399,39 @@ def _folded_core():
     ]
 
 
+def q_hashed_vector_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (llmops/hashvec.py): train-free signed
+    bag-of-words vectors, sparse form. Bucket = portable md5-prefix %
+    dim, sign = the 16th hex char's parity of the SAME digest (outside
+    the bucket prefix, so the bits are independent), weights =
+    l2-normalized signed counts. Every value is integer arithmetic plus
+    one sqrt, so the DuckDB twin is bit-exact — no rounding tolerance."""
+    return hashvec.hashed_vector_entries(
+        read_table(spark, sf_dir, "documents"), dim=64
+    )
+
+
+HASHED_VECTOR_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+           CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT % 2 = 1
+                THEN 1 ELSE -1 END AS sgn
+    FROM toks
+), acc AS (
+    SELECT doc_id, bucket, SUM(sgn) AS v
+    FROM hashed GROUP BY doc_id, bucket
+    HAVING SUM(sgn) <> 0
+), nrm AS (
+    SELECT doc_id, sqrt(SUM(v * v)) AS n FROM acc GROUP BY doc_id
+)
+SELECT acc.doc_id, bucket, v / n AS weight
+FROM acc JOIN nrm USING (doc_id)
+"""
+
+
 FOLDED_QUERIES = [
     Query("ivf_ann_topk", q_ivf_ann_topk, IVF_SQL,
           "IVF-bucketed approximate cosine top-k"),
@@ -2410,6 +2443,10 @@ FOLDED_QUERIES = [
     # through doc_stats; the BPE-ish regex count keeps its hash check here.
     Query("token_counts", q_token_counts, TOKEN_COUNTS_SQL,
           "whitespace + BPE-ish token counting"),
+    # Born folded (r9, registry at ceiling): the hashing-trick vectorizer.
+    # Bit-exact twin: integer signed counts, same sqrt, same IEEE divide.
+    Query("hashed_vector_entries", q_hashed_vector_entries, HASHED_VECTOR_SQL,
+          "feature-hashing doc vectors (signed bag-of-words, sparse form)"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
