@@ -71,6 +71,11 @@ HEADLINE = {
     # a plan regression there would pass CORRECTNESS but blow up wall time.
     "q24_rfm_segments": "rfm_segments",
     "q25_ivf_pq_search": "ivf_pq_search",
+    # round-9 fifth wave: the hashing-trick vectorizer — the only operator
+    # whose hot path is md5-per-token (portable-hash discipline), so its
+    # cost profile differs from every other text query; a slope row keeps
+    # the explode -> keyed-agg -> dense-assembly chain perf-tracked.
+    "q26_hashed_vectors": "hashed_vector_entries",
 }
 
 # q0b: the reference's flagship operational mode (--load_type incremental,

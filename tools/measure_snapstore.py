@@ -1,0 +1,116 @@
+"""Measure snapstore manifest-stats file skipping — the evidence behind
+``snapstore.snap_read_between``.
+
+Two stores over the same sf lineitem rows:
+  A) range-clustered on l_shipdate (repartitionByRange) + stats_cols
+  B) naturally laid out (hash repartition, same file count) + stats_cols
+
+For a 1-month shipdate predicate we report files planned vs total
+(driver-side manifest pruning — zero footer reads) and the wall time of
+the pruned read vs the full-scan-filter read, medians of 5. Result
+equality is asserted, not assumed.
+
+Run:  python tools/measure_snapstore.py [sf_dir] [workdir]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from wsspark import snapstore as ss
+from wsspark.io import read_table
+from wsspark.session import get_session
+
+N_FILES = 32
+LO = dt.datetime(1996, 3, 1)
+HI = dt.datetime(1996, 3, 31, 23, 59, 59)
+
+
+def median_time(fn, n=5):
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times), min(times), max(times)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/measure_snapstore"
+    shutil.rmtree(work, ignore_errors=True)
+    spark = get_session()
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    n_rows = li.count()
+
+    clustered = os.path.join(work, "clustered")
+    natural = os.path.join(work, "natural")
+    ss.snap_commit(
+        li.repartitionByRange(N_FILES, "l_shipdate"),
+        clustered,
+        stats_cols=["l_shipdate"],
+    )
+    ss.snap_commit(
+        li.repartition(N_FILES), natural, stats_cols=["l_shipdate"]
+    )
+
+    kept_c, total_c = ss.snap_prune_files(clustered, "l_shipdate", LO, HI)
+    kept_n, total_n = ss.snap_prune_files(natural, "l_shipdate", LO, HI)
+
+    def pruned():
+        ss.snap_read_between(spark, clustered, "l_shipdate", LO, HI).agg(
+            F.sum("l_quantity")
+        ).collect()
+
+    def full():
+        ss.snap_read(spark, clustered).filter(
+            F.col("l_shipdate").between(F.lit(LO), F.lit(HI))
+        ).agg(F.sum("l_quantity")).collect()
+
+    # equality first
+    a = ss.snap_read_between(spark, clustered, "l_shipdate", LO, HI).count()
+    b = (
+        ss.snap_read(spark, clustered)
+        .filter(F.col("l_shipdate").between(F.lit(LO), F.lit(HI)))
+        .count()
+    )
+    assert a == b, (a, b)
+
+    pruned()  # warm
+    full()
+    mp = median_time(pruned)
+    mf = median_time(full)
+
+    print(f"rows={n_rows}  predicate=[{LO:%Y-%m-%d} .. {HI:%Y-%m-%d}]  match_rows={a}")
+    print(
+        f"clustered: planned {len(kept_c)}/{total_c} files "
+        f"({100 * len(kept_c) / total_c:.0f}%)"
+    )
+    print(
+        f"natural:   planned {len(kept_n)}/{total_n} files "
+        f"({100 * len(kept_n) / total_n:.0f}%) — random layout degrades to full read"
+    )
+    print(
+        f"pruned read  median {mp[0]:.3f}s  (min {mp[1]:.3f} max {mp[2]:.3f})"
+    )
+    print(
+        f"full filter  median {mf[0]:.3f}s  (min {mf[1]:.3f} max {mf[2]:.3f})"
+    )
+    print(f"speedup {mf[0] / mp[0]:.2f}x")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
