@@ -278,3 +278,193 @@ def test_snap_sink_end_to_end_streaming_restart(spark, tmp_path):
     # the CDC read composes: everything after the first run's cursor
     tags = [ss._read_manifest(root, v)["tag"] for v in ss.snap_versions(root)]
     assert tags == sorted(tags)  # monotone batch ids
+
+
+def test_bloom_eq_pruning_on_hash_layout(spark, tmp_path):
+    """Manifest blooms prune point lookups on a HASH-clustered layout —
+    the case min/max stats cannot touch (every file's [min, max] spans
+    the whole key range). Soundness is exact row equality vs the full
+    filter for a sweep of present keys plus an absent one."""
+    root = str(tmp_path / "tb1")
+    df = _df(spark, 0, 2000).repartition(8, "id")
+    ss.snap_commit(df, root, bloom_cols=["id"])
+
+    pruned_counts = []
+    for needle in [0, 7, 123, 999, 1999]:
+        kept, total = ss.snap_prune_files_eq(root, "id", needle)
+        assert total == 8
+        got = ss.snap_read_where_eq(spark, root, "id", needle).collect()
+        assert [(r.id, r.val) for r in got] == [(needle, needle * 2)]
+        pruned_counts.append(len(kept))
+    # effectiveness: at fp ~0.3% (2^14 bits, 250 keys/file) a needle
+    # plans ~1 of 8 files; allow slack for unlucky fp collisions
+    assert sum(pruned_counts) <= len(pruned_counts) * 3
+
+    # absent key: no file is obligated to survive; result is empty
+    assert ss.snap_read_where_eq(spark, root, "id", 555_555).count() == 0
+
+
+def test_bloom_string_column_and_null_rows(spark, tmp_path):
+    """String keys hash identically on both sides; NULL rows are never
+    inserted (col == value cannot match them) and do not poison files."""
+    root = str(tmp_path / "tb2")
+    df = (
+        _df(spark, 0, 500)
+        .select(
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.concat(F.lit("user-"), F.col("id")))
+            .alias("name"),
+            "val",
+        )
+        .repartition(6, "name")
+    )
+    ss.snap_commit(df, root, bloom_cols=["name"])
+    kept, total = ss.snap_prune_files_eq(root, "name", "user-123")
+    assert len(kept) < total
+    got = ss.snap_read_where_eq(spark, root, "name", "user-123").collect()
+    assert [(r.name, r.val) for r in got] == [("user-123", 246)]
+
+
+def test_bloom_eq_degrades_without_blooms(spark, tmp_path):
+    """A store committed without bloom_cols keeps every file on an
+    equality plan — skipping must never change results."""
+    root = str(tmp_path / "tb3")
+    ss.snap_commit(_df(spark, 0, 100).repartition(4, "id"), root)
+    kept, total = ss.snap_prune_files_eq(root, "id", 42)
+    assert len(kept) == total == 4
+    assert ss.snap_read_where_eq(spark, root, "id", 42).count() == 1
+
+
+def test_bloom_composes_with_minmax_stats(spark, tmp_path):
+    """With BOTH structures recorded on a range-clustered layout, the
+    equality plan is at most the range plan (stats already prune to the
+    value's cluster; the bloom can only drop further)."""
+    root = str(tmp_path / "tb4")
+    df = _df(spark, 0, 2000).repartitionByRange(8, "id")
+    ss.snap_commit(df, root, stats_cols=["id"], bloom_cols=["id"])
+    kept_eq, total = ss.snap_prune_files_eq(root, "id", 1000)
+    kept_rng, _ = ss.snap_prune_files(root, "id", 1000, 1000)
+    assert set(kept_eq) <= set(kept_rng)
+    assert len(kept_eq) <= 2
+    assert ss.snap_read_where_eq(spark, root, "id", 1000).count() == 1
+
+
+def test_bloom_append_inherits_and_gates_geometry(spark, tmp_path):
+    """Appends keep resident files' blooms untouched and refuse a
+    geometry change (a bloom filter cannot be resized)."""
+    root = str(tmp_path / "tb5")
+    ss.snap_commit(
+        _df(spark, 0, 500).repartition(4, "id"), root, bloom_cols=["id"]
+    )
+    ss.snap_commit(
+        _df(spark, 500, 1000).repartition(4, "id"),
+        root,
+        mode="append",
+        bloom_cols=["id"],
+    )
+    # needles from both the v0-resident and v1-appended halves prune
+    for needle in (123, 789):
+        kept, total = ss.snap_prune_files_eq(root, "id", needle)
+        assert total == 8 and len(kept) < total
+        assert ss.snap_read_where_eq(spark, root, "id", needle).count() == 1
+    with pytest.raises(ValueError, match="geometry"):
+        ss.snap_commit(
+            _df(spark, 1000, 1100),
+            root,
+            mode="append",
+            bloom_cols=["id"],
+            bloom_bits=1 << 10,
+        )
+
+
+def test_bloom_rejects_unsupported_types_and_null_probe(spark, tmp_path):
+    """Float columns are refused at BUILD time (their cast-to-string
+    form is not guaranteed byte-identical to the driver probe's str(),
+    and a hash mismatch would silently drop true files); probing for
+    NULL is refused at plan time."""
+    root = str(tmp_path / "tb6")
+    bad = _df(spark, 0, 10).select((F.col("id") * 1.5).alias("x"))
+    with pytest.raises(ValueError, match="string/integral"):
+        ss.snap_commit(bad, str(tmp_path / "tb6bad"), bloom_cols=["x"])
+    ss.snap_commit(_df(spark, 0, 10), root, bloom_cols=["id"])
+    with pytest.raises(ValueError, match="NULL"):
+        ss.snap_prune_files_eq(root, "id", None)
+
+
+def test_evolve_append_adds_nullable_column(spark, tmp_path):
+    """Add-column evolution: the manifest schema advances to the
+    superset, resident files read the new column as NULL (no rewrite),
+    and time travel keeps each version's own shape."""
+    root = str(tmp_path / "te1")
+    ss.snap_commit(_df(spark, 0, 5), root)
+    wide = _df(spark, 5, 8).withColumn(
+        "note", F.concat(F.lit("n"), F.col("id")).cast("string")
+    )
+    v1 = ss.snap_commit(wide, root, mode="append", evolve=True)
+    cur = ss.snap_read(spark, root, v1)
+    assert cur.columns == ["id", "val", "note"]
+    rows = {r.id: r.note for r in cur.collect()}
+    assert len(rows) == 8
+    assert all(rows[i] is None for i in range(5))  # resident files -> NULL
+    assert rows[7] == "n7"
+    # pre-evolution version keeps the old shape
+    assert ss.snap_read(spark, root, 0).columns == ["id", "val"]
+    # post-evolution plain appends validate against the NEW schema
+    ss.snap_commit(
+        wide.withColumn("note", F.lit(None).cast("string")),
+        root,
+        mode="append",
+    )
+    assert ss.snap_read(spark, root).count() == 11
+
+
+def test_evolve_append_refuses_drops_and_type_changes(spark, tmp_path):
+    root = str(tmp_path / "te2")
+    ss.snap_commit(_df(spark, 0, 5), root)
+    with pytest.raises(ValueError, match="drops column"):
+        ss.snap_commit(
+            _df(spark, 5, 8).drop("val"), root, mode="append", evolve=True
+        )
+    with pytest.raises(ValueError, match="type"):
+        ss.snap_commit(
+            _df(spark, 5, 8).withColumn("val", F.col("val").cast("int")),
+            root,
+            mode="append",
+            evolve=True,
+        )
+    # a non-nullable added expression is RELAXED to nullable in the
+    # manifest (resident files read it as NULL — the schema must admit
+    # that), rather than refused
+    ss.snap_commit(
+        _df(spark, 5, 8).withColumn("flag", F.lit(1)),
+        root,
+        mode="append",
+        evolve=True,
+    )
+    cur = ss.snap_read(spark, root)
+    assert cur.schema["flag"].nullable is True
+    assert cur.filter(F.col("flag").isNull()).count() == 5
+
+
+def test_evolve_composes_with_cdc_and_skipping(spark, tmp_path):
+    """The CDC read across an evolution delivers the new files in the
+    evolved shape, and pre-evolution blooms keep pruning."""
+    root = str(tmp_path / "te3")
+    ss.snap_commit(
+        _df(spark, 0, 200).repartition(4, "id"), root, bloom_cols=["id"]
+    )
+    wide = (
+        _df(spark, 200, 400)
+        .withColumn("note", F.lit("x").cast("string"))
+        .repartition(4, "id")
+    )
+    ss.snap_commit(
+        wide, root, mode="append", evolve=True, bloom_cols=["id"]
+    )
+    delta = ss.snap_read_changes(spark, root, since=0)
+    assert delta.columns == ["id", "val", "note"]
+    assert delta.count() == 200
+    for needle in (50, 350):  # one resident, one appended
+        kept, total = ss.snap_prune_files_eq(root, "id", needle)
+        assert total == 8 and len(kept) < total
+        assert ss.snap_read_where_eq(spark, root, "id", needle).count() == 1

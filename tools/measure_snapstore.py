@@ -10,6 +10,11 @@ For a 1-month shipdate predicate we report files planned vs total
 the pruned read vs the full-scan-filter read, medians of 5. Result
 equality is asserted, not assumed.
 
+A third store measures the EQUALITY path (`snap_read_where_eq`): hash-
+clustered on l_partkey with a manifest bloom, needle lookups report
+files planned vs total — the min/max-useless case (every file's partkey
+range spans the domain) where only the bloom prunes.
+
 Run:  python tools/measure_snapstore.py [sf_dir] [workdir]
 """
 
@@ -109,6 +114,35 @@ def main() -> None:
         f"full filter  median {mf[0]:.3f}s  (min {mf[1]:.3f} max {mf[2]:.3f})"
     )
     print(f"speedup {mf[0] / mp[0]:.2f}x")
+
+    # equality path: hash layout (min/max prunes nothing), manifest bloom
+    hashed = os.path.join(work, "hashed")
+    ss.snap_commit(
+        li.repartition(N_FILES, "l_partkey"),
+        hashed,
+        stats_cols=["l_partkey"],
+        bloom_cols=["l_partkey"],
+        bloom_bits=1 << 17,  # ~6k distinct keys/file at sf0.1 -> fp ~1%
+    )
+    needles = [r[0] for r in li.select("l_partkey").distinct().limit(5).collect()]
+    planned = []
+    for needle in needles:
+        kept_b, total_b = ss.snap_prune_files_eq(hashed, "l_partkey", needle)
+        n_pruned = ss.snap_read_where_eq(
+            spark, hashed, "l_partkey", needle
+        ).count()
+        n_full = (
+            ss.snap_read(spark, hashed)
+            .filter(F.col("l_partkey") == needle)
+            .count()
+        )
+        assert n_pruned == n_full, (needle, n_pruned, n_full)
+        planned.append(len(kept_b))
+    print(
+        f"eq-lookup (hash layout, bloom): planned "
+        f"{planned} of {total_b} files across {len(needles)} needles "
+        f"(min/max alone would plan {total_b}/{total_b})"
+    )
     shutil.rmtree(work, ignore_errors=True)
 
 

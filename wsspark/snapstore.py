@@ -36,7 +36,16 @@ commit publishes an immutable MANIFEST (the explicit file list + schema
   ``snap_read_between`` plans only the files whose [min, max] overlaps
   the predicate range, applying the exact residual filter after. With a
   range-clustered write (``repartitionByRange`` / ``layout.write_zordered``)
-  this is the Delta/Iceberg skipping story in one JSON field;
+  this is the Delta/Iceberg skipping story in one JSON field. For
+  EQUALITY predicates on high-cardinality columns — where min/max is
+  useless unless the layout happens to cluster that column —
+  ``snap_commit(bloom_cols=[...])`` additionally records a per-file
+  Bloom bitmap (the repo's portable md5 double-hashing scheme,
+  ``llmops.bloom``), and ``snap_read_where_eq`` plans a point lookup
+  from the manifest alone: the driver-side probe is bit-exact with the
+  distributed build, so a dropped file provably cannot contain the
+  value, and blooms prune on ANY layout (hash-clustered included —
+  bucket membership, not value locality, is what they record);
 - exactly-once streaming publish: ``snap_sink(root)`` is a foreachBatch
   target that stamps each commit with the micro-batch id (``tag``) and
   skips any batch id at-or-below the last published tag, closing the
@@ -44,7 +53,11 @@ commit publishes an immutable MANIFEST (the explicit file list + schema
   IS the idempotence marker, no side log.
 
 Append commits validate the schema against the parent manifest (exact
-StructType match — evolution is an explicit overwrite, not an accident).
+StructType match — evolution is never an accident). The one sanctioned
+evolution is ``snap_commit(evolve=True)``: ADD nullable columns on an
+append, resident files reading them as NULL via the explicit-schema
+parquet read — no rewrite, and time travel keeps each version's own
+shape. Drops, renames, and type changes remain explicit overwrites.
 This is deliberately a SINGLE-TABLE, linear-history format: no
 partition-level conflict resolution, no branch merges — the 20% of a
 lakehouse table format an analytics engine needs for exactly-once batch
@@ -135,12 +148,105 @@ def _collect_file_stats(
     return stats
 
 
+# Column types whose Spark ``cast("string")`` form is byte-identical to
+# Python's str() — the precondition for the driver-side bloom probe to
+# hash the SAME bytes the distributed build hashed. Skipping that drops a
+# file containing the value is a WRONG ANSWER, not a slow one, so the
+# whitelist is enforced at build time rather than documented.
+_BLOOM_TYPES = (T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType)
+
+
+def _bloom_positions_py(value, n_bits: int, k: int) -> list[int]:
+    """Driver-side replica of ``llmops.bloom.probe_positions`` (md5hex
+    scheme): h1/h2 = the two 32-bit halves of md5(str(value))'s 16-hex
+    prefix, probe i at (h1 + i*h2) mod n_bits. Bit-exact with the Spark
+    expressions (conv/pmod on non-negative longs == int()/% here), which
+    is what makes manifest-bloom skipping SOUND: a file is dropped only
+    if the exact bits the build set are absent."""
+    import hashlib
+
+    hx = hashlib.md5(str(value).encode("utf-8")).hexdigest()[:16]
+    h1 = int(hx[:8], 16)
+    h2 = int(hx[8:16], 16)
+    return [(h1 + i * h2) % n_bits for i in range(1, k + 1)]
+
+
+def _collect_file_blooms(
+    spark: SparkSession,
+    commit_dir: str,
+    bloom_cols: list[str],
+    n_bits: int,
+    k: int,
+) -> dict:
+    """Per-file Bloom bitmaps of ``bloom_cols`` over the just-written
+    commit directory — the equality-predicate complement to min/max
+    stats. One distributed explode+bit_or aggregation per column grouped
+    on ``_metadata.file_path``; the driver holds O(files x n_bits/63)
+    longs (n_bits=2^14 -> ~2 KiB hex per file per column). Bitmaps are
+    packed as fixed-width hex (16 chars per 63-bit word, word 0 first) so
+    the manifest stays one self-contained JSON."""
+    from urllib.parse import unquote, urlparse
+
+    from wsspark.llmops.bloom import probe_positions
+
+    df = spark.read.parquet(commit_dir)
+    for c in bloom_cols:
+        if not isinstance(df.schema[c].dataType, _BLOOM_TYPES):
+            raise ValueError(
+                f"bloom_cols[{c!r}] has type {df.schema[c].dataType} — "
+                "manifest blooms support string/integral columns only "
+                "(the driver-side probe must hash the identical string "
+                "form the build hashed)"
+            )
+    n_words = n_bits // 63 + 1
+    blooms: dict = {}
+    for c in bloom_cols:
+        key = F.substring(F.md5(F.col(c).cast("string")), 1, 16)
+        pos = F.explode(F.array(*probe_positions(key, n_bits, k)))
+        rows = (
+            df.select(
+                F.col("_metadata.file_path").alias("__path"), F.col(c)
+            )
+            .filter(F.col(c).isNotNull())
+            .select("__path", pos.alias("_pos"))
+            .groupBy(
+                "__path",
+                F.floor(F.col("_pos") / 63).cast("long").alias("_w"),
+            )
+            .agg(
+                F.bit_or(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        F.pmod(F.col("_pos"), F.lit(63)).cast("int"),
+                    )
+                ).alias("_bits")
+            )
+            .collect()
+        )
+        per_file: dict[str, list[int]] = {}
+        for r in rows:
+            path = unquote(urlparse(r["__path"]).path)
+            per_file.setdefault(path, [0] * n_words)[int(r["_w"])] = int(
+                r["_bits"]
+            )
+        for path, dense in per_file.items():
+            blooms.setdefault(path, {})[c] = "".join(
+                f"{w:016x}" for w in dense
+            )
+    return blooms
+
+
 def snap_commit(
     df: DataFrame,
     root: str,
     mode: str = "append",
     tag: int | str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 14,
+    bloom_k: int = 4,
+    evolve: bool = False,
 ) -> int:
     """Publish ``df`` as the next version; returns the version number.
 
@@ -152,8 +258,22 @@ def snap_commit(
     already-published attempt: the commit IS the marker, closing the
     crash window a separate apply-log would leave. ``stats_cols``
     records per-file min/max for those columns in the manifest (see
-    ``snap_read_between``); appends keep the parent's stats for resident
-    files untouched."""
+    ``snap_read_between``); ``bloom_cols`` records per-file Bloom
+    bitmaps for equality-predicate skipping (see ``snap_read_where_eq``
+    — the high-cardinality point-lookup case min/max cannot prune).
+    Appends keep the parent's stats/blooms for resident files untouched
+    and must reuse the parent's bloom geometry per column (a filter
+    cannot be resized).
+
+    ``evolve=True`` permits ADD-COLUMN schema evolution on an append:
+    the incoming schema may extend the parent's with new NULLABLE
+    columns (every parent column must survive with its exact type — no
+    drops, no type changes, which would need a rewrite and are an
+    explicit overwrite here). The manifest schema advances to the
+    superset; resident files are untouched and read as NULL for the new
+    columns (the explicit-schema parquet read fills missing columns),
+    while time travel to pre-evolution versions keeps the old shape —
+    schema history IS version history."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode}")
     os.makedirs(_manifest_dir(root), exist_ok=True)
@@ -162,15 +282,64 @@ def snap_commit(
 
     parent_files: list[str] = []
     parent_stats: dict = {}
+    parent_blooms: dict = {}
+    parent_bloom_meta: dict = {}
+    manifest_schema = df.schema
     if mode == "append" and parent is not None:
         pm = _read_manifest(root, parent)
-        if json.loads(pm["schema"]) != json.loads(df.schema.json()):
+        if evolve:
+            parent_schema = T.StructType.fromJson(json.loads(pm["schema"]))
+            fields = {f.name: f for f in df.schema.fields}
+            for pf in parent_schema.fields:
+                nf = fields.get(pf.name)
+                if nf is None:
+                    raise ValueError(
+                        f"evolve append drops column {pf.name!r} — column "
+                        "drops/renames need an explicit overwrite rewrite"
+                    )
+                if nf.dataType != pf.dataType:
+                    raise ValueError(
+                        f"evolve append changes {pf.name!r} type "
+                        f"{pf.dataType} -> {nf.dataType} — type changes "
+                        "need an explicit overwrite rewrite"
+                    )
+            # added columns are relaxed to nullable in the manifest —
+            # resident files read them as NULL, so a non-nullable added
+            # field would lie about the data; surviving columns keep
+            # nullable if EITHER side was (resident nulls stay legal)
+            parent_nullable = {
+                f.name: f.nullable for f in parent_schema.fields
+            }
+            manifest_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        parent_nullable.get(f.name, True) or f.nullable,
+                        f.metadata,
+                    )
+                    for f in df.schema.fields
+                ]
+            )
+        elif json.loads(pm["schema"]) != json.loads(df.schema.json()):
             raise ValueError(
                 "append schema mismatch vs parent manifest; use "
-                "mode='overwrite' for an explicit schema change"
+                "mode='overwrite' for an explicit schema change, or "
+                "evolve=True for add-column evolution"
             )
         parent_files = pm["files"]
         parent_stats = pm.get("file_stats", {})
+        parent_blooms = pm.get("file_blooms", {})
+        parent_bloom_meta = pm.get("bloom_meta", {})
+        for c in bloom_cols or []:
+            meta = parent_bloom_meta.get(c)
+            if meta and (meta["n_bits"], meta["k"]) != (bloom_bits, bloom_k):
+                raise ValueError(
+                    f"bloom geometry mismatch for {c!r}: parent has "
+                    f"n_bits={meta['n_bits']} k={meta['k']}, append asked "
+                    f"n_bits={bloom_bits} k={bloom_k} — a bloom filter "
+                    "cannot be resized; rebuild via an overwrite commit"
+                )
 
     commit_dir = os.path.join(
         root, "data", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
@@ -182,14 +351,26 @@ def snap_commit(
         file_stats.update(
             _collect_file_stats(df.sparkSession, commit_dir, list(stats_cols))
         )
+    file_blooms = dict(parent_blooms)
+    bloom_meta = dict(parent_bloom_meta)
+    if bloom_cols and new_files:
+        file_blooms_new = _collect_file_blooms(
+            df.sparkSession, commit_dir, list(bloom_cols), bloom_bits, bloom_k
+        )
+        for path, per_col in file_blooms_new.items():
+            file_blooms.setdefault(path, {}).update(per_col)
+        for c in bloom_cols:
+            bloom_meta[c] = {"n_bits": bloom_bits, "k": bloom_k}
     manifest = {
         "version": version,
         "parent": parent,
         "mode": mode,
         "tag": tag,
-        "schema": df.schema.json(),
+        "schema": manifest_schema.json(),
         "files": parent_files + new_files,
         "file_stats": file_stats,
+        "file_blooms": file_blooms,
+        "bloom_meta": bloom_meta,
     }
     try:
         # O_EXCL publish: exactly one committer wins version N
@@ -327,6 +508,82 @@ def snap_read_between(
     )
 
 
+def snap_prune_files_eq(
+    root: str, col: str, value, version: int | None = None
+) -> tuple[list[str], int]:
+    """Equality-predicate planning: ``(files that may contain
+    col == value, total files)``. Composes BOTH manifest structures — a
+    file survives only if its [min, max] admits the value (when stats
+    were recorded) AND its Bloom bitmap has all k probed bits set (when
+    a bloom was recorded); either structure missing degrades that test
+    to keep. No false drops by construction: min/max is a true bound and
+    the bloom has no false negatives (probe is bit-exact with the build,
+    ``_bloom_positions_py``). Driver-side manifest lookups only — the
+    100 TB point-lookup story: one manifest GET plans a needle query
+    instead of opening every file, and unlike min/max this prunes on
+    HASH-clustered (or any) layout, since bucket membership, not value
+    locality, is what a bloom records."""
+    if value is None:
+        raise ValueError(
+            "equality pruning on NULL is not meaningful (col == NULL is "
+            "never true) — filter with isNull() on a full read instead"
+        )
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    v = _json_stat(value)
+    stats = m.get("file_stats", {})
+    blooms = m.get("file_blooms", {})
+    meta = m.get("bloom_meta", {}).get(col)
+    positions = (
+        _bloom_positions_py(value, meta["n_bits"], meta["k"]) if meta else []
+    )
+    kept = []
+    for f in m["files"]:
+        mm = stats.get(f, {}).get(col)
+        if mm is not None and mm[0] is not None and mm[1] is not None:
+            if mm[0] > v or mm[1] < v:
+                continue
+        hx = blooms.get(f, {}).get(col)
+        if hx:
+            ok = True
+            for p in positions:
+                word = int(hx[16 * (p // 63) : 16 * (p // 63) + 16], 16)
+                if not word & (1 << (p % 63)):
+                    ok = False
+                    break
+            if not ok:
+                continue
+        kept.append(f)
+    return kept, len(m["files"])
+
+
+def snap_read_where_eq(
+    spark: SparkSession, root: str, col: str, value, version: int | None = None
+) -> DataFrame:
+    """Point-lookup read with manifest-bloom + min/max file skipping:
+    plan only the files ``snap_prune_files_eq`` keeps, then apply the
+    exact residual ``col == value`` filter (skipping is a superset
+    optimization — bloom false positives cost a scanned file, never a
+    wrong row). On a hash-clustered write (``df.repartition(n, col)``)
+    a needle lookup plans ~1 file; on any layout it degrades safely."""
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    files, _total = snap_prune_files_eq(root, col, value, version)
+    schema = T.StructType.fromJson(json.loads(_read_manifest(root, version)["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .filter(F.col(col) == F.lit(value))
+    )
+
+
 def snap_sink(root: str, stats_cols: list[str] | None = None):
     """Exactly-once foreachBatch publisher: commit each micro-batch as an
     append tagged with its batch id, skipping any batch at-or-below the
@@ -358,6 +615,9 @@ def snap_compact(
     root: str,
     target_file_mb: int = 256,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 14,
+    bloom_k: int = 4,
 ) -> int:
     """Small-file compaction as JUST ANOTHER COMMIT: read CURRENT,
     rewrite into ~``target_file_mb`` files, publish as an overwrite
@@ -378,7 +638,13 @@ def snap_compact(
     n_files = max(1, -(-size_bytes // (target_file_mb * 1024 * 1024)))
     df = snap_read(spark, root, version)
     return snap_commit(
-        df.repartition(int(n_files)), root, mode="overwrite", stats_cols=stats_cols
+        df.repartition(int(n_files)),
+        root,
+        mode="overwrite",
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
+        bloom_k=bloom_k,
     )
 
 
