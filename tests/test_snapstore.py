@@ -468,3 +468,21 @@ def test_evolve_composes_with_cdc_and_skipping(spark, tmp_path):
         kept, total = ss.snap_prune_files_eq(root, "id", needle)
         assert total == 8 and len(kept) < total
         assert ss.snap_read_where_eq(spark, root, "id", needle).count() == 1
+
+
+def test_bloom_in_list_plans_union_of_needles(spark, tmp_path):
+    """IN-list planning is the union of per-value plans: K needles on a
+    hash layout plan ~K files, rows exactly match the full filter."""
+    root = str(tmp_path / "tb7")
+    ss.snap_commit(
+        _df(spark, 0, 2000).repartition(16, "id"), root, bloom_cols=["id"]
+    )
+    needles = [3, 700, 1543]
+    got = sorted(
+        (r.id, r.val)
+        for r in ss.snap_read_where_in(spark, root, "id", needles).collect()
+    )
+    assert got == [(n, n * 2) for n in needles]
+    # empty list -> empty frame, schema intact
+    empty = ss.snap_read_where_in(spark, root, "id", [])
+    assert empty.columns == ["id", "val"] and empty.count() == 0

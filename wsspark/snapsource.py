@@ -1,0 +1,272 @@
+"""``format("snapstore")`` — the snapshot store as a first-class Spark
+data source via the Python Data Source API (``pyspark.sql.datasource``,
+Spark 4), so the table format plugs into the reader surfaces users
+already hold instead of requiring the ``snap_read*`` helpers:
+
+- **batch**: ``spark.read.format("snapstore").load(root)`` reads CURRENT
+  (or ``.option("version", n)`` for time travel) — and because the API
+  hands pushed filters to the reader, manifest data skipping happens
+  INSIDE Catalyst: an ``EqualTo``/``In`` prunes files through the
+  per-file Bloom bitmaps + min/max stats, a range predicate through
+  min/max, before a single partition is planned. Every filter is
+  returned to Spark as unhandled (pruning is a superset optimization;
+  Spark re-applies the exact predicate), so a false positive costs a
+  scanned file, never a wrong row — the same soundness contract as
+  ``snap_read_where_eq``/``snap_read_between``.
+- **streaming**: ``spark.readStream.format("snapstore").load(root)``
+  turns the manifest lineage into an exactly-once incremental source:
+  offsets ARE versions, each micro-batch is the manifest file-list
+  delta (only NEW files are ever planned — resident data is not re-read,
+  not even to filter), and restart replays deterministically from the
+  checkpointed version because manifests are immutable. An overwrite
+  inside a consumed range is refused mid-stream (the delta is not an
+  append set — same honesty as ``snap_read_changes``); start from the
+  beginning (initial snapshot + appends) with the default, or from a
+  cursor with ``.option("sinceVersion", n)``.
+
+Scale shape: offset/planning work is O(files) driver-side manifest
+dict-diffing (no listing, no footer reads); file bytes are read by
+executors as Arrow record batches, one partition per file. The Python
+read path trades the JVM parquet scanner for API integration — for
+raw-throughput batch scans ``snap_read`` (native reader) remains the
+fast path and is documented as such; the streaming source has no native
+equivalent and is the real win here.
+
+Vacuum contract for streams: a live stream's checkpointed version must
+stay retained (``snap_vacuum(keep_last=...)`` covering the cursor) —
+manifests older than the cursor may be vacuumed freely.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from wsspark import snapstore as ss
+
+
+class SnapFilePartition(InputPartition):
+    """One manifest file per partition; carries the target schema so the
+    worker can align evolved files (missing columns -> NULL)."""
+
+    def __init__(self, file: str, schema_json: str) -> None:
+        self.file = file
+        self.schema_json = schema_json
+
+
+def _read_file_as_batches(file: str, schema_json: str) -> Iterator:
+    """Worker-side parquet read aligned to the manifest schema: columns
+    cast to the manifest's Arrow types, columns the file predates filled
+    with NULL (add-column evolution), order normalized."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(T.StructType.fromJson(json.loads(schema_json)))
+    table = pq.read_table(file)
+    columns = []
+    for field in target:
+        if field.name in table.column_names:
+            col = table.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            columns.append(col)
+        else:
+            columns.append(pa.nulls(len(table), field.type))
+    aligned = pa.table(dict(zip(target.names, columns)), schema=target)
+    yield from aligned.to_batches(max_chunksize=1 << 16)
+
+
+def _prune(manifest: dict, files: list[str], filters: list) -> list[str]:
+    """Driver-side file pruning from pushed filters: min/max stats for
+    range + equality predicates, Bloom bitmaps for equality/IN. Unknown
+    filter shapes and stat-less files prune nothing (superset contract:
+    Spark re-applies every filter exactly)."""
+    stats = manifest.get("file_stats", {})
+    blooms = manifest.get("file_blooms", {})
+    bloom_meta = manifest.get("bloom_meta", {})
+
+    def admits_range(f: str, col: str, lo=None, hi=None, strict_lo=False, strict_hi=False) -> bool:
+        mm = stats.get(f, {}).get(col)
+        if mm is None or mm[0] is None or mm[1] is None:
+            return True
+        if lo is not None and (mm[1] < lo or (strict_lo and mm[1] <= lo)):
+            return False
+        if hi is not None and (mm[0] > hi or (strict_hi and mm[0] >= hi)):
+            return False
+        return True
+
+    def admits_eq(f: str, col: str, value) -> bool:
+        if value is None:
+            return True
+        v = ss._json_stat(value)
+        if not admits_range(f, col, lo=v, hi=v):
+            return False
+        hx = blooms.get(f, {}).get(col)
+        meta = bloom_meta.get(col)
+        if hx and meta:
+            for p in ss._bloom_positions_py(value, meta["n_bits"], meta["k"]):
+                word = int(hx[16 * (p // 63) : 16 * (p // 63) + 16], 16)
+                if not word & (1 << (p % 63)):
+                    return False
+        return True
+
+    def admits(f: str, flt) -> bool:
+        col = ".".join(flt.attribute) if hasattr(flt, "attribute") else None
+        if isinstance(flt, (EqualTo, EqualNullSafe)):
+            return admits_eq(f, col, flt.value)
+        if isinstance(flt, In):
+            return any(admits_eq(f, col, v) for v in flt.value)
+        if isinstance(flt, GreaterThan):
+            return admits_range(f, col, lo=ss._json_stat(flt.value), strict_lo=True)
+        if isinstance(flt, GreaterThanOrEqual):
+            return admits_range(f, col, lo=ss._json_stat(flt.value))
+        if isinstance(flt, LessThan):
+            return admits_range(f, col, hi=ss._json_stat(flt.value), strict_hi=True)
+        if isinstance(flt, LessThanOrEqual):
+            return admits_range(f, col, hi=ss._json_stat(flt.value))
+        return True  # unknown shape -> prune nothing
+
+    return [f for f in files if all(admits(f, flt) for flt in filters)]
+
+
+class SnapstoreBatchReader(DataSourceReader):
+    def __init__(self, root: str, version: int | None) -> None:
+        v = version if version is not None else ss.snap_current_version(root)
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+        self._manifest = ss._read_manifest(root, v)
+        self._filters: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Sequence[Filter]:
+        self._filters = list(filters)
+        return filters  # all unhandled: skipping is a superset, Spark re-filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = _prune(self._manifest, self._manifest["files"], self._filters)
+        return [SnapFilePartition(f, self._manifest["schema"]) for f in files]
+
+    def read(self, partition: SnapFilePartition) -> Iterator:
+        return _read_file_as_batches(partition.file, partition.schema_json)
+
+
+class SnapstoreStreamReader(DataSourceStreamReader):
+    """Offsets are manifest versions ({"version": N} = delivered through
+    N; -1 = nothing yet). Deterministic replay: the (start, end] delta
+    is a pure function of immutable manifests, so a restarted query
+    re-plans the identical micro-batch from its checkpointed offset."""
+
+    def __init__(self, root: str, since: int | None) -> None:
+        self._root = root
+        self._since = -1 if since is None else since
+        # The query's schema is FIXED at stream start; pin the manifest
+        # schema here so files landing after a mid-stream add-column
+        # evolution stay aligned to it (extra columns ignored until the
+        # stream restarts and re-reads the evolved schema).
+        cur = ss.snap_current_version(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+        self._schema_json = ss._read_manifest(root, cur)["schema"]
+
+    def initialOffset(self) -> dict:
+        return {"version": self._since}
+
+    def latestOffset(self) -> dict:
+        cur = ss.snap_current_version(self._root)
+        return {"version": self._since if cur is None else max(cur, self._since)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        m = ss._read_manifest(self._root, hi)
+        if lo < 0:
+            new_files = m["files"]  # initial snapshot
+        else:
+            for v in range(lo + 1, hi + 1):
+                if ss._read_manifest(self._root, v)["mode"] != "append":
+                    raise ValueError(
+                        f"snapstore stream over {self._root}: version {v} is "
+                        "an overwrite — the delta is not an append set; "
+                        "restart the stream from a fresh checkpoint (initial "
+                        "snapshot) to pick up the rewritten table"
+                    )
+            base = set(ss._read_manifest(self._root, lo)["files"])
+            new_files = [f for f in m["files"] if f not in base]
+        return [SnapFilePartition(f, self._schema_json) for f in new_files]
+
+    def read(self, partition: SnapFilePartition) -> Iterator:
+        return _read_file_as_batches(partition.file, partition.schema_json)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint owns the cursor; manifests are immutable
+
+
+class SnapstoreDataSource(DataSource):
+    """``spark.dataSource.register(SnapstoreDataSource)`` then
+    ``spark.read.format("snapstore").load(root)`` /
+    ``spark.readStream.format("snapstore").load(root)``.
+
+    Options: ``path`` (the store root, required), ``version`` (batch
+    time travel), ``sinceVersion`` (stream cursor: deliver changes
+    AFTER this version; default -1 = initial snapshot then appends)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapstore"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "snapstore source needs a store root: .load(root) or "
+                ".option('path', root)"
+            )
+        return root
+
+    def schema(self) -> T.StructType:
+        root = self._root()
+        v = self.options.get("version")
+        v = int(v) if v is not None else ss.snap_current_version(root)
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+        return T.StructType.fromJson(
+            json.loads(ss._read_manifest(root, v)["schema"])
+        )
+
+    def reader(self, schema: T.StructType) -> SnapstoreBatchReader:
+        v = self.options.get("version")
+        return SnapstoreBatchReader(
+            self._root(), int(v) if v is not None else None
+        )
+
+    def streamReader(self, schema: T.StructType) -> SnapstoreStreamReader:
+        v = self.options.get("sinceVersion")
+        return SnapstoreStreamReader(
+            self._root(), int(v) if v is not None else None
+        )
+
+
+def register(spark) -> None:
+    """Idempotent session registration of the snapstore format. Also
+    enables Python-data-source filter pushdown (off by default in Spark
+    4.1; runtime-settable) — without it the engine refuses a reader that
+    implements ``pushFilters`` rather than silently skipping pruning."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapstoreDataSource)

@@ -584,6 +584,45 @@ def snap_read_where_eq(
     )
 
 
+def snap_read_where_in(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """IN-list read: plan the UNION of each value's equality plan (a
+    file survives if ANY requested value may live in it), then apply the
+    exact residual ``col IN (...)`` filter. The batched form of the
+    point lookup — "fetch these K document ids" plans ~K files on a
+    hash-clustered store instead of scanning the corpus, still from one
+    manifest GET. Values must be non-NULL (col IN (...) never matches
+    NULL anyway)."""
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    if not values:
+        schema = T.StructType.fromJson(
+            json.loads(_read_manifest(root, version)["schema"])
+        )
+        return spark.createDataFrame([], schema)
+    keep: set[str] = set()
+    for v in values:
+        files, _total = snap_prune_files_eq(root, col, v, version)
+        keep.update(files)
+    m = _read_manifest(root, version)
+    ordered = [f for f in m["files"] if f in keep]  # stable plan order
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if not ordered:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*ordered)
+        .filter(F.col(col).isin(list(values)))
+    )
+
+
 def snap_sink(root: str, stats_cols: list[str] | None = None):
     """Exactly-once foreachBatch publisher: commit each micro-batch as an
     append tagged with its batch id, skipping any batch at-or-below the
