@@ -245,3 +245,39 @@ def test_domain_mix_sample_matches_duckdb_oracle(spark, sf_dir):
         ).select("source", "doc_id").collect()
     )
     assert again == got
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every member of a duplicate cluster lands on the same side; the
+    split is deterministic, partition-invariant, and roughly hits the
+    requested test fraction at cluster granularity."""
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    # synthetic cluster map: docs 0-99 in 20 clusters of 5 (label = min id)
+    clusters = spark.range(0, 100).select(
+        F.col("id").alias("node"),
+        (F.floor(F.col("id") / 5) * 5).alias("cluster_id"),
+    )
+    out = corpus.leakage_safe_split(docs, clusters, test_frac=0.2)
+    rows = {r.doc_id: (r.split_key, r.split) for r in out.collect()}
+    assert len(rows) == 500
+    for base in range(0, 100, 5):
+        sides = {rows[i][1] for i in range(base, base + 5)}
+        assert len(sides) == 1  # whole cluster on one side
+        assert {rows[i][0] for i in range(base, base + 5)} == {base}
+    # unclustered docs key on their own id
+    assert all(rows[i][0] == i for i in range(100, 500))
+    # fraction sanity at cluster granularity (20 clusters + 400 singles)
+    n_test = sum(1 for k, s in rows.values() if s == "test")
+    assert 0.10 * 500 < n_test < 0.30 * 500
+    # determinism under a different layout
+    again = {
+        r.doc_id: (r.split_key, r.split)
+        for r in corpus.leakage_safe_split(
+            docs.repartition(7), clusters.repartition(3), test_frac=0.2
+        ).collect()
+    }
+    assert again == rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="test_frac"):
+        corpus.leakage_safe_split(docs, clusters, test_frac=1.5)

@@ -486,3 +486,33 @@ def test_bloom_in_list_plans_union_of_needles(spark, tmp_path):
     # empty list -> empty frame, schema intact
     empty = ss.snap_read_where_in(spark, root, "id", [])
     assert empty.columns == ["id", "val"] and empty.count() == 0
+
+
+def test_metadata_count_bytes_and_schema_diff(spark, tmp_path):
+    """COUNT(*) and table size are manifest lookups (no data scan);
+    schema_diff reports add-column evolution across versions."""
+    root = str(tmp_path / "tm1")
+    ss.snap_commit(_df(spark, 0, 123).repartition(4), root)
+    ss.snap_commit(_df(spark, 123, 200).repartition(2), root, mode="append")
+    assert ss.snap_count(root) == 200
+    assert ss.snap_count(root, 0) == 123  # time-travel count
+    assert ss.snap_bytes(root) > ss.snap_bytes(root, 0) > 0
+    # metadata count == actual count, also after compaction
+    ss.snap_compact(spark, root)
+    assert ss.snap_count(root) == ss.snap_read(spark, root).count() == 200
+
+    ss.snap_commit(
+        _df(spark, 200, 210).withColumn("note", F.lit("x")),
+        root,
+        mode="append",
+        evolve=True,
+    )
+    d = ss.snap_schema_diff(root, 0, ss.snap_current_version(root))
+    assert d == {"added": [("note", "string")], "removed": [], "changed": []}
+    # older-manifest fallback: strip file_meta and re-count via footers
+    v = ss.snap_current_version(root)
+    m = ss._read_manifest(root, v)
+    del m["file_meta"]
+    with open(ss._manifest_path(root, v), "w") as f:
+        json.dump(m, f)
+    assert ss.snap_count(root) == 210

@@ -293,6 +293,56 @@ def per_group_sample(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    test_frac: float = 0.1,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Cluster-aware train/test split: near-duplicates NEVER straddle the
+    split. A plain per-doc hash split leaks — if doc A is in train and its
+    near-copy A' lands in test, the eval measures memorization, not
+    generalization (the Lee et al. 2022 dedup finding, applied to the
+    split boundary). Here the split gate hashes the doc's dup-CLUSTER id
+    (``clusters`` = ``connected_components`` output: node -> min-id
+    cluster label; unclustered docs are their own key), so every member
+    of a duplicate cluster lands on the same side by construction.
+
+    Gate: knuth_u(split_key) < test_frac -> 'test' else 'train' — the
+    same multiplicative-hash uniform as ``stratified_sample``:
+    deterministic across reruns/retries/layouts (rand() is neither), and
+    replicable in any SQL engine, so the op keeps a full DuckDB oracle.
+    The test fraction is therefore approximate at CLUSTER granularity
+    (exact-fraction splitting would have to cut a cluster).
+
+    Scale shape: the cluster map is broadcast (it holds only docs that
+    appear in a dup pair — the same asymmetry ``dedup_survivors`` leans
+    on; for corpora where the clustered subset itself outgrows broadcast,
+    drop the hint and this becomes one id-keyed shuffle join), then the
+    gate is a map-only expression; the corpus is never shuffled."""
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError(f"test_frac must be in (0, 1), got {test_frac}")
+    keys = clusters.select(
+        F.col(node_col).alias(id_col), F.col(cluster_col).alias("split_key")
+    )
+    u = (
+        F.pmod(F.col("split_key") * F.lit(_KNUTH), F.lit(_MOD32))
+        / F.lit(_MOD32)
+    )
+    return (
+        docs.join(F.broadcast(keys), id_col, "left")
+        .withColumn("split_key", F.coalesce(F.col("split_key"), F.col(id_col)))
+        .withColumn(
+            "split",
+            F.when(u < F.lit(float(test_frac)), F.lit("test")).otherwise(
+                F.lit("train")
+            ),
+        )
+    )
+
+
 def build_corpus(
     docs: DataFrame,
     min_tokens: int = 10,

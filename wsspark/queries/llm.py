@@ -1474,6 +1474,43 @@ WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
 ).replace("WITH words", "WITH RECURSIVE words", 1)
 
 
+SPLIT_TEST_FRAC = 0.2
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus.leakage_safe_split: cluster-aware train/test split — every
+    member of a near-dup cluster (exact-Jaccard edges + connected
+    components, the dup_clusters frame) lands on the same side, so eval
+    never scores a near-copy of a training doc. Unclustered docs split on
+    their own id; the gate is the portable Knuth multiplicative hash, so
+    the DuckDB twin replicates the assignment bit-for-bit."""
+    docs = read_table(spark, sf_dir, "documents")
+    cc = _dup_cluster_map(spark, sf_dir)
+    return corpus.leakage_safe_split(
+        docs, cc, test_frac=SPLIT_TEST_FRAC
+    ).select("doc_id", "split_key", "split")
+
+
+LEAKAGE_SAFE_SPLIT_SQL = (
+    DUP_CLUSTERS_EDGES_SQL
+    + f""",
+reach(node, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst
+),
+cc AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS split_key,
+       CASE WHEN CAST((COALESCE(cc.cluster_id, d.doc_id) * 2654435761)
+                      % 4294967296 AS DOUBLE) / 4294967296
+                 < {SPLIT_TEST_FRAC}
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+"""
+).replace("WITH words", "WITH RECURSIVE words", 1)
+
+
 def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path of dup_clusters: MinHash-LSH candidate pairs (exact
     Jaccard verified on candidates only — never all pairs) feeding the same
@@ -2447,6 +2484,12 @@ FOLDED_QUERIES = [
     # Bit-exact twin: integer signed counts, same sqrt, same IEEE divide.
     Query("hashed_vector_entries", q_hashed_vector_entries, HASHED_VECTOR_SQL,
           "feature-hashing doc vectors (signed bag-of-words, sparse form)"),
+    # Born folded (r9, registry at ceiling): cluster-aware train/test
+    # split. Bit-exact twin: same recursive-CTE closure as dup_clusters,
+    # same integer Knuth gate as stratified_sample.
+    Query("leakage_safe_split", q_leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL,
+          "near-dup-cluster-aware train/test split (no split-boundary "
+          "leakage)"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered

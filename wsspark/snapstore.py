@@ -148,6 +148,19 @@ def _collect_file_stats(
     return stats
 
 
+def _footer_meta(path: str) -> dict:
+    """{rows, bytes} for one parquet file from its footer + inode — no
+    data pages touched. Called at commit time for just-written files (the
+    footer is hot), and lazily for files older stores committed before
+    row metadata existed."""
+    import pyarrow.parquet as pq
+
+    return {
+        "rows": pq.ParquetFile(path).metadata.num_rows,
+        "bytes": os.path.getsize(path),
+    }
+
+
 # Column types whose Spark ``cast("string")`` form is byte-identical to
 # Python's str() — the precondition for the driver-side bloom probe to
 # hash the SAME bytes the distributed build hashed. Skipping that drops a
@@ -284,6 +297,7 @@ def snap_commit(
     parent_stats: dict = {}
     parent_blooms: dict = {}
     parent_bloom_meta: dict = {}
+    parent_file_meta: dict = {}
     manifest_schema = df.schema
     if mode == "append" and parent is not None:
         pm = _read_manifest(root, parent)
@@ -331,6 +345,7 @@ def snap_commit(
         parent_stats = pm.get("file_stats", {})
         parent_blooms = pm.get("file_blooms", {})
         parent_bloom_meta = pm.get("bloom_meta", {})
+        parent_file_meta = pm.get("file_meta", {})
         for c in bloom_cols or []:
             meta = parent_bloom_meta.get(c)
             if meta and (meta["n_bits"], meta["k"]) != (bloom_bits, bloom_k):
@@ -361,6 +376,11 @@ def snap_commit(
             file_blooms.setdefault(path, {}).update(per_col)
         for c in bloom_cols:
             bloom_meta[c] = {"n_bits": bloom_bits, "k": bloom_k}
+    # rows/bytes per file from the just-written footers (hot, no data
+    # pages) -> COUNT(*) and table-size become manifest lookups forever
+    file_meta = dict(parent_file_meta)
+    for nf in new_files:
+        file_meta[nf] = _footer_meta(nf)
     manifest = {
         "version": version,
         "parent": parent,
@@ -371,6 +391,7 @@ def snap_commit(
         "file_stats": file_stats,
         "file_blooms": file_blooms,
         "bloom_meta": bloom_meta,
+        "file_meta": file_meta,
     }
     try:
         # O_EXCL publish: exactly one committer wins version N
@@ -582,6 +603,57 @@ def snap_read_where_eq(
         .parquet(*files)
         .filter(F.col(col) == F.lit(value))
     )
+
+
+def snap_count(root: str, version: int | None = None) -> int:
+    """``COUNT(*)`` as a manifest lookup — zero data scanned, any table
+    size. Per-file row counts are recorded from the parquet footers at
+    commit time; files from stores committed before row metadata existed
+    fall back to a lazy footer read (still no data pages). The lakehouse
+    metadata-count optimization (Delta/Iceberg answer SELECT COUNT(*)
+    the same way) as one dict sum."""
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    meta = m.get("file_meta", {})
+    return sum(
+        (meta.get(f) or _footer_meta(f))["rows"] for f in m["files"]
+    )
+
+
+def snap_bytes(root: str, version: int | None = None) -> int:
+    """On-disk bytes of a version's live file set, from the manifest."""
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    meta = m.get("file_meta", {})
+    return sum(
+        (meta.get(f) or _footer_meta(f))["bytes"] for f in m["files"]
+    )
+
+
+def snap_schema_diff(root: str, v_from: int, v_to: int) -> dict:
+    """Column-level schema delta between two versions:
+    ``{"added": [(name, type)], "removed": [...], "changed":
+    [(name, from_type, to_type)]}`` — the audit view of evolution
+    history, straight from two manifests (no file opened)."""
+    a = T.StructType.fromJson(
+        json.loads(_read_manifest(root, v_from)["schema"])
+    )
+    b = T.StructType.fromJson(json.loads(_read_manifest(root, v_to)["schema"]))
+    fa = {f.name: f.dataType.simpleString() for f in a.fields}
+    fb = {f.name: f.dataType.simpleString() for f in b.fields}
+    return {
+        "added": sorted((n, t) for n, t in fb.items() if n not in fa),
+        "removed": sorted((n, t) for n, t in fa.items() if n not in fb),
+        "changed": sorted(
+            (n, fa[n], fb[n]) for n in fa if n in fb and fa[n] != fb[n]
+        ),
+    }
 
 
 def snap_read_where_in(
