@@ -281,3 +281,48 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
 
     with _pytest.raises(ValueError, match="test_frac"):
         corpus.leakage_safe_split(docs, clusters, test_frac=1.5)
+
+
+def test_epoch_shard_assignment_properties(spark):
+    """Balanced shards, total in-shard addressing, a fresh permutation
+    per epoch, and layout-independent determinism."""
+    import pytest as _pytest
+
+    docs = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    a = corpus.epoch_shard_assignment(docs, epoch=0, n_shards=8)
+    rows = {r.doc_id: (r.shard, r.shard_pos) for r in a.collect()}
+    assert len(rows) == 4000
+    # balance: uniform hash -> every shard within +-20% of 500
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in rows.values())
+    assert set(sizes) == set(range(8))
+    assert all(400 <= n <= 600 for n in sizes.values())
+    # shard_pos is a total address: 1..size within each shard
+    by_shard = Counter()
+    positions = {}
+    for doc, (s, p) in rows.items():
+        positions.setdefault(s, set()).add(p)
+    for s, n in sizes.items():
+        assert positions[s] == set(range(1, n + 1))
+    # next epoch re-deals: most docs move shard (expected 7/8)
+    b = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in corpus.epoch_shard_assignment(
+            docs, epoch=1, n_shards=8
+        ).collect()
+    }
+    moved = sum(1 for d in rows if rows[d][0] != b[d][0])
+    assert moved > 0.75 * 4000
+    # deterministic under a different partition layout
+    again = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in corpus.epoch_shard_assignment(
+            docs.repartition(13), epoch=0, n_shards=8
+        ).collect()
+    }
+    assert again == rows
+    with _pytest.raises(ValueError, match="n_shards"):
+        corpus.epoch_shard_assignment(docs, epoch=0, n_shards=0)
+    with _pytest.raises(ValueError, match="epoch"):
+        corpus.epoch_shard_assignment(docs, epoch=-1, n_shards=4)

@@ -343,6 +343,55 @@ def leakage_safe_split(
     )
 
 
+def epoch_shard_assignment(
+    docs: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle into balanced training
+    shards — the "reshuffle every epoch" step of a training-data
+    pipeline, without RNG state. Each doc gets:
+
+    - ``shuffle_key``: md5 of ``"{epoch}:{id}"`` — a fresh pseudorandom
+      permutation per epoch (changing ``epoch`` re-deals every doc), yet
+      bit-reproducible across reruns, task retries, and partition
+      layouts (``rand()``/``shuffle()`` are none of these — a retried
+      task would re-deal its rows and break exactly-once shard writes);
+    - ``shard``: the key's 60-bit prefix mod ``n_shards`` — uniform, so
+      shard sizes concentrate tightly around n/n_shards;
+    - ``shard_pos``: rank within the shard by (shuffle_key, id) — the
+      read order a trainer consumes, making "shard s, position p" a
+      total, stable address for every sample.
+
+    Scale shape: one hash-partition exchange on ``shard`` + an in-shard
+    sort (Spark's sort-based shuffle does this in one pass); writing
+    with ``.repartition(n_shards, "shard")`` then
+    ``partitionBy("shard")`` lands one balanced file set per shard. The
+    hash is the portable md5 scheme, so shard assignment AND order have
+    a bit-exact SQL twin (driver-hash falsifiable end to end)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(int(epoch)).cast("string"), F.col(id_col).cast("string")
+        )
+    )
+    out = docs.withColumn("shuffle_key", key).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("shuffle_key"), 1, 15), 16, 10).cast(
+                "long"
+            ),
+            F.lit(int(n_shards)),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", F.col(id_col))
+    return out.withColumn("shard_pos", F.row_number().over(w))
+
+
 def build_corpus(
     docs: DataFrame,
     min_tokens: int = 10,

@@ -1474,6 +1474,40 @@ WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
 ).replace("WITH words", "WITH RECURSIVE words", 1)
 
 
+SHUFFLE_EPOCH = 3
+SHUFFLE_SHARDS = 8
+
+
+def q_epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus.epoch_shard_assignment: deterministic per-epoch corpus
+    shuffle into balanced training shards — shard AND in-shard order are
+    portable-md5-derived, so the DuckDB twin replicates the full address
+    (shard, shard_pos) of every sample bit-for-bit."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.epoch_shard_assignment(
+        docs, epoch=SHUFFLE_EPOCH, n_shards=SHUFFLE_SHARDS
+    ).select("doc_id", "shuffle_key", "shard", "shard_pos")
+
+
+EPOCH_SHARD_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5('{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+)
+SELECT doc_id,
+       shuffle_key,
+       CAST(('0x' || substr(shuffle_key, 1, 15))::BIGINT % {SHUFFLE_SHARDS}
+            AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY ('0x' || substr(shuffle_key, 1, 15))::BIGINT
+                        % {SHUFFLE_SHARDS}
+           ORDER BY shuffle_key, doc_id
+       ) AS INTEGER) AS shard_pos
+FROM keyed
+"""
+
+
 SPLIT_TEST_FRAC = 0.2
 
 
@@ -2490,6 +2524,12 @@ FOLDED_QUERIES = [
     Query("leakage_safe_split", q_leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL,
           "near-dup-cluster-aware train/test split (no split-boundary "
           "leakage)"),
+    # Born folded (r9): the per-epoch training-shard shuffle. Bit-exact
+    # twin: portable md5 permutation key, 60-bit-prefix shard, windowed
+    # in-shard rank.
+    Query("epoch_shard_assignment", q_epoch_shard_assignment,
+          EPOCH_SHARD_SQL,
+          "deterministic per-epoch corpus shuffle into balanced shards"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
