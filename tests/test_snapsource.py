@@ -181,3 +181,106 @@ def test_stream_initial_snapshot_aligns_evolved_files(spark, tmp_path):
     assert len(rows) == 8
     assert all(rows[i] is None for i in range(5))
     assert rows[7] == "n7"
+
+
+def test_batch_writer_two_phase_commit(spark, tmp_path):
+    """df.write.format(\"snapstore\"): tasks stage files + stats, the
+    driver publishes atomically; append/overwrite semantics, manifest
+    metadata (count/stats) arrive from the commit messages."""
+    root = str(tmp_path / "w1")
+    register(spark)
+    _df(spark, 0, 100).repartition(4).write.format("snapstore").mode(
+        "append"
+    ).save(root)
+    _df(spark, 100, 150).repartition(2).write.format("snapstore").mode(
+        "append"
+    ).save(root)
+    assert ss.snap_count(root) == 150  # rows from commit messages
+    assert {r.id for r in ss.snap_read(spark, root).collect()} == set(range(150))
+    assert ss.snap_versions(root) == [0, 1]
+
+    # stats ride in the messages: range-clustered write prunes
+    (_df(spark, 0, 1000)
+        .repartitionByRange(8, "id")
+        .write.format("snapstore")
+        .mode("overwrite")
+        .option("statsCols", "id")
+        .save(root))
+    kept, total = ss.snap_prune_files(root, "id", 100, 150)
+    assert total == 8 and len(kept) <= 2
+    assert ss.snap_read_between(spark, root, "id", 100, 150).count() == 51
+
+    # schema gate holds through the writer path
+    import pyspark.sql.utils  # noqa: F401
+
+    bad = spark.range(3).select(F.col("id").cast("string").alias("id2"))
+    with pytest.raises(Exception, match="schema mismatch"):
+        bad.write.format("snapstore").mode("append").save(root)
+    # failed job published nothing
+    assert ss.snap_current_version(root) == 2
+
+
+def test_batch_writer_evolve_option(spark, tmp_path):
+    root = str(tmp_path / "w2")
+    register(spark)
+    # NB the engine only admits Append/Overwrite save modes for Python
+    # data sources — the default ErrorIfExists is refused upstream
+    _df(spark, 0, 5).write.format("snapstore").mode("append").save(root)
+    (_df(spark, 5, 8)
+        .withColumn("note", F.lit("x"))
+        .write.format("snapstore")
+        .mode("append")
+        .option("evolve", "true")
+        .save(root))
+    got = spark.read.format("snapstore").load(root)
+    assert got.columns == ["id", "val", "note"]
+    assert got.filter(F.col("note").isNull()).count() == 5
+
+
+def test_stream_writer_exactly_once(spark, tmp_path):
+    """writeStream.format(\"snapstore\"): availableNow + restart from the
+    same checkpoint lands zero duplicates with monotone tags; a direct
+    replayed-batch commit deletes its staged files and no-ops."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "w3")
+    register(spark)
+    _df(spark, 0, 10).coalesce(1).write.parquet(src)
+    _df(spark, 10, 20).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("id long, val long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("snapstore")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {r.id for r in ss.snap_read(spark, root).collect()} == set(range(20))
+    _df(spark, 20, 30).coalesce(1).write.mode("append").parquet(src)
+    run()  # restart: only the new file lands
+    assert ss.snap_count(root) == 30
+    tags = [ss._read_manifest(root, v)["tag"] for v in ss.snap_versions(root)]
+    assert tags == sorted(tags)
+
+    # direct replay: a commit at-or-below the published tag no-ops and
+    # removes its staged files
+    from wsspark.snapsource import SnapstoreStreamWriter, _write_task_file
+
+    w = SnapstoreStreamWriter(root, ss.snap_read(spark, root).schema, [])
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_pydict({"id": [999], "val": [0]})
+    msg = w.write(iter([batch]))
+    staged_dir = __import__("os").path.dirname(msg.file)
+    before = ss.snap_current_version(root)
+    w.commit([msg], batchId=0)  # tag 0 <= last published tag
+    assert ss.snap_current_version(root) == before  # no new version
+    assert not __import__("os").path.isdir(staged_dir)  # staged files gone
+    assert ss.snap_count(root) == 30

@@ -24,6 +24,18 @@ already hold instead of requiring the ``snap_read*`` helpers:
   beginning (initial snapshot + appends) with the default, or from a
   cursor with ``.option("sinceVersion", n)``.
 
+- **writing**: ``df.write.format("snapstore").mode(...).save(root)``
+  runs the distributed two-phase commit the helper API performs on the
+  driver: tasks stream Arrow batches into staged parquet files and
+  return (path, rows, bytes, min/max) commit messages; the driver
+  publishes the manifest atomically via the same resolve/publish phases
+  as ``snap_commit`` — stats ride for free (no second job, no footer
+  re-reads), aborts never publish, races lose cleanly.
+  ``df.writeStream.format("snapstore")`` is the exactly-once streaming
+  sink: commits tagged with the micro-batch id; replays delete their
+  re-staged files and no-op (the ``snap_sink`` contract through the
+  public writer API).
+
 Scale shape: offset/planning work is O(files) driver-side manifest
 dict-diffing (no listing, no footer reads); file bytes are read by
 executors as Arrow record batches, one partition per file. The Python
@@ -42,10 +54,16 @@ from __future__ import annotations
 import json
 from typing import Iterator, Sequence
 
+import os
+import uuid
+from dataclasses import dataclass, field
+
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
@@ -56,6 +74,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from wsspark import snapstore as ss
@@ -218,6 +237,199 @@ class SnapstoreStreamReader(DataSourceStreamReader):
         pass  # the checkpoint owns the cursor; manifests are immutable
 
 
+@dataclass
+class SnapWriteMessage(WriterCommitMessage):
+    """Per-task commit message: the staged file plus the metadata the
+    driver folds into the manifest — footer-equivalent rows/bytes and
+    per-column min/max, computed WHILE writing, so the publish phase
+    needs no extra job and no footer re-reads."""
+
+    file: str | None
+    rows: int = 0
+    nbytes: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+def _write_task_file(
+    iterator, commit_dir: str, stats_cols: list[str]
+) -> SnapWriteMessage:
+    """Executor-side half of the two-phase commit: stream this task's
+    Arrow batches into ONE parquet file under the staged commit dir,
+    folding min/max stats batch-by-batch. Empty tasks stage nothing."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from wsspark.snapstore import _json_stat
+
+    os.makedirs(commit_dir, exist_ok=True)
+    path = os.path.join(commit_dir, f"part-{uuid.uuid4().hex}.parquet")
+    writer = None
+    rows = 0
+    mins: dict = {}
+    maxs: dict = {}
+    for batch in iterator:
+        if writer is None:
+            writer = pq.ParquetWriter(path, batch.schema)
+        writer.write_batch(batch)
+        rows += batch.num_rows
+        for c in stats_cols:
+            idx = batch.schema.get_field_index(c)
+            if idx < 0:
+                raise ValueError(f"statsCols column {c!r} not in data")
+            mm = pc.min_max(batch.column(idx))
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is not None and (c not in mins or lo < mins[c]):
+                mins[c] = lo
+            if hi is not None and (c not in maxs or hi > maxs[c]):
+                maxs[c] = hi
+    if writer is None:
+        return SnapWriteMessage(file=None)
+    writer.close()
+    stats = {
+        c: [_json_stat(mins.get(c)), _json_stat(maxs.get(c))]
+        for c in stats_cols
+    }
+    return SnapWriteMessage(
+        file=path, rows=rows, nbytes=os.path.getsize(path), stats=stats
+    )
+
+
+def _gather_messages(messages) -> tuple[list[str], dict, dict]:
+    files, new_stats, new_meta = [], {}, {}
+    for m in messages:
+        if m is not None and m.file:
+            files.append(m.file)
+            new_meta[m.file] = {"rows": m.rows, "bytes": m.nbytes}
+            if m.stats:
+                new_stats[m.file] = m.stats
+    files.sort()
+    return files, new_stats, new_meta
+
+
+def _cleanup_staged(messages) -> None:
+    import shutil
+
+    dirs = {os.path.dirname(m.file) for m in messages if m is not None and m.file}
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+class SnapstoreBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("snapstore").mode(...).save(root)`` — the
+    distributed two-phase commit: every task streams its partition into
+    one staged parquet file and returns (path, rows, bytes, min/max) as
+    its commit message; the DRIVER then publishes the manifest atomically
+    through the same ``_resolve/_publish`` phases as ``snap_commit``.
+    Stats cost nothing extra (folded during the write — no footer
+    re-reads, no second job), a failed job stages but never publishes
+    (abort removes the staging dir), and a lost O_EXCL race cleans up
+    and raises ``SnapshotConflict`` like every other committer."""
+
+    def __init__(
+        self,
+        root: str,
+        schema: T.StructType,
+        overwrite: bool,
+        stats_cols: list[str],
+        evolve: bool,
+    ) -> None:
+        self._root = root
+        self._schema = schema
+        self._mode = "overwrite" if overwrite else "append"
+        self._stats_cols = stats_cols
+        self._evolve = evolve
+        self._commit_dir = os.path.join(
+            root, "data", f"commit-w-{uuid.uuid4().hex[:8]}"
+        )
+        # fail fast on an invalid append before any executor writes
+        ss._resolve_commit(root, self._mode, schema, None, 0, 0, evolve)
+
+    def write(self, iterator) -> SnapWriteMessage:
+        return _write_task_file(iterator, self._commit_dir, self._stats_cols)
+
+    def commit(self, messages) -> None:
+        files, new_stats, new_meta = _gather_messages(messages)
+        try:
+            ctx = ss._resolve_commit(
+                self._root, self._mode, self._schema, None, 0, 0, self._evolve
+            )
+            ss._publish_commit(
+                self._root,
+                ctx,
+                self._mode,
+                None,
+                files,
+                new_stats,
+                {},
+                {},
+                new_meta,
+                cleanup_dir=self._commit_dir,
+            )
+        except ss.SnapshotConflict:
+            raise
+        except BaseException:
+            _cleanup_staged(messages)
+            raise
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._commit_dir, ignore_errors=True)
+        _cleanup_staged(messages)
+
+
+class SnapstoreStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("snapstore")`` — exactly-once streaming
+    publish through the same manifest machinery as ``snap_sink``: each
+    micro-batch appends a commit tagged with its batch id, and a
+    replayed batch (crash between sink write and checkpoint commit)
+    sees its id at-or-below the published tag, deletes its re-staged
+    files, and no-ops — the tag rides IN the atomic manifest publish, so
+    there is no side-log crash window."""
+
+    def __init__(
+        self, root: str, schema: T.StructType, stats_cols: list[str]
+    ) -> None:
+        self._root = root
+        self._schema = schema
+        self._stats_cols = stats_cols
+
+    def write(self, iterator) -> SnapWriteMessage:
+        commit_dir = os.path.join(
+            self._root, "data", f"commit-s-{uuid.uuid4().hex[:8]}"
+        )
+        return _write_task_file(iterator, commit_dir, self._stats_cols)
+
+    def commit(self, messages, batchId: int) -> None:
+        last = ss.snap_tag(self._root)
+        if isinstance(last, int) and batchId <= last:
+            _cleanup_staged(messages)  # replayed batch: already published
+            return
+        files, new_stats, new_meta = _gather_messages(messages)
+        try:
+            ctx = ss._resolve_commit(
+                self._root, "append", self._schema, None, 0, 0, False
+            )
+            ss._publish_commit(
+                self._root,
+                ctx,
+                "append",
+                int(batchId),
+                files,
+                new_stats,
+                {},
+                {},
+                new_meta,
+                cleanup_dir=None,
+            )
+        except BaseException:
+            _cleanup_staged(messages)
+            raise
+
+    def abort(self, messages, batchId: int) -> None:
+        _cleanup_staged(messages)
+
+
 class SnapstoreDataSource(DataSource):
     """``spark.dataSource.register(SnapstoreDataSource)`` then
     ``spark.read.format("snapstore").load(root)`` /
@@ -261,6 +473,21 @@ class SnapstoreDataSource(DataSource):
         return SnapstoreStreamReader(
             self._root(), int(v) if v is not None else None
         )
+
+    def _stats_cols(self) -> list[str]:
+        raw = self.options.get("statscols") or self.options.get("statsCols")
+        return [c.strip() for c in raw.split(",") if c.strip()] if raw else []
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> SnapstoreBatchWriter:
+        evolve = str(self.options.get("evolve", "false")).lower() == "true"
+        return SnapstoreBatchWriter(
+            self._root(), schema, overwrite, self._stats_cols(), evolve
+        )
+
+    def streamWriter(
+        self, schema: T.StructType, overwrite: bool
+    ) -> SnapstoreStreamWriter:
+        return SnapstoreStreamWriter(self._root(), schema, self._stats_cols())
 
 
 def register(spark) -> None:

@@ -250,6 +250,152 @@ def _collect_file_blooms(
     return blooms
 
 
+def _resolve_commit(
+    root: str,
+    mode: str,
+    schema,
+    bloom_cols: list[str] | None,
+    bloom_bits: int,
+    bloom_k: int,
+    evolve: bool,
+) -> dict:
+    """Shared first phase of a commit (used by ``snap_commit`` and the
+    ``format("snapstore")`` distributed writer): resolve parent/version,
+    enforce the schema gate (exact match, or add-column evolution), and
+    the per-column bloom-geometry gate. Returns the resolved context the
+    publish phase needs. Raises before any manifest is touched."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode}")
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    parent = snap_current_version(root)
+    ctx = {
+        "parent": parent,
+        "version": 0 if parent is None else parent + 1,
+        "parent_files": [],
+        "parent_stats": {},
+        "parent_blooms": {},
+        "parent_bloom_meta": {},
+        "parent_file_meta": {},
+        "manifest_schema": schema,
+    }
+    if mode == "append" and parent is not None:
+        pm = _read_manifest(root, parent)
+        if evolve:
+            parent_schema = T.StructType.fromJson(json.loads(pm["schema"]))
+            fields = {f.name: f for f in schema.fields}
+            for pf in parent_schema.fields:
+                nf = fields.get(pf.name)
+                if nf is None:
+                    raise ValueError(
+                        f"evolve append drops column {pf.name!r} — column "
+                        "drops/renames need an explicit overwrite rewrite"
+                    )
+                if nf.dataType != pf.dataType:
+                    raise ValueError(
+                        f"evolve append changes {pf.name!r} type "
+                        f"{pf.dataType} -> {nf.dataType} — type changes "
+                        "need an explicit overwrite rewrite"
+                    )
+            # added columns are relaxed to nullable in the manifest —
+            # resident files read them as NULL, so a non-nullable added
+            # field would lie about the data; surviving columns keep
+            # nullable if EITHER side was (resident nulls stay legal)
+            parent_nullable = {
+                f.name: f.nullable for f in parent_schema.fields
+            }
+            ctx["manifest_schema"] = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        parent_nullable.get(f.name, True) or f.nullable,
+                        f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+        elif json.loads(pm["schema"]) != json.loads(schema.json()):
+            raise ValueError(
+                "append schema mismatch vs parent manifest; use "
+                "mode='overwrite' for an explicit schema change, or "
+                "evolve=True for add-column evolution"
+            )
+        ctx["parent_files"] = pm["files"]
+        ctx["parent_stats"] = pm.get("file_stats", {})
+        ctx["parent_blooms"] = pm.get("file_blooms", {})
+        ctx["parent_bloom_meta"] = pm.get("bloom_meta", {})
+        ctx["parent_file_meta"] = pm.get("file_meta", {})
+        for c in bloom_cols or []:
+            meta = ctx["parent_bloom_meta"].get(c)
+            if meta and (meta["n_bits"], meta["k"]) != (bloom_bits, bloom_k):
+                raise ValueError(
+                    f"bloom geometry mismatch for {c!r}: parent has "
+                    f"n_bits={meta['n_bits']} k={meta['k']}, append asked "
+                    f"n_bits={bloom_bits} k={bloom_k} — a bloom filter "
+                    "cannot be resized; rebuild via an overwrite commit"
+                )
+    return ctx
+
+
+def _publish_commit(
+    root: str,
+    ctx: dict,
+    mode: str,
+    tag,
+    new_files: list[str],
+    new_stats: dict,
+    new_blooms: dict,
+    bloom_geometry: dict,
+    new_file_meta: dict,
+    cleanup_dir: str | None,
+) -> int:
+    """Shared second phase: assemble the manifest and publish it with
+    O_EXCL + CURRENT advance. On a lost race the staged ``cleanup_dir``
+    is removed and ``SnapshotConflict`` raised — exactly one committer
+    wins a version."""
+    file_stats = dict(ctx["parent_stats"])
+    file_stats.update(new_stats)
+    file_blooms = dict(ctx["parent_blooms"])
+    for path, per_col in new_blooms.items():
+        file_blooms.setdefault(path, {}).update(per_col)
+    bloom_meta = dict(ctx["parent_bloom_meta"])
+    bloom_meta.update(bloom_geometry)
+    # rows/bytes per file from the just-written footers (hot, no data
+    # pages) -> COUNT(*) and table-size become manifest lookups forever
+    file_meta = dict(ctx["parent_file_meta"])
+    for nf in new_files:
+        file_meta[nf] = new_file_meta.get(nf) or _footer_meta(nf)
+    manifest = {
+        "version": ctx["version"],
+        "parent": ctx["parent"],
+        "mode": mode,
+        "tag": tag,
+        "schema": ctx["manifest_schema"].json(),
+        "files": ctx["parent_files"] + new_files,
+        "file_stats": file_stats,
+        "file_blooms": file_blooms,
+        "bloom_meta": bloom_meta,
+        "file_meta": file_meta,
+    }
+    try:
+        # O_EXCL publish: exactly one committer wins version N
+        with open(_manifest_path(root, ctx["version"]), "x") as f:
+            json.dump(manifest, f)
+    except FileExistsError:
+        if cleanup_dir:
+            import shutil
+
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        raise SnapshotConflict(
+            f"version {ctx['version']} already committed — reload and retry"
+        ) from None
+    tmp = _current_path(root) + f".{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(str(ctx["version"]))
+    os.replace(tmp, _current_path(root))
+    return ctx["version"]
+
+
 def snap_commit(
     df: DataFrame,
     root: str,
@@ -287,128 +433,40 @@ def snap_commit(
     columns (the explicit-schema parquet read fills missing columns),
     while time travel to pre-evolution versions keeps the old shape —
     schema history IS version history."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite, got {mode}")
-    os.makedirs(_manifest_dir(root), exist_ok=True)
-    parent = snap_current_version(root)
-    version = 0 if parent is None else parent + 1
-
-    parent_files: list[str] = []
-    parent_stats: dict = {}
-    parent_blooms: dict = {}
-    parent_bloom_meta: dict = {}
-    parent_file_meta: dict = {}
-    manifest_schema = df.schema
-    if mode == "append" and parent is not None:
-        pm = _read_manifest(root, parent)
-        if evolve:
-            parent_schema = T.StructType.fromJson(json.loads(pm["schema"]))
-            fields = {f.name: f for f in df.schema.fields}
-            for pf in parent_schema.fields:
-                nf = fields.get(pf.name)
-                if nf is None:
-                    raise ValueError(
-                        f"evolve append drops column {pf.name!r} — column "
-                        "drops/renames need an explicit overwrite rewrite"
-                    )
-                if nf.dataType != pf.dataType:
-                    raise ValueError(
-                        f"evolve append changes {pf.name!r} type "
-                        f"{pf.dataType} -> {nf.dataType} — type changes "
-                        "need an explicit overwrite rewrite"
-                    )
-            # added columns are relaxed to nullable in the manifest —
-            # resident files read them as NULL, so a non-nullable added
-            # field would lie about the data; surviving columns keep
-            # nullable if EITHER side was (resident nulls stay legal)
-            parent_nullable = {
-                f.name: f.nullable for f in parent_schema.fields
-            }
-            manifest_schema = T.StructType(
-                [
-                    T.StructField(
-                        f.name,
-                        f.dataType,
-                        parent_nullable.get(f.name, True) or f.nullable,
-                        f.metadata,
-                    )
-                    for f in df.schema.fields
-                ]
-            )
-        elif json.loads(pm["schema"]) != json.loads(df.schema.json()):
-            raise ValueError(
-                "append schema mismatch vs parent manifest; use "
-                "mode='overwrite' for an explicit schema change, or "
-                "evolve=True for add-column evolution"
-            )
-        parent_files = pm["files"]
-        parent_stats = pm.get("file_stats", {})
-        parent_blooms = pm.get("file_blooms", {})
-        parent_bloom_meta = pm.get("bloom_meta", {})
-        parent_file_meta = pm.get("file_meta", {})
-        for c in bloom_cols or []:
-            meta = parent_bloom_meta.get(c)
-            if meta and (meta["n_bits"], meta["k"]) != (bloom_bits, bloom_k):
-                raise ValueError(
-                    f"bloom geometry mismatch for {c!r}: parent has "
-                    f"n_bits={meta['n_bits']} k={meta['k']}, append asked "
-                    f"n_bits={bloom_bits} k={bloom_k} — a bloom filter "
-                    "cannot be resized; rebuild via an overwrite commit"
-                )
-
+    ctx = _resolve_commit(
+        root, mode, df.schema, bloom_cols, bloom_bits, bloom_k, evolve
+    )
     commit_dir = os.path.join(
-        root, "data", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
+        root, "data", f"commit-{ctx['version']:012d}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("error").parquet(commit_dir)
     new_files = _list_parquet(commit_dir)
-    file_stats = dict(parent_stats)
+    new_stats: dict = {}
     if stats_cols and new_files:
-        file_stats.update(
-            _collect_file_stats(df.sparkSession, commit_dir, list(stats_cols))
+        new_stats = _collect_file_stats(
+            df.sparkSession, commit_dir, list(stats_cols)
         )
-    file_blooms = dict(parent_blooms)
-    bloom_meta = dict(parent_bloom_meta)
+    new_blooms: dict = {}
+    bloom_geometry: dict = {}
     if bloom_cols and new_files:
-        file_blooms_new = _collect_file_blooms(
+        new_blooms = _collect_file_blooms(
             df.sparkSession, commit_dir, list(bloom_cols), bloom_bits, bloom_k
         )
-        for path, per_col in file_blooms_new.items():
-            file_blooms.setdefault(path, {}).update(per_col)
-        for c in bloom_cols:
-            bloom_meta[c] = {"n_bits": bloom_bits, "k": bloom_k}
-    # rows/bytes per file from the just-written footers (hot, no data
-    # pages) -> COUNT(*) and table-size become manifest lookups forever
-    file_meta = dict(parent_file_meta)
-    for nf in new_files:
-        file_meta[nf] = _footer_meta(nf)
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "mode": mode,
-        "tag": tag,
-        "schema": manifest_schema.json(),
-        "files": parent_files + new_files,
-        "file_stats": file_stats,
-        "file_blooms": file_blooms,
-        "bloom_meta": bloom_meta,
-        "file_meta": file_meta,
-    }
-    try:
-        # O_EXCL publish: exactly one committer wins version N
-        with open(_manifest_path(root, version), "x") as f:
-            json.dump(manifest, f)
-    except FileExistsError:
-        import shutil
-
-        shutil.rmtree(commit_dir, ignore_errors=True)
-        raise SnapshotConflict(
-            f"version {version} already committed — reload and retry"
-        ) from None
-    tmp = _current_path(root) + f".{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _current_path(root))
-    return version
+        bloom_geometry = {
+            c: {"n_bits": bloom_bits, "k": bloom_k} for c in bloom_cols
+        }
+    return _publish_commit(
+        root,
+        ctx,
+        mode,
+        tag,
+        new_files,
+        new_stats,
+        new_blooms,
+        bloom_geometry,
+        {},
+        cleanup_dir=commit_dir,
+    )
 
 
 def snap_tag(root: str) -> int | str | None:
