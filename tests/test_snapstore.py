@@ -516,3 +516,34 @@ def test_metadata_count_bytes_and_schema_diff(spark, tmp_path):
     with open(ss._manifest_path(root, v), "w") as f:
         json.dump(m, f)
     assert ss.snap_count(root) == 210
+
+
+def test_vacuum_spares_in_flight_writer_staging(spark, tmp_path):
+    """Unreferenced files under writer staging dirs (commit-w-*/-s-*)
+    survive vacuum within the grace window (they may belong to an
+    in-flight two-phase commit) and are collected as garbage once old."""
+    root = str(tmp_path / "tv1")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    staged = os.path.join(root, "data", "commit-w-deadbeef")
+    os.makedirs(staged)
+    _df(spark, 100, 105).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "tmpp")
+    )
+    src = [
+        f
+        for f in os.listdir(str(tmp_path / "tmpp"))
+        if f.endswith(".parquet")
+    ][0]
+    staged_file = os.path.join(staged, "part-x.parquet")
+    os.link(os.path.join(str(tmp_path / "tmpp"), src), staged_file)
+
+    removed = ss.snap_vacuum(root, keep_last=1)
+    assert os.path.exists(staged_file)  # in grace window: spared
+    assert removed == 0
+    # age it past the grace and it is crashed-writer garbage
+    old = __import__("time").time() - 3600
+    os.utime(staged_file, (old, old))
+    removed = ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=15)
+    assert removed == 1 and not os.path.exists(staged_file)
+    # the store itself is untouched throughout
+    assert ss.snap_count(root) == 10

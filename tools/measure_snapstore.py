@@ -143,6 +143,53 @@ def main() -> None:
         f"{planned} of {total_b} files across {len(needles)} needles "
         f"(min/max alone would plan {total_b}/{total_b})"
     )
+
+    # honest cost of the Python Data Source paths vs the native ones
+    from wsspark.snapsource import register
+
+    register(spark)
+
+    def ds_read():
+        spark.read.format("snapstore").load(clustered).agg(
+            F.sum("l_quantity")
+        ).collect()
+
+    def native_read():
+        ss.snap_read(spark, clustered).agg(F.sum("l_quantity")).collect()
+
+    ds_read()
+    native_read()
+    mds = median_time(ds_read, 3)
+    mnat = median_time(native_read, 3)
+    print(
+        f"full-scan agg: format('snapstore') {mds[0]:.3f}s vs native "
+        f"snap_read {mnat[0]:.3f}s ({mds[0] / mnat[0]:.1f}x — the Python "
+        f"read path trades the JVM scanner for API integration; use "
+        f"snap_read for raw batch throughput)"
+    )
+
+    wtgt1 = os.path.join(work, "w-native")
+    wtgt2 = os.path.join(work, "w-pyds")
+
+    def native_write():
+        shutil.rmtree(wtgt1, ignore_errors=True)
+        ss.snap_commit(li.repartition(8), wtgt1, stats_cols=["l_shipdate"])
+
+    def ds_write():
+        shutil.rmtree(wtgt2, ignore_errors=True)
+        li.repartition(8).write.format("snapstore").mode("append").option(
+            "statsCols", "l_shipdate"
+        ).save(wtgt2)
+
+    native_write()
+    ds_write()
+    mw1 = median_time(native_write, 3)
+    mw2 = median_time(ds_write, 3)
+    print(
+        f"stats-commit write (8 files): writer {mw2[0]:.3f}s vs "
+        f"snap_commit+stats-job {mw1[0]:.3f}s ({mw2[0] / mw1[0]:.2f}x — "
+        f"message-carried stats remove the second job)"
+    )
     shutil.rmtree(work, ignore_errors=True)
 
 

@@ -828,31 +828,50 @@ def snap_versions(root: str) -> list[int]:
         return []
 
 
-def snap_vacuum(root: str, keep_last: int = 1) -> int:
+def snap_vacuum(
+    root: str, keep_last: int = 1, staged_grace_minutes: float = 15.0
+) -> int:
     """Drop manifests older than the last ``keep_last`` versions and
     delete every data file (and empty commit dir) no retained manifest
     references. Returns the number of files deleted. Readers pinned to a
     RETAINED version are unaffected — that is the contract vacuum must
-    keep, pinned in tests."""
+    keep, pinned in tests.
+
+    IN-FLIGHT WRITER SAFETY: the ``format("snapstore")`` writers stage
+    task files under ``commit-w-*``/``commit-s-*`` dirs for the whole
+    job before the driver publishes — unreferenced files there are
+    either an in-flight commit (deleting them would let the commit
+    publish a manifest of dead files) or crashed-writer garbage. Vacuum
+    tells them apart by age: staging files younger than
+    ``staged_grace_minutes`` survive; older ones are collected as
+    garbage. The helper-API ``snap_commit`` dirs (``commit-<version>-``)
+    have only the sub-second write->manifest window and keep the
+    immediate-collection behavior."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    import time
+
     versions = snap_versions(root)
     retained = versions[-keep_last:]
     referenced: set[str] = set()
     for v in retained:
         referenced.update(_read_manifest(root, v)["files"])
     removed = 0
+    cutoff = time.time() - staged_grace_minutes * 60.0
     data_root = os.path.join(root, "data")
     if os.path.isdir(data_root):
         for commit_dir in sorted(os.listdir(data_root)):
             d = os.path.join(data_root, commit_dir)
+            staged = commit_dir.startswith(("commit-w-", "commit-s-"))
             for f in list(os.listdir(d)):
                 p = os.path.join(d, f)
-                if f.endswith(".parquet") and p not in referenced:
-                    os.remove(p)
+                if p in referenced:
+                    continue
+                if staged and os.path.getmtime(p) > cutoff:
+                    continue  # possibly an in-flight writer: keep
+                if f.endswith(".parquet"):
                     removed += 1
-                elif not f.endswith(".parquet"):
-                    os.remove(p)  # _SUCCESS etc. ride along
+                os.remove(p)
             if not os.listdir(d):
                 os.rmdir(d)
     for v in versions[:-keep_last]:
