@@ -326,3 +326,33 @@ def test_epoch_shard_assignment_properties(spark):
         corpus.epoch_shard_assignment(docs, epoch=0, n_shards=0)
     with _pytest.raises(ValueError, match="epoch"):
         corpus.epoch_shard_assignment(docs, epoch=-1, n_shards=4)
+
+
+def test_leakage_safe_folds_cluster_coherent(spark):
+    """k-fold generalization: whole clusters share a fold; folds cover
+    0..k-1 roughly evenly; fold-0 of the 5-fold split is consistent with
+    the binary split at test_frac=0.2 (same hash, same boundary)."""
+    import pytest as _pytest
+
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    clusters = spark.range(0, 100).select(
+        F.col("id").alias("node"),
+        (F.floor(F.col("id") / 5) * 5).alias("cluster_id"),
+    )
+    out = {r.doc_id: r.fold for r in corpus.leakage_safe_folds(
+        docs, clusters, n_folds=5
+    ).collect()}
+    for base in range(0, 100, 5):
+        assert len({out[i] for i in range(base, base + 5)}) == 1
+    from collections import Counter
+
+    sizes = Counter(out.values())
+    assert set(sizes) == set(range(5))
+    assert all(120 <= n <= 280 for n in sizes.values())
+    # fold 0 == the 'test' side of leakage_safe_split(0.2): same gate
+    split = {r.doc_id: r.split for r in corpus.leakage_safe_split(
+        docs, clusters, test_frac=0.2
+    ).collect()}
+    assert all((split[d] == "test") == (f == 0) for d, f in out.items())
+    with _pytest.raises(ValueError, match="n_folds"):
+        corpus.leakage_safe_folds(docs, clusters, n_folds=1)

@@ -209,3 +209,40 @@ def test_write_report_json_orc_sinks(spark, sf_dir, tmp_path):
         map(tuple, read_table_any(spark, jp, schema=ref.schema, fmt="json").collect())
     ) == want
     assert sorted(map(tuple, read_table_any(spark, op, fmt="orc").collect())) == want
+
+
+def test_read_binary_files_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingest edge: raw files -> media contract -> real decode
+    through extract_features, with glob pushdown into the listing."""
+    import os
+
+    from wsspark.io import read_binary_files
+    from wsspark.llmops import multimodal
+
+    sys_path = __import__("sys").path
+    sys_path.insert(0, os.path.join(os.path.dirname(__file__)))
+    try:
+        from test_multimodal import make_bmp
+    finally:
+        sys_path.pop(0)
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (9, 9, 9)]]
+    (tmp_path / "media").mkdir()
+    (tmp_path / "media" / "a.bmp").write_bytes(make_bmp(px))
+    (tmp_path / "media" / "b.bmp").write_bytes(make_bmp([[(1, 2, 3)]]))
+    (tmp_path / "media" / "notes.txt").write_bytes(b"not media")
+
+    media = read_binary_files(spark, str(tmp_path / "media"), glob="*.bmp")
+    rows = media.collect()
+    assert len(rows) == 2  # glob pushed into the listing: txt never read
+    assert {r.media_type for r in rows} == {"bmp"}
+    by_path = {os.path.basename(r.path): r for r in rows}
+    assert by_path["a.bmp"].n_bytes == len(make_bmp(px))
+    assert len({r.media_id for r in rows}) == 2  # stable distinct ids
+
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 2
+    assert all(len(f.feature) == multimodal.FEATURE_DIM for f in feats)
+    # deterministic media_id: re-listing produces identical ids
+    again = read_binary_files(spark, str(tmp_path / "media"), glob="*.bmp")
+    assert {r.media_id for r in again.collect()} == {r.media_id for r in rows}

@@ -284,3 +284,44 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     assert ss.snap_current_version(root) == before  # no new version
     assert not __import__("os").path.isdir(staged_dir)  # staged files gone
     assert ss.snap_count(root) == 30
+
+
+def test_store_to_store_streaming_pipeline(spark, tmp_path):
+    """The composed loop: snapstore readStream (versions-as-offsets) ->
+    transform -> snapstore writeStream (exactly-once tags). Appends to
+    the source flow through incrementally; a checkpoint restart moves
+    only the delta; both stores stay consistent."""
+    src_root = str(tmp_path / "p-src")
+    dst_root = str(tmp_path / "p-dst")
+    ckpt = str(tmp_path / "p-ckpt")
+    register(spark)
+    ss.snap_commit(_df(spark, 0, 40), src_root)
+
+    def run():
+        q = (
+            spark.readStream.format("snapstore")
+            .load(src_root)
+            .withColumn("val3", F.col("val") * 3)
+            .writeStream.format("snapstore")
+            .option("path", dst_root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert ss.snap_count(dst_root) == 40
+    ss.snap_commit(_df(spark, 40, 70), src_root, mode="append")
+    run()  # only the 30-row delta moves
+    out = ss.snap_read(spark, dst_root)
+    assert ss.snap_count(dst_root) == 70
+    assert {(r.id, r.val3) for r in out.collect()} == {
+        (i, i * 6) for i in range(70)
+    }
+    # destination lineage is append-only with monotone batch tags
+    tags = [
+        ss._read_manifest(dst_root, v)["tag"]
+        for v in ss.snap_versions(dst_root)
+    ]
+    assert tags == sorted(tags)

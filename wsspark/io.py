@@ -171,6 +171,52 @@ def read_table_any(
     return normalize_timestamps(df, ts_ns_cols)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Multimodal ingest edge: raw media/document FILES as a binary frame
+    via Spark's built-in ``binaryFile`` source, mapped to the repo's media
+    contract — ``(media_id long, media_type string, n_bytes long,
+    modified_at timestamp, path string, payload binary)`` — so the output
+    feeds ``llmops.multimodal.extract_features`` / ``sample_frames`` /
+    ``audio_spectral_features`` directly.
+
+    ``media_id`` is the portable 60-bit md5 prefix of the file path
+    (stable across runs and listings — a row number would renumber on
+    every new file); ``path`` stays in the frame for joining features
+    back to their source. ``media_type`` is the lowercased extension.
+    ``glob`` pushes a ``pathGlobFilter`` into the LISTING (non-matching
+    files are never opened); ``recursive`` walks subdirectories.
+
+    Scale notes: the binaryFile source distributes both listing and
+    reads; each file must fit in one task's memory (the source does not
+    split files), so shard multi-GB archives upstream. Spark caps
+    ``spark.sql.sources.binaryFile.maxLength`` at array max; the skew
+    cure for few-huge-files batches is a post-read
+    ``repartition(n, "media_id")`` — same note as extract_features."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    df = r.load(path)
+    return df.select(
+        F.conv(F.substring(F.md5(F.col("path").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("media_id"),
+        F.lower(F.element_at(F.split(F.col("path"), r"\."), -1)).alias(
+            "media_type"
+        ),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("modified_at"),
+        F.col("path"),
+        F.col("content").alias("payload"),
+    )
+
+
 def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """S3 analog: one report -> one output location (reference writes one
     file per report in parquet/csv/xlsx, etl/load/data_loader.py:26-63).

@@ -343,6 +343,35 @@ def leakage_safe_split(
     )
 
 
+def leakage_safe_folds(
+    docs: DataFrame,
+    clusters: DataFrame,
+    n_folds: int = 5,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Cluster-aware k-fold assignment — ``leakage_safe_split``
+    generalized to cross-validation: ``fold = floor(knuth_u(split_key) *
+    n_folds)``, so every member of a duplicate cluster shares a fold and
+    no evaluation fold ever holds a near-copy of another fold's training
+    doc. Same determinism/broadcast contract as the split form."""
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+    keys = clusters.select(
+        F.col(node_col).alias(id_col), F.col(cluster_col).alias("split_key")
+    )
+    u = (
+        F.pmod(F.col("split_key") * F.lit(_KNUTH), F.lit(_MOD32))
+        / F.lit(_MOD32)
+    )
+    return (
+        docs.join(F.broadcast(keys), id_col, "left")
+        .withColumn("split_key", F.coalesce(F.col("split_key"), F.col(id_col)))
+        .withColumn("fold", F.floor(u * F.lit(int(n_folds))).cast("int"))
+    )
+
+
 def epoch_shard_assignment(
     docs: DataFrame,
     epoch: int,
