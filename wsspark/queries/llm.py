@@ -1474,6 +1474,48 @@ WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
 ).replace("WITH words", "WITH RECURSIVE words", 1)
 
 
+LOOKUP_ORDERKEYS = (1, 3, 100)
+
+
+def q_snapstore_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table format under the driver hash gate: commit lineitem into
+    a fresh hash-clustered snapstore with manifest Blooms on l_orderkey,
+    then answer an IN-list point lookup THROUGH the manifest planner
+    (``snap_read_where_in`` — bloom-pruned file set + exact residual).
+    Rows must hash-match the plain SQL filter over the raw parquet, so a
+    bloom false NEGATIVE (a dropped file that held a row) or any
+    commit/read corruption goes red — driver-grade evidence for the
+    skipping soundness contract beyond the pytest invariants."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="snaplookup-")
+    try:
+        ss.snap_commit(
+            li.repartition(8, "l_orderkey"), root, bloom_cols=["l_orderkey"]
+        )
+        out = ss.snap_read_where_in(
+            spark, root, "l_orderkey", list(LOOKUP_ORDERKEYS)
+        )
+        # materialize before the store is deleted
+        rows = out.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_LOOKUP_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+WHERE l_orderkey IN {LOOKUP_ORDERKEYS}
+"""
+
+
 SHUFFLE_EPOCH = 3
 SHUFFLE_SHARDS = 8
 
@@ -2530,6 +2572,12 @@ FOLDED_QUERIES = [
     Query("epoch_shard_assignment", q_epoch_shard_assignment,
           EPOCH_SHARD_SQL,
           "deterministic per-epoch corpus shuffle into balanced shards"),
+    # Born folded (r9): the table format under the hash gate — a bloom-
+    # pruned IN-list lookup through a freshly committed snapstore must
+    # row-match the plain SQL filter (skipping soundness, driver-grade).
+    Query("snapstore_point_lookup", q_snapstore_point_lookup,
+          SNAPSTORE_LOOKUP_SQL,
+          "manifest-bloom point lookup through the snapshot store"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
