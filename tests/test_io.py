@@ -246,3 +246,18 @@ def test_read_binary_files_feeds_multimodal(spark, tmp_path):
     # deterministic media_id: re-listing produces identical ids
     again = read_binary_files(spark, str(tmp_path / "media"), glob="*.bmp")
     assert {r.media_id for r in again.collect()} == {r.media_id for r in rows}
+
+
+def test_read_binary_files_extensionless_media_type(spark, tmp_path):
+    """No trailing extension -> NULL media_type, never a path fragment
+    (review finding r9: '.'-split returned the whole URI)."""
+    from wsspark.io import read_binary_files
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "README").write_bytes(b"plain")
+    (d / "clip.WAV").write_bytes(b"RIFFxxxx")
+    rows = {r.path.split("/")[-1]: r.media_type for r in
+            read_binary_files(spark, str(d)).collect()}
+    assert rows["README"] is None
+    assert rows["clip.WAV"] == "wav"

@@ -325,3 +325,40 @@ def test_store_to_store_streaming_pipeline(spark, tmp_path):
         for v in ss.snap_versions(dst_root)
     ]
     assert tags == sorted(tags)
+
+
+def test_writer_timestamp_stats_naive_utc(spark, tmp_path):
+    """Arrow hands the writer tz-AWARE timestamps; manifest stats must
+    normalize to naive UTC isoformat so both writer paths share one
+    comparable string space and range pruning stays sound (review
+    finding r9)."""
+    import datetime as dt
+
+    root = str(tmp_path / "wts")
+    register(spark)
+    rows = [
+        (i, dt.datetime(1996, 3, 1) + dt.timedelta(days=i)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    (df.repartitionByRange(6, "ts")
+        .write.format("snapstore")
+        .mode("append")
+        .option("statsCols", "ts")
+        .save(root))
+    m = ss._read_manifest(root, 0)
+    for st in m["file_stats"].values():
+        lo, hi = st["ts"]
+        assert "+" not in lo and "+" not in hi and not lo.endswith("Z")
+    # pruning through the recorded stats returns exactly the right rows
+    got = ss.snap_read_between(
+        spark,
+        root,
+        "ts",
+        dt.datetime(1996, 3, 10),
+        dt.datetime(1996, 3, 20),
+    )
+    kept, total = ss.snap_prune_files(
+        root, "ts", dt.datetime(1996, 3, 10), dt.datetime(1996, 3, 20)
+    )
+    assert got.count() == 11
+    assert len(kept) < total

@@ -547,3 +547,84 @@ def test_vacuum_spares_in_flight_writer_staging(spark, tmp_path):
     assert removed == 1 and not os.path.exists(staged_file)
     # the store itself is untouched throughout
     assert ss.snap_count(root) == 10
+
+
+def test_bloom_probe_type_coercion_never_false_drops(spark, tmp_path):
+    """A type-sloppy probe (float against a bigint column) must coerce
+    to the build-time form or prune nothing — never silently drop files
+    that hold the value (review finding r9)."""
+    root = str(tmp_path / "tc1")
+    ss.snap_commit(
+        _df(spark, 0, 400).repartition(8, "id"), root, bloom_cols=["id"]
+    )
+    # float probe on a long column: coerced to int, still prunes AND hits
+    kept, total = ss.snap_prune_files_eq(root, "id", 123.0)
+    assert len(kept) < total
+    assert ss.snap_read_where_eq(spark, root, "id", 123.0).count() == 1
+    # non-integral float: no long row can equal it; empty is correct and
+    # the plan must not be a false drop of a real value
+    assert ss.snap_read_where_eq(spark, root, "id", 123.5).count() == 0
+    # incomparable probe (string against a long column): prunes nothing
+    kept, total = ss.snap_prune_files_eq(root, "id", "123")
+    assert len(kept) == total
+    # bool probe: never hashed (str(True) is not a cast form)
+    kept, total = ss.snap_prune_files_eq(root, "id", True)
+    assert len(kept) == total
+
+
+def test_multi_column_blooms_single_commit(spark, tmp_path):
+    """Two bloom columns in one commit (built by ONE job) both prune and
+    both stay sound."""
+    root = str(tmp_path / "tc2")
+    df = _df(spark, 0, 1000).withColumn(
+        "name", F.concat(F.lit("u"), F.col("id"))
+    )
+    ss.snap_commit(df.repartition(8, "id"), root, bloom_cols=["id", "name"])
+    k1, t1 = ss.snap_prune_files_eq(root, "id", 777)
+    k2, t2 = ss.snap_prune_files_eq(root, "name", "u777")
+    assert len(k1) < t1 and len(k2) < t2
+    assert ss.snap_read_where_eq(spark, root, "id", 777).count() == 1
+    assert ss.snap_read_where_eq(spark, root, "name", "u777").count() == 1
+    assert ss.snap_read_where_eq(spark, root, "name", "u99999").count() == 0
+
+
+def test_vacuum_spares_in_flight_helper_commit(spark, tmp_path):
+    """A commit-<version>- dir whose version is AHEAD of CURRENT is an
+    in-flight snap_commit (its stats/bloom jobs may be running): vacuum
+    must not delete its files inside the grace window (review finding
+    r9 — the bloom job widens the write->publish window to minutes)."""
+    root = str(tmp_path / "tc3")
+    ss.snap_commit(_df(spark, 0, 10), root)  # CURRENT = 0
+    pending = os.path.join(root, "data", "commit-000000000001-aaaa0000")
+    os.makedirs(pending)
+    _df(spark, 50, 55).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "tmpq")
+    )
+    srcf = [
+        f for f in os.listdir(str(tmp_path / "tmpq")) if f.endswith(".parquet")
+    ][0]
+    pf = os.path.join(pending, "part-0.parquet")
+    os.link(os.path.join(str(tmp_path / "tmpq"), srcf), pf)
+    assert ss.snap_vacuum(root, keep_last=1) == 0
+    assert os.path.exists(pf)  # in-flight: spared
+    old = __import__("time").time() - 3600
+    os.utime(pf, (old, old))
+    assert ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=15) == 1
+    assert not os.path.exists(pf)  # crashed commit: collected
+
+
+def test_replay_cursor_survives_untagged_commits(spark, tmp_path):
+    """snap_last_int_tag scans back through the lineage: a compaction
+    (untagged overwrite) between a published micro-batch and its replay
+    must not reset exactly-once (review finding r9)."""
+    root = str(tmp_path / "tc4")
+    apply_batch = ss.snap_sink(root)
+    apply_batch(_df(spark, 0, 10), 0)
+    apply_batch(_df(spark, 10, 20), 1)
+    ss.snap_compact(spark, root)  # untagged commit on top
+    assert ss.snap_tag(root) is None
+    assert ss.snap_last_int_tag(root) == 1
+    apply_batch(_df(spark, 10, 20), 1)  # replay after compaction: no-op
+    assert ss.snap_count(root) == 20
+    apply_batch(_df(spark, 20, 25), 2)  # new batch still lands
+    assert ss.snap_count(root) == 25

@@ -187,7 +187,8 @@ def read_binary_files(
     ``media_id`` is the portable 60-bit md5 prefix of the file path
     (stable across runs and listings — a row number would renumber on
     every new file); ``path`` stays in the frame for joining features
-    back to their source. ``media_type`` is the lowercased extension.
+    back to their source. ``media_type`` is the lowercased trailing extension, NULL for
+    extension-less files (never a path fragment).
     ``glob`` pushes a ``pathGlobFilter`` into the LISTING (non-matching
     files are never opened); ``recursive`` walks subdirectories.
 
@@ -207,9 +208,12 @@ def read_binary_files(
         F.conv(F.substring(F.md5(F.col("path").cast("binary")), 1, 15), 16, 10)
         .cast("long")
         .alias("media_id"),
-        F.lower(F.element_at(F.split(F.col("path"), r"\."), -1)).alias(
-            "media_type"
-        ),
+        F.nullif(
+            F.lower(
+                F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)
+            ),
+            F.lit(""),
+        ).alias("media_type"),
         F.col("length").alias("n_bytes"),
         F.col("modificationTime").alias("modified_at"),
         F.col("path"),

@@ -92,24 +92,28 @@ class SnapFilePartition(InputPartition):
 def _read_file_as_batches(file: str, schema_json: str) -> Iterator:
     """Worker-side parquet read aligned to the manifest schema: columns
     cast to the manifest's Arrow types, columns the file predates filled
-    with NULL (add-column evolution), order normalized."""
+    with NULL (add-column evolution), order normalized. Streams via
+    ``iter_batches`` so a task's memory is one record batch, not the
+    whole file — a store compacted to 256 MB files must not need
+    file-sized executor headroom on this path."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(T.StructType.fromJson(json.loads(schema_json)))
-    table = pq.read_table(file)
-    columns = []
-    for field in target:
-        if field.name in table.column_names:
-            col = table.column(field.name)
-            if col.type != field.type:
-                col = col.cast(field.type)
-            columns.append(col)
-        else:
-            columns.append(pa.nulls(len(table), field.type))
-    aligned = pa.table(dict(zip(target.names, columns)), schema=target)
-    yield from aligned.to_batches(max_chunksize=1 << 16)
+    pf = pq.ParquetFile(file)
+    present = [n for n in target.names if n in pf.schema_arrow.names]
+    for batch in pf.iter_batches(batch_size=1 << 16, columns=present):
+        columns = []
+        for fld in target:
+            if fld.name in batch.schema.names:
+                col = batch.column(batch.schema.names.index(fld.name))
+                if col.type != fld.type:
+                    col = col.cast(fld.type)
+                columns.append(col)
+            else:
+                columns.append(pa.nulls(batch.num_rows, fld.type))
+        yield pa.RecordBatch.from_arrays(columns, schema=target)
 
 
 def _prune(manifest: dict, files: list[str], filters: list) -> list[str]:
@@ -125,22 +129,28 @@ def _prune(manifest: dict, files: list[str], filters: list) -> list[str]:
         mm = stats.get(f, {}).get(col)
         if mm is None or mm[0] is None or mm[1] is None:
             return True
-        if lo is not None and (mm[1] < lo or (strict_lo and mm[1] <= lo)):
-            return False
-        if hi is not None and (mm[0] > hi or (strict_hi and mm[0] >= hi)):
-            return False
+        try:
+            if lo is not None and (mm[1] < lo or (strict_lo and mm[1] <= lo)):
+                return False
+            if hi is not None and (mm[0] > hi or (strict_hi and mm[0] >= hi)):
+                return False
+        except TypeError:
+            return True  # incomparable probe vs recorded stats: keep
         return True
 
     def admits_eq(f: str, col: str, value) -> bool:
         if value is None:
             return True
-        v = ss._json_stat(value)
+        # canonicalize to the build-time string form; a probe with no
+        # sound canonical form (type-sloppy value) prunes nothing
+        canon = ss._canonical_eq_value(manifest["schema"], col, value)
+        v = ss._json_stat(canon if canon is not None else value)
         if not admits_range(f, col, lo=v, hi=v):
             return False
         hx = blooms.get(f, {}).get(col)
         meta = bloom_meta.get(col)
-        if hx and meta:
-            for p in ss._bloom_positions_py(value, meta["n_bits"], meta["k"]):
+        if hx and meta and canon is not None:
+            for p in ss._bloom_positions_py(canon, meta["n_bits"], meta["k"]):
                 word = int(hx[16 * (p // 63) : 16 * (p // 63) + 16], 16)
                 if not word & (1 << (p % 63)):
                     return False
@@ -285,8 +295,22 @@ def _write_task_file(
     if writer is None:
         return SnapWriteMessage(file=None)
     writer.close()
+
+    def _norm(v):
+        # Arrow hands back tz-AWARE datetimes (timestamp[us, tz=...]);
+        # the helper path's Spark collect() yields naive session-UTC
+        # datetimes. Normalize to naive UTC so both writers' manifest
+        # stats live in one comparable string space — an offset-suffixed
+        # isoformat would break the lexicographic==temporal invariant
+        # range pruning relies on.
+        if hasattr(v, "tzinfo") and getattr(v, "tzinfo", None) is not None:
+            import datetime as _dt
+
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
     stats = {
-        c: [_json_stat(mins.get(c)), _json_stat(maxs.get(c))]
+        c: [_json_stat(_norm(mins.get(c))), _json_stat(_norm(maxs.get(c)))]
         for c in stats_cols
     }
     return SnapWriteMessage(
@@ -401,8 +425,10 @@ class SnapstoreStreamWriter(DataSourceStreamArrowWriter):
         return _write_task_file(iterator, commit_dir, self._stats_cols)
 
     def commit(self, messages, batchId: int) -> None:
-        last = ss.snap_tag(self._root)
-        if isinstance(last, int) and batchId <= last:
+        # scan back for the last INT tag: an interleaved untagged commit
+        # (compaction, a batch append) must not reset replay detection
+        last = ss.snap_last_int_tag(self._root)
+        if last is not None and batchId <= last:
             _cleanup_staged(messages)  # replayed batch: already published
             return
         files, new_stats, new_meta = _gather_messages(messages)

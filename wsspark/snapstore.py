@@ -184,6 +184,31 @@ def _bloom_positions_py(value, n_bits: int, k: int) -> list[int]:
     return [(h1 + i * h2) % n_bits for i in range(1, k + 1)]
 
 
+def _canonical_eq_value(manifest_schema_json: str, col: str, value):
+    """Coerce an equality-probe value to the EXACT form the bloom build
+    hashed (Spark ``cast(col as string)`` of the column's declared type),
+    or return None when no sound canonical form exists — the caller then
+    prunes NOTHING for that predicate and the residual filter decides.
+    This is what keeps type-sloppy probes (1.0 against a bigint column,
+    an int against a string column) from becoming silent false drops."""
+    try:
+        schema = T.StructType.fromJson(json.loads(manifest_schema_json))
+        dtype = schema[col].dataType
+    except Exception:
+        return None
+    if isinstance(value, bool):
+        return None  # bool str() is 'True'/'False', never the cast form
+    if isinstance(dtype, T.StringType):
+        return value if isinstance(value, str) else None
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        return None
+    return None
+
+
 def _collect_file_blooms(
     spark: SparkSession,
     commit_dir: str,
@@ -193,8 +218,9 @@ def _collect_file_blooms(
 ) -> dict:
     """Per-file Bloom bitmaps of ``bloom_cols`` over the just-written
     commit directory — the equality-predicate complement to min/max
-    stats. One distributed explode+bit_or aggregation per column grouped
-    on ``_metadata.file_path``; the driver holds O(files x n_bits/63)
+    stats. ONE distributed explode+bit_or aggregation for ALL columns
+    grouped on ``_metadata.file_path``; the driver holds O(files x cols
+    x n_bits/63)
     longs (n_bits=2^14 -> ~2 KiB hex per file per column). Bitmaps are
     packed as fixed-width hex (16 chars per 63-bit word, word 0 first) so
     the manifest stays one self-contained JSON."""
@@ -212,41 +238,57 @@ def _collect_file_blooms(
                 "form the build hashed)"
             )
     n_words = n_bits // 63 + 1
-    blooms: dict = {}
-    for c in bloom_cols:
+    # ONE job for every bloom column: explode (col_idx, position) structs
+    # across all columns' k probes, then a single combinable bit_or
+    # grouped on (file, col, word) — a commit with 3 bloom columns scans
+    # the just-written data once, not three times.
+    pairs = []
+    for ci, c in enumerate(bloom_cols):
         key = F.substring(F.md5(F.col(c).cast("string")), 1, 16)
-        pos = F.explode(F.array(*probe_positions(key, n_bits, k)))
-        rows = (
-            df.select(
-                F.col("_metadata.file_path").alias("__path"), F.col(c)
+        for p in probe_positions(key, n_bits, k):
+            pairs.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.lit(ci).alias("ci"), p.cast("long").alias("pos")
+                    ),
+                )
             )
-            .filter(F.col(c).isNotNull())
-            .select("__path", pos.alias("_pos"))
-            .groupBy(
-                "__path",
-                F.floor(F.col("_pos") / 63).cast("long").alias("_w"),
-            )
-            .agg(
-                F.bit_or(
-                    F.call_function(
-                        "shiftleft",
-                        F.lit(1).cast("long"),
-                        F.pmod(F.col("_pos"), F.lit(63)).cast("int"),
-                    )
-                ).alias("_bits")
-            )
-            .collect()
+    e = F.explode(
+        F.filter(F.array(*pairs), lambda s: s.isNotNull())
+    ).alias("_e")
+    rows = (
+        df.select(
+            F.col("_metadata.file_path").alias("__path"), *bloom_cols
         )
-        per_file: dict[str, list[int]] = {}
-        for r in rows:
-            path = unquote(urlparse(r["__path"]).path)
-            per_file.setdefault(path, [0] * n_words)[int(r["_w"])] = int(
-                r["_bits"]
-            )
-        for path, dense in per_file.items():
-            blooms.setdefault(path, {})[c] = "".join(
-                f"{w:016x}" for w in dense
-            )
+        .select("__path", e)
+        .groupBy(
+            "__path",
+            F.col("_e.ci").alias("_ci"),
+            F.floor(F.col("_e.pos") / 63).cast("long").alias("_w"),
+        )
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.pmod(F.col("_e.pos"), F.lit(63)).cast("int"),
+                )
+            ).alias("_bits")
+        )
+        .collect()
+    )
+    per: dict[tuple, list[int]] = {}
+    for r in rows:
+        path = unquote(urlparse(r["__path"]).path)
+        per.setdefault((path, int(r["_ci"])), [0] * n_words)[int(r["_w"])] = (
+            int(r["_bits"])
+        )
+    blooms: dict = {}
+    for (path, ci), dense in per.items():
+        blooms.setdefault(path, {})[bloom_cols[ci]] = "".join(
+            f"{w:016x}" for w in dense
+        )
     return blooms
 
 
@@ -314,11 +356,30 @@ def _resolve_commit(
                     for f in schema.fields
                 ]
             )
-        elif json.loads(pm["schema"]) != json.loads(schema.json()):
-            raise ValueError(
-                "append schema mismatch vs parent manifest; use "
-                "mode='overwrite' for an explicit schema change, or "
-                "evolve=True for add-column evolution"
+        else:
+            parent_schema = T.StructType.fromJson(json.loads(pm["schema"]))
+            if [(f.name, f.dataType) for f in parent_schema.fields] != [
+                (f.name, f.dataType) for f in schema.fields
+            ]:
+                raise ValueError(
+                    "append schema mismatch vs parent manifest; use "
+                    "mode='overwrite' for an explicit schema change, or "
+                    "evolve=True for add-column evolution"
+                )
+            # names+types gate; NULLABILITY is unioned, not gated — Spark
+            # flips it freely (every file-source read relaxes to nullable,
+            # so a compact would otherwise lock plain appends out), and
+            # widening can never invalidate resident data
+            ctx["manifest_schema"] = T.StructType(
+                [
+                    T.StructField(
+                        pf.name,
+                        pf.dataType,
+                        pf.nullable or nf.nullable,
+                        pf.metadata,
+                    )
+                    for pf, nf in zip(parent_schema.fields, schema.fields)
+                ]
             )
         ctx["parent_files"] = pm["files"]
         ctx["parent_stats"] = pm.get("file_stats", {})
@@ -475,6 +536,23 @@ def snap_tag(root: str) -> int | str | None:
     return None if v is None else _read_manifest(root, v).get("tag")
 
 
+def snap_last_int_tag(root: str) -> int | None:
+    """The most recent INTEGER tag across retained manifests — the
+    replay cursor for streaming sinks. Scanning back through the
+    lineage (not just CURRENT) keeps exactly-once intact when an
+    untagged maintenance commit (compaction, a batch append) lands
+    between a published micro-batch and its crash-replay: CURRENT's tag
+    would read None and wave the duplicate through. O(versions) driver
+    manifest reads, newest first, early exit. Retention contract: keep
+    the last tagged manifest retained (``snap_vacuum`` keep_last
+    covering it) while its stream's checkpoint may still replay."""
+    for v in sorted(snap_versions(root), reverse=True):
+        tag = _read_manifest(root, v).get("tag")
+        if isinstance(tag, int):
+            return tag
+    return None
+
+
 def snap_read(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
@@ -612,21 +690,37 @@ def snap_prune_files_eq(
         if version is None:
             raise FileNotFoundError(f"no committed version in {root}")
     m = _read_manifest(root, version)
-    v = _json_stat(value)
+    return _prune_files_eq_m(m, col, value), len(m["files"])
+
+
+def _prune_files_eq_m(m: dict, col: str, value) -> list[str]:
+    """Equality pruning against a PRELOADED manifest (IN-list planning
+    parses the manifest once, not once per value). The probe value is
+    canonicalized to the build-time string form first; a value with no
+    sound canonical form (type-sloppy probe) prunes nothing, and a
+    min/max comparison that raises on mixed types degrades to keep —
+    the residual filter is always the semantics."""
+    canon = _canonical_eq_value(m["schema"], col, value)
+    v = _json_stat(canon if canon is not None else value)
     stats = m.get("file_stats", {})
     blooms = m.get("file_blooms", {})
     meta = m.get("bloom_meta", {}).get(col)
     positions = (
-        _bloom_positions_py(value, meta["n_bits"], meta["k"]) if meta else []
+        _bloom_positions_py(canon, meta["n_bits"], meta["k"])
+        if meta and canon is not None
+        else []
     )
     kept = []
     for f in m["files"]:
         mm = stats.get(f, {}).get(col)
         if mm is not None and mm[0] is not None and mm[1] is not None:
-            if mm[0] > v or mm[1] < v:
-                continue
+            try:
+                if mm[0] > v or mm[1] < v:
+                    continue
+            except TypeError:
+                pass  # incomparable probe vs recorded stats: keep
         hx = blooms.get(f, {}).get(col)
-        if hx:
+        if hx and positions:
             ok = True
             for p in positions:
                 word = int(hx[16 * (p // 63) : 16 * (p // 63) + 16], 16)
@@ -636,7 +730,7 @@ def snap_prune_files_eq(
             if not ok:
                 continue
         kept.append(f)
-    return kept, len(m["files"])
+    return kept
 
 
 def snap_read_where_eq(
@@ -732,16 +826,13 @@ def snap_read_where_in(
         version = snap_current_version(root)
         if version is None:
             raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
     if not values:
-        schema = T.StructType.fromJson(
-            json.loads(_read_manifest(root, version)["schema"])
-        )
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
     keep: set[str] = set()
     for v in values:
-        files, _total = snap_prune_files_eq(root, col, v, version)
-        keep.update(files)
-    m = _read_manifest(root, version)
+        keep.update(_prune_files_eq_m(m, col, v))
     ordered = [f for f in m["files"] if f in keep]  # stable plan order
     schema = T.StructType.fromJson(json.loads(m["schema"]))
     if not ordered:
@@ -769,8 +860,8 @@ def snap_sink(root: str, stats_cols: list[str] | None = None):
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        last = snap_tag(root)
-        if isinstance(last, int) and batch_id <= last:
+        last = snap_last_int_tag(root)
+        if last is not None and batch_id <= last:
             return
         snap_commit(
             batch_df, root, mode="append", tag=int(batch_id), stats_cols=stats_cols
@@ -837,16 +928,18 @@ def snap_vacuum(
     RETAINED version are unaffected — that is the contract vacuum must
     keep, pinned in tests.
 
-    IN-FLIGHT WRITER SAFETY: the ``format("snapstore")`` writers stage
-    task files under ``commit-w-*``/``commit-s-*`` dirs for the whole
-    job before the driver publishes — unreferenced files there are
-    either an in-flight commit (deleting them would let the commit
-    publish a manifest of dead files) or crashed-writer garbage. Vacuum
-    tells them apart by age: staging files younger than
-    ``staged_grace_minutes`` survive; older ones are collected as
-    garbage. The helper-API ``snap_commit`` dirs (``commit-<version>-``)
-    have only the sub-second write->manifest window and keep the
-    immediate-collection behavior."""
+    IN-FLIGHT WRITER SAFETY: unreferenced files may belong to a commit
+    that has not PUBLISHED yet — deleting them would let that commit
+    publish a manifest of dead files. Two shapes exist: the
+    ``format("snapstore")`` writers stage under ``commit-w-*``/
+    ``commit-s-*`` for the whole job, and ``snap_commit`` itself holds
+    ``commit-<version>-*`` open across its stats/bloom jobs (minutes on
+    a large commit). Vacuum protects both by the same rule: a staging
+    dir (w-/s- prefixed, or a helper dir whose encoded version is AHEAD
+    of CURRENT — i.e. not yet published) keeps files younger than
+    ``staged_grace_minutes``; older ones are crashed-writer garbage.
+    Helper dirs at-or-below CURRENT are published lineage and collect
+    immediately."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     import time
@@ -860,9 +953,16 @@ def snap_vacuum(
     cutoff = time.time() - staged_grace_minutes * 60.0
     data_root = os.path.join(root, "data")
     if os.path.isdir(data_root):
+        current = snap_current_version(root)
         for commit_dir in sorted(os.listdir(data_root)):
             d = os.path.join(data_root, commit_dir)
             staged = commit_dir.startswith(("commit-w-", "commit-s-"))
+            if not staged and commit_dir.startswith("commit-"):
+                try:
+                    encoded_v = int(commit_dir.split("-")[1])
+                    staged = current is None or encoded_v > current
+                except ValueError:
+                    staged = True  # unrecognized dir name: be safe
             for f in list(os.listdir(d)):
                 p = os.path.join(d, f)
                 if p in referenced:
