@@ -628,3 +628,47 @@ def test_replay_cursor_survives_untagged_commits(spark, tmp_path):
     assert ss.snap_count(root) == 20
     apply_batch(_df(spark, 20, 25), 2)  # new batch still lands
     assert ss.snap_count(root) == 25
+
+
+def test_concurrent_committers_occ_retry(spark, tmp_path):
+    """A REAL commit race: two threads append concurrently through the
+    OCC retry loop. Exactly one loses each version race, retries against
+    the advanced parent, and both appends land — no lost update, no
+    duplicate, a clean linear lineage."""
+    import threading
+
+    root = str(tmp_path / "tr1")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def committer(lo, hi):
+        try:
+            barrier.wait(timeout=30)
+            ss.snap_commit_with_retry(
+                _df(spark, lo, hi), root, mode="append"
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=committer, args=(10, 20))
+    t2 = threading.Thread(target=committer, args=(20, 30))
+    t1.start(); t2.start(); t1.join(60); t2.join(60)
+    assert not errors
+    assert ss.snap_versions(root) == [0, 1, 2]
+    assert {r.id for r in ss.snap_read(spark, root).collect()} == set(range(30))
+    assert ss.snap_count(root) == 30
+
+
+def test_snap_history_timeline(spark, tmp_path):
+    root = str(tmp_path / "th1")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    ss.snap_commit(_df(spark, 10, 15), root, mode="append", tag=7)
+    ss.snap_compact(spark, root)
+    h = ss.snap_history(root)
+    assert [x["version"] for x in h] == [0, 1, 2]
+    assert [x["mode"] for x in h] == ["append", "append", "overwrite"]
+    assert h[1]["tag"] == 7
+    assert [x["rows"] for x in h] == [10, 15, 15]
+    assert h[1]["n_new_files"] >= 1
+    assert all(x["bytes"] > 0 for x in h)

@@ -530,6 +530,57 @@ def snap_commit(
     )
 
 
+def snap_commit_with_retry(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    max_retries: int = 5,
+    **kwargs,
+) -> int:
+    """``snap_commit`` under optimistic concurrency: on a lost
+    ``SnapshotConflict`` race, re-read the (now advanced) store state
+    and retry the commit — the standard OCC loop every concurrent
+    committer needs. Appends re-validate against the NEW parent each
+    attempt (the conflict may have been a schema-changing overwrite, in
+    which case the retry raises the honest ValueError instead of
+    spinning). The data is re-written per attempt: commit dirs are
+    immutable and the loser's files were already cleaned up."""
+    attempt = 0
+    while True:
+        try:
+            return snap_commit(df, root, mode=mode, **kwargs)
+        except SnapshotConflict:
+            attempt += 1
+            if attempt > max_retries:
+                raise
+
+
+def snap_history(root: str) -> list[dict]:
+    """The audit timeline straight from retained manifests: one dict per
+    version — ``{version, mode, tag, n_files, n_new_files, rows,
+    bytes}`` — no file opened. Rows/bytes fall back to lazy footer reads
+    for pre-metadata stores (same contract as ``snap_count``)."""
+    out = []
+    prev_files: set[str] = set()
+    for v in snap_versions(root):
+        m = _read_manifest(root, v)
+        meta = m.get("file_meta", {})
+        fm = [(meta.get(f) or _footer_meta(f)) for f in m["files"]]
+        out.append(
+            {
+                "version": v,
+                "mode": m["mode"],
+                "tag": m.get("tag"),
+                "n_files": len(m["files"]),
+                "n_new_files": len([f for f in m["files"] if f not in prev_files]),
+                "rows": sum(x["rows"] for x in fm),
+                "bytes": sum(x["bytes"] for x in fm),
+            }
+        )
+        prev_files = set(m["files"])
+    return out
+
+
 def snap_tag(root: str) -> int | str | None:
     """The CURRENT manifest's tag (None if untagged or empty store)."""
     v = snap_current_version(root)
