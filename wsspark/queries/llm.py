@@ -1474,6 +1474,53 @@ WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
 ).replace("WITH words", "WITH RECURSIVE words", 1)
 
 
+KMV_K = 64
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmops.kmv.kmv_sketch: per-language distinct-token estimation via
+    the k-minimum-values sketch — the DETERMINISTIC sketch-family member
+    whose driver hash check is EXACT (the bottom-k of portable md5
+    hashes is a pure function of the data; DuckDB recomputes the
+    identical k-th hash and estimate). HLL stays the throughput path
+    (approx_distinct_accuracy certifies it); KMV is the falsifiable
+    one, and its merge is lossless (streaming state == batch sketch,
+    pinned in tests/test_kmv.py)."""
+    from wsspark.llmops import kmv
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return kmv.kmv_sketch(toks, ["lang"], "tok", k=KMV_K).orderBy("lang")
+
+
+KMV_SQL = f"""
+WITH toks AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+    SELECT DISTINCT lang,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM toks WHERE tok IS NOT NULL
+),
+bot AS (
+    SELECT lang, h,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+    FROM hashed
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_seen,
+       MAX(h) AS kth_hash,
+       ROUND(CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {KMV_K - 1}.0 / (MAX(h) / 1152921504606846976.0)
+             END, 4) AS est_distinct
+FROM bot WHERE r <= {KMV_K}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 LOOKUP_ORDERKEYS = (1, 3, 100)
 
 
@@ -2578,6 +2625,12 @@ FOLDED_QUERIES = [
     Query("snapstore_point_lookup", q_snapstore_point_lookup,
           SNAPSTORE_LOOKUP_SQL,
           "manifest-bloom point lookup through the snapshot store"),
+    # Born folded (r9): the deterministic sketch — KMV bottom-k hashes
+    # are a pure function of the data, so the twin recomputes the exact
+    # k-th hash and estimate (contrast HLL, whose state no oracle can
+    # replay; it keeps the measured-accuracy certification instead).
+    Query("kmv_distinct_sketch", q_kmv_distinct_sketch, KMV_SQL,
+          "k-minimum-values distinct sketch (exact-verifiable)"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
