@@ -97,3 +97,24 @@ def test_reliable_checkpoint_dir_matches_local(spark, toy_edges, tmp_path):
         for f in files
     ]
     assert written, "no reliable checkpoint files were written"
+
+
+def test_triangle_stats_exact_on_known_graph(spark):
+    """K4 (4 triangles) + a 10-leaf star hub (0 triangles) + duplicate /
+    reversed / self-loop edges: orientation dedups and the hub adds
+    wedges but no triangles."""
+    from wsspark.ops.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    star = [(100, 200 + i) for i in range(10)]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2)] + star
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    row = triangle_stats(edges).collect()[0]
+    assert row.n_triangles == 4
+    assert row.n_edges == len(k4) + len(star)
+    assert row.n_nodes == 4 + 11
+    # wedges: K4 contributes 4*C(3,2)=12, star hub C(10,2)=45, leaves 0,
+    # leaf-side of K4 edges... every K4 node has deg 3 -> 4*3=12; hub 45;
+    # star leaves deg 1 -> 0. Total 57.
+    assert row.n_wedges == 57
+    assert row.clustering_coefficient == round(3 * 4 / 57, 6)
