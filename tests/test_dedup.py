@@ -296,3 +296,39 @@ def test_blocked_fuzzy_pairs_equals_brute_force(spark, names, max_dist):
         if a.rsplit(" ", 1)[-1] == b.rsplit(" ", 1)[-1] and _lev(a, b) <= max_dist
     }
     assert got == want
+
+
+def test_prefix_jaccard_equals_quadratic_planted(spark, docs):
+    """Prefix-filtered exact join must return byte-identical pairs to the
+    quadratic oracle on the planted corpus: the exact-dup pair (1,2), the
+    near-dup pairs with 3, and nothing touching OTHER."""
+    for t, k in [(0.5, 1), (0.6, 2), (0.9, 3)]:
+        exact = {tuple(r) for r in dedup.jaccard_pairs(docs, threshold=t, shingle_k=k).collect()}
+        fast = {tuple(r) for r in dedup.prefix_jaccard_join(docs, threshold=t, shingle_k=k).collect()}
+        assert fast == exact, f"t={t} k={k}"
+    high = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.prefix_jaccard_join(docs, threshold=0.9, shingle_k=1).collect()
+    }
+    assert high[(1, 2)] == 1.0
+    assert not any(4 in p for p in high)
+
+
+def test_prefix_jaccard_equals_quadratic_testdata(spark, sf_dir):
+    """Losslessness of the pruning theorem on the driver corpus (the same
+    equality the folded query's quadratic DuckDB twin gates per round) —
+    at a second parameter point the folded query does not cover."""
+    from wsspark.io import read_table
+
+    corpus = read_table(spark, sf_dir, "documents")
+    exact = {tuple(r) for r in dedup.jaccard_pairs(corpus, threshold=0.8, shingle_k=3).collect()}
+    fast = {tuple(r) for r in dedup.prefix_jaccard_join(corpus, threshold=0.8, shingle_k=3).collect()}
+    assert fast == exact and exact, "prefix join diverged from quadratic"
+
+
+def test_prefix_jaccard_plan_has_no_cartesian(spark, docs):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(dedup.prefix_jaccard_join(docs, threshold=0.6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

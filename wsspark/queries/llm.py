@@ -450,6 +450,51 @@ jpairs AS (
 MINHASH_PAIRS_SQL = SHINGLE3_EDGES_SQL + "SELECT doc_a, doc_b, jaccard FROM jpairs"
 
 
+PREFIX_JACCARD_T = 0.5
+
+
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact subquadratic near-dup pairs: AllPairs/PPJoin prefix filtering
+    over 2-word shingles at t=0.5 (dedup.prefix_jaccard_join). The third
+    point on the near-dup ladder — exact like the quadratic join,
+    subquadratic like LSH. The twin is the QUADRATIC exact join, so the
+    hash gate re-proves the pruning theorem lossless on this corpus every
+    round (a prefix bug that drops one true pair goes red). Plan-asserted
+    CartesianProduct-free in tests/test_plans.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_join(docs, threshold=PREFIX_JACCARD_T, shingle_k=2)
+
+
+PREFIX_JACCARD_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                                 i -> array_to_string(list_slice(t, i, i + 1), ' '))
+             ELSE [array_to_string(t, ' ')] END)) AS w
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (sa.set_size + sb.set_size - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE ROUND(CAST(n_common AS DOUBLE)
+            / (sa.set_size + sb.set_size - n_common), 4)
+      >= {PREFIX_JACCARD_T}
+"""
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint + band keys per doc. Hash-checkable: the term
     hash is the portable 60-bit md5 prefix, so the DuckDB oracle recomputes
@@ -2773,5 +2818,9 @@ FOLDED_QUERIES = [
           "Okapi BM25 top-k more-like-this ranking"),
     Query("hybrid_related_docs", q_hybrid_related_docs, HYBRID_SQL,
           "BM25 + cosine reciprocal-rank-fusion hybrid retrieval"),
+    # Born folded (r9): exact subquadratic Jaccard join — the quadratic
+    # twin re-proves prefix-filter pruning lossless on this corpus.
+    Query("prefix_jaccard_pairs", q_prefix_jaccard_pairs, PREFIX_JACCARD_SQL,
+          "AllPairs prefix-filtered exact Jaccard join (subquadratic)"),
     *_folded_core(),
 ]
