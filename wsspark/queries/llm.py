@@ -1588,6 +1588,40 @@ FROM agg
 """
 
 
+def q_exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group order statistics WITHOUT a global sort:
+    ops.exactkth.exact_group_quantiles radix-bisects the sign-flipped
+    cents key 16 bits per pass (4 histogram passes + 1 count pass, all
+    map-side combinable; the fact is never shuffled or sorted). The twin
+    is the definitionally-sorted replay (row_number = ceil(f*n)), so the
+    hash gate proves the bisection lands on the exact type-1 quantile
+    VALUE for every (returnflag, fraction) cell."""
+    from wsspark.ops.exactkth import exact_group_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return exact_group_quantiles(
+        li,
+        "l_extendedprice",
+        fractions=(0.25, 0.5, 0.75, 0.99),
+        group_cols=("l_returnflag",),
+    )
+
+
+EXACT_QUANTILES_SQL = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice AS v,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+),
+fr AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS fraction)
+SELECT l_returnflag, fraction, v AS value
+FROM ranked CROSS JOIN fr
+WHERE rn = GREATEST(1, CEIL(fraction * n))
+"""
+
+
 KMV_K = 64
 
 
@@ -2749,6 +2783,11 @@ FOLDED_QUERIES = [
     # the hub-skew-proof wedge join; twin replays orientation + joins.
     Query("part_triangle_stats", q_part_triangle_stats, TRIANGLE_SQL,
           "co-order part-graph triangles + clustering coefficient"),
+    # Born folded (r9): sort-free exact order statistics — the twin is
+    # the definitional sorted replay, so bisection exactness is hash-gated.
+    Query("exact_price_quantiles", q_exact_price_quantiles,
+          EXACT_QUANTILES_SQL,
+          "exact per-group quantiles via radix bisection (no sort)"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
