@@ -356,3 +356,74 @@ def test_leakage_safe_folds_cluster_coherent(spark):
     assert all((split[d] == "test") == (f == 0) for d, f in out.items())
     with _pytest.raises(ValueError, match="n_folds"):
         corpus.leakage_safe_folds(docs, clusters, n_folds=1)
+
+
+def test_weighted_sample_topk_properties(spark):
+    """A-ES invariants: exactly k rows, deterministic across reruns,
+    inclusion respects weights in aggregate (heavy bucket overrepresented
+    relative to its population share), ranks are 1..k by descending key."""
+    from wsspark.llmops.corpus import weighted_sample_topk
+
+    rows = [(i, 10 if i % 10 == 0 else 1) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, "doc_id long, weight int")
+    out = weighted_sample_topk(df, k=200, weight_col="weight").collect()
+    assert len(out) == 200
+    ranks = sorted(r.sample_rank for r in out)
+    assert ranks == list(range(1, 201))
+    by_rank = sorted(out, key=lambda r: r.sample_rank)
+    keys = [r.sample_key for r in by_rank]
+    assert keys == sorted(keys, reverse=True)
+    # heavy items are 10% of the population with 10x weight -> expected
+    # share of the sample ~
+    # 52% (weight share 2000/3800); wide-margin assert
+    heavy = sum(1 for r in out if r.weight == 10)
+    assert heavy > 60, f"heavy items underrepresented: {heavy}/200"
+    rerun = weighted_sample_topk(df, k=200, weight_col="weight").collect()
+    assert {(r.doc_id, r.sample_key, r.sample_rank) for r in rerun} == {
+        (r.doc_id, r.sample_key, r.sample_rank) for r in out
+    }
+
+
+def test_weighted_sample_topk_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from wsspark.llmops.corpus import weighted_sample_topk
+
+    for bad in (0.0, -1.0, 2000.0, None, 1.5):
+        df = spark.createDataFrame(
+            [(1, 3.0), (2, bad)], "doc_id long, weight double"
+        )
+        with _pytest.raises(ValueError):
+            weighted_sample_topk(df, k=1, weight_col="weight")
+    with _pytest.raises(ValueError):
+        weighted_sample_topk(
+            spark.createDataFrame([(1, 1)], "doc_id long, weight int"),
+            k=0,
+            weight_col="weight",
+        )
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    """The integer A-ES key is pure function of (id, weight): replay it
+    in Python (hashlib md5, same '#'-joined draw strings) and the top-k
+    set, keys, and ranks must match exactly."""
+    import hashlib
+
+    from wsspark.llmops.corpus import weighted_sample_topk
+
+    rows = [(i, 1 + (i % 5)) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, weight int")
+    got = {
+        r.doc_id: (r.sample_key, r.sample_rank)
+        for r in weighted_sample_topk(df, k=40, weight_col="weight").collect()
+    }
+
+    def key(i, w):
+        return max(
+            int(hashlib.md5(f"{i}#{j}".encode()).hexdigest()[:15], 16)
+            for j in range(1, w + 1)
+        )
+
+    replay = sorted(((key(i, w), i) for i, w in rows), key=lambda t: (-t[0], t[1]))[:40]
+    want = {i: (k, rank + 1) for rank, (k, i) in enumerate(replay)}
+    assert got == want

@@ -293,6 +293,81 @@ def per_group_sample(
     )
 
 
+def weighted_sample_topk(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    max_weight: int = 1000,
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis, 2006), integer-exact and deterministic.
+
+    A-ES: draw key_i = u_i^(1/w_i) per item and keep the top k — that
+    set IS a weighted sample without replacement (first pick lands on i
+    with probability w_i / sum(w)). The float form is fragile across
+    engines (pow/ln differ in the last ulp, and top-k MEMBERSHIP flips
+    on boundary ties), so this uses the integer twin: u^(1/w) is
+    distributed exactly as the MAXIMUM of w independent uniforms, so for
+    integer weights key_i = max_{j=1..w_i} h(id_i, j) with h the
+    portable 60-bit md5 hash reproduces A-ES order with pure integer
+    comparisons — DuckDB computes bit-identical keys and the top-k set
+    is replayable with zero float risk (ties broken by id; a 60-bit
+    collision between two specific draws is ~1e-18).
+
+    Weights must be integers in [1, max_weight] (rows outside are
+    REJECTED with an eager one-aggregate validation — silently dropping
+    or clamping would bias the sample). Cost: the key build explodes
+    sum(w) hash rows — weights are quality/domain BUCKETS (single
+    digits), not raw counts; the groupBy max is map-side combinable and
+    the top-k is Spark's TakeOrderedAndProject (per-partition heap +
+    driver merge of k), never a global sort.
+
+    Versus the rate-gated samplers above (`stratified_sample`,
+    `domain_mix_sample`: Bernoulli, output size varies), this pins an
+    EXACT output size while still respecting weights — the "sample
+    exactly 10M documents, quality-weighted" curation step.
+
+    Returns the sampled rows plus ``sample_key`` (the winning hash) and
+    ``sample_rank`` (1..k in descending-key order), both deterministic.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w_int = F.col(weight_col).cast("long")
+    bad = docs.filter(
+        F.col(weight_col).isNull()
+        | (w_int != F.col(weight_col))
+        | (w_int < 1)
+        | (w_int > max_weight)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"weights must be integers in [1, {max_weight}]; offending row "
+            f"{id_col}={bad[0][id_col]} {weight_col}={bad[0][weight_col]}"
+        )
+    keys = (
+        docs.select(F.col(id_col), F.explode(F.sequence(F.lit(1), w_int)).alias("_j"))
+        .select(
+            id_col,
+            dedup.portable_hash64(
+                F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col("_j").cast("string"))
+            ).alias("_h"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("_h").alias("sample_key"))
+        .orderBy(F.desc("sample_key"), id_col)
+        .limit(k)
+    )
+    ranked = keys.select(
+        id_col,
+        "sample_key",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sample_key"), id_col))
+        .alias("sample_rank"),
+    )
+    return docs.join(ranked, id_col)
+
+
 def leakage_safe_split(
     docs: DataFrame,
     clusters: DataFrame,

@@ -1622,6 +1622,47 @@ WHERE rn = GREATEST(1, CEIL(fraction * n))
 """
 
 
+WSAMPLE_K = 100
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sampling without replacement (A-ES) over the
+    corpus, quality-weighted by a char-count bucket (1..10). Integer-
+    exact: the A-ES key u^(1/w) is realized as max of w portable 60-bit
+    hash draws (same distribution), so the DuckDB twin recomputes the
+    identical keys and the top-k SET — membership, keys, and ranks all
+    hash-gated with zero float-boundary risk."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "weight", (F.lit(1) + F.least(F.lit(9), F.floor(F.col("n_chars") / 100))).cast("long")
+    )
+    sampled = corpus.weighted_sample_topk(docs, k=WSAMPLE_K, weight_col="weight")
+    return sampled.select("doc_id", "lang", "weight", "sample_key", "sample_rank")
+
+
+WSAMPLE_SQL = f"""
+WITH w AS (
+    SELECT doc_id, lang, CAST(1 + LEAST(9, n_chars // 100) AS BIGINT) AS weight
+    FROM documents
+),
+draws AS (
+    SELECT doc_id, UNNEST(range(1, weight + 1)) AS j FROM w
+),
+keys AS (
+    SELECT doc_id,
+           MAX(CAST('0x' || substr(md5(doc_id || '#' || j), 1, 15) AS BIGINT))
+               AS sample_key
+    FROM draws GROUP BY doc_id
+),
+topk AS (
+    SELECT doc_id, sample_key,
+           ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) AS sample_rank
+    FROM keys ORDER BY sample_key DESC, doc_id LIMIT {WSAMPLE_K}
+)
+SELECT w.doc_id, w.lang, w.weight, t.sample_key, t.sample_rank
+FROM topk t JOIN w ON w.doc_id = t.doc_id
+"""
+
+
 KMV_K = 64
 
 
@@ -2788,6 +2829,10 @@ FOLDED_QUERIES = [
     Query("exact_price_quantiles", q_exact_price_quantiles,
           EXACT_QUANTILES_SQL,
           "exact per-group quantiles via radix bisection (no sort)"),
+    # Born folded (r9): exactly-k weighted sampling without replacement,
+    # integer-exact A-ES (max-of-w-uniforms identity, portable hashes).
+    Query("weighted_sample_docs", q_weighted_sample_docs, WSAMPLE_SQL,
+          "A-ES exactly-k quality-weighted corpus sample"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
