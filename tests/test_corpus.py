@@ -427,3 +427,34 @@ def test_weighted_sample_matches_python_replay(spark):
     replay = sorted(((key(i, w), i) for i, w in rows), key=lambda t: (-t[0], t[1]))[:40]
     want = {i: (k, rank + 1) for rank, (k, i) in enumerate(replay)}
     assert got == want
+
+
+def test_streaming_weighted_sample_equals_batch(spark, sf_dir, tmp_path):
+    """A-ES top-k is a semilattice: merging per-batch top-ks equals the
+    batch sample over all rows — EXACT equality including ranks. Replay
+    of a seen batch is a no-op; state never exceeds k rows."""
+    import pyspark.sql.functions as F
+
+    from wsspark.io import read_table
+    from wsspark.llmops.corpus import StreamingWeightedSample, weighted_sample_topk
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "weight",
+        (F.lit(1) + F.least(F.lit(9), F.floor(F.col("n_chars") / 100))).cast("long"),
+    )
+    state = str(tmp_path / "wsample_state")
+    sink = StreamingWeightedSample(state, k=50, weight_col="weight")
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    for i, b in enumerate(batches):
+        sink(b, i)
+        assert spark.read.parquet(state).count() <= 50
+
+    want = sorted(
+        (r.doc_id, r.sample_key, r.sample_rank)
+        for r in weighted_sample_topk(docs, k=50, weight_col="weight").collect()
+    )
+    got = sorted(map(tuple, sink.sample(spark).collect()))
+    assert got == want
+
+    sink(batches[2], 99)  # replay
+    assert sorted(map(tuple, sink.sample(spark).collect())) == want

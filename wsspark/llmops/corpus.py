@@ -333,6 +333,26 @@ def weighted_sample_topk(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    keys = (
+        _aes_keys(docs, weight_col, id_col, max_weight)
+        .orderBy(F.desc("sample_key"), id_col)
+        .limit(k)
+    )
+    ranked = keys.select(
+        id_col,
+        "sample_key",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sample_key"), id_col))
+        .alias("sample_rank"),
+    )
+    return docs.join(ranked, id_col)
+
+
+def _aes_keys(
+    docs: DataFrame, weight_col: str, id_col: str, max_weight: int
+) -> DataFrame:
+    """(id, sample_key) A-ES integer keys: max of w portable hash draws
+    per item, after eagerly rejecting invalid weights."""
     w_int = F.col(weight_col).cast("long")
     bad = docs.filter(
         F.col(weight_col).isNull()
@@ -345,7 +365,7 @@ def weighted_sample_topk(
             f"weights must be integers in [1, {max_weight}]; offending row "
             f"{id_col}={bad[0][id_col]} {weight_col}={bad[0][weight_col]}"
         )
-    keys = (
+    return (
         docs.select(F.col(id_col), F.explode(F.sequence(F.lit(1), w_int)).alias("_j"))
         .select(
             id_col,
@@ -355,17 +375,76 @@ def weighted_sample_topk(
         )
         .groupBy(id_col)
         .agg(F.max("_h").alias("sample_key"))
-        .orderBy(F.desc("sample_key"), id_col)
-        .limit(k)
     )
-    ranked = keys.select(
-        id_col,
-        "sample_key",
-        F.row_number()
-        .over(Window.orderBy(F.desc("sample_key"), id_col))
-        .alias("sample_rank"),
-    )
-    return docs.join(ranked, id_col)
+
+
+class StreamingWeightedSample:
+    """Constant-state streaming exactly-k weighted sampling: A-ES top-k
+    is a SEMILATTICE (top-k of a union == top-k of merged top-ks), so a
+    foreachBatch sink holding only the current k winners maintains — at
+    every point in the stream — the exact sample the batch operator
+    would produce over all rows seen so far. State is k rows FOREVER,
+    corpus-size-independent (the same constant-state argument as
+    StreamingKmvSketch / the streaming bloom index). Replay-tolerant:
+    the key is a pure function of (id, weight), so re-merging a seen
+    batch is a no-op (weights must be stable per id — a changed weight
+    on replay would change the key, which the bit-equality test would
+    surface, not silently absorb).
+
+        q = (stream.writeStream
+               .foreachBatch(StreamingWeightedSample(path, k=100,
+                                                     weight_col="weight"))
+               .start())
+
+    ``sample(spark)`` returns (id, sample_key, sample_rank) in the same
+    shape as ``weighted_sample_topk``.
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        k: int,
+        weight_col: str,
+        id_col: str = "doc_id",
+        max_weight: int = 1000,
+    ):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.state_path = state_path
+        self.k = k
+        self.weight_col = weight_col
+        self.id_col = id_col
+        self.max_weight = max_weight
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        keys = _aes_keys(
+            batch_df, self.weight_col, self.id_col, self.max_weight
+        )
+        if os.path.exists(self.state_path):
+            keys = spark.read.parquet(self.state_path).unionByName(keys)
+        merged = (
+            keys.groupBy(self.id_col)
+            .agg(F.max("sample_key").alias("sample_key"))
+            .orderBy(F.desc("sample_key"), self.id_col)
+            .limit(self.k)
+        )
+        # stage-then-swap so a crashed batch never half-writes the state
+        tmp = self.state_path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.state_path)
+
+    def sample(self, spark) -> DataFrame:
+        state = spark.read.parquet(self.state_path)
+        return state.select(
+            self.id_col,
+            "sample_key",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sample_key"), self.id_col))
+            .alias("sample_rank"),
+        )
 
 
 def leakage_safe_split(
