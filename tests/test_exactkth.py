@@ -9,7 +9,7 @@ import random
 
 import pytest
 
-from wsspark.ops.exactkth import exact_group_quantiles
+from wsspark.ops.exactkth import exact_group_quantiles, robust_outlier_stats
 
 
 def _type1(sorted_vals, f):
@@ -87,3 +87,37 @@ def test_no_sort_in_any_pass_plan(spark):
     plan = plan_of(hist)
     assert "Sort" not in plan.split("\n\n")[0]
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_robust_outlier_stats_planted(spark):
+    """Exact MAD fence on a planted distribution: 97 inliers near 10.0
+    plus 3 far points — median/MAD come from the bulk and exactly the 3
+    planted rows breach z=3."""
+    rows = [("g", 10.0 + (i % 5) * 0.01) for i in range(97)]
+    rows += [("g", 500.0), ("g", -400.0), ("g", 999.99)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = robust_outlier_stats(df, "v", ("grp",), z=3.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_rows == 100 and r.n_outliers == 3
+    # sorted rank 50 of the bulk (20/20/20/19/18 at 10.00..10.04 plus the
+    # three planted extremes) is 10.02; median |dev| is 0.01
+    assert r.median == 10.02 and r.mad == 0.01
+
+
+def test_robust_outlier_stats_zero_mad(spark):
+    """Constant column: MAD = 0, every unequal value is an outlier,
+    equal values are not (dev > 0 fence)."""
+    rows = [("g", 5.0)] * 50 + [("g", 5.01)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = robust_outlier_stats(df, "v", ("grp",)).collect()[0]
+    assert r.mad == 0.0 and r.n_outliers == 1
+
+
+def test_robust_outlier_stats_global_no_group(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 12)] + [(1000.0,)], "v double"
+    )
+    r = robust_outlier_stats(df, "v").collect()[0]
+    # 12 values 1..11 + 1000: type-1 median = 6, devs sorted -> MAD = 3
+    assert r.median == 6.0 and r.mad == 3.0 and r.n_outliers == 1

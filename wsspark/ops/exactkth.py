@@ -148,8 +148,90 @@ def exact_group_quantiles(
         for g, entries in state.items()
         for f, _k, prefix in entries
     ]
+    return _rows_to_df(spark, df, gcols, out)
+
+
+def _rows_to_df(spark, df, gcols, rows):
     schema = ", ".join(
         [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in gcols]
         + ["fraction double", "value double"]
     )
-    return spark.createDataFrame(sorted(out), schema)
+    return spark.createDataFrame(sorted(rows), schema)
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    z: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust per-group outlier detection with EXACT median/MAD — the
+    radix-bisection primitive composed twice, still sort-free.
+
+    Mean/stddev outlier fences are themselves dragged by the outliers
+    they hunt; the robust fence is ``|x - median| > z * MAD`` where
+    MAD = median(|x - median|). Both medians are exact type-1 order
+    statistics from ``exact_group_quantiles`` (integer-cents domain, so
+    the deviations are exact longs and the fence comparison is
+    float-deterministic: one IEEE multiply of z against an integer).
+    Cost: 2 x 5 histogram passes + one final count aggregation — 11
+    fact scans, zero shuffles of the fact, driver state group-sized.
+
+    Returns (group_cols..., median, mad, n_rows, n_outliers,
+    outlier_pct) — deterministic and replayable in any SQL engine via
+    the definitional sorted medians.
+    """
+    gcols = list(group_cols)
+    med = exact_group_quantiles(df, value_col, (0.5,), group_cols, scale)
+    med_rows = med.collect()
+    spark = df.sparkSession
+    med_frame = F.broadcast(
+        spark.createDataFrame(
+            [tuple(r[c] for c in gcols) + (int(round(r["value"] * scale)),) for r in med_rows],
+            ", ".join(
+                [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in gcols]
+                + ["_med_c long"]
+            ),
+        )
+    )
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    devs = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(med_frame, gcols)
+        if gcols
+        else df.filter(F.col(value_col).isNotNull()).crossJoin(med_frame)
+    ).select(*gcols, cents.alias("_c"), "_med_c").withColumn(
+        "_dev", F.abs(F.col("_c") - F.col("_med_c"))
+    )
+    mad = exact_group_quantiles(devs, "_dev", (0.5,), group_cols, scale=1)
+    mad_frame = F.broadcast(
+        spark.createDataFrame(
+            [
+                tuple(r[c] for c in gcols) + (int(round(r["value"])),)
+                for r in mad.collect()
+            ],
+            ", ".join(
+                [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in gcols]
+                + ["_mad_c long"]
+            ),
+        )
+    )
+    joined = (
+        devs.join(mad_frame, gcols) if gcols else devs.crossJoin(mad_frame)
+    )
+    return (
+        joined.groupBy(*gcols)
+        .agg(
+            F.round(F.first("_med_c") / scale, 6).alias("median"),
+            F.round(F.first("_mad_c") / scale, 6).alias("mad"),
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("_dev") > F.lit(float(z)) * F.col("_mad_c")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_pct",
+            F.round(F.col("n_outliers") / F.col("n_rows"), 6),
+        )
+    )

@@ -1622,6 +1622,55 @@ WHERE rn = GREATEST(1, CEIL(fraction * n))
 """
 
 
+def q_robust_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier fence per event type with EXACT median/MAD
+    (ops.exactkth.robust_outlier_stats): two radix-bisection medians in
+    the integer-cents domain + one count pass — 11 sort-free fact scans.
+    The twin replays both medians definitionally (row_number =
+    ceil(n/2)), so the hash gate proves median, MAD, and the fence
+    verdict for every row, to the cent."""
+    from wsspark.ops.exactkth import robust_outlier_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return robust_outlier_stats(ev, "value", ("event_type",), z=3.0)
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH c AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+m AS (
+    SELECT event_type, cents AS med_c FROM (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c) WHERE rn = CEIL(0.5 * n)
+),
+d AS (
+    SELECT c.event_type, ABS(c.cents - m.med_c) AS dev, m.med_c
+    FROM c JOIN m USING (event_type)
+),
+md AS (
+    SELECT event_type, dev AS mad_c FROM (
+        SELECT event_type, dev,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d) WHERE rn = CEIL(0.5 * n)
+)
+SELECT d.event_type,
+       ROUND(MIN(d.med_c) / 100.0, 6) AS median,
+       ROUND(MIN(md.mad_c) / 100.0, 6) AS mad,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * md.mad_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       ROUND(CAST(SUM(CASE WHEN d.dev > 3.0 * md.mad_c THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS outlier_pct
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 WSAMPLE_K = 100
 
 
@@ -2833,6 +2882,11 @@ FOLDED_QUERIES = [
     # integer-exact A-ES (max-of-w-uniforms identity, portable hashes).
     Query("weighted_sample_docs", q_weighted_sample_docs, WSAMPLE_SQL,
           "A-ES exactly-k quality-weighted corpus sample"),
+    # Born folded (r9): exact-MAD robust outlier fence, radix-bisection
+    # medians composed; twin replays both medians definitionally.
+    Query("robust_event_outliers", q_robust_event_outliers,
+          ROBUST_OUTLIERS_SQL,
+          "exact median/MAD outlier fence per event type"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
