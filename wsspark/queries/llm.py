@@ -1671,6 +1671,69 @@ GROUP BY d.event_type
 """
 
 
+def q_brand_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand monthly revenue trend: closed-form grouped OLS
+    (ops.regress.group_ols) over cents-exact monthly sums — every brand
+    fitted in ONE map-side-combinable aggregation (no driver loop, no
+    per-group UDF). The five sufficient statistics are exact longs, so
+    the DuckDB twin recomputes identical integers and the slope/
+    intercept doubles match bit-for-bit."""
+    from wsspark.ops.regress import group_ols
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            (
+                (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
+            ).alias("month_x"),
+            ex.cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_rc"
+            ),
+        )
+        .groupBy("p_brand", "month_x")
+        .agg(F.sum("_rc").alias("y_cents"))
+    )
+    return group_ols(monthly, "month_x", "y_cents", ("p_brand",))
+
+
+BRAND_TREND_SQL = """
+WITH m AS (
+    SELECT p_brand,
+           (EXTRACT(YEAR FROM l_shipdate) - 1992) * 12
+               + EXTRACT(MONTH FROM l_shipdate) - 1 AS month_x,
+           CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS y_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+),
+s AS (
+    SELECT p_brand, COUNT(*) AS n_points,
+           CAST(SUM(month_x) AS BIGINT) AS sx,
+           CAST(SUM(y_cents) AS BIGINT) AS sy,
+           CAST(SUM(month_x * y_cents) AS BIGINT) AS sxy,
+           CAST(SUM(month_x * month_x) AS BIGINT) AS sxx
+    FROM m GROUP BY 1
+    HAVING COUNT(*) >= 3
+)
+SELECT p_brand, n_points,
+       ROUND(CAST(n_points * sxy - sx * sy AS DOUBLE)
+             / CAST(n_points * sxx - sx * sx AS DOUBLE), 6) AS slope_cents,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(n_points * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_points * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n_points AS DOUBLE), 6) AS intercept_cents,
+       ROUND(CAST(sy AS DOUBLE) / CAST(n_points AS DOUBLE), 6) AS mean_y_cents
+FROM s
+"""
+
+
 WSAMPLE_K = 100
 
 
@@ -2887,6 +2950,10 @@ FOLDED_QUERIES = [
     Query("robust_event_outliers", q_robust_event_outliers,
           ROBUST_OUTLIERS_SQL,
           "exact median/MAD outlier fence per event type"),
+    # Born folded (r9): grouped closed-form OLS — five exact-long
+    # sufficient statistics, one aggregation, bit-identical twin.
+    Query("brand_revenue_trend", q_brand_revenue_trend, BRAND_TREND_SQL,
+          "per-brand monthly revenue OLS trend (one aggregation)"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
