@@ -59,3 +59,33 @@ def test_single_aggregation_plan(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree  # one shuffle: the groupBy
     assert "BatchEvalPython" not in plan
+
+
+def test_streaming_trend_equals_batch_and_replay_noop(spark, sf_dir, tmp_path):
+    """Sufficient statistics are a monoid: merging per-batch stats
+    equals the batch fit over all rows — exact equality. Sums are not
+    idempotent, so replay safety rides the batch-id tag: re-calling
+    with a seen (or older) batch_id must be a no-op."""
+    from wsspark.io import read_table
+    from wsspark.ops.regress import StreamingGroupTrend, group_ols
+    from wsspark.queries import exactsum as ex
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 7).alias("g"),
+        (F.month("l_shipdate")).alias("x"),
+        ex.cents(F.col("l_extendedprice")).alias("y"),
+    )
+    state = str(tmp_path / "trend_state")
+    sink = StreamingGroupTrend(state, "x", "y", ["g"])
+    batches = [li.filter(F.col("g") % 2 == i % 2) for i in range(2)]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    want = sorted(map(tuple, group_ols(li, "x", "y", ("g",)).collect()))
+    got = sorted(map(tuple, sink.fit(spark).collect()))
+    assert got == want
+
+    sink(batches[1], 1)  # exact replay
+    sink(batches[0], 0)  # older-batch replay
+    assert sorted(map(tuple, sink.fit(spark).collect())) == want
+    # state is group-sized
+    assert spark.read.parquet(state).count() == 7
