@@ -1734,6 +1734,41 @@ FROM s
 """
 
 
+def q_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent pairs over orders (ops.basket
+    .frequent_pairs, min_support=3): Apriori L1 pruning shrinks the
+    pair space losslessly before the basket self-join; support and
+    lift are exact integer counts + one deterministic division, so
+    the DuckDB replay hash-matches bit for bit."""
+    from wsspark.ops.basket import frequent_pairs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+FREQUENT_PAIRS_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT basket) AS n FROM items),
+l1 AS (
+    SELECT item, COUNT(*) AS supp FROM items GROUP BY item HAVING COUNT(*) >= 3
+),
+freq AS (SELECT i.* FROM items i JOIN l1 ON i.item = l1.item),
+pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_support
+    FROM freq a JOIN freq b ON a.basket = b.basket AND a.item < b.item
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT item_a, item_b, pair_support,
+       sa.supp AS support_a, sb.supp AS support_b,
+       ROUND(CAST(pair_support * nb.n AS DOUBLE)
+             / CAST(sa.supp * sb.supp AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN l1 sa ON item_a = sa.item
+JOIN l1 sb ON item_b = sb.item
+CROSS JOIN nb
+"""
+
+
 WSAMPLE_K = 100
 
 
@@ -2954,6 +2989,10 @@ FOLDED_QUERIES = [
     # sufficient statistics, one aggregation, bit-identical twin.
     Query("brand_revenue_trend", q_brand_revenue_trend, BRAND_TREND_SQL,
           "per-brand monthly revenue OLS trend (one aggregation)"),
+    # Born folded (r9): Apriori-pruned market-basket pairs; the prune is
+    # lossless by anti-monotone support (re-proved by pytest equality).
+    Query("frequent_part_pairs", q_frequent_part_pairs, FREQUENT_PAIRS_SQL,
+          "frequent co-ordered part pairs with support + lift"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
