@@ -118,3 +118,51 @@ def test_triangle_stats_exact_on_known_graph(spark):
     # star leaves deg 1 -> 0. Total 57.
     assert row.n_wedges == 57
     assert row.clustering_coefficient == round(3 * 4 / 57, 6)
+
+
+def test_shortest_paths_known_graph(spark):
+    """Weighted diamond + chain + unreachable island: exact distances,
+    min path chosen over fewer-hop-but-heavier alternative."""
+    from wsspark.ops.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 1), (2, 3, 1), (1, 3, 5),   # 1->3: via 2 (2) beats direct (5)
+            (3, 4, 2),
+            (5, 6, 1),                          # island, unreachable from 1
+        ],
+        "src long, dst long, w int",
+    )
+    got = {
+        r.node: r.dist
+        for r in shortest_paths(edges, 1, weight="w").collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 4, 5: None, 6: None}
+
+
+def test_shortest_paths_hops_default_weight(spark):
+    from wsspark.ops.graph import shortest_paths
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    got = {r.node: r.dist for r in shortest_paths(chain, 0).collect()}
+    assert got == {i: i for i in range(9)}
+
+
+def test_shortest_paths_rejects_bad_weights_and_nonconvergence(spark):
+    import pytest as _pytest
+
+    from wsspark.ops.graph import shortest_paths
+
+    bad = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w int")
+    with _pytest.raises(ValueError):
+        shortest_paths(bad, 1, weight="w")
+    frac = spark.createDataFrame([(1, 2, 1.5)], "src long, dst long, w double")
+    with _pytest.raises(ValueError):
+        shortest_paths(frac, 1, weight="w")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError):
+        shortest_paths(chain, 0, max_iter=3)

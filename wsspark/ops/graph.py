@@ -210,3 +210,83 @@ def triangle_stats(
         "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
         "clustering_coefficient double",
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_iter: int = 20,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """Single-source shortest paths by distributed Bellman-Ford
+    relaxation: every iteration is ONE join (frontier distances onto
+    out-edges) + one min-groupBy + a null-safe least merge — the same
+    per-iteration shape as ``pagerank`` and the pointer-jumping CC, and
+    the same convergence discipline (stop when an iteration improves
+    nothing; RAISE if ``max_iter`` is exhausted rather than return a
+    silently unconverged answer, mirroring ``connected_components``).
+
+    ``weight`` must be a positive integer column (validated eagerly:
+    Bellman-Ford with negative cycles diverges, and float distances
+    would break exact cross-engine replay); ``None`` means hop counts
+    (weight 1). Unreachable nodes keep NULL distance. Distance state is
+    localCheckpoint-ed every ``checkpoint_interval`` iterations — the
+    pagerank cadence note applies. Iteration count needed is the
+    shortest-path tree depth, NOT the node count: on real route graphs
+    that is the diameter (single digits); the DuckDB twin unrolls
+    ``max_iter`` rounds, which agrees because relaxation past
+    convergence is idempotent.
+    """
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
+    if weight:
+        bad = e.filter(
+            F.col("_w").isNull() | (F.col("_w") < 1)
+            | (F.col("_w") != F.col(weight))
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"weights must be positive integers, got {bad[0]['_w']!r}"
+            )
+    e = e.localCheckpoint()
+    dist = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            F.when(F.col("node") == F.lit(source), F.lit(0).cast("long")).alias(
+                "dist"
+            ),
+        )
+        .localCheckpoint()
+    )
+    for it in range(max_iter):
+        cand = (
+            dist.filter(F.col("dist").isNotNull())
+            .join(e, F.col("node") == F.col("_s"))
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("_best"))
+        )
+        new = (
+            dist.join(cand, "node", "left_outer")
+            .select("node", F.least("dist", "_best").alias("dist"))
+        )
+        if (it + 1) % checkpoint_interval == 0:
+            new = new.localCheckpoint()
+        improved = (
+            new.alias("n")
+            .join(dist.alias("o"), "node")
+            .filter(~F.col("n.dist").eqNullSafe(F.col("o.dist")))
+            .limit(1)
+            .count()
+        )
+        dist = new
+        if improved == 0:
+            return dist
+    raise RuntimeError(
+        f"shortest_paths did not converge in {max_iter} iterations"
+    )

@@ -1769,6 +1769,80 @@ CROSS JOIN nb
 """
 
 
+SSSP_MAX_ITER = 8
+
+
+def q_warehouse_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fewest transfer legs from the lowest-id warehouse to every other
+    (ops.graph.shortest_paths over the transfer route graph): the
+    operational reachability question — how many hops does stock need
+    to reach warehouse X. Bellman-Ford relaxation loop, converge-or-
+    raise; the twin unrolls the same rounds (relaxation past
+    convergence is idempotent), so the hash pins the whole loop."""
+    from wsspark import adapters as ad
+    from wsspark.ops.graph import shortest_paths
+
+    li = read_table(spark, sf_dir, "lineitem")
+    t = ad.transfer_movements_from_lineitem(li)
+    out = t.filter(F.col("quantity") < 0).select(
+        "reference_id", "pair_id", F.col("warehouse_id").alias("src")
+    )
+    inn = t.filter(F.col("quantity") > 0).select(
+        "reference_id", "pair_id", F.col("warehouse_id").alias("dst")
+    )
+    edges = out.join(inn, ["reference_id", "pair_id"]).select("src", "dst").distinct()
+    source = edges.select(
+        F.least(F.min("src"), F.min("dst")).alias("m")
+    ).collect()[0]["m"]
+    d = shortest_paths(edges, source, max_iter=SSSP_MAX_ITER)
+    return d.select(F.col("node").alias("warehouse_id"), F.col("dist").alias("hops"))
+
+
+def _sssp_sql(n_iter: int = SSSP_MAX_ITER) -> str:
+    from wsspark.adapters import TRANSFER_MOVEMENTS_SQL
+
+    iters = []
+    for k in range(1, n_iter + 1):
+        prev = f"d{k - 1}"
+        iters.append(f"""
+d{k} AS (
+    SELECT p.node,
+           CASE WHEN p.dist IS NULL THEN c.best
+                WHEN c.best IS NULL THEN p.dist
+                WHEN c.best < p.dist THEN c.best
+                ELSE p.dist END AS dist
+    FROM {prev} p
+    LEFT JOIN (
+        SELECT e.dst AS node, MIN(r.dist + 1) AS best
+        FROM edges e JOIN {prev} r ON r.node = e.src AND r.dist IS NOT NULL
+        GROUP BY e.dst
+    ) c ON c.node = p.node
+)""")
+    return f"""
+WITH legs AS ({TRANSFER_MOVEMENTS_SQL}),
+edges AS (
+    SELECT DISTINCT o.warehouse_id AS src, i.warehouse_id AS dst
+    FROM legs o
+    JOIN legs i ON o.reference_id = i.reference_id AND o.pair_id = i.pair_id
+    WHERE o.quantity < 0 AND i.quantity > 0
+),
+nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+    UNION SELECT DISTINCT dst FROM edges
+),
+d0 AS (
+    SELECT node,
+           CASE WHEN node = (SELECT MIN(node) FROM nodes)
+                THEN CAST(0 AS BIGINT) END AS dist
+    FROM nodes
+),{",".join(iters)}
+SELECT node AS warehouse_id, dist AS hops FROM d{n_iter}
+"""
+
+
+SSSP_SQL = _sssp_sql()
+
+
 WSAMPLE_K = 100
 
 
@@ -2993,6 +3067,10 @@ FOLDED_QUERIES = [
     # lossless by anti-monotone support (re-proved by pytest equality).
     Query("frequent_part_pairs", q_frequent_part_pairs, FREQUENT_PAIRS_SQL,
           "frequent co-ordered part pairs with support + lift"),
+    # Born folded (r9): Bellman-Ford SSSP over the transfer graph; the
+    # twin unrolls the relaxation rounds (idempotent past convergence).
+    Query("warehouse_hop_distances", q_warehouse_hop_distances, SSSP_SQL,
+          "fewest transfer legs from the hub warehouse to each node"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
