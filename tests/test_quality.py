@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 # ---------------------------------------------------------------------------
 # expectations audit
 # ---------------------------------------------------------------------------
@@ -289,3 +291,57 @@ def test_abc_partitioned_matches_window_form(spark, sf_dir):
         assert "_bucket" in spec, spec
     # SinglePartition exchanges only feed the 1-row scalar aggregates
     assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_referential_integrity_planted_orphans(spark):
+    """Planted: 2 orphans and 1 null key on fk1; fk2 clean. One scan,
+    one row per FK, null keys never counted as orphans."""
+    from wsspark.quality import referential_integrity_report
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 10), (99, 20), (98, 20), (None, 30)],
+        "k1 int, k2 int",
+    )
+    dim1 = spark.createDataFrame([(1,), (2,), (3,)], "d int")
+    dim2 = spark.createDataFrame([(10,), (20,), (30,)], "d int")
+    got = {
+        r.fk_name: r
+        for r in referential_integrity_report(
+            fact, [("fk1", "k1", dim1, "d"), ("fk2", "k2", dim2, "d")]
+        ).collect()
+    }
+    assert got["fk1"].n_orphans == 2 and got["fk1"].n_null_fk == 1
+    assert got["fk1"].passed is False
+    assert got["fk2"].n_orphans == 0 and got["fk2"].passed is True
+    assert got["fk2"].n_rows == 5
+
+
+def test_referential_integrity_one_scan_plan(spark):
+    """All FK dims must ride one plan: a single fact scan, every dim
+    join a BroadcastHashJoin, no BatchEvalPython."""
+    from tests.test_plans import plan_of
+    from wsspark.quality import referential_integrity_report
+
+    fact = spark.range(100).select(
+        (F.col("id") % 10).alias("a"), (F.col("id") % 7).alias("b")
+    )
+    d1 = spark.range(5).select(F.col("id").alias("d"))
+    d2 = spark.range(3).select(F.col("id").alias("d"))
+    plan = plan_of(
+        referential_integrity_report(
+            fact, [("a", "a", d1, "d"), ("b", "b", d2, "d")]
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in tree
+    assert "BatchEvalPython" not in plan
+
+
+def test_referential_integrity_requires_specs(spark):
+    import pytest as _pytest
+
+    from wsspark.quality import referential_integrity_report
+
+    with _pytest.raises(ValueError):
+        referential_integrity_report(spark.range(1), [])

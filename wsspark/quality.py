@@ -199,3 +199,66 @@ def profile_table(
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n_nonnull, n_null, n_distinct, min_value, max_value)"
     )
+
+
+def referential_integrity_report(
+    fact: DataFrame,
+    fks: list[tuple[str, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table DQ: orphan detection for every foreign key in ONE
+    scan of the fact. Each spec is (fk_name, fact_col, dim_df, dim_key);
+    all dimension key sets are broadcast-left-joined onto the fact in a
+    single plan and the orphan/null counters aggregate in the same pass
+    (the ``expectation_report`` discipline: no per-constraint scan).
+    An orphan is a NON-NULL fact key with no dimension match — null keys
+    are counted separately (that's a completeness rule, not an
+    integrity one).
+
+    Returns one row per FK: (fk_name, n_rows, n_null_fk, n_orphans,
+    orphan_pct, passed). 100 TB shape: dimensions broadcast (they are
+    dimension-sized by definition — a fact-sized "dimension" needs a
+    shuffle join and should be checked on its own); the fact is scanned
+    once regardless of how many FKs are declared.
+    """
+    if not fks:
+        raise ValueError("at least one FK spec is required")
+    joined = fact
+    markers = []
+    for i, (name, fact_col, dim, dim_key) in enumerate(fks):
+        marker = f"_fk{i}"
+        dim_keys = (
+            dim.select(F.col(dim_key).alias(f"_dk{i}"))
+            .distinct()
+            .withColumn(marker, F.lit(1))
+        )
+        joined = joined.join(
+            F.broadcast(dim_keys),
+            F.col(fact_col) == F.col(f"_dk{i}"),
+            "left",
+        )
+        markers.append((name, fact_col, marker))
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for i, (name, fact_col, marker) in enumerate(markers):
+        aggs += [
+            F.sum(F.col(fact_col).isNull().cast("long")).cast("long").alias(f"_null{i}"),
+            F.sum(
+                (F.col(fact_col).isNotNull() & F.col(marker).isNull()).cast("long")
+            ).cast("long").alias(f"_orph{i}"),
+        ]
+    agg = joined.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _n, _null{i}, _orph{i}"
+        for i, (name, _, _) in enumerate(markers)
+    )
+    stacked = agg.selectExpr(
+        f"stack({len(markers)}, {stack_args}) AS "
+        "(fk_name, n_rows, n_null_fk, n_orphans)"
+    )
+    return stacked.select(
+        "fk_name",
+        "n_rows",
+        "n_null_fk",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("n_rows"), 6).alias("orphan_pct"),
+        (F.col("n_orphans") == 0).alias("passed"),
+    )

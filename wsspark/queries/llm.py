@@ -1769,6 +1769,59 @@ CROSS JOIN nb
 """
 
 
+def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the lineitem fact in ONE scan
+    (quality.referential_integrity_report): all dimension key sets
+    broadcast onto one plan, orphan/null counters in a single
+    aggregate. Three real FKs (green) plus a deliberate domain probe
+    (suppkey vs nationkey) proving the orphan counter counts."""
+    from wsspark.quality import referential_integrity_report
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return referential_integrity_report(
+        li,
+        [
+            ("lineitem.orderkey->orders", "l_orderkey",
+             read_table(spark, sf_dir, "orders"), "o_orderkey"),
+            ("lineitem.partkey->part", "l_partkey",
+             read_table(spark, sf_dir, "part"), "p_partkey"),
+            ("lineitem.suppkey->supplier", "l_suppkey",
+             read_table(spark, sf_dir, "supplier"), "s_suppkey"),
+            ("lineitem.suppkey->nation (domain probe)", "l_suppkey",
+             read_table(spark, sf_dir, "nation"), "n_nationkey"),
+        ],
+    )
+
+
+def _fk_leg(name: str, fk: str, dim_table: str, dim_key: str) -> str:
+    return f"""
+    SELECT '{name}' AS fk_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_fk,
+           CAST(SUM(CASE WHEN l.{fk} IS NOT NULL AND d.{dim_key} IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT {dim_key} FROM {dim_table}) d
+      ON l.{fk} = d.{dim_key}"""
+
+
+FK_INTEGRITY_SQL = f"""
+WITH fk AS (
+{_fk_leg("lineitem.orderkey->orders", "l_orderkey", "orders", "o_orderkey")}
+UNION ALL
+{_fk_leg("lineitem.partkey->part", "l_partkey", "part", "p_partkey")}
+UNION ALL
+{_fk_leg("lineitem.suppkey->supplier", "l_suppkey", "supplier", "s_suppkey")}
+UNION ALL
+{_fk_leg("lineitem.suppkey->nation (domain probe)", "l_suppkey", "nation", "n_nationkey")}
+)
+SELECT fk_name, n_rows, n_null_fk, n_orphans,
+       ROUND(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_pct,
+       n_orphans = 0 AS passed
+FROM fk
+"""
+
+
 SSSP_MAX_ITER = 8
 
 
@@ -3071,6 +3124,10 @@ FOLDED_QUERIES = [
     # twin unrolls the relaxation rounds (idempotent past convergence).
     Query("warehouse_hop_distances", q_warehouse_hop_distances, SSSP_SQL,
           "fewest transfer legs from the hub warehouse to each node"),
+    # Born folded (r9): one-scan multi-FK orphan audit, the cross-table
+    # member of the expectation family.
+    Query("fk_integrity_report", q_fk_integrity_report, FK_INTEGRITY_SQL,
+          "referential-integrity orphan audit in one fact scan"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
