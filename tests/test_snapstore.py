@@ -672,3 +672,153 @@ def test_snap_history_timeline(spark, tmp_path):
     assert [x["rows"] for x in h] == [10, 15, 15]
     assert h[1]["n_new_files"] >= 1
     assert all(x["bytes"] > 0 for x in h)
+
+
+# ---------------------------------------------------------------------------
+# row-level MERGE / DELETE (copy-on-write)
+# ---------------------------------------------------------------------------
+
+
+def _keyed_commits(spark, root, n_commits=4, rows_per=25):
+    """Commit n_commits appends of disjoint key ranges -> many files."""
+    for i in range(n_commits):
+        ss.snap_commit(
+            _df(spark, i * rows_per, (i + 1) * rows_per),
+            root,
+            mode="append" if i else "append",
+        )
+    return ss.snap_current_version(root)
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """Update matched rows, insert unmatched, leave the rest; parent
+    version still shows pre-merge rows (snapshot isolation)."""
+    root = str(tmp_path / "m1")
+    v = _keyed_commits(spark, root)
+    src = spark.createDataFrame(
+        [(3, 999), (50, 888), (1000, 777)], "id long, val long"
+    )
+    nv = ss.snap_merge(spark, root, src, on=["id"])
+    assert nv == v + 1
+    cur = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert cur[3] == 999 and cur[50] == 888      # updated
+    assert cur[1000] == 777                      # inserted
+    assert cur[4] == 8 and cur[99] == 198        # untouched rows intact
+    assert len(cur) == 101
+    old = {r.id: r.val for r in ss.snap_read(spark, root, v).collect()}
+    assert old[3] == 6 and 1000 not in old       # parent pre-merge
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """COW pruning: files whose key ranges the source never touches must
+    survive IN the new manifest byte-identical (same paths), with their
+    stats and blooms carried over."""
+    root = str(tmp_path / "m2")
+    for i in range(4):
+        ss.snap_commit(
+            _df(spark, i * 25, (i + 1) * 25).coalesce(1),
+            root,
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+    v = ss.snap_current_version(root)
+    m_before = json.loads(
+        open(ss._manifest_path(root, v)).read()
+    )
+    src = spark.createDataFrame([(3, 999)], "id long, val long")  # file 0 only
+    nv = ss.snap_merge(spark, root, src, on=["id"])
+    m_after = json.loads(
+        open(ss._manifest_path(root, nv)).read()
+    )
+    kept = set(m_before["files"]) & set(m_after["files"])
+    assert len(kept) == 3, "exactly one file should be rewritten"
+    for f in kept:
+        assert m_after["file_stats"][f] == m_before["file_stats"][f]
+        assert m_after["file_blooms"][f] == m_before["file_blooms"][f]
+    # new files were re-profiled with the same config
+    new = set(m_after["files"]) - set(m_before["files"])
+    assert new and all(f in m_after["file_stats"] for f in new)
+    assert all(f in m_after["file_blooms"] for f in new)
+    # and the data is right
+    cur = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert cur[3] == 999 and len(cur) == 100
+
+
+def test_merge_delete_and_ignore_clauses(spark, tmp_path):
+    root = str(tmp_path / "m3")
+    _keyed_commits(spark, root, n_commits=2)
+    # delete matched, ignore unmatched
+    src = spark.createDataFrame([(0, 0), (7, 0), (400, 0)], "id long, val long")
+    ss.snap_merge(spark, root, src, on=["id"],
+                  when_matched="delete", when_not_matched="ignore")
+    ids = {r.id for r in ss.snap_read(spark, root).collect()}
+    assert ids == set(range(50)) - {0, 7}
+    # matched=ignore + insert: existing row 1 keeps val, 500 inserted
+    src2 = spark.createDataFrame([(1, 12345), (500, 1)], "id long, val long")
+    ss.snap_merge(spark, root, src2, on=["id"],
+                  when_matched="ignore", when_not_matched="insert")
+    cur = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert cur[1] == 2 and cur[500] == 1
+
+
+def test_merge_validation_and_cdc_refusal(spark, tmp_path):
+    root = str(tmp_path / "m4")
+    _keyed_commits(spark, root, n_commits=2)
+    v = ss.snap_current_version(root)
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "id long, val long")
+    with pytest.raises(ValueError, match="key-unique"):
+        ss.snap_merge(spark, root, dup, on=["id"])
+    bad_schema = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="schema"):
+        ss.snap_merge(spark, root, bad_schema, on=["id"])
+    with pytest.raises(ValueError, match="no-op"):
+        ss.snap_merge(spark, root, dup.limit(1), on=["id"],
+                      when_matched="ignore", when_not_matched="ignore")
+    ss.snap_merge(
+        spark, root, spark.createDataFrame([(1, 9)], "id long, val long"),
+        on=["id"],
+    )
+    with pytest.raises(ValueError, match="overwrite|append"):
+        ss.snap_read_changes(spark, root, v)
+
+
+def test_delete_where_prunes_and_keeps_null_rows(spark, tmp_path):
+    """Predicate delete rewrites only matching files; rows where the
+    predicate is NULL are NOT deletes and must survive the rewrite."""
+    root = str(tmp_path / "m5")
+    df1 = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 300)], "id long, val long"
+    ).coalesce(1)
+    df2 = spark.createDataFrame([(10, 5), (11, 6)], "id long, val long").coalesce(1)
+    ss.snap_commit(df1, root)
+    ss.snap_commit(df2, root, mode="append")
+    v = ss.snap_current_version(root)
+    m_before = json.loads(
+        open(ss._manifest_path(root, v)).read()
+    )
+    nv = ss.snap_delete_where(spark, root, "val > 100")
+    m_after = json.loads(
+        open(ss._manifest_path(root, nv)).read()
+    )
+    # second file untouched (no val > 100 there)
+    assert len(set(m_before["files"]) & set(m_after["files"])) == 1
+    rows = {(r.id, r.val) for r in ss.snap_read(spark, root).collect()}
+    assert rows == {(1, 10), (2, None), (10, 5), (11, 6)}
+    # no-match delete is a clean no-op version
+    nv2 = ss.snap_delete_where(spark, root, "val > 10000")
+    assert ss.snap_read(spark, root, nv2).count() == 4
+
+
+def test_merge_into_empty_store_and_vacuum_after_merge(spark, tmp_path):
+    root = str(tmp_path / "m6")
+    ss.snap_commit(_df(spark, 0, 0), root)  # empty v0
+    src = spark.createDataFrame([(1, 2)], "id long, val long")
+    ss.snap_merge(spark, root, src, on=["id"])
+    assert {r.id for r in ss.snap_read(spark, root).collect()} == {1}
+    # merge again (update), then vacuum to depth 1: store still readable
+    ss.snap_merge(
+        spark, root, spark.createDataFrame([(1, 5)], "id long, val long"),
+        on=["id"],
+    )
+    ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=0.0)
+    assert {(r.id, r.val) for r in ss.snap_read(spark, root).collect()} == {(1, 5)}

@@ -2026,6 +2026,67 @@ WHERE l_orderkey IN {LOOKUP_ORDERKEYS}
 """
 
 
+def q_snapstore_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE under the driver hash gate: commit a lineitem
+    projection as the base snapshot, then ``snap_merge`` a delta that
+    UPDATES every linenumber-4 row (doubled quantity) and INSERTS
+    linenumbers 5-7 — copy-on-write with pruned file rewrites. The twin
+    computes the same upsert relationally (source ∪ base-anti-source),
+    so any merge defect — lost update, duplicated row, dropped
+    untouched row, wrong clause routing — goes red on row hashes."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"]
+    li = read_table(spark, sf_dir, "lineitem").select(*cols)
+    base = li.filter(F.col("l_linenumber") <= 4)
+    # the synthetic lineitem is NOT key-unique on (orderkey, linenumber),
+    # and snap_merge rejects duplicate source keys — collapse the delta
+    # with order-independent MINs (twin mirrors)
+    delta = (
+        li.filter(F.col("l_linenumber") >= 4)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.min("l_partkey").alias("l_partkey"),
+            (F.min("l_quantity") * 2).alias("l_quantity"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="snapmerge-")
+    try:
+        ss.snap_commit(base.repartition(8, "l_orderkey"), root)
+        ss.snap_merge(
+            spark, root, delta, on=["l_orderkey", "l_linenumber"]
+        )
+        out = ss.snap_read(spark, root)
+        rows = out.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_MERGE_SQL = """
+WITH base AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem WHERE l_linenumber <= 4
+),
+src AS (
+    SELECT l_orderkey, l_linenumber, MIN(l_partkey) AS l_partkey,
+           MIN(l_quantity) * 2 AS l_quantity
+    FROM lineitem WHERE l_linenumber >= 4
+    GROUP BY 1, 2
+)
+SELECT * FROM src
+UNION ALL
+SELECT b.* FROM base b
+WHERE NOT EXISTS (
+    SELECT 1 FROM src s
+    WHERE s.l_orderkey = b.l_orderkey AND s.l_linenumber = b.l_linenumber
+)
+"""
+
+
 SHUFFLE_EPOCH = 3
 SHUFFLE_SHARDS = 8
 
@@ -3128,6 +3189,11 @@ FOLDED_QUERIES = [
     # member of the expectation family.
     Query("fk_integrity_report", q_fk_integrity_report, FK_INTEGRITY_SQL,
           "referential-integrity orphan audit in one fact scan"),
+    # Born folded (r9): MERGE INTO under the hash gate — the relational
+    # twin re-derives the upsert, so clause routing is row-hash-checked.
+    Query("snapstore_merge_upsert", q_snapstore_merge_upsert,
+          SNAPSTORE_MERGE_SQL,
+          "copy-on-write MERGE (update+insert) through the table format"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered

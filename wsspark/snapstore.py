@@ -1028,3 +1028,248 @@ def snap_vacuum(
     for v in versions[:-keep_last]:
         os.remove(_manifest_path(root, v))
     return removed
+
+
+def _file_col() -> F.Column:
+    """input_file_name() normalized to the manifest's plain-path form
+    (the local ``file://`` scheme stripped)."""
+    return F.regexp_replace(F.input_file_name(), "^file:/{2}", "")
+
+
+def _rewrite_config(m: dict) -> dict:
+    """The skipping config resident files were committed with, so a
+    rewrite re-records the same stats/blooms for its new files."""
+    stats_cols = sorted(
+        {c for per_file in m.get("file_stats", {}).values() for c in per_file}
+    )
+    bloom_meta = m.get("bloom_meta", {})
+    geoms = {(g["n_bits"], g["k"]) for g in bloom_meta.values()}
+    if len(geoms) > 1:
+        raise ValueError("mixed bloom geometries in parent manifest")
+    n_bits, k = geoms.pop() if geoms else (1 << 14, 4)
+    return {
+        "stats_cols": stats_cols,
+        "bloom_cols": sorted(bloom_meta),
+        "bloom_bits": n_bits,
+        "bloom_k": k,
+    }
+
+
+def _rewrite_commit(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    touched: list[str],
+    new_data: DataFrame,
+    mode: str,
+    tag,
+) -> int:
+    """Copy-on-write publish: keep every untouched parent file, write
+    ``new_data`` as fresh files, publish atomically. Stats/blooms for
+    untouched files survive verbatim; new files are re-profiled with
+    the parent's skipping config."""
+    version = m["version"] + 1
+    untouched = [f for f in m["files"] if f not in set(touched)]
+    cfg = _rewrite_config(m)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    ctx = {
+        "parent": m["version"],
+        "version": version,
+        "parent_files": untouched,
+        "parent_stats": {
+            f: s for f, s in m.get("file_stats", {}).items() if f in set(untouched)
+        },
+        "parent_blooms": {
+            f: b for f, b in m.get("file_blooms", {}).items() if f in set(untouched)
+        },
+        "parent_bloom_meta": m.get("bloom_meta", {}),
+        "parent_file_meta": {
+            f: fm for f, fm in m.get("file_meta", {}).items() if f in set(untouched)
+        },
+        "manifest_schema": schema,
+    }
+    commit_dir = os.path.join(
+        root, "data", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
+    )
+    new_data.write.mode("error").parquet(commit_dir)
+    new_files = _list_parquet(commit_dir)
+    new_stats = (
+        _collect_file_stats(spark, commit_dir, cfg["stats_cols"])
+        if cfg["stats_cols"] and new_files
+        else {}
+    )
+    new_blooms = (
+        _collect_file_blooms(
+            spark, commit_dir, cfg["bloom_cols"], cfg["bloom_bits"], cfg["bloom_k"]
+        )
+        if cfg["bloom_cols"] and new_files
+        else {}
+    )
+    geometry = {
+        c: {"n_bits": cfg["bloom_bits"], "k": cfg["bloom_k"]}
+        for c in cfg["bloom_cols"]
+    }
+    return _publish_commit(
+        root, ctx, mode, tag, new_files, new_stats, new_blooms, geometry,
+        {}, cleanup_dir=commit_dir,
+    )
+
+
+def snap_merge(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    tag: int | str | None = None,
+) -> int:
+    """Row-level MERGE as a copy-on-write commit — the lakehouse upsert
+    (Delta/Iceberg MERGE INTO), on the same atomic manifest contract as
+    every other commit.
+
+    Semantics (keys = the ``on`` columns; ``source`` must be key-unique,
+    validated eagerly — duplicate source keys would make the result
+    order-dependent): ``when_matched``: "update" replaces the stored row
+    with the source row, "delete" drops it, "ignore" keeps it.
+    ``when_not_matched``: "insert" appends unmatched source rows,
+    "ignore" drops them. Source schema must equal the store schema
+    exactly (a merge cannot evolve the schema — evolution is an
+    explicit append contract).
+
+    COPY-ON-WRITE, PRUNED: only files that actually CONTAIN a matching
+    key are rewritten. Discovery is one column-pruned scan of the store
+    (key columns + input_file_name) semi-joined with the source keys —
+    at 100 TB the scan reads only the key columns, and the rewrite
+    reads only the touched files; untouched files keep their manifest
+    entries, stats, and blooms verbatim, so point-lookup skipping
+    survives the merge. Readers stay snapshot-isolated: a reader pinned
+    to the parent version keeps every pre-merge file (vacuum-protected
+    until retention lapses).
+
+    CDC honesty: the new version's mode is "merge", which
+    ``snap_read_changes`` refuses (rows may have been updated or
+    deleted — the delta is not an added-file set). Time travel to the
+    parent version shows pre-merge rows, as with compaction.
+
+    Returns the new version. Raises ``SnapshotConflict`` on a lost
+    commit race (wrap in your own retry; data is staged per attempt).
+    """
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched must be update|delete|ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert|ignore, got {when_not_matched!r}")
+    if when_matched == "ignore" and when_not_matched == "ignore":
+        raise ValueError("merge with both clauses 'ignore' is a no-op")
+    version = snap_current_version(root)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if [(f.name, f.dataType) for f in schema.fields] != [
+        (f.name, f.dataType) for f in source.schema.fields
+    ]:
+        raise ValueError(
+            "merge source schema must equal the store schema exactly"
+        )
+    missing = [c for c in on if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge keys not in source: {missing}")
+    dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"source is not key-unique on {on}: e.g. "
+            + ", ".join(f"{c}={dup[0][c]!r}" for c in on)
+        )
+    keys = source.select(*on).distinct()
+    if not m["files"]:
+        touched: list[str] = []
+        new_data = source if when_not_matched == "insert" else source.limit(0)
+        return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
+    store = spark.read.schema(schema).parquet(*m["files"])
+    touched_rows = store.select(*on).withColumn("_sf", _file_col())
+    touched = [
+        r["_sf"]
+        for r in touched_rows.join(keys, on, "left_semi")
+        .select("_sf")
+        .distinct()
+        .collect()
+    ]
+    unknown = set(touched) - set(m["files"])
+    if unknown:
+        raise RuntimeError(f"discovered files outside the manifest: {unknown}")
+    parts = []
+    if touched:
+        touched_df = spark.read.schema(schema).parquet(*touched)
+        keep = touched_df.join(keys, on, "left_anti")
+        parts.append(keep)
+        if when_matched == "ignore":
+            parts.append(touched_df.join(keys, on, "left_semi"))
+    if when_matched == "update":
+        matched_src = (
+            source.join(
+                spark.read.schema(schema).parquet(*touched).select(*on).distinct(),
+                on,
+                "left_semi",
+            )
+            if touched
+            else source.limit(0)
+        )
+        parts.append(matched_src)
+    if when_not_matched == "insert":
+        store_keys = store.select(*on).distinct()
+        parts.append(source.join(store_keys, on, "left_anti"))
+    if not parts:
+        new_data = spark.createDataFrame([], schema)
+    else:
+        new_data = parts[0]
+        for p in parts[1:]:
+            new_data = new_data.unionByName(p)
+    return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
+
+
+def snap_delete_where(
+    spark: SparkSession,
+    root: str,
+    condition,
+    tag: int | str | None = None,
+) -> int:
+    """Row-level DELETE as a copy-on-write commit: rewrite ONLY the
+    files containing rows matching ``condition`` (a Column or SQL
+    string), without those rows; untouched files and their skipping
+    metadata survive verbatim. Same discovery shape as ``snap_merge``
+    (one scan with input_file_name, pruned rewrite), same atomic
+    publish, same "merge"-mode CDC refusal, same snapshot isolation
+    for readers pinned to the parent. Returns the new version."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    version = snap_current_version(root)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if not m["files"]:
+        return _rewrite_commit(
+            spark, root, m, [], spark.createDataFrame([], schema), "merge", tag
+        )
+    store = spark.read.schema(schema).parquet(*m["files"])
+    touched = [
+        r["_sf"]
+        for r in store.filter(cond)
+        .select(_file_col().alias("_sf"))
+        .distinct()
+        .collect()
+    ]
+    unknown = set(touched) - set(m["files"])
+    if unknown:
+        raise RuntimeError(f"discovered files outside the manifest: {unknown}")
+    if not touched:
+        new_data = spark.createDataFrame([], schema)
+    else:
+        # NULL-condition rows are NOT deletes (same as the discovery
+        # filter): keep everything except rows where cond is TRUE
+        new_data = (
+            spark.read.schema(schema)
+            .parquet(*touched)
+            .filter(~F.coalesce(cond, F.lit(False)))
+        )
+    return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
