@@ -1,6 +1,6 @@
 """Model-based stateful test of the snapshot store: hypothesis drives a
 random sequence of appends / overwrites / evolutions / compactions /
-vacuums against a driver-side Python model (rows + schema per version),
+merges / predicate deletes / vacuums against a driver-side Python model (rows + schema per version),
 asserting after every step that the real store's retained versions,
 metadata counts, and CURRENT content match the model exactly.
 
@@ -110,6 +110,41 @@ class SnapstoreMachine(RuleBasedStateMachine):
         v = ss.snap_compact(self.spark, self.root, target_file_mb=1)
         assert v == len(self.versions)
         self.versions.append(self._cur())
+
+    @precondition(lambda self: self.versions)
+    @rule(
+        upd=st.integers(min_value=0, max_value=3),
+        ins=st.integers(min_value=0, max_value=3),
+    )
+    def merge_upsert(self, upd, ins):
+        """COW MERGE: replace the first `upd` current rows (val+1000,
+        note kept) and insert `ins` fresh rows — model mirrors the
+        update+insert clause routing exactly."""
+        cur_rows, has_note = self._cur()
+        upd_rows = [(i, v + 1000, n) for i, v, n in cur_rows[:upd]]
+        ins_rows = self._fresh(ins, noted=has_note)
+        src = upd_rows + ins_rows
+        v = ss.snap_merge(
+            self.spark,
+            self.root,
+            _mk_df(self.spark, src, has_note),
+            on=["id"],
+        )
+        assert v == len(self.versions)
+        upd_ids = {i for i, _, _ in upd_rows}
+        self.versions.append(
+            ([r for r in cur_rows if r[0] not in upd_ids] + src, has_note)
+        )
+
+    @precondition(lambda self: self.versions)
+    @rule(modk=st.integers(min_value=2, max_value=5))
+    def delete_where(self, modk):
+        v = ss.snap_delete_where(self.spark, self.root, f"id % {modk} = 0")
+        assert v == len(self.versions)
+        cur_rows, has_note = self._cur()
+        self.versions.append(
+            ([r for r in cur_rows if r[0] % modk != 0], has_note)
+        )
 
     @precondition(lambda self: len(self.versions) > 2)
     @rule(keep=st.integers(min_value=1, max_value=2))
