@@ -89,3 +89,44 @@ def test_streaming_trend_equals_batch_and_replay_noop(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, sink.fit(spark).collect())) == want
     # state is group-sized
     assert spark.read.parquet(state).count() == 7
+
+
+def test_group_corr_planted_correlations(spark):
+    """Exact +1, exact -1, and independent pairs; NULL rows excluded
+    listwise; zero-variance pair -> NULL corr."""
+    import pytest as _pytest
+
+    from wsspark.ops.regress import group_corr
+
+    rows = []
+    for i in range(1, 41):
+        rows.append(("g", float(i), float(2 * i), float(-3 * i), 7.0))
+    rows.append(("g", None, 1.0, 1.0, 1.0))  # listwise-dropped
+    df = spark.createDataFrame(rows, "g string, a double, b double, c double, d double")
+    out = {
+        (r.col_x, r.col_y): r
+        for r in group_corr(
+            df, {"a": 100, "b": 100, "c": 100, "d": 100}, ("g",)
+        ).collect()
+    }
+    assert out[("a", "b")].corr == 1.0
+    assert out[("a", "c")].corr == -1.0
+    assert out[("b", "c")].corr == -1.0
+    assert out[("a", "d")].corr is None  # d constant -> zero variance
+    assert out[("a", "b")].n_rows == 40  # null row excluded everywhere
+
+
+def test_group_corr_overflow_validation(spark):
+    import pytest as _pytest
+
+    from wsspark.ops.regress import group_corr
+
+    df = spark.createDataFrame(
+        [(2.0e9, 2.0e9), (1.0, 2.0)], "a double, b double"
+    )
+    with _pytest.raises(ValueError, match="overflow"):
+        group_corr(df, {"a": 100, "b": 100})
+    # same data is fine at scale 1
+    assert group_corr(df, {"a": 1, "b": 1}).count() == 1
+    with _pytest.raises(ValueError, match="two columns"):
+        group_corr(df, {"a": 1})

@@ -158,3 +158,93 @@ class StreamingGroupTrend:
             self.group_cols,
             self.min_points,
         )
+
+
+def group_corr(
+    df: DataFrame,
+    cols: dict[str, int],
+    group_cols: tuple[str, ...] = (),
+    validate: bool = True,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix per group — ONE map-side-
+    combinable aggregation for every pair, the multi-column sibling of
+    ``group_ols`` (and the scalar-column complement of the embedding
+    family's ``covariance_block``).
+
+    ``cols`` maps column -> fixed-point scale. Row values become scaled
+    longs; all sums (Σx per column, Σxy per pair incl. variances) are
+    accumulated as ``decimal(38,0)`` — EXACT integer arithmetic, order-
+    independent, reproduced digit-for-digit by DuckDB's HUGEINT sums —
+    and the correlation is a mirrored shape of IEEE double ops on those
+    exact sums, so the twin matches to the rounded 6dp.
+
+    Row-level products must fit a long: with ``validate=True`` a
+    group-sized second pass checks max|x_i|*max|x_j| < 2^63 from the
+    same aggregation's maxima and raises on risk (silent long overflow
+    would corrupt sums undetectably). Scale contract: scaled values up
+    to ~3e9 are safe.
+
+    Returns (group_cols..., col_x, col_y, n_rows, corr) for every pair
+    x < y in ``cols`` order; corr is NULL for zero-variance pairs.
+    Rows with a NULL in ANY correlated column are excluded (pairwise-
+    complete would need per-pair n; the twin mirrors the listwise
+    filter)."""
+    names = list(cols)
+    if len(names) < 2:
+        raise ValueError("need at least two columns")
+    sc = {
+        c: F.round(F.col(c) * cols[c]).cast("long") for c in names
+    }
+    # listwise-complete: drop a row if any correlated column is null
+    clean = df
+    for c in names:
+        clean = clean.filter(F.col(c).isNotNull())
+    aggs = [F.count("*").alias("_n")]
+    for i, c in enumerate(names):
+        aggs.append(F.sum(sc[c].cast("decimal(38,0)")).alias(f"_s{i}"))
+        aggs.append(F.max(F.abs(sc[c])).alias(f"_m{i}"))
+        for j in range(i, len(names)):
+            aggs.append(
+                F.sum((sc[c] * sc[names[j]]).cast("decimal(38,0)")).alias(
+                    f"_p{i}_{j}"
+                )
+            )
+    agg = clean.groupBy(*group_cols).agg(*aggs)
+    if validate:
+        for row in agg.select(
+            *[f"_m{i}" for i in range(len(names))]
+        ).collect():
+            for i in range(len(names)):
+                for j in range(i, len(names)):
+                    mi, mj = row[f"_m{i}"], row[f"_m{j}"]
+                    if mi is not None and mj is not None and mi * mj >= (1 << 63):
+                        raise ValueError(
+                            f"row-level product {names[i]}*{names[j]} can "
+                            f"overflow long (max |scaled| {mi} * {mj}); "
+                            "reduce the scales"
+                        )
+    n = F.col("_n").cast("double")
+    pair_cols = []
+    pair_names = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            si = F.col(f"_s{i}").cast("double")
+            sj = F.col(f"_s{j}").cast("double")
+            pij = F.col(f"_p{i}_{j}").cast("double")
+            pii = F.col(f"_p{i}_{i}").cast("double")
+            pjj = F.col(f"_p{j}_{j}").cast("double")
+            num = n * pij - si * sj
+            den = F.sqrt((n * pii - si * si) * (n * pjj - sj * sj))
+            pair_cols.append(
+                F.round(F.when(den != 0, num / den), 6).alias(f"_c{i}_{j}")
+            )
+            pair_names.append((i, j))
+    wide = agg.select(*group_cols, "_n", *pair_cols)
+    stack_args = ", ".join(
+        f"'{names[i]}', '{names[j]}', _c{i}_{j}" for i, j in pair_names
+    )
+    return wide.selectExpr(
+        *group_cols,
+        "_n AS n_rows",
+        f"stack({len(pair_names)}, {stack_args}) AS (col_x, col_y, corr)",
+    ).select(*group_cols, "col_x", "col_y", "n_rows", "corr")

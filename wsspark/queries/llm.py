@@ -1822,6 +1822,61 @@ FROM fk
 """
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_price_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix of the four lineitem measures per
+    returnflag (ops.regress.group_corr): every pair's sums ride ONE
+    map-side-combinable aggregation as exact decimal integers, so the
+    DuckDB twin (HUGEINT sums, mirrored double ops) hash-matches all
+    18 coefficients."""
+    from wsspark.ops.regress import group_corr
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return group_corr(li, {c: 100 for c in _CORR_COLS}, ("l_returnflag",))
+
+
+def _corr_sql() -> str:
+    names = _CORR_COLS
+    sums, prods = [], []
+    for i, c in enumerate(names):
+        sums.append(f"SUM(CAST(ROUND({c} * 100) AS BIGINT)) AS s{i}")
+        for j in range(i, len(names)):
+            prods.append(
+                f"SUM(CAST(ROUND({c} * 100) AS BIGINT) * "
+                f"CAST(ROUND({names[j]} * 100) AS BIGINT)) AS p{i}_{j}"
+            )
+    legs = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            num = (
+                f"(CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+            )
+            den = (
+                f"SQRT((CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(p{j}_{j} AS DOUBLE)"
+                f" - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)))"
+            )
+            legs.append(
+                f"SELECT l_returnflag, '{names[i]}' AS col_x, "
+                f"'{names[j]}' AS col_y, n AS n_rows, "
+                f"ROUND(CASE WHEN {den} <> 0 THEN {num} / {den} END, 6) "
+                f"AS corr FROM sums"
+            )
+    return (
+        "WITH sums AS (SELECT l_returnflag, COUNT(*) AS n, "
+        + ", ".join(sums + prods)
+        + " FROM lineitem GROUP BY 1)\n"
+        + "\nUNION ALL\n".join(legs)
+    )
+
+
+PRICE_CORR_SQL = _corr_sql()
+
+
 SSSP_MAX_ITER = 8
 
 
@@ -3194,6 +3249,10 @@ FOLDED_QUERIES = [
     Query("snapstore_merge_upsert", q_snapstore_merge_upsert,
           SNAPSTORE_MERGE_SQL,
           "copy-on-write MERGE (update+insert) through the table format"),
+    # Born folded (r9): pairwise Pearson matrix from one aggregation of
+    # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
+    Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,
+          "per-group correlation matrix in one aggregation"),
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
