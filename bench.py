@@ -76,6 +76,15 @@ HEADLINE = {
     # cost profile differs from every other text query; a slope row keeps
     # the explode -> keyed-agg -> dense-assembly chain perf-tracked.
     "q26_hashed_vectors": "hashed_vector_entries",
+    # round-9 late waves: the two most plan-fragile new operators.
+    # prefix_jaccard is the exact-subquadratic AllPairs join — its whole
+    # value is candidate pruning (prefix + positional + length filters),
+    # so a filter regression multiplies wall time while CORRECTNESS stays
+    # green (the result set is unchanged, just computed the slow way).
+    # exact_quantiles is the 5-pass radix-bisection selection — a pass
+    # regression (e.g. a lost map-side combine) shows up only here.
+    "q27_prefix_jaccard": "prefix_jaccard_pairs",
+    "q28_exact_quantiles": "exact_price_quantiles",
 }
 
 # q0b: the reference's flagship operational mode (--load_type incremental,

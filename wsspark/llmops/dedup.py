@@ -170,9 +170,23 @@ def prefix_jaccard_join(
     )
     prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
     prefix = ranked.filter(F.col("_pos") <= prefix_len).select(
-        "doc_id", "w", "set_size"
+        "doc_id", "w", "set_size", "_pos"
     )
+    # PPJoin positional filter: a pair generated at prefix positions
+    # (i, j) can overlap at most 1 + min(|x|-i, |y|-j) tokens; if that
+    # upper bound is below the required overlap ceil(t/(1+t)*(|x|+|y|)),
+    # the occurrence can't witness a similar pair. Lossless: a truly
+    # similar pair is also generated at its FIRST common prefix token,
+    # where the bound is loosest and must hold (Xiao et al., WWW'08).
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    ubound = F.lit(1) + F.least(
+        F.col("pa.set_size") - F.col("pa._pos"),
+        F.col("pb.set_size") - F.col("pb._pos"),
+    )
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("pa.set_size") + F.col("pb.set_size"))
+    )
     cands = (
         pa.join(
             pb,
@@ -183,7 +197,8 @@ def prefix_jaccard_join(
                 F.lit(threshold)
                 * F.greatest(F.col("pa.set_size"), F.col("pb.set_size"))
                 <= F.least(F.col("pa.set_size"), F.col("pb.set_size"))
-            ),
+            )
+            & (ubound >= min_overlap),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"),

@@ -450,19 +450,31 @@ jpairs AS (
 MINHASH_PAIRS_SQL = SHINGLE3_EDGES_SQL + "SELECT doc_a, doc_b, jaccard FROM jpairs"
 
 
-PREFIX_JACCARD_T = 0.5
+PREFIX_JACCARD_T = 0.8
 
 
 def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact subquadratic near-dup pairs: AllPairs/PPJoin prefix filtering
-    over 2-word shingles at t=0.5 (dedup.prefix_jaccard_join). The third
-    point on the near-dup ladder — exact like the quadratic join,
-    subquadratic like LSH. The twin is the QUADRATIC exact join, so the
-    hash gate re-proves the pruning theorem lossless on this corpus every
-    round (a prefix bug that drops one true pair goes red). Plan-asserted
-    CartesianProduct-free in tests/test_plans.py."""
-    docs = read_table(spark, sf_dir, "documents")
-    return dedup.prefix_jaccard_join(docs, threshold=PREFIX_JACCARD_T, shingle_k=2)
+    """Exact subquadratic near-dup pairs: AllPairs/PPJoin prefix +
+    positional + length filtering over 3-word shingles at t=0.8
+    (dedup.prefix_jaccard_join). The third point on the near-dup
+    ladder — exact like the quadratic join, subquadratic like LSH. The
+    twin is the QUADRATIC exact join, so the hash gate re-proves the
+    pruning theorems lossless on this corpus every round (a filter bug
+    that drops one true pair goes red). Plan-asserted
+    CartesianProduct-free in tests/test_plans.py.
+
+    Parameter note (measured): this corpus draws from a tiny wordlist —
+    931 distinct 2-shingles across 5,000 docs at sf0.1 — so at t=0.5
+    there ARE no rare tokens and prefix filtering degenerates (16.5M
+    candidate occurrences). AllPairs is a high-threshold technique:
+    t=0.8 posts only each doc's rarest ~20%, the right regime. The
+    corpus is one row-group = one input split; repartition spreads the
+    shingle/window work across the cluster first (the minhash query's
+    note applies)."""
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return dedup.prefix_jaccard_join(docs, threshold=PREFIX_JACCARD_T, shingle_k=3)
 
 
 PREFIX_JACCARD_SQL = f"""
@@ -471,9 +483,9 @@ WITH toks AS (
 ),
 sh AS (
     SELECT doc_id, unnest(list_distinct(
-        CASE WHEN len(t) >= 2
-             THEN list_transform(range(1, len(t)),
-                                 i -> array_to_string(list_slice(t, i, i + 1), ' '))
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
              ELSE [array_to_string(t, ' ')] END)) AS w
     FROM toks
 ),
