@@ -95,6 +95,76 @@ HEADLINE = {
 INCREMENTAL_SINCE = "2001-09-01 00:00:00"
 
 
+# --- external-load probe -----------------------------------------------
+# BENCH_r09's official medians ran ~20% above the idle-host truth because the
+# suite shared the box (loadavg_start 6.64). Raw loadavg can't gate per-query
+# retries — our own local[32] work drives the 1-min loadavg past any threshold
+# mid-suite — so contamination is measured as EXTERNAL cpu: the delta of
+# system-wide busy jiffies (/proc/stat) minus the delta of this process tree's
+# jiffies (python driver + the py4j-spawned JVM + descendants) over the same
+# wall interval. A sample whose external usage exceeds EXT_CORES_THRESHOLD
+# cores is retried after a backoff; if the budget runs out the row is kept but
+# stamped contaminated so the artifact self-adjudicates.
+EXT_CORES_THRESHOLD = float(os.environ.get("SPARK_GRAFT_EXT_CPU_MAX", "1.0"))
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _system_busy_jiffies():
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(v) for v in parts]
+        # busy = everything except idle (idx 3) and iowait (idx 4)
+        return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _tree_jiffies():
+    """utime+stime jiffies of this process and all live descendants."""
+    try:
+        stats = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue
+            # comm may contain spaces/parens: fields after the LAST ')'
+            rest = raw.rsplit(")", 1)[1].split()
+            stats[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        me = os.getpid()
+        tree = {me}
+        grew = True
+        while grew:
+            grew = False
+            for pid, (ppid, _) in stats.items():
+                if pid not in tree and ppid in tree:
+                    tree.add(pid)
+                    grew = True
+        return sum(stats[p][1] for p in tree if p in stats)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def external_cpu_probe():
+    """Returns finish(wall_sec) -> external busy cores, or None if unreadable."""
+    s0, t0 = _system_busy_jiffies(), _tree_jiffies()
+
+    def finish(wall: float):
+        if s0 is None or t0 is None or wall <= 0:
+            return None
+        s1, t1 = _system_busy_jiffies(), _tree_jiffies()
+        if s1 is None or t1 is None:
+            return None
+        ext = max(0, (s1 - s0) - (t1 - t0))
+        return ext / _CLK_TCK / wall
+
+    return finish
+
+
 def materialize(df) -> int:
     """Fully execute a plan without collecting rows to the driver."""
     try:
@@ -135,8 +205,9 @@ def main() -> None:
     # of three measured runs — r04's only apparent regressions (+0.15-0.25 s)
     # were single-warm-run noise; a median makes variance and regression
     # distinguishable while staying robust to one-off GC/C2 spikes.
-    def timed(fn) -> tuple[float, float, float]:
-        """(median, min, max) of three measured runs after one warmup.
+    def timed(fn) -> tuple[float, float, float, float | None, bool]:
+        """(median, min, max, max_ext_cores, contaminated) — three measured
+        runs after one warmup, each load-guarded.
 
         The min/max spread is recorded so round-over-round deltas are
         adjudicable from the artifact alone: BENCH_r06 showed a uniform
@@ -144,16 +215,42 @@ def main() -> None:
         proving that required re-running the whole suite. With per-query
         dispersion in the JSON, a shifted median inside the min/max envelope
         of the previous round reads as noise; a median outside it reads as a
-        regression.
+        regression. A sample run while EXTERNAL cpu (system busy minus this
+        process tree) exceeded EXT_CORES_THRESHOLD cores is discarded and
+        retried after a backoff, up to 3 extra attempts per query; if the
+        retry budget runs out, the sample is kept and the row is stamped
+        ``contaminated`` so the artifact self-adjudicates instead of silently
+        disagreeing with the idle-host truth (BENCH_r09's 20% drift).
         """
         fn()
-        samples = []
-        for _ in range(3):
+        samples: list[float] = []
+        ext_seen: list[float] = []
+        retries = 3
+        contaminated = False
+        while len(samples) < 3:
+            probe = external_cpu_probe()
             t0 = time.perf_counter()
             fn()
-            samples.append(time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            ext = probe(wall)
+            if ext is not None and ext > EXT_CORES_THRESHOLD and retries > 0:
+                retries -= 1
+                time.sleep(2.0)
+                continue
+            if ext is not None and ext > EXT_CORES_THRESHOLD:
+                contaminated = True
+            samples.append(wall)
+            if ext is not None:
+                ext_seen.append(ext)
         samples.sort()
-        return round(samples[1], 3), round(samples[0], 3), round(samples[2], 3)
+        max_ext = round(max(ext_seen), 2) if ext_seen else None
+        return (
+            round(samples[1], 3),
+            round(samples[0], 3),
+            round(samples[2], 3),
+            max_ext,
+            contaminated,
+        )
 
     dispersion: dict[str, dict[str, float]] = {}
 
@@ -161,9 +258,14 @@ def main() -> None:
         out: dict[str, float] = {}
 
         def record(label: str, fn) -> None:
-            med, lo, hi = timed(fn)
+            med, lo, hi, max_ext, contaminated = timed(fn)
             out[label] = med
-            dispersion[label] = {"min": lo, "max": hi}
+            row: dict = {"min": lo, "max": hi}
+            if max_ext is not None:
+                row["ext_cpu_max"] = max_ext
+            if contaminated:
+                row["contaminated"] = True
+            dispersion[label] = row
 
         record(
             "q0_full_etl_12_reports",
@@ -240,6 +342,17 @@ def main() -> None:
         # stamp contextualizes a slow round without a re-run.
         "loadavg_start": load_at_start,
         "loadavg_end": load_at_end,
+        # Rows whose samples still saw > EXT_CORES_THRESHOLD external cores
+        # after exhausting per-query retries; their medians are suspect.
+        "contaminated_queries": sorted(
+            {
+                label
+                for scale in scales.values()
+                for label, row in scale["dispersion"].items()
+                if row.get("contaminated")
+            }
+        ),
+        "ext_cpu_threshold_cores": EXT_CORES_THRESHOLD,
     }
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
