@@ -68,6 +68,55 @@ def test_nulls_ignored_empty_frame_ok(spark):
     assert exact_group_quantiles(empty, "v", (0.5,), ("g",)).count() == 0
 
 
+def test_hostile_group_keys_null_float_delimiter(spark):
+    """The canonical group key is the Spark-computed to_json(struct(...)),
+    never re-derived in Python — groups with NULL components, float group
+    values (Spark CAST and Python str render '1e-07' differently), and
+    values containing the old '\\x1f' delimiter must all stay distinct and
+    resolve exact quantiles (the pre-fix key desynchronized and raised
+    KeyError or silently merged histograms)."""
+    rows = [
+        # multi-col group with NULL in one component, both orders
+        ("a", None, 1.0), ("a", None, 3.0),
+        (None, "a", 10.0), (None, "a", 30.0),
+        # values containing the delimiter: ('x\x1fy', 'z') vs ('x', 'y\x1fz')
+        ("x\x1fy", "z", 100.0), ("x", "y\x1fz", 200.0),
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v double")
+    got = {
+        (r.g1, r.g2): r.value
+        for r in exact_group_quantiles(df, "v", (1.0,), ("g1", "g2")).collect()
+    }
+    assert got == {
+        ("a", None): 3.0,
+        (None, "a"): 30.0,
+        ("x\x1fy", "z"): 100.0,
+        ("x", "y\x1fz"): 200.0,
+    }
+    # float group keys: tiny magnitudes where repr() vs CAST diverge
+    fdf = spark.createDataFrame(
+        [(1e-07, 5.0), (1e-07, 7.0), (2.5e-08, 9.0)], "g double, v double"
+    )
+    fgot = {
+        r.g: r.value
+        for r in exact_group_quantiles(fdf, "v", (1.0,), ("g",)).collect()
+    }
+    assert fgot == {1e-07: 7.0, 2.5e-08: 9.0}
+
+
+def test_max_group_paths_guard(spark):
+    """groups x fractions above the documented bound raises eagerly instead
+    of flooding the driver with per-pass histogram collects."""
+    df = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(8)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="max_group_paths"):
+        exact_group_quantiles(df, "v", (0.5, 0.9), ("g",), max_group_paths=15)
+    # at the bound exactly: fine
+    out = exact_group_quantiles(df, "v", (0.5, 0.9), ("g",), max_group_paths=16)
+    assert out.count() == 16
+
+
 def test_no_sort_in_any_pass_plan(spark):
     """The operator's contract is NO global sort: none of its jobs may
     contain a Sort over the fact. The passes are collect()ed internally,

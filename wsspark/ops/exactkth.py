@@ -24,7 +24,23 @@ the fact regardless of how many quantiles are requested.
 100 TB shape: the fact is never shuffled — every pass reduces to
 per-(group, path, bucket) partial counts merged map-side; driver state
 is O(groups x fractions x buckets-present) rows per pass, independent
-of row count. Fully deterministic (ties collapse into the same key, and
+of row count. Because buckets-present <= 2^16 per live path, the
+worst-case per-pass collect is ``groups x fractions x 65536`` rows —
+so the operator eagerly validates ``groups x fractions <=
+MAX_GROUP_PATHS`` (2^16 by default) after the pass-0 count and raises
+rather than flooding the driver on a high-cardinality ``group_cols``
+call (same eager-validation pattern as bloom.py's bitmap-size guard).
+In practice later passes shrink to the distinct values inside one
+65536-wide slice, so the bound is pessimistic by orders of magnitude.
+
+Group identity is carried by a Spark-computed canonical key —
+``to_json(struct(group_cols), ignoreNullFields=false)`` — collected in
+pass 0 and reused verbatim in every subsequent pass and driver lookup.
+It is never re-derived in Python (Python str() and Spark CAST disagree
+on float/decimal rendering) and, unlike delimiter-joined strings, JSON
+escaping makes two distinct groups unable to collide (concat_ws both
+skips NULL columns and is ambiguous when values contain the
+delimiter). Fully deterministic (ties collapse into the same key, and
 the kth ORDER STATISTIC is a value, not a row), so the DuckDB twin is a
 plain ``row_number() = k`` replay.
 
@@ -44,6 +60,14 @@ from pyspark.sql import functions as F
 _SIGN_FLIP = -(1 << 63)  # XOR mask: flips the sign bit -> unsigned order
 _MASK16 = (1 << 16) - 1
 
+# Eager driver-state guard: worst-case per-pass collect is
+# (groups x fractions) live paths x up-to-65536 histogram buckets each.
+# 2^16 live paths caps that at ~4.3e9 bucket rows in theory but, because a
+# pass's buckets cannot exceed the distinct values in its 65536-wide slice,
+# at ~fact-distinct rows in practice; beyond this a sort-based or
+# approximate quantile is the right tool anyway.
+MAX_GROUP_PATHS = 1 << 16
+
 
 def exact_group_quantiles(
     df: DataFrame,
@@ -51,6 +75,7 @@ def exact_group_quantiles(
     fractions: tuple[float, ...] = (0.5,),
     group_cols: tuple[str, ...] = (),
     scale: int = 100,
+    max_group_paths: int = MAX_GROUP_PATHS,
 ) -> DataFrame:
     """Exact type-1 quantiles (value at rank ``ceil(f * n)``) per group.
 
@@ -58,6 +83,11 @@ def exact_group_quantiles(
     currency at scale=100); the returned ``value`` is descaled, so it is
     exact to 1/scale. Returns (group_cols..., fraction double, value
     double), one row per group x fraction, deterministic.
+
+    Raises ``ValueError`` when ``groups x len(fractions)`` exceeds
+    ``max_group_paths`` (default 2^16) — the driver walks every live
+    (group, fraction) path's histogram each pass, so unbounded group
+    cardinality would flood driver memory silently.
     """
     if not fractions or any(not (0.0 < f <= 1.0) for f in fractions):
         raise ValueError("fractions must be in (0, 1]")
@@ -69,33 +99,51 @@ def exact_group_quantiles(
         .bitwiseXOR(F.lit(_SIGN_FLIP))
         .alias("_k")
     )
+    # Canonical group key, computed by SPARK once and reused verbatim in every
+    # pass: JSON escaping is collision-free across groups, and collecting it
+    # alongside pass 0 means the driver never re-derives it (Python str() vs
+    # Spark CAST disagree on float/decimal text; concat_ws skips NULLs).
+    group_key = (
+        F.to_json(
+            F.struct(*[F.col(c) for c in gcols]), {"ignoreNullFields": "false"}
+        )
+        if gcols
+        else F.lit("")
+    )
     base = df.select(*gcols, key).filter(F.col("_k").isNotNull())
 
-    # pass 0: group counts -> ranks (ceil(f*n), clamped to >= 1)
-    counts = base.groupBy(*gcols).agg(F.count("*").alias("_n")).collect()
+    # pass 0: group counts -> ranks (ceil(f*n), clamped to >= 1), keyed by
+    # the Spark-computed canonical key; raw group values ride along for the
+    # output schema (identical within a key, so first() is exact).
+    counts = (
+        base.withColumn("_gs", group_key)
+        .groupBy("_gs")
+        .agg(F.count("*").alias("_n"), *[F.first(c).alias(c) for c in gcols])
+        .collect()
+    )
     if not counts:
         return spark.createDataFrame(
             [], base.drop("_k").schema.add("fraction", "double").add("value", "double")
         )
-    # driver state: (group values tuple) -> [(fraction, k_remaining, prefix)]
-    state: dict[tuple, list[list]] = {}
+    if len(counts) * len(fractions) > max_group_paths:
+        raise ValueError(
+            f"exact_group_quantiles: {len(counts)} groups x {len(fractions)} "
+            f"fractions = {len(counts) * len(fractions)} live driver paths "
+            f"exceeds max_group_paths={max_group_paths}; reduce group "
+            "cardinality or use percentile_approx"
+        )
+    # driver state: canonical key -> [[fraction, k_remaining, prefix], ...]
+    state: dict[str, list[list]] = {}
+    gvals: dict[str, tuple] = {}
     for row in counts:
-        g = tuple(row[c] for c in gcols)
-        state[g] = [[f, max(1, math.ceil(f * row["_n"])), 0] for f in fractions]
-
-    group_key = (
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in gcols])
-        if gcols
-        else F.lit("")
-    )
-    gmap = {
-        "\x1f".join("" if v is None else str(v) for v in g): g for g in state
-    }
+        gs = row["_gs"]
+        state[gs] = [[f, max(1, math.ceil(f * row["_n"])), 0] for f in fractions]
+        gvals[gs] = tuple(row[c] for c in gcols)
 
     for shift in (48, 32, 16, 0):
         # one row per live (group, path): distinct prefixes to descend into
         paths = sorted(
-            {(gs, entry[2]) for gs, g in ((s, gmap[s]) for s in gmap) for entry in state[g]}
+            {(gs, entry[2]) for gs in state for entry in state[gs]}
         )
         path_df = F.broadcast(
             spark.createDataFrame(paths, "gs string, prefix long")
@@ -123,8 +171,8 @@ def exact_group_quantiles(
         buckets: dict[tuple, list] = {}
         for r in hist:
             buckets.setdefault((r["_gs"], r["prefix"]), []).append((r["_b"], r["_c"]))
-        for gs, g in ((s, gmap[s]) for s in gmap):
-            for entry in state[g]:
+        for gs in state:
+            for entry in state[gs]:
                 f, k, prefix = entry
                 cum = 0
                 for b, c in sorted(buckets[(gs, prefix)]):
@@ -144,8 +192,8 @@ def exact_group_quantiles(
         return cents / scale
 
     out = [
-        tuple(g) + (f, _unmap(prefix))
-        for g, entries in state.items()
+        gvals[gs] + (f, _unmap(prefix))
+        for gs, entries in state.items()
         for f, _k, prefix in entries
     ]
     return _rows_to_df(spark, df, gcols, out)
@@ -156,7 +204,11 @@ def _rows_to_df(spark, df, gcols, rows):
         [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in gcols]
         + ["fraction double", "value double"]
     )
-    return spark.createDataFrame(sorted(rows), schema)
+    # sort only for deterministic output order; key must be None-safe and
+    # type-mixed-safe (group values may be NULL)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r)), schema
+    )
 
 
 def robust_outlier_stats(
