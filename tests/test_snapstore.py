@@ -822,3 +822,87 @@ def test_merge_into_empty_store_and_vacuum_after_merge(spark, tmp_path):
     )
     ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=0.0)
     assert {(r.id, r.val) for r in ss.snap_read(spark, root).collect()} == {(1, 5)}
+
+
+def test_vacuum_heartbeat_keeps_slow_commit_alive(spark, tmp_path):
+    """Grace is measured from the staged dir's LAST ACTIVITY: data files
+    older than the grace survive while a fresh _heartbeat marker shows
+    the commit's stats/bloom jobs are still running (r9 advice — vacuum
+    could delete a slow commit's early files before publish)."""
+    import time
+
+    root = str(tmp_path / "thb")
+    ss.snap_commit(_df(spark, 0, 10), root)  # CURRENT = 0
+    pending = os.path.join(root, "data", "commit-000000000001-bbbb0000")
+    os.makedirs(pending)
+    pf = os.path.join(pending, "part-0.parquet")
+    with open(pf, "wb") as f:
+        f.write(b"x")
+    old = time.time() - 3600
+    os.utime(pf, (old, old))
+    # a fresh heartbeat (the writer just finished a stats job) keeps ALL
+    # files in the dir, however old the data itself is
+    ss._touch(os.path.join(pending, "_heartbeat"))
+    assert ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=15) == 0
+    assert os.path.exists(pf)
+    # heartbeat gone stale too -> the whole dir is crashed-writer garbage
+    os.utime(os.path.join(pending, "_heartbeat"), (old, old))
+    assert ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=15) == 1
+    assert not os.path.exists(pending)
+
+
+def test_publish_aborts_retryably_when_staged_files_vacuumed(
+    spark, tmp_path, monkeypatch
+):
+    """If the staged data files vanish before the manifest O_EXCL write
+    (a vacuum raced the commit past every grace), publish must abort with
+    the retryable error — never publish a manifest of dead files (r9
+    advice)."""
+    root = str(tmp_path / "tpa")
+    ss.snap_commit(_df(spark, 0, 5), root)
+    real = ss._collect_file_stats
+
+    def sabotage(spark_, commit_dir, cols):
+        out = real(spark_, commit_dir, cols)
+        for f in ss._list_parquet(commit_dir):
+            os.remove(f)
+        return out
+
+    monkeypatch.setattr(ss, "_collect_file_stats", sabotage)
+    with pytest.raises(ss.StagedCommitVacuumed):
+        ss.snap_commit(_df(spark, 5, 9), root, mode="append", stats_cols=["id"])
+    # nothing published: CURRENT still at v0, store fully readable
+    assert ss.snap_current_version(root) == 0
+    assert ss.snap_read(spark, root).count() == 5
+    # and the retry wrapper recovers by re-writing the data
+    monkeypatch.setattr(ss, "_collect_file_stats", real)
+    v = ss.snap_commit_with_retry(
+        _df(spark, 5, 9), root, mode="append", stats_cols=["id"]
+    )
+    assert v == 1 and ss.snap_read(spark, root).count() == 9
+
+
+def test_decimal_stats_commit_and_pruning(spark, tmp_path):
+    """DecimalType stats_cols must not crash manifest publish (Decimal is
+    not JSON-serializable) and range pruning over the directionally-rounded
+    float bounds must prune without false drops (r9 advice)."""
+    import decimal
+
+    root = str(tmp_path / "tdec")
+    df = (
+        spark.range(0, 400)
+        .select((F.col("id") / 100).cast("decimal(12,2)").alias("amt"), "id")
+        .repartitionByRange(8, "amt")
+    )
+    ss.snap_commit(df, root, stats_cols=["amt"])
+    lo, hi = decimal.Decimal("1.00"), decimal.Decimal("1.50")
+    kept, total = ss.snap_prune_files(root, "amt", lo, hi)
+    assert len(kept) < total  # range-clustered layout: actually prunes
+    got = ss.snap_read_between(spark, root, "amt", lo, hi)
+    assert got.count() == 51  # 1.00..1.50 inclusive at cent steps
+    # equality pruning path with a Decimal probe: sound (finds the row)
+    assert (
+        ss.snap_read_where_eq(spark, root, "amt", decimal.Decimal("1.25"))
+        .count()
+        == 1
+    )

@@ -79,6 +79,13 @@ class SnapshotConflict(RuntimeError):
     """Another committer published this version first — re-read and retry."""
 
 
+class StagedCommitVacuumed(RuntimeError):
+    """A concurrent ``snap_vacuum`` deleted this commit's staged data files
+    before the manifest published (the stats/bloom jobs outlived the vacuum
+    grace window). Retryable: the data must be re-written, which is exactly
+    what ``snap_commit_with_retry`` does per attempt."""
+
+
 def _manifest_dir(root: str) -> str:
     return os.path.join(root, "_manifests")
 
@@ -111,10 +118,33 @@ def _list_parquet(d: str) -> list[str]:
     )
 
 
-def _json_stat(v):
+def _touch(path: str) -> None:
+    """Create-or-refresh a marker file's mtime (underscore-prefixed names
+    are invisible to Spark's directory reads)."""
+    with open(path, "a"):
+        os.utime(path, None)
+
+
+def _json_stat(v, direction: int = 0):
     """Manifest-serializable min/max: datetimes/dates become ISO strings
     (lexicographic order == temporal order, so range overlap tests stay
-    plain string comparisons)."""
+    plain string comparisons). Decimal (Spark collects DecimalType min/max
+    as decimal.Decimal, which json.dump rejects) canonicalizes to float
+    with DIRECTIONAL rounding — ``direction=-1`` never lands above the true
+    value, ``+1`` never below — so a stored [min, max] only ever WIDENS and
+    pruning stays sound even past float's 53-bit exactness; probe values
+    widen the same way on the query side."""
+    import decimal as _dec
+
+    if isinstance(v, _dec.Decimal):
+        import math as _math
+
+        f = float(v)
+        if direction < 0 and _dec.Decimal(f) > v:
+            f = _math.nextafter(f, -_math.inf)
+        elif direction > 0 and _dec.Decimal(f) < v:
+            f = _math.nextafter(f, _math.inf)
+        return f
     return v.isoformat() if hasattr(v, "isoformat") else v
 
 
@@ -142,7 +172,10 @@ def _collect_file_stats(
     for r in rows:
         path = unquote(urlparse(r["__path"]).path)
         stats[path] = {
-            c: [_json_stat(r[f"__min_{c}"]), _json_stat(r[f"__max_{c}"])]
+            c: [
+                _json_stat(r[f"__min_{c}"], direction=-1),
+                _json_stat(r[f"__max_{c}"], direction=1),
+            ]
             for c in stats_cols
         }
     return stats
@@ -414,6 +447,25 @@ def _publish_commit(
     O_EXCL + CURRENT advance. On a lost race the staged ``cleanup_dir``
     is removed and ``SnapshotConflict`` raised — exactly one committer
     wins a version."""
+    # A long stats/bloom phase can outlive a concurrent vacuum's staged
+    # grace window; publishing a manifest that references deleted files
+    # would corrupt CURRENT for every reader. Verify the staged files
+    # still exist before anything touches them (the footer-meta loop
+    # below opens each one) and abort with the retryable error instead
+    # (snap_commit_with_retry re-writes the data per attempt). The
+    # in-commit heartbeat (_touch between long jobs) makes this a
+    # last-resort check, not the primary defense.
+    missing = [f for f in new_files if not os.path.exists(f)]
+    if missing:
+        if cleanup_dir:
+            import shutil
+
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        raise StagedCommitVacuumed(
+            f"{len(missing)} staged file(s) vanished before publish "
+            f"(first: {missing[0]}) — a concurrent snap_vacuum likely "
+            "collected them; re-run the commit"
+        )
     file_stats = dict(ctx["parent_stats"])
     file_stats.update(new_stats)
     file_blooms = dict(ctx["parent_blooms"])
@@ -507,6 +559,10 @@ def snap_commit(
         new_stats = _collect_file_stats(
             df.sparkSession, commit_dir, list(stats_cols)
         )
+        # heartbeat: vacuum measures staged grace from the dir's LAST
+        # activity, so refreshing a marker between the long stats/bloom
+        # jobs keeps a slow commit's files alive however long they take
+        _touch(os.path.join(commit_dir, "_heartbeat"))
     new_blooms: dict = {}
     bloom_geometry: dict = {}
     if bloom_cols and new_files:
@@ -516,6 +572,7 @@ def snap_commit(
         bloom_geometry = {
             c: {"n_bits": bloom_bits, "k": bloom_k} for c in bloom_cols
         }
+        _touch(os.path.join(commit_dir, "_heartbeat"))
     return _publish_commit(
         root,
         ctx,
@@ -549,7 +606,7 @@ def snap_commit_with_retry(
     while True:
         try:
             return snap_commit(df, root, mode=mode, **kwargs)
-        except SnapshotConflict:
+        except (SnapshotConflict, StagedCommitVacuumed):
             attempt += 1
             if attempt > max_retries:
                 raise
@@ -678,7 +735,8 @@ def snap_prune_files(
         if version is None:
             raise FileNotFoundError(f"no committed version in {root}")
     m = _read_manifest(root, version)
-    lo, hi = _json_stat(lo), _json_stat(hi)
+    # probe window widens directionally too (Decimal-safe, no-op otherwise)
+    lo, hi = _json_stat(lo, direction=-1), _json_stat(hi, direction=1)
     stats = m.get("file_stats", {})
     kept = []
     for f in m["files"]:
@@ -752,7 +810,10 @@ def _prune_files_eq_m(m: dict, col: str, value) -> list[str]:
     min/max comparison that raises on mixed types degrades to keep —
     the residual filter is always the semantics."""
     canon = _canonical_eq_value(m["schema"], col, value)
-    v = _json_stat(canon if canon is not None else value)
+    probe = canon if canon is not None else value
+    # Decimal probes widen to a [v_lo, v_hi] float window so the min/max
+    # test can never falsely drop; identical values otherwise.
+    v_lo, v_hi = _json_stat(probe, direction=-1), _json_stat(probe, direction=1)
     stats = m.get("file_stats", {})
     blooms = m.get("file_blooms", {})
     meta = m.get("bloom_meta", {}).get(col)
@@ -766,7 +827,7 @@ def _prune_files_eq_m(m: dict, col: str, value) -> list[str]:
         mm = stats.get(f, {}).get(col)
         if mm is not None and mm[0] is not None and mm[1] is not None:
             try:
-                if mm[0] > v or mm[1] < v:
+                if mm[0] > v_hi or mm[1] < v_lo:
                     continue
             except TypeError:
                 pass  # incomparable probe vs recorded stats: keep
@@ -971,7 +1032,7 @@ def snap_versions(root: str) -> list[int]:
 
 
 def snap_vacuum(
-    root: str, keep_last: int = 1, staged_grace_minutes: float = 15.0
+    root: str, keep_last: int = 1, staged_grace_minutes: float = 60.0
 ) -> int:
     """Drop manifests older than the last ``keep_last`` versions and
     delete every data file (and empty commit dir) no retained manifest
@@ -987,10 +1048,15 @@ def snap_vacuum(
     ``commit-<version>-*`` open across its stats/bloom jobs (minutes on
     a large commit). Vacuum protects both by the same rule: a staging
     dir (w-/s- prefixed, or a helper dir whose encoded version is AHEAD
-    of CURRENT — i.e. not yet published) keeps files younger than
-    ``staged_grace_minutes``; older ones are crashed-writer garbage.
-    Helper dirs at-or-below CURRENT are published lineage and collect
-    immediately."""
+    of CURRENT — i.e. not yet published) is kept WHOLE while its most
+    recent entry (any file — writers refresh a ``_heartbeat`` marker
+    between long stats/bloom jobs) is younger than
+    ``staged_grace_minutes``; a dir silent for longer is crashed-writer
+    garbage. Grace from LAST ACTIVITY (not per-file age) means a commit
+    whose data landed early but is still collecting stats cannot lose
+    files mid-flight; ``_publish_commit`` additionally re-verifies file
+    existence before the manifest write as a last resort. Helper dirs
+    at-or-below CURRENT are published lineage and collect immediately."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     import time
@@ -1014,12 +1080,24 @@ def snap_vacuum(
                     staged = current is None or encoded_v > current
                 except ValueError:
                     staged = True  # unrecognized dir name: be safe
+            if staged:
+                # dir-level last-activity clock: one fresh entry (data file
+                # or _heartbeat) keeps the WHOLE staged dir — an in-flight
+                # commit must never lose early files while later jobs run
+                try:
+                    entries = os.listdir(d)
+                    last_activity = max(
+                        (os.path.getmtime(os.path.join(d, f)) for f in entries),
+                        default=os.path.getmtime(d),
+                    )
+                except OSError:
+                    continue  # raced with the writer itself: keep
+                if last_activity > cutoff:
+                    continue
             for f in list(os.listdir(d)):
                 p = os.path.join(d, f)
                 if p in referenced:
                     continue
-                if staged and os.path.getmtime(p) > cutoff:
-                    continue  # possibly an in-flight writer: keep
                 if f.endswith(".parquet"):
                     removed += 1
                 os.remove(p)
