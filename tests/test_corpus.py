@@ -447,7 +447,9 @@ def test_streaming_weighted_sample_equals_batch(spark, sf_dir, tmp_path):
     batches = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
     for i, b in enumerate(batches):
         sink(b, i)
-        assert spark.read.parquet(state).count() <= 50
+        from wsspark.statestore import AtomicStateStore
+
+        assert AtomicStateStore(state).read(spark).count() <= 50
 
     want = sorted(
         (r.doc_id, r.sample_key, r.sample_rank)

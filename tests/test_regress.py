@@ -88,7 +88,9 @@ def test_streaming_trend_equals_batch_and_replay_noop(spark, sf_dir, tmp_path):
     sink(batches[0], 0)  # older-batch replay
     assert sorted(map(tuple, sink.fit(spark).collect())) == want
     # state is group-sized
-    assert spark.read.parquet(state).count() == 7
+    from wsspark.statestore import AtomicStateStore
+
+    assert AtomicStateStore(state).read(spark).count() == 7
 
 
 def test_group_corr_planted_correlations(spark):

@@ -147,7 +147,7 @@ def test_snapshot_maintainer_upsert_and_audit(spark, tmp_path):
 
     snap = {
         (r["product_id"], r["warehouse_id"]): r["quantity_on_hand"]
-        for r in spark.read.parquet(maintainer.snapshot_path).collect()
+        for r in maintainer.snapshot().collect()
     }
     assert snap == {(1, 1): 60, (1, 2): 50, (2, 1): 10, (3, 1): 7}
 
@@ -302,7 +302,7 @@ def test_snapshot_maintainer_replay_is_idempotent(spark, tmp_path):
 
     snap = {
         (r["product_id"], r["warehouse_id"]): r["quantity_on_hand"]
-        for r in spark.read.parquet(m.snapshot_path).collect()
+        for r in m.snapshot().collect()
     }
     assert snap == {(1, 1): 100, (2, 1): 10}  # not 200/20
     assert spark.read.parquet(m.audit_path).count() == 2  # one row per key
@@ -311,7 +311,7 @@ def test_snapshot_maintainer_replay_is_idempotent(spark, tmp_path):
     m.process_batch(spark.createDataFrame([(1, 1, -40)], schema), 1)
     snap = {
         (r["product_id"], r["warehouse_id"]): r["quantity_on_hand"]
-        for r in spark.read.parquet(m.snapshot_path).collect()
+        for r in m.snapshot().collect()
     }
     assert snap[(1, 1)] == 60
     # no leftover staging directories

@@ -191,7 +191,7 @@ def test_streaming_bloom_ngram_index_across_batches(spark, tmp_path):
     }
     # batch 1: nothing seen before (docs share no 5-gram)
     assert p1[1][1] == 0 and p1[2][1] == 0 and p1[1][0] > 0
-    state1 = spark.read.parquet(idx.bloom_path).count()
+    state1 = idx.bloom_state().count()
 
     # batch 2: doc 3 repeats BASE verbatim (every window seen via the
     # bloom), doc 4 is fresh content (nothing seen)
@@ -209,7 +209,7 @@ def test_streaming_bloom_ngram_index_across_batches(spark, tmp_path):
     assert p2[4][1] == 0, "fresh content falsely flagged (fp at this size?)"
     # constant state: one bitmap frame, bounded by n_bits/63 words, and
     # NOT growing with corpus content (supersets batch-1 words only)
-    state2 = spark.read.parquet(idx.bloom_path).count()
+    state2 = idx.bloom_state().count()
     assert state2 <= (1 << 16) // 63 + 1
     assert state2 >= state1
 
@@ -227,14 +227,14 @@ def test_streaming_bloom_ngram_replay_is_idempotent(spark, tmp_path):
         map(tuple, spark.read.parquet(idx.profiles_path).collect())
     )
     before_s = sorted(
-        map(tuple, spark.read.parquet(idx.bloom_path).collect())
+        map(tuple, idx.bloom_state().collect())
     )
     idx.process_batch(batch, 0)  # replay
     assert sorted(
         map(tuple, spark.read.parquet(idx.profiles_path).collect())
     ) == before_p
     assert sorted(
-        map(tuple, spark.read.parquet(idx.bloom_path).collect())
+        map(tuple, idx.bloom_state().collect())
     ) == before_s
     # and the within-batch arrival order: doc 2 (later) is fully seen
     p = {r.doc_id: r for r in spark.read.parquet(idx.profiles_path).collect()}
@@ -363,7 +363,7 @@ def test_streaming_cms_matches_batch_sketch_and_truth(spark, tmp_path):
         (r.depth, r.bucket): r.cnt
         for r in cms.cms_sketch(df_all, "key", width=512, depth=4).collect()
     }
-    got_sketch = spark.read.parquet(counter.sketch_path)
+    got_sketch = counter.sketch()
     got = {(r.depth, r.bucket): r.cnt for r in got_sketch.collect()}
     assert got == want
     assert got_sketch.count() <= 512 * 4
@@ -396,12 +396,12 @@ def test_streaming_cms_replay_and_empty_store(spark, tmp_path):
     counter.process_batch(df, 0)
     once = {
         (r.depth, r.bucket): r.cnt
-        for r in spark.read.parquet(counter.sketch_path).collect()
+        for r in counter.sketch().collect()
     }
     counter.process_batch(df, 0)  # replay must not double-count
     again = {
         (r.depth, r.bucket): r.cnt
-        for r in spark.read.parquet(counter.sketch_path).collect()
+        for r in counter.sketch().collect()
     }
     assert once == again
     est = {r.key: r.est for r in counter.estimate(keys).collect()}

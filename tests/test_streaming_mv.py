@@ -36,7 +36,9 @@ def batches(spark):
 
 
 def state_rows(spark, store):
-    df = spark.read.parquet(os.path.join(store, "mv"))
+    from wsspark.statestore import AtomicStateStore
+
+    df = AtomicStateStore(os.path.join(store, "mv")).read(spark)
     return sorted(tuple(r) for r in df.collect())
 
 
@@ -83,7 +85,7 @@ def test_max_is_maintained_across_out_of_order_batches(spark, tmp_path):
     m.process_batch(
         mk_batch(spark, [(1, 10, 2, 3, 1)]), 1  # march (late arrival)
     )
-    df = spark.read.parquet(os.path.join(store, "mv"))
+    df = m.mv()
     row = df.filter(F.col("product_id") == 1).first()
     assert row.last_movement_at == dt.datetime(2001, 6, 15)
     assert row.n_movements == 2 and row.net_qty == 7

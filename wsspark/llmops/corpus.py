@@ -417,27 +417,34 @@ class StreamingWeightedSample:
         self.max_weight = max_weight
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from wsspark.statestore import AtomicStateStore
 
+        store = AtomicStateStore(self.state_path)
+        if batch_id <= store.last_batch():
+            return  # replay: max-key top-k is idempotent, skip the jobs
         spark = batch_df.sparkSession
         keys = _aes_keys(
             batch_df, self.weight_col, self.id_col, self.max_weight
         )
-        if os.path.exists(self.state_path):
-            keys = spark.read.parquet(self.state_path).unionByName(keys)
+        state = store.read(spark)
+        if state is not None:
+            keys = state.unionByName(keys)
         merged = (
             keys.groupBy(self.id_col)
             .agg(F.max("sample_key").alias("sample_key"))
             .orderBy(F.desc("sample_key"), self.id_col)
             .limit(self.k)
         )
-        # stage-then-swap so a crashed batch never half-writes the state
-        tmp = self.state_path + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.state_path)
+        # versioned commit + atomic pointer flip (a crashed overwrite
+        # "swap" would have lost the whole reservoir)
+        store.commit(merged, batch_id)
 
     def sample(self, spark) -> DataFrame:
-        state = spark.read.parquet(self.state_path)
+        from wsspark.statestore import AtomicStateStore
+
+        state = AtomicStateStore(self.state_path).read(spark)
+        if state is None:
+            raise FileNotFoundError(f"no committed state in {self.state_path}")
         return state.select(
             self.id_col,
             "sample_key",

@@ -106,8 +106,11 @@ class StreamingKmvSketch:
         self.k = k
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from wsspark.statestore import AtomicStateStore
 
+        store = AtomicStateStore(self.state_path)
+        if batch_id <= store.last_batch():
+            return  # replay (harmless for min-k, but skip the wasted jobs)
         spark = batch_df.sparkSession
         hashed = (
             batch_df.select(
@@ -119,8 +122,8 @@ class StreamingKmvSketch:
             )
             .distinct()
         )
-        if os.path.exists(self.state_path):
-            state = spark.read.parquet(self.state_path)
+        state = store.read(spark)
+        if state is not None:
             merged = kmv_merge_state(state, hashed, self.group_cols, self.k)
         else:
             w = Window.partitionBy(*self.group_cols).orderBy("_h")
@@ -129,14 +132,17 @@ class StreamingKmvSketch:
                 .filter(F.col("_r") <= self.k)
                 .drop("_r")
             )
-        # stage-then-swap so a crashed batch never half-writes the state
-        tmp = self.state_path + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.state_path)
+        # versioned commit + atomic pointer flip: a crash at any instant
+        # leaves the complete previous state readable (the old overwrite
+        # "swap" deleted the store before rewriting it)
+        store.commit(merged, batch_id)
 
     def sketch(self, spark) -> DataFrame:
-        state = spark.read.parquet(self.state_path)
+        from wsspark.statestore import AtomicStateStore
+
+        state = AtomicStateStore(self.state_path).read(spark)
+        if state is None:
+            raise FileNotFoundError(f"no committed state in {self.state_path}")
         return state.groupBy(*self.group_cols).agg(
             F.count("*").alias("n_seen"),
             F.max("_h").alias("kth_hash"),

@@ -95,10 +95,11 @@ class StreamingGroupTrend:
     Unlike the set-semantics streaming members (bloom bit-OR, KMV
     bottom-k, A-ES top-k), sums are NOT idempotent — a replayed batch
     would double-count. Exactly-once therefore rides on the batch-id
-    tag (the ``snap_sink`` contract): the max merged batch_id is stored
-    WITH the state, and foreachBatch replays (same or older id) are
-    no-ops. Structured Streaming guarantees replayed batches keep their
-    ids, so restart-from-checkpoint is safe.
+    cursor (the ``snap_sink`` contract), committed ATOMICALLY with the
+    state by ``AtomicStateStore`` — one pointer flip advances both, so
+    no crash instant exists where a replay could re-merge into already
+    updated sums. Structured Streaming guarantees replayed batches keep
+    their ids, so restart-from-checkpoint is safe.
 
         q = (stream.writeStream
                .foreachBatch(StreamingGroupTrend(path, "month_x",
@@ -123,41 +124,32 @@ class StreamingGroupTrend:
         self.min_points = min_points
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from wsspark.statestore import AtomicStateStore
 
+        store = AtomicStateStore(self.state_path)
+        if batch_id <= store.last_batch():
+            return  # replay: already merged, adding again would double-count
         spark = batch_df.sparkSession
-        stats = _suff_stats(
-            batch_df, self.x_col, self.y_col, self.group_cols
-        ).withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
-        if os.path.exists(self.state_path):
-            state = spark.read.parquet(self.state_path)
-            last = state.agg(F.max("_batch_id")).collect()[0][0]
-            if last is not None and batch_id <= last:
-                return  # replay: already merged, adding again would double-count
+        stats = _suff_stats(batch_df, self.x_col, self.y_col, self.group_cols)
+        state = store.read(spark)
+        if state is not None:
             stats = state.unionByName(stats)
-        merged = (
-            stats.groupBy(*self.group_cols)
-            .agg(
-                F.sum("n_points").alias("n_points"),
-                F.sum("_sx").alias("_sx"),
-                F.sum("_sy").alias("_sy"),
-                F.sum("_sxy").alias("_sxy"),
-                F.sum("_sxx").alias("_sxx"),
-                F.max("_batch_id").alias("_b"),
-            )
-            .withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
-            .drop("_b")
+        merged = stats.groupBy(*self.group_cols).agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("_sx").alias("_sx"),
+            F.sum("_sy").alias("_sy"),
+            F.sum("_sxy").alias("_sxy"),
+            F.sum("_sxx").alias("_sxx"),
         )
-        tmp = self.state_path + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.state_path)
+        store.commit(merged, batch_id)
 
     def fit(self, spark) -> DataFrame:
-        return _fit_from_stats(
-            spark.read.parquet(self.state_path),
-            self.group_cols,
-            self.min_points,
-        )
+        from wsspark.statestore import AtomicStateStore
+
+        state = AtomicStateStore(self.state_path).read(spark)
+        if state is None:
+            raise FileNotFoundError(f"no committed state in {self.state_path}")
+        return _fit_from_stats(state, self.group_cols, self.min_points)
 
 
 def group_corr(

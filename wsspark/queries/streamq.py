@@ -279,7 +279,7 @@ def q_streaming_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("snapshot upsert stream did not finish within 300s")
-    return spark.read.parquet(os.path.join(store, "snapshot"))
+    return maintainer.snapshot()
 
 
 STREAMING_SNAPSHOT_SQL = """
@@ -508,7 +508,7 @@ def q_streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("MV refresh stream did not finish within 300s")
-    mv = spark.read.parquet(os.path.join(store, "mv"))
+    mv = maintainer.mv()
     return mv.select(
         "warehouse_id",
         "product_id",

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from wsspark.io import configure_timestamp_reads, convert_ns_timestamp
 from wsspark.ops.audit import snapshot_diff
 from wsspark.ops.functions import apply_movements
+from wsspark.statestore import AtomicStateStore
 
 
 def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -53,13 +54,18 @@ def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 class _BatchLog:
-    """Driver-local commit log for foreachBatch sinks: records the last
-    applied batch_id so a replayed micro-batch (at-least-once delivery after
-    a crash between the sink write and the checkpoint commit) is skipped
-    instead of double-applied. The file-swap is atomic (os.replace). On a
-    real deployment against object storage this role is played by a
-    transactional table format's log (e.g. Delta); parquet + marker file is
-    the dependency-free local equivalent."""
+    """Driver-local commit log for foreachBatch sinks whose per-batch
+    writes are IDEMPOTENT (each batch overwrites its own
+    ``batch_id=<N>`` partition dir): records the last applied batch_id so
+    a replayed micro-batch (at-least-once delivery after a crash between
+    the sink write and the checkpoint commit) is skipped. The file-swap
+    is atomic (os.replace). Sinks that MERGE into a single accumulated
+    store must NOT use this (a crash between store write and log commit
+    re-applies the batch to updated state) — they use
+    ``wsspark.statestore.AtomicStateStore``, which commits the cursor and
+    the state in one pointer flip. On a real deployment both roles are
+    played by a transactional table format's log (the repo's snapstore
+    ``tag``)."""
 
     def __init__(self, store_dir: str) -> None:
         self.path = os.path.join(store_dir, "_last_batch")
@@ -305,10 +311,14 @@ class SnapshotMaintainer:
         self.audit_path = os.path.join(store_dir, "audit_log")
         self.keys = keys
         self.qty_col = qty_col
-        self._log = _BatchLog(store_dir)
+        self._state = AtomicStateStore(self.snapshot_path)
+
+    def snapshot(self) -> DataFrame:
+        """The committed snapshot (typed-empty before the first commit)."""
+        return self._read_snapshot()
 
     def _read_snapshot(self) -> DataFrame:
-        df = _read_parquet_or_none(self.spark, self.snapshot_path)
+        df = self._state.read(self.spark)
         if df is not None:
             return df
         fields = [T.StructField(k, T.LongType()) for k in self.keys]
@@ -319,28 +329,22 @@ class SnapshotMaintainer:
         # foreachBatch is at-least-once: a crash between the sink write and
         # the checkpoint commit replays the same batch_id. Skip it — the
         # movement delta must not be double-applied to the running snapshot.
-        if batch_id <= self._log.last_applied():
+        # The cursor is committed ATOMICALLY with the snapshot itself
+        # (AtomicStateStore pointer flip), so no crash instant exists where
+        # a replay sees the updated snapshot with a stale cursor.
+        if batch_id <= self._state.last_batch():
             return
         old = self._read_snapshot()
         new = apply_movements(old, batch, self.keys, self.qty_col)
         audit = snapshot_diff(old, new, self.keys)
         # Per-batch audit partition dir, overwrite mode: a replay of a
-        # PARTIALLY-applied batch (crash mid-process_batch, before the commit
-        # marker) rewrites the same directory instead of appending duplicate
-        # audit rows. Partition discovery restores batch_id as a column.
+        # PARTIALLY-applied batch (crash mid-process_batch, before the
+        # snapshot commit) rewrites the same directory instead of appending
+        # duplicate audit rows. Partition discovery restores batch_id.
         audit.write.mode("overwrite").parquet(
             os.path.join(self.audit_path, f"batch_id={batch_id}")
         )
-        # Stage-then-swap: parquet sinks aren't transactional, so write the
-        # new version beside the old and move it into place.
-        tmp = self.snapshot_path + f"._v{batch_id}"
-        new.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.snapshot_path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._log.commit(batch_id)
+        self._state.commit(new, batch_id)
 
     def attach(self, movements: DataFrame, checkpoint_dir: str):
         """Wire the maintainer to a movement stream; returns the query."""
@@ -846,13 +850,17 @@ class StreamingBloomNgramIndex:
         self.n = n
         self.n_bits = n_bits
         self.k = k
-        self._log = _BatchLog(store_dir)
+        self._state = AtomicStateStore(self.bloom_path)
+
+    def bloom_state(self) -> DataFrame | None:
+        """The committed bitmap frame (word_idx, bits), None before any."""
+        return self._state.read(self.spark)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from wsspark.llmops import bloom
         from wsspark.llmops.textstats import _gram_positions
 
-        if batch_id <= self._log.last_applied():
+        if batch_id <= self._state.last_batch():
             return
         docs = batch.repartition(
             self.spark.sparkContext.defaultParallelism, "doc_id"
@@ -861,7 +869,7 @@ class StreamingBloomNgramIndex:
         # exact within-batch "an earlier doc contains this gram"
         first = g.groupBy("gram_key").agg(F.min("doc_id").alias("_first_doc"))
         flagged = g.join(first, "gram_key")
-        history = _read_parquet_or_none(self.spark, self.bloom_path)
+        history = self.bloom_state()
         if history is not None:
             flagged = bloom.with_bloom_test(
                 flagged, "gram_key", history, self.n_bits, self.k,
@@ -908,15 +916,7 @@ class StreamingBloomNgramIndex:
             .groupBy("word_idx")
             .agg(F.bit_or("bits").alias("bits"))
         )
-        tmp = self.bloom_path + f"._v{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            self.bloom_path
-        )
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._log.commit(batch_id)
+        self._state.commit(merged, batch_id)
 
     def attach(self, docs: DataFrame, checkpoint_dir: str):
         return (
@@ -959,32 +959,30 @@ class StreamingCmsCounter:
         self.width = width
         self.depth = depth
         self.weight_col = weight_col
-        self._log = _BatchLog(store_dir)
+        self._state = AtomicStateStore(self.sketch_path)
+
+    def sketch(self) -> DataFrame | None:
+        """The committed sketch frame, None before the first commit."""
+        return self._state.read(self.spark)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from wsspark.llmops import cms
 
-        if batch_id <= self._log.last_applied():
+        # counters are ADDITIVE — a replay would double-count, so the
+        # cursor committed atomically with the sketch is the guard
+        if batch_id <= self._state.last_batch():
             return
         batch_sk = cms.cms_sketch(
             batch, self.key_col, self.width, self.depth, self.weight_col
         )
-        history = _read_parquet_or_none(self.spark, self.sketch_path)
+        history = self.sketch()
         merged = batch_sk if history is None else cms.cms_merge(batch_sk, history)
-        tmp = self.sketch_path + f"._v{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            self.sketch_path
-        )
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._log.commit(batch_id)
+        self._state.commit(merged, batch_id)
 
     def estimate(self, keys: DataFrame) -> DataFrame:
         from wsspark.llmops import cms
 
-        history = _read_parquet_or_none(self.spark, self.sketch_path)
+        history = self.sketch()
         if history is None:
             return keys.select(self.key_col).distinct().withColumn(
                 "est", F.lit(0).cast("long")
@@ -1008,9 +1006,10 @@ class StreamingMVMaintainer:
     aggregated (movement_mv over just the batch) and merged by key into a
     kept parquet MV store (merge_mv), so view freshness costs O(batch),
     never O(history). Mirrors SnapshotMaintainer's durability contract:
-    batch-id-idempotent apply log (at-least-once foreachBatch replays are
-    skipped), stage-then-swap store writes (parquet isn't transactional),
-    and a fresh store bootstraps from an empty typed frame.
+    batch-id cursor committed atomically WITH the store (the MV merge is
+    additive — a replay would double-count, so the cursor and the state
+    must advance in one pointer flip: AtomicStateStore), and a fresh
+    store bootstraps from an empty typed frame.
 
     At 100 TB the store lives bucketed on the MV keys
     (io.write_bucketed_table) so the merge shuffles only the batch's
@@ -1024,10 +1023,14 @@ class StreamingMVMaintainer:
     ) -> None:
         self.spark = spark
         self.mv_path = os.path.join(store_dir, "mv")
-        self._log = _BatchLog(store_dir)
+        self._state = AtomicStateStore(self.mv_path)
+
+    def mv(self) -> DataFrame:
+        """The committed MV frame (typed-empty before the first commit)."""
+        return self._read_mv()
 
     def _read_mv(self) -> DataFrame:
-        df = _read_parquet_or_none(self.spark, self.mv_path)
+        df = self._state.read(self.spark)
         if df is not None:
             return df
         return self.spark.createDataFrame(
@@ -1046,19 +1049,11 @@ class StreamingMVMaintainer:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from wsspark.ops.incremental import merge_mv, movement_mv
 
-        if batch_id <= self._log.last_applied():
+        if batch_id <= self._state.last_batch():
             return
         delta = movement_mv(batch)
         new = merge_mv(self._read_mv(), delta).drop("avg_qty")
-        tmp = self.mv_path + f"._v{batch_id}"
-        new.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            self.mv_path
-        )
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._log.commit(batch_id)
+        self._state.commit(new, batch_id)
 
     def attach(self, movements: DataFrame, checkpoint_dir: str):
         return (
