@@ -166,3 +166,28 @@ def test_shortest_paths_rejects_bad_weights_and_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError):
         shortest_paths(chain, 0, max_iter=3)
+
+
+def test_triangle_stats_rejects_unpackable_node_ids(spark):
+    """Node ids outside [0, 2^31) would silently break the packed
+    (deg, id) total-order key; the eager bounds check raises instead
+    (r9 advice)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wsspark.ops.graph import triangle_stats
+
+    big = spark.createDataFrame(
+        [(1, 1 << 31), (1 << 31, 2)], "s long, d long"
+    )
+    with pytest.raises(ValueError, match="2\\^31"):
+        triangle_stats(big, "s", "d")
+    neg = spark.createDataFrame([(-1, 2), (2, 3)], "s long, d long")
+    with pytest.raises(ValueError, match="remap"):
+        triangle_stats(neg, "s", "d")
+    # boundary: max legal id still works
+    ok = spark.createDataFrame(
+        [(0, (1 << 31) - 1), ((1 << 31) - 1, 1), (1, 0)], "s long, d long"
+    )
+    row = triangle_stats(ok, "s", "d").collect()[0]
+    assert row.n_triangles == 1

@@ -170,7 +170,22 @@ def triangle_stats(
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    # total order key: degree-major, id-minor (ids < 2^31)
+    # total order key: degree-major, id-minor. Packing into one long
+    # requires 0 <= node < 2^31 — a violation would silently break the
+    # key's injectivity/order and corrupt the triangle count, so enforce
+    # it eagerly with one cheap node-frame aggregate (the bloom bitmap-
+    # size validation pattern) instead of leaving it as a comment.
+    bounds = deg.agg(
+        F.min("node").alias("lo"), F.max("node").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is not None and (
+        bounds["lo"] < 0 or bounds["hi"] >= (1 << 31)
+    ):
+        raise ValueError(
+            f"triangle_stats requires node ids in [0, 2^31); got "
+            f"[{bounds['lo']}, {bounds['hi']}] — remap ids (e.g. "
+            "zipWithIndex / dense_rank) before calling"
+        )
     key = (F.col("deg").cast("long") * F.lit(1 << 31) + F.col("node")).alias(
         "k"
     )
