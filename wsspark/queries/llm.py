@@ -2053,6 +2053,25 @@ ORDER BY lang
 
 LOOKUP_ORDERKEYS = (1, 3, 100)
 
+# The snapstore driver queries must outlive their tempdir store, so they
+# materialize the result to the driver before deleting it. That is safe
+# only while the result stays oracle-gate-sized — cap it so an sf bump
+# can never silently turn the pattern into a fact-sized driver collect.
+SNAPSTORE_RESULT_CAP = 1_000_000
+
+
+def _collect_capped(out, cap: int = SNAPSTORE_RESULT_CAP):
+    """collect() with an explicit ceiling: limit(cap+1) bounds the driver
+    transfer even when the check fails, and overflowing raises instead of
+    OOMing the driver."""
+    rows = out.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"snapstore driver query result exceeds the {cap}-row driver "
+            "materialization cap — rescope the query or stream the result"
+        )
+    return rows
+
 
 def q_snapstore_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The table format under the driver hash gate: commit lineitem into
@@ -2079,8 +2098,8 @@ def q_snapstore_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ss.snap_read_where_in(
             spark, root, "l_orderkey", list(LOOKUP_ORDERKEYS)
         )
-        # materialize before the store is deleted
-        rows = out.collect()
+        # materialize before the store is deleted (capped: see above)
+        rows = _collect_capped(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
@@ -2127,7 +2146,7 @@ def q_snapstore_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, delta, on=["l_orderkey", "l_linenumber"]
         )
         out = ss.snap_read(spark, root)
-        rows = out.collect()
+        rows = _collect_capped(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
@@ -2151,6 +2170,62 @@ WHERE NOT EXISTS (
     SELECT 1 FROM src s
     WHERE s.l_orderkey = b.l_orderkey AND s.l_linenumber = b.l_linenumber
 )
+"""
+
+
+def q_snapstore_cdc_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between versions under the driver hash gate: commit a lineitem
+    projection as the base snapshot (v0), append two deltas (v1, v2),
+    then read the change span (0, 2] with ``snap_read_changes`` — the
+    manifest file-list difference, no watermark column, no resident-data
+    scan. The twin is the deltas' plain relational union, so a CDC
+    defect — leaked base rows, a dropped delta file, rows attributed to
+    the wrong version — goes red on row hashes. Driver-grade evidence
+    for the feed that ``snapstore_mv_refresh`` (ops/incremental.py)
+    consumes: an unhashed CDC defect would corrupt MVs downstream.
+
+    Reference scope: the reference reloads the full warehouse each run
+    (etl/config/config.yaml --load_type full|incremental via a timestamp
+    watermark); version-diff CDC is what that becomes when the store
+    itself records lineage."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"]
+    li = read_table(spark, sf_dir, "lineitem").select(*cols)
+    root = tempfile.mkdtemp(prefix="snapcdc-")
+    try:
+        ss.snap_commit(
+            li.filter(F.col("l_linenumber") <= 2).repartition(4, "l_orderkey"),
+            root,
+        )
+        ss.snap_commit(
+            li.filter(F.col("l_linenumber").isin(3, 4)).repartition(
+                4, "l_orderkey"
+            ),
+            root,
+            mode="append",
+        )
+        ss.snap_commit(
+            li.filter(F.col("l_linenumber") >= 5).repartition(
+                4, "l_orderkey"
+            ),
+            root,
+            mode="append",
+        )
+        out = ss.snap_read_changes(spark, root, since=0, until=2)
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_CDC_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+WHERE l_linenumber >= 3
 """
 
 
@@ -3261,6 +3336,12 @@ FOLDED_QUERIES = [
     Query("snapstore_merge_upsert", q_snapstore_merge_upsert,
           SNAPSTORE_MERGE_SQL,
           "copy-on-write MERGE (update+insert) through the table format"),
+    # Born folded (r10): version-span CDC through the table format — the
+    # manifest file-diff read must row-hash-match the deltas' union (the
+    # feed snapstore_mv_refresh consumes; an unhashed CDC defect would
+    # corrupt MVs downstream).
+    Query("snapstore_cdc_span", q_snapstore_cdc_span, SNAPSTORE_CDC_SQL,
+          "version-diff CDC read through the snapshot store"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,
