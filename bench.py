@@ -81,7 +81,7 @@ HEADLINE = {
     # value is candidate pruning (prefix + positional + length filters),
     # so a filter regression multiplies wall time while CORRECTNESS stays
     # green (the result set is unchanged, just computed the slow way).
-    # exact_quantiles is the 5-pass radix-bisection selection — a pass
+    # exact_quantiles is the 4-pass radix-bisection selection — a pass
     # regression (e.g. a lost map-side combine) shows up only here.
     "q27_prefix_jaccard": "prefix_jaccard_pairs",
     "q28_exact_quantiles": "exact_price_quantiles",

@@ -15,10 +15,12 @@ flipped). The kth key is located 16 bits at a time: each pass
 histograms the CURRENT candidate range into 2^16 buckets per group
 (one groupBy, map-side combinable), the driver walks the <= 65536
 cumulative counts to pick the bucket containing rank k, and the next
-pass descends into it. Four passes pin all 64 bits; a fifth initial
-pass computes group counts to turn fractions into ranks. Multiple
+pass descends into it. Four passes pin all 64 bits, and group counts
+(fractions -> ranks) are FUSED into the first: the shift-48 pass has
+no path filter, so each group's count is just its bucket sums —
+collected once, used for both ranks and the first descent. Multiple
 groups and multiple fractions ride the SAME passes (their bucket paths
-diverge via a broadcast state join), so the total cost is 5 scans of
+diverge via a broadcast state join), so the total cost is 4 scans of
 the fact regardless of how many quantiles are requested.
 
 100 TB shape: the fact is never shuffled — every pass reduces to
@@ -106,27 +108,14 @@ def exact_group_quantiles(
     )
     base = df.select(*gcols, key).filter(F.col("_k").isNotNull())
 
-    # pass 0: group counts -> ranks (ceil(f*n), clamped to >= 1). The
-    # driver keys all state by the COLLECTED Row value tuples — both this
-    # and every histogram pass deserialize through the same Py4J path, so
-    # the keys agree by construction (never re-derived, never stringified).
-    counts = base.groupBy(*gcols).agg(F.count("*").alias("_n")).collect()
-    if not counts:
-        return spark.createDataFrame(
-            [], base.drop("_k").schema.add("fraction", "double").add("value", "double")
-        )
-    if len(counts) * len(fractions) > max_group_paths:
-        raise ValueError(
-            f"exact_group_quantiles: {len(counts)} groups x {len(fractions)} "
-            f"fractions = {len(counts) * len(fractions)} live driver paths "
-            f"exceeds max_group_paths={max_group_paths}; reduce group "
-            "cardinality or use percentile_approx"
-        )
-    # driver state: group value tuple -> [[fraction, k_remaining, prefix], ...]
+    # FOUR fact scans total: the first histogram pass (shift=48) carries no
+    # path filter, so per-group counts — previously a separate pass 0 — are
+    # just the sum of that pass's bucket counts. Ranks (ceil(f*n), clamped
+    # to >= 1) are derived from the same collect before its bucket walk.
+    # The driver keys all state by the COLLECTED Row value tuples — every
+    # pass deserializes through the same Py4J path, so the keys agree by
+    # construction (never re-derived, never stringified).
     state: dict[tuple, list[list]] = {}
-    for row in counts:
-        g = tuple(row[c] for c in gcols)
-        state[g] = [[f, max(1, math.ceil(f * row["_n"])), 0] for f in fractions]
 
     # broadcast-path schema: the raw group col types + the 16-bit prefix,
     # with renamed fields so the null-safe join condition is unambiguous
@@ -139,13 +128,13 @@ def exact_group_quantiles(
         return tuple((v is None, str(v)) for v in t)
 
     for shift in (48, 32, 16, 0):
-        # one row per live (group, path): distinct prefixes to descend into
-        paths = sorted(
-            {g + (entry[2],) for g in state for entry in state[g]},
-            key=_sortkey,
-        )
         cur = base
         if shift < 48:
+            # one row per live (group, path): prefixes to descend into
+            paths = sorted(
+                {g + (entry[2],) for g in state for entry in state[g]},
+                key=_sortkey,
+            )
             path_df = F.broadcast(spark.createDataFrame(paths, path_schema))
             cond = F.shiftrightunsigned("_k", shift + 16) == F.col("prefix")
             for c in gcols:
@@ -169,6 +158,30 @@ def exact_group_quantiles(
         for r in hist:
             g = tuple(r[c] for c in gcols)
             buckets.setdefault((g, r["prefix"]), []).append((r["_b"], r["_c"]))
+        if shift == 48:
+            # fused pass 0: group counts = bucket sums of the unfiltered
+            # first histogram; build ranks, then walk the same buckets
+            if not hist:
+                return spark.createDataFrame(
+                    [],
+                    base.drop("_k")
+                    .schema.add("fraction", "double")
+                    .add("value", "double"),
+                )
+            n_groups = len(buckets)
+            if n_groups * len(fractions) > max_group_paths:
+                raise ValueError(
+                    f"exact_group_quantiles: {n_groups} groups x "
+                    f"{len(fractions)} fractions = "
+                    f"{n_groups * len(fractions)} live driver paths exceeds "
+                    f"max_group_paths={max_group_paths}; reduce group "
+                    "cardinality or use percentile_approx"
+                )
+            for (g, _prefix), bl in buckets.items():
+                n = sum(c for _b, c in bl)
+                state[g] = [
+                    [f, max(1, math.ceil(f * n)), 0] for f in fractions
+                ]
         for g in state:
             for entry in state[g]:
                 f, k, prefix = entry
@@ -225,7 +238,7 @@ def robust_outlier_stats(
     statistics from ``exact_group_quantiles`` (integer-cents domain, so
     the deviations are exact longs and the fence comparison is
     float-deterministic: one IEEE multiply of z against an integer).
-    Cost: 2 x 5 histogram passes + one final count aggregation — 11
+    Cost: 2 x 4 histogram passes + one final count aggregation — 9
     fact scans, zero shuffles of the fact, driver state group-sized.
 
     Returns (group_cols..., median, mad, n_rows, n_outliers,
