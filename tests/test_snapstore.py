@@ -906,3 +906,52 @@ def test_decimal_stats_commit_and_pruning(spark, tmp_path):
         .count()
         == 1
     )
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """snap_optimize(zorder_by=(x, y)) is the OPTIMIZE ZORDER BY of the
+    format: after the clustered rewrite, manifest min/max stats prune
+    range reads on EITHER column; the random pre-layout prunes ~nothing.
+    Readers pinned to the pre-optimize version are untouched."""
+    root = str(tmp_path / "opt1")
+    n = 20_000
+    df = (
+        spark.range(n)
+        # decorrelated dimensions, written in hash-random order
+        .select(
+            (F.col("id") % 997).alias("x"),
+            ((F.col("id") * 31) % 1009).alias("y"),
+        )
+        .repartition(16)  # random layout: every file spans ~full ranges
+    )
+    ss.snap_commit(df, root, stats_cols=["x", "y"])
+    kept_x0, total0 = ss.snap_prune_files(root, "x", 100, 120)
+    kept_y0, _ = ss.snap_prune_files(root, "y", 100, 120)
+    assert len(kept_x0) == total0 and len(kept_y0) == total0  # no pruning
+
+    v = ss.snap_optimize(spark, root, zorder_by=("x", "y"), n_files=16)
+    kept_x1, total1 = ss.snap_prune_files(root, "x", 100, 120)
+    kept_y1, _ = ss.snap_prune_files(root, "y", 100, 120)
+    assert total1 > 1
+    assert len(kept_x1) < total1 and len(kept_y1) < total1  # both prune
+    # semantics unchanged: same rows, and the pruned read is exact
+    assert ss.snap_read(spark, root, v).count() == n
+    got = ss.snap_read_between(spark, root, "x", 100, 120).count()
+    want = df.filter(F.col("x").between(100, 120)).count()
+    assert got == want
+    # time travel to the pre-optimize version still reads the old layout
+    assert ss.snap_read(spark, root, 0).count() == n
+
+
+def test_optimize_cluster_by_single_column(spark, tmp_path):
+    root = str(tmp_path / "opt2")
+    df = spark.range(10_000).select((F.col("id") % 500).alias("k"), "id")
+    ss.snap_commit(df.repartition(8), root, stats_cols=["k"])
+    ss.snap_optimize(spark, root, cluster_by=["k"], n_files=8)
+    kept, total = ss.snap_prune_files(root, "k", 10, 20)
+    assert total > 1 and len(kept) < total
+    assert ss.snap_read_between(spark, root, "k", 10, 20).count() == 220
+    with pytest.raises(ValueError, match="exactly one"):
+        ss.snap_optimize(spark, root, cluster_by=["k"], zorder_by=("k", "id"))
+    with pytest.raises(ValueError, match="exactly one"):
+        ss.snap_optimize(spark, root)

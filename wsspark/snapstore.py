@@ -1020,6 +1020,91 @@ def snap_compact(
     )
 
 
+def snap_optimize(
+    spark: SparkSession,
+    root: str,
+    target_file_mb: int = 256,
+    cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 14,
+    bloom_k: int = 4,
+    n_files: int | None = None,
+) -> int:
+    """Clustered compaction — the ``OPTIMIZE ... ZORDER BY`` of this table
+    format: one overwrite commit that both bin-packs small files to
+    ~``target_file_mb`` AND lays rows out so the manifest min/max stats
+    actually prune.
+
+    ``cluster_by=[col]`` range-partitions + sorts on one column (that
+    column's stats become tight per file); ``zorder_by=(x, y)`` interleaves
+    two columns on the Morton curve (``layout.zorder_key``) so predicates
+    on EITHER column prune — the multi-dimensional case a single sort
+    cannot serve. The z-key's quantization bounds come from one min/max
+    aggregation over the current snapshot (exact bounds are not required —
+    clamping is safe — but they are free here since we are rewriting
+    anyway). ``stats_cols`` defaults to the clustering columns: recording
+    skipping stats is the entire point of clustering the rewrite.
+
+    Readers stay manifest-pinned through the rewrite (same contract as
+    ``snap_compact``); superseded files retire via ``snap_vacuum``.
+    Measured effect pinned in tests: random layout prunes ~nothing, the
+    optimized layout prunes both dimensions."""
+    if (cluster_by is None) == (zorder_by is None):
+        raise ValueError("pass exactly one of cluster_by / zorder_by")
+    version = snap_current_version(root)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    if n_files is None:
+        m = _read_manifest(root, version)
+        size_bytes = sum(os.path.getsize(f) for f in m["files"])
+        n_files = max(1, -(-size_bytes // (target_file_mb * 1024 * 1024)))
+    df = snap_read(spark, root, version)
+    if zorder_by is not None:
+        from wsspark.layout import zorder_key
+
+        x, y = zorder_by
+        xcol, ycol = F.col(x), F.col(y)
+        if dict(df.dtypes).get(y) in ("timestamp", "timestamp_ntz", "date"):
+            ycol = F.unix_date(ycol.cast("date"))
+        b = df.agg(
+            F.min(xcol).alias("xlo"),
+            F.max(xcol).alias("xhi"),
+            F.min(ycol).alias("ylo"),
+            F.max(ycol).alias("yhi"),
+        ).collect()[0]
+        clustered = (
+            df.withColumn(
+                "_zkey",
+                zorder_key(
+                    xcol,
+                    ycol,
+                    (float(b["xlo"]), float(b["xhi"])),
+                    (float(b["ylo"]), float(b["yhi"])),
+                ),
+            )
+            .repartitionByRange(int(n_files), "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+        default_stats = list(zorder_by)
+    else:
+        clustered = df.repartitionByRange(
+            int(n_files), *[F.col(c) for c in cluster_by]
+        ).sortWithinPartitions(*cluster_by)
+        default_stats = list(cluster_by)
+    return snap_commit(
+        clustered,
+        root,
+        mode="overwrite",
+        stats_cols=list(stats_cols) if stats_cols is not None else default_stats,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
+        bloom_k=bloom_k,
+    )
+
+
 def snap_versions(root: str) -> list[int]:
     try:
         return sorted(
