@@ -138,7 +138,11 @@ def test_connected_components_high_diameter_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], ["doc_a", "doc_b"]
     )
-    rows = dedup.connected_components(pairs, max_iter=10).collect()
+    # force the distributed fixpoint (the adaptive driver path would
+    # otherwise absorb a graph this small)
+    rows = dedup.connected_components(
+        pairs, max_iter=10, driver_threshold=0
+    ).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert len(rows) == 61
 
@@ -150,7 +154,7 @@ def test_connected_components_raises_when_exhausted(spark):
         [(i, i + 1) for i in range(60)], ["doc_a", "doc_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=2)
+        dedup.connected_components(pairs, max_iter=2, driver_threshold=0)
 
 
 def test_lsh_clusters_match_exact_clusters(spark, docs):
@@ -332,3 +336,39 @@ def test_prefix_jaccard_plan_has_no_cartesian(spark, docs):
     plan = plan_of(dedup.prefix_jaccard_join(docs, threshold=0.6))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The adaptive small-graph union-find must produce the identical
+    canonical labeling (and schema) as the distributed hash-to-min
+    fixpoint — on a graph with chains, merges, and isolated-from-pairs
+    shapes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wsspark.llmops.dedup import connected_components
+
+    random.seed(7)
+    edges = [(random.randrange(60), random.randrange(60)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(100 + i, 101 + i) for i in range(20)]  # a chain
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = connected_components(df)  # driver union-find path
+    slow = connected_components(df, driver_threshold=0)  # distributed
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+    # threshold boundary: exactly at the edge count still takes the
+    # driver path and stays correct; one below falls back to distributed
+    n = df.count()
+    at = connected_components(df, driver_threshold=n)
+    below = connected_components(df, driver_threshold=n - 1)
+    assert sorted(map(tuple, at.collect())) == sorted(
+        map(tuple, below.collect())
+    )
+    # empty pair frame: both paths return an empty, correctly-typed frame
+    empty = df.filter(F.lit(False))
+    assert connected_components(empty).count() == 0
+    assert connected_components(empty, driver_threshold=0).count() == 0
