@@ -2229,6 +2229,44 @@ WHERE l_linenumber >= 3
 """
 
 
+def q_snapstore_optimize_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY under the driver hash gate: commit a
+    lineitem projection in hash-random layout, ``snap_optimize`` it onto
+    the (l_partkey, l_quantity) Morton curve, then answer a range read
+    THROUGH the manifest planner (``snap_read_between`` — stats-pruned
+    file set + exact residual). Rows must hash-match the plain SQL filter
+    over the raw parquet, so a clustered-rewrite corruption (lost/dup
+    rows) or a stats false-drop on the rewritten files goes red. The
+    pruning EFFECT (kept < total on both dimensions) is pinned in
+    tests/test_snapstore.py; this query pins the SOUNDNESS."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="snapopt-")
+    try:
+        ss.snap_commit(li.repartition(8), root, stats_cols=["l_partkey"])
+        ss.snap_optimize(
+            spark, root, zorder_by=("l_partkey", "l_quantity"), n_files=8
+        )
+        out = ss.snap_read_between(spark, root, "l_partkey", 100, 300)
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_OPTIMIZE_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 300
+"""
+
+
 SHUFFLE_EPOCH = 3
 SHUFFLE_SHARDS = 8
 
@@ -3342,6 +3380,12 @@ FOLDED_QUERIES = [
     # corrupt MVs downstream).
     Query("snapstore_cdc_span", q_snapstore_cdc_span, SNAPSTORE_CDC_SQL,
           "version-diff CDC read through the snapshot store"),
+    # Born folded (r10): clustered compaction — a z-ordered optimize must
+    # preserve every row and the stats it records must never falsely drop
+    # on the pruned range-read path.
+    Query("snapstore_optimize_read", q_snapstore_optimize_read,
+          SNAPSTORE_OPTIMIZE_SQL,
+          "OPTIMIZE ZORDER roundtrip through the pruned range read"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,
