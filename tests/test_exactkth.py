@@ -69,12 +69,12 @@ def test_nulls_ignored_empty_frame_ok(spark):
 
 
 def test_hostile_group_keys_null_float_delimiter(spark):
-    """The canonical group key is the Spark-computed to_json(struct(...)),
-    never re-derived in Python — groups with NULL components, float group
-    values (Spark CAST and Python str render '1e-07' differently), and
-    values containing the old '\\x1f' delimiter must all stay distinct and
-    resolve exact quantiles (the pre-fix key desynchronized and raised
-    KeyError or silently merged histograms)."""
+    """Group identity rides the raw columns (null-safe joins, driver state
+    keyed by collected Row tuples) — groups with NULL components, float
+    group values (Spark CAST and Python str render '1e-07' differently),
+    and values containing the old '\\x1f' delimiter must all stay distinct
+    and resolve exact quantiles (the pre-fix string key desynchronized and
+    raised KeyError or silently merged histograms)."""
     rows = [
         # multi-col group with NULL in one component, both orders
         ("a", None, 1.0), ("a", None, 3.0),
@@ -170,3 +170,31 @@ def test_robust_outlier_stats_global_no_group(spark):
     r = robust_outlier_stats(df, "v").collect()[0]
     # 12 values 1..11 + 1000: type-1 median = 6, devs sorted -> MAD = 3
     assert r.median == 6.0 and r.mad == 3.0 and r.n_outliers == 1
+
+
+def test_level_skipping_extremes_match_sorted_truth(spark):
+    """Shapes that stress the min/max level-skip logic: a narrow band far
+    from zero (big jumps), heavy ties (all-ties early resolution), and a
+    full-range spread (no skips possible — all four levels walked)."""
+    import random
+
+    random.seed(99)
+    rows = []
+    # narrow band: values in [10_000.00, 10_000.99] -> top ~44 bits common
+    rows += [("band", 10_000.0 + random.randrange(100) / 100) for _ in range(500)]
+    # ties: only 3 distinct values
+    rows += [("ties", float(v)) for v in random.choices([1.0, 2.0, 3.0], k=300)]
+    # full-range: huge positive/negative magnitudes (cents up to ~9e14)
+    rows += [
+        ("wide", random.uniform(-9e12, 9e12)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    fr = (0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    got = {
+        (r.g, r.fraction): r.value
+        for r in exact_group_quantiles(df, "v", fr, ("g",)).collect()
+    }
+    for g in ("band", "ties", "wide"):
+        vals = sorted(round(v * 100) / 100 for gg, v in rows if gg == g)
+        for f in fr:
+            assert got[(g, f)] == pytest.approx(_type1(vals, f), abs=1e-9), (g, f)

@@ -15,13 +15,23 @@ flipped). The kth key is located 16 bits at a time: each pass
 histograms the CURRENT candidate range into 2^16 buckets per group
 (one groupBy, map-side combinable), the driver walks the <= 65536
 cumulative counts to pick the bucket containing rank k, and the next
-pass descends into it. Four passes pin all 64 bits, and group counts
-(fractions -> ranks) are FUSED into the first: the shift-48 pass has
-no path filter, so each group's count is just its bucket sums —
-collected once, used for both ranks and the first descent. Multiple
-groups and multiple fractions ride the SAME passes (their bucket paths
-diverge via a broadcast state join), so the total cost is 4 scans of
-the fact regardless of how many quantiles are requested.
+pass descends into it. Group counts (fractions -> ranks) are FUSED
+into the first pass (it has no path filter, so each group's count is
+just its bucket sums), and every histogram row also carries the
+bucket's exact MIN/MAX key (same shuffle, two extra agg columns),
+which lets the driver SKIP levels: every key in a selected bucket
+shares the bits on which that bucket's min and max agree (the interval
+prefix property), so the next pass descends directly to the first
+16-aligned level below the bits min^max pins — and an all-ties bucket
+(min == max) resolves its paths with no further pass at all. Worst
+case is still 4 scans (64 bits / 16 per pass, strictly descending);
+typical currency-scaled data resolves in 2-3. Paths that jumped ahead
+of the pass's global level sit out a round (their rank is defined
+within their OWN prefix set — joining a coarser pass would rank them
+in a superset) and rejoin when the level reaches them, which cannot
+extend the worst case. Multiple groups and multiple fractions ride the
+SAME passes (their bucket paths diverge via a broadcast state join),
+so the scan count is independent of how many quantiles are requested.
 
 100 TB shape: the fact is never shuffled — every pass reduces to
 per-(group, path, bucket) partial counts merged map-side; driver state
@@ -108,16 +118,39 @@ def exact_group_quantiles(
     )
     base = df.select(*gcols, key).filter(F.col("_k").isNotNull())
 
-    # FOUR fact scans total: the first histogram pass (shift=48) carries no
-    # path filter, so per-group counts — previously a separate pass 0 — are
-    # just the sum of that pass's bucket counts. Ranks (ceil(f*n), clamped
-    # to >= 1) are derived from the same collect before its bucket walk.
+    # Entry state: [fraction, k_within_prefix_set, prefix, shift, value].
+    # (prefix, shift) means "the kth key satisfies key >> shift == prefix",
+    # with k the rank WITHIN that prefix set; value is set when resolved.
     # The driver keys all state by the COLLECTED Row value tuples — every
     # pass deserializes through the same Py4J path, so the keys agree by
     # construction (never re-derived, never stringified).
     state: dict[tuple, list[list]] = {}
+    U64 = (1 << 64) - 1
 
-    # broadcast-path schema: the raw group col types + the 16-bit prefix,
+    def _advance(entry, blist):
+        """Walk one bucket list (sorted by bucket id) to the bucket holding
+        rank k, then fast-forward using the bucket's exact [min, max]: all
+        its keys share the bits where min and max agree, so descend
+        straight to the first 16-aligned level the disagreement pins —
+        or resolve outright when min == max (all ties)."""
+        k = entry[1]
+        cum = 0
+        for b, c, mn, mx in blist:
+            if cum + c >= k:
+                umn, umx = mn & U64, mx & U64
+                if umn == umx:
+                    entry[4] = umn  # every key in the bucket IS the answer
+                    return
+                p = (umn ^ umx).bit_length() - 1
+                new_shift = ((p // 16) + 1) * 16
+                entry[1] = k - cum
+                entry[2] = umn >> new_shift
+                entry[3] = new_shift
+                return
+            cum += c
+        raise AssertionError("rank walked past histogram")  # pragma: no cover
+
+    # broadcast-path schema: the raw group col types + the known prefix,
     # with renamed fields so the null-safe join condition is unambiguous
     path_fields = [
         f"`_p_{c}` {df.schema[c].dataType.simpleString()}" for c in gcols
@@ -127,38 +160,59 @@ def exact_group_quantiles(
     def _sortkey(t):
         return tuple((v is None, str(v)) for v in t)
 
-    for shift in (48, 32, 16, 0):
-        cur = base
-        if shift < 48:
-            # one row per live (group, path): prefixes to descend into
+    first = True
+    for _pass in range(5):  # hard bound; G drops >= 16 per pass from 64
+        if first:
+            G = 64  # virtual: no prefix known yet, no join
+            cur = base.withColumn("prefix", F.lit(0))
+        else:
+            live = [
+                e for entries in state.values() for e in entries if e[4] is None
+            ]
+            if not live:
+                break
+            # the pass level is the LEAST-informed live path's shift; paths
+            # that jumped deeper sit this round out (their k ranks within
+            # their own finer prefix set — a coarser pass would rank them
+            # in a superset) and rejoin when G reaches their level
+            G = max(e[3] for e in live)
             paths = sorted(
-                {g + (entry[2],) for g in state for entry in state[g]},
+                {
+                    g + (e[2],)
+                    for g, entries in state.items()
+                    for e in entries
+                    if e[4] is None and e[3] == G
+                },
                 key=_sortkey,
             )
             path_df = F.broadcast(spark.createDataFrame(paths, path_schema))
-            cond = F.shiftrightunsigned("_k", shift + 16) == F.col("prefix")
+            cond = F.shiftrightunsigned("_k", G) == F.col("prefix")
             for c in gcols:
                 # null-safe: NULL group values are real groups here
                 cond = cond & F.col(c).eqNullSafe(F.col(f"_p_{c}"))
             cur = base.join(path_df, cond)
-        else:
-            cur = cur.withColumn("prefix", F.lit(0))
         hist = (
             cur.groupBy(
                 *gcols,
                 "prefix",
-                (F.shiftrightunsigned("_k", shift).bitwiseAND(F.lit(_MASK16))).alias(
-                    "_b"
-                ),
+                (
+                    F.shiftrightunsigned("_k", G - 16).bitwiseAND(F.lit(_MASK16))
+                ).alias("_b"),
             )
-            .agg(F.count("*").alias("_c"))
+            .agg(
+                F.count("*").alias("_c"),
+                F.min("_k").alias("_mn"),
+                F.max("_k").alias("_mx"),
+            )
             .collect()
         )
         buckets: dict[tuple, list] = {}
         for r in hist:
             g = tuple(r[c] for c in gcols)
-            buckets.setdefault((g, r["prefix"]), []).append((r["_b"], r["_c"]))
-        if shift == 48:
+            buckets.setdefault((g, r["prefix"]), []).append(
+                (r["_b"], r["_c"], r["_mn"], r["_mx"])
+            )
+        if first:
             # fused pass 0: group counts = bucket sums of the unfiltered
             # first histogram; build ranks, then walk the same buckets
             if not hist:
@@ -178,34 +232,30 @@ def exact_group_quantiles(
                     "cardinality or use percentile_approx"
                 )
             for (g, _prefix), bl in buckets.items():
-                n = sum(c for _b, c in bl)
+                n = sum(c for _b, c, _mn, _mx in bl)
                 state[g] = [
-                    [f, max(1, math.ceil(f * n)), 0] for f in fractions
+                    [f, max(1, math.ceil(f * n)), 0, 64, None]
+                    for f in fractions
                 ]
-        for g in state:
-            for entry in state[g]:
-                f, k, prefix = entry
-                cum = 0
-                for b, c in sorted(buckets[(g, prefix)]):
-                    if cum + c >= k:
-                        entry[1] = k - cum
-                        entry[2] = (prefix << 16) | b
-                        break
-                    cum += c
-                else:  # pragma: no cover - rank always lands in a bucket
-                    raise AssertionError("rank walked past histogram")
+            first = False
+        for g, entries in state.items():
+            for entry in entries:
+                if entry[4] is None and entry[3] == G:
+                    _advance(entry, sorted(buckets[(g, entry[2])]))
+    else:  # pragma: no cover - G strictly drops 16 per pass from 64
+        raise AssertionError("radix bisection exceeded its pass bound")
 
-    def _unmap(prefix: int) -> float:
-        # prefix is the unsigned 64-bit pattern of the sign-flipped key:
+    def _unmap(ukey: int) -> float:
+        # ukey is the unsigned 64-bit pattern of the sign-flipped key:
         # flip the top bit back, reinterpret as signed, descale.
-        ucents = prefix ^ (1 << 63)
+        ucents = ukey ^ (1 << 63)
         cents = ucents - (1 << 64) if ucents >= (1 << 63) else ucents
         return cents / scale
 
     out = [
-        g + (f, _unmap(prefix))
+        g + (e[0], _unmap(e[4]))
         for g, entries in state.items()
-        for f, _k, prefix in entries
+        for e in entries
     ]
     return _rows_to_df(spark, df, gcols, out)
 
