@@ -107,9 +107,18 @@ def pagerank(
     )
     ranks = nodes_f.select("node", "_dang", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    # Adaptive join strategy: the rank/contrib frames are node-sized, and
+    # n is already an exact count — below the threshold (~24 B/row, so
+    # 1M nodes ≈ 24 MB) broadcast them so each iteration is a broadcast
+    # hash join against the edge frame instead of an SMJ exchange pair
+    # (AQE can't make this call itself: localCheckpointed frames carry no
+    # usable size stats). Above it, the shuffle path is the right one —
+    # billion-node rank frames must never ride the driver.
+    bcast_nodes = n <= 1_000_000
+    _maybe_b = F.broadcast if bcast_nodes else (lambda d: d)
     for it in range(n_iter):
         contrib = (
-            trans.join(ranks, trans["_src"] == ranks["node"])
+            trans.join(_maybe_b(ranks), trans["_src"] == ranks["node"])
             .groupBy("_dst")
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
         )
@@ -117,7 +126,9 @@ def pagerank(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         ranks = (
-            nodes_f.join(contrib, nodes_f["node"] == contrib["_dst"], "left")
+            nodes_f.join(
+                _maybe_b(contrib), nodes_f["node"] == contrib["_dst"], "left"
+            )
             .crossJoin(dangling)
             .select(
                 "node",
