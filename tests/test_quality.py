@@ -345,3 +345,69 @@ def test_referential_integrity_requires_specs(spark):
 
     with _pytest.raises(ValueError):
         referential_integrity_report(spark.range(1), [])
+
+
+def test_drift_report_planted_shift_and_stability(spark):
+    """A planted mean shift on one column must alert while an identically
+    distributed column stays stable; categorical mix change alerts."""
+    from wsspark.quality import drift_report
+
+    base = spark.createDataFrame(
+        [(float(i % 100), float(i % 7), "A" if i % 10 else "B")
+         for i in range(2000)],
+        "x double, stable double, flag string",
+    )
+    cur = spark.createDataFrame(
+        [(float(i % 100) + 60.0, float((i + 3) % 7), "B" if i % 3 else "A")
+         for i in range(1500)],
+        "x double, stable double, flag string",
+    )
+    out = {
+        r.column: r
+        for r in drift_report(
+            base, cur, numeric_cols=["x", "stable"], cat_cols=["flag"]
+        ).collect()
+    }
+    assert out["x"].drifted and out["x"].psi > 0.2
+    assert not out["stable"].drifted and out["stable"].psi < 0.05
+    assert out["flag"].drifted and out["flag"].kind == "categorical"
+    assert out["x"].n_base == 2000 and out["x"].n_current == 1500
+
+
+def test_drift_report_nulls_clamping_and_degenerate(spark):
+    from wsspark.quality import drift_report
+
+    # NULLs form their own bucket: a NULL-rate change is drift
+    base = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "v double"
+    )
+    cur_nulls = spark.createDataFrame(
+        [(None,)] * 80 + [(float(i),) for i in range(20)], "v double"
+    )
+    r = drift_report(base, cur_nulls, numeric_cols=["v"]).collect()[0]
+    assert r.drifted
+    # out-of-range current values clamp into edge buckets, not crash
+    cur_wide = spark.createDataFrame(
+        [(-1e9,), (1e9,)] + [(50.0,)] * 98, "v double"
+    )
+    r = drift_report(base, cur_wide, numeric_cols=["v"]).collect()[0]
+    assert r.n_current == 100 and r.psi > 0
+    # degenerate base (constant column): single bucket, zero psi vs itself
+    const = spark.createDataFrame([(5.0,)] * 50, "v double")
+    r = drift_report(const, const, numeric_cols=["v"]).collect()[0]
+    assert r.psi == 0.0 and not r.drifted
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        drift_report(base, cur_nulls)
+
+
+def test_drift_report_identical_snapshots_zero(spark):
+    from wsspark.quality import drift_report
+
+    df = spark.createDataFrame(
+        [(float(i % 40), str(i % 5)) for i in range(500)],
+        "v double, c string",
+    )
+    for r in drift_report(df, df, numeric_cols=["v"], cat_cols=["c"]).collect():
+        assert r.psi == 0.0 and not r.drifted

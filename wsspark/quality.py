@@ -262,3 +262,118 @@ def referential_integrity_report(
         F.round(F.col("n_orphans") / F.col("n_rows"), 6).alias("orphan_pct"),
         (F.col("n_orphans") == 0).alias("passed"),
     )
+
+
+def drift_report(
+    base: DataFrame,
+    current: DataFrame,
+    numeric_cols: list[str] | None = None,
+    cat_cols: list[str] | None = None,
+    n_buckets: int = 10,
+    psi_alert: float = 0.2,
+) -> DataFrame:
+    """Population-Stability-Index drift between two snapshots of the same
+    table — the DQ gate that catches a distribution SHIFT the row-level
+    expectation audit can't see (every row individually valid, the
+    population silently different: an upstream filter change, a broken
+    partition, seasonality leaking into training data).
+
+    Numeric columns are bucketized on FIXED equal-width edges derived
+    from the BASE snapshot's min/max (one tiny aggregation; edges are
+    deterministic and SQL-replicable — quantile edges would put a sketch
+    inside the metric), with out-of-range current values clamping into
+    the edge buckets and NULLs in their own bucket. Categorical columns
+    bucket by value. PSI = sum over buckets of (p - q) * ln(p / q) on
+    Laplace-smoothed proportions ((count + 0.5) / (total + B/2) — exact
+    IEEE shapes a SQL twin mirrors, and zero-count buckets stay finite).
+
+    Cost: one min/max pass over base for edges, then ONE map-side-
+    combinable aggregation per snapshot (counts per (column, bucket),
+    all columns stacked into the same scan). Driver holds
+    O(columns x buckets) rows. Returns (column, kind, n_base, n_current,
+    psi, drifted) sorted by column; the conventional reading is
+    psi < 0.1 stable, 0.1-0.2 moderate, > ``psi_alert`` (default 0.2)
+    actionable drift.
+
+    Reference scope: the reference's DQ is per-row null/negative flags
+    (etl/transform/data_quality.py); drift is what that family needs
+    once loads repeat — the incremental pipeline (config.yaml
+    --load_type incremental) re-ingests forever and nothing in the
+    reference would notice a shifted feed.
+    """
+    import math
+
+    numeric_cols = list(numeric_cols or [])
+    cat_cols = list(cat_cols or [])
+    if not numeric_cols and not cat_cols:
+        raise ValueError("drift_report: pass at least one column")
+    edges = {}
+    if numeric_cols:
+        row = base.agg(
+            *[
+                a
+                for c in numeric_cols
+                for a in (
+                    F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+                )
+            ]
+        ).collect()[0]
+        edges = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in numeric_cols}
+
+    def _bucket_col(c: str) -> F.Column:
+        if c in edges:
+            lo, hi = edges[c]
+            if lo is None or hi is None or hi == lo:
+                # degenerate/empty base: a single bucket (plus NULL)
+                return F.when(F.col(c).isNull(), F.lit("NULL")).otherwise(
+                    F.lit("b0")
+                )
+            v = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+                float(hi) - float(lo)
+            )
+            b = F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(F.lit(0), F.floor(v * n_buckets).cast("int")),
+            )
+            return F.when(F.col(c).isNull(), F.lit("NULL")).otherwise(
+                F.concat(F.lit("b"), b.cast("string"))
+            )
+        return F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+
+    def _counts(df: DataFrame) -> dict[tuple[str, str], int]:
+        cols = numeric_cols + cat_cols
+        stack_args = ", ".join(f"'{c}', _bk_{c}" for c in cols)
+        bucketed = df.select(
+            *[_bucket_col(c).alias(f"_bk_{c}") for c in cols]
+        ).selectExpr(f"stack({len(cols)}, {stack_args}) AS (col, bucket)")
+        return {
+            (r["col"], r["bucket"]): r["n"]
+            for r in bucketed.groupBy("col", "bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    bc, cc = _counts(base), _counts(current)
+    spark = base.sparkSession
+    out = []
+    for c in numeric_cols + cat_cols:
+        kind = "numeric" if c in edges else "categorical"
+        buckets = sorted(
+            {b for col, b in bc if col == c} | {b for col, b in cc if col == c}
+        )
+        n_b = sum(v for (col, _), v in bc.items() if col == c)
+        n_c = sum(v for (col, _), v in cc.items() if col == c)
+        nb = len(buckets)
+        psi = 0.0
+        if n_b and n_c and nb:
+            for b in buckets:
+                p = (bc.get((c, b), 0) + 0.5) / (n_b + nb / 2)
+                q = (cc.get((c, b), 0) + 0.5) / (n_c + nb / 2)
+                psi += (p - q) * math.log(p / q)
+        out.append((c, kind, n_b, n_c, round(psi, 6), psi > psi_alert))
+    return spark.createDataFrame(
+        sorted(out),
+        "column string, kind string, n_base long, n_current long, "
+        "psi double, drifted boolean",
+    )

@@ -2267,6 +2267,142 @@ WHERE l_partkey BETWEEN 100 AND 300
 """
 
 
+DRIFT_SPLIT = "1997-01-01"
+
+
+def q_snapshot_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.drift_report under the driver hash gate, both verdict
+    polarities covered (the fk_integrity_report discipline): the
+    pre/post-1997 halves of lineitem are STATIONARY on quantity, price,
+    and returnflag (quiet verdicts — the synthetic generator has no
+    seasonality), while a deliberate feed-swap probe — lineitem extended
+    prices vs part retail prices as the "same" price column — must
+    alert hard (the distributions share a floor but nothing else). The
+    twin replays the exact bucket edges (base min/max, equal width),
+    Laplace smoothing, and natural-log PSI."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    from wsspark.quality import drift_report
+
+    stationary = drift_report(
+        li.filter(F.col("l_shipdate") < split),
+        li.filter(F.col("l_shipdate") >= split),
+        numeric_cols=["l_quantity", "l_extendedprice"],
+        cat_cols=["l_returnflag"],
+    )
+    feed_swap = drift_report(
+        li.select(F.col("l_extendedprice").alias("price")),
+        part.select(F.col("p_retailprice").alias("price")),
+        numeric_cols=["price"],
+    )
+    return stationary.unionByName(feed_swap)
+
+
+SNAPSHOT_DRIFT_SQL = f"""
+WITH b AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '{DRIFT_SPLIT}'),
+c AS (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '{DRIFT_SPLIT}'),
+e AS (
+    SELECT MIN(CAST(l_quantity AS DOUBLE)) AS qlo,
+           MAX(CAST(l_quantity AS DOUBLE)) AS qhi,
+           MIN(CAST(l_extendedprice AS DOUBLE)) AS plo,
+           MAX(CAST(l_extendedprice AS DOUBLE)) AS phi
+    FROM b
+),
+e2 AS (
+    SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS rlo,
+           MAX(CAST(l_extendedprice AS DOUBLE)) AS rhi
+    FROM lineitem
+),
+bb AS (
+    SELECT 'l_quantity' AS col, 'numeric' AS kind, 'base' AS side,
+           CASE WHEN l_quantity IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(l_quantity AS DOUBLE) - qlo) / (qhi - qlo) * 10
+                ) AS INT))) END AS bucket
+    FROM b, e
+    UNION ALL
+    SELECT 'l_extendedprice', 'numeric', 'base',
+           CASE WHEN l_extendedprice IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(l_extendedprice AS DOUBLE) - plo) / (phi - plo) * 10
+                ) AS INT))) END
+    FROM b, e
+    UNION ALL
+    SELECT 'l_returnflag', 'categorical', 'base',
+           COALESCE(l_returnflag, 'NULL')
+    FROM b
+    UNION ALL
+    SELECT 'l_quantity', 'numeric', 'cur',
+           CASE WHEN l_quantity IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(l_quantity AS DOUBLE) - qlo) / (qhi - qlo) * 10
+                ) AS INT))) END
+    FROM c, e
+    UNION ALL
+    SELECT 'l_extendedprice', 'numeric', 'cur',
+           CASE WHEN l_extendedprice IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(l_extendedprice AS DOUBLE) - plo) / (phi - plo) * 10
+                ) AS INT))) END
+    FROM c, e
+    UNION ALL
+    SELECT 'l_returnflag', 'categorical', 'cur',
+           COALESCE(l_returnflag, 'NULL')
+    FROM c
+    UNION ALL
+    SELECT 'price', 'numeric', 'base',
+           CASE WHEN l_extendedprice IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(l_extendedprice AS DOUBLE) - rlo) / (rhi - rlo) * 10
+                ) AS INT))) END
+    FROM lineitem, e2
+    UNION ALL
+    SELECT 'price', 'numeric', 'cur',
+           CASE WHEN p_retailprice IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(p_retailprice AS DOUBLE) - rlo) / (rhi - rlo) * 10
+                ) AS INT))) END
+    FROM part, e2
+),
+counts AS (
+    SELECT col, kind, side, bucket, COUNT(*) AS n
+    FROM bb GROUP BY 1, 2, 3, 4
+),
+grid AS (
+    SELECT DISTINCT col, kind, bucket FROM counts
+),
+sides AS (
+    SELECT g.col, g.kind, g.bucket,
+           COALESCE(bn.n, 0) AS n_b, COALESCE(cn.n, 0) AS n_c
+    FROM grid g
+    LEFT JOIN counts bn
+      ON bn.col = g.col AND bn.bucket = g.bucket AND bn.side = 'base'
+    LEFT JOIN counts cn
+      ON cn.col = g.col AND cn.bucket = g.bucket AND cn.side = 'cur'
+),
+tot AS (
+    SELECT col, kind,
+           SUM(n_b) AS tb, SUM(n_c) AS tc, COUNT(*) AS nb
+    FROM sides GROUP BY 1, 2
+),
+psi AS (
+    SELECT s.col, s.kind, t.tb, t.tc,
+           SUM(((s.n_b + 0.5) / (t.tb + t.nb / 2.0)
+                - (s.n_c + 0.5) / (t.tc + t.nb / 2.0))
+               * LN(((s.n_b + 0.5) / (t.tb + t.nb / 2.0))
+                    / ((s.n_c + 0.5) / (t.tc + t.nb / 2.0)))) AS raw
+    FROM sides s JOIN tot t ON s.col = t.col
+    GROUP BY 1, 2, t.tb, t.tc
+)
+SELECT col AS "column", kind,
+       CAST(tb AS BIGINT) AS n_base, CAST(tc AS BIGINT) AS n_current,
+       ROUND(raw, 6) AS psi, raw > 0.2 AS drifted
+FROM psi
+ORDER BY 1
+"""
+
+
 SHUFFLE_EPOCH = 3
 SHUFFLE_SHARDS = 8
 
@@ -3386,6 +3522,12 @@ FOLDED_QUERIES = [
     Query("snapstore_optimize_read", q_snapstore_optimize_read,
           SNAPSTORE_OPTIMIZE_SQL,
           "OPTIMIZE ZORDER roundtrip through the pruned range read"),
+    # Born folded (r10): PSI distribution-drift gate — the DQ family
+    # member that catches a population shift row-level expectations
+    # can't; both the alert and the quiet verdict ride the hash.
+    Query("snapshot_drift_report", q_snapshot_drift_report,
+          SNAPSHOT_DRIFT_SQL,
+          "PSI drift report between two snapshots (numeric + categorical)"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,
