@@ -420,3 +420,43 @@ def test_distinct_daily_actors_dedups_across_batches(spark, tmp_path):
         (2, "click", day),
         (1, "click", day + dt.timedelta(days=1)),
     }
+
+
+def test_streaming_drift_monitor_alert_and_replay(spark, tmp_path):
+    """Per-batch PSI vs a pinned baseline: a same-distribution batch
+    stays quiet, a shifted batch alerts; an at-least-once replay rewrites
+    its own partition dir instead of duplicating rows."""
+    from wsspark.streaming import StreamingDriftMonitor
+
+    baseline = spark.createDataFrame(
+        [(float(i % 50), "A" if i % 10 else "B") for i in range(1000)],
+        "v double, flag string",
+    )
+    mon = StreamingDriftMonitor(
+        spark,
+        str(tmp_path / "driftstore"),
+        baseline,
+        numeric_cols=["v"],
+        cat_cols=["flag"],
+    )
+    same = spark.createDataFrame(
+        [(float(i % 50), "A" if i % 10 else "B") for i in range(400)],
+        "v double, flag string",
+    )
+    shifted = spark.createDataFrame(
+        [(float(i % 50) + 40.0, "B") for i in range(400)],
+        "v double, flag string",
+    )
+    mon.process_batch(same, 0)
+    mon.process_batch(shifted, 1)
+    rows = {
+        (r.batch_id, r.column): r for r in mon.report().collect()
+    }
+    assert len(rows) == 4
+    assert not rows[(0, "v")].drifted and not rows[(0, "flag")].drifted
+    assert rows[(1, "v")].drifted and rows[(1, "flag")].drifted
+    assert rows[(1, "v")].n_base == 1000 and rows[(1, "v")].n_current == 400
+    # replay: same batch id is skipped, report unchanged
+    mon.process_batch(same, 1)
+    mon.process_batch(shifted, 0)
+    assert mon.report().count() == 4

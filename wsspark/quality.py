@@ -301,61 +301,92 @@ def drift_report(
     --load_type incremental) re-ingests forever and nothing in the
     reference would notice a shifted feed.
     """
-    import math
-
     numeric_cols = list(numeric_cols or [])
     cat_cols = list(cat_cols or [])
     if not numeric_cols and not cat_cols:
         raise ValueError("drift_report: pass at least one column")
-    edges = {}
-    if numeric_cols:
-        row = base.agg(
-            *[
-                a
-                for c in numeric_cols
-                for a in (
-                    F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
-                    F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
-                )
-            ]
-        ).collect()[0]
-        edges = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in numeric_cols}
+    edges = _drift_edges(base, numeric_cols)
+    bc = _drift_counts(base, numeric_cols, cat_cols, edges, n_buckets)
+    cc = _drift_counts(current, numeric_cols, cat_cols, edges, n_buckets)
+    out = _psi_rows(numeric_cols, cat_cols, edges, bc, cc, psi_alert)
+    return base.sparkSession.createDataFrame(
+        sorted(out),
+        "column string, kind string, n_base long, n_current long, "
+        "psi double, drifted boolean",
+    )
 
-    def _bucket_col(c: str) -> F.Column:
-        if c in edges:
-            lo, hi = edges[c]
-            if lo is None or hi is None or hi == lo:
-                # degenerate/empty base: a single bucket (plus NULL)
-                return F.when(F.col(c).isNull(), F.lit("NULL")).otherwise(
-                    F.lit("b0")
-                )
-            v = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
-                float(hi) - float(lo)
+
+def _drift_edges(base: DataFrame, numeric_cols: list[str]) -> dict:
+    """Equal-width bucket edges from the BASE snapshot's min/max — one
+    tiny aggregation, deterministic and SQL-replicable."""
+    if not numeric_cols:
+        return {}
+    row = base.agg(
+        *[
+            a
+            for c in numeric_cols
+            for a in (
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
             )
-            b = F.least(
-                F.lit(n_buckets - 1),
-                F.greatest(F.lit(0), F.floor(v * n_buckets).cast("int")),
-            )
+        ]
+    ).collect()[0]
+    return {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in numeric_cols}
+
+
+def _drift_bucket_col(c: str, edges: dict, n_buckets: int) -> F.Column:
+    if c in edges:
+        lo, hi = edges[c]
+        if lo is None or hi is None or hi == lo:
+            # degenerate/empty base: a single bucket (plus NULL)
             return F.when(F.col(c).isNull(), F.lit("NULL")).otherwise(
-                F.concat(F.lit("b"), b.cast("string"))
+                F.lit("b0")
             )
-        return F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+        v = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
+        )
+        b = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(F.lit(0), F.floor(v * n_buckets).cast("int")),
+        )
+        return F.when(F.col(c).isNull(), F.lit("NULL")).otherwise(
+            F.concat(F.lit("b"), b.cast("string"))
+        )
+    return F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
 
-    def _counts(df: DataFrame) -> dict[tuple[str, str], int]:
-        cols = numeric_cols + cat_cols
-        stack_args = ", ".join(f"'{c}', _bk_{c}" for c in cols)
-        bucketed = df.select(
-            *[_bucket_col(c).alias(f"_bk_{c}") for c in cols]
-        ).selectExpr(f"stack({len(cols)}, {stack_args}) AS (col, bucket)")
-        return {
-            (r["col"], r["bucket"]): r["n"]
-            for r in bucketed.groupBy("col", "bucket")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
 
-    bc, cc = _counts(base), _counts(current)
-    spark = base.sparkSession
+def _drift_counts(
+    df: DataFrame,
+    numeric_cols: list[str],
+    cat_cols: list[str],
+    edges: dict,
+    n_buckets: int,
+) -> dict[tuple[str, str], int]:
+    """ONE stacked map-side-combinable count aggregation for every
+    audited column; the driver holds O(columns x buckets) rows."""
+    cols = numeric_cols + cat_cols
+    stack_args = ", ".join(f"'{c}', _bk_{c}" for c in cols)
+    bucketed = df.select(
+        *[_drift_bucket_col(c, edges, n_buckets).alias(f"_bk_{c}") for c in cols]
+    ).selectExpr(f"stack({len(cols)}, {stack_args}) AS (col, bucket)")
+    return {
+        (r["col"], r["bucket"]): r["n"]
+        for r in bucketed.groupBy("col", "bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def _psi_rows(
+    numeric_cols: list[str],
+    cat_cols: list[str],
+    edges: dict,
+    bc: dict,
+    cc: dict,
+    psi_alert: float,
+) -> list[tuple]:
+    import math
+
     out = []
     for c in numeric_cols + cat_cols:
         kind = "numeric" if c in edges else "categorical"
@@ -372,8 +403,4 @@ def drift_report(
                 q = (cc.get((c, b), 0) + 0.5) / (n_c + nb / 2)
                 psi += (p - q) * math.log(p / q)
         out.append((c, kind, n_b, n_c, round(psi, 6), psi > psi_alert))
-    return spark.createDataFrame(
-        sorted(out),
-        "column string, kind string, n_base long, n_current long, "
-        "psi double, drifted boolean",
-    )
+    return out

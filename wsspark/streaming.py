@@ -1062,3 +1062,87 @@ class StreamingMVMaintainer:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class StreamingDriftMonitor:
+    """Per-micro-batch PSI drift against a PINNED baseline — the
+    streaming member of the DQ drift family (quality.drift_report): an
+    ingest pipeline doesn't get to re-scan yesterday to notice today's
+    feed shifted, so the baseline's bucket edges and counts are resolved
+    ONCE at construction (two tiny aggregations; O(columns x buckets)
+    driver state held for the life of the query) and every micro-batch
+    pays exactly one stacked count aggregation over its own rows.
+
+    Output: one row per audited column per batch under
+    ``<store>/drift/batch_id=N/`` — the idempotent per-batch-partition
+    write shape, guarded by the ``_BatchLog`` cursor (a replay rewrites
+    its own directory; see _BatchLog's class doc for why merging sinks
+    use AtomicStateStore instead). ``report()`` reads the full drift
+    timeline with ``batch_id`` restored by partition discovery.
+
+    Constant state forever: nothing accumulates across batches except
+    the one-row-per-column verdicts themselves — the same bounded-state
+    argument as StreamingCmsCounter, applied to distribution monitoring.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        baseline: DataFrame,
+        numeric_cols: list[str] | None = None,
+        cat_cols: list[str] | None = None,
+        n_buckets: int = 10,
+        psi_alert: float = 0.2,
+    ) -> None:
+        from wsspark.quality import _drift_counts, _drift_edges
+
+        self.spark = spark
+        self.drift_path = os.path.join(store_dir, "drift")
+        self.numeric_cols = list(numeric_cols or [])
+        self.cat_cols = list(cat_cols or [])
+        if not self.numeric_cols and not self.cat_cols:
+            raise ValueError("StreamingDriftMonitor: pass at least one column")
+        self.n_buckets = n_buckets
+        self.psi_alert = psi_alert
+        self.edges = _drift_edges(baseline, self.numeric_cols)
+        self.base_counts = _drift_counts(
+            baseline, self.numeric_cols, self.cat_cols, self.edges, n_buckets
+        )
+        self._log = _BatchLog(store_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from wsspark.quality import _drift_counts, _psi_rows
+
+        if batch_id <= self._log.last_applied():
+            return
+        cc = _drift_counts(
+            batch, self.numeric_cols, self.cat_cols, self.edges, self.n_buckets
+        )
+        rows = _psi_rows(
+            self.numeric_cols,
+            self.cat_cols,
+            self.edges,
+            self.base_counts,
+            cc,
+            self.psi_alert,
+        )
+        self.spark.createDataFrame(
+            sorted(rows),
+            "column string, kind string, n_base long, n_current long, "
+            "psi double, drifted boolean",
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.drift_path, f"batch_id={batch_id}")
+        )
+        self._log.commit(batch_id)
+
+    def report(self) -> DataFrame:
+        return self.spark.read.parquet(self.drift_path)
+
+    def attach(self, rows: DataFrame, checkpoint_dir: str):
+        return (
+            rows.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
