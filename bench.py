@@ -85,6 +85,11 @@ HEADLINE = {
     # regression (e.g. a lost map-side combine) shows up only here.
     "q27_prefix_jaccard": "prefix_jaccard_pairs",
     "q28_exact_quantiles": "exact_price_quantiles",
+    # round-10: the PSI drift gate — a shape the headline set lacked
+    # (two-input driver-composed verdicts over stacked multi-column count
+    # aggregations); its cost model is two scans + O(cols x buckets)
+    # driver state, so a slope regression means a lost map-side combine.
+    "q29_drift_report": "snapshot_drift_report",
 }
 
 # q0b: the reference's flagship operational mode (--load_type incremental,
