@@ -148,3 +148,53 @@ def test_validation_errors(spark):
         clf.fit_logreg(df, [], "label")
     with pytest.raises(ValueError, match="empty"):
         clf.fit_logreg(df.filter(F.lit(False)), ["f1"], "label")
+
+
+def test_pr_curve_matches_sklearn_style_truth(spark):
+    """Exact binned PR sweep vs a driver-side replay on planted scores:
+    every threshold row's tp/fp/fn and ratios must match the definition."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from wsspark.llmops.classifier import pr_curve
+
+    random.seed(5)
+    rows = [
+        (random.random(), 1 if random.random() < 0.4 else 0)
+        for _ in range(500)
+    ] + [(0.0, 0), (1.0, 1), (0.999999, 0)]  # exact edges incl clamp
+    df = spark.createDataFrame(rows, "score double, label int")
+    n_bins = 20
+    got = {r.threshold: r for r in pr_curve(df, n_bins=n_bins).collect()}
+    assert len(got) == n_bins
+    for b in range(n_bins):
+        t = round(b / n_bins, 6)
+        tp = sum(1 for s, l in rows if s >= b / n_bins and l == 1)
+        fp = sum(1 for s, l in rows if s >= b / n_bins and l == 0)
+        fn = sum(1 for s, l in rows if s < b / n_bins and l == 1)
+        r = got[t]
+        assert (r.tp, r.fp, r.fn) == (tp, fp, fn), t
+        if tp + fp:
+            assert r.precision == round(tp / (tp + fp), 6)
+        assert r.recall == round(tp / (tp + fn), 6)
+
+
+def test_pr_curve_edges_and_nulls(spark):
+    from wsspark.llmops.classifier import pr_curve
+
+    # all-negative labels: recall is NULL everywhere, fp counts real
+    df = spark.createDataFrame(
+        [(0.3, 0), (0.9, 0), (None, 1), (0.5, None)], "score double, label int"
+    )
+    rows = pr_curve(df, n_bins=4).collect()
+    assert len(rows) == 4
+    assert all(r.recall is None for r in rows)
+    assert rows[0].n_predicted == 2  # null score/label rows excluded
+    # empty threshold rows exist and are well-defined
+    top = [r for r in rows if r.threshold == 0.75][0]
+    assert top.tp == 0 and top.fp == 1 and top.precision == 0.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        pr_curve(df, n_bins=0)

@@ -228,3 +228,86 @@ def quality_weighted_sample(
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 100,
+) -> DataFrame:
+    """Exact binned precision/recall calibration curve — the threshold
+    sweep that turns a trained quality scorer into a deployable gate
+    ("keep everything above 0.8" costs what, exactly?).
+
+    Scores must lie in [0, 1] (probabilities). Threshold ``t_b = b /
+    n_bins`` and "predict positive" means ``score >= t_b``, which aligns
+    EXACTLY with bin membership (``floor(score * n_bins) >= b  <=>
+    score >= b / n_bins`` for non-negative scores), so the curve is
+    exact at its thresholds — a binned index, not an approximation.
+    Labels are 0/1 (cast to long). Cost: ONE map-side-combinable count
+    aggregation over the data into <= n_bins rows; the cumulative
+    TP/FP sweep is a window over that tiny dense frame (a range join
+    materializes every threshold row, hit or not). Undefined ratios are
+    NULL (precision with nothing predicted; recall with no positives).
+
+    Returns (threshold, n_predicted, tp, fp, fn, precision, recall, f1)
+    sorted by threshold — deterministic, integer-exact counts, mirrored
+    IEEE ratios, so a SQL twin replays it bit-for-bit."""
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    spark = scored.sparkSession
+    lab = F.col(label_col).cast("long")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor(F.col(score_col) * n_bins).cast("int")),
+    )
+    agg = (
+        scored.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.sum(lab).alias("pos"),
+            F.sum(F.lit(1) - lab).alias("neg"),
+        )
+    )
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    dense = bins.join(agg, "bin", "left").na.fill(0, ["pos", "neg"])
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total_pos = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dense.select(
+        "bin",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+        (F.sum("pos").over(total_pos) - F.sum("pos").over(w)).alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return (
+        cum.select(
+            F.round(F.col("bin") / n_bins, 6).alias("threshold"),
+            (F.col("tp") + F.col("fp")).cast("long").alias("n_predicted"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("fn").cast("long").alias("fn"),
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(f1, 6).alias("f1"),
+        )
+        .orderBy("threshold")
+    )

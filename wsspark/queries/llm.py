@@ -2267,6 +2267,86 @@ WHERE l_partkey BETWEEN 100 AND 300
 """
 
 
+PR_BINS = 20
+
+
+def q_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classifier.pr_curve under the driver hash gate: calibrate a
+    deterministic quality score (1 - stopword_ratio — SQL-replicable,
+    unlike the GD-trained logreg weights) against the rule gate's KEEP
+    verdict, 20 thresholds. Every tp/fp/fn count and every ratio row
+    rides the hash, so an off-by-one at a bin edge (the classic
+    score >= t vs score > t slip) goes red."""
+    from wsspark.llmops import classifier
+
+    docs = read_table(spark, sf_dir, "documents")
+    gated = corpus.quality_filter(
+        docs,
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        max_stopword_ratio=QF_MAX_STOPWORD_RATIO,
+        min_avg_token_len=QF_MIN_AVG_TOKEN_LEN,
+    )
+    scored = gated.select(
+        (F.lit(1.0) - F.col("stopword_ratio")).alias("score"),
+        (F.col("filter_reason") == "KEEP").cast("int").alias("label"),
+    )
+    return classifier.pr_curve(scored, n_bins=PR_BINS)
+
+
+def _pr_curve_sql() -> str:
+    nb = PR_BINS
+    return f"""
+WITH gate AS ({QUALITY_FILTER_SQL}),
+scored AS (
+    SELECT 1.0 - stopword_ratio AS score,
+           CASE WHEN filter_reason = 'KEEP' THEN 1 ELSE 0 END AS label
+    FROM gate
+),
+binned AS (
+    SELECT LEAST({nb - 1}, GREATEST(0,
+               CAST(FLOOR(score * {nb}) AS INT))) AS bin,
+           SUM(label) AS pos, SUM(1 - label) AS neg
+    FROM scored WHERE score IS NOT NULL
+    GROUP BY 1
+),
+bins AS (SELECT CAST(range AS INT) AS bin FROM range({nb})),
+dense AS (
+    SELECT b.bin, COALESCE(pos, 0) AS pos, COALESCE(neg, 0) AS neg
+    FROM bins b LEFT JOIN binned USING (bin)
+),
+cum AS (
+    SELECT bin,
+           SUM(pos) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+           SUM(neg) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+           SUM(pos) OVER ()
+             - SUM(pos) OVER (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fn
+    FROM dense
+)
+SELECT ROUND(bin / {nb}.0, 6) AS threshold,
+       CAST(tp + fp AS BIGINT) AS n_predicted,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6)
+           AS precision,
+       ROUND(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6)
+           AS recall,
+       ROUND(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                   AND CAST(tp AS DOUBLE) / (tp + fp)
+                       + CAST(tp AS DOUBLE) / (tp + fn) > 0
+             THEN 2 * (CAST(tp AS DOUBLE) / (tp + fp))
+                    * (CAST(tp AS DOUBLE) / (tp + fn))
+                  / (CAST(tp AS DOUBLE) / (tp + fp)
+                     + CAST(tp AS DOUBLE) / (tp + fn)) END, 6) AS f1
+FROM cum
+ORDER BY 1
+"""
+
+
 DRIFT_SPLIT = "1997-01-01"
 
 
@@ -3528,6 +3608,11 @@ FOLDED_QUERIES = [
     Query("snapshot_drift_report", q_snapshot_drift_report,
           SNAPSHOT_DRIFT_SQL,
           "PSI drift report between two snapshots (numeric + categorical)"),
+    # Born folded (r10): exact binned PR threshold sweep — classifier
+    # calibration with every count and ratio row on the hash (bin-edge
+    # off-by-ones are the classic silent defect).
+    Query("quality_pr_curve", q_quality_pr_curve, _pr_curve_sql(),
+          "precision/recall threshold sweep for the quality gate score"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,
