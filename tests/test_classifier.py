@@ -198,3 +198,32 @@ def test_pr_curve_edges_and_nulls(spark):
 
     with pytest.raises(ValueError):
         pr_curve(df, n_bins=0)
+
+
+def test_auc_exact_with_ties_and_edges(spark):
+    """Tie-aware AUC vs the driver-side definition (pairwise compare)."""
+    import random
+
+    from wsspark.llmops.classifier import auc
+
+    random.seed(13)
+    rows = [
+        (round(random.random(), 1), 1 if random.random() < 0.3 else 0)
+        for _ in range(400)
+    ]  # 1dp scores -> heavy ties
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = auc(df).collect()[0]
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    u = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    )
+    assert r.n_pos == len(pos) and r.n_neg == len(neg)
+    assert r.auc == round(u / (len(pos) * len(neg)), 6)
+    # perfect separation -> 1.0; inverted -> 0.0; one-class -> NULL
+    perf = spark.createDataFrame([(0.9, 1), (0.8, 1), (0.1, 0)], "score double, label int")
+    assert auc(perf).collect()[0].auc == 1.0
+    inv = spark.createDataFrame([(0.1, 1), (0.9, 0)], "score double, label int")
+    assert auc(inv).collect()[0].auc == 0.0
+    onecls = spark.createDataFrame([(0.5, 1), (0.7, 1)], "score double, label int")
+    assert auc(onecls).collect()[0].auc is None

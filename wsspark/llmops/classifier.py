@@ -311,3 +311,61 @@ def pr_curve(
         )
         .orderBy("threshold")
     )
+
+
+def auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """EXACT tie-aware ROC-AUC (the Mann-Whitney U statistic): the
+    probability a random positive outscores a random negative, ties
+    counted half — the one-number companion to ``pr_curve``'s threshold
+    sweep.
+
+    Shape: one count aggregation collapses the fact to its DISTINCT
+    SCORES (pos/neg counts per score), then a cumulative window walks
+    that frame in score order. The only sort is over the distinct-score
+    frame — bounded by score granularity, not row count (a probability
+    score rounded to 4-6dp has <= 10^6 distinct values at any data
+    scale; the fact itself is never globally sorted). Integer-exact
+    numerator (sum of neg_below * pos_at + half-ties, doubled to stay
+    integral), one IEEE division at the end — a SQL twin replays it
+    bit-for-bit. Returns one row: (n_pos, n_neg, auc). AUC is NULL when
+    either class is empty (undefined, not 0)."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("long")
+    per_score = (
+        scored.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).alias("_s"))
+        .agg(F.sum(lab).alias("_p"), F.sum(F.lit(1) - lab).alias("_n"))
+    )
+    w = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # 2*U = sum over scores of pos_at * (2*neg_below + neg_at): integral,
+    # associative, exact in longs for any realistic corpus
+    stats = per_score.select(
+        "_p",
+        "_n",
+        (
+            F.col("_p")
+            * (2 * F.coalesce(F.sum("_n").over(w), F.lit(0)) + F.col("_n"))
+        ).alias("_u2"),
+    ).agg(
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.sum("_n").cast("long").alias("n_neg"),
+        F.sum("_u2").cast("long").alias("_u2"),
+    )
+    return stats.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("_u2") / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            ),
+            6,
+        ).alias("auc"),
+    )

@@ -2347,6 +2347,63 @@ ORDER BY 1
 """
 
 
+def q_quality_gate_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classifier.auc under the driver hash gate: the exact tie-aware
+    Mann-Whitney AUC of the same deterministic score/label pair the PR
+    sweep calibrates — the heavy-tie case (4dp stopword ratios) is
+    exactly where a half-tie slip or a cumulative off-by-one shifts the
+    statistic, and the integer-exact numerator makes the twin
+    bit-replayable."""
+    from wsspark.llmops import classifier
+
+    docs = read_table(spark, sf_dir, "documents")
+    gated = corpus.quality_filter(
+        docs,
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        max_stopword_ratio=QF_MAX_STOPWORD_RATIO,
+        min_avg_token_len=QF_MIN_AVG_TOKEN_LEN,
+    )
+    scored = gated.select(
+        (F.lit(1.0) - F.col("stopword_ratio")).alias("score"),
+        (F.col("filter_reason") == "KEEP").cast("int").alias("label"),
+    )
+    return classifier.auc(scored)
+
+
+def _auc_sql() -> str:
+    return f"""
+WITH gate AS ({QUALITY_FILTER_SQL}),
+scored AS (
+    SELECT 1.0 - stopword_ratio AS score,
+           CASE WHEN filter_reason = 'KEEP' THEN 1 ELSE 0 END AS label
+    FROM gate
+),
+per AS (
+    SELECT score AS s, SUM(label) AS p, SUM(1 - label) AS n
+    FROM scored WHERE score IS NOT NULL
+    GROUP BY 1
+),
+cum AS (
+    SELECT p, n,
+           p * (2 * COALESCE(SUM(n) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n)
+               AS u2
+    FROM per
+),
+agg AS (
+    SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(n) AS BIGINT) AS n_neg,
+           SUM(u2) AS u2
+    FROM cum
+)
+SELECT n_pos, n_neg,
+       ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
+             THEN u2 / (2.0 * n_pos * n_neg) END, 6) AS auc
+FROM agg
+"""
+
+
 DRIFT_SPLIT = "1997-01-01"
 
 
@@ -3613,6 +3670,11 @@ FOLDED_QUERIES = [
     # off-by-ones are the classic silent defect).
     Query("quality_pr_curve", q_quality_pr_curve, _pr_curve_sql(),
           "precision/recall threshold sweep for the quality gate score"),
+    # Born folded (r10): the exact tie-aware AUC of the same score/label
+    # pair — integer-exact Mann-Whitney numerator, distinct-score-bounded
+    # sort only.
+    Query("quality_gate_auc", q_quality_gate_auc, _auc_sql(),
+          "exact tie-aware ROC-AUC of the quality gate score"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,
