@@ -955,3 +955,13 @@ def test_optimize_cluster_by_single_column(spark, tmp_path):
         ss.snap_optimize(spark, root, cluster_by=["k"], zorder_by=("k", "id"))
     with pytest.raises(ValueError, match="exactly one"):
         ss.snap_optimize(spark, root)
+
+
+def test_optimize_zorder_on_empty_snapshot_degrades(spark, tmp_path):
+    """Clustering an empty (or all-NULL-key) snapshot has no bounds to
+    quantize — snap_optimize degrades to a plain compaction commit
+    instead of crashing on the missing min/max."""
+    root = str(tmp_path / "opt3")
+    ss.snap_commit(_df(spark, 0, 0), root)  # empty v0
+    v = ss.snap_optimize(spark, root, zorder_by=("id", "val"), n_files=2)
+    assert v == 1 and ss.snap_read(spark, root).count() == 0

@@ -1074,6 +1074,20 @@ def snap_optimize(
             F.min(ycol).alias("ylo"),
             F.max(ycol).alias("yhi"),
         ).collect()[0]
+        if b["xlo"] is None or b["ylo"] is None:
+            # empty snapshot (or all-NULL key column): nothing to cluster —
+            # degrade to a plain compaction commit rather than crash
+            return snap_commit(
+                df.repartition(int(n_files)),
+                root,
+                mode="overwrite",
+                stats_cols=list(stats_cols)
+                if stats_cols is not None
+                else list(zorder_by),
+                bloom_cols=bloom_cols,
+                bloom_bits=bloom_bits,
+                bloom_k=bloom_k,
+            )
         clustered = (
             df.withColumn(
                 "_zkey",
