@@ -354,9 +354,9 @@ def auc(
             * (2 * F.coalesce(F.sum("_n").over(w), F.lit(0)) + F.col("_n"))
         ).alias("_u2"),
     ).agg(
-        F.sum("_p").cast("long").alias("n_pos"),
-        F.sum("_n").cast("long").alias("n_neg"),
-        F.sum("_u2").cast("long").alias("_u2"),
+        F.coalesce(F.sum("_p"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce(F.sum("_u2"), F.lit(0)).cast("long").alias("_u2"),
     )
     return stats.select(
         "n_pos",
