@@ -109,3 +109,63 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert dt >= 0.4, f"shipdate prune fraction {dt:.0%}"
     # the written data is intact (clustering is a rewrite, not a filter)
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_zorder_nd_bijective_and_three_dim_pruning(spark, sf_dir, tmp_path):
+    """K-dim Morton key: bijective on bucket tuples (no two distinct
+    bucket combinations may collide), and a 3-column clustered write
+    prunes row groups on EVERY dimension — the shape a 2-D curve cannot
+    serve. Thresholds follow the key's bit geometry (later dims own the
+    higher-order bits: 1/2/2 leading bits at 32 files), with seed-
+    variance margin (see the 2-D test)."""
+    import datetime
+
+    from wsspark.layout import write_zordered_nd, zorder_key_nd
+
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("a"),
+        (F.col("id") / 32).cast("long").alias("b"),
+    )
+    n = (
+        grid.select(
+            zorder_key_nd([F.col("a"), F.col("b")], [(0, 31), (0, 31)]).alias("z")
+        )
+        .distinct()
+        .count()
+    )
+    assert n == 1024  # bijective on the bucket grid
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    pk = li.agg(F.max("l_partkey")).first()[0]
+    sk = li.agg(F.max("l_suppkey")).first()[0]
+    d_lo, d_hi = li.agg(
+        F.unix_date(F.min("l_shipdate").cast("date")),
+        F.unix_date(F.max("l_shipdate").cast("date")),
+    ).first()
+    path = str(tmp_path / "z3")
+    write_zordered_nd(
+        li,
+        path,
+        ["l_partkey", "l_suppkey", "l_shipdate"],
+        [(0.0, float(pk)), (0.0, float(sk)), (float(d_lo), float(d_hi))],
+        n_files=32,
+    )
+    f1 = _prune_fraction(path, "l_partkey", int(pk * 0.4), int(pk * 0.45))
+    f2 = _prune_fraction(path, "l_suppkey", int(sk * 0.4), int(sk * 0.45))
+    f3 = _prune_fraction(
+        path, "l_shipdate",
+        datetime.datetime(1997, 6, 1), datetime.datetime(1997, 9, 1),
+    )
+    assert f1 >= 0.2, f"dim0 prune {f1:.0%}"
+    assert f2 >= 0.35, f"dim1 prune {f2:.0%}"
+    assert f3 >= 0.45, f"dim2 prune {f3:.0%}"
+    assert spark.read.parquet(path).count() == li.count()
+
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 2"):
+        zorder_key_nd([F.col("a")], [(0, 1)])
+    with pytest.raises(ValueError, match="range per column"):
+        zorder_key_nd([F.col("a"), F.col("b")], [(0, 1)])
