@@ -965,3 +965,30 @@ def test_optimize_zorder_on_empty_snapshot_degrades(spark, tmp_path):
     ss.snap_commit(_df(spark, 0, 0), root)  # empty v0
     v = ss.snap_optimize(spark, root, zorder_by=("id", "val"), n_files=2)
     assert v == 1 and ss.snap_read(spark, root).count() == 0
+
+
+def test_optimize_zorder_three_columns(spark, tmp_path):
+    """zorder_by past two columns routes through the K-dim key: all three
+    dimensions prune after the clustered rewrite."""
+    root = str(tmp_path / "opt4")
+    n = 30_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 997).alias("x"),
+            ((F.col("id") * 31) % 1009).alias("y"),
+            ((F.col("id") * 17) % 503).alias("z"),
+        )
+        .repartition(16)
+    )
+    ss.snap_commit(df, root, stats_cols=["x", "y", "z"])
+    ss.snap_optimize(spark, root, zorder_by=("x", "y", "z"), n_files=32)
+    for col, hi in (("x", 997), ("y", 1009), ("z", 503)):
+        kept, total = ss.snap_prune_files(
+            root, col, int(hi * 0.4), int(hi * 0.45)
+        )
+        assert total > 1 and len(kept) < total, col
+    got = ss.snap_read_between(spark, root, "z", 100, 120).count()
+    assert got == df.filter(F.col("z").between(100, 120)).count()
+    with pytest.raises(ValueError, match=">= 2"):
+        ss.snap_optimize(spark, root, zorder_by=("x",), n_files=2)

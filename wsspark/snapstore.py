@@ -1038,14 +1038,17 @@ def snap_optimize(
     actually prune.
 
     ``cluster_by=[col]`` range-partitions + sorts on one column (that
-    column's stats become tight per file); ``zorder_by=(x, y)`` interleaves
-    two columns on the Morton curve (``layout.zorder_key``) so predicates
-    on EITHER column prune — the multi-dimensional case a single sort
-    cannot serve. The z-key's quantization bounds come from one min/max
-    aggregation over the current snapshot (exact bounds are not required —
-    clamping is safe — but they are free here since we are rewriting
-    anyway). ``stats_cols`` defaults to the clustering columns: recording
-    skipping stats is the entire point of clustering the rewrite.
+    column's stats become tight per file); ``zorder_by=(x, y, ...)``
+    interleaves two OR MORE columns on the Morton curve
+    (``layout.zorder_key`` for the 2-D magic-mask form,
+    ``layout.zorder_key_nd`` past that — most-queried column LAST, it
+    owns the coarsest key bits) so predicates on ANY keyed column prune
+    — the multi-dimensional case a single sort cannot serve. The z-key's
+    quantization bounds come from one min/max aggregation over the
+    current snapshot (exact bounds are not required — clamping is safe —
+    but they are free here since we are rewriting anyway). ``stats_cols``
+    defaults to the clustering columns: recording skipping stats is the
+    entire point of clustering the rewrite.
 
     Readers stay manifest-pinned through the rewrite (same contract as
     ``snap_compact``); superseded files retire via ``snap_vacuum``.
@@ -1064,17 +1067,23 @@ def snap_optimize(
     if zorder_by is not None:
         from wsspark.layout import zorder_key
 
-        x, y = zorder_by
-        xcol, ycol = F.col(x), F.col(y)
-        if dict(df.dtypes).get(y) in ("timestamp", "timestamp_ntz", "date"):
-            ycol = F.unix_date(ycol.cast("date"))
+        if len(zorder_by) < 2:
+            raise ValueError("zorder_by needs >= 2 columns (use cluster_by)")
+        dtypes = dict(df.dtypes)
+        exprs = []
+        for c in zorder_by:
+            e = F.col(c)
+            if dtypes.get(c) in ("timestamp", "timestamp_ntz", "date"):
+                e = F.unix_date(e.cast("date"))
+            exprs.append(e)
         b = df.agg(
-            F.min(xcol).alias("xlo"),
-            F.max(xcol).alias("xhi"),
-            F.min(ycol).alias("ylo"),
-            F.max(ycol).alias("yhi"),
+            *[
+                a
+                for i, e in enumerate(exprs)
+                for a in (F.min(e).alias(f"_lo{i}"), F.max(e).alias(f"_hi{i}"))
+            ]
         ).collect()[0]
-        if b["xlo"] is None or b["ylo"] is None:
+        if any(b[f"_lo{i}"] is None for i in range(len(exprs))):
             # empty snapshot (or all-NULL key column): nothing to cluster —
             # degrade to a plain compaction commit rather than crash
             return snap_commit(
@@ -1088,16 +1097,18 @@ def snap_optimize(
                 bloom_bits=bloom_bits,
                 bloom_k=bloom_k,
             )
+        rng = [
+            (float(b[f"_lo{i}"]), float(b[f"_hi{i}"]))
+            for i in range(len(exprs))
+        ]
+        if len(exprs) == 2:
+            zkey = zorder_key(exprs[0], exprs[1], rng[0], rng[1])
+        else:
+            from wsspark.layout import zorder_key_nd
+
+            zkey = zorder_key_nd(exprs, rng)
         clustered = (
-            df.withColumn(
-                "_zkey",
-                zorder_key(
-                    xcol,
-                    ycol,
-                    (float(b["xlo"]), float(b["xhi"])),
-                    (float(b["ylo"]), float(b["yhi"])),
-                ),
-            )
+            df.withColumn("_zkey", zkey)
             .repartitionByRange(int(n_files), "_zkey")
             .sortWithinPartitions("_zkey")
             .drop("_zkey")
