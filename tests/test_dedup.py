@@ -147,6 +147,32 @@ def test_connected_components_high_diameter_chain(spark):
     assert len(rows) == 61
 
 
+def test_connected_components_probe_does_not_recompute_pairs(spark):
+    """When the adaptive probe exceeds driver_threshold, the pair-generation
+    plan must NOT be re-executed from scratch by the distributed fixpoint —
+    the probe persists the pairs frame so its work carries over (exactly
+    the large inputs where pair generation is the expensive LSH subtree).
+    Count executions of the pair-producing stage with an accumulator."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def gen(batches):
+        acc.add(1)
+        for pdf in batches:
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+    ).repartition(1)
+    pairs = base.mapInPandas(gen, "doc_a long, doc_b long")
+    rows = dedup.connected_components(pairs, driver_threshold=3).collect()
+    assert {r["cluster_id"] for r in rows} == {0} and len(rows) == 13
+    # one partition, executed exactly once: the probe filled the cache and
+    # the fixpoint's symmetrize read from it
+    assert acc.value == 1, acc.value
+    # and the probe-time persist was released after sym materialized
+    assert not pairs.is_cached
+
+
 def test_connected_components_raises_when_exhausted(spark):
     import pytest
 

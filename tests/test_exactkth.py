@@ -117,6 +117,31 @@ def test_max_group_paths_guard(spark):
     assert out.count() == 16
 
 
+def test_guard_fires_before_any_histogram_collect(spark, monkeypatch):
+    """The cardinality guard must run BEFORE the fused pass-0 histogram
+    collect — a post-hoc check would already have materialized up to
+    groups x 65536 driver rows. Spy on DataFrame.collect: when the guard
+    raises, the ONLY collect is the bounded group-column probe (columns
+    == the group cols), never a histogram frame (_b/_c/_mn/_mx)."""
+    df = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(32)], "g string, v double"
+    )
+    # patch the CONCRETE class (pyspark 4 routes pyspark.sql.DataFrame to a
+    # classic/connect subclass that overrides collect)
+    cls = type(df)
+    calls: list[list[str]] = []
+    orig = cls.collect
+
+    def spy(self):
+        calls.append(list(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", spy)
+    with pytest.raises(ValueError, match="max_group_paths"):
+        exact_group_quantiles(df, "v", (0.5,), ("g",), max_group_paths=4)
+    assert calls == [["g"]], calls
+
+
 def test_no_sort_in_any_pass_plan(spark):
     """The operator's contract is NO global sort: none of its jobs may
     contain a Sort over the fact. The passes are collect()ed internally,

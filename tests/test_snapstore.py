@@ -992,3 +992,78 @@ def test_optimize_zorder_three_columns(spark, tmp_path):
     assert got == df.filter(F.col("z").between(100, 120)).count()
     with pytest.raises(ValueError, match=">= 2"):
         ss.snap_optimize(spark, root, zorder_by=("x",), n_files=2)
+
+
+def test_expected_parent_rejects_lost_update(spark, tmp_path):
+    """snap_commit(expected_parent=V) raises SnapshotConflict when CURRENT
+    moved past V — the read-modify-write guard for maintenance commits."""
+    root = str(tmp_path / "t_ep")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    ss.snap_commit(_df(spark, 10, 20), root, mode="append")  # CURRENT -> 1
+    with pytest.raises(ss.SnapshotConflict, match="advanced"):
+        ss.snap_commit(
+            _df(spark, 0, 5), root, mode="overwrite", expected_parent=0
+        )
+    # matching expectation commits normally
+    v = ss.snap_commit(
+        _df(spark, 0, 5), root, mode="overwrite", expected_parent=1
+    )
+    assert v == 2 and ss.snap_read(spark, root).count() == 5
+
+
+def test_optimize_conflicts_instead_of_erasing_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """The lost-update window: snap_optimize pins a version, runs its
+    bounds scan, then overwrites. An append landing DURING the scan must
+    surface as SnapshotConflict (Delta's OPTIMIZE conflict), not be
+    silently erased by the overwrite. Simulate the interleaving by
+    committing the append from inside the optimize's snap_read call."""
+    root = str(tmp_path / "t_race")
+    ss.snap_commit(_df(spark, 0, 100), root, stats_cols=["id"])
+
+    orig_read = ss.snap_read
+    fired = {"done": False}
+
+    def racing_read(sp, r, version=None):
+        out = orig_read(sp, r, version)
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent writer lands an append mid-maintenance-scan
+            ss.snap_commit(_df(spark, 100, 110), root, mode="append")
+        return out
+
+    monkeypatch.setattr(ss, "snap_read", racing_read)
+    with pytest.raises(ss.SnapshotConflict, match="advanced"):
+        ss.snap_optimize(spark, root, cluster_by=["id"], n_files=2)
+    monkeypatch.undo()
+    # the concurrent append SURVIVED (nothing was erased)
+    assert ss.snap_read(spark, root).count() == 110
+    # and re-running the maintenance loop from scratch now succeeds
+    v = ss.snap_optimize(spark, root, cluster_by=["id"], n_files=2)
+    assert ss.snap_read(spark, root, v).count() == 110
+
+
+def test_compact_conflicts_instead_of_erasing_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """snap_compact shares snap_optimize's pin-scan-overwrite shape and
+    the same expected_parent guard."""
+    root = str(tmp_path / "t_race2")
+    ss.snap_commit(_df(spark, 0, 50), root)
+
+    orig_read = ss.snap_read
+    fired = {"done": False}
+
+    def racing_read(sp, r, version=None):
+        out = orig_read(sp, r, version)
+        if not fired["done"]:
+            fired["done"] = True
+            ss.snap_commit(_df(spark, 50, 60), root, mode="append")
+        return out
+
+    monkeypatch.setattr(ss, "snap_read", racing_read)
+    with pytest.raises(ss.SnapshotConflict, match="advanced"):
+        ss.snap_compact(spark, root)
+    monkeypatch.undo()
+    assert ss.snap_read(spark, root).count() == 60

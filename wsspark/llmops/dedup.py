@@ -478,12 +478,25 @@ def connected_components(
     or under the threshold those rows ARE the whole graph: a driver
     union-find labels it in microseconds (identical min-of-component
     labels — the labeling is canonical, independent of algorithm). Over
-    the threshold the collected probe is discarded and the distributed
-    hash-to-min fixpoint runs as before — the 100 TB path is unchanged,
-    and the threshold bounds the driver transfer by construction.
-    ``driver_threshold=0`` forces the distributed path.
+    the threshold the distributed hash-to-min fixpoint runs as before —
+    the 100 TB path is unchanged, and the threshold bounds the driver
+    transfer by construction. The pairs frame is persisted AROUND the
+    probe (unless the caller already cached it): the probe's partial
+    execution fills the cache, so exceeding the threshold does NOT
+    re-execute the possibly-expensive pair-generation subtree (LSH,
+    minhash) from scratch in the fixpoint — exactly the large inputs
+    where a double computation would hurt. The cache is released once
+    the symmetrized edge list is materialized. ``driver_threshold=0``
+    forces the distributed path (and skips the probe persist).
     """
+    we_cached = False
     if driver_threshold > 0:
+        if not pairs.is_cached:
+            # keep the probe's work: partitions computed by the bounded
+            # collect persist, so the over-threshold fallthrough reuses
+            # them instead of re-running the pair-generation plan
+            pairs = pairs.persist()
+            we_cached = True
         # node/cluster_id keep the pair columns' own integer type, so the
         # two paths are schema-identical
         id_type = pairs.schema[id_a].dataType.simpleString()
@@ -493,6 +506,8 @@ def connected_components(
         )
         if len(probe) <= driver_threshold:
             spark = pairs.sparkSession
+            if we_cached:
+                pairs.unpersist()
             if not probe:
                 return spark.createDataFrame([], out_schema)
             parent: dict[int, int] = {}
@@ -531,6 +546,10 @@ def connected_components(
         .select("node", F.col("node").alias("cluster_id"))
         .localCheckpoint()
     )
+    if we_cached:
+        # the eager localCheckpoint above materialized sym (filling ITS
+        # cache), so the probe-time pairs cache has served its purpose
+        pairs.unpersist()
     converged = False
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["dst"] == labels["node"]).select(

@@ -39,9 +39,14 @@ is O(groups x fractions x buckets-present) rows per pass, independent
 of row count. Because buckets-present <= 2^16 per live path, the
 worst-case per-pass collect is ``groups x fractions x 65536`` rows —
 so the operator eagerly validates ``groups x fractions <=
-MAX_GROUP_PATHS`` (2^16 by default) after the pass-0 count and raises
-rather than flooding the driver on a high-cardinality ``group_cols``
-call (same eager-validation pattern as bloom.py's bitmap-size guard).
+MAX_GROUP_PATHS`` (2^16 by default) BEFORE the first histogram
+collect: a bounded ``distinct().limit(cap + 1)`` probe over just the
+group columns (a column-pruned scan whose transfer is capped at
+cap + 1 rows) raises rather than flooding the driver on a
+high-cardinality ``group_cols`` call (same eager-validation pattern
+as bloom.py's bitmap-size guard). Guarding only after pass 0 would
+be too late — the fused histogram already materializes up to
+``groups x 65536`` (bucket, count, min, max) rows on the driver.
 In practice later passes shrink to the distinct values inside one
 65536-wide slice, so the bound is pessimistic by orders of magnitude.
 
@@ -104,10 +109,18 @@ def exact_group_quantiles(
     Raises ``ValueError`` when ``groups x len(fractions)`` exceeds
     ``max_group_paths`` (default 2^16) — the driver walks every live
     (group, fraction) path's histogram each pass, so unbounded group
-    cardinality would flood driver memory silently.
+    cardinality would flood driver memory silently. The guard runs
+    BEFORE the first histogram collect (a ``distinct().limit(cap+1)``
+    probe over the group columns only), so the driver never holds the
+    oversized pass-0 histogram at all.
     """
     if not fractions or any(not (0.0 < f <= 1.0) for f in fractions):
         raise ValueError("fractions must be in (0, 1]")
+    if not group_cols and len(fractions) > max_group_paths:
+        raise ValueError(
+            f"exact_group_quantiles: {len(fractions)} fractions exceeds "
+            f"max_group_paths={max_group_paths}"
+        )
     spark = df.sparkSession
     gcols = list(group_cols)
     key = (
@@ -117,6 +130,22 @@ def exact_group_quantiles(
         .alias("_k")
     )
     base = df.select(*gcols, key).filter(F.col("_k").isNotNull())
+    if gcols:
+        # Eager cardinality guard BEFORE the fused pass-0 collect: the
+        # probe scans only the (column-pruned) group columns and ships at
+        # most cap + 1 rows to the driver, whereas the pass-0 histogram
+        # would ship up to groups x 65536 rows before a post-hoc check
+        # could fire. Map-side partial dedup keeps the probe's shuffle at
+        # O(partitions x distinct-groups), bounded by the limit.
+        group_cap = max(1, max_group_paths // len(fractions))
+        probe = base.select(*gcols).distinct().limit(group_cap + 1).collect()
+        if len(probe) > group_cap:
+            raise ValueError(
+                f"exact_group_quantiles: more than {group_cap} distinct "
+                f"groups x {len(fractions)} fractions exceeds "
+                f"max_group_paths={max_group_paths}; reduce group "
+                "cardinality or use percentile_approx"
+            )
 
     # Entry state: [fraction, k_within_prefix_set, prefix, shift, value].
     # (prefix, shift) means "the kth key satisfies key >> shift == prefix",

@@ -68,6 +68,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -333,16 +334,33 @@ def _resolve_commit(
     bloom_bits: int,
     bloom_k: int,
     evolve: bool,
+    expected_parent: int | None = None,
 ) -> dict:
     """Shared first phase of a commit (used by ``snap_commit`` and the
     ``format("snapstore")`` distributed writer): resolve parent/version,
     enforce the schema gate (exact match, or add-column evolution), and
     the per-column bloom-geometry gate. Returns the resolved context the
-    publish phase needs. Raises before any manifest is touched."""
+    publish phase needs. Raises before any manifest is touched.
+
+    ``expected_parent`` is the lost-update guard for read-modify-write
+    maintenance commits (compact/optimize): those pin a version, run
+    long scans over it, then overwrite — and an append landing DURING
+    the scan would be silently erased, because the overwrite resolves
+    its parent from CURRENT at this later moment and O_EXCL only
+    catches races on the SAME version number. Passing the pinned
+    version here raises ``SnapshotConflict`` if CURRENT moved past it
+    (Delta's OPTIMIZE fails this conflict the same way); after this
+    resolve, any commit landing before publish bumps the version
+    number, which the O_EXCL publish does catch."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode}")
     os.makedirs(_manifest_dir(root), exist_ok=True)
     parent = snap_current_version(root)
+    if expected_parent is not None and parent != expected_parent:
+        raise SnapshotConflict(
+            f"store advanced to version {parent} while this commit was "
+            f"prepared against version {expected_parent} — reload and retry"
+        )
     ctx = {
         "parent": parent,
         "version": 0 if parent is None else parent + 1,
@@ -453,8 +471,9 @@ def _publish_commit(
     # still exist before anything touches them (the footer-meta loop
     # below opens each one) and abort with the retryable error instead
     # (snap_commit_with_retry re-writes the data per attempt). The
-    # in-commit heartbeat (_touch between long jobs) makes this a
-    # last-resort check, not the primary defense.
+    # in-commit background heartbeat thread (snap_commit's _beat, alive
+    # through this whole publish) makes this a last-resort check, not
+    # the primary defense; it is re-run just before the O_EXCL write.
     missing = [f for f in new_files if not os.path.exists(f)]
     if missing:
         if cleanup_dir:
@@ -490,6 +509,23 @@ def _publish_commit(
         "bloom_meta": bloom_meta,
         "file_meta": file_meta,
     }
+    # Re-verify IMMEDIATELY before the O_EXCL write: the footer-meta loop
+    # above takes real time on many files, so the entry check alone leaves
+    # a window in which a concurrent vacuum could collect the staged files
+    # and this manifest would publish dangling references. The background
+    # heartbeat makes that vacuum unlikely; this narrows the residual
+    # TOCTOU to the single syscall gap.
+    missing = [f for f in new_files if not os.path.exists(f)]
+    if missing:
+        if cleanup_dir:
+            import shutil
+
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        raise StagedCommitVacuumed(
+            f"{len(missing)} staged file(s) vanished during publish "
+            f"(first: {missing[0]}) — a concurrent snap_vacuum likely "
+            "collected them; re-run the commit"
+        )
     try:
         # O_EXCL publish: exactly one committer wins version N
         with open(_manifest_path(root, ctx["version"]), "x") as f:
@@ -519,8 +555,14 @@ def snap_commit(
     bloom_bits: int = 1 << 14,
     bloom_k: int = 4,
     evolve: bool = False,
+    expected_parent: int | None = None,
 ) -> int:
     """Publish ``df`` as the next version; returns the version number.
+
+    ``expected_parent`` (optional): raise ``SnapshotConflict`` unless the
+    store's CURRENT version still equals it at resolve time — the
+    read-modify-write guard for maintenance commits that pinned a
+    version before a long scan (see ``_resolve_commit``).
 
     ``append`` extends the parent's file list (schema must match the
     parent exactly); ``overwrite`` replaces it. Data files are written
@@ -547,44 +589,73 @@ def snap_commit(
     while time travel to pre-evolution versions keeps the old shape —
     schema history IS version history."""
     ctx = _resolve_commit(
-        root, mode, df.schema, bloom_cols, bloom_bits, bloom_k, evolve
+        root,
+        mode,
+        df.schema,
+        bloom_cols,
+        bloom_bits,
+        bloom_k,
+        evolve,
+        expected_parent=expected_parent,
     )
     commit_dir = os.path.join(
         root, "data", f"commit-{ctx['version']:012d}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("error").parquet(commit_dir)
-    new_files = _list_parquet(commit_dir)
-    new_stats: dict = {}
-    if stats_cols and new_files:
-        new_stats = _collect_file_stats(
-            df.sparkSession, commit_dir, list(stats_cols)
+    # Background heartbeat: vacuum measures staged grace from the dir's
+    # LAST activity, and a SINGLE stats/bloom job can outlive the grace
+    # window — beating only between jobs leaves the files collectable
+    # mid-job. A daemon thread refreshes the marker every few seconds
+    # from data-write until publish returns, so a slow commit's files
+    # stay alive however long its jobs take.
+    hb_stop = threading.Event()
+    hb_path = os.path.join(commit_dir, "_heartbeat")
+
+    def _beat() -> None:
+        while not hb_stop.wait(5.0):
+            try:
+                _touch(hb_path)
+            except OSError:  # dir vacuumed/cleaned: publish will raise
+                return
+
+    hb = threading.Thread(target=_beat, daemon=True, name="snap-heartbeat")
+    _touch(hb_path)
+    hb.start()
+    try:
+        new_files = _list_parquet(commit_dir)
+        new_stats: dict = {}
+        if stats_cols and new_files:
+            new_stats = _collect_file_stats(
+                df.sparkSession, commit_dir, list(stats_cols)
+            )
+        new_blooms: dict = {}
+        bloom_geometry: dict = {}
+        if bloom_cols and new_files:
+            new_blooms = _collect_file_blooms(
+                df.sparkSession,
+                commit_dir,
+                list(bloom_cols),
+                bloom_bits,
+                bloom_k,
+            )
+            bloom_geometry = {
+                c: {"n_bits": bloom_bits, "k": bloom_k} for c in bloom_cols
+            }
+        return _publish_commit(
+            root,
+            ctx,
+            mode,
+            tag,
+            new_files,
+            new_stats,
+            new_blooms,
+            bloom_geometry,
+            {},
+            cleanup_dir=commit_dir,
         )
-        # heartbeat: vacuum measures staged grace from the dir's LAST
-        # activity, so refreshing a marker between the long stats/bloom
-        # jobs keeps a slow commit's files alive however long they take
-        _touch(os.path.join(commit_dir, "_heartbeat"))
-    new_blooms: dict = {}
-    bloom_geometry: dict = {}
-    if bloom_cols and new_files:
-        new_blooms = _collect_file_blooms(
-            df.sparkSession, commit_dir, list(bloom_cols), bloom_bits, bloom_k
-        )
-        bloom_geometry = {
-            c: {"n_bits": bloom_bits, "k": bloom_k} for c in bloom_cols
-        }
-        _touch(os.path.join(commit_dir, "_heartbeat"))
-    return _publish_commit(
-        root,
-        ctx,
-        mode,
-        tag,
-        new_files,
-        new_stats,
-        new_blooms,
-        bloom_geometry,
-        {},
-        cleanup_dir=commit_dir,
-    )
+    finally:
+        hb_stop.set()
+        hb.join(timeout=10.0)
 
 
 def snap_commit_with_retry(
@@ -1009,6 +1080,9 @@ def snap_compact(
     size_bytes = sum(os.path.getsize(f) for f in m["files"])
     n_files = max(1, -(-size_bytes // (target_file_mb * 1024 * 1024)))
     df = snap_read(spark, root, version)
+    # expected_parent: a concurrent append landing after the pin above
+    # would be erased by this overwrite — fail with SnapshotConflict
+    # instead (the caller re-runs the whole pin-scan-commit loop)
     return snap_commit(
         df.repartition(int(n_files)),
         root,
@@ -1017,6 +1091,7 @@ def snap_compact(
         bloom_cols=bloom_cols,
         bloom_bits=bloom_bits,
         bloom_k=bloom_k,
+        expected_parent=version,
     )
 
 
@@ -1025,7 +1100,7 @@ def snap_optimize(
     root: str,
     target_file_mb: int = 256,
     cluster_by: list[str] | None = None,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 1 << 14,
@@ -1053,7 +1128,13 @@ def snap_optimize(
     Readers stay manifest-pinned through the rewrite (same contract as
     ``snap_compact``); superseded files retire via ``snap_vacuum``.
     Measured effect pinned in tests: random layout prunes ~nothing, the
-    optimized layout prunes both dimensions."""
+    optimized layout prunes both dimensions.
+
+    Concurrency: the snapshot is pinned once, then the bounds scan and
+    rewrite run against it; the final overwrite passes that pinned
+    version as ``expected_parent``, so a concurrent commit landing
+    mid-scan raises ``SnapshotConflict`` instead of being silently
+    erased (the same conflict Delta's OPTIMIZE fails on)."""
     if (cluster_by is None) == (zorder_by is None):
         raise ValueError("pass exactly one of cluster_by / zorder_by")
     version = snap_current_version(root)
@@ -1096,6 +1177,7 @@ def snap_optimize(
                 bloom_cols=bloom_cols,
                 bloom_bits=bloom_bits,
                 bloom_k=bloom_k,
+                expected_parent=version,
             )
         rng = [
             (float(b[f"_lo{i}"]), float(b[f"_hi{i}"]))
@@ -1127,6 +1209,7 @@ def snap_optimize(
         bloom_cols=bloom_cols,
         bloom_bits=bloom_bits,
         bloom_k=bloom_k,
+        expected_parent=version,
     )
 
 
