@@ -411,3 +411,50 @@ def test_drift_report_identical_snapshots_zero(spark):
     )
     for r in drift_report(df, df, numeric_cols=["v"], cat_cols=["c"]).collect():
         assert r.psi == 0.0 and not r.drifted
+
+
+def test_drift_report_categorical_cardinality_guard(spark):
+    """A user-id-like categorical column must raise eagerly (naming the
+    column) instead of silently collecting one driver row per distinct
+    value — and the collect itself is limit-capped, so the oversized
+    transfer never happens. Bounded columns are unaffected."""
+    import pytest
+
+    from wsspark.quality import drift_report
+
+    df = spark.createDataFrame(
+        [(float(i % 40), str(i), str(i % 5)) for i in range(500)],
+        "v double, user_id string, c string",
+    )
+    with pytest.raises(ValueError, match="user_id.*max_cat_buckets"):
+        drift_report(
+            df, df, numeric_cols=["v"], cat_cols=["user_id", "c"],
+            max_cat_buckets=100,
+        )
+    # raising the bound deliberately works, and bounded cols never trip
+    out = drift_report(
+        df, df, numeric_cols=["v"], cat_cols=["user_id", "c"],
+        max_cat_buckets=500,
+    ).collect()
+    assert all(r.psi == 0.0 for r in out)
+    out2 = drift_report(
+        df, df, numeric_cols=["v"], cat_cols=["c"], max_cat_buckets=100
+    ).collect()
+    assert {r.column for r in out2} == {"v", "c"}
+
+
+def test_drift_collect_is_transfer_capped(spark):
+    """The guard must bound the driver TRANSFER, not post-check it: the
+    count aggregation is collected through limit(cap+1), so the plan
+    itself carries the cap (CollectLimit / GlobalLimit in the collect)."""
+    from wsspark.quality import _drift_bucket_col, _drift_counts
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(50)], "user_id string"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="max_cat_buckets=10"):
+        _drift_counts(df, [], ["user_id"], {}, 10, max_cat_buckets=10)
+    # sanity: bucket expr for categorical is the raw value
+    assert "user_id" in str(_drift_bucket_col("user_id", {}, 10))

@@ -124,3 +124,136 @@ class TestStateStoreModel:
         )
         case = StateStoreMachine.TestCase()
         case.runTest()
+
+
+class DriftMonitorMachine(RuleBasedStateMachine):
+    """Crash-interleaving model of StreamingDriftMonitor — the one
+    foreachBatch member that rides _BatchLog + per-batch partition dirs
+    rather than AtomicStateStore. Injected failure points: crash AFTER
+    the batch_id=N dir write but BEFORE the log commit (the at-least-once
+    window), a torn mid-write dir (garbage part file), and replays at or
+    below the cursor. Invariant: ``report()`` returns EXACTLY the
+    per-batch drift rows of every committed batch — uncommitted or torn
+    dirs are invisible until their replay commits them — and each
+    committed batch's rows equal the batch-equivalent drift_report
+    oracle."""
+
+    spark = None  # injected by the test wrapper
+
+    @initialize()
+    def setup(self):
+        from wsspark.streaming import StreamingDriftMonitor
+
+        self.root = tempfile.mkdtemp(prefix="driftmodel-")
+        baseline = self.spark.createDataFrame(
+            [(float(i % 20), str(i % 4)) for i in range(200)],
+            "v double, c string",
+        )
+        self.baseline = baseline
+        self.monitor = StreamingDriftMonitor(
+            self.spark,
+            self.root,
+            baseline,
+            numeric_cols=["v"],
+            cat_cols=["c"],
+        )
+        # model: batch_id -> expected (column, kind, n_base, n_current,
+        # psi, drifted) rows, from the batch-mode oracle
+        self.committed: dict[int, set] = {}
+        self.next_bid = 0
+        self.seq = 0
+
+    def teardown(self):
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    def _batch(self, n, shift):
+        self.seq += 1
+        return self.spark.createDataFrame(
+            [(float((i * self.seq) % 20 + shift), str(i % 3)) for i in range(n)],
+            "v double, c string",
+        )
+
+    def _expected(self, batch):
+        from wsspark.quality import drift_report
+
+        return {
+            (r.column, r.kind, r.n_base, r.n_current, round(r.psi, 9), r.drifted)
+            for r in drift_report(
+                self.baseline, batch, numeric_cols=["v"], cat_cols=["c"]
+            ).collect()
+        }
+
+    @rule(n=st.integers(min_value=5, max_value=30), shift=st.integers(0, 15))
+    def commit_next_batch(self, n, shift):
+        batch = self._batch(n, shift)
+        self.monitor.process_batch(batch, self.next_bid)
+        self.committed[self.next_bid] = self._expected(batch)
+        self.next_bid += 1
+
+    @precondition(lambda self: self.next_bid > 0)
+    @rule(delta=st.integers(min_value=1, max_value=3), n=st.integers(5, 20))
+    def replay_old_batch(self, delta, n):
+        """At-least-once replay at-or-below the cursor: must be skipped,
+        leaving every committed dir untouched (the replayed payload is
+        DIFFERENT data — if the guard failed, the invariant catches the
+        changed rows)."""
+        bid = max(0, self.next_bid - delta)
+        self.monitor.process_batch(self._batch(n, 99), bid)
+
+    @rule(n=st.integers(min_value=5, max_value=20), shift=st.integers(0, 15))
+    def crash_between_dir_write_and_log_commit(self, n, shift):
+        """Writer dies after the batch dir lands but before the log
+        advances; restart replays the SAME batch, which must rewrite the
+        dir and commit — and until then report() must not see it."""
+        batch = self._batch(n, shift)
+        boom = RuntimeError("injected crash before log commit")
+        log = self.monitor._log
+        orig = log.commit
+        log.commit = lambda bid: (_ for _ in ()).throw(boom)
+        try:
+            self.monitor.process_batch(batch, self.next_bid)
+        except RuntimeError:
+            pass
+        finally:
+            log.commit = orig
+        # the uncommitted dir exists but is invisible (checked by the
+        # invariant); restart: the stream replays the same batch id
+        self.monitor.process_batch(batch, self.next_bid)
+        self.committed[self.next_bid] = self._expected(batch)
+        self.next_bid += 1
+
+    @rule()
+    def crash_torn_dir_write(self):
+        """Writer dies mid-dir-write: a garbage part file in the NEXT
+        batch dir must neither surface in report() nor break the replay
+        (mode=overwrite replaces the dir)."""
+        d = os.path.join(
+            self.monitor.drift_path, f"batch_id={self.next_bid}"
+        )
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-00000.parquet"), "wb") as f:
+            f.write(b"\x00torn write, not a parquet file")
+
+    @invariant()
+    def report_sees_exactly_the_committed_batches(self):
+        got: dict[int, set] = {}
+        for r in self.monitor.report().collect():
+            got.setdefault(int(r.batch_id), set()).add(
+                (r.column, r.kind, r.n_base, r.n_current, round(r.psi, 9),
+                 r.drifted)
+            )
+        assert got == self.committed
+
+
+class TestDriftMonitorModel:
+    def test_stateful(self, spark):
+        DriftMonitorMachine.spark = spark
+        DriftMonitorMachine.TestCase.settings = settings(
+            max_examples=3,
+            stateful_step_count=8,
+            deadline=None,
+            derandomize=True,
+            suppress_health_check=list(HealthCheck),
+        )
+        case = DriftMonitorMachine.TestCase()
+        case.runTest()

@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 BAD_REFERENCE_ID = 9_999_999  # injected sentinel (gen/generate_data.py:344-348)
 POSITIVE_MOVEMENT_TYPES = ("IN", "RETURN")
 
+# Eager driver-state guard for the drift family: a CATEGORICAL drift
+# column buckets by raw value, so its per-snapshot count collect is
+# O(distinct values) — bounded here per column (numeric columns are
+# n_buckets-bounded by construction). Beyond this, a per-value PSI is the
+# wrong tool anyway (pre-bucket, or use a sketch-based divergence).
+MAX_CAT_BUCKETS = 10_000
+
 
 def dq_flag(
     movements: DataFrame,
@@ -271,6 +278,7 @@ def drift_report(
     cat_cols: list[str] | None = None,
     n_buckets: int = 10,
     psi_alert: float = 0.2,
+    max_cat_buckets: int = MAX_CAT_BUCKETS,
 ) -> DataFrame:
     """Population-Stability-Index drift between two snapshots of the same
     table — the DQ gate that catches a distribution SHIFT the row-level
@@ -295,6 +303,19 @@ def drift_report(
     psi < 0.1 stable, 0.1-0.2 moderate, > ``psi_alert`` (default 0.2)
     actionable drift.
 
+    Driver-state guard: numeric columns are bounded by construction
+    (n_buckets + NULL), but a CATEGORICAL column buckets by raw value —
+    a user-id-like column would silently collect one row per distinct
+    value. Each snapshot's collect is therefore capped (``limit`` on the
+    count aggregation itself, so the cap bounds the TRANSFER, not just a
+    post-hoc check) at ``numeric x (n_buckets+1) + categorical x
+    (max_cat_buckets+1)`` rows; exceeding it raises ``ValueError``
+    naming the offending columns (identified by an O(columns)-row
+    follow-up aggregation on the error path only). Same eager-validation
+    pattern as ops.exactkth's MAX_GROUP_PATHS and bloom's bitmap-size
+    guard. Raise-don't-fold is deliberate: folding the tail into an
+    OTHER bucket would silently change the PSI a SQL twin replays.
+
     Reference scope: the reference's DQ is per-row null/negative flags
     (etl/transform/data_quality.py); drift is what that family needs
     once loads repeat — the incremental pipeline (config.yaml
@@ -306,8 +327,12 @@ def drift_report(
     if not numeric_cols and not cat_cols:
         raise ValueError("drift_report: pass at least one column")
     edges = _drift_edges(base, numeric_cols)
-    bc = _drift_counts(base, numeric_cols, cat_cols, edges, n_buckets)
-    cc = _drift_counts(current, numeric_cols, cat_cols, edges, n_buckets)
+    bc = _drift_counts(
+        base, numeric_cols, cat_cols, edges, n_buckets, max_cat_buckets
+    )
+    cc = _drift_counts(
+        current, numeric_cols, cat_cols, edges, n_buckets, max_cat_buckets
+    )
     out = _psi_rows(numeric_cols, cat_cols, edges, bc, cc, psi_alert)
     return base.sparkSession.createDataFrame(
         sorted(out),
@@ -361,20 +386,44 @@ def _drift_counts(
     cat_cols: list[str],
     edges: dict,
     n_buckets: int,
+    max_cat_buckets: int = MAX_CAT_BUCKETS,
 ) -> dict[tuple[str, str], int]:
     """ONE stacked map-side-combinable count aggregation for every
-    audited column; the driver holds O(columns x buckets) rows."""
+    audited column; the driver holds O(columns x buckets) rows.
+
+    The collect is capped with ``limit`` at the legitimate maximum —
+    numeric columns contribute at most n_buckets+1 rows by construction,
+    categorical columns at most max_cat_buckets+1 each — so a
+    high-cardinality categorical can never flood the driver: the limit
+    bounds the transfer itself, and hitting it raises after naming the
+    offending columns via an O(columns)-row aggregation."""
     cols = numeric_cols + cat_cols
     stack_args = ", ".join(f"'{c}', _bk_{c}" for c in cols)
     bucketed = df.select(
         *[_drift_bucket_col(c, edges, n_buckets).alias(f"_bk_{c}") for c in cols]
     ).selectExpr(f"stack({len(cols)}, {stack_args}) AS (col, bucket)")
-    return {
-        (r["col"], r["bucket"]): r["n"]
-        for r in bucketed.groupBy("col", "bucket")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    cap = len(numeric_cols) * (n_buckets + 1) + len(cat_cols) * (
+        max_cat_buckets + 1
+    )
+    counted = bucketed.groupBy("col", "bucket").agg(F.count("*").alias("n"))
+    rows = counted.limit(cap + 1).collect()
+    if len(rows) > cap:
+        # error path only: name the offenders (one row per column)
+        over = sorted(
+            r["col"]
+            for r in bucketed.groupBy("col")
+            .agg(F.count_distinct("bucket").alias("nb"))
+            .collect()
+            if r["nb"] > max_cat_buckets
+        )
+        raise ValueError(
+            "drift_report: categorical column(s) "
+            f"{over or cols} exceed max_cat_buckets={max_cat_buckets} "
+            "distinct values — a per-value PSI bucket would flood the "
+            "driver; pass a bounded column, raise max_cat_buckets "
+            "deliberately, or pre-bucket the column"
+        )
+    return {(r["col"], r["bucket"]): r["n"] for r in rows}
 
 
 def _psi_rows(

@@ -1094,8 +1094,9 @@ class StreamingDriftMonitor:
         cat_cols: list[str] | None = None,
         n_buckets: int = 10,
         psi_alert: float = 0.2,
+        max_cat_buckets: int | None = None,
     ) -> None:
-        from wsspark.quality import _drift_counts, _drift_edges
+        from wsspark.quality import MAX_CAT_BUCKETS, _drift_counts, _drift_edges
 
         self.spark = spark
         self.drift_path = os.path.join(store_dir, "drift")
@@ -1105,9 +1106,20 @@ class StreamingDriftMonitor:
             raise ValueError("StreamingDriftMonitor: pass at least one column")
         self.n_buckets = n_buckets
         self.psi_alert = psi_alert
+        # same categorical-cardinality guard as quality.drift_report: the
+        # monitor holds baseline counts for the life of the query AND
+        # collects per-batch counts forever — both bounded per column
+        self.max_cat_buckets = (
+            MAX_CAT_BUCKETS if max_cat_buckets is None else max_cat_buckets
+        )
         self.edges = _drift_edges(baseline, self.numeric_cols)
         self.base_counts = _drift_counts(
-            baseline, self.numeric_cols, self.cat_cols, self.edges, n_buckets
+            baseline,
+            self.numeric_cols,
+            self.cat_cols,
+            self.edges,
+            n_buckets,
+            self.max_cat_buckets,
         )
         self._log = _BatchLog(store_dir)
 
@@ -1117,7 +1129,12 @@ class StreamingDriftMonitor:
         if batch_id <= self._log.last_applied():
             return
         cc = _drift_counts(
-            batch, self.numeric_cols, self.cat_cols, self.edges, self.n_buckets
+            batch,
+            self.numeric_cols,
+            self.cat_cols,
+            self.edges,
+            self.n_buckets,
+            self.max_cat_buckets,
         )
         rows = _psi_rows(
             self.numeric_cols,
@@ -1137,7 +1154,37 @@ class StreamingDriftMonitor:
         self._log.commit(batch_id)
 
     def report(self) -> DataFrame:
-        return self.spark.read.parquet(self.drift_path)
+        """The COMMITTED drift timeline. Only batch dirs at-or-below the
+        ``_BatchLog`` cursor are read (explicit dir list + basePath, not
+        blind partition discovery): a crash between the per-batch dir
+        write and the log commit leaves a torn or unlogged
+        ``batch_id=N`` dir behind, and blind discovery would either
+        surface those uncommitted rows or fail outright on a partial
+        parquet file — the replay rewrites and commits the dir, at which
+        point it becomes visible. Read-committed, exactly like
+        AtomicStateStore's pointer semantics, for the idempotent
+        partition-dir shape."""
+        last = self._log.last_applied()
+        dirs = []
+        if os.path.isdir(self.drift_path):
+            for name in sorted(os.listdir(self.drift_path)):
+                if not name.startswith("batch_id="):
+                    continue
+                try:
+                    bid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid <= last:
+                    dirs.append(os.path.join(self.drift_path, name))
+        if not dirs:
+            return self.spark.createDataFrame(
+                [],
+                "column string, kind string, n_base long, n_current long, "
+                "psi double, drifted boolean, batch_id int",
+            )
+        return self.spark.read.option("basePath", self.drift_path).parquet(
+            *dirs
+        )
 
     def attach(self, rows: DataFrame, checkpoint_dir: str):
         return (
