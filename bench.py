@@ -259,10 +259,22 @@ def main() -> None:
 
     dispersion: dict[str, dict[str, float]] = {}
 
+    # Spot-bench subset: SPARK_GRAFT_QUERIES="q17_...,q27_..." restricts the
+    # suite to the named labels (q0/q0b included only if named) — used for
+    # scale-extension runs on derived data dirs that carry only the tables
+    # those queries read (tools/make_sf1.py).
+    only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",")
+        if s.strip()
+    }
+
     def run_suite(suite_dir: str) -> dict[str, float]:
         out: dict[str, float] = {}
 
         def record(label: str, fn) -> None:
+            if only and label not in only:
+                return
             med, lo, hi, max_ext, contaminated = timed(fn)
             out[label] = med
             row: dict = {"min": lo, "max": hi}

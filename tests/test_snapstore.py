@@ -992,6 +992,27 @@ def test_optimize_zorder_three_columns(spark, tmp_path):
     assert got == df.filter(F.col("z").between(100, 120)).count()
     with pytest.raises(ValueError, match=">= 2"):
         ss.snap_optimize(spark, root, zorder_by=("x",), n_files=2)
+    # conjunctive 3-range read: the planned file set is the INTERSECTION
+    # of the per-dimension kept sets — strictly smaller than any single
+    # dimension's plan here — and the result is exact
+    preds = {"x": (400, 450), "y": (400, 450), "z": (200, 230)}
+    per_dim = [
+        set(ss.snap_prune_files(root, c, lo, hi)[0])
+        for c, (lo, hi) in preds.items()
+    ]
+    inter = per_dim[0] & per_dim[1] & per_dim[2]
+    assert len(inter) < min(len(s) for s in per_dim)
+    nd = ss.snap_read_between_nd(spark, root, preds)
+    expect = df.filter(
+        F.col("x").between(400, 450)
+        & F.col("y").between(400, 450)
+        & F.col("z").between(200, 230)
+    )
+    assert sorted(map(tuple, nd.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        ss.snap_read_between_nd(spark, root, {})
 
 
 def test_expected_parent_rejects_lost_update(spark, tmp_path):

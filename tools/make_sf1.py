@@ -1,0 +1,109 @@
+"""Derive an sf1-scale spot-bench dataset (10x sf0.1) for the worst-scaler
+slope extension — PLANS.md round-11 addendum.
+
+The driver provides testdata only up to sf0.1; extending the measured
+scaling slope one more decade needs a faithful 10x of the two tables the
+five worst-scaling headline queries read (q17/q5/q7/q21 -> lineitem,
+q27 -> documents). Construction (documented because fairness IS the
+point):
+
+- ``lineitem``: 10 replicas with l_orderkey / l_partkey / l_suppkey each
+  shifted by replica x (max+1). Key CARDINALITY grows 10x while per-key
+  group sizes and value distributions stay exactly sf0.1's — the same
+  shape TPC-H itself scales by (more orders/parts/suppliers, not fatter
+  groups), so groupBy/join working sets scale like real growth.
+- ``documents``: 10 replicas with doc_id shifted and every whitespace
+  token suffixed ``~k`` for replica k>0 (pure JVM transform/array_join).
+  Token-set equality structure within a replica is preserved verbatim
+  (doc frequencies, shingle sets, jaccard values all replicate), while
+  replicas are pairwise disjoint — near-dup PAIR COUNTS scale exactly
+  10x, like a corpus growing with mostly-unrelated new content. A naive
+  10x copy would instead create C(10,2)=45 exact-dup pairs per source
+  doc and benchmark a different (pathological) workload.
+
+Writes /root/repo/.testdata_sf1/{lineitem,documents}.parquet (dirs;
+read_table reads them transparently). Gitignored — regenerate with:
+
+    python tools/make_sf1.py
+
+Spot-bench the five rows with:
+
+    SPARK_GRAFT_SF_DIR=/root/repo/.testdata_sf1 SPARK_GRAFT_SECOND_SF= \
+    SPARK_GRAFT_QUERIES=q17_salted_product_totals,q27_prefix_jaccard,\
+q5_transfer_patterns,q7_snapshot_recompute,q21_dq_expectations \
+    python bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SRC = "/root/testdata/sf0.1"
+DST = str(Path(__file__).resolve().parents[1] / ".testdata_sf1")
+REPLICAS = 10
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(DST, exist_ok=True)
+    reps = spark.range(REPLICAS).select(F.col("id").cast("long").alias("_k"))
+
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    offs = {
+        c: li.agg(F.max(c)).first()[0] + 1
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    }
+    big = li.crossJoin(F.broadcast(reps)).select(
+        *[
+            (F.col(c) + F.col("_k") * F.lit(offs[c])).alias(c)
+            if c in offs
+            else F.col(c)
+            for c in li.columns
+        ]
+    )
+    big.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(DST, "lineitem.parquet")
+    )
+    n_li = spark.read.parquet(os.path.join(DST, "lineitem.parquet")).count()
+
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    salted_text = F.when(F.col("_k") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit("~"), F.col("_k").cast("string")),
+            ),
+            " ",
+        )
+    )
+    big_docs = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("_k") * F.lit(doc_off)).alias("doc_id"),
+        salted_text.alias("text"),
+        "lang",
+        "source",
+        F.length(salted_text).cast("long").alias("n_chars"),
+    )
+    big_docs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(DST, "documents.parquet")
+    )
+    n_docs = spark.read.parquet(os.path.join(DST, "documents.parquet")).count()
+    print(f"wrote {DST}: lineitem={n_li} rows, documents={n_docs} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -1593,8 +1593,8 @@ QUERIES = [
           "trigger/audit semantics as snapshot diff (M5 F12)"),
     Query("transfer_validation", q_transfer_validation, TRANSFER_VALIDATION_SQL,
           "transfer_stock validation rules (M2)"),
-    Query("movement_quantity_quantiles", q_movement_quantity_quantiles,
-          QUANTILES_SQL, "exact quantiles per movement type (approx at scale)"),
+    # movement_quantity_quantiles retired to the folded tier in r11 (slot
+    # swap — see llm.py FOLDED_QUERIES); implementation + SQL stay here.
     Query("daily_trend_windows", q_daily_trend_windows, DAILY_WINDOWS_SQL,
           "rolling 7-day average + day-over-day lag over gap-filled dailies"),
     Query("event_funnel", q_event_funnel, FUNNEL_SQL,

@@ -2267,6 +2267,59 @@ WHERE l_partkey BETWEEN 100 AND 300
 """
 
 
+def q_snapstore_zorder_nd_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=3 OPTIMIZE ... ZORDER BY under the driver hash gate: commit a
+    lineitem projection hash-random, ``snap_optimize`` it onto the
+    (l_partkey, l_suppkey, l_quantity) Morton curve
+    (``layout.zorder_key_nd`` — the general-K interleave, no magic masks
+    past K=2), then answer a CONJUNCTIVE 3-dimension range read through
+    the manifest planner (``snap_read_between_nd`` — per-column kept-set
+    intersection + exact residual). The hash twin is the plain 3-range
+    SQL filter over the raw parquet, so a K-D rewrite corruption
+    (lost/dup rows) or a stats false-drop on ANY of the three dimensions
+    goes red independent of pruning-fraction seed variance; the pruning
+    EFFECT on all three dimensions is pinned in tests/test_snapstore.py."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="snapoptnd-")
+    try:
+        ss.snap_commit(li.repartition(8), root, stats_cols=["l_partkey"])
+        ss.snap_optimize(
+            spark,
+            root,
+            zorder_by=("l_partkey", "l_suppkey", "l_quantity"),
+            n_files=16,
+        )
+        out = ss.snap_read_between_nd(
+            spark,
+            root,
+            {
+                "l_partkey": (100, 600),
+                "l_suppkey": (5, 80),
+                "l_quantity": (10, 40),
+            },
+        )
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_ZORDER_ND_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 600
+  AND l_suppkey BETWEEN 5 AND 80
+  AND l_quantity BETWEEN 10 AND 40
+"""
+
+
 PR_BINS = 20
 
 
@@ -3364,8 +3417,6 @@ QUERIES = [
           "deterministic hash-gated per-language sampling (domain mixing)"),
     Query("quality_filter", q_quality_filter, QUALITY_FILTER_SQL,
           "rule-based corpus quality gate with reject reasons"),
-    Query("ann_recall_at_k", q_ann_recall_at_k, ANN_RECALL_SQL,
-          "recall@k of IVF + quantized ANN vs brute-force ground truth"),
     Query("repetition_stats", q_repetition_stats, REPETITION_SQL,
           "Gopher-style repetition signals: top-word share + unique ratio"),
     Query("bigram_lm_scores", q_bigram_lm_scores, BIGRAM_LM_SQL,
@@ -3396,9 +3447,6 @@ QUERIES = [
     Query("pack_chunks", q_pack_chunks, PACK_CHUNKS_SQL,
           "deterministic fixed-budget sequence packing of doc_chunks "
           "(chunk -> pack stage of a pretraining corpus build)"),
-    Query("dup_ngram_profile", q_dup_ngram_profile, DUP_NGRAM_SQL,
-          "cross-doc duplicated n-gram fraction per doc (substring-grain "
-          "dup signal, portable md5-keyed grams)"),
     Query("semantic_dedup_survivors", q_semantic_dedup_survivors,
           SEMANTIC_SURVIVORS_SQL,
           "SemDeDup keep-set: anti-join of the cell-blocked embedding "
@@ -3410,6 +3458,20 @@ QUERIES = [
           DUP_NGRAM_BLOOM_SQL,
           "scale path of dup_ngram_profile: broadcast Bloom membership "
           "(native bit_or bitmap, deterministic md5 probes)"),
+    # Promoted folded -> registry (r11 slot swap; see FOLDED_QUERIES doc):
+    # the drift gate, the exact AUC, and the K-D zorder roundtrip now run
+    # under the DRIVER's DuckDB gate; the slots came from three retired
+    # redundant family members (movement_quantity_quantiles,
+    # ann_recall_at_k, dup_ngram_profile — all folded below, still
+    # oracle-hash-gated every session by tests/test_folded_oracles.py).
+    Query("snapshot_drift_report", q_snapshot_drift_report,
+          SNAPSHOT_DRIFT_SQL,
+          "PSI drift report between two snapshots (numeric + categorical)"),
+    Query("quality_gate_auc", q_quality_gate_auc, _auc_sql(),
+          "exact tie-aware ROC-AUC of the quality gate score"),
+    Query("snapstore_zorder_nd_read", q_snapstore_zorder_nd_read,
+          SNAPSTORE_ZORDER_ND_SQL,
+          "K-D ZORDER roundtrip through the 3-range intersected read"),
 ]
 
 # Registry-slot policy (round 6): the driver window holds 50 of a 100-query
@@ -3569,7 +3631,37 @@ FROM acc JOIN nrm USING (doc_id)
 """
 
 
+# The retired core-module query rides FOLDED_QUERIES from here (llm.py
+# owns the folded tier); core.py keeps the implementation + SQL twin.
+from wsspark.queries.core import QUANTILES_SQL as _CORE_QUANTILES_SQL  # noqa: E402
+from wsspark.queries.core import (  # noqa: E402
+    q_movement_quantity_quantiles as _core_quantiles_query,
+)
+
 FOLDED_QUERIES = [
+    # Retired registry -> folded (r11 slot swap): three redundant family
+    # members gave their driver slots to snapshot_drift_report /
+    # quality_gate_auc / snapstore_zorder_nd_read. Folding loses nothing
+    # but WHO runs the check: tests/test_folded_oracles.py replays the
+    # identical DuckDB hash gate every session. Retirement rationale —
+    # each one's semantics stay driver-verified through a superseding
+    # registered sibling:
+    #  * movement_quantity_quantiles: third quantile slot — the GK family
+    #    keeps brand_price_quantiles registered and exactkth keeps folded
+    #    exact_price_quantiles.
+    #  * ann_recall_at_k: the ANN ladder keeps ann_cosine_topk +
+    #    ivf_pq_search registered; recall floors are pinned in
+    #    tests/test_pq.py.
+    #  * dup_ngram_profile: its scale path dup_ngram_bloom_profile stays
+    #    registered and shares the gram pipeline.
+    Query("movement_quantity_quantiles", _core_quantiles_query,
+          _CORE_QUANTILES_SQL,
+          "exact quantiles per movement type (approx at scale)"),
+    Query("ann_recall_at_k", q_ann_recall_at_k, ANN_RECALL_SQL,
+          "recall@k of IVF + quantized ANN vs brute-force ground truth"),
+    Query("dup_ngram_profile", q_dup_ngram_profile, DUP_NGRAM_SQL,
+          "cross-doc duplicated n-gram fraction per doc (substring-grain "
+          "dup signal, portable md5-keyed grams)"),
     Query("ivf_ann_topk", q_ivf_ann_topk, IVF_SQL,
           "IVF-bucketed approximate cosine top-k"),
     Query("quantized_ann_topk", q_quantized_ann_topk, QUANTIZED_ANN_SQL,
@@ -3659,22 +3751,11 @@ FOLDED_QUERIES = [
     Query("snapstore_optimize_read", q_snapstore_optimize_read,
           SNAPSTORE_OPTIMIZE_SQL,
           "OPTIMIZE ZORDER roundtrip through the pruned range read"),
-    # Born folded (r10): PSI distribution-drift gate — the DQ family
-    # member that catches a population shift row-level expectations
-    # can't; both the alert and the quiet verdict ride the hash.
-    Query("snapshot_drift_report", q_snapshot_drift_report,
-          SNAPSHOT_DRIFT_SQL,
-          "PSI drift report between two snapshots (numeric + categorical)"),
     # Born folded (r10): exact binned PR threshold sweep — classifier
     # calibration with every count and ratio row on the hash (bin-edge
     # off-by-ones are the classic silent defect).
     Query("quality_pr_curve", q_quality_pr_curve, _pr_curve_sql(),
           "precision/recall threshold sweep for the quality gate score"),
-    # Born folded (r10): the exact tie-aware AUC of the same score/label
-    # pair — integer-exact Mann-Whitney numerator, distinct-score-bounded
-    # sort only.
-    Query("quality_gate_auc", q_quality_gate_auc, _auc_sql(),
-          "exact tie-aware ROC-AUC of the quality gate score"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,

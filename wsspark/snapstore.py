@@ -845,6 +845,46 @@ def snap_read_between(
     )
 
 
+def snap_read_between_nd(
+    spark: SparkSession,
+    root: str,
+    preds: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Conjunctive multi-column range read — the read-side counterpart
+    of ``snap_optimize(zorder_by=...)``: plan the INTERSECTION of each
+    column's stats-kept file set (a file survives only if EVERY range
+    may overlap its recorded [min, max]; unknown stats keep the file per
+    column, as in ``snap_prune_files``), then apply the exact residual
+    AND-of-BETWEENs. On a z-ordered layout every keyed dimension prunes,
+    so a conjunctive predicate prunes ~multiplicatively — the query
+    shape K-D clustering exists for; on any layout it degrades safely
+    to a superset read. Driver cost: one manifest GET + K dict sweeps.
+
+    ``preds`` maps column -> (lo, hi), all ranges inclusive.
+    """
+    if not preds:
+        raise ValueError("snap_read_between_nd: pass at least one range")
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    kept: set[str] | None = None
+    for col, (lo, hi) in preds.items():
+        files, _total = snap_prune_files(root, col, lo, hi, version)
+        kept = set(files) if kept is None else kept & set(files)
+    schema = T.StructType.fromJson(
+        json.loads(_read_manifest(root, version)["schema"])
+    )
+    if not kept:
+        return spark.createDataFrame([], schema)
+    cond = None
+    for col, (lo, hi) in preds.items():
+        c = F.col(col).between(F.lit(lo), F.lit(hi))
+        cond = c if cond is None else cond & c
+    return spark.read.schema(schema).parquet(*sorted(kept)).filter(cond)
+
+
 def snap_prune_files_eq(
     root: str, col: str, value, version: int | None = None
 ) -> tuple[list[str], int]:
