@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -182,7 +183,10 @@ def materialize(df) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    # scale factor from the dir name; derived dirs like .testdata_sf1 parse
+    # via the sfN(.N) suffix, anything unrecognizable records sf=0
+    m_sf = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m_sf.group(1)) if m_sf else 0.0
     spark = get_session(app_name="wsspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = dict(build_registry())
