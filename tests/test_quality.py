@@ -458,3 +458,61 @@ def test_drift_collect_is_transfer_capped(spark):
         _drift_counts(df, [], ["user_id"], {}, 10, max_cat_buckets=10)
     # sanity: bucket expr for categorical is the raw value
     assert "user_id" in str(_drift_bucket_col("user_id", {}, 10))
+
+
+def test_drift_topk_matches_drift_report_when_under_k(spark):
+    """With cardinality <= k no value folds into OTHER, so drift_topk must
+    reproduce drift_report's categorical PSI exactly (same smoothing, same
+    bucket union semantics)."""
+    from wsspark.quality import drift_report, drift_topk
+
+    base = spark.createDataFrame(
+        [(str(i % 7),) for i in range(700)], "c string"
+    )
+    cur = spark.createDataFrame(
+        [(str(i % 5),) for i in range(500)], "c string"
+    )
+    a = drift_report(base, cur, cat_cols=["c"]).collect()[0]
+    b = drift_topk(base, cur, ["c"], k=50).collect()[0]
+    assert (a.psi, a.n_base, a.n_current, a.drifted) == (
+        b.psi, b.n_base, b.n_current, b.drifted,
+    )
+
+
+def test_drift_topk_novel_value_flood_alerts_via_other(spark):
+    """Buckets are pinned to the BASE top-k: a current-side flood of novel
+    values lands in OTHER and must alert, while a stationary feed with the
+    same top-k mass stays quiet."""
+    from wsspark.quality import drift_topk
+
+    base = spark.createDataFrame(
+        [(f"u{i % 10}",) for i in range(1000)], "c string"
+    )
+    flood = spark.createDataFrame(
+        [(f"new{i}",) for i in range(1000)], "c string"
+    )
+    r = drift_topk(base, flood, ["c"], k=5).collect()[0]
+    assert r.drifted and r.kind == "categorical"
+    quiet = drift_topk(base, base, ["c"], k=5).collect()[0]
+    assert quiet.psi == 0.0 and not quiet.drifted
+
+
+def test_drift_topk_bounded_collect_and_nulls(spark):
+    """High-cardinality column: driver state stays O(k), NULL rides as its
+    own bucket value, and the guard errors are honest."""
+    import pytest
+
+    from wsspark.quality import drift_topk
+
+    base = spark.createDataFrame(
+        [(str(i) if i % 3 else None,) for i in range(3000)], "c string"
+    )
+    cur = spark.createDataFrame(
+        [(str(i * 2) if i % 4 else None,) for i in range(3000)], "c string"
+    )
+    out = drift_topk(base, cur, ["c"], k=10).collect()
+    assert len(out) == 1 and out[0].n_base == 3000 and out[0].n_current == 3000
+    with pytest.raises(ValueError, match="k must be"):
+        drift_topk(base, cur, ["c"], k=0)
+    with pytest.raises(ValueError, match="at least one"):
+        drift_topk(base, cur, [])

@@ -1088,3 +1088,48 @@ def test_compact_conflicts_instead_of_erasing_concurrent_append(
         ss.snap_compact(spark, root)
     monkeypatch.undo()
     assert ss.snap_read(spark, root).count() == 60
+
+
+def test_optimize_retry_rewinds_the_whole_maintenance_loop(
+    spark, tmp_path, monkeypatch
+):
+    """snap_optimize_with_retry: a conflicting concurrent append makes the
+    first attempt raise; the retry re-pins the ADVANCED store, so the
+    optimized result contains the concurrent rows (never erased) and the
+    rewrite is clustered over the full new snapshot."""
+    root = str(tmp_path / "t_retry")
+    ss.snap_commit(_df(spark, 0, 100), root, stats_cols=["id"])
+
+    orig_read = ss.snap_read
+    fired = {"done": False}
+
+    def racing_read(sp, r, version=None):
+        out = orig_read(sp, r, version)
+        if not fired["done"]:
+            fired["done"] = True
+            ss.snap_commit(_df(spark, 100, 120), root, mode="append")
+        return out
+
+    monkeypatch.setattr(ss, "snap_read", racing_read)
+    v = ss.snap_optimize_with_retry(
+        spark, root, cluster_by=["id"], n_files=2
+    )
+    monkeypatch.undo()
+    got = ss.snap_read(spark, root, v)
+    assert got.count() == 120
+    # and the retry recorded stats over the FULL range incl. the append
+    kept, total = ss.snap_prune_files(root, "id", 110, 119, v)
+    assert total >= 1 and len(kept) >= 1
+    # exhausted retries surface the conflict honestly
+    always = {"n": 0}
+
+    def always_racing(sp, r, version=None):
+        out = orig_read(sp, r, version)
+        ss.snap_commit(_df(spark, 200 + always["n"], 201 + always["n"]),
+                       root, mode="append")
+        always["n"] += 1
+        return out
+
+    monkeypatch.setattr(ss, "snap_read", always_racing)
+    with pytest.raises(ss.SnapshotConflict):
+        ss.snap_compact_with_retry(spark, root, max_retries=2)

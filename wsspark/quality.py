@@ -341,6 +341,103 @@ def drift_report(
     )
 
 
+def drift_topk(
+    base: DataFrame,
+    current: DataFrame,
+    cat_cols: list[str],
+    k: int = 100,
+    psi_alert: float = 0.2,
+) -> DataFrame:
+    """PSI drift for UNBOUNDED-cardinality categorical columns — the
+    explicit scale path ``drift_report`` deliberately refuses to take
+    silently: the bucket set per column is the BASE snapshot's top-``k``
+    values by count (ties broken by value ascending — deterministic and
+    SQL-replayable) plus one ``OTHER`` bucket absorbing the tail and any
+    value unseen in base. Pinning buckets to base makes the metric
+    stable under current-side novelty: new values land in OTHER and move
+    exactly one bucket's mass, which is what a monitor wants (a new-value
+    FLOOD still alerts through OTHER's proportion shift).
+
+    Distributed shape: per snapshot ONE stacked map-side-combinable
+    (column, value) count aggregation; the top-k rank runs over that
+    COUNTS frame (a window over distinct values, never the fact), the
+    tail folds into OTHER with a broadcast join against the k-row bucket
+    frame, and the driver collects O(columns x (k+2)) rows. No path
+    touches O(distinct-values) driver state — this is the fold
+    ``drift_report``'s MAX_CAT_BUCKETS guard points users at.
+
+    NULL participates as the literal 'NULL' bucket value (same
+    convention as drift_report's categorical path) and can itself rank
+    into the top-k. Returns the same schema as ``drift_report``.
+    """
+    cat_cols = list(cat_cols)
+    if not cat_cols:
+        raise ValueError("drift_topk: pass at least one column")
+    if k < 1:
+        raise ValueError("drift_topk: k must be >= 1")
+    from pyspark.sql import Window
+
+    def _value_counts(df: DataFrame) -> DataFrame:
+        stack_args = ", ".join(f"'{c}', _v_{c}" for c in cat_cols)
+        return (
+            df.select(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("NULL")).alias(
+                        f"_v_{c}"
+                    )
+                    for c in cat_cols
+                ]
+            )
+            .selectExpr(f"stack({len(cat_cols)}, {stack_args}) AS (col, val)")
+            .groupBy("col", "val")
+            .agg(F.count("*").alias("n"))
+        )
+
+    base_counts = _value_counts(base)
+    topk = (
+        base_counts.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("col").orderBy(
+                    F.desc("n"), F.asc("val")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= k)
+        .select("col", "val")
+    )
+
+    def _bucket_counts(counts: DataFrame) -> dict[tuple[str, str], int]:
+        bucketed = (
+            counts.join(
+                F.broadcast(topk.withColumn("_keep", F.lit(True))),
+                ["col", "val"],
+                "left",
+            )
+            .select(
+                "col",
+                F.when(F.col("_keep"), F.col("val"))
+                .otherwise(F.lit("OTHER"))
+                .alias("bucket"),
+                "n",
+            )
+            .groupBy("col", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        # bounded by construction (<= cols x (k+1)); limit is belt
+        rows = bucketed.limit(len(cat_cols) * (k + 1) + 1).collect()
+        return {(r["col"], r["bucket"]): r["n"] for r in rows}
+
+    bc = _bucket_counts(base_counts)
+    cc = _bucket_counts(_value_counts(current))
+    out = _psi_rows([], cat_cols, {}, bc, cc, psi_alert)
+    return base.sparkSession.createDataFrame(
+        sorted(out),
+        "column string, kind string, n_base long, n_current long, "
+        "psi double, drifted boolean",
+    )
+
+
 def _drift_edges(base: DataFrame, numeric_cols: list[str]) -> dict:
     """Equal-width bucket edges from the BASE snapshot's min/max — one
     tiny aggregation, deterministic and SQL-replicable."""

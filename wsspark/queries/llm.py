@@ -2593,6 +2593,94 @@ ORDER BY 1
 """
 
 
+DRIFT_TOPK_SPLIT = "2024-01-16 00:00:00"
+DRIFT_TOPK_K = 20
+
+
+def q_drift_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.drift_topk under the hash gate — the bounded scale path
+    for UNBOUNDED-cardinality categoricals (the exact case drift_report's
+    MAX_CAT_BUCKETS guard refuses to fold silently): buckets are the base
+    snapshot's top-k values by count (deterministic value-asc tie-break)
+    plus OTHER for the tail. Audited on events split mid-month:
+    user_id is the high-cardinality column (150 users at sf0.01, only
+    k=20 bucketed — the tail folds), event_type the bounded control.
+    The twin replays the rank, the OTHER fold, and the Laplace PSI."""
+    from wsspark.quality import drift_topk
+
+    ev = read_table(spark, sf_dir, "events")
+    split = F.lit(DRIFT_TOPK_SPLIT).cast("timestamp")
+    return drift_topk(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        cat_cols=["user_id", "event_type"],
+        k=DRIFT_TOPK_K,
+    )
+
+
+DRIFT_TOPK_SQL = f"""
+WITH b AS (SELECT * FROM events WHERE ts < TIMESTAMP '{DRIFT_TOPK_SPLIT}'),
+c AS (SELECT * FROM events WHERE ts >= TIMESTAMP '{DRIFT_TOPK_SPLIT}'),
+vals AS (
+    SELECT 'user_id' AS col, 'base' AS side,
+           COALESCE(CAST(user_id AS VARCHAR), 'NULL') AS val FROM b
+    UNION ALL
+    SELECT 'event_type', 'base', COALESCE(event_type, 'NULL') FROM b
+    UNION ALL
+    SELECT 'user_id', 'cur',
+           COALESCE(CAST(user_id AS VARCHAR), 'NULL') FROM c
+    UNION ALL
+    SELECT 'event_type', 'cur', COALESCE(event_type, 'NULL') FROM c
+),
+vcounts AS (
+    SELECT col, side, val, COUNT(*) AS n FROM vals GROUP BY 1, 2, 3
+),
+topk AS (
+    SELECT col, val FROM (
+        SELECT col, val,
+               ROW_NUMBER() OVER (PARTITION BY col
+                                  ORDER BY n DESC, val ASC) AS rk
+        FROM vcounts WHERE side = 'base'
+    ) WHERE rk <= {DRIFT_TOPK_K}
+),
+counts AS (
+    SELECT v.col, v.side,
+           CASE WHEN t.val IS NOT NULL THEN v.val ELSE 'OTHER' END AS bucket,
+           SUM(v.n) AS n
+    FROM vcounts v LEFT JOIN topk t ON t.col = v.col AND t.val = v.val
+    GROUP BY 1, 2, 3
+),
+grid AS (SELECT DISTINCT col, bucket FROM counts),
+sides AS (
+    SELECT g.col, g.bucket,
+           COALESCE(bn.n, 0) AS n_b, COALESCE(cn.n, 0) AS n_c
+    FROM grid g
+    LEFT JOIN counts bn
+      ON bn.col = g.col AND bn.bucket = g.bucket AND bn.side = 'base'
+    LEFT JOIN counts cn
+      ON cn.col = g.col AND cn.bucket = g.bucket AND cn.side = 'cur'
+),
+tot AS (
+    SELECT col, SUM(n_b) AS tb, SUM(n_c) AS tc, COUNT(*) AS nb
+    FROM sides GROUP BY 1
+),
+psi AS (
+    SELECT s.col, t.tb, t.tc,
+           SUM(((s.n_b + 0.5) / (t.tb + t.nb / 2.0)
+                - (s.n_c + 0.5) / (t.tc + t.nb / 2.0))
+               * LN(((s.n_b + 0.5) / (t.tb + t.nb / 2.0))
+                    / ((s.n_c + 0.5) / (t.tc + t.nb / 2.0)))) AS raw
+    FROM sides s JOIN tot t ON s.col = t.col
+    GROUP BY 1, t.tb, t.tc
+)
+SELECT col AS "column", 'categorical' AS kind,
+       CAST(tb AS BIGINT) AS n_base, CAST(tc AS BIGINT) AS n_current,
+       ROUND(raw, 6) AS psi, raw > 0.2 AS drifted
+FROM psi
+ORDER BY 1
+"""
+
+
 SHUFFLE_EPOCH = 3
 SHUFFLE_SHARDS = 8
 
@@ -3756,6 +3844,13 @@ FOLDED_QUERIES = [
     # off-by-ones are the classic silent defect).
     Query("quality_pr_curve", q_quality_pr_curve, _pr_curve_sql(),
           "precision/recall threshold sweep for the quality gate score"),
+    # Born folded (r11): the bounded scale path for unbounded-cardinality
+    # categorical drift — base-pinned top-k buckets + OTHER fold, the
+    # explicit alternative drift_report's MAX_CAT_BUCKETS guard refuses
+    # to apply silently. Rank tie-break, OTHER fold, and Laplace PSI all
+    # ride the hash.
+    Query("drift_topk_report", q_drift_topk_report, DRIFT_TOPK_SQL,
+          "top-k + OTHER PSI drift for high-cardinality categoricals"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,

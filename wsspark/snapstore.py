@@ -1135,6 +1135,42 @@ def snap_compact(
     )
 
 
+def snap_compact_with_retry(
+    spark: SparkSession, root: str, max_retries: int = 5, **kwargs
+) -> int:
+    """``snap_compact`` under the maintenance OCC loop: a
+    ``SnapshotConflict`` (a commit landed during the pin-scan window —
+    the expected_parent guard) re-runs the WHOLE pin-scan-commit cycle
+    against the advanced store, re-reading the new CURRENT so the
+    concurrent commit's rows are included, never erased. This differs
+    from ``snap_commit_with_retry``, which can re-publish the same frame
+    but cannot re-pin a maintenance read."""
+    attempt = 0
+    while True:
+        try:
+            return snap_compact(spark, root, **kwargs)
+        except (SnapshotConflict, StagedCommitVacuumed):
+            attempt += 1
+            if attempt > max_retries:
+                raise
+
+
+def snap_optimize_with_retry(
+    spark: SparkSession, root: str, max_retries: int = 5, **kwargs
+) -> int:
+    """``snap_optimize`` under the same maintenance OCC loop as
+    ``snap_compact_with_retry`` (each attempt re-pins CURRENT, re-derives
+    the z-key bounds from the advanced snapshot, and re-clusters it)."""
+    attempt = 0
+    while True:
+        try:
+            return snap_optimize(spark, root, **kwargs)
+        except (SnapshotConflict, StagedCommitVacuumed):
+            attempt += 1
+            if attempt > max_retries:
+                raise
+
+
 def snap_optimize(
     spark: SparkSession,
     root: str,
