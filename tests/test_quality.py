@@ -516,3 +516,69 @@ def test_drift_topk_bounded_collect_and_nulls(spark):
         drift_topk(base, cur, ["c"], k=0)
     with pytest.raises(ValueError, match="at least one"):
         drift_topk(base, cur, [])
+
+
+def _ks_exact(xs, ys):
+    """Pure-python exact two-sample KS (sup over pooled distinct values of
+    right-continuous ECDF difference) — the definitional oracle."""
+    import bisect
+
+    xs, ys = sorted(xs), sorted(ys)
+    d = 0.0
+    for v in sorted(set(xs) | set(ys)):
+        fb = bisect.bisect_right(xs, v) / len(xs)
+        fc = bisect.bisect_right(ys, v) / len(ys)
+        d = max(d, abs(fb - fc))
+    return d
+
+
+def test_ks_drift_matches_definitional_oracle(spark):
+    import math as m
+    import random
+
+    from wsspark.quality import ks_drift
+
+    random.seed(7)
+    xs = [round(random.gauss(0, 1), 2) for _ in range(800)]
+    ys = [round(random.gauss(0.4, 1.3), 2) for _ in range(600)]
+    base = spark.createDataFrame([(v,) for v in xs], "v double")
+    cur = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = ks_drift(base, cur, ["v"]).collect()[0]
+    assert r.ks_stat == round(_ks_exact(xs, ys), 6)
+    assert r.n_base == 800 and r.n_current == 600
+    c = m.sqrt(-m.log(0.025) / 2)
+    assert r.threshold == round(c * m.sqrt((800 + 600) / (800 * 600)), 6)
+    assert r.drifted  # a 0.4-sigma shift at n=800/600 is decisive
+
+
+def test_ks_drift_identical_and_multicolumn_and_nulls(spark):
+    from wsspark.quality import ks_drift
+
+    df = spark.createDataFrame(
+        [(float(i % 50), float(i % 7) if i % 11 else None)
+         for i in range(2000)],
+        "a double, b double",
+    )
+    rows = {r.column: r for r in ks_drift(df, df, ["a", "b"]).collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert r.ks_stat == 0.0 and not r.drifted
+    # NULLs excluded from the ECDF: counts reflect non-null rows only
+    assert rows["b"].n_base == 2000 - len([i for i in range(2000) if i % 11 == 0])
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        ks_drift(df, df, [])
+    with pytest.raises(ValueError, match="alpha"):
+        ks_drift(df, df, ["a"], alpha=1.5)
+
+
+def test_ks_drift_plan_is_distinct_value_bounded(spark):
+    """The only sort in the plan must be over the pooled distinct-value
+    frame (post-aggregation), never the fact: the Sort's child side
+    carries the count aggregation."""
+    from wsspark.quality import ks_drift
+
+    df = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    plan = ks_drift(df, df, ["v"])._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

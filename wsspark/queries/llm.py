@@ -2593,6 +2593,86 @@ ORDER BY 1
 """
 
 
+def q_ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.ks_drift under the hash gate, both verdict polarities (the
+    snapshot_drift_report discipline): the pre/post-1997 lineitem halves
+    are stationary on quantity (quiet verdict expected from IID synthetic
+    data), while the price feed-swap probe (lineitem extended prices vs
+    part retail prices) must alert decisively. The twin replays the
+    pooled distinct-value ECDF cumsums, the sup, and the asymptotic
+    critical value sqrt(-ln(alpha/2)/2) * sqrt((n+m)/nm) exactly — every
+    statistic, threshold, and verdict rides the hash."""
+    from wsspark.quality import ks_drift
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    stationary = ks_drift(
+        li.filter(F.col("l_shipdate") < split),
+        li.filter(F.col("l_shipdate") >= split),
+        cols=["l_quantity"],
+    )
+    feed_swap = ks_drift(
+        li.select(F.col("l_extendedprice").alias("price")),
+        part.select(F.col("p_retailprice").alias("price")),
+        cols=["price"],
+    )
+    return stationary.unionByName(feed_swap)
+
+
+KS_DRIFT_SQL = f"""
+WITH b AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '{DRIFT_SPLIT}'),
+c AS (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '{DRIFT_SPLIT}'),
+vals AS (
+    SELECT 'l_quantity' AS col, 'b' AS side,
+           CAST(l_quantity AS DOUBLE) AS val
+    FROM b WHERE l_quantity IS NOT NULL
+    UNION ALL
+    SELECT 'l_quantity', 'c', CAST(l_quantity AS DOUBLE)
+    FROM c WHERE l_quantity IS NOT NULL
+    UNION ALL
+    SELECT 'price', 'b', CAST(l_extendedprice AS DOUBLE)
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    UNION ALL
+    SELECT 'price', 'c', CAST(p_retailprice AS DOUBLE)
+    FROM part WHERE p_retailprice IS NOT NULL
+),
+counts AS (
+    SELECT col, val,
+           SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS n_b,
+           SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS n_c
+    FROM vals GROUP BY 1, 2
+),
+stepped AS (
+    SELECT col,
+           SUM(n_b) OVER (PARTITION BY col ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+           SUM(n_c) OVER (PARTITION BY col ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+           SUM(n_b) OVER (PARTITION BY col) AS nb,
+           SUM(n_c) OVER (PARTITION BY col) AS nc
+    FROM counts
+),
+agg AS (
+    SELECT col, MAX(nb) AS n_base, MAX(nc) AS n_current,
+           MAX(ABS(cb / CAST(nb AS DOUBLE) - cc / CAST(nc AS DOUBLE))) AS ks
+    FROM stepped GROUP BY 1
+)
+SELECT col AS "column",
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_current AS BIGINT) AS n_current,
+       ROUND(ks, 6) AS ks_stat,
+       ROUND(SQRT(-LN(0.025) / 2.0)
+             * SQRT((n_base + n_current)
+                    / CAST(n_base * n_current AS DOUBLE)), 6) AS threshold,
+       ks > SQRT(-LN(0.025) / 2.0)
+            * SQRT((n_base + n_current)
+                   / CAST(n_base * n_current AS DOUBLE)) AS drifted
+FROM agg
+ORDER BY 1
+"""
+
+
 DRIFT_TOPK_SPLIT = "2024-01-16 00:00:00"
 DRIFT_TOPK_K = 20
 
@@ -3851,6 +3931,12 @@ FOLDED_QUERIES = [
     # ride the hash.
     Query("drift_topk_report", q_drift_topk_report, DRIFT_TOPK_SQL,
           "top-k + OTHER PSI drift for high-cardinality categoricals"),
+    # Born folded (r11): the drift family's bucket-free numeric statistic
+    # — EXACT two-sample KS via distinct-value-bounded window cumsums,
+    # with the asymptotic significance threshold on the hash alongside
+    # both verdict polarities.
+    Query("ks_drift_report", q_ks_drift_report, KS_DRIFT_SQL,
+          "exact two-sample Kolmogorov-Smirnov drift with significance"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,
