@@ -582,3 +582,67 @@ def test_ks_drift_plan_is_distinct_value_bounded(spark):
     df = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
     plan = ks_drift(df, df, ["v"])._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_embedding_drift_planted_shift_and_quiet(spark):
+    import random
+
+    from wsspark.quality import embedding_drift
+
+    random.seed(13)
+    rows = [([random.gauss(0, 1) for _ in range(16)],) for _ in range(400)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    even = df.limit(200)
+    # quiet: two random halves of the same population
+    half_a = spark.createDataFrame(rows[:200], "embedding array<double>")
+    half_b = spark.createDataFrame(rows[200:], "embedding array<double>")
+    quiet = embedding_drift(half_a, half_b).collect()[0]
+    assert not quiet.drifted and quiet.dim == 16
+    assert quiet.n_base == 200 and quiet.n_current == 200
+    # planted shift on dim 3 only: +1 sigma, decisive at n=200
+    shifted = spark.createDataFrame(
+        [([v + (1.0 if i == 3 else 0.0) for i, v in enumerate(e)],)
+         for (e,) in rows[200:]],
+        "embedding array<double>",
+    )
+    loud = embedding_drift(half_a, shifted).collect()[0]
+    assert loud.drifted and loud.max_dim_z > loud.z_crit
+    _ = even  # silence lint
+
+
+def test_embedding_drift_welch_z_matches_definition(spark):
+    """One dimension, hand-computable: the max_dim_z must equal the
+    textbook Welch z of the two samples."""
+    import math as m
+
+    from wsspark.quality import embedding_drift
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 6.0, 8.0]
+    a = spark.createDataFrame([([v],) for v in xs], "embedding array<double>")
+    b = spark.createDataFrame([([v],) for v in ys], "embedding array<double>")
+    r = embedding_drift(a, b).collect()[0]
+    meb, mec = sum(xs) / 5, sum(ys) / 4
+    vb = sum((v - meb) ** 2 for v in xs) / 4
+    vc = sum((v - mec) ** 2 for v in ys) / 3
+    z = abs(meb - mec) / m.sqrt(vb / 5 + vc / 4)
+    assert r.max_dim_z == round(z, 6)
+
+
+def test_embedding_drift_validation(spark):
+    import pytest
+
+    from wsspark.quality import embedding_drift
+
+    a = spark.createDataFrame([([1.0, 2.0],)] * 3, "embedding array<double>")
+    b3 = spark.createDataFrame([([1.0, 2.0, 3.0],)] * 3, "embedding array<double>")
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        embedding_drift(a, b3)
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0],)], "embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        embedding_drift(a, ragged)
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        embedding_drift(a, empty)

@@ -545,6 +545,109 @@ def ks_drift(
     ).orderBy("column")
 
 
+def embedding_drift(
+    base: DataFrame,
+    current: DataFrame,
+    col: str = "embedding",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Distribution drift for an ``array<float>`` embedding column — the
+    monitor an embedding-producing pipeline needs when the MODEL or the
+    upstream text shifts (a re-trained encoder, a feed change) while
+    row-level DQ stays green.
+
+    Statistic: per-dimension Welch z = |mean_b - mean_c| /
+    sqrt(var_b/n_b + var_c/n_c); the verdict is max-over-dims z against
+    the Bonferroni-corrected two-sided normal critical value
+    z(1 - alpha/(2*dim)) — principled for the many-dimensions setting.
+    The centroid COSINE is reported as a descriptive stat but never
+    drives the verdict: for a zero-mean population (typical of
+    normalized embeddings) random halves have noise-dominated centroids
+    and their cosine is meaningless, while the per-dim z is exactly
+    calibrated (measured on the testdata: label-split cosine -0.12 AND
+    parity-split cosine 0.10 — indistinguishable — where max-z separates
+    them decisively).
+
+    Distributed shape: per snapshot ONE posexplode -> groupBy(pos)
+    aggregation (count/sum/sum-of-squares — map-side combinable, output
+    bounded by the dimension); the driver holds O(dim) rows and computes
+    the O(dim) combine. Ragged arrays are rejected (a dimension present
+    in one side only has no paired test).
+
+    Returns one row: (n_base, n_current, dim, centroid_cosine,
+    max_dim_z, mean_dim_z, z_crit, drifted).
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("embedding_drift: alpha must be in (0, 1)")
+
+    def _moments(df: DataFrame) -> dict[int, tuple[int, float, float]]:
+        rows = (
+            df.select(F.posexplode(col).alias("pos", "v"))
+            .select("pos", F.col("v").cast("double").alias("v"))
+            .groupBy("pos")
+            .agg(
+                F.count("v").alias("n"),
+                F.sum("v").alias("s"),
+                F.sum(F.col("v") * F.col("v")).alias("ss"),
+            )
+            .collect()
+        )
+        return {r["pos"]: (r["n"], r["s"], r["ss"]) for r in rows}
+
+    mb, mc = _moments(base), _moments(current)
+    if not mb or not mc:
+        raise ValueError("embedding_drift: empty snapshot")
+    if set(mb) != set(mc):
+        raise ValueError(
+            "embedding_drift: dimension mismatch between snapshots "
+            f"({len(mb)} vs {len(mc)} positions)"
+        )
+    nb = {n for n, _s, _ss in mb.values()}
+    nc = {n for n, _s, _ss in mc.values()}
+    if len(nb) != 1 or len(nc) != 1:
+        raise ValueError("embedding_drift: ragged arrays are unsupported")
+    n_b, n_c = nb.pop(), nc.pop()
+    if n_b < 2 or n_c < 2:
+        raise ValueError("embedding_drift: need >= 2 rows per side")
+    dim = len(mb)
+    from statistics import NormalDist
+
+    z_crit = NormalDist().inv_cdf(1.0 - alpha / (2.0 * dim))
+    dot = l2b = l2c = 0.0
+    zs = []
+    for pos in sorted(mb):
+        _, sb, ssb = mb[pos]
+        _, sc, ssc = mc[pos]
+        meb, mec = sb / n_b, sc / n_c
+        dot += meb * mec
+        l2b += meb * meb
+        l2c += mec * mec
+        varb = max(0.0, (ssb - sb * sb / n_b) / (n_b - 1))
+        varc = max(0.0, (ssc - sc * sc / n_c) / (n_c - 1))
+        se = math.sqrt(varb / n_b + varc / n_c)
+        zs.append(abs(meb - mec) / se if se > 0 else 0.0)
+    denom = math.sqrt(l2b) * math.sqrt(l2c)
+    cosine = dot / denom if denom > 0 else 0.0
+    max_z, mean_z = max(zs), sum(zs) / dim
+    return base.sparkSession.createDataFrame(
+        [
+            (
+                n_b,
+                n_c,
+                dim,
+                round(cosine, 6),
+                round(max_z, 6),
+                round(mean_z, 6),
+                round(z_crit, 6),
+                max_z > z_crit,
+            )
+        ],
+        "n_base long, n_current long, dim int, centroid_cosine double, "
+        "max_dim_z double, mean_dim_z double, z_crit double, "
+        "drifted boolean",
+    )
+
+
 def _drift_edges(base: DataFrame, numeric_cols: list[str]) -> dict:
     """Equal-width bucket edges from the BASE snapshot's min/max — one
     tiny aggregation, deterministic and SQL-replicable."""

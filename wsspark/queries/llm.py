@@ -2673,6 +2673,101 @@ ORDER BY 1
 """
 
 
+EMB_DRIFT_SHIFT = 0.25  # planted alert probe: +shift on dimension 1
+
+
+def _emb_drift_z_crit() -> float:
+    from statistics import NormalDist
+
+    return NormalDist().inv_cdf(1.0 - 0.05 / (2.0 * 64))
+
+
+def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.embedding_drift under the hash gate, both polarities:
+    a vec_id mod-4 split of the SAME population must stay quiet (measured
+    max Welch z 1.9-2.9 across SFs vs z_crit 3.359 — the parity and
+    label splits were rejected as probes for sitting 0.01 from the
+    threshold), while a planted +0.25 shift on dimension 1 (~2 sigma of
+    that dim) must alert decisively (z ~ 22 at sf0.01). Every moment,
+    the Bonferroni critical value, and both verdicts ride the hash; the
+    twin recomputes the per-dimension Welch z from unnest + subscripts."""
+    from wsspark.quality import embedding_drift
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 < 2).select("embedding")
+    b = emb.filter(F.col("vec_id") % 4 >= 2).select("embedding")
+    quiet = embedding_drift(a, b).withColumn("probe", F.lit("mod4_split"))
+    shifted = b.select(
+        F.transform(
+            "embedding",
+            lambda v, i: F.when(
+                i == 1, v + F.lit(EMB_DRIFT_SHIFT)
+            ).otherwise(v),
+        ).alias("embedding")
+    )
+    loud = embedding_drift(a, shifted).withColumn(
+        "probe", F.lit("planted_dim1_shift")
+    )
+    return quiet.unionByName(loud)
+
+
+def _emb_drift_sql() -> str:
+    z_crit = _emb_drift_z_crit()
+    moments = """
+    SELECT pos, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+    FROM ({side}) GROUP BY 1
+"""
+    side_a = (
+        "SELECT CAST(unnest(embedding) AS DOUBLE) AS v, "
+        "generate_subscripts(embedding, 1) AS pos "
+        "FROM embeddings WHERE vec_id % 4 < 2"
+    )
+    side_b = (
+        "SELECT CAST(unnest(embedding) AS DOUBLE) AS v, "
+        "generate_subscripts(embedding, 1) AS pos "
+        "FROM embeddings WHERE vec_id % 4 >= 2"
+    )
+    # planted probe: DuckDB generate_subscripts is 1-based while Spark's
+    # transform index is 0-based, so Spark's i == 1 is DuckDB's pos = 2
+    side_b_shift = (
+        f"SELECT CASE WHEN pos = 2 THEN v + {EMB_DRIFT_SHIFT} ELSE v END"
+        f" AS v, pos FROM ({side_b})"
+    )
+
+    def probe(name: str, cur: str) -> str:
+        return f"""
+SELECT CAST(MAX(ba.n) AS BIGINT) AS n_base,
+       CAST(MAX(cu.n) AS BIGINT) AS n_current,
+       CAST(COUNT(*) AS INT) AS dim,
+       ROUND(SUM((ba.s / ba.n) * (cu.s / cu.n))
+             / (SQRT(SUM((ba.s / ba.n) * (ba.s / ba.n)))
+                * SQRT(SUM((cu.s / cu.n) * (cu.s / cu.n)))), 6)
+           AS centroid_cosine,
+       ROUND(MAX(ABS(ba.s / ba.n - cu.s / cu.n)
+             / SQRT(((ba.ss - ba.s * ba.s / ba.n) / (ba.n - 1)) / ba.n
+                    + ((cu.ss - cu.s * cu.s / cu.n) / (cu.n - 1)) / cu.n)),
+             6) AS max_dim_z,
+       ROUND(AVG(ABS(ba.s / ba.n - cu.s / cu.n)
+             / SQRT(((ba.ss - ba.s * ba.s / ba.n) / (ba.n - 1)) / ba.n
+                    + ((cu.ss - cu.s * cu.s / cu.n) / (cu.n - 1)) / cu.n)),
+             6) AS mean_dim_z,
+       {round(z_crit, 6)} AS z_crit,
+       MAX(ABS(ba.s / ba.n - cu.s / cu.n)
+           / SQRT(((ba.ss - ba.s * ba.s / ba.n) / (ba.n - 1)) / ba.n
+                  + ((cu.ss - cu.s * cu.s / cu.n) / (cu.n - 1)) / cu.n))
+           > {z_crit!r} AS drifted,
+       '{name}' AS probe
+FROM ({moments.format(side=side_a)}) ba
+JOIN ({moments.format(side=cur)}) cu USING (pos)
+"""
+
+    return (
+        probe("mod4_split", side_b)
+        + " UNION ALL "
+        + probe("planted_dim1_shift", side_b_shift)
+    )
+
+
 DRIFT_TOPK_SPLIT = "2024-01-16 00:00:00"
 DRIFT_TOPK_K = 20
 
@@ -3937,6 +4032,14 @@ FOLDED_QUERIES = [
     # both verdict polarities.
     Query("ks_drift_report", q_ks_drift_report, KS_DRIFT_SQL,
           "exact two-sample Kolmogorov-Smirnov drift with significance"),
+    # Born folded (r11): embedding-space drift — per-dimension Welch z
+    # with a Bonferroni critical value (the centroid cosine is reported
+    # but never drives the verdict: zero-mean populations make it
+    # noise-dominated, measured on this testdata). Quiet + planted-shift
+    # polarities both on the hash.
+    Query("embedding_drift_report", q_embedding_drift_report,
+          _emb_drift_sql(),
+          "embedding drift: max per-dim Welch z vs Bonferroni critical"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,
