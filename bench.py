@@ -91,6 +91,12 @@ HEADLINE = {
     # aggregations); its cost model is two scans + O(cols x buckets)
     # driver state, so a slope regression means a lost map-side combine.
     "q29_drift_report": "snapshot_drift_report",
+    # round-11: the exact two-sample KS — first benched representative of
+    # the distinct-value-bounded window-cumsum shape (the classifier.auc
+    # discipline). A slope regression here means the sort stopped being
+    # distinct-value-bounded (e.g. a lost pre-aggregation) while the hash
+    # gate stays green.
+    "q30_ks_drift": "ks_drift_report",
 }
 
 # q0b: the reference's flagship operational mode (--load_type incremental,

@@ -460,3 +460,47 @@ def test_streaming_drift_monitor_alert_and_replay(spark, tmp_path):
     mon.process_batch(same, 1)
     mon.process_batch(shifted, 0)
     assert mon.report().count() == 4
+
+
+def test_streaming_drift_monitor_topk_scale_path(spark, tmp_path):
+    """Unbounded-cardinality columns ride the base-pinned top-k + OTHER
+    fold: per-batch state stays O(k), a novel-value flood alerts through
+    OTHER, a same-distribution batch stays quiet, and the bounded
+    families compose in the same report."""
+    from wsspark.streaming import StreamingDriftMonitor
+
+    baseline = spark.createDataFrame(
+        [(float(i % 50), f"u{i % 12}") for i in range(1200)],
+        "v double, user string",
+    )
+    mon = StreamingDriftMonitor(
+        spark,
+        str(tmp_path / "drifttopk"),
+        baseline,
+        numeric_cols=["v"],
+        topk_cols=["user"],
+        k=5,
+    )
+    same = spark.createDataFrame(
+        [(float(i % 50), f"u{i % 12}") for i in range(600)],
+        "v double, user string",
+    )
+    flood = spark.createDataFrame(
+        [(float(i % 50), f"new{i}") for i in range(600)],
+        "v double, user string",
+    )
+    mon.process_batch(same, 0)
+    mon.process_batch(flood, 1)
+    rows = {(r.batch_id, r.column): r for r in mon.report().collect()}
+    assert len(rows) == 4
+    assert not rows[(0, "user")].drifted
+    assert rows[(1, "user")].drifted and not rows[(1, "v")].drifted
+    assert rows[(1, "user")].kind == "categorical"
+    # guard: a column can't ride two families at once
+    import pytest
+
+    with pytest.raises(ValueError, match="both"):
+        StreamingDriftMonitor(
+            spark, str(tmp_path / "x"), baseline,
+            cat_cols=["user"], topk_cols=["user"],
+        )

@@ -376,67 +376,90 @@ def drift_topk(
         raise ValueError("drift_topk: pass at least one column")
     if k < 1:
         raise ValueError("drift_topk: k must be >= 1")
-    from pyspark.sql import Window
-
-    def _value_counts(df: DataFrame) -> DataFrame:
-        stack_args = ", ".join(f"'{c}', _v_{c}" for c in cat_cols)
-        return (
-            df.select(
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("NULL")).alias(
-                        f"_v_{c}"
-                    )
-                    for c in cat_cols
-                ]
-            )
-            .selectExpr(f"stack({len(cat_cols)}, {stack_args}) AS (col, val)")
-            .groupBy("col", "val")
-            .agg(F.count("*").alias("n"))
-        )
-
-    base_counts = _value_counts(base)
-    topk = (
-        base_counts.withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("col").orderBy(
-                    F.desc("n"), F.asc("val")
-                )
-            ),
-        )
-        .filter(F.col("_rk") <= k)
-        .select("col", "val")
+    base_counts = _cat_value_counts(base, cat_cols)
+    topk_rows = _topk_values(base_counts, k)
+    bc = _fold_to_buckets(base_counts, topk_rows, cat_cols, k)
+    cc = _fold_to_buckets(
+        _cat_value_counts(current, cat_cols), topk_rows, cat_cols, k
     )
-
-    def _bucket_counts(counts: DataFrame) -> dict[tuple[str, str], int]:
-        bucketed = (
-            counts.join(
-                F.broadcast(topk.withColumn("_keep", F.lit(True))),
-                ["col", "val"],
-                "left",
-            )
-            .select(
-                "col",
-                F.when(F.col("_keep"), F.col("val"))
-                .otherwise(F.lit("OTHER"))
-                .alias("bucket"),
-                "n",
-            )
-            .groupBy("col", "bucket")
-            .agg(F.sum("n").alias("n"))
-        )
-        # bounded by construction (<= cols x (k+1)); limit is belt
-        rows = bucketed.limit(len(cat_cols) * (k + 1) + 1).collect()
-        return {(r["col"], r["bucket"]): r["n"] for r in rows}
-
-    bc = _bucket_counts(base_counts)
-    cc = _bucket_counts(_value_counts(current))
     out = _psi_rows([], cat_cols, {}, bc, cc, psi_alert)
     return base.sparkSession.createDataFrame(
         sorted(out),
         "column string, kind string, n_base long, n_current long, "
         "psi double, drifted boolean",
     )
+
+
+def _cat_value_counts(df: DataFrame, cat_cols: list[str]) -> DataFrame:
+    """ONE stacked map-side-combinable (column, value) count aggregation;
+    NULL rides as the literal 'NULL' value."""
+    stack_args = ", ".join(f"'{c}', _v_{c}" for c in cat_cols)
+    return (
+        df.select(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("NULL")).alias(
+                    f"_v_{c}"
+                )
+                for c in cat_cols
+            ]
+        )
+        .selectExpr(f"stack({len(cat_cols)}, {stack_args}) AS (col, val)")
+        .groupBy("col", "val")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _topk_values(base_counts: DataFrame, k: int) -> list[tuple[str, str]]:
+    """The base snapshot's per-column top-k (count desc, value asc — the
+    deterministic tie-break), collected: O(cols x k) driver rows. The rank
+    window runs over the COUNTS frame (distinct values), never the fact."""
+    from pyspark.sql import Window
+
+    return [
+        (r["col"], r["val"])
+        for r in base_counts.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("col").orderBy(F.desc("n"), F.asc("val"))
+            ),
+        )
+        .filter(F.col("_rk") <= k)
+        .select("col", "val")
+        .collect()
+    ]
+
+
+def _fold_to_buckets(
+    counts: DataFrame,
+    topk_rows: list[tuple[str, str]],
+    cat_cols: list[str],
+    k: int,
+) -> dict[tuple[str, str], int]:
+    """Fold a (col, val, n) counts frame onto the pinned top-k bucket set
+    (tail -> OTHER) via a broadcast join; collects <= cols x (k+1) rows."""
+    spark = counts.sparkSession
+    topk = spark.createDataFrame(
+        topk_rows or [(None, None)], "col string, val string"
+    ).filter(F.col("col").isNotNull())
+    bucketed = (
+        counts.join(
+            F.broadcast(topk.withColumn("_keep", F.lit(True))),
+            ["col", "val"],
+            "left",
+        )
+        .select(
+            "col",
+            F.when(F.col("_keep"), F.col("val"))
+            .otherwise(F.lit("OTHER"))
+            .alias("bucket"),
+            "n",
+        )
+        .groupBy("col", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    # bounded by construction (<= cols x (k+1)); limit is belt
+    rows = bucketed.limit(len(cat_cols) * (k + 1) + 1).collect()
+    return {(r["col"], r["bucket"]): r["n"] for r in rows}
 
 
 def ks_drift(

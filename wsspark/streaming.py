@@ -1095,17 +1095,43 @@ class StreamingDriftMonitor:
         n_buckets: int = 10,
         psi_alert: float = 0.2,
         max_cat_buckets: int | None = None,
+        topk_cols: list[str] | None = None,
+        k: int = 100,
     ) -> None:
-        from wsspark.quality import MAX_CAT_BUCKETS, _drift_counts, _drift_edges
+        from wsspark.quality import (
+            MAX_CAT_BUCKETS,
+            _cat_value_counts,
+            _drift_counts,
+            _drift_edges,
+            _fold_to_buckets,
+            _topk_values,
+        )
 
         self.spark = spark
         self.drift_path = os.path.join(store_dir, "drift")
         self.numeric_cols = list(numeric_cols or [])
         self.cat_cols = list(cat_cols or [])
-        if not self.numeric_cols and not self.cat_cols:
+        # topk_cols: UNBOUNDED-cardinality categoricals ride the
+        # quality.drift_topk scale path — the bucket set is pinned to the
+        # BASELINE's top-k values (plus OTHER) at construction, so every
+        # batch pays one stacked count aggregation and the monitor's
+        # state stays O(cols x k) for the life of the query. The bounded
+        # cat_cols keep the exact per-value buckets under the
+        # MAX_CAT_BUCKETS guard.
+        self.topk_cols = list(topk_cols or [])
+        overlap = set(self.topk_cols) & set(
+            self.cat_cols + self.numeric_cols
+        )
+        if overlap:
+            raise ValueError(
+                f"StreamingDriftMonitor: {sorted(overlap)} passed as both "
+                "topk_cols and numeric/cat_cols"
+            )
+        if not self.numeric_cols and not self.cat_cols and not self.topk_cols:
             raise ValueError("StreamingDriftMonitor: pass at least one column")
         self.n_buckets = n_buckets
         self.psi_alert = psi_alert
+        self.k = k
         # same categorical-cardinality guard as quality.drift_report: the
         # monitor holds baseline counts for the life of the query AND
         # collects per-batch counts forever — both bounded per column
@@ -1113,37 +1139,76 @@ class StreamingDriftMonitor:
             MAX_CAT_BUCKETS if max_cat_buckets is None else max_cat_buckets
         )
         self.edges = _drift_edges(baseline, self.numeric_cols)
-        self.base_counts = _drift_counts(
-            baseline,
-            self.numeric_cols,
-            self.cat_cols,
-            self.edges,
-            n_buckets,
-            self.max_cat_buckets,
+        self.base_counts = (
+            _drift_counts(
+                baseline,
+                self.numeric_cols,
+                self.cat_cols,
+                self.edges,
+                n_buckets,
+                self.max_cat_buckets,
+            )
+            if (self.numeric_cols or self.cat_cols)
+            else {}
         )
+        if self.topk_cols:
+            self.topk_rows = _topk_values(
+                _cat_value_counts(baseline, self.topk_cols), k
+            )
+            self.base_topk_counts = _fold_to_buckets(
+                _cat_value_counts(baseline, self.topk_cols),
+                self.topk_rows,
+                self.topk_cols,
+                k,
+            )
+        else:
+            self.topk_rows = []
+            self.base_topk_counts = {}
         self._log = _BatchLog(store_dir)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        from wsspark.quality import _drift_counts, _psi_rows
+        from wsspark.quality import (
+            _cat_value_counts,
+            _drift_counts,
+            _fold_to_buckets,
+            _psi_rows,
+        )
 
         if batch_id <= self._log.last_applied():
             return
-        cc = _drift_counts(
-            batch,
-            self.numeric_cols,
-            self.cat_cols,
-            self.edges,
-            self.n_buckets,
-            self.max_cat_buckets,
-        )
-        rows = _psi_rows(
-            self.numeric_cols,
-            self.cat_cols,
-            self.edges,
-            self.base_counts,
-            cc,
-            self.psi_alert,
-        )
+        rows = []
+        if self.numeric_cols or self.cat_cols:
+            cc = _drift_counts(
+                batch,
+                self.numeric_cols,
+                self.cat_cols,
+                self.edges,
+                self.n_buckets,
+                self.max_cat_buckets,
+            )
+            rows += _psi_rows(
+                self.numeric_cols,
+                self.cat_cols,
+                self.edges,
+                self.base_counts,
+                cc,
+                self.psi_alert,
+            )
+        if self.topk_cols:
+            tc = _fold_to_buckets(
+                _cat_value_counts(batch, self.topk_cols),
+                self.topk_rows,
+                self.topk_cols,
+                self.k,
+            )
+            rows += _psi_rows(
+                [],
+                self.topk_cols,
+                {},
+                self.base_topk_counts,
+                tc,
+                self.psi_alert,
+            )
         self.spark.createDataFrame(
             sorted(rows),
             "column string, kind string, n_base long, n_current long, "
