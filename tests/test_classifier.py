@@ -227,3 +227,52 @@ def test_auc_exact_with_ties_and_edges(spark):
     assert auc(inv).collect()[0].auc == 0.0
     onecls = spark.createDataFrame([(0.5, 1), (0.7, 1)], "score double, label int")
     assert auc(onecls).collect()[0].auc is None
+
+
+def test_label_agreement_matches_textbook_kappa(spark):
+    """Hand-computed 2x2 case: po=0.7, pe=0.5 -> kappa=0.4 (the classic
+    example shape), exact."""
+    from wsspark.llmops.classifier import label_agreement
+
+    rows = (
+        [("y", "y")] * 40 + [("n", "n")] * 30
+        + [("y", "n")] * 20 + [("n", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = label_agreement(df, "a", "b").collect()[0]
+    assert r.n == 100 and r.agree == 70
+    assert r.po == 0.7
+    # marginals: a: y=60,n=40; b: y=50,n=50 -> pe = .6*.5+.4*.5 = .5
+    assert r.pe == 0.5
+    assert r.kappa == round((0.7 - 0.5) / 0.5, 6)
+
+
+def test_label_agreement_edges(spark):
+    import pytest
+
+    from wsspark.llmops.classifier import label_agreement
+
+    # perfect agreement across 3 classes
+    df = spark.createDataFrame(
+        [(str(i % 3), str(i % 3)) for i in range(90)], "a string, b string"
+    )
+    r = label_agreement(df, "a", "b").collect()[0]
+    assert r.kappa == 1.0 and r.po == 1.0
+    # single shared class: pe == 1 -> kappa NULL (vacuous, not perfect)
+    one = spark.createDataFrame([("x", "x")] * 10, "a string, b string")
+    assert label_agreement(one, "a", "b").collect()[0].kappa is None
+    # NULLs excluded; int labels cast fine
+    mixed = spark.createDataFrame(
+        [(1, 1), (2, None), (None, 2), (2, 2)], "a int, b int"
+    )
+    r = label_agreement(mixed, "a", "b").collect()[0]
+    assert r.n == 2 and r.agree == 2
+    # id-like columns raise eagerly with a bounded transfer
+    ids = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(50)], "a string, b string"
+    )
+    with pytest.raises(ValueError, match="id-like"):
+        label_agreement(ids, "a", "b", max_cells=20)
+    # empty input: honest zero row
+    r = label_agreement(ids.filter("false"), "a", "b").collect()[0]
+    assert r.n == 0 and r.kappa is None

@@ -1133,3 +1133,50 @@ def test_optimize_retry_rewinds_the_whole_maintenance_loop(
     monkeypatch.setattr(ss, "snap_read", always_racing)
     with pytest.raises(ss.SnapshotConflict):
         ss.snap_compact_with_retry(spark, root, max_retries=2)
+
+
+def test_read_where_mixed_eq_and_range(spark, tmp_path):
+    """snap_read_where composes bloom point-lookup pruning with range
+    pruning in ONE plan: the kept set is the intersection, the residual
+    conjunction is exact, and a hash+range-clustered write prunes on
+    both predicates."""
+    root = str(tmp_path / "t_mixed")
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 500).alias("k"),
+            F.col("id").alias("seq"),
+            (F.col("id") * 3).alias("payload"),
+        )
+        .repartition(8, "k")
+        .sortWithinPartitions("seq")
+    )
+    ss.snap_commit(df, root, stats_cols=["seq"], bloom_cols=["k"])
+    out = ss.snap_read_where(
+        spark, root, {"k": ("eq", 123), "seq": ("between", 0, 9_999)}
+    )
+    expect = df.filter((F.col("k") == 123) & F.col("seq").between(0, 9_999))
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # the mixed plan keeps no more files than either predicate alone; on
+    # this hash-clustered-by-k layout the BLOOM is what prunes (seq
+    # stripes across every file, so range pruning correctly keeps all)
+    eq_only = set(ss.snap_prune_files_eq(root, "k", 123)[0])
+    rng_only = set(ss.snap_prune_files(root, "seq", 0, 9_999)[0])
+    both = eq_only & rng_only
+    assert len(both) <= min(len(eq_only), len(rng_only))
+    assert len(eq_only) < ss.snap_prune_files_eq(root, "k", 123)[1]
+    # validation honesty
+    with pytest.raises(ValueError, match="at least one"):
+        ss.snap_read_where(spark, root, {})
+    with pytest.raises(ValueError, match="unknown predicate"):
+        ss.snap_read_where(spark, root, {"k": ("like", "x")})
+    with pytest.raises(ValueError, match="never true"):
+        ss.snap_read_where(spark, root, {"k": ("eq", None)})
+    # empty intersection returns a typed empty frame
+    empty = ss.snap_read_where(
+        spark, root, {"seq": ("between", n + 10, n + 20)}
+    )
+    assert empty.count() == 0 and empty.columns == ["k", "seq", "payload"]

@@ -369,3 +369,79 @@ def auc(
             6,
         ).alias("auc"),
     )
+
+
+MAX_AGREEMENT_CELLS = 10_000
+
+
+def label_agreement(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = MAX_AGREEMENT_CELLS,
+) -> DataFrame:
+    """EXACT Cohen's kappa between two label columns — the dataset-QC
+    number for anywhere two labelers exist: a rule gate vs a trained
+    classifier, two model versions, a human pass vs an LLM judge.
+    Raw agreement (po) overstates consensus when classes are imbalanced;
+    kappa subtracts the chance-agreement floor pe = sum over classes of
+    marginal_a * marginal_b: kappa = (po - pe) / (1 - pe).
+
+    Shape: ONE map-side-combinable count aggregation collapses the fact
+    to its confusion cells (label_a, label_b, n); the driver combines
+    O(cells) integers into po/pe/kappa with one final division each —
+    integer-exact until those divisions, so a SQL twin replays the IEEE
+    shapes. NULL labels are excluded (an abstention is not a verdict).
+    The collect is limit-capped at ``max_cells`` (the drift-family
+    eager-guard discipline): two id-like columns would otherwise flood
+    the driver with one row per pair.
+
+    Returns one row: (n, agree, po, pe, kappa). kappa is NULL when
+    pe == 1 (a single shared class — agreement is vacuous, not perfect).
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit(None))
+    cells_df = (
+        df.select(a.alias("_a"), F.col(col_b).cast("string").alias("_b"))
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = cells_df.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"label_agreement: more than {max_cells} confusion cells — "
+            "these columns look id-like, not labels; raise max_cells "
+            "deliberately if the cardinality is intended"
+        )
+    n = sum(r["n"] for r in rows)
+    spark = df.sparkSession
+    schema = (
+        "n long, agree long, po double, pe double, kappa double"
+    )
+    if n == 0:
+        return spark.createDataFrame([(0, 0, None, None, None)], schema)
+    agree = sum(r["n"] for r in rows if r["_a"] == r["_b"])
+    marg_a: dict[str, int] = {}
+    marg_b: dict[str, int] = {}
+    for r in rows:
+        marg_a[r["_a"]] = marg_a.get(r["_a"], 0) + r["n"]
+        marg_b[r["_b"]] = marg_b.get(r["_b"], 0) + r["n"]
+    po = agree / n
+    # integer-exact numerator: sum of marginal products, ONE division
+    pe_num = sum(
+        marg_a[c] * marg_b.get(c, 0) for c in marg_a
+    )
+    pe = pe_num / (n * n)
+    kappa = None if pe == 1.0 else (po - pe) / (1.0 - pe)
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                agree,
+                round(po, 6),
+                round(pe, 6),
+                None if kappa is None else round(kappa, 6),
+            )
+        ],
+        schema,
+    )

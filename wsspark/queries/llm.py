@@ -2673,6 +2673,68 @@ ORDER BY 1
 """
 
 
+def q_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classifier.label_agreement under the hash gate: Cohen's kappa
+    between the FULL rule gate's KEEP verdict and its single stopword
+    rule alone — "how much do the other rules matter" as one
+    chance-corrected number. Every confusion count, both marginal-product
+    terms, and the final kappa ride the hash (the classic silent defects
+    are a po/pe swap or a chance floor computed on one marginal)."""
+    from wsspark.llmops.classifier import label_agreement
+
+    docs = read_table(spark, sf_dir, "documents")
+    gated = corpus.quality_filter(
+        docs,
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        max_stopword_ratio=QF_MAX_STOPWORD_RATIO,
+        min_avg_token_len=QF_MIN_AVG_TOKEN_LEN,
+    )
+    labeled = gated.select(
+        F.when(F.col("filter_reason") == "KEEP", "KEEP")
+        .otherwise("DROP")
+        .alias("gate"),
+        F.when(
+            F.col("stopword_ratio") <= QF_MAX_STOPWORD_RATIO, "KEEP"
+        )
+        .otherwise("DROP")
+        .alias("stopword_rule"),
+    )
+    return label_agreement(labeled, "gate", "stopword_rule")
+
+
+def _gate_kappa_sql() -> str:
+    return f"""
+WITH gate AS ({QUALITY_FILTER_SQL}),
+lab AS (
+    SELECT CASE WHEN filter_reason = 'KEEP' THEN 'KEEP' ELSE 'DROP' END AS a,
+           CASE WHEN stopword_ratio <= {QF_MAX_STOPWORD_RATIO}
+                THEN 'KEEP' ELSE 'DROP' END AS b
+    FROM gate
+),
+cells AS (SELECT a, b, COUNT(*) AS n FROM lab GROUP BY 1, 2),
+tot AS (
+    SELECT SUM(n) AS n,
+           SUM(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+    FROM cells
+),
+ma AS (SELECT a AS c, SUM(n) AS m FROM cells GROUP BY 1),
+mb AS (SELECT b AS c, SUM(n) AS m FROM cells GROUP BY 1),
+pen AS (SELECT SUM(ma.m * mb.m) AS pe_num FROM ma JOIN mb USING (c))
+SELECT CAST(tot.n AS BIGINT) AS n,
+       CAST(tot.agree AS BIGINT) AS agree,
+       ROUND(tot.agree / CAST(tot.n AS DOUBLE), 6) AS po,
+       ROUND(pen.pe_num / CAST(tot.n * tot.n AS DOUBLE), 6) AS pe,
+       CASE WHEN pen.pe_num = tot.n * tot.n THEN NULL
+            ELSE ROUND((tot.agree / CAST(tot.n AS DOUBLE)
+                        - pen.pe_num / CAST(tot.n * tot.n AS DOUBLE))
+                       / (1.0 - pen.pe_num
+                              / CAST(tot.n * tot.n AS DOUBLE)), 6)
+       END AS kappa
+FROM tot, pen
+"""
+
+
 EMB_DRIFT_SHIFT = 0.25  # planted alert probe: +shift on dimension 1
 
 
@@ -4040,6 +4102,12 @@ FOLDED_QUERIES = [
     Query("embedding_drift_report", q_embedding_drift_report,
           _emb_drift_sql(),
           "embedding drift: max per-dim Welch z vs Bonferroni critical"),
+    # Born folded (r11): exact Cohen's kappa — chance-corrected agreement
+    # between the full rule gate and its stopword rule alone; integer
+    # confusion counts until the final divisions.
+    Query("gate_agreement_kappa", q_gate_agreement_kappa,
+          _gate_kappa_sql(),
+          "Cohen's kappa: full quality gate vs its stopword rule alone"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,

@@ -806,6 +806,12 @@ def snap_prune_files(
         if version is None:
             raise FileNotFoundError(f"no committed version in {root}")
     m = _read_manifest(root, version)
+    return _prune_files_between_m(m, col, lo, hi), len(m["files"])
+
+
+def _prune_files_between_m(m: dict, col: str, lo, hi) -> list[str]:
+    """Range pruning against a PRELOADED manifest (multi-predicate
+    planning parses the manifest once, not once per column)."""
     # probe window widens directionally too (Decimal-safe, no-op otherwise)
     lo, hi = _json_stat(lo, direction=-1), _json_stat(hi, direction=1)
     stats = m.get("file_stats", {})
@@ -816,7 +822,7 @@ def snap_prune_files(
             kept.append(f)  # unknown -> must read
         elif not (mm[0] > hi or mm[1] < lo):
             kept.append(f)
-    return kept, len(m["files"])
+    return kept
 
 
 def snap_read_between(
@@ -865,23 +871,69 @@ def snap_read_between_nd(
     """
     if not preds:
         raise ValueError("snap_read_between_nd: pass at least one range")
+    return snap_read_where(
+        spark,
+        root,
+        {col: ("between", lo, hi) for col, (lo, hi) in preds.items()},
+        version=version,
+    )
+
+
+def snap_read_where(
+    spark: SparkSession,
+    root: str,
+    preds: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """GENERAL conjunctive manifest-planned read — ranges and point
+    lookups composed in one plan: ``preds`` maps column ->
+    ``("between", lo, hi)`` (inclusive, min/max-stats pruning) or
+    ``("eq", value)`` (min/max AND Bloom-bitmap pruning — the
+    high-cardinality case value locality cannot serve). The planned file
+    set is the INTERSECTION of every predicate's kept set, the residual
+    is the exact AND of the predicates, and the whole plan costs ONE
+    manifest GET + one dict sweep per predicate — the 100 TB "fetch
+    these ids in this date range" query plans from metadata instead of
+    opening a million footers. Skipping is a superset optimization on
+    any layout (unknown stats/blooms keep the file per predicate); a
+    z-ordered or hash-clustered write makes it multiplicative.
+    """
+    if not preds:
+        raise ValueError("snap_read_where: pass at least one predicate")
     if version is None:
         version = snap_current_version(root)
         if version is None:
             raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
     kept: set[str] | None = None
-    for col, (lo, hi) in preds.items():
-        files, _total = snap_prune_files(root, col, lo, hi, version)
+    conds = []
+    for col, spec in preds.items():
+        op = spec[0]
+        if op == "between":
+            _op, lo, hi = spec
+            files = _prune_files_between_m(m, col, lo, hi)
+            conds.append(F.col(col).between(F.lit(lo), F.lit(hi)))
+        elif op == "eq":
+            _op, value = spec
+            if value is None:
+                raise ValueError(
+                    "snap_read_where: eq on NULL is never true — use a "
+                    "full read with isNull()"
+                )
+            files = _prune_files_eq_m(m, col, value)
+            conds.append(F.col(col) == F.lit(value))
+        else:
+            raise ValueError(
+                f"snap_read_where: unknown predicate op {op!r} "
+                "(expected 'between' or 'eq')"
+            )
         kept = set(files) if kept is None else kept & set(files)
-    schema = T.StructType.fromJson(
-        json.loads(_read_manifest(root, version)["schema"])
-    )
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
     if not kept:
         return spark.createDataFrame([], schema)
-    cond = None
-    for col, (lo, hi) in preds.items():
-        c = F.col(col).between(F.lit(lo), F.lit(hi))
-        cond = c if cond is None else cond & c
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
     return spark.read.schema(schema).parquet(*sorted(kept)).filter(cond)
 
 
