@@ -1180,3 +1180,56 @@ def test_read_where_mixed_eq_and_range(spark, tmp_path):
         spark, root, {"seq": ("between", n + 10, n + 20)}
     )
     assert empty.count() == 0 and empty.columns == ["k", "seq", "payload"]
+
+
+def test_read_where_in_composes_with_range(spark, tmp_path):
+    """('in', [...]) unions the per-value equality plans within the
+    predicate, then intersects with the other predicates; empty IN list
+    matches nothing; NULL inside the list is rejected honestly."""
+    root = str(tmp_path / "t_in")
+    df = (
+        spark.range(10_000)
+        .select(
+            (F.col("id") % 200).alias("k"),
+            F.col("id").alias("seq"),
+        )
+        .repartition(8, "k")
+    )
+    ss.snap_commit(df, root, stats_cols=["seq"], bloom_cols=["k"])
+    out = ss.snap_read_where(
+        spark, root,
+        {"k": ("in", [7, 8, 9]), "seq": ("between", 0, 4_999)},
+    )
+    expect = df.filter(F.col("k").isin(7, 8, 9) & F.col("seq").between(0, 4_999))
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    assert ss.snap_read_where(spark, root, {"k": ("in", [])}).count() == 0
+    with pytest.raises(ValueError, match="NULL inside"):
+        ss.snap_read_where(spark, root, {"k": ("in", [1, None])})
+
+
+def test_layout_report_detects_clustering_and_small_files(spark, tmp_path):
+    """avg_stab reads ~n_files on a random layout and ~1 after a
+    clustered optimize; small_file_fraction flags the bin-pack pathology;
+    all from manifest metadata (no data scan)."""
+    root = str(tmp_path / "t_layout")
+    df = spark.range(40_000).select(
+        (F.xxhash64("id") % 1000).alias("x"), F.col("id").alias("seq")
+    )
+    ss.snap_commit(df.repartition(16), root, stats_cols=["x"])
+    before = ss.snap_layout_report(root)
+    assert before["n_files"] == 16
+    assert before["small_file_fraction"] == 1.0  # tiny files vs 256MB target
+    assert before["columns"]["x"]["avg_stab"] > 12  # random: ~all overlap
+    v = ss.snap_optimize(spark, root, cluster_by=["x"], n_files=16)
+    after = ss.snap_layout_report(root, version=v)
+    assert after["columns"]["x"]["avg_stab"] < 2.0  # clustered: ~disjoint
+    # degenerate single-value column: total overlap reported honestly
+    root2 = str(tmp_path / "t_layout2")
+    ss.snap_commit(
+        spark.range(100).select(F.lit(7).alias("c")).repartition(4),
+        root2, stats_cols=["c"],
+    )
+    rep = ss.snap_layout_report(root2)
+    assert rep["columns"]["c"]["avg_stab"] == 4.0

@@ -887,9 +887,12 @@ def snap_read_where(
 ) -> DataFrame:
     """GENERAL conjunctive manifest-planned read — ranges and point
     lookups composed in one plan: ``preds`` maps column ->
-    ``("between", lo, hi)`` (inclusive, min/max-stats pruning) or
+    ``("between", lo, hi)`` (inclusive, min/max-stats pruning),
     ``("eq", value)`` (min/max AND Bloom-bitmap pruning — the
-    high-cardinality case value locality cannot serve). The planned file
+    high-cardinality case value locality cannot serve), or
+    ``("in", [v1, ...])`` (the per-value equality plans unioned WITHIN
+    the predicate — a file survives it if ANY value may live there —
+    then intersected with the other predicates). The planned file
     set is the INTERSECTION of every predicate's kept set, the residual
     is the exact AND of the predicates, and the whole plan costs ONE
     manifest GET + one dict sweep per predicate — the 100 TB "fetch
@@ -922,6 +925,24 @@ def snap_read_where(
                 )
             files = _prune_files_eq_m(m, col, value)
             conds.append(F.col(col) == F.lit(value))
+        elif op == "in":
+            _op, values = spec
+            values = list(values)
+            if not values:
+                # col IN () matches nothing: empty plan, honest result
+                files = []
+                conds.append(F.lit(False))
+            elif any(v is None for v in values):
+                raise ValueError(
+                    "snap_read_where: NULL inside an IN list is never "
+                    "matched — drop it or use a full read with isNull()"
+                )
+            else:
+                per_value: set[str] = set()
+                for v in values:
+                    per_value.update(_prune_files_eq_m(m, col, v))
+                files = sorted(per_value)
+                conds.append(F.col(col).isin(values))
         else:
             raise ValueError(
                 f"snap_read_where: unknown predicate op {op!r} "
@@ -1185,6 +1206,87 @@ def snap_compact(
         bloom_k=bloom_k,
         expected_parent=version,
     )
+
+
+def snap_layout_report(
+    root: str,
+    version: int | None = None,
+    target_file_mb: int = 256,
+) -> dict:
+    """Layout-health report from MANIFEST METADATA ONLY (zero data
+    scanned, any table size) — the observability half of the
+    compact/optimize loop: run this to DECIDE whether a rewrite is worth
+    a cluster's time, instead of rewriting on a schedule.
+
+    File geometry: count, byte totals/min/p50/max, and
+    ``small_file_fraction`` (files under half the ``target_file_mb``
+    bin-pack target — the planning-overhead pathology snap_compact
+    exists for). Clustering health per NUMERIC stats column:
+    ``avg_stab`` = the expected number of files whose recorded
+    [min, max] contains a uniformly random point of the global range
+    (sum of range lengths / global span) — 1.0 means perfectly
+    range-clustered (a point predicate plans ~1 file), n_files means
+    fully overlapped (stats prune nothing; schedule an optimize).
+    Delta/Iceberg expose the same decision number as OPTIMIZE metrics;
+    here it is one dict sweep over the manifest. Files without recorded
+    stats for a column are excluded from that column's stab number and
+    reported as ``files_without_stats`` (they are kept by every read
+    plan, so a high count is itself actionable)."""
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    meta = m.get("file_meta", {})
+    sizes = sorted(
+        (meta.get(f) or _footer_meta(f))["bytes"] for f in m["files"]
+    )
+    n = len(sizes)
+    target = target_file_mb * 1024 * 1024
+    report: dict = {
+        "version": version,
+        "n_files": n,
+        "total_bytes": sum(sizes),
+        "min_bytes": sizes[0] if n else 0,
+        "p50_bytes": sizes[n // 2] if n else 0,
+        "max_bytes": sizes[-1] if n else 0,
+        "small_file_fraction": (
+            round(sum(1 for s in sizes if s < target / 2) / n, 6) if n else 0.0
+        ),
+        "columns": {},
+    }
+    stats = m.get("file_stats", {})
+    cols = sorted({c for per in stats.values() for c in per})
+    for col in cols:
+        ranges = []
+        missing = 0
+        for f in m["files"]:
+            mm = stats.get(f, {}).get(col)
+            if (
+                mm is None
+                or mm[0] is None
+                or mm[1] is None
+                or not all(isinstance(v, (int, float)) for v in mm[:2])
+            ):
+                missing += 1
+                continue
+            ranges.append((float(mm[0]), float(mm[1])))
+        entry: dict = {
+            "files_with_stats": len(ranges),
+            "files_without_stats": missing,
+        }
+        if ranges:
+            glo = min(lo for lo, _ in ranges)
+            ghi = max(hi for _, hi in ranges)
+            span = ghi - glo
+            if span <= 0:  # all files pinned to one value: total overlap
+                entry["avg_stab"] = float(len(ranges))
+            else:
+                entry["avg_stab"] = round(
+                    sum(hi - lo for lo, hi in ranges) / span, 6
+                )
+        report["columns"][col] = entry
+    return report
 
 
 def snap_compact_with_retry(
