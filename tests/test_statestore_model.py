@@ -146,8 +146,8 @@ class DriftMonitorMachine(RuleBasedStateMachine):
 
         self.root = tempfile.mkdtemp(prefix="driftmodel-")
         baseline = self.spark.createDataFrame(
-            [(float(i % 20), str(i % 4)) for i in range(200)],
-            "v double, c string",
+            [(float(i % 20), str(i % 4), f"u{i % 9}") for i in range(200)],
+            "v double, c string, u string",
         )
         self.baseline = baseline
         self.monitor = StreamingDriftMonitor(
@@ -156,6 +156,8 @@ class DriftMonitorMachine(RuleBasedStateMachine):
             baseline,
             numeric_cols=["v"],
             cat_cols=["c"],
+            topk_cols=["u"],  # the O(k) scale path rides the same
+            k=4,              # _BatchLog machinery; same crash matrix
         )
         # model: batch_id -> expected (column, kind, n_base, n_current,
         # psi, drifted) rows, from the batch-mode oracle
@@ -169,18 +171,21 @@ class DriftMonitorMachine(RuleBasedStateMachine):
     def _batch(self, n, shift):
         self.seq += 1
         return self.spark.createDataFrame(
-            [(float((i * self.seq) % 20 + shift), str(i % 3)) for i in range(n)],
-            "v double, c string",
+            [(float((i * self.seq) % 20 + shift), str(i % 3),
+              f"u{(i * self.seq) % 15}")  # some values novel -> OTHER
+             for i in range(n)],
+            "v double, c string, u string",
         )
 
     def _expected(self, batch):
-        from wsspark.quality import drift_report
+        from wsspark.quality import drift_report, drift_topk
 
+        rows = drift_report(
+            self.baseline, batch, numeric_cols=["v"], cat_cols=["c"]
+        ).collect() + drift_topk(self.baseline, batch, ["u"], k=4).collect()
         return {
             (r.column, r.kind, r.n_base, r.n_current, round(r.psi, 9), r.drifted)
-            for r in drift_report(
-                self.baseline, batch, numeric_cols=["v"], cat_cols=["c"]
-            ).collect()
+            for r in rows
         }
 
     @rule(n=st.integers(min_value=5, max_value=30), shift=st.integers(0, 15))
