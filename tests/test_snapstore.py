@@ -1233,3 +1233,111 @@ def test_layout_report_detects_clustering_and_small_files(spark, tmp_path):
     )
     rep = ss.snap_layout_report(root2)
     assert rep["columns"]["c"]["avg_stab"] == 4.0
+
+
+def test_delete_dv_merge_on_read_roundtrip(spark, tmp_path):
+    """Merge-on-read DELETE: rows vanish from every read path without any
+    data-file rewrite; COUNT(*) stays footer arithmetic; time travel to
+    the parent still sees them; repeated/overlapping deletes never
+    double-record."""
+    root = str(tmp_path / "t_dv")
+    ss.snap_commit(
+        _df(spark, 0, 100).repartition(4), root, stats_cols=["id"],
+        bloom_cols=["id"],
+    )
+    files_before = list(ss._read_manifest(root, 0)["files"])
+    v1 = ss.snap_delete_dv(spark, root, F.col("id") < 10)
+    assert v1 == 1
+    m1 = ss._read_manifest(root, v1)
+    assert m1["files"] == files_before  # no data rewrite
+    assert m1["dv_files"]
+    assert ss.snap_count(root) == 90
+    assert {r.id for r in ss.snap_read(spark, root).collect()} == set(
+        range(10, 100)
+    )
+    # time travel: the parent version still has every row
+    assert ss.snap_read(spark, root, 0).count() == 100
+    # overlapping delete: id < 20 re-matches only the LIVE 10..19
+    ss.snap_delete_dv(spark, root, F.col("id") < 20)
+    assert ss.snap_count(root) == 80
+    assert ss.snap_read(spark, root).count() == 80
+    # pruned read paths apply the dv too
+    assert ss.snap_read_between(spark, root, "id", 0, 29).count() == 10
+    assert ss.snap_read_where_eq(spark, root, "id", 15).count() == 0
+    assert ss.snap_read_where(
+        spark, root, {"id": ("in", [5, 25, 35])}
+    ).count() == 2
+    # deletes survive appends; appended rows are untouched
+    ss.snap_commit(_df(spark, 100, 110), root, mode="append")
+    assert ss.snap_count(root) == 90
+    # CDC refuses a window crossing the dv-delete (mode merge)
+    with pytest.raises(ValueError, match="not an append set"):
+        ss.snap_read_changes(spark, root, since=0)
+
+
+def test_delete_dv_materializes_on_rewrite_and_vacuums(spark, tmp_path):
+    """Copy-on-write rewrites consolidate or retire deletion vectors:
+    compaction materializes the deletes (dv_files resets), a partial COW
+    delete keeps only untouched files' entries, and vacuum retires
+    unreferenced dv sidecars while keeping referenced ones."""
+    root = str(tmp_path / "t_dv2")
+    ss.snap_commit(_df(spark, 0, 100).repartition(4), root)
+    ss.snap_delete_dv(spark, root, "id % 10 = 0")  # 10 rows out
+    assert ss.snap_count(root) == 90
+    # COW delete of a disjoint slice: dv entries for touched files are
+    # consolidated away; the dv-deleted rows must NOT resurrect
+    ss.snap_delete_where(spark, root, F.col("id").between(50, 59))
+    got = {r.id for r in ss.snap_read(spark, root).collect()}
+    assert got == {
+        i for i in range(100) if i % 10 != 0 and not (50 <= i <= 59)
+    }
+    assert ss.snap_count(root) == len(got)
+    # compaction materializes: no dv_files on the new version, data same
+    v = ss.snap_compact(spark, root)
+    assert ss._read_manifest(root, v)["dv_files"] == []
+    assert {r.id for r in ss.snap_read(spark, root, v).collect()} == got
+    # vacuum to the compacted version: stale dv sidecars are retired and
+    # every retained read still works
+    ss.snap_vacuum(root, keep_last=1)
+    assert {r.id for r in ss.snap_read(spark, root).collect()} == got
+
+
+def test_delete_dv_merge_does_not_resurrect(spark, tmp_path):
+    """A MERGE rewriting a dv-carrying file must not resurrect its
+    deleted rows (the rewrite reads through the DV-applied frame)."""
+    root = str(tmp_path / "t_dv3")
+    ss.snap_commit(_df(spark, 0, 20).coalesce(1), root)
+    ss.snap_delete_dv(spark, root, "id = 7")
+    src = spark.createDataFrame([(5, 999)], "id long, val long")
+    ss.snap_merge(spark, root, src, on=["id"])
+    rows = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert 7 not in rows and rows[5] == 999 and len(rows) == 19
+    # vacuum keeps the still-referenced dv of retained versions
+    ss.snap_vacuum(root, keep_last=2)
+    assert ss.snap_read(spark, root).count() == 19
+
+
+def test_delete_dv_zero_match_and_conflict(spark, tmp_path, monkeypatch):
+    """A no-match delete publishes an empty-dv version (audit trail, no
+    sidecar); a concurrent commit during the matching scan conflicts."""
+    root = str(tmp_path / "t_dv4")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    v = ss.snap_delete_dv(spark, root, "id > 1000")
+    assert v == 1 and ss._read_manifest(root, v)["dv_files"] == []
+    assert ss.snap_count(root) == 10
+
+    orig = ss._source_frame_with_meta
+    fired = {"done": False}
+
+    def racing(sp, m):
+        out = orig(sp, m)
+        if not fired["done"]:
+            fired["done"] = True
+            ss.snap_commit(_df(spark, 10, 20), root, mode="append")
+        return out
+
+    monkeypatch.setattr(ss, "_source_frame_with_meta", racing)
+    with pytest.raises(ss.SnapshotConflict):
+        ss.snap_delete_dv(spark, root, "id < 5")
+    monkeypatch.undo()
+    assert ss.snap_count(root) == 20  # the append survived

@@ -2311,6 +2311,43 @@ def q_snapstore_zorder_nd_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_snapstore_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE under the driver hash gate: commit a lineitem
+    projection, ``snap_delete_dv`` two overlapping predicate slices (the
+    second re-matches only live rows — double-recording would corrupt
+    COUNT(*)), then read CURRENT back through the DV anti-join. The twin
+    is the plain complement filter over raw parquet, so a deletion-vector
+    false positive (row wrongly deleted), false negative (row
+    resurrected), or overlap double-count goes red. The no-rewrite
+    property and footer-exact count are pinned in tests/test_snapstore.py."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="snapdv-")
+    try:
+        ss.snap_commit(li.repartition(8), root)
+        ss.snap_delete_dv(spark, root, "l_quantity <= 5")
+        ss.snap_delete_dv(spark, root, "l_quantity <= 10 AND l_partkey < 1000")
+        out = ss.snap_read(spark, root)
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_DV_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+WHERE NOT (l_quantity <= 5)
+  AND NOT (l_quantity <= 10 AND l_partkey < 1000)
+"""
+
+
 SNAPSTORE_ZORDER_ND_SQL = """
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
 FROM lineitem
@@ -4108,6 +4145,12 @@ FOLDED_QUERIES = [
     Query("gate_agreement_kappa", q_gate_agreement_kappa,
           _gate_kappa_sql(),
           "Cohen's kappa: full quality gate vs its stopword rule alone"),
+    # Born folded (r11): merge-on-read deletion vectors — two overlapping
+    # dv-deletes then a CURRENT read; the twin's complement filter catches
+    # wrong-delete, resurrection, and overlap double-count defects.
+    Query("snapstore_dv_delete_read", q_snapstore_dv_delete_read,
+          SNAPSTORE_DV_SQL,
+          "deletion-vector DELETE read back through the DV anti-join"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,

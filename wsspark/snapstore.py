@@ -370,6 +370,9 @@ def _resolve_commit(
         "parent_bloom_meta": {},
         "parent_file_meta": {},
         "manifest_schema": schema,
+        # deletes stay deleted across appends; an overwrite replaces the
+        # lineage and with it every deletion vector
+        "dv_files": [],
     }
     if mode == "append" and parent is not None:
         pm = _read_manifest(root, parent)
@@ -437,6 +440,7 @@ def _resolve_commit(
         ctx["parent_blooms"] = pm.get("file_blooms", {})
         ctx["parent_bloom_meta"] = pm.get("bloom_meta", {})
         ctx["parent_file_meta"] = pm.get("file_meta", {})
+        ctx["dv_files"] = pm.get("dv_files", [])
         for c in bloom_cols or []:
             meta = ctx["parent_bloom_meta"].get(c)
             if meta and (meta["n_bits"], meta["k"]) != (bloom_bits, bloom_k):
@@ -508,6 +512,7 @@ def _publish_commit(
         "file_blooms": file_blooms,
         "bloom_meta": bloom_meta,
         "file_meta": file_meta,
+        "dv_files": ctx.get("dv_files", []),
     }
     # Re-verify IMMEDIATELY before the O_EXCL write: the footer-meta loop
     # above takes real time on many files, so the entry check alone leaves
@@ -732,6 +737,53 @@ def snap_last_int_tag(root: str) -> int | None:
     return None
 
 
+def _source_frame(
+    spark: SparkSession,
+    m: dict,
+    files: list[str] | None = None,
+    file_col: str | None = None,
+) -> DataFrame:
+    """The DV-correct way to read a manifest's data: the given files
+    (default: all) with the snapshot's DELETION VECTORS applied — a
+    left_anti join of ``(_metadata.file_path, _metadata.row_index)``
+    against the manifest's dv sidecar parquet (see ``snap_delete_dv``).
+    Both sides of the join key come from the same ``_metadata`` source,
+    so URI-scheme differences with manifest paths are irrelevant. With
+    no dv_files this is a plain scan (zero overhead); with them, the dv
+    frame is delete-count-sized and Spark's planner broadcasts it under
+    the usual threshold. EVERY read and rewrite path must come through
+    here — a direct parquet read would resurrect deleted rows."""
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    files = m["files"] if files is None else files
+    if not files:
+        out = spark.createDataFrame([], schema)
+        return out.withColumn(file_col, F.lit(None).cast("string")) if file_col else out
+    df = spark.read.schema(schema).parquet(*files)
+    dv_paths = m.get("dv_files") or []
+    if not dv_paths and not file_col:
+        return df
+    src = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_dv_f"),
+        F.col("_metadata.row_index").alias("_dv_i"),
+    )
+    if dv_paths:
+        dv = spark.read.parquet(*dv_paths).select("file", "idx")
+        src = src.join(
+            dv,
+            (src["_dv_f"] == dv["file"]) & (src["_dv_i"] == dv["idx"]),
+            "left_anti",
+        )
+    if file_col:
+        # normalized to the manifest's plain-path form — and taken from
+        # the SCAN's metadata column, so it stays correct after joins
+        # (input_file_name() does not survive a shuffled join)
+        src = src.withColumn(
+            file_col, F.regexp_replace("_dv_f", "^file:/+", "/")
+        )
+    return src.drop("_dv_f", "_dv_i")
+
+
 def snap_read(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
@@ -745,10 +797,7 @@ def snap_read(
         if version is None:
             raise FileNotFoundError(f"no committed version in {root}")
     m = _read_manifest(root, version)
-    schema = T.StructType.fromJson(json.loads(m["schema"]))
-    if not m["files"]:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*m["files"])
+    return _source_frame(spark, m)
 
 
 def snap_read_changes(
@@ -841,13 +890,9 @@ def snap_read_between(
         if version is None:
             raise FileNotFoundError(f"no committed version in {root}")
     files, _total = snap_prune_files(root, col, lo, hi, version)
-    schema = T.StructType.fromJson(json.loads(_read_manifest(root, version)["schema"]))
-    if not files:
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema)
-        .parquet(*files)
-        .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    m = _read_manifest(root, version)
+    return _source_frame(spark, m, files).filter(
+        F.col(col).between(F.lit(lo), F.lit(hi))
     )
 
 
@@ -949,13 +994,10 @@ def snap_read_where(
                 "(expected 'between' or 'eq')"
             )
         kept = set(files) if kept is None else kept & set(files)
-    schema = T.StructType.fromJson(json.loads(m["schema"]))
-    if not kept:
-        return spark.createDataFrame([], schema)
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
-    return spark.read.schema(schema).parquet(*sorted(kept)).filter(cond)
+    return _source_frame(spark, m, sorted(kept)).filter(cond)
 
 
 def snap_prune_files_eq(
@@ -1043,14 +1085,8 @@ def snap_read_where_eq(
         if version is None:
             raise FileNotFoundError(f"no committed version in {root}")
     files, _total = snap_prune_files_eq(root, col, value, version)
-    schema = T.StructType.fromJson(json.loads(_read_manifest(root, version)["schema"]))
-    if not files:
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema)
-        .parquet(*files)
-        .filter(F.col(col) == F.lit(value))
-    )
+    m = _read_manifest(root, version)
+    return _source_frame(spark, m, files).filter(F.col(col) == F.lit(value))
 
 
 def snap_count(root: str, version: int | None = None) -> int:
@@ -1066,8 +1102,14 @@ def snap_count(root: str, version: int | None = None) -> int:
             raise FileNotFoundError(f"no committed version in {root}")
     m = _read_manifest(root, version)
     meta = m.get("file_meta", {})
-    return sum(
+    total = sum(
         (meta.get(f) or _footer_meta(f))["rows"] for f in m["files"]
+    )
+    # deletion vectors: dv sidecar rows are live-file deletes exactly
+    # (recording scans the DV-applied snapshot; rewrites consolidate), so
+    # COUNT(*) stays a pure footer arithmetic even under merge-on-read
+    return total - sum(
+        _footer_meta(f)["rows"] for f in m.get("dv_files") or []
     )
 
 
@@ -1130,13 +1172,8 @@ def snap_read_where_in(
     for v in values:
         keep.update(_prune_files_eq_m(m, col, v))
     ordered = [f for f in m["files"] if f in keep]  # stable plan order
-    schema = T.StructType.fromJson(json.loads(m["schema"]))
-    if not ordered:
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema)
-        .parquet(*ordered)
-        .filter(F.col(col).isin(list(values)))
+    return _source_frame(spark, m, ordered).filter(
+        F.col(col).isin(list(values))
     )
 
 
@@ -1488,7 +1525,9 @@ def snap_vacuum(
     retained = versions[-keep_last:]
     referenced: set[str] = set()
     for v in retained:
-        referenced.update(_read_manifest(root, v)["files"])
+        rm = _read_manifest(root, v)
+        referenced.update(rm["files"])
+        referenced.update(rm.get("dv_files") or [])
     removed = 0
     cutoff = time.time() - staged_grace_minutes * 60.0
     data_root = os.path.join(root, "data")
@@ -1521,6 +1560,17 @@ def snap_vacuum(
                 p = os.path.join(d, f)
                 if p in referenced:
                     continue
+                if os.path.isdir(p):  # _dv sidecar dir: same per-file rule
+                    for g in list(os.listdir(p)):
+                        gp = os.path.join(p, g)
+                        if gp in referenced:
+                            continue
+                        if g.endswith(".parquet"):
+                            removed += 1
+                        os.remove(gp)
+                    if not os.listdir(p):
+                        os.rmdir(p)
+                    continue
                 if f.endswith(".parquet"):
                     removed += 1
                 os.remove(p)
@@ -1529,12 +1579,6 @@ def snap_vacuum(
     for v in versions[:-keep_last]:
         os.remove(_manifest_path(root, v))
     return removed
-
-
-def _file_col() -> F.Column:
-    """input_file_name() normalized to the manifest's plain-path form
-    (the local ``file://`` scheme stripped)."""
-    return F.regexp_replace(F.input_file_name(), "^file:/{2}", "")
 
 
 def _rewrite_config(m: dict) -> dict:
@@ -1594,6 +1638,24 @@ def _rewrite_commit(
     )
     new_data.write.mode("error").parquet(commit_dir)
     new_files = _list_parquet(commit_dir)
+    # Deletion-vector consolidation: entries for TOUCHED files would be
+    # stale (their replacements have new row indices), so keep only the
+    # untouched files' entries, rewritten as one fresh sidecar. Keeping
+    # the dv row-exact also keeps snap_count a pure footer sum.
+    dv_paths = m.get("dv_files") or []
+    ctx["dv_files"] = []
+    if dv_paths and untouched:
+        dv = spark.read.parquet(*dv_paths)
+        # dv 'file' is the _metadata URI form; match on the path suffix
+        live = dv.filter(
+            F.regexp_replace("file", "^file:/+", "/").isin(untouched)
+        )
+        dv_dir = os.path.join(commit_dir, "_dv")
+        live.coalesce(1).write.mode("error").parquet(dv_dir)
+        kept_dv = _list_parquet(dv_dir)
+        # an all-stale dv writes an empty (but schema-ful) sidecar; drop it
+        if kept_dv and (spark.read.parquet(*kept_dv).limit(1).count() > 0):
+            ctx["dv_files"] = kept_dv
     new_stats = (
         _collect_file_stats(spark, commit_dir, cfg["stats_cols"])
         if cfg["stats_cols"] and new_files
@@ -1687,8 +1749,9 @@ def snap_merge(
         touched: list[str] = []
         new_data = source if when_not_matched == "insert" else source.limit(0)
         return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
-    store = spark.read.schema(schema).parquet(*m["files"])
-    touched_rows = store.select(*on).withColumn("_sf", _file_col())
+    touched_rows = _source_frame(spark, m, file_col="_sf").select(
+        *on, "_sf"
+    )
     touched = [
         r["_sf"]
         for r in touched_rows.join(keys, on, "left_semi")
@@ -1701,7 +1764,7 @@ def snap_merge(
         raise RuntimeError(f"discovered files outside the manifest: {unknown}")
     parts = []
     if touched:
-        touched_df = spark.read.schema(schema).parquet(*touched)
+        touched_df = _source_frame(spark, m, touched)
         keep = touched_df.join(keys, on, "left_anti")
         parts.append(keep)
         if when_matched == "ignore":
@@ -1709,7 +1772,7 @@ def snap_merge(
     if when_matched == "update":
         matched_src = (
             source.join(
-                spark.read.schema(schema).parquet(*touched).select(*on).distinct(),
+                _source_frame(spark, m, touched).select(*on).distinct(),
                 on,
                 "left_semi",
             )
@@ -1718,7 +1781,7 @@ def snap_merge(
         )
         parts.append(matched_src)
     if when_not_matched == "insert":
-        store_keys = store.select(*on).distinct()
+        store_keys = touched_rows.select(*on).distinct()
         parts.append(source.join(store_keys, on, "left_anti"))
     if not parts:
         new_data = spark.createDataFrame([], schema)
@@ -1727,6 +1790,110 @@ def snap_merge(
         for p in parts[1:]:
             new_data = new_data.unionByName(p)
     return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
+
+
+def snap_delete_dv(
+    spark: SparkSession,
+    root: str,
+    condition,
+    tag: int | str | None = None,
+) -> int:
+    """Row-level DELETE as MERGE-ON-READ deletion vectors — the
+    write-cheap sibling of ``snap_delete_where``'s copy-on-write: instead
+    of rewriting every touched file, ONE job records the matched rows'
+    ``(_metadata.file_path, _metadata.row_index)`` pairs into a parquet
+    sidecar and the new manifest carries it in ``dv_files``; every read
+    path (``_source_frame``) anti-joins the sidecar, so the delete costs
+    O(matched rows) written instead of O(touched files) rewritten —
+    Delta's deletion-vector / Iceberg's positional-delete design. The
+    matching scan runs over the DV-APPLIED current snapshot, so repeated
+    deletes never double-record a row and ``snap_count`` stays an exact
+    footer-sum minus dv-row-sum. Deletes survive appends (children
+    inherit ``dv_files``), materialize and vanish on any copy-on-write
+    rewrite of the touched files (compact / optimize / merge /
+    delete_where consolidate or reset them), and are invisible to
+    time-travel reads of the parent version. CDC (`snap_read_changes`)
+    refuses lineages crossing a dv-delete — same honest refusal as every
+    non-append commit. Publishes with the expected-parent guard: a
+    concurrent commit during the matching scan raises
+    ``SnapshotConflict`` instead of deleting against a stale snapshot.
+    Returns the new version."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    version = snap_current_version(root)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    new_dv = []
+    if m["files"]:
+        matched = (
+            _source_frame_with_meta(spark, m)
+            .filter(F.coalesce(cond, F.lit(False)))
+            .select(
+                F.col("_dv_f").alias("file"), F.col("_dv_i").alias("idx")
+            )
+        )
+        dv_commit_dir = os.path.join(
+            root, "data", f"commit-{version + 1:012d}-{uuid.uuid4().hex[:8]}"
+        )
+        dv_dir = os.path.join(dv_commit_dir, "_dv")
+        matched.coalesce(1).write.mode("error").parquet(dv_dir)
+        files = _list_parquet(dv_dir)
+        if files and spark.read.parquet(*files).limit(1).count() > 0:
+            new_dv = files
+        else:
+            import shutil
+
+            shutil.rmtree(dv_commit_dir, ignore_errors=True)
+    ctx = {
+        "parent": m["version"],
+        "version": m["version"] + 1,
+        "parent_files": m["files"],
+        "parent_stats": m.get("file_stats", {}),
+        "parent_blooms": m.get("file_blooms", {}),
+        "parent_bloom_meta": m.get("bloom_meta", {}),
+        "parent_file_meta": m.get("file_meta", {}),
+        "manifest_schema": T.StructType.fromJson(json.loads(m["schema"])),
+        "dv_files": (m.get("dv_files") or []) + new_dv,
+    }
+    if snap_current_version(root) != version:
+        raise SnapshotConflict(
+            "store advanced while the dv-delete matching scan ran — "
+            "reload and retry"
+        )
+    return _publish_commit(
+        root,
+        ctx,
+        "merge",
+        tag,
+        [],
+        {},
+        {},
+        {},
+        {},
+        cleanup_dir=dv_commit_dir if new_dv else None,
+    )
+
+
+def _source_frame_with_meta(spark: SparkSession, m: dict) -> DataFrame:
+    """The DV-applied snapshot with its raw ``_dv_f``/``_dv_i`` metadata
+    columns still attached — the recording side of ``snap_delete_dv``
+    (the applying side strips them)."""
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    df = spark.read.schema(schema).parquet(*m["files"])
+    src = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_dv_f"),
+        F.col("_metadata.row_index").alias("_dv_i"),
+    )
+    dv_paths = m.get("dv_files") or []
+    if dv_paths:
+        dv = spark.read.parquet(*dv_paths).select("file", "idx")
+        src = src.join(
+            dv,
+            (src["_dv_f"] == dv["file"]) & (src["_dv_i"] == dv["idx"]),
+            "left_anti",
+        )
+    return src
 
 
 def snap_delete_where(
@@ -1752,13 +1919,10 @@ def snap_delete_where(
         return _rewrite_commit(
             spark, root, m, [], spark.createDataFrame([], schema), "merge", tag
         )
-    store = spark.read.schema(schema).parquet(*m["files"])
+    store = _source_frame(spark, m, file_col="_sf")
     touched = [
         r["_sf"]
-        for r in store.filter(cond)
-        .select(_file_col().alias("_sf"))
-        .distinct()
-        .collect()
+        for r in store.filter(cond).select("_sf").distinct().collect()
     ]
     unknown = set(touched) - set(m["files"])
     if unknown:
@@ -1768,9 +1932,7 @@ def snap_delete_where(
     else:
         # NULL-condition rows are NOT deletes (same as the discovery
         # filter): keep everything except rows where cond is TRUE
-        new_data = (
-            spark.read.schema(schema)
-            .parquet(*touched)
-            .filter(~F.coalesce(cond, F.lit(False)))
+        new_data = _source_frame(spark, m, touched).filter(
+            ~F.coalesce(cond, F.lit(False))
         )
     return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
