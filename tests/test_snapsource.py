@@ -362,3 +362,29 @@ def test_writer_timestamp_stats_naive_utc(spark, tmp_path):
     )
     assert got.count() == 11
     assert len(kept) < total
+
+
+def test_format_read_applies_deletion_vectors(spark, tmp_path):
+    """The Python DataSource read path masks dv-deleted rows worker-side
+    (positional-delete lists shipped per partition) — a direct pyarrow
+    file read would otherwise resurrect them on exactly this path."""
+    from wsspark import snapstore as ss
+
+    root = str(tmp_path / "dvsrc")
+    spark.range(100).selectExpr("id", "id * 2 AS val").repartition(
+        4
+    ).write.format("snapstore").mode("append").save(root)
+    ss.snap_delete_dv(spark, root, "id % 7 = 0")
+    got = {
+        r.id for r in spark.read.format("snapstore").load(root).collect()
+    }
+    assert got == {i for i in range(100) if i % 7 != 0}
+    # pushed-filter pruned read also applies the mask
+    got2 = {
+        r.id
+        for r in spark.read.format("snapstore")
+        .load(root)
+        .filter("id < 50")
+        .collect()
+    }
+    assert got2 == {i for i in range(50) if i % 7 != 0}

@@ -82,14 +82,43 @@ from wsspark import snapstore as ss
 
 class SnapFilePartition(InputPartition):
     """One manifest file per partition; carries the target schema so the
-    worker can align evolved files (missing columns -> NULL)."""
+    worker can align evolved files (missing columns -> NULL) and the
+    file's positional-delete row indices (deletion vectors) so the
+    worker masks deleted rows — the Iceberg positional-delete reader
+    shape: the driver plans which rows are dead, workers never see
+    them."""
 
-    def __init__(self, file: str, schema_json: str) -> None:
+    def __init__(
+        self, file: str, schema_json: str, deleted: list[int] | None = None
+    ) -> None:
         self.file = file
         self.schema_json = schema_json
+        self.deleted = deleted or []
 
 
-def _read_file_as_batches(file: str, schema_json: str) -> Iterator:
+def _load_dv_map(manifest: dict) -> dict[str, list[int]]:
+    """Deletion-vector sidecars -> {normalized file path: sorted dead row
+    indices}. Driver-side, delete-count-sized."""
+    dv_paths = manifest.get("dv_files") or []
+    if not dv_paths:
+        return {}
+    import re
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[int]] = {}
+    for p in dv_paths:
+        t = pq.read_table(p, columns=["file", "idx"])
+        for f_, i_ in zip(
+            t.column("file").to_pylist(), t.column("idx").to_pylist()
+        ):
+            out.setdefault(re.sub(r"^file:/+", "/", f_), []).append(i_)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def _read_file_as_batches(
+    file: str, schema_json: str, deleted: list[int] | None = None
+) -> Iterator:
     """Worker-side parquet read aligned to the manifest schema: columns
     cast to the manifest's Arrow types, columns the file predates filled
     with NULL (add-column evolution), order normalized. Streams via
@@ -103,7 +132,20 @@ def _read_file_as_batches(file: str, schema_json: str) -> Iterator:
     target = to_arrow_schema(T.StructType.fromJson(json.loads(schema_json)))
     pf = pq.ParquetFile(file)
     present = [n for n in target.names if n in pf.schema_arrow.names]
+    dead = set(deleted or [])
+    offset = 0
     for batch in pf.iter_batches(batch_size=1 << 16, columns=present):
+        n = batch.num_rows
+        if dead:
+            # positional deletes: iter_batches preserves the file's
+            # physical row order, so batch-local index = global - offset
+            local = [i - offset for i in dead if offset <= i < offset + n]
+            if local:
+                keep = [True] * n
+                for i in local:
+                    keep[i] = False
+                batch = batch.filter(pa.array(keep))
+        offset += n
         columns = []
         for fld in target:
             if fld.name in batch.schema.names:
@@ -189,10 +231,16 @@ class SnapstoreBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         files = _prune(self._manifest, self._manifest["files"], self._filters)
-        return [SnapFilePartition(f, self._manifest["schema"]) for f in files]
+        dv_map = _load_dv_map(self._manifest)
+        return [
+            SnapFilePartition(f, self._manifest["schema"], dv_map.get(f))
+            for f in files
+        ]
 
     def read(self, partition: SnapFilePartition) -> Iterator:
-        return _read_file_as_batches(partition.file, partition.schema_json)
+        return _read_file_as_batches(
+            partition.file, partition.schema_json, partition.deleted
+        )
 
 
 class SnapstoreStreamReader(DataSourceStreamReader):
