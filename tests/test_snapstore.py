@@ -1341,3 +1341,36 @@ def test_delete_dv_zero_match_and_conflict(spark, tmp_path, monkeypatch):
         ss.snap_delete_dv(spark, root, "id < 5")
     monkeypatch.undo()
     assert ss.snap_count(root) == 20  # the append survived
+
+
+def test_update_where_cow_semantics(spark, tmp_path):
+    """UPDATE ... SET: only matching rows change (expressions see the
+    pre-update row), untouched files survive verbatim, dv-deleted rows
+    are neither updated nor resurrected, snapshot isolation holds, and
+    unknown target columns are rejected."""
+    root = str(tmp_path / "t_upd")
+    ss.snap_commit(_df(spark, 0, 100).repartition(4), root)
+    ss.snap_delete_dv(spark, root, "id = 5")
+    v = ss.snap_update_where(
+        spark, root, "id < 10", {"val": "val + 1000"}
+    )
+    rows = {r.id: r.val for r in ss.snap_read(spark, root, v).collect()}
+    assert 5 not in rows and len(rows) == 99
+    assert rows[3] == 3 * 2 + 1000 and rows[50] == 100
+    # pre-update snapshot still reads the old values
+    old = {r.id: r.val for r in ss.snap_read(spark, root, 1).collect()}
+    assert old[3] == 6
+    # swap expression sees pre-update row state
+    v2 = ss.snap_update_where(
+        spark, root, "id = 20", {"id": "val", "val": "id"}
+    )
+    pairs = {(r.id, r.val) for r in ss.snap_read(spark, root, v2).collect()}
+    assert (40, 20) in pairs and (20, 40) not in pairs  # true swap
+    with pytest.raises(ValueError, match="unknown columns"):
+        ss.snap_update_where(spark, root, "id = 1", {"nope": "1"})
+    # no-match update: clean commit, nothing changes
+    v3 = ss.snap_update_where(spark, root, "id > 10000", {"val": "0"})
+    assert ss.snap_read(spark, root, v3).count() == 99
+    # CDC refuses across the update (merge mode)
+    with pytest.raises(ValueError, match="not an append set"):
+        ss.snap_read_changes(spark, root, since=0)

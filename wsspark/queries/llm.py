@@ -2348,6 +2348,49 @@ WHERE NOT (l_quantity <= 5)
 """
 
 
+def q_snapstore_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE ... SET under the driver hash gate, stacked
+    on a deletion vector: dv-delete a slice, then update a partially
+    OVERLAPPING slice with an expression over the pre-update row
+    (l_quantity doubled). The twin replays delete-then-update relational
+    semantics with a complement filter + CASE, so a resurrection (the
+    update rewriting a dv-deleted row back to life), a missed/extra
+    update, or an expression evaluated against post-update state goes
+    red."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="snapupd-")
+    try:
+        ss.snap_commit(li.repartition(8), root)
+        ss.snap_delete_dv(spark, root, "l_partkey < 200")
+        ss.snap_update_where(
+            spark,
+            root,
+            "l_partkey < 500",
+            {"l_quantity": "l_quantity * 2"},
+        )
+        out = ss.snap_read(spark, root)
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_UPDATE_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CASE WHEN l_partkey < 500 THEN l_quantity * 2
+            ELSE l_quantity END AS l_quantity
+FROM lineitem
+WHERE NOT (l_partkey < 200)
+"""
+
+
 SNAPSTORE_ZORDER_ND_SQL = """
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
 FROM lineitem
@@ -4151,6 +4194,12 @@ FOLDED_QUERIES = [
     Query("snapstore_dv_delete_read", q_snapstore_dv_delete_read,
           SNAPSTORE_DV_SQL,
           "deletion-vector DELETE read back through the DV anti-join"),
+    # Born folded (r11): COW UPDATE stacked on a deletion vector — the
+    # twin's delete-then-CASE replay catches resurrections and
+    # wrong-state expression evaluation.
+    Query("snapstore_update_read", q_snapstore_update_read,
+          SNAPSTORE_UPDATE_SQL,
+          "copy-on-write UPDATE over a dv-deleted snapshot"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,

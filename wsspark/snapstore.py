@@ -1792,6 +1792,71 @@ def snap_merge(
     return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
 
 
+def snap_update_where(
+    spark: SparkSession,
+    root: str,
+    condition,
+    assignments: dict,
+    tag: int | str | None = None,
+) -> int:
+    """Row-level UPDATE ... SET as a copy-on-write commit (Delta's
+    UPDATE): rewrite ONLY the files containing rows matching
+    ``condition``, applying ``assignments`` (column name -> Column or
+    SQL-string expression, evaluated against the pre-update row — the
+    standard UPDATE semantics, so ``{"qty": "qty + 1"}`` works) to the
+    matching rows and copying the rest verbatim. Untouched files and
+    their skipping metadata survive; deletion vectors are honored during
+    the rewrite (a deleted row is neither updated nor resurrected) and
+    consolidated like every COW commit. NULL conditions update nothing
+    (same as DELETE's discovery rule). Schema is invariant: assignments
+    must target existing columns and are cast back to the column's
+    manifest type — an UPDATE never evolves the schema silently.
+    Returns the new version."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    version = snap_current_version(root)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    known = {f.name: f.dataType for f in schema.fields}
+    bad = sorted(set(assignments) - set(known))
+    if bad:
+        raise ValueError(
+            f"snap_update_where: assignments target unknown columns {bad} "
+            "— UPDATE never adds columns; use an evolve append/overwrite"
+        )
+    if not m["files"]:
+        return _rewrite_commit(
+            spark, root, m, [], spark.createDataFrame([], schema), "merge", tag
+        )
+    store = _source_frame(spark, m, file_col="_sf")
+    touched = [
+        r["_sf"]
+        for r in store.filter(cond).select("_sf").distinct().collect()
+    ]
+    unknown = set(touched) - set(m["files"])
+    if unknown:
+        raise RuntimeError(f"discovered files outside the manifest: {unknown}")
+    if not touched:
+        new_data = spark.createDataFrame([], schema)
+    else:
+        hit = F.coalesce(cond, F.lit(False))
+        exprs = []
+        for f in schema.fields:
+            if f.name in assignments:
+                a = assignments[f.name]
+                val = F.expr(a) if isinstance(a, str) else a
+                exprs.append(
+                    F.when(hit, val.cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                exprs.append(F.col(f.name))
+        new_data = _source_frame(spark, m, touched).select(*exprs)
+    return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
+
+
 def snap_delete_dv(
     spark: SparkSession,
     root: str,
