@@ -5,7 +5,14 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Python WORKERS must also import wsspark (cloudpickled UDF closures
+# reference it by module): local-mode workers inherit the driver env, so
+# pin the repo root on PYTHONPATH regardless of the pytest invocation cwd.
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 from wsspark.session import get_session  # noqa: E402
 
