@@ -125,3 +125,52 @@ def test_phash_plan_is_native(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_video_frame_hashing_and_pairing(spark):
+    """Video near-dup: per-frame pHash over MJPEG AVIs; two videos pair
+    when enough frame positions match within the Hamming floor. A
+    re-encoded copy (same frames) pairs; a different clip does not."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).parent))
+    from test_multimodal import make_avi, make_jpeg
+
+    from wsspark.llmops import imagehash
+
+    def clip(seed, n_frames=4, w=16, h=16):
+        frames = []
+        for k in range(n_frames):
+            px = _img(seed * 100 + k, w=w, h=h)
+            frames.append(make_jpeg(px))
+        return make_avi(frames, w, h)
+
+    media = spark.createDataFrame(
+        [
+            (0, clip(1)),
+            (1, clip(1)),  # identical re-wrap: every frame matches
+            (2, clip(2)),  # unrelated clip
+            (3, b"\x00not a video"),
+        ],
+        "media_id long, payload binary",
+    )
+    frames = imagehash.video_phash_frames(media)
+    per_vid = (
+        frames.groupBy("media_id").count().orderBy("media_id").collect()
+    )
+    assert [(r.media_id, r["count"]) for r in per_vid] == [
+        (0, 4), (1, 4), (2, 4),
+    ]
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_frames
+        for r in imagehash.video_dup_pairs(
+            frames, max_distance=6, bands=8, min_shared_frames=3
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 4
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        imagehash.video_dup_pairs(frames, max_distance=8, bands=8)

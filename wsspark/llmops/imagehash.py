@@ -195,3 +195,128 @@ def phash_dup_pairs(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def video_phash_frames(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-frame pHash over Motion-JPEG AVI payloads: one Arrow pass
+    emitting (id, frame_idx, phash) — video near-dup reduces to the
+    image machinery, one row per frame (the same reduction the
+    video-dedup literature uses: a video IS its keyframe signature
+    sequence). Non-AVI payloads and undecodable frames are skipped;
+    ``frame_idx`` preserves temporal order for sequence-aware scoring."""
+    from wsspark.llmops.multimodal import _make_avi_parser
+
+    parse_avi = _make_avi_parser()
+    phash = _make_phash_fn()
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    avi = parse_avi(bytes(payload))
+                except NotImplementedError:
+                    continue  # non-MJPG codec: honest boundary
+                if avi is None:
+                    continue
+                _w, _h, _uspf, frames = avi
+                for i, fb in enumerate(frames):
+                    hv = phash(fb)
+                    if hv is None:
+                        continue
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(hv)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="Int64"),
+                 "frame_idx": pd.Series(idxs, dtype="Int64"),
+                 "phash": pd.Series(hashes, dtype="Int64")}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _run, f"{id_col} long, frame_idx long, phash long"
+    )
+
+
+def video_dup_pairs(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_distance: int = 6,
+    bands: int = 8,
+    min_shared_frames: int = 3,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: frame-level pHash candidates via the
+    same Hamming banding as ``phash_dup_pairs`` (pigeonhole-lossless for
+    ``max_distance < bands``), then videos pair when >=
+    ``min_shared_frames`` DISTINCT frame positions of one match frames
+    of the other. Returns (id_a, id_b, n_shared_frames), id_a < id_b.
+    Inverted-index shape throughout — never all-pairs on videos or
+    frames."""
+    if not 1 <= bands <= PHASH_BITS or PHASH_BITS % bands:
+        raise ValueError(f"bands must divide {PHASH_BITS}, got {bands}")
+    if max_distance >= bands:
+        raise ValueError(
+            f"max_distance={max_distance} >= bands={bands} breaks the "
+            "pigeonhole recall guarantee"
+        )
+    width = PHASH_BITS // bands
+    mask = (1 << width) - 1
+    f = frames.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_vid"),
+        F.col("frame_idx").alias("_fi"),
+        F.col(hash_col).alias("_h"),
+    )
+    banded = f.select(
+        "_vid",
+        "_fi",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("_h", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("_vid", "_fi", "_h", "e.band", "e.val")
+    left = banded.select(
+        F.col("_vid").alias("id_a"),
+        F.col("_fi").alias("fi_a"),
+        F.col("_h").alias("h_a"),
+        "band",
+        "val",
+    )
+    right = banded.select(
+        F.col("_vid").alias("id_b"),
+        F.col("_fi").alias("fi_b"),
+        F.col("_h").alias("h_b"),
+        "band",
+        "val",
+    )
+    matched = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            <= max_distance
+        )
+        .select("id_a", "id_b", "fi_a", "fi_b")
+        .distinct()
+    )
+    return (
+        matched.groupBy("id_a", "id_b")
+        .agg(F.count_distinct("fi_a").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared_frames)
+    )
