@@ -1374,3 +1374,30 @@ def test_update_where_cow_semantics(spark, tmp_path):
     # CDC refuses across the update (merge mode)
     with pytest.raises(ValueError, match="not an append set"):
         ss.snap_read_changes(spark, root, since=0)
+
+
+def test_restore_rolls_back_as_a_new_commit(spark, tmp_path):
+    """RESTORE semantics: rollback is itself a version (auditable,
+    re-restorable), zero data copied, dv state restored too, and a
+    restore to a vacuumed version fails honestly."""
+    root = str(tmp_path / "t_restore")
+    ss.snap_commit(_df(spark, 0, 50), root)            # v0
+    ss.snap_delete_dv(spark, root, "id < 5")           # v1: 45 rows
+    ss.snap_commit(_df(spark, 50, 60), root, "append")  # v2: 55 rows
+    ss.snap_commit(_df(spark, 0, 3), root, "overwrite")  # v3: 3 rows
+    v4 = ss.snap_restore(root, 1)
+    assert v4 == 4
+    assert ss.snap_count(root) == 45  # dv state came back with it
+    assert {r.id for r in ss.snap_read(spark, root).collect()} == set(
+        range(5, 50)
+    )
+    # the rollback is in the history and the pre-restore version readable
+    assert ss.snap_read(spark, root, 3).count() == 3
+    assert ss._read_manifest(root, 4)["tag"] == "restore:1"
+    # restore the restore (back to v3's 3 rows)
+    ss.snap_restore(root, 3)
+    assert ss.snap_count(root) == 3
+    # vacuum away the early versions, then restoring to them refuses
+    ss.snap_vacuum(root, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        ss.snap_restore(root, 0)

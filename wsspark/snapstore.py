@@ -1245,6 +1245,54 @@ def snap_compact(
     )
 
 
+def snap_restore(root: str, to_version: int) -> int:
+    """RESTORE: roll CURRENT back to a historical version AS A NEW
+    COMMIT (Delta's RESTORE semantics) — the manifest content (files,
+    stats, blooms, file meta, deletion vectors, schema) of
+    ``to_version`` republishes as version CURRENT+1 with mode
+    'overwrite', so the rollback is itself in the history (auditable,
+    re-restorable) and vacuum keeps every referenced file alive through
+    it. Zero data copied — one manifest write. The restored-from version
+    must still be retained (not vacuumed). Publishes through the same
+    O_EXCL gate as every commit; returns the new version."""
+    cur = snap_current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    src = _read_manifest(root, to_version)  # raises if vacuumed/absent
+    version = cur + 1
+    manifest = {
+        "version": version,
+        "parent": cur,
+        "mode": "overwrite",
+        "tag": f"restore:{to_version}",
+        "schema": src["schema"],
+        "files": src["files"],
+        "file_stats": src.get("file_stats", {}),
+        "file_blooms": src.get("file_blooms", {}),
+        "bloom_meta": src.get("bloom_meta", {}),
+        "file_meta": src.get("file_meta", {}),
+        "dv_files": src.get("dv_files", []),
+    }
+    missing = [f for f in manifest["files"] if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {to_version}: {len(missing)} of its "
+            f"files were vacuumed (first: {missing[0]})"
+        )
+    try:
+        with open(_manifest_path(root, version), "x") as f:
+            json.dump(manifest, f)
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"version {version} already committed — reload and retry"
+        ) from None
+    tmp = _current_path(root) + f".{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _current_path(root))
+    return version
+
+
 def snap_layout_report(
     root: str,
     version: int | None = None,
