@@ -646,3 +646,42 @@ def test_embedding_drift_validation(spark):
     empty = spark.createDataFrame([], "embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         embedding_drift(a, empty)
+
+
+def test_ks_drift_distinct_guard(spark):
+    """A raw-double column past max_distinct raises eagerly (the exact
+    ECDF window would single-reducer-sort it) naming the column and the
+    remedy; under the bound it still computes."""
+    import pytest
+
+    from wsspark.quality import ks_drift
+
+    df = spark.createDataFrame(
+        [(i + 0.5,) for i in range(500)], "v double"
+    )
+    with pytest.raises(ValueError, match="v.*max_distinct"):
+        ks_drift(df, df, ["v"], max_distinct=100)
+    r = ks_drift(df, df, ["v"], max_distinct=1000).collect()[0]
+    assert r.ks_stat == 0.0
+
+
+def test_drift_topk_salted_rank_matches_plain(spark):
+    """The two-phase salted top-k must select the same deterministic
+    bucket set as a driver-side plain rank (count desc, value asc)."""
+    import random
+
+    from wsspark.quality import _cat_value_counts, _topk_values
+
+    random.seed(5)
+    vals = [str(random.randint(0, 300)) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    counts = _cat_value_counts(df, ["c"])
+    got = sorted(_topk_values(counts, 25))
+    from collections import Counter
+
+    freq = Counter(vals)
+    expect = sorted(
+        ("c", v)
+        for v, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    )
+    assert got == expect

@@ -409,15 +409,42 @@ def _cat_value_counts(df: DataFrame, cat_cols: list[str]) -> DataFrame:
     )
 
 
-def _topk_values(base_counts: DataFrame, k: int) -> list[tuple[str, str]]:
+def _topk_values(
+    base_counts: DataFrame, k: int, n_salts: int = 64
+) -> list[tuple[str, str]]:
     """The base snapshot's per-column top-k (count desc, value asc — the
-    deterministic tie-break), collected: O(cols x k) driver rows. The rank
-    window runs over the COUNTS frame (distinct values), never the fact."""
+    deterministic tie-break), collected: O(cols x k) driver rows.
+
+    TWO-PHASE hierarchical top-k: a naive rank window partitioned by
+    column alone would funnel one column's ENTIRE distinct-value set
+    through a single reducer's sort — the exact single-reducer shape the
+    repo bans, and the thing that breaks at a billion user_ids. Phase 1
+    ranks within (column, salt-of-value) — n_salts parallel reducers per
+    column, each sorting ~distinct/n_salts rows; since the global top-k
+    is necessarily inside the union of per-salt top-ks (any value's
+    full count lives in exactly one salt — counts are already
+    per-value), phase 2 re-ranks only cols x n_salts x k survivors.
+    Deterministic: salting never splits a value's count."""
     from pyspark.sql import Window
 
+    local = (
+        base_counts.withColumn(
+            "_salt", F.pmod(F.xxhash64("val"), F.lit(n_salts))
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("col", "_salt").orderBy(
+                    F.desc("n"), F.asc("val")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= k)
+        .drop("_salt", "_rk")
+    )
     return [
         (r["col"], r["val"])
-        for r in base_counts.withColumn(
+        for r in local.withColumn(
             "_rk",
             F.row_number().over(
                 Window.partitionBy("col").orderBy(F.desc("n"), F.asc("val"))
@@ -462,11 +489,20 @@ def _fold_to_buckets(
     return {(r["col"], r["bucket"]): r["n"] for r in rows}
 
 
+# ks_drift's cumulative window sorts each column's pooled DISTINCT values
+# in ONE reducer (partitionBy(col)) — exactness requires a per-column
+# ordered pass. Bounded-by-granularity data (prices, rounded scores) is
+# fine; a raw-double measurement column could approach row count, so the
+# operator guards eagerly and points at rounding/binning.
+MAX_KS_DISTINCT = 5_000_000
+
+
 def ks_drift(
     base: DataFrame,
     current: DataFrame,
     cols: list[str],
     alpha: float = 0.05,
+    max_distinct: int = MAX_KS_DISTINCT,
 ) -> DataFrame:
     """EXACT two-sample Kolmogorov-Smirnov drift per numeric column — the
     drift family's second statistic. PSI (``drift_report``) needs bucket
@@ -490,6 +526,13 @@ def ks_drift(
 
     Returns (column, n_base, n_current, ks_stat, threshold, drifted),
     deterministic, DuckDB-replayable (plain doubles + window sums).
+
+    Guard: the per-column cumsum window is a single-reducer sort over
+    that column's pooled distinct values (exactness requires an ordered
+    pass), so a column exceeding ``max_distinct`` distinct values raises
+    eagerly (exact count over the pooled counts frame, O(cols) rows to
+    the driver) with the remedy — round/bin the column first, which is a
+    measurement-precision statement, not an approximation of the test.
     """
     cols = list(cols)
     if not cols:
@@ -522,7 +565,23 @@ def ks_drift(
             F.coalesce("n_b", F.lit(0)).alias("n_b"),
             F.coalesce("n_c", F.lit(0)).alias("n_c"),
         )
+        .persist()
     )
+    over = sorted(
+        r["col"]
+        for r in pooled.groupBy("col")
+        .agg(F.count("*").alias("nd"))
+        .collect()
+        if r["nd"] > max_distinct
+    )
+    if over:
+        pooled.unpersist()
+        raise ValueError(
+            f"ks_drift: column(s) {over} exceed max_distinct="
+            f"{max_distinct} pooled distinct values — the exact ECDF "
+            "window would single-reducer-sort them; round or bin the "
+            "column first (a precision statement, not an approximation)"
+        )
     w_cum = (
         Window.partitionBy("col")
         .orderBy("val")
@@ -544,7 +603,7 @@ def ks_drift(
             F.abs(F.col("cb") / F.col("nb") - F.col("cc") / F.col("nc"))
         ).alias("ks_stat"),
     )
-    return out.select(
+    result = out.select(
         F.col("col").alias("column"),
         "n_base",
         "n_current",
@@ -566,6 +625,15 @@ def ks_drift(
             )
         ).alias("drifted"),
     ).orderBy("column")
+    # eager: one row per column — materialize so the pooled cache can be
+    # released deterministically (family convention: driver-row results)
+    rows = [tuple(r) for r in result.collect()]
+    pooled.unpersist()
+    return base.sparkSession.createDataFrame(
+        rows,
+        "column string, n_base long, n_current long, ks_stat double, "
+        "threshold double, drifted boolean",
+    )
 
 
 def embedding_drift(
