@@ -1401,3 +1401,65 @@ def test_restore_rolls_back_as_a_new_commit(spark, tmp_path):
     ss.snap_vacuum(root, keep_last=1)
     with pytest.raises(FileNotFoundError):
         ss.snap_restore(root, 0)
+
+
+def test_write_audit_publish_roundtrip(spark, tmp_path):
+    """WAP: staged commits are invisible to readers, the audit reads the
+    staged frame, publish lands atomically through the normal gates, and
+    an aborted stage leaves no trace."""
+    root = str(tmp_path / "t_wap")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    sid = ss.snap_stage(_df(spark, 10, 30), root, stats_cols=["id"])
+    # invisible until published
+    assert ss.snap_read(spark, root).count() == 10
+    assert ss.snap_current_version(root) == 0
+    # audit phase sees exactly the staged rows
+    staged = ss.snap_read_staged(spark, root, sid)
+    assert {r.id for r in staged.collect()} == set(range(10, 30))
+    v = ss.snap_publish_staged(root, sid, mode="append")
+    assert v == 1 and ss.snap_read(spark, root).count() == 30
+    # published stats drive skipping like any commit's
+    kept, total = ss.snap_prune_files(root, "id", 25, 27)
+    assert total >= 1 and len(kept) <= total
+    # the staged marker is gone; double-publish refuses honestly
+    with pytest.raises(FileNotFoundError):
+        ss.snap_publish_staged(root, sid)
+
+    # failed audit -> abort: files and marker removed, store untouched
+    sid2 = ss.snap_stage(_df(spark, 990, 995), root)
+    d2 = ss._read_staged(root, sid2)["commit_dir"]
+    ss.snap_abort_staged(root, sid2)
+    assert not os.path.exists(d2)
+    assert ss.snap_read(spark, root).count() == 30
+
+    # schema gate applies at PUBLISH time (the whole point of the gate)
+    bad = spark.range(3).select(F.col("id").cast("string").alias("id2"))
+    sid3 = ss.snap_stage(bad, root)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ss.snap_publish_staged(root, sid3, mode="append")
+    ss.snap_abort_staged(root, sid3)
+
+    # expected_parent guard: a commit landing mid-audit conflicts, the
+    # staged data survives, and a re-resolved publish succeeds
+    sid4 = ss.snap_stage(_df(spark, 30, 35), root)
+    pinned = ss.snap_current_version(root)
+    ss.snap_commit(_df(spark, 100, 101), root, mode="append")
+    with pytest.raises(ss.SnapshotConflict):
+        ss.snap_publish_staged(root, sid4, expected_parent=pinned)
+    v2 = ss.snap_publish_staged(
+        root, sid4, expected_parent=ss.snap_current_version(root)
+    )
+    assert ss.snap_read(spark, root, v2).count() == 36
+
+
+def test_staged_commit_respected_by_vacuum_and_versions(spark, tmp_path):
+    """A fresh staged dir survives vacuum (staged grace), and staged
+    markers never corrupt the version listing."""
+    root = str(tmp_path / "t_wap2")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    sid = ss.snap_stage(_df(spark, 10, 20), root)
+    assert ss.snap_versions(root) == [0]
+    ss.snap_vacuum(root, keep_last=1)
+    # staged data still publishable after the vacuum
+    v = ss.snap_publish_staged(root, sid, mode="append")
+    assert ss.snap_read(spark, root, v).count() == 20

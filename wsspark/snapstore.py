@@ -1245,6 +1245,150 @@ def snap_compact(
     )
 
 
+def _staged_path(root: str, staged_id: str) -> str:
+    return os.path.join(root, "_staged", f"{staged_id}.json")
+
+
+def snap_stage(
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 14,
+    bloom_k: int = 4,
+) -> str:
+    """WRITE-AUDIT-PUBLISH, phase 1 (Iceberg's WAP pattern): write the
+    data files + skipping metadata WITHOUT advancing CURRENT — readers
+    cannot see a staged commit. Audit the staged frame
+    (``snap_read_staged`` + e.g. quality.expectation_report), then either
+    ``snap_publish_staged`` (atomic, same gates as snap_commit) or
+    ``snap_abort_staged``. The point: a bad batch is rejected BEFORE any
+    reader can observe it, without the publish-then-rollback window a
+    RESTORE-based recovery leaves.
+
+    Staged data lives under a ``commit-s-*`` dir, which vacuum protects
+    by the last-activity staged-grace clock — ``snap_read_staged``
+    refreshes it, and the publish re-verifies file existence, but an
+    audit that outlives ``staged_grace_minutes`` with no activity can
+    lose the race (publish then raises ``StagedCommitVacuumed``; re-run
+    the stage). Returns the staged id."""
+    commit_dir = os.path.join(
+        root, "data", f"commit-s-{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("error").parquet(commit_dir)
+    _touch(os.path.join(commit_dir, "_heartbeat"))
+    files = _list_parquet(commit_dir)
+    stats = (
+        _collect_file_stats(df.sparkSession, commit_dir, list(stats_cols))
+        if stats_cols and files
+        else {}
+    )
+    blooms = (
+        _collect_file_blooms(
+            df.sparkSession, commit_dir, list(bloom_cols), bloom_bits, bloom_k
+        )
+        if bloom_cols and files
+        else {}
+    )
+    geometry = (
+        {c: {"n_bits": bloom_bits, "k": bloom_k} for c in bloom_cols}
+        if bloom_cols
+        else {}
+    )
+    _touch(os.path.join(commit_dir, "_heartbeat"))
+    staged_id = uuid.uuid4().hex[:16]
+    os.makedirs(os.path.join(root, "_staged"), exist_ok=True)
+    with open(_staged_path(root, staged_id), "x") as f:
+        json.dump(
+            {
+                "schema": df.schema.json(),
+                "files": files,
+                "file_stats": stats,
+                "file_blooms": blooms,
+                "bloom_meta": geometry,
+                "commit_dir": commit_dir,
+            },
+            f,
+        )
+    return staged_id
+
+
+def _read_staged(root: str, staged_id: str) -> dict:
+    p = _staged_path(root, staged_id)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no staged commit {staged_id} in {root}")
+    with open(p) as f:
+        return json.load(f)
+
+
+def snap_read_staged(
+    spark: SparkSession, root: str, staged_id: str
+) -> DataFrame:
+    """The staged frame, for the AUDIT phase. Reading refreshes the
+    staged dir's heartbeat so a long audit keeps its files alive."""
+    st = _read_staged(root, staged_id)
+    _touch(os.path.join(st["commit_dir"], "_heartbeat"))
+    schema = T.StructType.fromJson(json.loads(st["schema"]))
+    if not st["files"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*st["files"])
+
+
+def snap_publish_staged(
+    root: str,
+    staged_id: str,
+    mode: str = "append",
+    tag: int | str | None = None,
+    expected_parent: int | None = None,
+    evolve: bool = False,
+) -> int:
+    """WAP phase 3: publish the audited staged commit atomically through
+    the SAME resolve/publish gates as ``snap_commit`` (schema gate, bloom
+    geometry gate, expected_parent conflict, O_EXCL, staged-file
+    existence re-verify). On ``SnapshotConflict`` the staged data is
+    untouched — re-resolve and call again. Returns the version."""
+    st = _read_staged(root, staged_id)
+    schema = T.StructType.fromJson(json.loads(st["schema"]))
+    geoms = {(g["n_bits"], g["k"]) for g in st["bloom_meta"].values()}
+    if len(geoms) > 1:
+        raise ValueError("mixed bloom geometries in staged commit")
+    n_bits, k = geoms.pop() if geoms else (1 << 14, 4)
+    ctx = _resolve_commit(
+        root,
+        mode,
+        schema,
+        sorted(st["bloom_meta"]) or None,
+        n_bits,
+        k,
+        evolve,
+        expected_parent=expected_parent,
+    )
+    version = _publish_commit(
+        root,
+        ctx,
+        mode,
+        tag,
+        st["files"],
+        st["file_stats"],
+        st["file_blooms"],
+        st["bloom_meta"],
+        {},
+        cleanup_dir=None,  # a lost race must NOT delete the staged data
+    )
+    os.remove(_staged_path(root, staged_id))
+    return version
+
+
+def snap_abort_staged(root: str, staged_id: str) -> None:
+    """WAP abort: drop the staged marker and its data files — the audit
+    failed and no reader ever saw the batch."""
+    import shutil
+
+    st = _read_staged(root, staged_id)
+    os.remove(_staged_path(root, staged_id))
+    shutil.rmtree(st["commit_dir"], ignore_errors=True)
+
+
 def snap_restore(root: str, to_version: int) -> int:
     """RESTORE: roll CURRENT back to a historical version AS A NEW
     COMMIT (Delta's RESTORE semantics) — the manifest content (files,
