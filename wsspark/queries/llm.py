@@ -2348,6 +2348,52 @@ WHERE NOT (l_quantity <= 5)
 """
 
 
+def q_snapstore_wap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish under the driver hash gate: commit the
+    pre-1997 lineitem half, STAGE the rest, audit the staged frame (row
+    count + quantity bounds — a real gate, evaluated on the staged read
+    path), publish, and read CURRENT. The twin is the full projection,
+    so a WAP defect on either side — staged rows leaking before publish
+    (the audit would see them twice), lost/duplicated rows at publish,
+    schema drift — breaks the hash. The abort path and the publish-time
+    gates are pinned in tests/test_snapstore.py."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    root = tempfile.mkdtemp(prefix="snapwap-")
+    try:
+        ss.snap_commit(li.filter(F.col("l_shipdate") < split).repartition(4), root)
+        sid = ss.snap_stage(
+            li.filter(F.col("l_shipdate") >= split).repartition(4), root
+        )
+        staged = ss.snap_read_staged(spark, root, sid)
+        audit = staged.agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("qmin"),
+        ).collect()[0]
+        if audit["n"] == 0 or audit["qmin"] is None or audit["qmin"] < 0:
+            ss.snap_abort_staged(root, sid)  # pragma: no cover - gate holds
+        else:
+            ss.snap_publish_staged(root, sid, mode="append")
+        out = ss.snap_read(spark, root).drop("l_shipdate")
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_WAP_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+"""
+
+
 def q_snapstore_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write UPDATE ... SET under the driver hash gate, stacked
     on a deletion vector: dv-delete a slice, then update a partially
@@ -4200,6 +4246,11 @@ FOLDED_QUERIES = [
     Query("snapstore_update_read", q_snapstore_update_read,
           SNAPSTORE_UPDATE_SQL,
           "copy-on-write UPDATE over a dv-deleted snapshot"),
+    # Born folded (r11): Write-Audit-Publish — stage half the fact,
+    # audit the staged read, publish, read CURRENT; the full-projection
+    # twin catches leak/loss/duplication across the staging boundary.
+    Query("snapstore_wap_read", q_snapstore_wap_read, SNAPSTORE_WAP_SQL,
+          "write-audit-publish staged append read back"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,

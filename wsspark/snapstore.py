@@ -1518,6 +1518,63 @@ def snap_layout_report(
     return report
 
 
+def snap_auto_optimize(
+    spark: SparkSession,
+    root: str,
+    cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
+    stab_threshold: float = 4.0,
+    small_file_threshold: float = 0.5,
+    target_file_mb: int = 256,
+    **kwargs,
+) -> dict:
+    """Measure-then-maintain: run ``snap_layout_report`` and rewrite ONLY
+    when the metadata says it pays — the maintenance loop a 100 TB table
+    needs instead of a rewrite-on-schedule cron that burns a cluster
+    re-clustering already-clustered data.
+
+    Decision: if any keyed column's ``avg_stab`` exceeds
+    ``stab_threshold`` (reads stopped pruning) -> ``snap_optimize`` on
+    the requested clustering; else if ``small_file_fraction`` exceeds
+    ``small_file_threshold`` (planning overhead) -> ``snap_compact``;
+    else NO-OP (zero jobs run — the report is manifest-only). Both
+    rewrites go through the ``_with_retry`` OCC loops. Returns
+    ``{"action": "optimize"|"compact"|"noop", "version": int|None,
+    "report": <the measured report>}`` so the decision is auditable."""
+    keyed = list(zorder_by or cluster_by or [])
+    if not keyed:
+        raise ValueError("pass cluster_by or zorder_by")
+    report = snap_layout_report(root, target_file_mb=target_file_mb)
+    stabs = [
+        report["columns"].get(c, {}).get("avg_stab")
+        for c in keyed
+    ]
+    needs_layout = report["n_files"] > 1 and any(
+        s is None or s > stab_threshold for s in stabs
+    )
+    if needs_layout:
+        v = snap_optimize_with_retry(
+            spark,
+            root,
+            cluster_by=cluster_by,
+            zorder_by=zorder_by,
+            target_file_mb=target_file_mb,
+            **kwargs,
+        )
+        return {"action": "optimize", "version": v, "report": report}
+    if (
+        report["n_files"] > 1
+        and report["small_file_fraction"] > small_file_threshold
+    ):
+        # n_files is an optimize-only knob; compaction sizes from target
+        compact_kwargs = {k: v for k, v in kwargs.items() if k != "n_files"}
+        v = snap_compact_with_retry(
+            spark, root, target_file_mb=target_file_mb, **compact_kwargs
+        )
+        return {"action": "compact", "version": v, "report": report}
+    return {"action": "noop", "version": None, "report": report}
+
+
 def snap_compact_with_retry(
     spark: SparkSession, root: str, max_retries: int = 5, **kwargs
 ) -> int:
