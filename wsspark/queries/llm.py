@@ -4089,6 +4089,16 @@ from wsspark.queries.core import (  # noqa: E402
     q_movement_quantity_quantiles as _core_quantiles_query,
 )
 
+# r11 born-folded TPC-H decorrelation shapes (tpch.py owns the code)
+from wsspark.queries.tpch import (  # noqa: E402
+    BULK_SUPPLIERS_SQL,
+    IMPORTANT_PARTS_SQL,
+    MIN_COST_SQL,
+    q_bulk_part_suppliers,
+    q_important_parts,
+    q_min_cost_supplier,
+)
+
 FOLDED_QUERIES = [
     # Retired registry -> folded (r11 slot swap): three redundant family
     # members gave their driver slots to snapshot_drift_report /
@@ -4251,6 +4261,15 @@ FOLDED_QUERIES = [
     # twin catches leak/loss/duplication across the staging boundary.
     Query("snapstore_wap_read", q_snapstore_wap_read, SNAPSTORE_WAP_SQL,
           "write-audit-publish staged append read back"),
+    # Born folded (r11): the three classic decorrelation shapes the
+    # TPC-H set lacked (no partsupp table in the testdata, so each shape
+    # rides lineitem's part/supplier relationships).
+    Query("min_cost_supplier", q_min_cost_supplier, MIN_COST_SQL,
+          "TPC-H Q2 shape: correlated MIN as one window, total tie-break"),
+    Query("important_parts", q_important_parts, IMPORTANT_PARTS_SQL,
+          "TPC-H Q11 shape: HAVING vs a global scalar, cents-exact"),
+    Query("bulk_part_suppliers", q_bulk_part_suppliers, BULK_SUPPLIERS_SQL,
+          "TPC-H Q20 shape: nested semi-joins, no correlated re-scan"),
     # Born folded (r9): pairwise Pearson matrix from one aggregation of
     # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
     Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,

@@ -1061,3 +1061,192 @@ QUERIES.append(
           "TPC-H Q21-shape sole-late-supplier blame: EXISTS/NOT-EXISTS "
           "pair rewritten as stacked same-key aggregations")
 )
+
+
+# ---------------------------------------------------------------------------
+# r11 folded additions: the three classic decorrelation shapes the set
+# lacked (TPC-H Q2/Q11/Q20). The testdata has no partsupp table, so each
+# shape is expressed over lineitem's (part, supplier) relationships —
+# the SHAPE (correlated min, HAVING-vs-global-scalar, nested semi-joins)
+# is what's being covered, not the exact TPC-H text.
+# ---------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated MIN decorrelated as one window: for
+    every small part (p_size <= 10), the supplier that achieved the
+    minimum unit price on it. The correlated scalar subquery
+    ("= (SELECT MIN(...) WHERE same part)") becomes a row_number window
+    per part with a TOTAL deterministic tie-break (unit price, suppkey,
+    orderkey, linenumber) — one pass, no re-scan per part, broadcast
+    dims. Unit price is an IEEE double division both engines compute
+    bit-identically from the same parquet doubles, so the rank order
+    (and therefore the hash) agrees by construction."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("_unit"), F.asc("l_suppkey"), F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    )
+    best = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            unit,
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+    )
+    return (
+        best.join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("_unit", 6).alias("min_unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+MIN_COST_SQL = """
+WITH ranked AS (
+    SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+           l.l_extendedprice / l.l_quantity AS unit,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.p_partkey
+               ORDER BY l.l_extendedprice / l.l_quantity,
+                        l.l_suppkey, l.l_orderkey, l.l_linenumber
+           ) AS rk
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+)
+SELECT r.p_partkey, r.p_brand, s.s_name, n.n_name AS nation,
+       ROUND(r.unit, 6) AS min_unit_price
+FROM ranked r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE r.rk = 1
+ORDER BY r.p_partkey
+"""
+
+IMPORTANT_SHARE = 0.001
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING against a GLOBAL scalar: per-part revenue
+    (integer-cents exact) kept only where its share of TOTAL revenue
+    exceeds a fraction. The global total rides a whole-frame window over
+    the already-aggregated per-part rows (no second fact scan, no
+    driver round-trip), and the share division happens once on exact
+    longs — the exactsum discipline."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(ex.cents(F.col("l_extendedprice"))).alias("_cents")
+    )
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("_total", F.sum("_cents").over(w))
+        .filter(
+            F.col("_cents").cast("double")
+            > F.lit(IMPORTANT_SHARE) * F.col("_total").cast("double")
+        )
+        .select(
+            "l_partkey",
+            (F.col("_cents").cast("double") / 100).alias("revenue"),
+            F.round(
+                F.col("_cents").cast("double") / F.col("_total").cast("double"),
+                9,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    )
+
+
+IMPORTANT_PARTS_SQL = f"""
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS c
+    FROM lineitem GROUP BY 1
+), tot AS (SELECT SUM(c) AS t FROM per_part)
+SELECT l_partkey,
+       CAST(c AS DOUBLE) / 100 AS revenue,
+       ROUND(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 9) AS share
+FROM per_part, tot
+WHERE CAST(c AS DOUBLE) > {IMPORTANT_SHARE} * CAST(t AS DOUBLE)
+ORDER BY revenue DESC, l_partkey
+"""
+
+
+def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested semi-joins: suppliers who shipped MORE
+    THAN HALF of some 'small'-named part's total 1996+ quantity. Inner
+    aggregate per (part, supplier), middle aggregate per part, the
+    comparison joins them (broadcast part side), and the outer DISTINCT
+    semi-joins back to the supplier dimension — every level an
+    aggregation or semi-join, never a correlated re-scan. Quantities are
+    integral doubles, so the 2x comparison is exact."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    small_li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    per_supp = small_li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = small_li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    qualified = (
+        per_supp.join(per_part, per_supp["l_partkey"] == per_part["_pk"])
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            qualified, supp["s_suppkey"] == qualified["l_suppkey"], "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+BULK_SUPPLIERS_SQL = """
+WITH small_li AS (
+    SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE 'small%'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+), per_supp AS (
+    SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+    FROM small_li GROUP BY 1, 2
+), per_part AS (
+    SELECT l_partkey, SUM(l_quantity) AS part_qty FROM small_li GROUP BY 1
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM per_supp ps
+JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE ps.supp_qty * 2 > pp.part_qty
+ORDER BY s.s_suppkey
+"""
