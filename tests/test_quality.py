@@ -648,21 +648,28 @@ def test_embedding_drift_validation(spark):
         embedding_drift(a, empty)
 
 
-def test_ks_drift_distinct_guard(spark):
-    """A raw-double column past max_distinct raises eagerly (the exact
-    ECDF window would single-reducer-sort it) naming the column and the
-    remedy; under the bound it still computes."""
-    import pytest
+def test_ks_drift_two_phase_bucketed_path_is_exact(spark):
+    """Forcing the bucketed two-phase ECDF (small_distinct below the
+    cardinality) must reproduce the single-window path and the
+    definitional oracle EXACTLY — the bucket offsets are exclusive
+    prefix sums, so every cumulative value is identical."""
+    import random
 
     from wsspark.quality import ks_drift
 
-    df = spark.createDataFrame(
-        [(i + 0.5,) for i in range(500)], "v double"
-    )
-    with pytest.raises(ValueError, match="v.*max_distinct"):
-        ks_drift(df, df, ["v"], max_distinct=100)
-    r = ks_drift(df, df, ["v"], max_distinct=1000).collect()[0]
-    assert r.ks_stat == 0.0
+    random.seed(21)
+    xs = [round(random.gauss(0, 1), 3) for _ in range(3000)]
+    ys = [round(random.gauss(0.25, 1.1), 3) for _ in range(2500)]
+    base = spark.createDataFrame([(v,) for v in xs], "v double")
+    cur = spark.createDataFrame([(v,) for v in ys], "v double")
+    simple = ks_drift(base, cur, ["v"]).collect()[0]
+    bucketed = ks_drift(base, cur, ["v"], small_distinct=10).collect()[0]
+    assert tuple(simple) == tuple(bucketed)
+    assert bucketed.ks_stat == round(_ks_exact(xs, ys), 6)
+    # degenerate single-value column rides the bucketed path safely too
+    one = spark.createDataFrame([(7.0,)] * 100, "v double")
+    r = ks_drift(one, one, ["v"], small_distinct=0).collect()[0]
+    assert r.ks_stat == 0.0 and not r.drifted
 
 
 def test_drift_topk_salted_rank_matches_plain(spark):

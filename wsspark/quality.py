@@ -489,12 +489,17 @@ def _fold_to_buckets(
     return {(r["col"], r["bucket"]): r["n"] for r in rows}
 
 
-# ks_drift's cumulative window sorts each column's pooled DISTINCT values
-# in ONE reducer (partitionBy(col)) — exactness requires a per-column
-# ordered pass. Bounded-by-granularity data (prices, rounded scores) is
-# fine; a raw-double measurement column could approach row count, so the
-# operator guards eagerly and points at rounding/binning.
-MAX_KS_DISTINCT = 5_000_000
+# ks_drift path switch: at or under this many pooled distinct values per
+# column, the single per-column cumsum window is cheapest (a few-million-
+# row sort in one reducer beats the two-phase machinery's constant
+# costs); past it, the two-phase bucketed ECDF splits the sort
+# into KS_BUCKETS parallel range partitions with driver-combined prefix
+# offsets — O(distinct/buckets) per reducer at any cardinality. The
+# probe that picks the path is one aggregation over the persisted pooled
+# counts frame (exact — its rows ARE the distinct values) and also
+# supplies the bucket bounds and side totals, so it is not a pure tax.
+KS_SMALL_DISTINCT = 1 << 16
+KS_BUCKETS = 4096
 
 
 def ks_drift(
@@ -502,7 +507,7 @@ def ks_drift(
     current: DataFrame,
     cols: list[str],
     alpha: float = 0.05,
-    max_distinct: int = MAX_KS_DISTINCT,
+    small_distinct: int = KS_SMALL_DISTINCT,
 ) -> DataFrame:
     """EXACT two-sample Kolmogorov-Smirnov drift per numeric column — the
     drift family's second statistic. PSI (``drift_report``) needs bucket
@@ -527,12 +532,17 @@ def ks_drift(
     Returns (column, n_base, n_current, ks_stat, threshold, drifted),
     deterministic, DuckDB-replayable (plain doubles + window sums).
 
-    Guard: the per-column cumsum window is a single-reducer sort over
-    that column's pooled distinct values (exactness requires an ordered
-    pass), so a column exceeding ``max_distinct`` distinct values raises
-    eagerly (exact count over the pooled counts frame, O(cols) rows to
-    the driver) with the remedy — round/bin the column first, which is a
-    measurement-precision statement, not an approximation of the test.
+    No single-reducer sort at ANY cardinality: columns whose pooled
+    distinct count fits ``small_distinct`` ride one per-column cumsum
+    window (a bounded sort); past that the TWO-PHASE bucketed ECDF runs
+    — equal-width order-preserving buckets over the column's [min, max]
+    (order is all the cumsum needs; balance only affects parallelism),
+    per-bucket partial sums combined into exclusive prefix OFFSETS on
+    the driver (O(cols x KS_BUCKETS) rows), then the cumsum window
+    partitions by (col, bucket): thousands of parallel bounded sorts
+    plus a broadcast offset join, exact to the bit. The per-column
+    distinct/min/max probe is one aggregation over the persisted pooled
+    counts frame.
     """
     cols = list(cols)
     if not cols:
@@ -567,68 +577,147 @@ def ks_drift(
         )
         .persist()
     )
-    over = sorted(
-        r["col"]
-        for r in pooled.groupBy("col")
-        .agg(F.count("*").alias("nd"))
-        .collect()
-        if r["nd"] > max_distinct
-    )
-    if over:
-        pooled.unpersist()
-        raise ValueError(
-            f"ks_drift: column(s) {over} exceed max_distinct="
-            f"{max_distinct} pooled distinct values — the exact ECDF "
-            "window would single-reducer-sort them; round or bin the "
-            "column first (a precision statement, not an approximation)"
-        )
-    w_cum = (
-        Window.partitionBy("col")
-        .orderBy("val")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("col")
-    stepped = pooled.select(
-        "col",
-        (F.sum("n_b").over(w_cum)).alias("cb"),
-        (F.sum("n_c").over(w_cum)).alias("cc"),
-        F.sum("n_b").over(w_all).alias("nb"),
-        F.sum("n_c").over(w_all).alias("nc"),
-    )
-    c_alpha = math.sqrt(-math.log(alpha / 2.0) / 2.0)
-    out = stepped.groupBy("col").agg(
-        F.first("nb").alias("n_base"),
-        F.first("nc").alias("n_current"),
-        F.max(
-            F.abs(F.col("cb") / F.col("nb") - F.col("cc") / F.col("nc"))
-        ).alias("ks_stat"),
-    )
-    result = out.select(
-        F.col("col").alias("column"),
-        "n_base",
-        "n_current",
-        F.round("ks_stat", 6).alias("ks_stat"),
-        F.round(
-            F.lit(c_alpha)
-            * F.sqrt(
-                (F.col("n_base") + F.col("n_current"))
-                / (F.col("n_base") * F.col("n_current"))
-            ),
-            6,
-        ).alias("threshold"),
-        (
-            F.col("ks_stat")
-            > F.lit(c_alpha)
-            * F.sqrt(
-                (F.col("n_base") + F.col("n_current"))
-                / (F.col("n_base") * F.col("n_current"))
+    try:
+        # one aggregation over the cached frame: per-column distinct
+        # count (exact — pooled rows ARE the distinct values), bounds for
+        # the bucketing, and the side totals
+        meta = {
+            r["col"]: r
+            for r in pooled.groupBy("col")
+            .agg(
+                F.count("*").alias("nd"),
+                F.min("val").alias("lo"),
+                F.max("val").alias("hi"),
+                F.sum("n_b").alias("nb"),
+                F.sum("n_c").alias("nc"),
             )
-        ).alias("drifted"),
-    ).orderBy("column")
-    # eager: one row per column — materialize so the pooled cache can be
-    # released deterministically (family convention: driver-row results)
-    rows = [tuple(r) for r in result.collect()]
-    pooled.unpersist()
+            .collect()
+        }
+        big = sorted(c for c, r in meta.items() if r["nd"] > small_distinct)
+        if big:
+            # TWO-PHASE: order-preserving equal-width bucket per column
+            spark = base.sparkSession
+            bounds = F.broadcast(
+                spark.createDataFrame(
+                    [
+                        (c, float(meta[c]["lo"]), float(meta[c]["hi"]))
+                        for c in meta
+                    ],
+                    "col string, _lo double, _hi double",
+                )
+            )
+            bucketed = pooled.join(bounds, "col").withColumn(
+                "_bk",
+                F.when(
+                    F.col("_hi") == F.col("_lo"), F.lit(1)
+                ).otherwise(
+                    F.least(
+                        F.lit(KS_BUCKETS),
+                        F.greatest(
+                            F.lit(1),
+                            (
+                                (F.col("val") - F.col("_lo"))
+                                / (F.col("_hi") - F.col("_lo"))
+                                * KS_BUCKETS
+                            ).cast("int")
+                            + 1,
+                        ),
+                    )
+                ),
+            )
+            partials = (
+                bucketed.groupBy("col", "_bk")
+                .agg(F.sum("n_b").alias("sb"), F.sum("n_c").alias("sc"))
+                .collect()
+            )
+            # exclusive prefix offsets per (col, bucket) on the driver:
+            # O(cols x KS_BUCKETS) integers
+            by_col: dict[str, list] = {}
+            for r in partials:
+                by_col.setdefault(r["col"], []).append(
+                    (r["_bk"], r["sb"], r["sc"])
+                )
+            off_rows = []
+            for c, lst in by_col.items():
+                ob = oc = 0
+                for bk, sb, sc in sorted(lst):
+                    off_rows.append((c, bk, ob, oc))
+                    ob += sb
+                    oc += sc
+            offsets = F.broadcast(
+                spark.createDataFrame(
+                    off_rows,
+                    "col string, _bk int, _ob long, _oc long",
+                )
+            )
+            w_cum = (
+                Window.partitionBy("col", "_bk")
+                .orderBy("val")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            stepped = bucketed.join(offsets, ["col", "_bk"]).select(
+                "col",
+                (F.col("_ob") + F.sum("n_b").over(w_cum)).alias("cb"),
+                (F.col("_oc") + F.sum("n_c").over(w_cum)).alias("cc"),
+            )
+        else:
+            w_cum = (
+                Window.partitionBy("col")
+                .orderBy("val")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            stepped = pooled.select(
+                "col",
+                (F.sum("n_b").over(w_cum)).alias("cb"),
+                (F.sum("n_c").over(w_cum)).alias("cc"),
+            )
+        totals = F.broadcast(
+            base.sparkSession.createDataFrame(
+                [(c, meta[c]["nb"], meta[c]["nc"]) for c in meta],
+                "col string, nb long, nc long",
+            )
+        )
+        c_alpha = math.sqrt(-math.log(alpha / 2.0) / 2.0)
+        out = (
+            stepped.join(totals, "col")
+            .groupBy("col")
+            .agg(
+                F.first("nb").alias("n_base"),
+                F.first("nc").alias("n_current"),
+                F.max(
+                    F.abs(
+                        F.col("cb") / F.col("nb") - F.col("cc") / F.col("nc")
+                    )
+                ).alias("ks_stat"),
+            )
+        )
+        result = out.select(
+            F.col("col").alias("column"),
+            "n_base",
+            "n_current",
+            F.round("ks_stat", 6).alias("ks_stat"),
+            F.round(
+                F.lit(c_alpha)
+                * F.sqrt(
+                    (F.col("n_base") + F.col("n_current"))
+                    / (F.col("n_base") * F.col("n_current"))
+                ),
+                6,
+            ).alias("threshold"),
+            (
+                F.col("ks_stat")
+                > F.lit(c_alpha)
+                * F.sqrt(
+                    (F.col("n_base") + F.col("n_current"))
+                    / (F.col("n_base") * F.col("n_current"))
+                )
+            ).alias("drifted"),
+        ).orderBy("column")
+        # eager one-row-per-column materialization (family convention:
+        # driver-row results, hash-stable; lets the cache release below)
+        rows = [tuple(r) for r in result.collect()]
+    finally:
+        pooled.unpersist()
     return base.sparkSession.createDataFrame(
         rows,
         "column string, n_base long, n_current long, ks_stat double, "
