@@ -2394,6 +2394,41 @@ FROM lineitem
 """
 
 
+def q_snapstore_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the driver hash gate: commit the full projection,
+    dv-delete a slice (so the restored state carries deletion vectors),
+    OVERWRITE with garbage, restore to the dv-carrying version, read
+    CURRENT. The twin is the delete-complement filter — a restore that
+    loses the dv state, resurrects the overwrite, or points at the wrong
+    manifest content goes red."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="snaprestore-")
+    try:
+        ss.snap_commit(li.repartition(4), root)                    # v0
+        ss.snap_delete_dv(spark, root, "l_partkey < 300")          # v1
+        ss.snap_commit(li.limit(7), root, mode="overwrite")        # v2
+        ss.snap_restore(root, 1)                                   # v3 == v1
+        out = ss.snap_read(spark, root)
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_RESTORE_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+WHERE NOT (l_partkey < 300)
+"""
+
+
 def q_snapstore_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write UPDATE ... SET under the driver hash gate, stacked
     on a deletion vector: dv-delete a slice, then update a partially
@@ -4261,6 +4296,11 @@ FOLDED_QUERIES = [
     # twin catches leak/loss/duplication across the staging boundary.
     Query("snapstore_wap_read", q_snapstore_wap_read, SNAPSTORE_WAP_SQL,
           "write-audit-publish staged append read back"),
+    # Born folded (r11): RESTORE over a dv-carrying version after a
+    # destructive overwrite — dv state must round-trip with the rollback.
+    Query("snapstore_restore_read", q_snapstore_restore_read,
+          SNAPSTORE_RESTORE_SQL,
+          "restore to a dv-carrying version after an overwrite"),
     # Born folded (r11): the three classic decorrelation shapes the
     # TPC-H set lacked (no partsupp table in the testdata, so each shape
     # rides lineitem's part/supplier relationships).
