@@ -388,3 +388,24 @@ def test_format_read_applies_deletion_vectors(spark, tmp_path):
         .collect()
     }
     assert got2 == {i for i in range(50) if i % 7 != 0}
+
+
+def test_constraints_gate_the_datasource_writer(spark, tmp_path):
+    """format('snapstore') writes validate against the table's CHECKs at
+    publish; a violating job stages, fails, and leaves no version."""
+    from wsspark import snapstore as ss
+
+    register(spark)
+    root = str(tmp_path / "t_chk2")
+    spark.range(10).selectExpr("id", "id AS val").write.format(
+        "snapstore"
+    ).mode("append").save(root)
+    ss.snap_add_constraint(spark, root, "val_nonneg", "val >= 0")
+    before = ss.snap_current_version(root)
+    bad = spark.range(3).selectExpr("id", "-id - 1 AS val")
+    import pytest
+
+    with pytest.raises(Exception, match="ConstraintViolation|violated"):
+        bad.write.format("snapstore").mode("append").save(root)
+    assert ss.snap_current_version(root) == before
+    assert ss.snap_count(root) == 10

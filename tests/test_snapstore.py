@@ -1495,3 +1495,49 @@ def test_auto_optimize_measure_then_maintain(spark, tmp_path):
     assert ss.snap_layout_report(root)["n_files"] < 32
     with pytest.raises(ValueError, match="cluster_by or zorder_by"):
         ss.snap_auto_optimize(spark, root)
+
+
+def test_check_constraints_gate_every_data_path(spark, tmp_path):
+    """Delta-style table CHECK constraints: existing data validated at
+    ADD time, appends/UPDATE/MERGE/staged publishes validated in one
+    fused aggregation (NULL satisfies — SQL CHECK semantics), overwrite
+    drops them, CDC survives the metadata commits."""
+    root = str(tmp_path / "t_chk")
+    ss.snap_commit(_df(spark, 0, 50), root)
+    v = ss.snap_add_constraint(spark, root, "val_nonneg", "val >= 0")
+    assert v == 1
+    # adding a constraint existing data violates refuses up front
+    with pytest.raises(ss.ConstraintViolation, match="val_small"):
+        ss.snap_add_constraint(spark, root, "val_small", "val < 10")
+    # violating append names constraint + count; nothing published
+    bad = spark.createDataFrame([(1, -5), (2, -7)], "id long, val long")
+    with pytest.raises(ss.ConstraintViolation, match="val_nonneg.*2 row"):
+        ss.snap_commit(bad, root, mode="append")
+    assert ss.snap_current_version(root) == 1
+    # NULL satisfies (SQL CHECK); valid append passes
+    ok = spark.createDataFrame([(100, None), (101, 8)], "id long, val long")
+    ss.snap_commit(ok, root, mode="append")
+    assert ss.snap_count(root) == 52
+    # UPDATE producing a violation is rejected (COW rewrite validates)
+    with pytest.raises(ss.ConstraintViolation, match="val_nonneg"):
+        ss.snap_update_where(spark, root, "id = 3", {"val": "-1"})
+    # MERGE inserting valid rows passes; constraint survives the rewrite
+    src = spark.createDataFrame([(200, 4)], "id long, val long")
+    ss.snap_merge(spark, root, src, on=["id"])
+    assert "val_nonneg" in ss._read_manifest(
+        root, ss.snap_current_version(root)
+    )["constraints"]
+    # staged publish validates too
+    sid = ss.snap_stage(bad, root)
+    with pytest.raises(ss.ConstraintViolation):
+        ss.snap_publish_staged(root, sid, mode="append")
+    ss.snap_abort_staged(root, sid)
+    # drop, then the bad append lands; overwrite clears constraints
+    ss.snap_drop_constraint(root, "val_nonneg")
+    ss.snap_commit(bad, root, mode="append")
+    ss.snap_commit(_df(spark, 0, 3), root, mode="overwrite")
+    assert ss._read_manifest(
+        root, ss.snap_current_version(root)
+    )["constraints"] == {}
+    with pytest.raises(ValueError, match="no constraint"):
+        ss.snap_drop_constraint(root, "val_nonneg")

@@ -425,6 +425,19 @@ class SnapstoreBatchWriter(DataSourceArrowWriter):
             ctx = ss._resolve_commit(
                 self._root, self._mode, self._schema, None, 0, 0, self._evolve
             )
+            if ctx.get("constraints") and files:
+                # table CHECK constraints gate this writer too: one scan
+                # of the staged files before the manifest publishes
+                from pyspark.sql import SparkSession
+
+                spark = (
+                    SparkSession.getActiveSession()
+                    or SparkSession.builder.getOrCreate()
+                )
+                ss._check_constraints(
+                    spark.read.schema(self._schema).parquet(*files),
+                    ctx["constraints"],
+                )
             ss._publish_commit(
                 self._root,
                 ctx,

@@ -373,6 +373,7 @@ def _resolve_commit(
         # deletes stay deleted across appends; an overwrite replaces the
         # lineage and with it every deletion vector
         "dv_files": [],
+        "constraints": {},
     }
     if mode == "append" and parent is not None:
         pm = _read_manifest(root, parent)
@@ -441,6 +442,9 @@ def _resolve_commit(
         ctx["parent_bloom_meta"] = pm.get("bloom_meta", {})
         ctx["parent_file_meta"] = pm.get("file_meta", {})
         ctx["dv_files"] = pm.get("dv_files", [])
+        # table CHECK constraints ride appends; an overwrite is an
+        # explicit new shape and drops them (re-add deliberately)
+        ctx["constraints"] = pm.get("constraints", {})
         for c in bloom_cols or []:
             meta = ctx["parent_bloom_meta"].get(c)
             if meta and (meta["n_bits"], meta["k"]) != (bloom_bits, bloom_k):
@@ -513,6 +517,7 @@ def _publish_commit(
         "bloom_meta": bloom_meta,
         "file_meta": file_meta,
         "dv_files": ctx.get("dv_files", []),
+        "constraints": ctx.get("constraints", {}),
     }
     # Re-verify IMMEDIATELY before the O_EXCL write: the footer-meta loop
     # above takes real time on many files, so the entry check alone leaves
@@ -603,6 +608,9 @@ def snap_commit(
         evolve,
         expected_parent=expected_parent,
     )
+    # table CHECK constraints gate the incoming rows BEFORE any file is
+    # written (one fused aggregation; ConstraintViolation, not a publish)
+    _check_constraints(df, ctx.get("constraints", {}))
     commit_dir = os.path.join(
         root, "data", f"commit-{ctx['version']:012d}-{uuid.uuid4().hex[:8]}"
     )
@@ -1245,6 +1253,110 @@ def snap_compact(
     )
 
 
+class ConstraintViolation(ValueError):
+    """A commit's incoming rows violate a table CHECK constraint."""
+
+
+def _check_constraints(df: DataFrame, constraints: dict) -> None:
+    """Validate incoming rows against the table's CHECK constraints in
+    ONE fused aggregation (a violation is an expression evaluating to
+    FALSE; NULL satisfies, the SQL-standard CHECK semantics). Raises
+    ``ConstraintViolation`` naming each violated constraint with its
+    violation count."""
+    if not constraints:
+        return
+    names = sorted(constraints)
+    agg = df.agg(
+        *[
+            F.sum(
+                (~F.coalesce(F.expr(constraints[n]), F.lit(True))).cast(
+                    "long"
+                )
+            ).alias(n)
+            for n in names
+        ]
+    ).collect()[0]
+    bad = {n: agg[n] for n in names if agg[n]}
+    if bad:
+        raise ConstraintViolation(
+            "CHECK constraint(s) violated by incoming rows: "
+            + ", ".join(
+                f"{n} ({constraints[n]!r}): {c} row(s)"
+                for n, c in sorted(bad.items())
+            )
+        )
+
+
+def snap_add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """Add a table-level CHECK constraint (Delta's ALTER TABLE ADD
+    CONSTRAINT): EXISTING data is validated first (one scan over the
+    DV-applied current snapshot — a constraint the table already
+    violates must not silently gate only future writers), then a new
+    version publishes with the constraint in the manifest. From then on
+    every data-introducing commit (``snap_commit`` append,
+    ``snap_publish_staged``, COW rewrites' new files) validates against
+    it in one fused aggregation and raises ``ConstraintViolation``
+    instead of publishing. Appends inherit constraints; an overwrite
+    (an explicit new shape) drops them. The constraint-add commit keeps
+    the parent's exact file content (mode 'append', empty file delta),
+    so CDC windows crossing it stay valid. Returns the new version."""
+    cur = snap_current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, cur)
+    constraints = dict(m.get("constraints", {}))
+    if name in constraints:
+        raise ValueError(f"constraint {name!r} already exists")
+    _check_constraints(_source_frame(spark, m), {name: expr})
+    constraints[name] = expr
+    return _publish_metadata_commit(root, m, constraints)
+
+
+def snap_drop_constraint(root: str, name: str) -> int:
+    """Drop a CHECK constraint as a new version (auditable, like the
+    add). Returns the new version."""
+    cur = snap_current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, cur)
+    constraints = dict(m.get("constraints", {}))
+    if name not in constraints:
+        raise ValueError(f"no constraint {name!r} on this table")
+    del constraints[name]
+    return _publish_metadata_commit(root, m, constraints)
+
+
+def _publish_metadata_commit(root: str, m: dict, constraints: dict) -> int:
+    """Publish a same-content manifest with updated constraints — a
+    metadata-only commit through the O_EXCL gate (empty file delta, so
+    CDC treats it as a zero-row append)."""
+    version = m["version"] + 1
+    manifest = dict(m)
+    manifest.update(
+        {
+            "version": version,
+            "parent": m["version"],
+            "mode": "append",
+            "tag": None,
+            "constraints": constraints,
+        }
+    )
+    try:
+        with open(_manifest_path(root, version), "x") as f:
+            json.dump(manifest, f)
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"version {version} already committed — reload and retry"
+        ) from None
+    tmp = _current_path(root) + f".{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _current_path(root))
+    return version
+
+
 def _staged_path(root: str, staged_id: str) -> str:
     return os.path.join(root, "_staged", f"{staged_id}.json")
 
@@ -1363,6 +1475,15 @@ def snap_publish_staged(
         evolve,
         expected_parent=expected_parent,
     )
+    if ctx.get("constraints"):
+        # the audit may not have checked the table's own CHECKs —
+        # enforce them at publish like every data-introducing commit
+        from pyspark.sql import SparkSession as _S
+
+        spark = _S.getActiveSession() or _S.builder.getOrCreate()
+        _check_constraints(
+            snap_read_staged(spark, root, staged_id), ctx["constraints"]
+        )
     version = _publish_commit(
         root,
         ctx,
@@ -1882,6 +2003,10 @@ def _rewrite_commit(
         },
         "manifest_schema": schema,
     }
+    # constraints survive COW rewrites; UPDATE/MERGE-produced rows must
+    # satisfy them like any other incoming rows
+    ctx["constraints"] = m.get("constraints", {})
+    _check_constraints(new_data, ctx["constraints"])
     commit_dir = os.path.join(
         root, "data", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
     )
