@@ -672,6 +672,13 @@ def test_snap_history_timeline(spark, tmp_path):
     assert [x["rows"] for x in h] == [10, 15, 15]
     assert h[1]["n_new_files"] >= 1
     assert all(x["bytes"] > 0 for x in h)
+    # dv + constraint observability: rows is the LIVE count, deleted and
+    # constraint counts ride per version
+    ss.snap_delete_dv(spark, root, "id < 3")
+    ss.snap_add_constraint(spark, root, "id_nonneg", "id >= 0")
+    h2 = ss.snap_history(root)
+    assert h2[-2]["rows"] == 12 and h2[-2]["n_deleted_rows"] == 3
+    assert h2[-1]["n_constraints"] == 1 and h2[-1]["rows"] == 12
 
 
 # ---------------------------------------------------------------------------

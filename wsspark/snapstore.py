@@ -698,15 +698,20 @@ def snap_commit_with_retry(
 
 def snap_history(root: str) -> list[dict]:
     """The audit timeline straight from retained manifests: one dict per
-    version — ``{version, mode, tag, n_files, n_new_files, rows,
-    bytes}`` — no file opened. Rows/bytes fall back to lazy footer reads
-    for pre-metadata stores (same contract as ``snap_count``)."""
+    version — ``{version, mode, tag, n_files, n_new_files, rows, bytes,
+    n_deleted_rows, n_constraints}`` — no data file opened (dv sidecar
+    footers count deleted rows; rows is the LIVE count, matching
+    ``snap_count``). Rows/bytes fall back to lazy footer reads for
+    pre-metadata stores."""
     out = []
     prev_files: set[str] = set()
     for v in snap_versions(root):
         m = _read_manifest(root, v)
         meta = m.get("file_meta", {})
         fm = [(meta.get(f) or _footer_meta(f)) for f in m["files"]]
+        n_deleted = sum(
+            _footer_meta(f)["rows"] for f in m.get("dv_files") or []
+        )
         out.append(
             {
                 "version": v,
@@ -714,8 +719,10 @@ def snap_history(root: str) -> list[dict]:
                 "tag": m.get("tag"),
                 "n_files": len(m["files"]),
                 "n_new_files": len([f for f in m["files"] if f not in prev_files]),
-                "rows": sum(x["rows"] for x in fm),
+                "rows": sum(x["rows"] for x in fm) - n_deleted,
                 "bytes": sum(x["bytes"] for x in fm),
+                "n_deleted_rows": n_deleted,
+                "n_constraints": len(m.get("constraints", {})),
             }
         )
         prev_files = set(m["files"])
