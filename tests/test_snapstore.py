@@ -1548,3 +1548,37 @@ def test_check_constraints_gate_every_data_path(spark, tmp_path):
     )["constraints"] == {}
     with pytest.raises(ValueError, match="no constraint"):
         ss.snap_drop_constraint(root, "val_nonneg")
+
+
+def test_named_refs_pin_reads_and_survive_vacuum(spark, tmp_path):
+    """Iceberg-style named refs: read/restore by meaning, vacuum retains
+    ref'd versions and their files regardless of keep_last, moving a ref
+    is atomic, deleting it releases the pin."""
+    root = str(tmp_path / "t_refs")
+    ss.snap_commit(_df(spark, 0, 10), root)             # v0
+    ss.snap_set_ref(root, "prod")                       # prod -> 0
+    ss.snap_commit(_df(spark, 50, 60), root, "overwrite")  # v1
+    ss.snap_commit(_df(spark, 60, 70), root, "append")     # v2
+    assert ss.snap_refs(root) == {"prod": 0}
+    assert {r.id for r in ss.snap_read(spark, root, "prod").collect()} == set(
+        range(10)
+    )
+    # vacuum keeps the ref'd v0 alive even with keep_last=1
+    ss.snap_vacuum(root, keep_last=1)
+    assert 0 in ss.snap_versions(root)
+    assert ss.snap_read(spark, root, "prod").count() == 10
+    # restore by ref
+    v = ss.snap_restore(root, "prod")
+    assert ss.snap_read(spark, root, v).count() == 10
+    # move the ref (promote-after-audit), then delete releases the pin
+    ss.snap_set_ref(root, "prod", v)
+    assert ss.snap_refs(root)["prod"] == v
+    ss.snap_delete_ref(root, "prod")
+    ss.snap_vacuum(root, keep_last=1)
+    assert ss.snap_versions(root) == [v]
+    with pytest.raises(FileNotFoundError):
+        ss.snap_read(spark, root, "prod")
+    with pytest.raises(ValueError, match="invalid ref"):
+        ss.snap_set_ref(root, "bad/name")
+    with pytest.raises(FileNotFoundError):
+        ss.snap_delete_ref(root, "prod")

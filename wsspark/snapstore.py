@@ -799,14 +799,79 @@ def _source_frame(
     return src.drop("_dv_f", "_dv_i")
 
 
+def _refs_dir(root: str) -> str:
+    return os.path.join(root, "_refs")
+
+
+_REF_NAME = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_."
+
+
+def snap_set_ref(root: str, name: str, version: int | None = None) -> None:
+    """Pin a NAMED REF to a version (Iceberg's tags: ``prod``,
+    ``validated``, ``rollback-point``): readers address versions by
+    meaning instead of by number (``snap_read(root, version="prod")``),
+    ``snap_vacuum`` retains every ref'd version and its files regardless
+    of ``keep_last``, and moving a ref is one atomic replace — the
+    promote-after-audit gesture. ``version`` defaults to CURRENT; the
+    target manifest must exist."""
+    if not name or any(c not in _REF_NAME for c in name):
+        raise ValueError(f"invalid ref name {name!r}")
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    _read_manifest(root, version)  # raises if absent/vacuumed
+    os.makedirs(_refs_dir(root), exist_ok=True)
+    path = os.path.join(_refs_dir(root), name)
+    tmp = path + f".{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, path)
+
+
+def snap_delete_ref(root: str, name: str) -> None:
+    path = os.path.join(_refs_dir(root), name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no ref {name!r} in {root}")
+    os.remove(path)
+
+
+def snap_refs(root: str) -> dict[str, int]:
+    """Every named ref -> pinned version."""
+    d = _refs_dir(root)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for name in sorted(os.listdir(d)):
+        try:
+            with open(os.path.join(d, name)) as f:
+                out[name] = int(f.read().strip())
+        except (OSError, ValueError):
+            continue  # torn ref write: invisible until re-set
+    return out
+
+
+def _resolve_version(root: str, version) -> int:
+    """int passes through; a string resolves as a named ref."""
+    if isinstance(version, str):
+        refs = snap_refs(root)
+        if version not in refs:
+            raise FileNotFoundError(f"no ref {version!r} in {root}")
+        return refs[version]
+    return version
+
+
 def snap_read(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession, root: str, version: int | str | None = None
 ) -> DataFrame:
     """Read a pinned version (default: CURRENT) from its manifest's
     explicit file list — no directory listing, so concurrent commits and
     orphaned files can never leak into the frame. Names/types come from
     the manifest schema; nullability is relaxed to True, as on every
-    Spark file-source read."""
+    Spark file-source read. ``version`` may be a NAMED REF string
+    (``snap_set_ref``)."""
+    if version is not None:
+        version = _resolve_version(root, version)
     if version is None:
         version = snap_current_version(root)
         if version is None:
@@ -1517,7 +1582,7 @@ def snap_abort_staged(root: str, staged_id: str) -> None:
     shutil.rmtree(st["commit_dir"], ignore_errors=True)
 
 
-def snap_restore(root: str, to_version: int) -> int:
+def snap_restore(root: str, to_version: int | str) -> int:
     """RESTORE: roll CURRENT back to a historical version AS A NEW
     COMMIT (Delta's RESTORE semantics) — the manifest content (files,
     stats, blooms, file meta, deletion vectors, schema) of
@@ -1530,6 +1595,7 @@ def snap_restore(root: str, to_version: int) -> int:
     cur = snap_current_version(root)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {root}")
+    to_version = _resolve_version(root, to_version)  # named refs work too
     src = _read_manifest(root, to_version)  # raises if vacuumed/absent
     version = cur + 1
     manifest = {
@@ -1899,7 +1965,10 @@ def snap_vacuum(
     import time
 
     versions = snap_versions(root)
-    retained = versions[-keep_last:]
+    # named refs PIN versions through vacuum regardless of keep_last —
+    # a "prod" tag must never have its files collected under it
+    ref_targets = {v for v in snap_refs(root).values() if v in set(versions)}
+    retained = sorted(set(versions[-keep_last:]) | ref_targets)
     referenced: set[str] = set()
     for v in retained:
         rm = _read_manifest(root, v)
@@ -1954,6 +2023,8 @@ def snap_vacuum(
             if not os.listdir(d):
                 os.rmdir(d)
     for v in versions[:-keep_last]:
+        if v in ref_targets:
+            continue
         os.remove(_manifest_path(root, v))
     return removed
 
