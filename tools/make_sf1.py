@@ -80,6 +80,20 @@ def main() -> None:
     )
     n_li = spark.read.parquet(os.path.join(DST, "lineitem.parquet")).count()
 
+    part = spark.read.parquet(os.path.join(SRC, "part.parquet"))
+    p_off = part.agg(F.max("p_partkey")).first()[0] + 1
+    big_part = part.crossJoin(F.broadcast(reps)).select(
+        *[
+            (F.col(c) + F.col("_k") * F.lit(p_off)).alias(c)
+            if c == "p_partkey"
+            else F.col(c)
+            for c in part.columns
+        ]
+    )
+    big_part.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(DST, "part.parquet")
+    )
+
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
     salted_text = F.when(F.col("_k") == 0, F.col("text")).otherwise(
