@@ -409,3 +409,52 @@ def test_constraints_gate_the_datasource_writer(spark, tmp_path):
         bad.write.format("snapstore").mode("append").save(root)
     assert ss.snap_current_version(root) == before
     assert ss.snap_count(root) == 10
+
+
+def test_stream_writer_surfaces_constraint_violation(spark, tmp_path):
+    """writeStream.format("snapstore") into a constrained table: the
+    violating micro-batch must be refused BEFORE its tagged manifest
+    publishes (pre-fix the streaming writer skipped the CHECK the batch
+    writer ran) — staged files cleaned, cursor not advanced, and a
+    post-fix restart from the same checkpoint replays cleanly."""
+    import pyspark.errors
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "w_chk")
+    register(spark)
+    ss.snap_commit(_df(spark, 0, 10), root)
+    ss.snap_add_constraint(spark, root, "val_nonneg", "val >= 0")
+    spark.createDataFrame([(100, -1)], "id long, val long").coalesce(
+        1
+    ).write.parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("id long, val long")
+            .parquet(src)
+            .writeStream.format("snapstore")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(pyspark.errors.StreamingQueryException) as exc:
+        run()
+    assert "val_nonneg" in str(exc.value)
+    assert ss.snap_count(root) == 10
+    assert ss.snap_last_int_tag(root) is None
+    # no staged garbage left behind for vacuum to trip over
+    import os
+
+    data_dir = os.path.join(root, "data")
+    assert not [
+        d for d in os.listdir(data_dir) if d.startswith("commit-s-")
+    ]
+    ss.snap_drop_constraint(root, "val_nonneg")
+    run()
+    assert ss.snap_count(root) == 11
+    run()  # restart: replay no-ops
+    assert ss.snap_count(root) == 11

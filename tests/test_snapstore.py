@@ -1582,3 +1582,133 @@ def test_named_refs_pin_reads_and_survive_vacuum(spark, tmp_path):
         ss.snap_set_ref(root, "bad/name")
     with pytest.raises(FileNotFoundError):
         ss.snap_delete_ref(root, "prod")
+
+
+def test_constraints_survive_maintenance_rewrites(spark, tmp_path):
+    """Routine maintenance (compact / optimize — any pinned overwrite)
+    must carry table CHECK constraints forward, like Delta's OPTIMIZE:
+    a violating append AFTER a compaction still refuses. Only an
+    explicit user overwrite drops them."""
+    root = str(tmp_path / "t_chk_maint")
+    ss.snap_commit(_df(spark, 0, 40), root)
+    ss.snap_add_constraint(spark, root, "val_nonneg", "val >= 0")
+    bad = spark.createDataFrame([(1, -5)], "id long, val long")
+
+    ss.snap_compact(spark, root, target_file_mb=64)
+    assert "val_nonneg" in ss._read_manifest(
+        root, ss.snap_current_version(root)
+    )["constraints"]
+    with pytest.raises(ss.ConstraintViolation, match="val_nonneg"):
+        ss.snap_commit(bad, root, mode="append")
+
+    ss.snap_optimize(spark, root, cluster_by=["id"], n_files=2)
+    assert "val_nonneg" in ss._read_manifest(
+        root, ss.snap_current_version(root)
+    )["constraints"]
+    with pytest.raises(ss.ConstraintViolation, match="val_nonneg"):
+        ss.snap_commit(bad, root, mode="append")
+
+    # explicit user overwrite (no pinned parent) is a new shape: drops
+    ss.snap_commit(_df(spark, 0, 3), root, mode="overwrite")
+    assert ss._read_manifest(
+        root, ss.snap_current_version(root)
+    )["constraints"] == {}
+    ss.snap_commit(bad, root, mode="append")  # no longer gated
+
+
+def test_restore_preserves_constraints(spark, tmp_path):
+    """RESTORE restores versioned METADATA (Delta semantics): rolling
+    back to a constraint-carrying version brings its CHECKs back; rolling
+    back to a pre-constraint version clears them."""
+    root = str(tmp_path / "t_chk_restore")
+    ss.snap_commit(_df(spark, 0, 20), root)                       # v0
+    v1 = ss.snap_add_constraint(spark, root, "val_nonneg", "val >= 0")
+    ss.snap_commit(_df(spark, 100, 105), root, mode="overwrite")  # v2 drops
+    bad = spark.createDataFrame([(1, -5)], "id long, val long")
+    ss.snap_commit(bad, root, mode="append")                      # v3 ok
+
+    v4 = ss.snap_restore(root, v1)
+    assert "val_nonneg" in ss._read_manifest(root, v4)["constraints"]
+    with pytest.raises(ss.ConstraintViolation, match="val_nonneg"):
+        ss.snap_commit(bad, root, mode="append")
+    # restore to the pre-constraint v0 clears them again
+    v5 = ss.snap_restore(root, 0)
+    assert ss._read_manifest(root, v5)["constraints"] == {}
+    ss.snap_commit(bad, root, mode="append")
+
+
+def test_dv_survives_percent_encoded_paths(spark, tmp_path):
+    """_metadata.file_path percent-encodes special chars (``/a b`` ->
+    ``file:/a%20b``) while manifests hold real OS paths. DV entries must
+    still match after normalization: a COW rewrite of an UNRELATED file
+    must not resurrect dv-deleted rows of untouched files, and the
+    format('snapstore') reader must mask them too."""
+    from wsspark.snapsource import register
+
+    root = str(tmp_path / "enc dir+x" / "t_dv")
+    # two files, ids split so an update touches only one of them
+    lo = _df(spark, 0, 10).repartition(1)
+    hi = _df(spark, 10, 20).repartition(1)
+    ss.snap_commit(lo, root)
+    ss.snap_commit(hi, root, mode="append")
+    # dv-delete a row that lives in the lo file
+    ss.snap_delete_dv(spark, root, "id = 3")
+    assert {r.id for r in ss.snap_read(spark, root).collect()} == (
+        set(range(20)) - {3}
+    )
+    # COW rewrite touching ONLY the hi file: the lo file's dv entry must
+    # survive consolidation (pre-fix the %20 path never matched and the
+    # deleted row resurrected)
+    ss.snap_update_where(spark, root, "id = 15", {"val": "999"})
+    got = {r.id for r in ss.snap_read(spark, root).collect()}
+    assert got == set(range(20)) - {3}
+    assert ss.snap_count(root) == 19
+    # the Python Data Source read path normalizes identically
+    register(spark)
+    src = spark.read.format("snapstore").load(root)
+    assert {r.id for r in src.collect()} == set(range(20)) - {3}
+
+
+def test_snap_sink_surfaces_constraint_violation_mid_stream(spark, tmp_path):
+    """A violating micro-batch through the exactly-once foreachBatch sink
+    must fail BEFORE its tagged manifest publishes: no partial batch, the
+    replay cursor (the tag) not advanced — and after dropping the
+    constraint, a restart from the same checkpoint replays the batch
+    cleanly exactly once."""
+    import pyspark.errors
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "t_chk_sink")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    ss.snap_add_constraint(spark, root, "val_nonneg", "val >= 0")
+    v_before = ss.snap_current_version(root)
+    bad = spark.createDataFrame([(100, -1)], "id long, val long")
+    bad.coalesce(1).write.parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("id long, val long")
+            .parquet(src)
+            .writeStream.foreachBatch(ss.snap_sink(root))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(pyspark.errors.StreamingQueryException) as exc:
+        run()
+    assert "val_nonneg" in str(exc.value)
+    # nothing published: version unchanged, cursor (tag) not advanced
+    assert ss.snap_current_version(root) == v_before
+    assert ss.snap_last_int_tag(root) is None
+    assert ss.snap_count(root) == 10
+    # fix the table contract, restart from the SAME checkpoint: the
+    # replayed batch lands exactly once
+    ss.snap_drop_constraint(root, "val_nonneg")
+    run()
+    assert ss.snap_count(root) == 11
+    assert ss.snap_last_int_tag(root) == 0
+    run()  # idempotent: a further restart replays nothing
+    assert ss.snap_count(root) == 11

@@ -102,8 +102,6 @@ def _load_dv_map(manifest: dict) -> dict[str, list[int]]:
     dv_paths = manifest.get("dv_files") or []
     if not dv_paths:
         return {}
-    import re
-
     import pyarrow.parquet as pq
 
     out: dict[str, list[int]] = {}
@@ -112,7 +110,9 @@ def _load_dv_map(manifest: dict) -> dict[str, list[int]]:
         for f_, i_ in zip(
             t.column("file").to_pylist(), t.column("idx").to_pylist()
         ):
-            out.setdefault(re.sub(r"^file:/+", "/", f_), []).append(i_)
+            # full URI normalization (scheme strip + percent-decode) so
+            # encoded paths (spaces etc.) still mask their deleted rows
+            out.setdefault(ss._norm_dv_path(f_), []).append(i_)
     return {k: sorted(v) for k, v in out.items()}
 
 
@@ -497,6 +497,22 @@ class SnapstoreStreamWriter(DataSourceStreamArrowWriter):
             ctx = ss._resolve_commit(
                 self._root, "append", self._schema, None, 0, 0, False
             )
+            if ctx.get("constraints") and files:
+                # table CHECK constraints gate the streaming writer too:
+                # one scan of the staged files BEFORE the tagged manifest
+                # publishes — on violation the cursor never advances (the
+                # tag rides in the publish), the staged files are cleaned
+                # below, and a post-fix replay of the batch is clean
+                from pyspark.sql import SparkSession
+
+                spark = (
+                    SparkSession.getActiveSession()
+                    or SparkSession.builder.getOrCreate()
+                )
+                ss._check_constraints(
+                    spark.read.schema(self._schema).parquet(*files),
+                    ctx["constraints"],
+                )
             ss._publish_commit(
                 self._root,
                 ctx,

@@ -66,6 +66,7 @@ publishing, in ~150 lines a reviewer can actually audit.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import threading
@@ -375,6 +376,16 @@ def _resolve_commit(
         "dv_files": [],
         "constraints": {},
     }
+    if mode == "overwrite" and expected_parent is not None and parent is not None:
+        # A pinned overwrite is a MAINTENANCE rewrite of the same logical
+        # data (compact/optimize pin a version, scan it, republish) — the
+        # table's CHECK constraints must survive it, exactly as Delta's
+        # OPTIMIZE preserves table metadata. Only an explicit user
+        # overwrite (no pinned parent = a deliberate new shape) drops
+        # them for re-adding.
+        ctx["constraints"] = _read_manifest(root, parent).get(
+            "constraints", {}
+        )
     if mode == "append" and parent is not None:
         pm = _read_manifest(root, parent)
         if evolve:
@@ -442,8 +453,9 @@ def _resolve_commit(
         ctx["parent_bloom_meta"] = pm.get("bloom_meta", {})
         ctx["parent_file_meta"] = pm.get("file_meta", {})
         ctx["dv_files"] = pm.get("dv_files", [])
-        # table CHECK constraints ride appends; an overwrite is an
-        # explicit new shape and drops them (re-add deliberately)
+        # table CHECK constraints ride appends (and, above, pinned
+        # maintenance overwrites); only an explicit user overwrite is a
+        # new shape that drops them (re-add deliberately)
         ctx["constraints"] = pm.get("constraints", {})
         for c in bloom_cols or []:
             meta = ctx["parent_bloom_meta"].get(c)
@@ -555,6 +567,34 @@ def _publish_commit(
     return ctx["version"]
 
 
+@contextlib.contextmanager
+def _heartbeat(commit_dir: str):
+    """Daemon thread refreshing ``commit_dir/_heartbeat`` every few
+    seconds for the enclosed block — vacuum measures staged grace from
+    the dir's LAST activity, and a single Spark job (a slow stats/bloom
+    collection, a long write) can outlive the grace window; touching only
+    between jobs leaves the files collectable mid-job. Shared by
+    ``snap_commit`` and ``snap_stage``."""
+    hb_stop = threading.Event()
+    hb_path = os.path.join(commit_dir, "_heartbeat")
+
+    def _beat() -> None:
+        while not hb_stop.wait(5.0):
+            try:
+                _touch(hb_path)
+            except OSError:  # dir vacuumed/cleaned: publish will raise
+                return
+
+    hb = threading.Thread(target=_beat, daemon=True, name="snap-heartbeat")
+    _touch(hb_path)
+    hb.start()
+    try:
+        yield
+    finally:
+        hb_stop.set()
+        hb.join(timeout=10.0)
+
+
 def snap_commit(
     df: DataFrame,
     root: str,
@@ -621,20 +661,7 @@ def snap_commit(
     # mid-job. A daemon thread refreshes the marker every few seconds
     # from data-write until publish returns, so a slow commit's files
     # stay alive however long its jobs take.
-    hb_stop = threading.Event()
-    hb_path = os.path.join(commit_dir, "_heartbeat")
-
-    def _beat() -> None:
-        while not hb_stop.wait(5.0):
-            try:
-                _touch(hb_path)
-            except OSError:  # dir vacuumed/cleaned: publish will raise
-                return
-
-    hb = threading.Thread(target=_beat, daemon=True, name="snap-heartbeat")
-    _touch(hb_path)
-    hb.start()
-    try:
+    with _heartbeat(commit_dir):
         new_files = _list_parquet(commit_dir)
         new_stats: dict = {}
         if stats_cols and new_files:
@@ -666,9 +693,6 @@ def snap_commit(
             {},
             cleanup_dir=commit_dir,
         )
-    finally:
-        hb_stop.set()
-        hb.join(timeout=10.0)
 
 
 def snap_commit_with_retry(
@@ -752,6 +776,45 @@ def snap_last_int_tag(root: str) -> int | None:
     return None
 
 
+def _norm_dv_path(p: str) -> str:
+    """Normalize a dv sidecar ``file`` entry (the raw
+    ``_metadata.file_path`` URI) to the manifest's plain-OS-path form.
+    The scheme strip alone is NOT enough: Hadoop's Path percent-encodes
+    spaces/special chars in the URI (``/a b`` -> ``file:///a%20b``)
+    while the manifest holds real filesystem paths, so an encoded path
+    would never match and its deleted rows would silently resurrect on
+    the next COW consolidation. ``urllib.parse.unquote`` decodes %XX
+    without treating a bare ``+`` as space (the correct semantics for
+    paths). Non-file schemes keep scheme+authority with a decoded path."""
+    from urllib.parse import unquote
+
+    if p.startswith("file:"):
+        import re
+
+        return unquote(re.sub(r"^file:/+", "/", p))
+    if "://" in p:
+        scheme, rest = p.split("://", 1)
+        if "/" in rest:
+            auth, path = rest.split("/", 1)
+            return f"{scheme}://{auth}/{unquote(path)}"
+    return p  # already a plain path — nothing was URI-encoded
+
+
+def _norm_dv_path_col(col) -> F.Column:
+    """Spark-native twin of ``_norm_dv_path`` for executor-side dv
+    matching: strip the file scheme, pre-escape literal ``+`` (URLDecoder
+    would turn it into a space; in a file URI a literal ``+`` rides
+    unencoded), then ``url_decode``. Non-file schemes pass through raw —
+    this local store's manifests only ever hold plain paths."""
+    c = F.col(col) if isinstance(col, str) else col
+    decoded = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(c, "^file:/+", "/"), r"\+", "%2B"
+        )
+    )
+    return F.when(c.startswith("file:"), decoded).otherwise(c)
+
+
 def _source_frame(
     spark: SparkSession,
     m: dict,
@@ -793,9 +856,7 @@ def _source_frame(
         # normalized to the manifest's plain-path form — and taken from
         # the SCAN's metadata column, so it stays correct after joins
         # (input_file_name() does not survive a shuffled join)
-        src = src.withColumn(
-            file_col, F.regexp_replace("_dv_f", "^file:/+", "/")
-        )
+        src = src.withColumn(file_col, _norm_dv_path_col("_dv_f"))
     return src.drop("_dv_f", "_dv_i")
 
 
@@ -1370,8 +1431,10 @@ def snap_add_constraint(
     every data-introducing commit (``snap_commit`` append,
     ``snap_publish_staged``, COW rewrites' new files) validates against
     it in one fused aggregation and raises ``ConstraintViolation``
-    instead of publishing. Appends inherit constraints; an overwrite
-    (an explicit new shape) drops them. The constraint-add commit keeps
+    instead of publishing. Appends, maintenance rewrites (compact /
+    optimize — any pinned overwrite), COW DML, and RESTORE all carry
+    constraints forward; only an explicit user overwrite (a deliberate
+    new shape) drops them. The constraint-add commit keeps
     the parent's exact file content (mode 'append', empty file delta),
     so CDC windows crossing it stay valid. Returns the new version."""
     cur = snap_current_version(root)
@@ -1460,26 +1523,28 @@ def snap_stage(
         root, "data", f"commit-s-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("error").parquet(commit_dir)
-    _touch(os.path.join(commit_dir, "_heartbeat"))
-    files = _list_parquet(commit_dir)
-    stats = (
-        _collect_file_stats(df.sparkSession, commit_dir, list(stats_cols))
-        if stats_cols and files
-        else {}
-    )
-    blooms = (
-        _collect_file_blooms(
-            df.sparkSession, commit_dir, list(bloom_cols), bloom_bits, bloom_k
+    # same in-job heartbeat as snap_commit: a SINGLE slow stats/bloom
+    # job can outlive the staged grace window, and a touch only between
+    # jobs leaves the staged files collectable mid-job
+    with _heartbeat(commit_dir):
+        files = _list_parquet(commit_dir)
+        stats = (
+            _collect_file_stats(df.sparkSession, commit_dir, list(stats_cols))
+            if stats_cols and files
+            else {}
         )
-        if bloom_cols and files
-        else {}
-    )
-    geometry = (
-        {c: {"n_bits": bloom_bits, "k": bloom_k} for c in bloom_cols}
-        if bloom_cols
-        else {}
-    )
-    _touch(os.path.join(commit_dir, "_heartbeat"))
+        blooms = (
+            _collect_file_blooms(
+                df.sparkSession, commit_dir, list(bloom_cols), bloom_bits, bloom_k
+            )
+            if bloom_cols and files
+            else {}
+        )
+        geometry = (
+            {c: {"n_bits": bloom_bits, "k": bloom_k} for c in bloom_cols}
+            if bloom_cols
+            else {}
+        )
     staged_id = uuid.uuid4().hex[:16]
     os.makedirs(os.path.join(root, "_staged"), exist_ok=True)
     with open(_staged_path(root, staged_id), "x") as f:
@@ -1610,6 +1675,9 @@ def snap_restore(root: str, to_version: int | str) -> int:
         "bloom_meta": src.get("bloom_meta", {}),
         "file_meta": src.get("file_meta", {}),
         "dv_files": src.get("dv_files", []),
+        # RESTORE restores versioned METADATA too (Delta semantics): the
+        # restored-to version's CHECK constraints come back with its data
+        "constraints": src.get("constraints", {}),
     }
     missing = [f for f in manifest["files"] if not os.path.exists(f)]
     if missing:
@@ -2098,10 +2166,9 @@ def _rewrite_commit(
     ctx["dv_files"] = []
     if dv_paths and untouched:
         dv = spark.read.parquet(*dv_paths)
-        # dv 'file' is the _metadata URI form; match on the path suffix
-        live = dv.filter(
-            F.regexp_replace("file", "^file:/+", "/").isin(untouched)
-        )
+        # dv 'file' is the raw _metadata URI form; normalize (scheme strip
+        # + percent-decode) so encoded paths keep their entries alive
+        live = dv.filter(_norm_dv_path_col("file").isin(untouched))
         dv_dir = os.path.join(commit_dir, "_dv")
         live.coalesce(1).write.mode("error").parquet(dv_dir)
         kept_dv = _list_parquet(dv_dir)
@@ -2371,6 +2438,9 @@ def snap_delete_dv(
         "parent_file_meta": m.get("file_meta", {}),
         "manifest_schema": T.StructType.fromJson(json.loads(m["schema"])),
         "dv_files": (m.get("dv_files") or []) + new_dv,
+        # a dv-delete introduces no rows (nothing to validate) but the
+        # table's CHECK constraints must ride the manifest forward
+        "constraints": m.get("constraints", {}),
     }
     if snap_current_version(root) != version:
         raise SnapshotConflict(
