@@ -1,14 +1,21 @@
 """Model-based stateful test of the snapshot store: hypothesis drives a
 random sequence of appends / overwrites / evolutions / compactions /
-merges / predicate deletes / vacuums against a driver-side Python model (rows + schema per version),
-asserting after every step that the real store's retained versions,
-metadata counts, and CURRENT content match the model exactly.
+merges / predicate deletes / dv-deletes / updates / restores / WAP
+stage-publish-abort / named refs / CHECK constraints / vacuums against a
+driver-side Python model (rows + schema + constraint per version, a
+retained-version set, a ref map), asserting after every step that the
+real store's retained versions, metadata counts, refs, constraint
+gating, and CURRENT content match the model exactly.
 
 This is the invariant class example-based tests can't cover: the table
-format's guarantees must hold under ARBITRARY interleavings, not just
-hand-picked ones. Step and example counts are bounded because every
-commit is a real Spark write (~0.5 s); ``derandomize=True`` keeps the
-run deterministic in CI while still exploring dozens of interleavings.
+format's guarantees must hold under ARBITRARY interleavings — vacuum
+must never break a ref'd or dv-carrying version, constraints must
+survive every maintenance/DML/restore path and gate every
+data-introducing commit, staged data must stay invisible until
+published (and die cleanly when vacuum collects it first). Step and
+example counts are bounded because every commit is a real Spark write
+(~0.5 s); ``derandomize=True`` keeps the run deterministic in CI while
+still exploring dozens of interleavings.
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+import pytest
 from hypothesis import HealthCheck, settings
 from hypothesis import strategies as st
 from hypothesis.stateful import (
@@ -48,10 +56,13 @@ class SnapstoreMachine(RuleBasedStateMachine):
     def setup(self):
         self.root = tempfile.mkdtemp(prefix="snapmodel-")
         self.next_id = 0
-        # model: version -> (triples, has_note). Triples carry note=None
-        # for rows written before the store evolved.
-        self.versions: list[tuple[list, bool]] = []
-        self.vacuumed_below = 0
+        # model: version -> (triples, has_note, has_constraint). Triples
+        # carry note=None for rows written before the store evolved.
+        self.versions: list[tuple[list, bool, bool]] = []
+        self.alive: set[int] = set()  # versions whose manifest survives
+        self.refs: dict[str, int] = {}
+        # pending WAP stages: staged_id -> (triples, has_note, maybe_dead)
+        self.staged: dict[str, tuple[list, bool, bool]] = {}
 
     def teardown(self):
         shutil.rmtree(self.root, ignore_errors=True)
@@ -69,17 +80,23 @@ class SnapstoreMachine(RuleBasedStateMachine):
         return t
 
     def _cur(self):
-        return self.versions[-1] if self.versions else ([], False)
+        return self.versions[-1] if self.versions else ([], False, False)
+
+    def _push(self, rows, has_note, has_constraint):
+        self.versions.append((rows, has_note, has_constraint))
+        self.alive.add(len(self.versions) - 1)
+
+    # ---- plain commit surface -------------------------------------
 
     @rule(n=st.integers(min_value=0, max_value=7))
     def append(self, n):
-        cur_rows, has_note = self._cur()
+        cur_rows, has_note, chk = self._cur()
         new = self._fresh(n, noted=has_note)
         v = ss.snap_commit(
             _mk_df(self.spark, new, has_note), self.root, mode="append"
         )
         assert v == len(self.versions)
-        self.versions.append((cur_rows + new, has_note))
+        self._push(cur_rows + new, has_note, chk)
 
     @rule(n=st.integers(min_value=0, max_value=7))
     def overwrite(self, n):
@@ -88,12 +105,13 @@ class SnapstoreMachine(RuleBasedStateMachine):
             _mk_df(self.spark, new, False), self.root, mode="overwrite"
         )
         assert v == len(self.versions)
-        self.versions.append((new, False))
+        # an explicit user overwrite is a new shape: constraints drop
+        self._push(new, False, False)
 
     @precondition(lambda self: self.versions and not self._cur()[1])
     @rule(n=st.integers(min_value=1, max_value=4))
     def evolve_append(self, n):
-        cur_rows, _ = self._cur()
+        cur_rows, _, chk = self._cur()
         new = self._fresh(n, noted=True)
         v = ss.snap_commit(
             _mk_df(self.spark, new, True),
@@ -102,14 +120,19 @@ class SnapstoreMachine(RuleBasedStateMachine):
             evolve=True,
         )
         assert v == len(self.versions)
-        self.versions.append((cur_rows + new, True))
+        self._push(cur_rows + new, True, chk)
+
+    # ---- maintenance ------------------------------------------------
 
     @precondition(lambda self: self.versions)
     @rule()
     def compact(self):
         v = ss.snap_compact(self.spark, self.root, target_file_mb=1)
         assert v == len(self.versions)
-        self.versions.append(self._cur())
+        # maintenance rewrites preserve rows, schema AND constraints
+        self._push(*self._cur())
+
+    # ---- row-level DML ----------------------------------------------
 
     @precondition(lambda self: self.versions)
     @rule(
@@ -120,7 +143,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
         """COW MERGE: replace the first `upd` current rows (val+1000,
         note kept) and insert `ins` fresh rows — model mirrors the
         update+insert clause routing exactly."""
-        cur_rows, has_note = self._cur()
+        cur_rows, has_note, chk = self._cur()
         upd_rows = [(i, v + 1000, n) for i, v, n in cur_rows[:upd]]
         ins_rows = self._fresh(ins, noted=has_note)
         src = upd_rows + ins_rows
@@ -132,8 +155,10 @@ class SnapstoreMachine(RuleBasedStateMachine):
         )
         assert v == len(self.versions)
         upd_ids = {i for i, _, _ in upd_rows}
-        self.versions.append(
-            ([r for r in cur_rows if r[0] not in upd_ids] + src, has_note)
+        self._push(
+            [r for r in cur_rows if r[0] not in upd_ids] + src,
+            has_note,
+            chk,
         )
 
     @precondition(lambda self: self.versions)
@@ -141,23 +166,203 @@ class SnapstoreMachine(RuleBasedStateMachine):
     def delete_where(self, modk):
         v = ss.snap_delete_where(self.spark, self.root, f"id % {modk} = 0")
         assert v == len(self.versions)
-        cur_rows, has_note = self._cur()
-        self.versions.append(
-            ([r for r in cur_rows if r[0] % modk != 0], has_note)
+        cur_rows, has_note, chk = self._cur()
+        self._push([r for r in cur_rows if r[0] % modk != 0], has_note, chk)
+
+    @precondition(lambda self: self.versions)
+    @rule(modk=st.integers(min_value=2, max_value=5))
+    def delete_dv(self, modk):
+        """Merge-on-read DELETE: same visible semantics as delete_where,
+        but the version carries deletion vectors every later read,
+        rewrite, restore, and vacuum must honor."""
+        v = ss.snap_delete_dv(self.spark, self.root, f"id % {modk} = 1")
+        assert v == len(self.versions)
+        cur_rows, has_note, chk = self._cur()
+        self._push([r for r in cur_rows if r[0] % modk != 1], has_note, chk)
+
+    @precondition(lambda self: self.versions)
+    @rule(modk=st.integers(min_value=2, max_value=4))
+    def update_where(self, modk):
+        """COW UPDATE ... SET val = val + 7 on id % modk = 0 — rewrites
+        only touched files, consolidates dv sidecars (the interleaving
+        that resurrects deleted rows when consolidation mismatches)."""
+        v = ss.snap_update_where(
+            self.spark, self.root, f"id % {modk} = 0", {"val": "val + 7"}
         )
+        assert v == len(self.versions)
+        cur_rows, has_note, chk = self._cur()
+        self._push(
+            [
+                (i, vl + 7 if i % modk == 0 else vl, n)
+                for i, vl, n in cur_rows
+            ],
+            has_note,
+            chk,
+        )
+
+    # ---- restore ------------------------------------------------------
+
+    @precondition(lambda self: self.versions)
+    @rule(back=st.integers(min_value=0, max_value=6))
+    def restore(self, back):
+        """RESTORE to a still-retained version: the rollback republishes
+        that version's files, dv sidecars AND constraints as a new
+        commit."""
+        candidates = sorted(self.alive)
+        to_v = candidates[max(0, len(candidates) - 1 - back)]
+        v = ss.snap_restore(self.root, to_v)
+        assert v == len(self.versions)
+        self._push(*self.versions[to_v])
+
+    # ---- CHECK constraints ---------------------------------------------
+
+    @precondition(lambda self: self.versions and not self._cur()[2])
+    @rule()
+    def add_constraint(self):
+        """Adding the CHECK succeeds as a metadata commit with identical
+        rows — unless a surviving violating_append row makes EXISTING
+        data violate it, in which case ADD must refuse up front (a
+        constraint the table already violates must not gate only future
+        writers) and publish nothing."""
+        rows, has_note, _ = self._cur()
+        if any(v < 0 for _, v, _ in rows):
+            with pytest.raises(ss.ConstraintViolation):
+                ss.snap_add_constraint(
+                    self.spark, self.root, "val_nonneg", "val >= 0"
+                )
+            assert ss.snap_current_version(self.root) == len(self.versions) - 1
+            return
+        v = ss.snap_add_constraint(
+            self.spark, self.root, "val_nonneg", "val >= 0"
+        )
+        assert v == len(self.versions)
+        self._push(rows, has_note, True)
+
+    @precondition(lambda self: self.versions and self._cur()[2])
+    @rule()
+    def drop_constraint(self):
+        v = ss.snap_drop_constraint(self.root, "val_nonneg")
+        assert v == len(self.versions)
+        rows, has_note, _ = self._cur()
+        self._push(rows, has_note, False)
+
+    @precondition(lambda self: self.versions)
+    @rule()
+    def violating_append(self):
+        """An append with val = -1: refused (and versionless) exactly
+        when the current version carries the constraint — whatever path
+        (compact/restore/dv/update/merge) produced that version."""
+        cur_rows, has_note, chk = self._cur()
+        bad = [(self.next_id, -1, "bad" if has_note else None)]
+        self.next_id += 1
+        if chk:
+            with pytest.raises(ss.ConstraintViolation):
+                ss.snap_commit(
+                    _mk_df(self.spark, bad, has_note),
+                    self.root,
+                    mode="append",
+                )
+            assert ss.snap_current_version(self.root) == len(self.versions) - 1
+        else:
+            v = ss.snap_commit(
+                _mk_df(self.spark, bad, has_note), self.root, mode="append"
+            )
+            assert v == len(self.versions)
+            self._push(cur_rows + bad, has_note, False)
+
+    # ---- WAP staging ----------------------------------------------------
+
+    @precondition(lambda self: len(self.staged) < 2)
+    @rule(n=st.integers(min_value=1, max_value=4))
+    def stage(self, n):
+        """WAP phase 1: staged data must be INVISIBLE — no version
+        advance, no content change (the step invariant re-checks)."""
+        _, has_note, _ = self._cur()
+        new = self._fresh(n, noted=has_note)
+        before = ss.snap_current_version(self.root)
+        sid = ss.snap_stage(_mk_df(self.spark, new, has_note), self.root)
+        assert ss.snap_current_version(self.root) == before
+        self.staged[sid] = (new, has_note, False)
+
+    @precondition(lambda self: self.staged and self.versions)
+    @rule()
+    def publish_staged(self):
+        """WAP phase 3. If a vacuum ran since the stage (grace 0 collects
+        staged dirs), publish must fail RETRYABLY with the staged data
+        never half-visible — a crash-interleaving the example tests
+        hand-pick, explored here under arbitrary orderings."""
+        sid, (new, has_note, maybe_dead) = next(iter(self.staged.items()))
+        del self.staged[sid]
+        cur_rows, cur_note, chk = self._cur()
+        if has_note != cur_note:
+            # schema moved under the stage (overwrite/evolve since):
+            # publish must refuse on the schema gate, store unchanged
+            with pytest.raises(ValueError):
+                ss.snap_publish_staged(self.root, sid, mode="append")
+            ss.snap_abort_staged(self.root, sid)
+            return
+        try:
+            v = ss.snap_publish_staged(self.root, sid, mode="append")
+        except ss.StagedCommitVacuumed:
+            assert maybe_dead, "staged files vanished without a vacuum"
+            assert ss.snap_current_version(self.root) == len(self.versions) - 1
+            return
+        assert v == len(self.versions)
+        self._push(cur_rows + new, has_note, chk)
+
+    @precondition(lambda self: self.staged)
+    @rule()
+    def abort_staged(self):
+        sid, _ = next(iter(self.staged.items()))
+        del self.staged[sid]
+        before = ss.snap_current_version(self.root)
+        ss.snap_abort_staged(self.root, sid)
+        assert ss.snap_current_version(self.root) == before
+
+    # ---- named refs ------------------------------------------------------
+
+    @precondition(lambda self: self.versions)
+    @rule(name=st.sampled_from(["prod", "audit"]), back=st.integers(0, 4))
+    def set_ref(self, name, back):
+        candidates = sorted(self.alive)
+        v = candidates[max(0, len(candidates) - 1 - back)]
+        ss.snap_set_ref(self.root, name, v)
+        self.refs[name] = v
+
+    @precondition(lambda self: self.refs)
+    @rule()
+    def delete_ref(self):
+        name = sorted(self.refs)[0]
+        ss.snap_delete_ref(self.root, name)
+        del self.refs[name]
+
+    # ---- vacuum -----------------------------------------------------------
 
     @precondition(lambda self: len(self.versions) > 2)
     @rule(keep=st.integers(min_value=1, max_value=2))
     def vacuum(self, keep):
+        """grace 0: staged dirs are collectable IMMEDIATELY — the
+        adversarial interleaving for pending WAP stages — while ref'd
+        and last-keep versions (dv sidecars included) must survive."""
         ss.snap_vacuum(self.root, keep_last=keep, staged_grace_minutes=0)
-        self.vacuumed_below = max(
-            self.vacuumed_below, len(self.versions) - keep
-        )
+        floor = len(self.versions) - keep
+        self.alive = {
+            v
+            for v in self.alive
+            if v >= floor or v in set(self.refs.values())
+        }
+        self.staged = {
+            sid: (rows, has_note, True)
+            for sid, (rows, has_note, _) in self.staged.items()
+        }
+
+    # ---- invariants ---------------------------------------------------------
 
     @invariant()
     def retained_versions_match_model(self):
-        for version in range(self.vacuumed_below, len(self.versions)):
-            rows, has_note = self.versions[version]
+        assert set(ss.snap_versions(self.root)) == self.alive
+        for version in sorted(self.alive):
+            rows, has_note, _ = self.versions[version]
             got = ss.snap_read(self.spark, self.root, version).collect()
             if has_note:
                 have = sorted((r.id, r.val, r.note) for r in got)
@@ -170,13 +375,26 @@ class SnapstoreMachine(RuleBasedStateMachine):
         if self.versions:
             assert ss.snap_current_version(self.root) == len(self.versions) - 1
 
+    @invariant()
+    def refs_and_constraints_match_model(self):
+        assert ss.snap_refs(self.root) == self.refs
+        if self.versions:
+            cur = len(self.versions) - 1
+            manifest_chk = ss._read_manifest(self.root, cur).get(
+                "constraints", {}
+            )
+            assert bool(manifest_chk) == self.versions[cur][2], (
+                cur,
+                manifest_chk,
+            )
+
 
 class TestSnapstoreModel:
     def test_stateful(self, spark):
         SnapstoreMachine.spark = spark
         SnapstoreMachine.TestCase.settings = settings(
-            max_examples=4,
-            stateful_step_count=10,
+            max_examples=5,
+            stateful_step_count=12,
             deadline=None,
             derandomize=True,
             suppress_health_check=list(HealthCheck),
