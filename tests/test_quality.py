@@ -672,6 +672,29 @@ def test_ks_drift_two_phase_bucketed_path_is_exact(spark):
     assert r.ks_stat == 0.0 and not r.drifted
 
 
+def test_ks_drift_outlier_skew_keeps_buckets_populated(spark):
+    """Adversarial skew: one outlier at 1e12 with the bulk in [0, 1].
+    Pure equal-width edges would send every bulk value to bucket 1 and
+    degenerate the two-phase design back to a single-task sort; the
+    quantile-derived span edges must keep the bulk spread over many
+    buckets — and the statistic must stay exact either way."""
+    import random
+
+    from wsspark.quality import _ks_bucket_spread, ks_drift
+
+    random.seed(7)
+    xs = [round(random.random(), 6) for _ in range(4000)] + [1e12]
+    ys = [round(random.random() * 0.8 + 0.1, 6) for _ in range(3500)]
+    base = spark.createDataFrame([(v,) for v in xs], "v double")
+    cur = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = ks_drift(base, cur, ["v"], small_distinct=10).collect()[0]
+    assert r.ks_stat == round(_ks_exact(xs, ys), 6)
+    # the bucket-population probe: with the outlier present, the bulk
+    # must still land in many distinct buckets (equal-width would give 2)
+    spread = _ks_bucket_spread(base, cur, ["v"])
+    assert spread["v"] > 100
+
+
 def test_drift_topk_salted_rank_matches_plain(spark):
     """The two-phase salted top-k must select the same deterministic
     bucket set as a driver-side plain rank (count desc, value asc)."""

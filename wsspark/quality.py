@@ -500,6 +500,186 @@ def _fold_to_buckets(
 # supplies the bucket bounds and side totals, so it is not a pure tax.
 KS_SMALL_DISTINCT = 1 << 16
 KS_BUCKETS = 4096
+# quantile spans per column for the two-phase bucketing: each span holds
+# ~1/KS_SPANS of the DISTINCT values however skewed the value range, and
+# equal-width sub-buckets inside a span restore KS_BUCKETS parallelism
+KS_SPANS = 64
+
+
+def _ks_pooled(
+    base: DataFrame, current: DataFrame, cols: list[str]
+) -> DataFrame:
+    """The pooled DISTINCT-value frame both KS phases run over: one
+    stacked map-side-combinable count aggregation per snapshot, full-outer
+    joined on (col, val) — (col, val, n_b, n_c), one row per distinct
+    value per column, NULLs excluded."""
+
+    def _counts(df: DataFrame, side: str) -> DataFrame:
+        stack_args = ", ".join(f"'{c}', _v_{c}" for c in cols)
+        return (
+            df.select(
+                *[F.col(c).cast("double").alias(f"_v_{c}") for c in cols]
+            )
+            .selectExpr(f"stack({len(cols)}, {stack_args}) AS (col, val)")
+            .filter(F.col("val").isNotNull())
+            .groupBy("col", "val")
+            .agg(F.count("*").alias(f"n_{side}"))
+        )
+
+    return (
+        _counts(base, "b")
+        .join(_counts(current, "c"), ["col", "val"], "full_outer")
+        .select(
+            "col",
+            "val",
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("n_c", F.lit(0)).alias("n_c"),
+        )
+    )
+
+
+def _ks_bucketed_uniform(
+    pooled: DataFrame, meta: dict, big: list[str]
+) -> DataFrame:
+    """Equal-width order-preserving bucket id over each big column's
+    [lo, hi] — pure arithmetic, the cheap first attempt. Balance only
+    affects parallelism; the caller measures per-bucket occupancy from
+    the partials it collects anyway and falls back to
+    ``_ks_bucketed_quantile`` when a bucket is skew-degenerate. Columns
+    not in ``big`` ride bucket 1 (one bounded sort each — the same shape
+    the small path gives them)."""
+    spark = pooled.sparkSession
+    bounds = F.broadcast(
+        spark.createDataFrame(
+            [(c, float(meta[c]["lo"]), float(meta[c]["hi"])) for c in big],
+            "col string, _lo double, _hi double",
+        )
+    )
+    return pooled.join(bounds, "col", "left").withColumn(
+        "_bk",
+        F.when(
+            F.col("_lo").isNull() | (F.col("_hi") == F.col("_lo")),
+            F.lit(1),
+        ).otherwise(
+            F.least(
+                F.lit(KS_BUCKETS),
+                F.greatest(
+                    F.lit(1),
+                    (
+                        (F.col("val") - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo"))
+                        * KS_BUCKETS
+                    ).cast("int")
+                    + 1,
+                ),
+            )
+        ),
+    ).drop("_lo", "_hi")
+
+
+def _ks_bucketed_quantile(
+    pooled: DataFrame, meta: dict, big: list[str]
+) -> DataFrame:
+    """The SKEW FALLBACK bucket assignment: equal-width over [lo, hi]
+    collapses under one extreme outlier (the whole bulk lands in bucket
+    1 and its cumsum degenerates back to the single-task sort the
+    two-phase design exists to avoid). Here, KS_SPANS approximate
+    quantiles of the DISTINCT-value distribution (one
+    ``percentile_approx`` over the already-persisted pooled frame) cap
+    any span at ~nd/KS_SPANS distinct values regardless of value skew,
+    and equal-width SUB-buckets within each span restore full KS_BUCKETS
+    parallelism on the bulk. Monotone in ``val`` (edges sorted,
+    within-span linear), so the exclusive-prefix offsets stay exact —
+    bucketing affects parallelism only, never the statistic."""
+    spark = pooled.sparkSession
+    sub = KS_BUCKETS // KS_SPANS
+    qs = [i / KS_SPANS for i in range(1, KS_SPANS)]
+    # coarse accuracy is deliberate: span edges only steer PARALLELISM
+    # (a 0.1%-of-mass misplacement shifts a span boundary, never the
+    # statistic), and the sketch cost scales with accuracy
+    edge_rows = {
+        r["col"]: r["_es"]
+        for r in pooled.filter(F.col("col").isin(big))
+        .groupBy("col")
+        .agg(F.percentile_approx("val", qs, 1_000).alias("_es"))
+        .collect()
+    }
+    # One half-open span row per (col, span): assigning via a broadcast
+    # equi-join on col + range filter keeps span/b_lo/b_hi as plain
+    # COLUMNS — a per-row array search (higher-order filter) re-evaluates
+    # the 63-element scan once per consuming expression and measured ~4x
+    # slower on a 600k-distinct column.
+    span_rows = []
+    for c in big:
+        ladder = (
+            [float(meta[c]["lo"])]
+            + [float(e) for e in edge_rows.get(c, [])]
+            + [float(meta[c]["hi"])]
+        )
+        for i in range(len(ladder) - 1):
+            span_rows.append((c, i, ladder[i], ladder[i + 1]))
+    bounds = F.broadcast(
+        spark.createDataFrame(
+            span_rows, "col string, _span int, _blo double, _bhi double"
+        )
+    )
+    # duplicate quantile edges make empty spans; membership is half-open
+    # [_blo, _bhi) with the LAST span closed — exactly one match per val
+    last = KS_SPANS - 1
+    matched = pooled.join(bounds, "col", "left").filter(
+        F.col("_span").isNull()  # non-big col: single-bucket fallback
+        | (
+            (F.col("val") >= F.col("_blo"))
+            & (
+                (F.col("val") < F.col("_bhi"))
+                | ((F.col("_span") == last) & (F.col("val") <= F.col("_bhi")))
+            )
+        )
+    )
+    sub_bk = F.when(F.col("_bhi") <= F.col("_blo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(sub - 1),
+            F.greatest(
+                F.lit(0),
+                (
+                    (F.col("val") - F.col("_blo"))
+                    / (F.col("_bhi") - F.col("_blo"))
+                    * sub
+                ).cast("int"),
+            ),
+        )
+    )
+    return matched.withColumn(
+        "_bk",
+        F.when(F.col("_span").isNull(), F.lit(1)).otherwise(
+            F.col("_span") * sub + sub_bk + 1
+        ),
+    ).drop("_span", "_blo", "_bhi")
+
+
+def _ks_bucket_spread(
+    base: DataFrame, current: DataFrame, cols: list[str]
+) -> dict[str, int]:
+    """Test/observability probe: populated QUANTILE-path bucket count per
+    column (every column forced onto the skew fallback). A
+    skew-degenerate bucketing shows up here as a count near 1."""
+    pooled = _ks_pooled(base, current, list(cols)).persist()
+    try:
+        meta = {
+            r["col"]: r
+            for r in pooled.groupBy("col")
+            .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+            .collect()
+        }
+        rows = (
+            _ks_bucketed_quantile(pooled, meta, sorted(meta))
+            .groupBy("col")
+            .agg(F.countDistinct("_bk").alias("n"))
+            .collect()
+        )
+        return {r["col"]: r["n"] for r in rows}
+    finally:
+        pooled.unpersist()
 
 
 def ks_drift(
@@ -535,10 +715,15 @@ def ks_drift(
     No single-reducer sort at ANY cardinality: columns whose pooled
     distinct count fits ``small_distinct`` ride one per-column cumsum
     window (a bounded sort); past that the TWO-PHASE bucketed ECDF runs
-    — equal-width order-preserving buckets over the column's [min, max]
-    (order is all the cumsum needs; balance only affects parallelism),
-    per-bucket partial sums combined into exclusive prefix OFFSETS on
-    the driver (O(cols x KS_BUCKETS) rows), then the cumsum window
+    — equal-width order-preserving buckets over [lo, hi] (order is all
+    the cumsum needs; balance only affects parallelism), per-bucket
+    partial sums combined into exclusive prefix OFFSETS on the driver
+    (O(cols x KS_BUCKETS) rows), then the cumsum window. The partials
+    double as a SKEW PROBE: if any bucket holds more distinct values
+    than ``small_distinct`` (an extreme outlier stretched the range and
+    equal-width collapsed the bulk), the assignment reruns on
+    QUANTILE-derived span edges (``_ks_bucketed_quantile``) — paid only
+    in that rare case, never on well-behaved data; then the cumsum window
     partitions by (col, bucket): thousands of parallel bounded sorts
     plus a broadcast offset join, exact to the bit. The per-column
     distinct/min/max probe is one aggregation over the persisted pooled
@@ -551,32 +736,7 @@ def ks_drift(
         raise ValueError("ks_drift: alpha must be in (0, 1)")
     from pyspark.sql import Window
 
-    def _counts(df: DataFrame, side: str) -> DataFrame:
-        stack_args = ", ".join(f"'{c}', _v_{c}" for c in cols)
-        return (
-            df.select(
-                *[
-                    F.col(c).cast("double").alias(f"_v_{c}")
-                    for c in cols
-                ]
-            )
-            .selectExpr(f"stack({len(cols)}, {stack_args}) AS (col, val)")
-            .filter(F.col("val").isNotNull())
-            .groupBy("col", "val")
-            .agg(F.count("*").alias(f"n_{side}"))
-        )
-
-    pooled = (
-        _counts(base, "b")
-        .join(_counts(current, "c"), ["col", "val"], "full_outer")
-        .select(
-            "col",
-            "val",
-            F.coalesce("n_b", F.lit(0)).alias("n_b"),
-            F.coalesce("n_c", F.lit(0)).alias("n_c"),
-        )
-        .persist()
-    )
+    pooled = _ks_pooled(base, current, cols).persist()
     try:
         # one aggregation over the cached frame: per-column distinct
         # count (exact — pooled rows ARE the distinct values), bounds for
@@ -595,41 +755,33 @@ def ks_drift(
         }
         big = sorted(c for c, r in meta.items() if r["nd"] > small_distinct)
         if big:
-            # TWO-PHASE: order-preserving equal-width bucket per column
             spark = base.sparkSession
-            bounds = F.broadcast(
-                spark.createDataFrame(
-                    [
-                        (c, float(meta[c]["lo"]), float(meta[c]["hi"]))
-                        for c in meta
-                    ],
-                    "col string, _lo double, _hi double",
-                )
-            )
-            bucketed = pooled.join(bounds, "col").withColumn(
-                "_bk",
-                F.when(
-                    F.col("_hi") == F.col("_lo"), F.lit(1)
-                ).otherwise(
-                    F.least(
-                        F.lit(KS_BUCKETS),
-                        F.greatest(
-                            F.lit(1),
-                            (
-                                (F.col("val") - F.col("_lo"))
-                                / (F.col("_hi") - F.col("_lo"))
-                                * KS_BUCKETS
-                            ).cast("int")
-                            + 1,
-                        ),
-                    )
-                ),
-            )
+            # cheap equal-width assignment first; the partials we collect
+            # anyway double as the SKEW PROBE (ndist = distinct values per
+            # bucket = the size of that bucket's window sort task)
+            bucketed = _ks_bucketed_uniform(pooled, meta, big)
             partials = (
                 bucketed.groupBy("col", "_bk")
-                .agg(F.sum("n_b").alias("sb"), F.sum("n_c").alias("sc"))
+                .agg(
+                    F.sum("n_b").alias("sb"),
+                    F.sum("n_c").alias("sc"),
+                    F.count("*").alias("ndist"),
+                )
                 .collect()
             )
+            if any(r["ndist"] > small_distinct for r in partials):
+                # skew-degenerate: an extreme outlier stretched [lo, hi]
+                # and some bucket would single-task-sort more distinct
+                # values than the small path tolerates per column —
+                # rebucket on quantile-derived spans (one extra
+                # percentile_approx + pass over the persisted pooled
+                # frame, paid ONLY in this rare case)
+                bucketed = _ks_bucketed_quantile(pooled, meta, big)
+                partials = (
+                    bucketed.groupBy("col", "_bk")
+                    .agg(F.sum("n_b").alias("sb"), F.sum("n_c").alias("sc"))
+                    .collect()
+                )
             # exclusive prefix offsets per (col, bucket) on the driver:
             # O(cols x KS_BUCKETS) integers
             by_col: dict[str, list] = {}
