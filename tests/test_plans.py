@@ -153,7 +153,10 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 def test_dedup_survivors_anti_join_broadcasts(spark, sf_dir):
     """The corpus side of the survivors anti-join must never shuffle: the
     drop-list is cluster-sized and broadcast."""
-    plan = plan_of(build_registry()["dedup_survivors"].fn(spark, sf_dir))
+    from wsspark.queries.llm import FOLDED_QUERIES
+
+    q = next(q for q in FOLDED_QUERIES if q.name == "dedup_survivors")
+    plan = plan_of(q.fn(spark, sf_dir))
     assert "BroadcastHashJoin LeftAnti" in plan or (
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     ), "survivors anti-join is not broadcast"

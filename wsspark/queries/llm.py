@@ -3893,8 +3893,6 @@ QUERIES = [
     Query("embedding_covariance_block", q_embedding_covariance_block,
           EMB_COV_SQL,
           "distributed Gram-partial covariance vs covar_pop (PCA base)"),
-    Query("token_doc_frequency", q_token_doc_frequency, TOKEN_DF_SQL,
-          "top-50 tokens by document frequency (vocabulary profile)"),
     Query("tfidf_top_terms", q_tfidf_top_terms, TFIDF_SQL,
           "per-document top TF-IDF term (broadcast df join + top-1 window)"),
     Query("decontam_overlap", q_decontam_overlap, DECONTAM_SQL,
@@ -3907,12 +3905,6 @@ QUERIES = [
           "Gopher-style repetition signals: top-word share + unique ratio"),
     Query("bigram_lm_scores", q_bigram_lm_scores, BIGRAM_LM_SQL,
           "corpus-self-trained bigram LM perplexity quality filter"),
-    Query("bigram_topk", q_bigram_topk, BIGRAM_SQL,
-          "corpus-wide top-k bigram frequencies (deterministic cut)"),
-    Query("dup_clusters", q_dup_clusters, DUP_CLUSTERS_SQL,
-          "connected-component near-dup clusters (iterative min-label)"),
-    Query("dedup_survivors", q_dedup_survivors, DEDUP_SURVIVORS_SQL,
-          "one representative per dup cluster + unclustered docs"),
     Query("normalized_dedup_groups", q_normalized_dedup_groups, NORMALIZED_DEDUP_SQL,
           "exact-dup groups on case/punct/whitespace-normalized text"),
     Query("pii_summary", q_pii_summary, PII_SUMMARY_SQL,
@@ -3958,6 +3950,23 @@ QUERIES = [
     Query("snapstore_zorder_nd_read", q_snapstore_zorder_nd_read,
           SNAPSTORE_ZORDER_ND_SQL,
           "K-D ZORDER roundtrip through the 3-range intersected read"),
+    # Promoted folded -> registry (r12 slot swap; see FOLDED_QUERIES doc):
+    # the r11 table-format DML wave (dv-delete, COW update, WAP) and the
+    # KS drift statistic now run under the DRIVER's DuckDB gate; the
+    # slots came from four retired redundant family members
+    # (token_doc_frequency, bigram_topk, dup_clusters, dedup_survivors —
+    # all folded below, still oracle-hash-gated every session by
+    # tests/test_folded_oracles.py).
+    Query("ks_drift_report", q_ks_drift_report, KS_DRIFT_SQL,
+          "exact two-sample Kolmogorov-Smirnov drift with significance"),
+    Query("snapstore_dv_delete_read", q_snapstore_dv_delete_read,
+          SNAPSTORE_DV_SQL,
+          "deletion-vector DELETE read back through the DV anti-join"),
+    Query("snapstore_update_read", q_snapstore_update_read,
+          SNAPSTORE_UPDATE_SQL,
+          "copy-on-write UPDATE over a dv-deleted snapshot"),
+    Query("snapstore_wap_read", q_snapstore_wap_read, SNAPSTORE_WAP_SQL,
+          "write-audit-publish staged append read back"),
 ]
 
 # Registry-slot policy (round 6): the driver window holds 50 of a 100-query
@@ -4259,12 +4268,6 @@ FOLDED_QUERIES = [
     # ride the hash.
     Query("drift_topk_report", q_drift_topk_report, DRIFT_TOPK_SQL,
           "top-k + OTHER PSI drift for high-cardinality categoricals"),
-    # Born folded (r11): the drift family's bucket-free numeric statistic
-    # — EXACT two-sample KS via distinct-value-bounded window cumsums,
-    # with the asymptotic significance threshold on the hash alongside
-    # both verdict polarities.
-    Query("ks_drift_report", q_ks_drift_report, KS_DRIFT_SQL,
-          "exact two-sample Kolmogorov-Smirnov drift with significance"),
     # Born folded (r11): embedding-space drift — per-dimension Welch z
     # with a Bonferroni critical value (the centroid cosine is reported
     # but never drives the verdict: zero-mean populations make it
@@ -4279,23 +4282,31 @@ FOLDED_QUERIES = [
     Query("gate_agreement_kappa", q_gate_agreement_kappa,
           _gate_kappa_sql(),
           "Cohen's kappa: full quality gate vs its stopword rule alone"),
-    # Born folded (r11): merge-on-read deletion vectors — two overlapping
-    # dv-deletes then a CURRENT read; the twin's complement filter catches
-    # wrong-delete, resurrection, and overlap double-count defects.
-    Query("snapstore_dv_delete_read", q_snapstore_dv_delete_read,
-          SNAPSTORE_DV_SQL,
-          "deletion-vector DELETE read back through the DV anti-join"),
-    # Born folded (r11): COW UPDATE stacked on a deletion vector — the
-    # twin's delete-then-CASE replay catches resurrections and
-    # wrong-state expression evaluation.
-    Query("snapstore_update_read", q_snapstore_update_read,
-          SNAPSTORE_UPDATE_SQL,
-          "copy-on-write UPDATE over a dv-deleted snapshot"),
-    # Born folded (r11): Write-Audit-Publish — stage half the fact,
-    # audit the staged read, publish, read CURRENT; the full-projection
-    # twin catches leak/loss/duplication across the staging boundary.
-    Query("snapstore_wap_read", q_snapstore_wap_read, SNAPSTORE_WAP_SQL,
-          "write-audit-publish staged append read back"),
+    # Retired registry -> folded (r12 slot swap): four redundant family
+    # members gave their driver slots to ks_drift_report /
+    # snapstore_dv_delete_read / snapstore_update_read /
+    # snapstore_wap_read. Retirement rationale — each one's semantics
+    # stay driver-verified through a superseding registered sibling:
+    #  * token_doc_frequency: its document-frequency aggregation is the
+    #    first stage of the registered tfidf_top_terms (same tokenizer,
+    #    same DF groupBy — tfidf's hash re-verifies it every rotation).
+    #  * bigram_topk: the registered bigram_lm_scores trains on the SAME
+    #    bigram count frame (shared extraction); the top-k cut keeps its
+    #    hash check here.
+    #  * dup_clusters: superseded by the registered dup_clusters_lsh —
+    #    identical min-label convergence loop over banded candidates
+    #    (the scale path); the quadratic-pair variant keeps its hash here.
+    #  * dedup_survivors: the survivors anti-join stays driver-verified
+    #    through semantic_dedup_survivors (r11-green) and inside
+    #    corpus_build_summary's fused gate->LSH->survivors pipeline.
+    Query("token_doc_frequency", q_token_doc_frequency, TOKEN_DF_SQL,
+          "top-50 tokens by document frequency (vocabulary profile)"),
+    Query("bigram_topk", q_bigram_topk, BIGRAM_SQL,
+          "corpus-wide top-k bigram frequencies (deterministic cut)"),
+    Query("dup_clusters", q_dup_clusters, DUP_CLUSTERS_SQL,
+          "connected-component near-dup clusters (iterative min-label)"),
+    Query("dedup_survivors", q_dedup_survivors, DEDUP_SURVIVORS_SQL,
+          "one representative per dup cluster + unclustered docs"),
     # Born folded (r11): RESTORE over a dv-carrying version after a
     # destructive overwrite — dv state must round-trip with the rollback.
     Query("snapstore_restore_read", q_snapstore_restore_read,
