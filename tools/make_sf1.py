@@ -7,11 +7,19 @@ five worst-scaling headline queries read (q17/q5/q7/q21 -> lineitem,
 q27 -> documents). Construction (documented because fairness IS the
 point):
 
-- ``lineitem``: 10 replicas with l_orderkey / l_partkey / l_suppkey each
-  shifted by replica x (max+1). Key CARDINALITY grows 10x while per-key
-  group sizes and value distributions stay exactly sf0.1's — the same
-  shape TPC-H itself scales by (more orders/parts/suppliers, not fatter
-  groups), so groupBy/join working sets scale like real growth.
+- ``lineitem`` + ``orders`` + ``part`` + ``supplier``: 10 replicas each,
+  with every key shifted by the key's OWNING table's (max+1) — l_partkey
+  and p_partkey both shift by max(p_partkey)+1, l_suppkey/s_suppkey by
+  max(s_suppkey)+1, l_orderkey/o_orderkey by max(o_orderkey)+1 — so
+  replica k's foreign keys land exactly on replica k's dimension rows
+  and every join measures genuine 10x growth, not phantom or dangling
+  keys. Key CARDINALITY grows 10x while per-key group sizes and value
+  distributions stay exactly sf0.1's — the same shape TPC-H itself
+  scales by (more orders/parts/suppliers, not fatter groups). The
+  remaining dims (customer/nation/region) are NOT replicated:
+  o_custkey stays unshifted, so per-customer order counts grow 10x —
+  fine for the lineitem-grain spot-bench queries, but do not use this
+  dir for customer-grain scaling claims.
 - ``documents``: 10 replicas with doc_id shifted and every whitespace
   token suffixed ``~k`` for replica k>0 (pure JVM transform/array_join).
   Token-set equality structure within a replica is preserved verbatim
@@ -62,37 +70,47 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
     reps = spark.range(REPLICAS).select(F.col("id").cast("long").alias("_k"))
 
+    # Offsets come from the OWNING table of each key, so a replica's
+    # foreign keys land exactly on that replica's dimension rows (a
+    # lineitem-side max would misalign part keys and dangle supplier
+    # keys, measuring different join selectivity than genuine growth).
+    part = spark.read.parquet(os.path.join(SRC, "part.parquet"))
+    supp = spark.read.parquet(os.path.join(SRC, "supplier.parquet"))
+    orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    p_off = part.agg(F.max("p_partkey")).first()[0] + 1
+    s_off = supp.agg(F.max("s_suppkey")).first()[0] + 1
+    o_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
+
+    def replicate(df, key_offsets, n_out):
+        big = df.crossJoin(F.broadcast(reps)).select(
+            *[
+                (F.col(c) + F.col("_k") * F.lit(key_offsets[c])).alias(c)
+                if c in key_offsets
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        return big.repartition(n_out)
+
     li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
-    offs = {
-        c: li.agg(F.max(c)).first()[0] + 1
-        for c in ("l_orderkey", "l_partkey", "l_suppkey")
-    }
-    big = li.crossJoin(F.broadcast(reps)).select(
-        *[
-            (F.col(c) + F.col("_k") * F.lit(offs[c])).alias(c)
-            if c in offs
-            else F.col(c)
-            for c in li.columns
-        ]
-    )
-    big.repartition(16).write.mode("overwrite").parquet(
-        os.path.join(DST, "lineitem.parquet")
-    )
+    replicate(
+        li,
+        {"l_orderkey": o_off, "l_partkey": p_off, "l_suppkey": s_off},
+        16,
+    ).write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
     n_li = spark.read.parquet(os.path.join(DST, "lineitem.parquet")).count()
 
-    part = spark.read.parquet(os.path.join(SRC, "part.parquet"))
-    p_off = part.agg(F.max("p_partkey")).first()[0] + 1
-    big_part = part.crossJoin(F.broadcast(reps)).select(
-        *[
-            (F.col(c) + F.col("_k") * F.lit(p_off)).alias(c)
-            if c == "p_partkey"
-            else F.col(c)
-            for c in part.columns
-        ]
-    )
-    big_part.repartition(4).write.mode("overwrite").parquet(
+    replicate(part, {"p_partkey": p_off}, 4).write.mode("overwrite").parquet(
         os.path.join(DST, "part.parquet")
     )
+    replicate(supp, {"s_suppkey": s_off}, 2).write.mode("overwrite").parquet(
+        os.path.join(DST, "supplier.parquet")
+    )
+    # o_custkey deliberately unshifted (customer is not replicated) —
+    # see module docstring for the grain caveat
+    replicate(orders, {"o_orderkey": o_off}, 8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(DST, "orders.parquet"))
 
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
