@@ -29,8 +29,15 @@ point):
   10x copy would instead create C(10,2)=45 exact-dup pairs per source
   doc and benchmark a different (pathological) workload.
 
-Writes /root/repo/.testdata_sf1/{lineitem,documents}.parquet (dirs;
-read_table reads them transparently). Gitignored — regenerate with:
+- ``embeddings``: 10 replicas with vec_id shifted and replica k>0
+  vectors coordinate-ROLLED by k — within-replica geometry (norms, dot
+  products, cluster structure) replicates exactly while replicas stay
+  near-dup disjoint, so ANN/IVF-PQ workloads scale like a genuinely
+  grown corpus rather than a tie-degenerate 10x copy.
+
+Writes /root/repo/.testdata_sf1/{lineitem,orders,part,supplier,
+documents,embeddings}.parquet (dirs; read_table reads them
+transparently). Gitignored — regenerate with:
 
     python tools/make_sf1.py
 
@@ -111,6 +118,37 @@ def main() -> None:
     replicate(orders, {"o_orderkey": o_off}, 8).write.mode(
         "overwrite"
     ).parquet(os.path.join(DST, "orders.parquet"))
+
+    # embeddings: 10 replicas, vec_id shifted; replica k>0 vectors are the
+    # source vector ROLLED by k components — a coordinate permutation
+    # preserves every within-replica norm/dot-product (the cluster
+    # geometry IVF/PQ trains on replicates exactly) while a rolled vector
+    # is generically far from its source, so replicas are near-dup
+    # disjoint the way a 10x-grown corpus would be. A verbatim copy would
+    # instead plant 10 exact duplicates of every vector and benchmark a
+    # degenerate tie-heavy ANN workload.
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    v_off = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    rolled = F.when(F.col("_k") == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(
+                F.col("embedding"),
+                (F.col("_k") % dim).cast("int") + 1,
+                dim,
+            ),
+            F.slice(
+                F.col("embedding"), 1, (F.col("_k") % dim).cast("int")
+            ),
+        )
+    )
+    emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("_k") * F.lit(v_off)).alias("vec_id"),
+        rolled.alias("embedding"),
+        "label",
+    ).repartition(4).write.mode("overwrite").parquet(
+        os.path.join(DST, "embeddings.parquet")
+    )
 
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1

@@ -2834,6 +2834,76 @@ ORDER BY 1
 """
 
 
+def q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modality dedup ladder's PAIRING stage under a driver-identical
+    hash gate: llmops.imagehash.phash_dup_pairs (Hamming banding ->
+    native bit_count(XOR) verify) run over DETERMINISTIC fixture hashes —
+    the pHash/DCT decode itself is not SQL-expressible (it stays pinned
+    against the brute-force oracle in tests/test_imagehash.py), but the
+    banding/verify logic, the part most likely to regress, is.
+
+    Fixture: each doc gets a portable 63-bit hash (the repo's md5-prefix
+    convention: 60 low bits from hex chars 1-15, 3 more from char 16 so
+    band 15 isn't constant; bit 63 stays 0 for cross-engine BIGINT
+    safety), and every 7th doc plants a twin with <= 3 deterministic bit
+    flips (positions (doc_id*{31,17,11}) % 63) — inside max_distance=10
+    with bands=16, so pigeonhole recall is exactly 100% and the twin
+    set IS the expected answer. The DuckDB twin is the quadratic
+    all-pairs bit_count(xor) filter."""
+    from wsspark.llmops import dedup as _dedup
+    from wsspark.llmops.imagehash import phash_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id").cast("string")
+    h60 = _dedup.portable_hash64(k)
+    n3 = (
+        F.conv(F.substring(F.md5(k.cast("binary")), 16, 1), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(7))
+    )
+    phash = h60.bitwiseOR(F.shiftleft(n3, 60))
+    base = docs.select(
+        (F.col("doc_id") * 2).alias("media_id"), phash.alias("phash")
+    )
+    # shiftleft's bit count must be a column here -> SQL expr form
+    mask = F.expr(
+        "shiftleft(1L, cast((doc_id * 31) % 63 as int)) | "
+        "shiftleft(1L, cast((doc_id * 17) % 63 as int)) | "
+        "shiftleft(1L, cast((doc_id * 11) % 63 as int))"
+    )
+    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("media_id"),
+        phash.bitwiseXOR(mask).alias("phash"),
+    )
+    return phash_dup_pairs(
+        base.unionByName(twins), max_distance=10, bands=16
+    ).orderBy("id_a", "id_b")
+
+
+PHASH_PAIRS_SQL = """
+WITH h AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           | ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 1))::BIGINT
+               & 7) << 60) AS phash,
+           (1::BIGINT << CAST((doc_id * 31) % 63 AS INTEGER))
+         | (1::BIGINT << CAST((doc_id * 17) % 63 AS INTEGER))
+         | (1::BIGINT << CAST((doc_id * 11) % 63 AS INTEGER)) AS mask
+    FROM documents
+),
+all_h AS (
+    SELECT doc_id * 2 AS media_id, phash FROM h
+    UNION ALL
+    SELECT doc_id * 2 + 1, xor(phash, mask) FROM h WHERE doc_id % 7 = 0
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM all_h a JOIN all_h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 10
+ORDER BY id_a, id_b
+"""
+
+
 def q_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """classifier.label_agreement under the hash gate: Cohen's kappa
     between the FULL rule gate's KEEP verdict and its single stopword
@@ -4312,6 +4382,12 @@ FOLDED_QUERIES = [
     Query("snapstore_restore_read", q_snapstore_restore_read,
           SNAPSTORE_RESTORE_SQL,
           "restore to a dv-carrying version after an overwrite"),
+    # Born folded (r12): the modality near-dup ladder's PAIRING stage —
+    # Hamming banding + bit_count(XOR) verify over deterministic fixture
+    # hashes with planted <=3-bit twins; twin = quadratic all-pairs scan.
+    # The decode half stays pinned in tests/test_imagehash.py.
+    Query("phash_dup_pairs_fixture", q_phash_dup_pairs, PHASH_PAIRS_SQL,
+          "Hamming-banded pHash pairing stage vs the all-pairs oracle"),
     # Born folded (r11): the three classic decorrelation shapes the
     # TPC-H set lacked (no partsupp table in the testdata, so each shape
     # rides lineitem's part/supplier relationships).
