@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -715,3 +716,123 @@ def test_drift_topk_salted_rank_matches_plain(spark):
         for v, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
     )
     assert got == expect
+
+
+def test_drift_suite_matches_standalone_family_and_shares_scan(spark, sf_dir):
+    """drift_suite fuses PSI + KS + top-k + embedding drift over ONE
+    cached projection per snapshot. Statistic parity vs each standalone
+    function must be EXACT (same code paths), and every family's
+    aggregation plan must read the in-memory projection, not the fact."""
+    from wsspark.io import read_table
+    from wsspark.quality import (
+        drift_report,
+        drift_suite,
+        drift_topk,
+        embedding_drift,
+        ks_drift,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    split = F.lit("1997-01-01").cast("timestamp")
+    b = li.filter(F.col("l_shipdate") < split)
+    c = li.filter(F.col("l_shipdate") >= split)
+    plans: dict = {}
+    rows = drift_suite(
+        b,
+        c,
+        numeric_cols=["l_quantity", "l_extendedprice"],
+        cat_cols=["l_returnflag"],
+        plans_out=plans,
+    ).collect()
+    fams = {(r.family, r.column) for r in rows}
+    assert fams == {
+        ("psi", "l_quantity"),
+        ("psi", "l_extendedprice"),
+        ("ks", "l_quantity"),
+        ("ks", "l_extendedprice"),
+        ("topk_psi", "l_returnflag"),
+    }
+    dr = {
+        r["column"]: r
+        for r in drift_report(b, c, ["l_quantity", "l_extendedprice"]).collect()
+    }
+    ks = {
+        r["column"]: r
+        for r in ks_drift(b, c, ["l_quantity", "l_extendedprice"]).collect()
+    }
+    tk = {r["column"]: r for r in drift_topk(b, c, ["l_returnflag"]).collect()}
+    for r in rows:
+        if r.family == "psi":
+            assert (r.n_base, r.n_current, r.statistic, r.drifted) == (
+                dr[r.column].n_base,
+                dr[r.column].n_current,
+                dr[r.column].psi,
+                dr[r.column].drifted,
+            )
+        elif r.family == "ks":
+            assert (r.n_base, r.n_current, r.statistic, r.threshold, r.drifted) == (
+                ks[r.column].n_base,
+                ks[r.column].n_current,
+                ks[r.column].ks_stat,
+                ks[r.column].threshold,
+                ks[r.column].drifted,
+            )
+        else:
+            assert (r.statistic, r.drifted) == (
+                tk[r.column].psi,
+                tk[r.column].drifted,
+            )
+    # scan economy: the numeric pooled aggregation reads the cached
+    # projection of BOTH snapshot sides; the (base-side) categorical
+    # counts frame reads the cache too
+    assert plans["pooled"].count("InMemoryTableScan") >= 2
+    assert plans["cat"].count("InMemoryTableScan") >= 1
+
+    # embedding family: parity + cached-scan plan
+    emb = read_table(spark, sf_dir, "embeddings")
+    eb = emb.filter(F.col("vec_id") % 2 == 0)
+    ec = emb.filter(F.col("vec_id") % 2 == 1)
+    plans2: dict = {}
+    suite = {
+        r.family: r
+        for r in drift_suite(
+            eb, ec, embedding_col="embedding", plans_out=plans2
+        ).collect()
+    }
+    ref = embedding_drift(eb, ec, "embedding").collect()[0]
+    got = suite["embedding"]
+    assert (got.n_base, got.n_current, got.statistic, got.threshold, got.drifted) == (
+        ref.n_base,
+        ref.n_current,
+        ref.max_dim_z,
+        ref.z_crit,
+        ref.drifted,
+    )
+    assert plans2["emb"].count("InMemoryTableScan") >= 1
+
+
+def test_drift_suite_validation_and_null_buckets(spark):
+    """Input validation + PSI NULL-bucket parity with drift_report when a
+    numeric column carries NULLs (the pooled frame excludes them; the
+    suite restores them from row totals)."""
+    from wsspark.quality import drift_report, drift_suite
+
+    b = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (None,)], "x double"
+    )
+    c = spark.createDataFrame([(1.0,), (None,), (8.0,), (9.0,)], "x double")
+    with pytest.raises(ValueError, match="at least one column"):
+        drift_suite(b, c)
+    with pytest.raises(ValueError, match="alpha"):
+        drift_suite(b, c, numeric_cols=["x"], alpha=2.0)
+    got = {
+        r.family: r for r in drift_suite(b, c, numeric_cols=["x"]).collect()
+    }
+    ref = drift_report(b, c, ["x"]).collect()[0]
+    assert (got["psi"].n_base, got["psi"].n_current, got["psi"].statistic) == (
+        ref.n_base,
+        ref.n_current,
+        ref.psi,
+    )
+    # KS ignores NULLs by contract: counts are the non-null totals
+    assert (got["ks"].n_base, got["ks"].n_current) == (2, 3)

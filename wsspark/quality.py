@@ -738,6 +738,28 @@ def ks_drift(
 
     pooled = _ks_pooled(base, current, cols).persist()
     try:
+        rows = _ks_stat_rows(pooled, alpha, small_distinct)
+    finally:
+        pooled.unpersist()
+    return base.sparkSession.createDataFrame(
+        rows,
+        "column string, n_base long, n_current long, ks_stat double, "
+        "threshold double, drifted boolean",
+    )
+
+
+def _ks_stat_rows(
+    pooled: DataFrame, alpha: float, small_distinct: int
+) -> list[tuple]:
+    """The KS core over a PRE-BUILT (and caller-persisted) pooled
+    distinct-value frame — shared by ``ks_drift`` and ``drift_suite`` so
+    the suite can pay one pooled aggregation for PSI and KS together.
+    Returns (column, n_base, n_current, ks_stat, threshold, drifted)
+    tuples."""
+    from pyspark.sql import Window
+
+    spark = pooled.sparkSession
+    if True:  # keep the original indentation of the extracted body
         # one aggregation over the cached frame: per-column distinct
         # count (exact — pooled rows ARE the distinct values), bounds for
         # the bucketing, and the side totals
@@ -755,7 +777,6 @@ def ks_drift(
         }
         big = sorted(c for c, r in meta.items() if r["nd"] > small_distinct)
         if big:
-            spark = base.sparkSession
             # cheap equal-width assignment first; the partials we collect
             # anyway double as the SKEW PROBE (ndist = distinct values per
             # bucket = the size of that bucket's window sort task)
@@ -824,7 +845,7 @@ def ks_drift(
                 (F.sum("n_c").over(w_cum)).alias("cc"),
             )
         totals = F.broadcast(
-            base.sparkSession.createDataFrame(
+            spark.createDataFrame(
                 [(c, meta[c]["nb"], meta[c]["nc"]) for c in meta],
                 "col string, nb long, nc long",
             )
@@ -866,15 +887,8 @@ def ks_drift(
             ).alias("drifted"),
         ).orderBy("column")
         # eager one-row-per-column materialization (family convention:
-        # driver-row results, hash-stable; lets the cache release below)
-        rows = [tuple(r) for r in result.collect()]
-    finally:
-        pooled.unpersist()
-    return base.sparkSession.createDataFrame(
-        rows,
-        "column string, n_base long, n_current long, ks_stat double, "
-        "threshold double, drifted boolean",
-    )
+        # driver-row results, hash-stable; lets the caller's cache go)
+        return [tuple(r) for r in result.collect()]
 
 
 def embedding_drift(
@@ -911,6 +925,21 @@ def embedding_drift(
     """
     if not (0.0 < alpha < 1.0):
         raise ValueError("embedding_drift: alpha must be in (0, 1)")
+    row = _embedding_drift_row(base, current, col, alpha)
+    return base.sparkSession.createDataFrame(
+        [row],
+        "n_base long, n_current long, dim int, centroid_cosine double, "
+        "max_dim_z double, mean_dim_z double, z_crit double, "
+        "drifted boolean",
+    )
+
+
+def _embedding_drift_row(
+    base: DataFrame, current: DataFrame, col: str, alpha: float
+) -> tuple:
+    """The embedding-drift core returning the single stats tuple —
+    shared by ``embedding_drift`` and ``drift_suite`` (which runs it over
+    its cached snapshot projections so no extra fact scan happens)."""
 
     def _moments(df: DataFrame) -> dict[int, tuple[int, float, float]]:
         rows = (
@@ -961,22 +990,15 @@ def embedding_drift(
     denom = math.sqrt(l2b) * math.sqrt(l2c)
     cosine = dot / denom if denom > 0 else 0.0
     max_z, mean_z = max(zs), sum(zs) / dim
-    return base.sparkSession.createDataFrame(
-        [
-            (
-                n_b,
-                n_c,
-                dim,
-                round(cosine, 6),
-                round(max_z, 6),
-                round(mean_z, 6),
-                round(z_crit, 6),
-                max_z > z_crit,
-            )
-        ],
-        "n_base long, n_current long, dim int, centroid_cosine double, "
-        "max_dim_z double, mean_dim_z double, z_crit double, "
-        "drifted boolean",
+    return (
+        n_b,
+        n_c,
+        dim,
+        round(cosine, 6),
+        round(max_z, 6),
+        round(mean_z, 6),
+        round(z_crit, 6),
+        max_z > z_crit,
     )
 
 
@@ -1092,3 +1114,183 @@ def _psi_rows(
                 psi += (p - q) * math.log(p / q)
         out.append((c, kind, n_b, n_c, round(psi, 6), psi > psi_alert))
     return out
+
+
+def drift_suite(
+    base: DataFrame,
+    current: DataFrame,
+    numeric_cols: list[str] | None = None,
+    cat_cols: list[str] | None = None,
+    embedding_col: str | None = None,
+    n_buckets: int = 10,
+    psi_alert: float = 0.2,
+    k: int = 100,
+    alpha: float = 0.05,
+    small_distinct: int = KS_SMALL_DISTINCT,
+    plans_out: dict | None = None,
+) -> DataFrame:
+    """The drift family FUSED over one fact read per snapshot: PSI
+    (numeric), exact KS (numeric), base-pinned top-k PSI (categorical),
+    and per-dimension embedding drift, all computed from a single cached
+    projection of each snapshot — at 100 TB four statistics over the
+    same snapshot pair should pay one scan, not four.
+
+    Scan economy, concretely: each snapshot is projected to exactly the
+    audited columns and persisted (materialized once by the row-count
+    pass every statistic needs anyway). Numeric columns then pay ONE
+    stacked (col, val) count aggregation per snapshot — the pooled
+    distinct-value frame — from which BOTH the PSI bucket counts (edges
+    from the base side's min/max, bucket-weighted sums over distinct
+    values) and the exact KS cumsums (``_ks_stat_rows``) derive without
+    touching the fact again. Categorical columns pay one stacked value
+    count per snapshot (``drift_topk``'s machinery: salted two-phase
+    top-k, OTHER fold). The embedding column pays one
+    posexplode-moments aggregation per snapshot. Everything reads the
+    in-memory projection; ``plans_out`` (tests) captures the aggregation
+    plans to pin that.
+
+    Statistic parity is exact: each family's rows are computed by the
+    SAME code paths as the standalone functions (``drift_report``'s
+    ``_psi_rows`` with identical Laplace smoothing, bucket labels, and
+    NULL buckets derived from row totals; ``ks_drift``'s
+    ``_ks_stat_rows``; ``drift_topk``'s fold; ``embedding_drift``'s
+    Welch-z core) — pinned by pytest equality against all four.
+
+    Returns one row per (family, column):
+    (family, column, kind, n_base, n_current, statistic, threshold,
+    drifted) — family in {'psi', 'ks', 'topk_psi', 'embedding'};
+    statistic is the PSI / KS D / max per-dim Welch z respectively.
+    """
+    numeric_cols = list(numeric_cols or [])
+    cat_cols = list(cat_cols or [])
+    if not numeric_cols and not cat_cols and not embedding_col:
+        raise ValueError("drift_suite: pass at least one column")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("drift_suite: alpha must be in (0, 1)")
+    proj = numeric_cols + cat_cols + ([embedding_col] if embedding_col else [])
+    b = base.select(*proj).persist()
+    c = current.select(*proj).persist()
+    out: list[tuple] = []
+    try:
+        # the one fact read per snapshot: materializes both caches and
+        # provides the row totals PSI's NULL buckets need
+        nb_rows, nc_rows = b.count(), c.count()
+        if numeric_cols:
+            pooled = _ks_pooled(b, c, numeric_cols).persist()
+            try:
+                if plans_out is not None:
+                    plans_out["pooled"] = pooled._jdf.queryExecution().toString()
+                # PSI edges + per-col non-null totals: one agg over the
+                # DISTINCT-sized pooled frame (base-side min/max == the
+                # fact's, distinct values preserve extrema)
+                em = {
+                    r["col"]: r
+                    for r in pooled.groupBy("col")
+                    .agg(
+                        F.min(F.when(F.col("n_b") > 0, F.col("val"))).alias("lo"),
+                        F.max(F.when(F.col("n_b") > 0, F.col("val"))).alias("hi"),
+                        F.sum("n_b").alias("nnb"),
+                        F.sum("n_c").alias("nnc"),
+                    )
+                    .collect()
+                }
+                edges = {c_: (em[c_]["lo"], em[c_]["hi"]) for c_ in numeric_cols}
+                # bucket the pooled DISTINCT values, weighted by counts —
+                # identical labels/clamping to _drift_bucket_col, but over
+                # (col, val) rows so no second fact pass
+                bucket = None
+                for c_ in numeric_cols:
+                    lo, hi = edges[c_]
+                    if lo is None or hi is None or hi == lo:
+                        expr = F.lit("b0")
+                    else:
+                        v = (F.col("val") - F.lit(float(lo))) / F.lit(
+                            float(hi) - float(lo)
+                        )
+                        idx = F.least(
+                            F.lit(n_buckets - 1),
+                            F.greatest(
+                                F.lit(0), F.floor(v * n_buckets).cast("int")
+                            ),
+                        )
+                        expr = F.concat(F.lit("b"), idx.cast("string"))
+                    bucket = (
+                        F.when(F.col("col") == c_, expr)
+                        if bucket is None
+                        else bucket.when(F.col("col") == c_, expr)
+                    )
+                pb = (
+                    pooled.select("col", bucket.alias("bucket"), "n_b", "n_c")
+                    .groupBy("col", "bucket")
+                    .agg(F.sum("n_b").alias("sb"), F.sum("n_c").alias("sc"))
+                    .collect()
+                )
+                bc = {(r["col"], r["bucket"]): r["sb"] for r in pb if r["sb"]}
+                cc = {(r["col"], r["bucket"]): r["sc"] for r in pb if r["sc"]}
+                for c_ in numeric_cols:
+                    null_b = nb_rows - em[c_]["nnb"]
+                    null_c = nc_rows - em[c_]["nnc"]
+                    if null_b:
+                        bc[(c_, "NULL")] = null_b
+                    if null_c:
+                        cc[(c_, "NULL")] = null_c
+                out += [
+                    ("psi", col, kind, n_b, n_c, psi, psi_alert, drifted)
+                    for col, kind, n_b, n_c, psi, drifted in _psi_rows(
+                        numeric_cols, [], edges, bc, cc, psi_alert
+                    )
+                ]
+                out += [
+                    ("ks", col, "numeric", n_b, n_c, stat, thr, drifted)
+                    for col, n_b, n_c, stat, thr, drifted in _ks_stat_rows(
+                        pooled, alpha, small_distinct
+                    )
+                ]
+            finally:
+                pooled.unpersist()
+        if cat_cols:
+            base_counts = _cat_value_counts(b, cat_cols)
+            if plans_out is not None:
+                plans_out["cat"] = base_counts._jdf.queryExecution().toString()
+            topk_rows = _topk_values(base_counts, k)
+            tb = _fold_to_buckets(base_counts, topk_rows, cat_cols, k)
+            tc = _fold_to_buckets(
+                _cat_value_counts(c, cat_cols), topk_rows, cat_cols, k
+            )
+            out += [
+                ("topk_psi", col, kind, n_b, n_c, psi, psi_alert, drifted)
+                for col, kind, n_b, n_c, psi, drifted in _psi_rows(
+                    [], cat_cols, {}, tb, tc, psi_alert
+                )
+            ]
+        if embedding_col:
+            if plans_out is not None:
+                plans_out["emb"] = (
+                    b.select(F.posexplode(embedding_col))
+                    ._jdf.queryExecution()
+                    .toString()
+                )
+            (n_b, n_c, _dim, _cos, max_z, _mean_z, z_crit, drifted) = (
+                _embedding_drift_row(b, c, embedding_col, alpha)
+            )
+            out.append(
+                (
+                    "embedding",
+                    embedding_col,
+                    "embedding",
+                    n_b,
+                    n_c,
+                    max_z,
+                    z_crit,
+                    drifted,
+                )
+            )
+    finally:
+        b.unpersist()
+        c.unpersist()
+    return base.sparkSession.createDataFrame(
+        sorted(out),
+        "family string, column string, kind string, n_base long, "
+        "n_current long, statistic double, threshold double, "
+        "drifted boolean",
+    )

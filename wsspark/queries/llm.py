@@ -2834,6 +2834,224 @@ ORDER BY 1
 """
 
 
+def q_drift_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.drift_suite under the hash gate — the FUSED drift family
+    (PSI + exact KS + base-pinned top-k PSI + embedding Welch-z) paying
+    one cached fact read per snapshot instead of four. Statistic parity
+    with the standalone functions is pytest-pinned; this row pins the
+    COMPOSITION (shared pooled frame, NULL-bucket restoration from row
+    totals, unified family schema) against a DuckDB twin that replays
+    all four statistics independently."""
+    from wsspark.quality import drift_suite
+
+    li = read_table(spark, sf_dir, "lineitem")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    tabular = drift_suite(
+        li.filter(F.col("l_shipdate") < split),
+        li.filter(F.col("l_shipdate") >= split),
+        numeric_cols=["l_quantity", "l_extendedprice"],
+        cat_cols=["l_returnflag"],
+        k=100,
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    embedded = drift_suite(
+        emb.filter(F.col("vec_id") % 4 < 2),
+        emb.filter(F.col("vec_id") % 4 >= 2),
+        embedding_col="embedding",
+    )
+    return tabular.unionByName(embedded)
+
+
+def _drift_suite_sql() -> str:
+    z_crit = _emb_drift_z_crit()
+    return f"""
+WITH b AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '{DRIFT_SPLIT}'),
+c AS (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '{DRIFT_SPLIT}'),
+e AS (
+    SELECT MIN(CAST(l_quantity AS DOUBLE)) AS qlo,
+           MAX(CAST(l_quantity AS DOUBLE)) AS qhi,
+           MIN(CAST(l_extendedprice AS DOUBLE)) AS plo,
+           MAX(CAST(l_extendedprice AS DOUBLE)) AS phi
+    FROM b
+),
+bb AS (
+    SELECT 'l_quantity' AS col, 'base' AS side,
+           CASE WHEN l_quantity IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(l_quantity AS DOUBLE) - qlo) / (qhi - qlo) * 10
+                ) AS INT))) END AS bucket
+    FROM b, e
+    UNION ALL
+    SELECT 'l_extendedprice', 'base',
+           CASE WHEN l_extendedprice IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(l_extendedprice AS DOUBLE) - plo) / (phi - plo) * 10
+                ) AS INT))) END
+    FROM b, e
+    UNION ALL
+    SELECT 'l_quantity', 'cur',
+           CASE WHEN l_quantity IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(l_quantity AS DOUBLE) - qlo) / (qhi - qlo) * 10
+                ) AS INT))) END
+    FROM c, e
+    UNION ALL
+    SELECT 'l_extendedprice', 'cur',
+           CASE WHEN l_extendedprice IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(l_extendedprice AS DOUBLE) - plo) / (phi - plo) * 10
+                ) AS INT))) END
+    FROM c, e
+),
+pcounts AS (
+    SELECT col, side, bucket, COUNT(*) AS n FROM bb GROUP BY 1, 2, 3
+),
+pgrid AS (SELECT DISTINCT col, bucket FROM pcounts),
+psides AS (
+    SELECT g.col, g.bucket,
+           COALESCE(bn.n, 0) AS n_b, COALESCE(cn.n, 0) AS n_c
+    FROM pgrid g
+    LEFT JOIN pcounts bn
+      ON bn.col = g.col AND bn.bucket = g.bucket AND bn.side = 'base'
+    LEFT JOIN pcounts cn
+      ON cn.col = g.col AND cn.bucket = g.bucket AND cn.side = 'cur'
+),
+ptot AS (
+    SELECT col, SUM(n_b) AS tb, SUM(n_c) AS tc, COUNT(*) AS nb
+    FROM psides GROUP BY 1
+),
+psi AS (
+    SELECT s.col, t.tb, t.tc,
+           SUM(((s.n_b + 0.5) / (t.tb + t.nb / 2.0)
+                - (s.n_c + 0.5) / (t.tc + t.nb / 2.0))
+               * LN(((s.n_b + 0.5) / (t.tb + t.nb / 2.0))
+                    / ((s.n_c + 0.5) / (t.tc + t.nb / 2.0)))) AS raw
+    FROM psides s JOIN ptot t ON s.col = t.col
+    GROUP BY 1, t.tb, t.tc
+),
+kvals AS (
+    SELECT 'l_quantity' AS col, 'b' AS side,
+           CAST(l_quantity AS DOUBLE) AS val
+    FROM b WHERE l_quantity IS NOT NULL
+    UNION ALL
+    SELECT 'l_quantity', 'c', CAST(l_quantity AS DOUBLE)
+    FROM c WHERE l_quantity IS NOT NULL
+    UNION ALL
+    SELECT 'l_extendedprice', 'b', CAST(l_extendedprice AS DOUBLE)
+    FROM b WHERE l_extendedprice IS NOT NULL
+    UNION ALL
+    SELECT 'l_extendedprice', 'c', CAST(l_extendedprice AS DOUBLE)
+    FROM c WHERE l_extendedprice IS NOT NULL
+),
+kcounts AS (
+    SELECT col, val,
+           SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS n_b,
+           SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS n_c
+    FROM kvals GROUP BY 1, 2
+),
+kstepped AS (
+    SELECT col,
+           SUM(n_b) OVER (PARTITION BY col ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+           SUM(n_c) OVER (PARTITION BY col ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+           SUM(n_b) OVER (PARTITION BY col) AS nb,
+           SUM(n_c) OVER (PARTITION BY col) AS nc
+    FROM kcounts
+),
+ks AS (
+    SELECT col, MAX(nb) AS n_base, MAX(nc) AS n_current,
+           MAX(ABS(cb / CAST(nb AS DOUBLE) - cc / CAST(nc AS DOUBLE))) AS d
+    FROM kstepped GROUP BY 1
+),
+tvals AS (
+    SELECT 'base' AS side, COALESCE(l_returnflag, 'NULL') AS val FROM b
+    UNION ALL
+    SELECT 'cur', COALESCE(l_returnflag, 'NULL') FROM c
+),
+tvcounts AS (
+    SELECT side, val, COUNT(*) AS n FROM tvals GROUP BY 1, 2
+),
+ttopk AS (
+    SELECT val FROM (
+        SELECT val, ROW_NUMBER() OVER (ORDER BY n DESC, val ASC) AS rk
+        FROM tvcounts WHERE side = 'base'
+    ) WHERE rk <= 100
+),
+tcounts AS (
+    SELECT v.side,
+           CASE WHEN t.val IS NOT NULL THEN v.val ELSE 'OTHER' END AS bucket,
+           SUM(v.n) AS n
+    FROM tvcounts v LEFT JOIN ttopk t ON t.val = v.val
+    GROUP BY 1, 2
+),
+tgrid AS (SELECT DISTINCT bucket FROM tcounts),
+tsides AS (
+    SELECT g.bucket,
+           COALESCE(bn.n, 0) AS n_b, COALESCE(cn.n, 0) AS n_c
+    FROM tgrid g
+    LEFT JOIN tcounts bn ON bn.bucket = g.bucket AND bn.side = 'base'
+    LEFT JOIN tcounts cn ON cn.bucket = g.bucket AND cn.side = 'cur'
+),
+ttot AS (SELECT SUM(n_b) AS tb, SUM(n_c) AS tc, COUNT(*) AS nb FROM tsides),
+tpsi AS (
+    SELECT t.tb, t.tc,
+           SUM(((s.n_b + 0.5) / (t.tb + t.nb / 2.0)
+                - (s.n_c + 0.5) / (t.tc + t.nb / 2.0))
+               * LN(((s.n_b + 0.5) / (t.tb + t.nb / 2.0))
+                    / ((s.n_c + 0.5) / (t.tc + t.nb / 2.0)))) AS raw
+    FROM tsides s, ttot t
+    GROUP BY t.tb, t.tc
+),
+emoments_b AS (
+    SELECT pos, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+    FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings WHERE vec_id % 4 < 2) GROUP BY 1
+),
+emoments_c AS (
+    SELECT pos, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+    FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings WHERE vec_id % 4 >= 2) GROUP BY 1
+),
+edrift AS (
+    SELECT CAST(MAX(ba.n) AS BIGINT) AS n_base,
+           CAST(MAX(cu.n) AS BIGINT) AS n_current,
+           MAX(ABS(ba.s / ba.n - cu.s / cu.n)
+               / SQRT(((ba.ss - ba.s * ba.s / ba.n) / (ba.n - 1)) / ba.n
+                      + ((cu.ss - cu.s * cu.s / cu.n) / (cu.n - 1)) / cu.n))
+               AS max_z
+    FROM emoments_b ba JOIN emoments_c cu USING (pos)
+)
+SELECT 'psi' AS family, col AS "column", 'numeric' AS kind,
+       CAST(tb AS BIGINT) AS n_base, CAST(tc AS BIGINT) AS n_current,
+       ROUND(raw, 6) AS statistic, 0.2 AS threshold, raw > 0.2 AS drifted
+FROM psi
+UNION ALL
+SELECT 'ks', col, 'numeric',
+       CAST(n_base AS BIGINT), CAST(n_current AS BIGINT),
+       ROUND(d, 6),
+       ROUND(SQRT(-LN(0.025) / 2.0)
+             * SQRT((n_base + n_current)
+                    / CAST(n_base * n_current AS DOUBLE)), 6),
+       d > SQRT(-LN(0.025) / 2.0)
+           * SQRT((n_base + n_current)
+                  / CAST(n_base * n_current AS DOUBLE))
+FROM ks
+UNION ALL
+SELECT 'topk_psi', 'l_returnflag', 'categorical',
+       CAST(tb AS BIGINT), CAST(tc AS BIGINT),
+       ROUND(raw, 6), 0.2, raw > 0.2
+FROM tpsi
+UNION ALL
+SELECT 'embedding', 'embedding', 'embedding', n_base, n_current,
+       ROUND(max_z, 6), {round(z_crit, 6)}, max_z > {z_crit!r}
+FROM edrift
+ORDER BY 1, 2
+"""
+
+
 def q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The modality dedup ladder's PAIRING stage under a driver-identical
     hash gate: llmops.imagehash.phash_dup_pairs (Hamming banding ->
@@ -4388,6 +4606,13 @@ FOLDED_QUERIES = [
     # The decode half stays pinned in tests/test_imagehash.py.
     Query("phash_dup_pairs_fixture", q_phash_dup_pairs, PHASH_PAIRS_SQL,
           "Hamming-banded pHash pairing stage vs the all-pairs oracle"),
+    # Born folded (r12): the FUSED drift family — PSI + exact KS + top-k
+    # PSI + embedding Welch-z over one cached fact read per snapshot; the
+    # twin replays all four statistics independently, so the hash pins
+    # the fused composition (shared pooled frame, NULL-bucket restore,
+    # unified schema).
+    Query("drift_suite_report", q_drift_suite_report, _drift_suite_sql(),
+          "fused PSI/KS/top-k/embedding drift suite over one scan"),
     # Born folded (r11): the three classic decorrelation shapes the
     # TPC-H set lacked (no partsupp table in the testdata, so each shape
     # rides lineitem's part/supplier relationships).
