@@ -101,18 +101,23 @@ PIXELS_4X4 = [
 
 
 def expected_features(pixels):
+    # luminance via exact INTEGER channel sums divided once at the end —
+    # the decoder's formulation (multimodal.py: sum(lums)/(3.0*n)). The
+    # old per-pixel (r+g+b)/3.0 accumulation drifts a few ulps and can
+    # land on the other side of a round-half boundary (hypothesis found
+    # 31/128 = 0.2421875 rounding to .242187 here vs .242188 there).
     flat = [px for row in pixels for px in row]
     n = len(flat)
-    lums = [(r + g + b) / 3.0 for r, g, b in flat]
+    lums = [r + g + b for r, g, b in flat]
     return [
         float(len(pixels[0])),
         float(len(pixels)),
         round(sum(p[0] for p in flat) / n, 6),
         round(sum(p[1] for p in flat) / n, 6),
         round(sum(p[2] for p in flat) / n, 6),
-        round(min(lums), 6),
-        round(max(lums), 6),
-        round(sum(lums) / n, 6),
+        round(min(lums) / 3.0, 6),
+        round(max(lums) / 3.0, 6),
+        round(sum(lums) / (3.0 * n), 6),
     ]
 
 
