@@ -97,6 +97,13 @@ HEADLINE = {
     # distinct-value-bounded (e.g. a lost pre-aggregation) while the hash
     # gate stays green.
     "q30_ks_drift": "ks_drift_report",
+    # round-12: the FUSED drift family — PSI + KS + top-k + embedding
+    # Welch-z over one cached fact read per snapshot. Its perf claim IS
+    # the fusion: the suite's lineitem half should cost well under
+    # q29 + q30 (which pay four separate fact scans per snapshot between
+    # them); a regression here means a lost cache reuse (the
+    # InMemoryTableScan plan assertion passes but a branch recomputes).
+    "q31_drift_suite": "drift_suite_report",
 }
 
 # q0b: the reference's flagship operational mode (--load_type incremental,

@@ -458,3 +458,87 @@ def test_stream_writer_surfaces_constraint_violation(spark, tmp_path):
     assert ss.snap_count(root) == 11
     run()  # restart: replay no-ops
     assert ss.snap_count(root) == 11
+
+
+def test_stream_read_change_feed(spark, tmp_path):
+    """readChangeFeed streaming: the initial snapshot arrives DV-applied
+    as inserts, then each micro-batch delivers row-level DML changes
+    (update pre/post images, deletes) exactly once across a
+    checkpoint restart; compaction contributes nothing."""
+    root = str(tmp_path / "w_cdf")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    register(spark)
+    ss.snap_commit(_df(spark, 0, 10), root)          # v0
+    ss.snap_delete_dv(spark, root, "id = 9")         # v1 (pre-stream dv)
+    ss.snap_enable_cdf(root)                         # v2
+
+    def run():
+        q = (
+            spark.readStream.format("snapstore")
+            .option("readChangeFeed", "true")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # initial snapshot: ids 0..8 (9 dv-deleted), all inserts
+    got = spark.read.parquet(sink)
+    assert {
+        (r.id, r._change_type, r._commit_version) for r in got.collect()
+    } == {(i, "insert", 2) for i in range(9)}
+
+    ss.snap_update_where(spark, root, "id = 4", {"val": "val + 100"})  # v3
+    ss.snap_delete_where(spark, root, "id = 7")                        # v4
+    ss.snap_compact(spark, root, target_file_mb=64)                    # v5
+    ss.snap_commit(_df(spark, 20, 22), root, mode="append")            # v6
+    run()  # restart from checkpoint: only the new changes land
+    rows = {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert rows == {(i, i * 2, "insert", 2) for i in range(9)} | {
+        (4, 8, "update_preimage", 3),
+        (4, 108, "update_postimage", 3),
+        (7, 14, "delete", 4),
+        (20, 40, "insert", 6),
+        (21, 42, "insert", 6),
+    }
+    run()  # idempotent: nothing new
+    assert spark.read.parquet(sink).count() == len(rows)
+
+
+def test_stream_change_feed_refuses_lineage_reset(spark, tmp_path):
+    """A user overwrite mid-stream fails the micro-batch instead of
+    feeding a silently wrong delta."""
+    import pyspark.errors
+
+    root = str(tmp_path / "w_cdf2")
+    sink = str(tmp_path / "sink2")
+    ckpt = str(tmp_path / "ckpt2")
+    register(spark)
+    ss.snap_commit(_df(spark, 0, 5), root)
+    ss.snap_enable_cdf(root)
+
+    def run():
+        q = (
+            spark.readStream.format("snapstore")
+            .option("readChangeFeed", "true")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    ss.snap_commit(_df(spark, 50, 52), root, mode="overwrite")
+    with pytest.raises(pyspark.errors.StreamingQueryException) as exc:
+        run()
+    assert "lineage reset" in str(exc.value)

@@ -1712,3 +1712,100 @@ def test_snap_sink_surfaces_constraint_violation_mid_stream(spark, tmp_path):
     assert ss.snap_last_int_tag(root) == 0
     run()  # idempotent: a further restart replays nothing
     assert ss.snap_count(root) == 11
+
+
+def test_change_data_feed_roundtrip(spark, tmp_path):
+    """Delta-style CHANGE DATA FEED: after snap_enable_cdf, every DML
+    commit records its changed rows; snap_read_changes_cdf serves
+    row-level deltas across append / UPDATE / DELETE (COW and DV) /
+    MERGE / compaction — with honest refusals for pre-enable DML, user
+    overwrites, and restores."""
+    root = str(tmp_path / "t_cdf")
+    ss.snap_commit(_df(spark, 0, 10), root)                        # v0
+    v_en = ss.snap_enable_cdf(root)                                # v1
+    ss.snap_commit(_df(spark, 10, 14), root, mode="append")        # v2
+    ss.snap_update_where(spark, root, "id = 3", {"val": "val + 100"})  # v3
+    ss.snap_delete_where(spark, root, "id IN (11, 12)")            # v4
+    ss.snap_delete_dv(spark, root, "id = 0")                       # v5
+    src = spark.createDataFrame(
+        [(5, 555), (99, 99)], "id long, val long"
+    )
+    ss.snap_merge(spark, root, src, on=["id"])                     # v6
+    ss.snap_compact(spark, root, target_file_mb=64)                # v7
+
+    feed = ss.snap_read_changes_cdf(spark, root, v_en)
+    got = sorted(
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in feed.collect()
+    )
+    assert got == sorted(
+        [(i, i * 2, "insert", 2) for i in range(10, 14)]
+        + [(3, 6, "update_preimage", 3), (3, 106, "update_postimage", 3)]
+        + [(11, 22, "delete", 4), (12, 24, "delete", 4)]
+        + [(0, 0, "delete", 5)]
+        + [
+            (5, 10, "update_preimage", 6),
+            (5, 555, "update_postimage", 6),
+            (99, 99, "insert", 6),
+        ]
+    )
+    # the feed REPLAYS to the current state: apply it to the v_en
+    # snapshot and compare against CURRENT
+    state = {r.id: r.val for r in ss.snap_read(spark, root, v_en).collect()}
+    for _id, _val, kind, _v in sorted(got, key=lambda t: t[3]):
+        if kind in ("insert", "update_postimage"):
+            state[_id] = _val
+        elif kind == "delete":
+            del state[_id]
+    assert state == {
+        r.id: r.val for r in ss.snap_read(spark, root).collect()
+    }
+    # sub-span reads work; compaction contributes nothing
+    assert ss.snap_read_changes_cdf(spark, root, 6, 7).count() == 0
+    assert ss.snap_read_changes_cdf(spark, root, 4, 5).count() == 1
+
+    # refusals: pre-enable DML has no sidecar
+    root2 = str(tmp_path / "t_cdf2")
+    ss.snap_commit(_df(spark, 0, 5), root2)
+    ss.snap_delete_where(spark, root2, "id = 1")
+    ss.snap_enable_cdf(root2)
+    with pytest.raises(ValueError, match="before the change data feed"):
+        ss.snap_read_changes_cdf(spark, root2, 0)
+    # user overwrite and restore are lineage resets
+    ss.snap_commit(_df(spark, 50, 55), root2, mode="overwrite")
+    with pytest.raises(ValueError, match="lineage reset"):
+        ss.snap_read_changes_cdf(spark, root2, 2)
+    # overwrite drops the flag (a new shape re-opts-in); re-enable works
+    assert not ss._read_manifest(
+        root2, ss.snap_current_version(root2)
+    )["cdf"]
+    v4 = ss.snap_enable_cdf(root2)
+    ss.snap_restore(root2, v4)  # v5: rolls back to the cdf-on version
+    with pytest.raises(ValueError, match="lineage reset"):
+        ss.snap_read_changes_cdf(spark, root2, 4)
+    with pytest.raises(ValueError, match="already enabled"):
+        ss.snap_enable_cdf(root2)  # restore carried the flag
+    v_dis = ss.snap_disable_cdf(root2)
+    assert not ss._read_manifest(root2, v_dis)["cdf"]
+
+
+def test_cdf_sidecars_survive_vacuum_and_evolution(spark, tmp_path):
+    """CDF sidecar files are manifest-referenced: vacuum must keep them
+    while their version is retained; add-column evolution inside the
+    span pads pre-evolution feed rows with NULL."""
+    root = str(tmp_path / "t_cdf_vac")
+    ss.snap_commit(_df(spark, 0, 8), root)                        # v0
+    ss.snap_enable_cdf(root)                                      # v1
+    ss.snap_update_where(spark, root, "id = 2", {"val": "0"})     # v2
+    noted = spark.createDataFrame(
+        [(100, 1, "x")], "id long, val long, note string"
+    )
+    ss.snap_commit(noted, root, mode="append", evolve=True)       # v3
+    ss.snap_vacuum(root, keep_last=3, staged_grace_minutes=0)     # v1..v3 kept
+    feed = ss.snap_read_changes_cdf(spark, root, 1, 3)
+    rows = {(r.id, r.val, r.note, r._change_type) for r in feed.collect()}
+    assert rows == {
+        (2, 4, None, "update_preimage"),
+        (2, 0, None, "update_postimage"),
+        (100, 1, "x", "insert"),
+    }

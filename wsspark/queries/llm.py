@@ -2472,6 +2472,70 @@ WHERE NOT (l_partkey < 200)
 """
 
 
+def q_snapstore_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHANGE DATA FEED under the driver hash gate: enable CDF, then
+    append / COW-update / delete against a deterministic lineitem store
+    and read the row-level feed across all three DML commits. The twin
+    replays each commit's expected change rows relationally (insert =
+    the appended slice; update pre/post = CASE over the matched slice;
+    delete = the post-update rows matching the delete predicate), so a
+    missing sidecar row, a pre/post image computed against the wrong
+    state, a wrong _commit_version, or a feed row leaking from the
+    compaction-free span goes red."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="snapcdf-")
+    try:
+        ss.snap_commit(li.filter("l_partkey >= 100").repartition(8), root)
+        since = ss.snap_enable_cdf(root)                         # v1
+        ss.snap_commit(
+            li.filter("l_partkey < 100"), root, mode="append"
+        )                                                        # v2
+        ss.snap_update_where(
+            spark,
+            root,
+            "l_partkey BETWEEN 200 AND 400",
+            {"l_quantity": "l_quantity + 7"},
+        )                                                        # v3
+        ss.snap_delete_where(spark, root, "l_quantity > 45")     # v4
+        out = ss.snap_read_changes_cdf(spark, root, since)
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_CDF_SQL = """
+WITH upd AS (
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CASE WHEN l_partkey BETWEEN 200 AND 400
+                THEN l_quantity + 7 ELSE l_quantity END AS q_new,
+           l_quantity AS q_old
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM lineitem WHERE l_partkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_partkey, q_old,
+       'update_preimage', 3
+FROM upd WHERE l_partkey BETWEEN 200 AND 400
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_partkey, q_new,
+       'update_postimage', 3
+FROM upd WHERE l_partkey BETWEEN 200 AND 400
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_partkey, q_new, 'delete', 4
+FROM upd WHERE q_new > 45
+"""
+
+
 SNAPSTORE_ZORDER_ND_SQL = """
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
 FROM lineitem
@@ -4613,6 +4677,11 @@ FOLDED_QUERIES = [
     # unified schema).
     Query("drift_suite_report", q_drift_suite_report, _drift_suite_sql(),
           "fused PSI/KS/top-k/embedding drift suite over one scan"),
+    # Born folded (r12): the CHANGE DATA FEED — row-level CDC across
+    # append/UPDATE/DELETE commits via per-commit sidecars (Delta CDF
+    # design); twin replays every expected change row + commit version.
+    Query("snapstore_cdf_read", q_snapstore_cdf_read, SNAPSTORE_CDF_SQL,
+          "change-data-feed read across append/update/delete commits"),
     # Born folded (r11): the three classic decorrelation shapes the
     # TPC-H set lacked (no partsupp table in the testdata, so each shape
     # rides lineitem's part/supplier relationships).

@@ -295,6 +295,133 @@ class SnapstoreStreamReader(DataSourceStreamReader):
         pass  # the checkpoint owns the cursor; manifests are immutable
 
 
+class CdfFilePartition(InputPartition):
+    """One change-feed file per partition: either a data file whose rows
+    all share one ``change_type`` (an append's insert delta, or the
+    initial snapshot), or a DML commit's cdf sidecar (``change_type``
+    None — the rows carry their own ``_change_type`` column)."""
+
+    def __init__(
+        self,
+        file: str,
+        schema_json: str,
+        commit_version: int,
+        change_type: str | None,
+        deleted: list[int] | None = None,
+    ) -> None:
+        self.file = file
+        self.schema_json = schema_json
+        self.commit_version = commit_version
+        self.change_type = change_type
+        self.deleted = deleted or []
+
+
+class SnapstoreCdfStreamReader(DataSourceStreamReader):
+    """``readStream.format("snapstore").option("readChangeFeed", "true")``
+    — the CHANGE FEED as a stream (Delta's CDF streaming): each
+    micro-batch delivers the row-level changes of the versions in
+    (start, end] with ``_change_type`` + ``_commit_version``, so a
+    downstream pipeline (a dedup index, an incremental MV, a feature
+    store) reacts to UPDATEs and DELETEs instead of refusing at the
+    first DML commit. Offsets are manifest versions (deterministic
+    replay — the delta is a pure function of immutable manifests +
+    sidecars). The initial snapshot (sinceVersion unset) streams the
+    DV-applied current state as ``insert`` rows, then changes follow.
+    A user overwrite / restore / pre-enable DML version raises — same
+    honest refusal as ``snap_read_changes_cdf``."""
+
+    def __init__(self, root: str, since: int | None) -> None:
+        self._root = root
+        self._since = -1 if since is None else since
+        cur = ss.snap_current_version(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+        self._schema_json = ss._read_manifest(root, cur)["schema"]
+        self._cdf_schema_json = json.dumps(
+            json.loads(
+                ss._cdf_schema(
+                    T.StructType.fromJson(json.loads(self._schema_json))
+                ).json()
+            )
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self._since}
+
+    def latestOffset(self) -> dict:
+        cur = ss.snap_current_version(self._root)
+        return {"version": self._since if cur is None else max(cur, self._since)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        parts: list[CdfFilePartition] = []
+        if lo < 0:
+            # initial snapshot at hi: DV-applied current state as inserts
+            m = ss._read_manifest(self._root, hi)
+            dv = _load_dv_map(m)
+            for f in m["files"]:
+                parts.append(
+                    CdfFilePartition(
+                        f, self._schema_json, hi, "insert", dv.get(f)
+                    )
+                )
+            return parts
+        prev_files = set(ss._read_manifest(self._root, lo)["files"])
+        for v in range(lo + 1, hi + 1):
+            m = ss._read_manifest(self._root, v)
+            files = set(m["files"])
+            if m["mode"] == "append":
+                for f in sorted(files - prev_files):
+                    parts.append(
+                        CdfFilePartition(f, self._schema_json, v, "insert")
+                    )
+            elif m["mode"] == "merge":
+                if not m.get("cdf"):
+                    raise ValueError(
+                        f"snapstore change-feed stream: version {v} is a "
+                        "DML commit recorded before snap_enable_cdf — no "
+                        "sidecar exists; restart the cursor after the "
+                        "enable version"
+                    )
+                for f in m.get("cdf_files") or []:
+                    parts.append(
+                        CdfFilePartition(f, self._cdf_schema_json, v, None)
+                    )
+            elif m["mode"] == "overwrite" and m.get("content_preserving"):
+                pass  # compact/optimize: zero logical change
+            else:
+                raise ValueError(
+                    f"snapstore change-feed stream: version {v} is a "
+                    f"lineage reset ({m['mode']}) — restart the stream "
+                    "from a fresh checkpoint (initial snapshot)"
+                )
+            prev_files = files
+        return parts
+
+    def read(self, partition: CdfFilePartition) -> Iterator:
+        import pyarrow as pa
+
+        for batch in _read_file_as_batches(
+            partition.file, partition.schema_json, partition.deleted
+        ):
+            n = batch.num_rows
+            cols = list(batch.columns)
+            names = list(batch.schema.names)
+            if partition.change_type is not None:
+                cols.append(pa.array([partition.change_type] * n, pa.string()))
+                names.append("_change_type")
+            cols.append(
+                pa.array([partition.commit_version] * n, pa.int64())
+            )
+            names.append("_commit_version")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint owns the cursor; manifests are immutable
+
+
 @dataclass
 class SnapWriteMessage(WriterCommitMessage):
     """Per-task commit message: the staged file plus the metadata the
@@ -540,7 +667,16 @@ class SnapstoreDataSource(DataSource):
 
     Options: ``path`` (the store root, required), ``version`` (batch
     time travel), ``sinceVersion`` (stream cursor: deliver changes
-    AFTER this version; default -1 = initial snapshot then appends)."""
+    AFTER this version; default -1 = initial snapshot then appends),
+    ``readChangeFeed`` ("true" on a stream read = row-level CHANGE FEED:
+    rows carry ``_change_type`` + ``_commit_version`` and DML commits
+    are served from their cdf sidecars instead of refusing)."""
+
+    def _read_change_feed(self) -> bool:
+        raw = self.options.get("readchangefeed") or self.options.get(
+            "readChangeFeed"
+        )
+        return str(raw).lower() == "true" if raw is not None else False
 
     @classmethod
     def name(cls) -> str:
@@ -561,9 +697,15 @@ class SnapstoreDataSource(DataSource):
         v = int(v) if v is not None else ss.snap_current_version(root)
         if v is None:
             raise FileNotFoundError(f"no committed version in {root}")
-        return T.StructType.fromJson(
+        schema = T.StructType.fromJson(
             json.loads(ss._read_manifest(root, v)["schema"])
         )
+        if self._read_change_feed():
+            return T.StructType(
+                ss._cdf_schema(schema).fields
+                + [T.StructField("_commit_version", T.LongType(), False)]
+            )
+        return schema
 
     def reader(self, schema: T.StructType) -> SnapstoreBatchReader:
         v = self.options.get("version")
@@ -571,11 +713,14 @@ class SnapstoreDataSource(DataSource):
             self._root(), int(v) if v is not None else None
         )
 
-    def streamReader(self, schema: T.StructType) -> SnapstoreStreamReader:
-        v = self.options.get("sinceVersion")
-        return SnapstoreStreamReader(
-            self._root(), int(v) if v is not None else None
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        v = self.options.get("sinceVersion") or self.options.get(
+            "sinceversion"
         )
+        since = int(v) if v is not None else None
+        if self._read_change_feed():
+            return SnapstoreCdfStreamReader(self._root(), since)
+        return SnapstoreStreamReader(self._root(), since)
 
     def _stats_cols(self) -> list[str]:
         raw = self.options.get("statscols") or self.options.get("statsCols")

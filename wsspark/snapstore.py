@@ -375,6 +375,7 @@ def _resolve_commit(
         # lineage and with it every deletion vector
         "dv_files": [],
         "constraints": {},
+        "cdf": False,
     }
     if mode == "overwrite" and expected_parent is not None and parent is not None:
         # A pinned overwrite is a MAINTENANCE rewrite of the same logical
@@ -382,10 +383,13 @@ def _resolve_commit(
         # table's CHECK constraints must survive it, exactly as Delta's
         # OPTIMIZE preserves table metadata. Only an explicit user
         # overwrite (no pinned parent = a deliberate new shape) drops
-        # them for re-adding.
-        ctx["constraints"] = _read_manifest(root, parent).get(
-            "constraints", {}
-        )
+        # them for re-adding. The CDF flag rides the same rule, and the
+        # commit is marked content-preserving so a change-feed read can
+        # cross it as a zero-change commit instead of refusing.
+        pm_pin = _read_manifest(root, parent)
+        ctx["constraints"] = pm_pin.get("constraints", {})
+        ctx["cdf"] = pm_pin.get("cdf", False)
+        ctx["content_preserving"] = True
     if mode == "append" and parent is not None:
         pm = _read_manifest(root, parent)
         if evolve:
@@ -457,6 +461,7 @@ def _resolve_commit(
         # maintenance overwrites); only an explicit user overwrite is a
         # new shape that drops them (re-add deliberately)
         ctx["constraints"] = pm.get("constraints", {})
+        ctx["cdf"] = pm.get("cdf", False)
         for c in bloom_cols or []:
             meta = ctx["parent_bloom_meta"].get(c)
             if meta and (meta["n_bits"], meta["k"]) != (bloom_bits, bloom_k):
@@ -530,6 +535,9 @@ def _publish_commit(
         "file_meta": file_meta,
         "dv_files": ctx.get("dv_files", []),
         "constraints": ctx.get("constraints", {}),
+        "cdf": ctx.get("cdf", False),
+        "cdf_files": ctx.get("cdf_files", []),
+        "content_preserving": ctx.get("content_preserving", False),
     }
     # Re-verify IMMEDIATELY before the O_EXCL write: the footer-meta loop
     # above takes real time on many files, so the entry check alone leaves
@@ -952,7 +960,10 @@ def snap_read_changes(
     Raises if any version in (since, until] is an ``overwrite`` — there
     the delta is not expressible as added files (rows may have been
     removed or rewritten) and the honest answer is "re-read the
-    snapshot", not a silently wrong diff."""
+    snapshot", not a silently wrong diff. For lineages with row-level
+    DML, enable the CHANGE DATA FEED (``snap_enable_cdf``) and read
+    ``snap_read_changes_cdf`` instead — it serves update/delete deltas
+    from per-commit sidecars."""
     if until is None:
         until = snap_current_version(root)
         if until is None:
@@ -972,6 +983,148 @@ def snap_read_changes(
     if not new_files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*new_files)
+
+
+def snap_enable_cdf(root: str) -> int:
+    """Enable the CHANGE DATA FEED (Delta's CDF / table_changes design):
+    from this metadata commit on, every row-level DML commit
+    (``snap_update_where`` / ``snap_merge`` / ``snap_delete_where`` /
+    ``snap_delete_dv``) records its changed rows in a per-commit sidecar
+    (``cdf_files`` in the manifest — O(changed rows) written, the same
+    write-amplification contract as Delta), and
+    ``snap_read_changes_cdf`` can serve row-level deltas across DML
+    commits that plain ``snap_read_changes`` honestly refuses. Appends
+    need no sidecar (their delta IS the file-list diff) and maintenance
+    rewrites (compact/optimize) read as zero-change commits. Returns the
+    new version."""
+    cur = snap_current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, cur)
+    if m.get("cdf"):
+        raise ValueError("change data feed already enabled")
+    return _publish_metadata_commit(
+        root, m, m.get("constraints", {}), extra={"cdf": True}
+    )
+
+
+def snap_disable_cdf(root: str) -> int:
+    """Disable the change data feed (future DML commits stop recording
+    sidecars; already-recorded history stays readable)."""
+    cur = snap_current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, cur)
+    if not m.get("cdf"):
+        raise ValueError("change data feed is not enabled")
+    return _publish_metadata_commit(
+        root, m, m.get("constraints", {}), extra={"cdf": False}
+    )
+
+
+CDF_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
+
+
+def _cdf_schema(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        schema.fields + [T.StructField("_change_type", T.StringType(), False)]
+    )
+
+
+def snap_read_changes_cdf(
+    spark: SparkSession, root: str, since: int, until: int | None = None
+) -> DataFrame:
+    """Row-level CHANGE FEED for versions in (``since``, ``until``] —
+    the CDC read that crosses DML commits: appends contribute their new
+    rows as ``insert`` (derived from the manifest file diff — no sidecar
+    cost), DML commits contribute their recorded sidecar rows
+    (``delete`` / ``update_preimage`` / ``update_postimage`` /
+    ``insert``), and maintenance rewrites (compact/optimize — pinned
+    content-preserving overwrites) contribute nothing. Returns the table
+    schema (at ``until``; pre-evolution rows read NULL for later
+    columns) plus ``_change_type`` and ``_commit_version``.
+
+    Honest refusals remain: a USER overwrite or RESTORE in the span is a
+    lineage reset (the delta is not expressible as row changes without
+    diffing whole snapshots), and a DML commit from before the feed was
+    enabled has no sidecar — both raise instead of returning a silently
+    incomplete feed."""
+    if until is None:
+        until = snap_current_version(root)
+        if until is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    if not 0 <= since <= until:
+        raise ValueError(f"need 0 <= since <= until, got {since}..{until}")
+    out_schema = T.StructType.fromJson(
+        json.loads(_read_manifest(root, until)["schema"])
+    )
+    full = T.StructType(
+        out_schema.fields
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_version", T.LongType(), False),
+        ]
+    )
+    frames = []
+    prev_files = set(_read_manifest(root, since)["files"])
+    for v in range(since + 1, until + 1):
+        m = _read_manifest(root, v)
+        mode = m["mode"]
+        files = set(m["files"])
+        if mode == "append":
+            new_files = sorted(files - prev_files)
+            if new_files:
+                schema_v = T.StructType.fromJson(json.loads(m["schema"]))
+                frames.append(
+                    spark.read.schema(schema_v)
+                    .parquet(*new_files)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+        elif mode == "merge":
+            if not m.get("cdf"):
+                raise ValueError(
+                    f"version {v} is a DML commit recorded before the "
+                    "change data feed was enabled — no sidecar exists; "
+                    "re-read the snapshot or start the cursor after "
+                    "snap_enable_cdf's version"
+                )
+            cdf_files = m.get("cdf_files") or []
+            if cdf_files:
+                schema_v = T.StructType(
+                    T.StructType.fromJson(json.loads(m["schema"])).fields
+                    + [T.StructField("_change_type", T.StringType(), False)]
+                )
+                frames.append(
+                    spark.read.schema(schema_v)
+                    .parquet(*cdf_files)
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+        elif mode == "overwrite" and m.get("content_preserving"):
+            pass  # compact/optimize: identical logical content, no changes
+        else:
+            raise ValueError(
+                f"version {v} is a lineage reset ({mode}"
+                f"{', tag ' + str(m['tag']) if m.get('tag') else ''}) — "
+                "its delta is not expressible as row changes; re-read "
+                "the snapshot instead"
+            )
+        prev_files = files
+    if not frames:
+        return spark.createDataFrame([], full)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    # align to the until-schema column order (+ feed columns), padding
+    # pre-evolution rows with NULLs
+    return out.select(
+        *[
+            F.col(f.name) if f.name in out.columns else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in out_schema.fields
+        ],
+        "_change_type",
+        "_commit_version",
+    )
 
 
 def snap_tail(spark: SparkSession, root: str, since: int) -> tuple[DataFrame, int]:
@@ -1463,10 +1616,13 @@ def snap_drop_constraint(root: str, name: str) -> int:
     return _publish_metadata_commit(root, m, constraints)
 
 
-def _publish_metadata_commit(root: str, m: dict, constraints: dict) -> int:
-    """Publish a same-content manifest with updated constraints — a
-    metadata-only commit through the O_EXCL gate (empty file delta, so
-    CDC treats it as a zero-row append)."""
+def _publish_metadata_commit(
+    root: str, m: dict, constraints: dict, extra: dict | None = None
+) -> int:
+    """Publish a same-content manifest with updated metadata (constraints
+    and/or ``extra`` keys like the CDF flag) — a metadata-only commit
+    through the O_EXCL gate (empty file delta, so CDC treats it as a
+    zero-row append)."""
     version = m["version"] + 1
     manifest = dict(m)
     manifest.update(
@@ -1476,6 +1632,10 @@ def _publish_metadata_commit(root: str, m: dict, constraints: dict) -> int:
             "mode": "append",
             "tag": None,
             "constraints": constraints,
+            # a metadata commit changes no rows: it must not inherit the
+            # parent's change-feed sidecar as its own
+            "cdf_files": [],
+            **(extra or {}),
         }
     )
     try:
@@ -1678,6 +1838,11 @@ def snap_restore(root: str, to_version: int | str) -> int:
         # RESTORE restores versioned METADATA too (Delta semantics): the
         # restored-to version's CHECK constraints come back with its data
         "constraints": src.get("constraints", {}),
+        # the CDF table setting rides the rollback; the restore commit
+        # itself is a lineage reset with no sidecar (readers refuse
+        # crossing it, same as a user overwrite)
+        "cdf": src.get("cdf", False),
+        "cdf_files": [],
     }
     missing = [f for f in manifest["files"] if not os.path.exists(f)]
     if missing:
@@ -2042,6 +2207,7 @@ def snap_vacuum(
         rm = _read_manifest(root, v)
         referenced.update(rm["files"])
         referenced.update(rm.get("dv_files") or [])
+        referenced.update(rm.get("cdf_files") or [])
     removed = 0
     cutoff = time.time() - staged_grace_minutes * 60.0
     data_root = os.path.join(root, "data")
@@ -2124,11 +2290,17 @@ def _rewrite_commit(
     new_data: DataFrame,
     mode: str,
     tag,
+    changes: DataFrame | None = None,
 ) -> int:
     """Copy-on-write publish: keep every untouched parent file, write
     ``new_data`` as fresh files, publish atomically. Stats/blooms for
     untouched files survive verbatim; new files are re-profiled with
-    the parent's skipping config."""
+    the parent's skipping config.
+
+    ``changes`` (table columns + ``_change_type``) is the commit's
+    change-feed sidecar: written under the commit dir and recorded as
+    ``cdf_files`` when the table's CDF flag is on — callers pass it
+    lazily so a disabled feed costs nothing."""
     version = m["version"] + 1
     untouched = [f for f in m["files"] if f not in set(touched)]
     cfg = _rewrite_config(m)
@@ -2152,12 +2324,17 @@ def _rewrite_commit(
     # constraints survive COW rewrites; UPDATE/MERGE-produced rows must
     # satisfy them like any other incoming rows
     ctx["constraints"] = m.get("constraints", {})
+    ctx["cdf"] = m.get("cdf", False)
     _check_constraints(new_data, ctx["constraints"])
     commit_dir = os.path.join(
         root, "data", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
     )
     new_data.write.mode("error").parquet(commit_dir)
     new_files = _list_parquet(commit_dir)
+    if ctx["cdf"] and changes is not None:
+        cdf_dir = os.path.join(commit_dir, "_cdf")
+        changes.write.mode("error").parquet(cdf_dir)
+        ctx["cdf_files"] = _list_parquet(cdf_dir)
     # Deletion-vector consolidation: entries for TOUCHED files would be
     # stale (their replacements have new row indices), so keep only the
     # untouched files' entries, rewritten as one fresh sidecar. Keeping
@@ -2267,7 +2444,14 @@ def snap_merge(
     if not m["files"]:
         touched: list[str] = []
         new_data = source if when_not_matched == "insert" else source.limit(0)
-        return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
+        changes = (
+            new_data.withColumn("_change_type", F.lit("insert"))
+            if m.get("cdf")
+            else None
+        )
+        return _rewrite_commit(
+            spark, root, m, touched, new_data, "merge", tag, changes=changes
+        )
     touched_rows = _source_frame(spark, m, file_col="_sf").select(
         *on, "_sf"
     )
@@ -2308,7 +2492,41 @@ def snap_merge(
         new_data = parts[0]
         for p in parts[1:]:
             new_data = new_data.unionByName(p)
-    return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
+    changes = None
+    if m.get("cdf"):
+        cparts = [spark.createDataFrame([], _cdf_schema(schema))]
+        matched_store = (
+            _source_frame(spark, m, touched).join(keys, on, "left_semi")
+            if touched
+            else spark.createDataFrame([], schema)
+        )
+        if when_matched == "update":
+            cparts.append(
+                matched_store.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            cparts.append(
+                source.join(matched_store.select(*on).distinct(), on, "left_semi")
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+        elif when_matched == "delete":
+            cparts.append(
+                matched_store.withColumn("_change_type", F.lit("delete"))
+            )
+        if when_not_matched == "insert":
+            store_keys_all = touched_rows.select(*on).distinct()
+            cparts.append(
+                source.join(store_keys_all, on, "left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        changes = cparts[0]
+        for p in cparts[1:]:
+            changes = changes.unionByName(p)
+    return _rewrite_commit(
+        spark, root, m, touched, new_data, "merge", tag, changes=changes
+    )
 
 
 def snap_update_where(
@@ -2356,11 +2574,15 @@ def snap_update_where(
     unknown = set(touched) - set(m["files"])
     if unknown:
         raise RuntimeError(f"discovered files outside the manifest: {unknown}")
+    changes = None
     if not touched:
         new_data = spark.createDataFrame([], schema)
+        if m.get("cdf"):
+            changes = spark.createDataFrame([], _cdf_schema(schema))
     else:
         hit = F.coalesce(cond, F.lit(False))
         exprs = []
+        post_exprs = []
         for f in schema.fields:
             if f.name in assignments:
                 a = assignments[f.name]
@@ -2370,10 +2592,23 @@ def snap_update_where(
                     .otherwise(F.col(f.name))
                     .alias(f.name)
                 )
+                post_exprs.append(val.cast(f.dataType).alias(f.name))
             else:
                 exprs.append(F.col(f.name))
+                post_exprs.append(F.col(f.name))
         new_data = _source_frame(spark, m, touched).select(*exprs)
-    return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
+        if m.get("cdf"):
+            pre = _source_frame(spark, m, touched).filter(hit)
+            changes = pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                pre.select(*post_exprs).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+    return _rewrite_commit(
+        spark, root, m, touched, new_data, "merge", tag, changes=changes
+    )
 
 
 def snap_delete_dv(
@@ -2408,13 +2643,17 @@ def snap_delete_dv(
         raise FileNotFoundError(f"no committed version in {root}")
     m = _read_manifest(root, version)
     new_dv = []
+    new_cdf = []
     if m["files"]:
-        matched = (
-            _source_frame_with_meta(spark, m)
-            .filter(F.coalesce(cond, F.lit(False)))
-            .select(
-                F.col("_dv_f").alias("file"), F.col("_dv_i").alias("idx")
-            )
+        schema_cols = [
+            f.name
+            for f in T.StructType.fromJson(json.loads(m["schema"])).fields
+        ]
+        matched_rows = _source_frame_with_meta(spark, m).filter(
+            F.coalesce(cond, F.lit(False))
+        )
+        matched = matched_rows.select(
+            F.col("_dv_f").alias("file"), F.col("_dv_i").alias("idx")
         )
         dv_commit_dir = os.path.join(
             root, "data", f"commit-{version + 1:012d}-{uuid.uuid4().hex[:8]}"
@@ -2424,6 +2663,13 @@ def snap_delete_dv(
         files = _list_parquet(dv_dir)
         if files and spark.read.parquet(*files).limit(1).count() > 0:
             new_dv = files
+            if m.get("cdf"):
+                # the change-feed sidecar: deleted rows, full columns
+                cdf_dir = os.path.join(dv_commit_dir, "_cdf")
+                matched_rows.select(*schema_cols).withColumn(
+                    "_change_type", F.lit("delete")
+                ).write.mode("error").parquet(cdf_dir)
+                new_cdf = _list_parquet(cdf_dir)
         else:
             import shutil
 
@@ -2441,6 +2687,8 @@ def snap_delete_dv(
         # a dv-delete introduces no rows (nothing to validate) but the
         # table's CHECK constraints must ride the manifest forward
         "constraints": m.get("constraints", {}),
+        "cdf": m.get("cdf", False),
+        "cdf_files": new_cdf,
     }
     if snap_current_version(root) != version:
         raise SnapshotConflict(
@@ -2514,12 +2762,23 @@ def snap_delete_where(
     unknown = set(touched) - set(m["files"])
     if unknown:
         raise RuntimeError(f"discovered files outside the manifest: {unknown}")
+    changes = None
     if not touched:
         new_data = spark.createDataFrame([], schema)
+        if m.get("cdf"):
+            changes = spark.createDataFrame([], _cdf_schema(schema))
     else:
         # NULL-condition rows are NOT deletes (same as the discovery
         # filter): keep everything except rows where cond is TRUE
         new_data = _source_frame(spark, m, touched).filter(
             ~F.coalesce(cond, F.lit(False))
         )
-    return _rewrite_commit(spark, root, m, touched, new_data, "merge", tag)
+        if m.get("cdf"):
+            changes = (
+                _source_frame(spark, m, touched)
+                .filter(F.coalesce(cond, F.lit(False)))
+                .withColumn("_change_type", F.lit("delete"))
+            )
+    return _rewrite_commit(
+        spark, root, m, touched, new_data, "merge", tag, changes=changes
+    )
