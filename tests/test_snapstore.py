@@ -1809,3 +1809,78 @@ def test_cdf_sidecars_survive_vacuum_and_evolution(spark, tmp_path):
         (2, 0, None, "update_postimage"),
         (100, 1, "x", "insert"),
     }
+
+
+def test_merge_matched_condition_gates_per_row(spark, tmp_path):
+    """Delta's whenMatchedUpdate(condition=...): the matched clause
+    applies only where the extra predicate holds on the STORE row;
+    failing matched rows survive unchanged — for update and delete."""
+    root = str(tmp_path / "t_mc")
+    ss.snap_commit(_df(spark, 0, 6), root)  # vals id*2: 0,2,4,6,8,10
+    src = spark.createDataFrame(
+        [(1, 111), (2, 222), (9, 999)], "id long, val long"
+    )
+    # update only matched rows whose current val > 3: id=1 (val 2) fails,
+    # id=2 (val 4) passes; id=9 inserts
+    ss.snap_merge(
+        spark, root, src, on=["id"], matched_condition="val > 3"
+    )
+    got = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert got == {0: 0, 1: 2, 2: 222, 3: 6, 4: 8, 5: 10, 9: 999}
+    # conditional delete: drop matched rows with val >= 8 only
+    src2 = spark.createDataFrame(
+        [(4, 0), (5, 0), (1, 0)], "id long, val long"
+    )
+    ss.snap_merge(
+        spark,
+        root,
+        src2,
+        on=["id"],
+        when_matched="delete",
+        when_not_matched="ignore",
+        matched_condition="val >= 8",
+    )
+    got = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert got == {0: 0, 1: 2, 2: 222, 3: 6, 9: 999}
+    with pytest.raises(ValueError, match="no effect"):
+        ss.snap_merge(
+            spark, root, src2, on=["id"],
+            when_matched="ignore", matched_condition="val > 0",
+        )
+
+
+def test_merge_not_matched_by_source_full_sync(spark, tmp_path):
+    """whenNotMatchedBySource='delete': the store mirrors the source key
+    set — unmatched store rows drop, matched update, new keys insert;
+    the change feed records the by-source deletes too."""
+    root = str(tmp_path / "t_bysrc")
+    ss.snap_commit(_df(spark, 0, 5), root)
+    ss.snap_enable_cdf(root)
+    src = spark.createDataFrame(
+        [(1, 111), (3, 333), (7, 777)], "id long, val long"
+    )
+    v = ss.snap_merge(
+        spark, root, src, on=["id"], when_not_matched_by_source="delete"
+    )
+    got = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert got == {1: 111, 3: 333, 7: 777}
+    feed = ss.snap_read_changes_cdf(spark, root, v - 1, v)
+    rows = sorted(
+        (r.id, r.val, r._change_type) for r in feed.collect()
+    )
+    assert rows == sorted(
+        [
+            (0, 0, "delete"),
+            (2, 4, "delete"),
+            (4, 8, "delete"),
+            (1, 2, "update_preimage"),
+            (1, 111, "update_postimage"),
+            (3, 6, "update_preimage"),
+            (3, 333, "update_postimage"),
+            (7, 777, "insert"),
+        ]
+    )
+    with pytest.raises(ValueError, match="ignore|delete"):
+        ss.snap_merge(
+            spark, root, src, on=["id"], when_not_matched_by_source="update"
+        )

@@ -2382,6 +2382,8 @@ def snap_merge(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     tag: int | str | None = None,
+    matched_condition=None,
+    when_not_matched_by_source: str = "ignore",
 ) -> int:
     """Row-level MERGE as a copy-on-write commit — the lakehouse upsert
     (Delta/Iceberg MERGE INTO), on the same atomic manifest contract as
@@ -2395,6 +2397,20 @@ def snap_merge(
     "ignore" drops them. Source schema must equal the store schema
     exactly (a merge cannot evolve the schema — evolution is an
     explicit append contract).
+
+    ``matched_condition`` (Delta's ``whenMatchedUpdate(condition=...)``):
+    an extra predicate evaluated on the MATCHED STORE ROW — the
+    when_matched clause applies only where it holds (NULL = does not
+    hold, the SQL convention); matched rows failing it are kept
+    unchanged. With duplicate store keys the gate is per-row: failing
+    rows survive verbatim while the key's passing rows take the clause.
+
+    ``when_not_matched_by_source`` (Delta's whenNotMatchedBySource):
+    "ignore" (default) keeps store rows with no source match; "delete"
+    drops them — the full-sync MERGE that makes the store mirror the
+    source key set. Note "delete" necessarily rewrites every file
+    containing an unmatched row (by nature a full sync, not a pruned
+    upsert).
 
     COPY-ON-WRITE, PRUNED: only files that actually CONTAIN a matching
     key are rewritten. Discovery is one column-pruned scan of the store
@@ -2418,8 +2434,26 @@ def snap_merge(
         raise ValueError(f"when_matched must be update|delete|ignore, got {when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(f"when_not_matched must be insert|ignore, got {when_not_matched!r}")
-    if when_matched == "ignore" and when_not_matched == "ignore":
-        raise ValueError("merge with both clauses 'ignore' is a no-op")
+    if when_not_matched_by_source not in ("ignore", "delete"):
+        raise ValueError(
+            "when_not_matched_by_source must be ignore|delete, got "
+            f"{when_not_matched_by_source!r}"
+        )
+    if (
+        when_matched == "ignore"
+        and when_not_matched == "ignore"
+        and when_not_matched_by_source == "ignore"
+    ):
+        raise ValueError("merge with every clause 'ignore' is a no-op")
+    if matched_condition is not None and when_matched == "ignore":
+        raise ValueError(
+            "matched_condition without a when_matched clause has no effect"
+        )
+    mcond = (
+        F.expr(matched_condition)
+        if isinstance(matched_condition, str)
+        else matched_condition
+    )
     version = snap_current_version(root)
     if version is None:
         raise FileNotFoundError(f"no committed version in {root}")
@@ -2455,33 +2489,45 @@ def snap_merge(
     touched_rows = _source_frame(spark, m, file_col="_sf").select(
         *on, "_sf"
     )
-    touched = [
-        r["_sf"]
-        for r in touched_rows.join(keys, on, "left_semi")
-        .select("_sf")
-        .distinct()
-        .collect()
-    ]
+    if when_not_matched_by_source == "delete":
+        # full sync: any file holding an UNMATCHED row must rewrite too
+        touched_frame = touched_rows.join(keys, on, "left_semi").select(
+            "_sf"
+        ).unionByName(
+            touched_rows.join(keys, on, "left_anti").select("_sf")
+        )
+    else:
+        touched_frame = touched_rows.join(keys, on, "left_semi").select("_sf")
+    touched = [r["_sf"] for r in touched_frame.distinct().collect()]
     unknown = set(touched) - set(m["files"])
     if unknown:
         raise RuntimeError(f"discovered files outside the manifest: {unknown}")
+    hit = (
+        F.coalesce(mcond, F.lit(False)) if mcond is not None else F.lit(True)
+    )
     parts = []
     if touched:
         touched_df = _source_frame(spark, m, touched)
-        keep = touched_df.join(keys, on, "left_anti")
-        parts.append(keep)
+        matched_store = touched_df.join(keys, on, "left_semi")
+        if when_not_matched_by_source != "delete":
+            parts.append(touched_df.join(keys, on, "left_anti"))
         if when_matched == "ignore":
-            parts.append(touched_df.join(keys, on, "left_semi"))
+            parts.append(matched_store)
+        elif mcond is not None:
+            # condition gate is per STORE ROW: failing rows survive
+            parts.append(matched_store.filter(~hit))
     if when_matched == "update":
-        matched_src = (
-            source.join(
-                _source_frame(spark, m, touched).select(*on).distinct(),
-                on,
-                "left_semi",
+        if touched:
+            pass_keys = (
+                _source_frame(spark, m, touched)
+                .join(keys, on, "left_semi")
+                .filter(hit)
+                .select(*on)
+                .distinct()
             )
-            if touched
-            else source.limit(0)
-        )
+            matched_src = source.join(pass_keys, on, "left_semi")
+        else:
+            matched_src = source.limit(0)
         parts.append(matched_src)
     if when_not_matched == "insert":
         store_keys = touched_rows.select(*on).distinct()
@@ -2495,24 +2541,25 @@ def snap_merge(
     changes = None
     if m.get("cdf"):
         cparts = [spark.createDataFrame([], _cdf_schema(schema))]
-        matched_store = (
+        matched_all = (
             _source_frame(spark, m, touched).join(keys, on, "left_semi")
             if touched
             else spark.createDataFrame([], schema)
         )
+        matched_hit = matched_all.filter(hit)
         if when_matched == "update":
             cparts.append(
-                matched_store.withColumn(
+                matched_hit.withColumn(
                     "_change_type", F.lit("update_preimage")
                 )
             )
             cparts.append(
-                source.join(matched_store.select(*on).distinct(), on, "left_semi")
+                source.join(matched_hit.select(*on).distinct(), on, "left_semi")
                 .withColumn("_change_type", F.lit("update_postimage"))
             )
         elif when_matched == "delete":
             cparts.append(
-                matched_store.withColumn("_change_type", F.lit("delete"))
+                matched_hit.withColumn("_change_type", F.lit("delete"))
             )
         if when_not_matched == "insert":
             store_keys_all = touched_rows.select(*on).distinct()
@@ -2520,6 +2567,12 @@ def snap_merge(
                 source.join(store_keys_all, on, "left_anti").withColumn(
                     "_change_type", F.lit("insert")
                 )
+            )
+        if when_not_matched_by_source == "delete" and touched:
+            cparts.append(
+                _source_frame(spark, m, touched)
+                .join(keys, on, "left_anti")
+                .withColumn("_change_type", F.lit("delete"))
             )
         changes = cparts[0]
         for p in cparts[1:]:
