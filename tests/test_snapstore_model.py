@@ -56,11 +56,16 @@ class SnapstoreMachine(RuleBasedStateMachine):
     def setup(self):
         self.root = tempfile.mkdtemp(prefix="snapmodel-")
         self.next_id = 0
-        # model: version -> (triples, has_note, has_constraint). Triples
-        # carry note=None for rows written before the store evolved.
-        self.versions: list[tuple[list, bool, bool]] = []
+        # model: version -> (triples, has_note, has_constraint, has_cdf).
+        # Triples carry note=None for rows written before the store
+        # evolved.
+        self.versions: list[tuple[list, bool, bool, bool]] = []
         self.alive: set[int] = set()  # versions whose manifest survives
         self.refs: dict[str, int] = {}
+        # change-feed validity: the earliest version from which
+        # snap_read_changes_cdf can replay to CURRENT (None = no valid
+        # span: feed never enabled, or a lineage reset broke it)
+        self.feed_from: int | None = None
         # pending WAP stages: staged_id -> (triples, has_note, maybe_dead)
         self.staged: dict[str, tuple[list, bool, bool]] = {}
 
@@ -80,23 +85,23 @@ class SnapstoreMachine(RuleBasedStateMachine):
         return t
 
     def _cur(self):
-        return self.versions[-1] if self.versions else ([], False, False)
+        return self.versions[-1] if self.versions else ([], False, False, False)
 
-    def _push(self, rows, has_note, has_constraint):
-        self.versions.append((rows, has_note, has_constraint))
+    def _push(self, rows, has_note, has_constraint, has_cdf):
+        self.versions.append((rows, has_note, has_constraint, has_cdf))
         self.alive.add(len(self.versions) - 1)
 
     # ---- plain commit surface -------------------------------------
 
     @rule(n=st.integers(min_value=0, max_value=7))
     def append(self, n):
-        cur_rows, has_note, chk = self._cur()
+        cur_rows, has_note, chk, cdf = self._cur()
         new = self._fresh(n, noted=has_note)
         v = ss.snap_commit(
             _mk_df(self.spark, new, has_note), self.root, mode="append"
         )
         assert v == len(self.versions)
-        self._push(cur_rows + new, has_note, chk)
+        self._push(cur_rows + new, has_note, chk, cdf)
 
     @rule(n=st.integers(min_value=0, max_value=7))
     def overwrite(self, n):
@@ -105,13 +110,15 @@ class SnapstoreMachine(RuleBasedStateMachine):
             _mk_df(self.spark, new, False), self.root, mode="overwrite"
         )
         assert v == len(self.versions)
-        # an explicit user overwrite is a new shape: constraints drop
-        self._push(new, False, False)
+        # an explicit user overwrite is a new shape: constraints AND the
+        # cdf flag drop, and the change-feed span breaks (lineage reset)
+        self._push(new, False, False, False)
+        self.feed_from = None
 
     @precondition(lambda self: self.versions and not self._cur()[1])
     @rule(n=st.integers(min_value=1, max_value=4))
     def evolve_append(self, n):
-        cur_rows, _, chk = self._cur()
+        cur_rows, _, chk, cdf = self._cur()
         new = self._fresh(n, noted=True)
         v = ss.snap_commit(
             _mk_df(self.spark, new, True),
@@ -120,7 +127,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
             evolve=True,
         )
         assert v == len(self.versions)
-        self._push(cur_rows + new, True, chk)
+        self._push(cur_rows + new, True, chk, cdf)
 
     # ---- maintenance ------------------------------------------------
 
@@ -143,7 +150,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
         """COW MERGE: replace the first `upd` current rows (val+1000,
         note kept) and insert `ins` fresh rows — model mirrors the
         update+insert clause routing exactly."""
-        cur_rows, has_note, chk = self._cur()
+        cur_rows, has_note, chk, cdf = self._cur()
         upd_rows = [(i, v + 1000, n) for i, v, n in cur_rows[:upd]]
         ins_rows = self._fresh(ins, noted=has_note)
         src = upd_rows + ins_rows
@@ -159,6 +166,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
             [r for r in cur_rows if r[0] not in upd_ids] + src,
             has_note,
             chk,
+            cdf,
         )
 
     @precondition(lambda self: self.versions)
@@ -166,8 +174,10 @@ class SnapstoreMachine(RuleBasedStateMachine):
     def delete_where(self, modk):
         v = ss.snap_delete_where(self.spark, self.root, f"id % {modk} = 0")
         assert v == len(self.versions)
-        cur_rows, has_note, chk = self._cur()
-        self._push([r for r in cur_rows if r[0] % modk != 0], has_note, chk)
+        cur_rows, has_note, chk, cdf = self._cur()
+        self._push(
+            [r for r in cur_rows if r[0] % modk != 0], has_note, chk, cdf
+        )
 
     @precondition(lambda self: self.versions)
     @rule(modk=st.integers(min_value=2, max_value=5))
@@ -177,8 +187,10 @@ class SnapstoreMachine(RuleBasedStateMachine):
         rewrite, restore, and vacuum must honor."""
         v = ss.snap_delete_dv(self.spark, self.root, f"id % {modk} = 1")
         assert v == len(self.versions)
-        cur_rows, has_note, chk = self._cur()
-        self._push([r for r in cur_rows if r[0] % modk != 1], has_note, chk)
+        cur_rows, has_note, chk, cdf = self._cur()
+        self._push(
+            [r for r in cur_rows if r[0] % modk != 1], has_note, chk, cdf
+        )
 
     @precondition(lambda self: self.versions)
     @rule(modk=st.integers(min_value=2, max_value=4))
@@ -190,7 +202,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
             self.spark, self.root, f"id % {modk} = 0", {"val": "val + 7"}
         )
         assert v == len(self.versions)
-        cur_rows, has_note, chk = self._cur()
+        cur_rows, has_note, chk, cdf = self._cur()
         self._push(
             [
                 (i, vl + 7 if i % modk == 0 else vl, n)
@@ -198,6 +210,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
             ],
             has_note,
             chk,
+            cdf,
         )
 
     # ---- restore ------------------------------------------------------
@@ -213,6 +226,9 @@ class SnapstoreMachine(RuleBasedStateMachine):
         v = ss.snap_restore(self.root, to_v)
         assert v == len(self.versions)
         self._push(*self.versions[to_v])
+        # the restore commit is a lineage reset; if the restored-to
+        # version carried the flag, the feed resumes AFTER the restore
+        self.feed_from = v if self.versions[to_v][3] else None
 
     # ---- CHECK constraints ---------------------------------------------
 
@@ -224,7 +240,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
         data violate it, in which case ADD must refuse up front (a
         constraint the table already violates must not gate only future
         writers) and publish nothing."""
-        rows, has_note, _ = self._cur()
+        rows, has_note, _, cdf = self._cur()
         if any(v < 0 for _, v, _ in rows):
             with pytest.raises(ss.ConstraintViolation):
                 ss.snap_add_constraint(
@@ -236,15 +252,15 @@ class SnapstoreMachine(RuleBasedStateMachine):
             self.spark, self.root, "val_nonneg", "val >= 0"
         )
         assert v == len(self.versions)
-        self._push(rows, has_note, True)
+        self._push(rows, has_note, True, cdf)
 
     @precondition(lambda self: self.versions and self._cur()[2])
     @rule()
     def drop_constraint(self):
         v = ss.snap_drop_constraint(self.root, "val_nonneg")
         assert v == len(self.versions)
-        rows, has_note, _ = self._cur()
-        self._push(rows, has_note, False)
+        rows, has_note, _, cdf = self._cur()
+        self._push(rows, has_note, False, cdf)
 
     @precondition(lambda self: self.versions)
     @rule()
@@ -252,7 +268,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
         """An append with val = -1: refused (and versionless) exactly
         when the current version carries the constraint — whatever path
         (compact/restore/dv/update/merge) produced that version."""
-        cur_rows, has_note, chk = self._cur()
+        cur_rows, has_note, chk, cdf = self._cur()
         bad = [(self.next_id, -1, "bad" if has_note else None)]
         self.next_id += 1
         if chk:
@@ -268,7 +284,27 @@ class SnapstoreMachine(RuleBasedStateMachine):
                 _mk_df(self.spark, bad, has_note), self.root, mode="append"
             )
             assert v == len(self.versions)
-            self._push(cur_rows + bad, has_note, False)
+            self._push(cur_rows + bad, has_note, False, cdf)
+
+    # ---- change data feed -------------------------------------------
+
+    @precondition(lambda self: self.versions and not self._cur()[3])
+    @rule()
+    def enable_cdf(self):
+        v = ss.snap_enable_cdf(self.root)
+        assert v == len(self.versions)
+        rows, has_note, chk, _ = self._cur()
+        self._push(rows, has_note, chk, True)
+        self.feed_from = v
+
+    @precondition(lambda self: self.versions and self._cur()[3])
+    @rule()
+    def disable_cdf(self):
+        v = ss.snap_disable_cdf(self.root)
+        assert v == len(self.versions)
+        rows, has_note, chk, _ = self._cur()
+        self._push(rows, has_note, chk, False)
+        self.feed_from = None  # later DML has no sidecar: span invalid
 
     # ---- WAP staging ----------------------------------------------------
 
@@ -277,7 +313,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
     def stage(self, n):
         """WAP phase 1: staged data must be INVISIBLE — no version
         advance, no content change (the step invariant re-checks)."""
-        _, has_note, _ = self._cur()
+        _, has_note, _, _ = self._cur()
         new = self._fresh(n, noted=has_note)
         before = ss.snap_current_version(self.root)
         sid = ss.snap_stage(_mk_df(self.spark, new, has_note), self.root)
@@ -293,7 +329,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
         hand-pick, explored here under arbitrary orderings."""
         sid, (new, has_note, maybe_dead) = next(iter(self.staged.items()))
         del self.staged[sid]
-        cur_rows, cur_note, chk = self._cur()
+        cur_rows, cur_note, chk, cdf = self._cur()
         if has_note != cur_note:
             # schema moved under the stage (overwrite/evolve since):
             # publish must refuse on the schema gate, store unchanged
@@ -308,7 +344,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
             assert ss.snap_current_version(self.root) == len(self.versions) - 1
             return
         assert v == len(self.versions)
-        self._push(cur_rows + new, has_note, chk)
+        self._push(cur_rows + new, has_note, chk, cdf)
 
     @precondition(lambda self: self.staged)
     @rule()
@@ -362,7 +398,7 @@ class SnapstoreMachine(RuleBasedStateMachine):
     def retained_versions_match_model(self):
         assert set(ss.snap_versions(self.root)) == self.alive
         for version in sorted(self.alive):
-            rows, has_note, _ = self.versions[version]
+            rows, has_note, _, _ = self.versions[version]
             got = ss.snap_read(self.spark, self.root, version).collect()
             if has_note:
                 have = sorted((r.id, r.val, r.note) for r in got)
@@ -374,6 +410,37 @@ class SnapstoreMachine(RuleBasedStateMachine):
             assert ss.snap_count(self.root, version) == len(rows)
         if self.versions:
             assert ss.snap_current_version(self.root) == len(self.versions) - 1
+
+    @invariant()
+    def change_feed_replays_to_current(self):
+        """Whenever a valid feed span exists (CDF on, no lineage reset
+        or disable since, span manifests retained), replaying
+        snap_read_changes_cdf onto the span-start snapshot must
+        reconstruct CURRENT exactly — across ANY interleaving of
+        appends, COW/DV DML, metadata commits, compactions, WAP
+        publishes, and vacuums."""
+        lo = self.feed_from
+        if lo is None or not self.versions:
+            return
+        if any(v not in self.alive for v in range(lo, len(self.versions))):
+            return  # vacuum collected part of the span: no feed read
+        feed = ss.snap_read_changes_cdf(self.spark, self.root, lo).collect()
+        base_rows, _, _, _ = self.versions[lo]
+        state = {i: (v, n) for i, v, n in base_rows}
+        order = {"update_preimage": 0, "delete": 0}
+        for r in sorted(
+            feed,
+            key=lambda r: (r._commit_version, order.get(r._change_type, 1)),
+        ):
+            note = r.note if "note" in feed[0].asDict() else None
+            if r._change_type in ("insert", "update_postimage"):
+                state[r.id] = (r.val, note)
+            elif r._change_type == "delete":
+                assert r.id in state, ("feed deletes a missing row", r)
+                del state[r.id]
+        cur_rows, has_note, _, _ = self._cur()
+        want = {i: (v, n if has_note else None) for i, v, n in cur_rows}
+        assert state == want, (lo, len(self.versions) - 1)
 
     @invariant()
     def refs_and_constraints_match_model(self):
