@@ -153,3 +153,69 @@ def test_snapstore_mv_refresh_tracks_cdc_feed(spark, movements, tmp_path):
     assert as_sorted_rows(ss.snap_read(spark, mv_root)) == as_sorted_rows(
         full_recompute(b1.unionByName(b2))
     )
+
+
+def test_snapstore_mv_refresh_cdf_maintains_under_dml(
+    spark, movements, tmp_path
+):
+    """CDF-driven MV maintenance: fact UPDATEs and DELETEs maintain the
+    view incrementally (signed +1/-1 algebra), vanished groups drop from
+    the state, and the MV always equals the full recompute over the
+    CURRENT fact — across appends, updates, deletes (COW and DV), and a
+    merge, with the idempotent-cursor contract intact."""
+    from wsspark import snapstore as ss
+
+    fact_root = str(tmp_path / "fact")
+    mv_root = str(tmp_path / "mv")
+    b1 = movements.filter("reference_id % 2 = 0").localCheckpoint()
+    b2 = movements.filter("reference_id % 2 = 1").localCheckpoint()
+
+    def expect():
+        cur = ss.snap_read(spark, fact_root)
+        return [
+            tuple(r)
+            for r in ivm.movement_mv_cdf(cur)
+            .orderBy("warehouse_id", "product_id")
+            .collect()
+        ]
+
+    def got():
+        return [
+            tuple(r)
+            for r in ss.snap_read(spark, mv_root)
+            .orderBy("warehouse_id", "product_id")
+            .collect()
+        ]
+
+    ss.snap_commit(b1, fact_root)
+    ss.snap_enable_cdf(fact_root)
+    ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)
+    assert got() == expect()
+
+    # append + COW update + DV delete + COW delete in one span
+    ss.snap_commit(b2, fact_root, mode="append")
+    ss.snap_update_where(
+        spark, fact_root, "quantity > 30", {"quantity": "quantity - 30"}
+    )
+    ss.snap_delete_dv(spark, fact_root, "reference_id % 11 = 3")
+    ss.snap_delete_where(spark, fact_root, "reference_id % 17 = 5")
+    v = ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)
+    assert got() == expect()
+
+    # a whole warehouse vanishes: its MV keys must drop, not linger at 0
+    some_wh = ss.snap_read(spark, fact_root).select("warehouse_id").first()[0]
+    ss.snap_delete_where(spark, fact_root, f"warehouse_id = {some_wh}")
+    ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)
+    assert got() == expect()
+    assert all(r[0] != some_wh for r in got())
+
+    # idempotent at an unchanged fact version
+    versions_before = ss.snap_versions(mv_root)
+    ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)
+    assert ss.snap_versions(mv_root) == versions_before
+
+    # lineage reset falls back to the honest full recompute
+    ss.snap_commit(b1, fact_root, mode="overwrite")
+    ss.snap_enable_cdf(fact_root)
+    ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)
+    assert got() == expect()

@@ -2898,6 +2898,65 @@ ORDER BY 1
 """
 
 
+def q_mv_refresh_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-driven MV maintenance under the driver hash gate: commit the
+    movements fact to a snapstore, take the initial MV, then UPDATE and
+    DELETE the fact and refresh INCREMENTALLY through the change feed
+    (signed +1/-1 retraction algebra — ops/incremental.py
+    snapstore_mv_refresh_cdf). The twin recomputes the view from scratch
+    over the post-DML fact replayed relationally, so a wrong retraction
+    weight, a lost update image, a leaked 0-count group, or a stale
+    cursor goes red."""
+    import shutil
+    import tempfile
+
+    from wsspark import adapters as ad
+    from wsspark import snapstore as ss
+    from wsspark.ops import incremental as ivm
+
+    li = read_table(spark, sf_dir, "lineitem")
+    mvs = ad.movements_from_lineitem(li)
+    fact_root = tempfile.mkdtemp(prefix="snapmvf-")
+    mv_root = tempfile.mkdtemp(prefix="snapmvv-")
+    try:
+        ss.snap_commit(mvs.repartition(8), fact_root)
+        ss.snap_enable_cdf(fact_root)
+        ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)  # initial
+        ss.snap_update_where(
+            spark,
+            fact_root,
+            "quantity > 30",
+            {"quantity": "quantity - 30"},
+        )
+        ss.snap_delete_where(spark, fact_root, "reference_id % 7 = 3")
+        ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)
+        out = ss.snap_read(spark, mv_root)
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(fact_root, ignore_errors=True)
+        shutil.rmtree(mv_root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+from wsspark.adapters import MOVEMENTS_SQL as _MOVEMENTS_SQL  # noqa: E402
+
+MV_REFRESH_CDF_SQL = f"""
+WITH mv AS ({_MOVEMENTS_SQL}),
+post AS (
+    SELECT product_id, warehouse_id,
+           CASE WHEN quantity > 30 THEN quantity - 30 ELSE quantity END
+               AS quantity
+    FROM mv WHERE NOT (reference_id % 7 = 3)
+)
+SELECT warehouse_id, product_id,
+       CAST(COUNT(*) AS BIGINT) AS n_movements,
+       CAST(SUM(CAST(quantity AS BIGINT)) AS BIGINT) AS net_qty,
+       ROUND(SUM(CAST(quantity AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 4)
+           AS avg_qty
+FROM post GROUP BY 1, 2
+"""
+
+
 def q_drift_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality.drift_suite under the hash gate — the FUSED drift family
     (PSI + exact KS + base-pinned top-k PSI + embedding Welch-z) paying
@@ -4682,6 +4741,12 @@ FOLDED_QUERIES = [
     # design); twin replays every expected change row + commit version.
     Query("snapstore_cdf_read", q_snapstore_cdf_read, SNAPSTORE_CDF_SQL,
           "change-data-feed read across append/update/delete commits"),
+    # Born folded (r12): CDF-driven MV maintenance — fact UPDATE/DELETE
+    # maintain the rollup through the signed retraction algebra instead
+    # of a full recompute; twin IS the full recompute over the post-DML
+    # fact replayed relationally.
+    Query("mv_refresh_cdf", q_mv_refresh_cdf, MV_REFRESH_CDF_SQL,
+          "change-feed-driven incremental MV maintenance under DML"),
     # Born folded (r11): the three classic decorrelation shapes the
     # TPC-H set lacked (no partsupp table in the testdata, so each shape
     # rides lineitem's part/supplier relationships).
