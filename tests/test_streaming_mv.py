@@ -89,3 +89,64 @@ def test_max_is_maintained_across_out_of_order_batches(spark, tmp_path):
     row = df.filter(F.col("product_id") == 1).first()
     assert row.last_movement_at == dt.datetime(2001, 6, 15)
     assert row.n_movements == 2 and row.net_qty == 7
+
+
+def test_cdf_stream_maintains_mv_under_dml(spark, tmp_path):
+    """End-to-end continuous IVM: a readChangeFeed stream feeds the CDF
+    maintainer; fact UPDATEs and DELETEs between runs maintain the view
+    to exactly the full recompute over the CURRENT fact, across
+    checkpoint restarts."""
+    from wsspark import snapstore as ss
+    from wsspark.ops.incremental import movement_mv_cdf
+    from wsspark.snapsource import register
+    from wsspark.streaming import StreamingCdfMVMaintainer
+
+    register(spark)
+    fact_root = str(tmp_path / "fact")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = mk_batch(
+        spark, [(1, 10, 5, 1, 1), (1, 10, 3, 1, 2), (2, 10, 7, 1, 3)]
+    )
+    ss.snap_commit(b1, fact_root)
+    ss.snap_enable_cdf(fact_root)
+    m = StreamingCdfMVMaintainer(spark, store)
+
+    def run():
+        q = m.attach(
+            spark.readStream.format("snapstore")
+            .option("readChangeFeed", "true")
+            .load(fact_root),
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    def want():
+        return sorted(
+            tuple(r)
+            for r in movement_mv_cdf(
+                ss.snap_read(spark, fact_root).drop(
+                    "movement_date"
+                )
+            ).collect()
+        )
+
+    def got():
+        return sorted(tuple(r) for r in m.mv().collect())
+
+    run()
+    assert got() == want()
+    # DML between runs: update + delete maintain, not recompute
+    ss.snap_update_where(
+        spark, fact_root, "product_id = 1", {"quantity": "quantity + 10"}
+    )
+    ss.snap_delete_where(spark, fact_root, "product_id = 2")
+    ss.snap_commit(
+        mk_batch(spark, [(3, 11, 9, 2, 2)]), fact_root, mode="append"
+    )
+    run()
+    assert got() == want()
+    # product 2's group vanished entirely: dropped, not zero-lingering
+    assert all(r[1] != 2 for r in got())
+    run()  # restart with nothing new: no-op
+    assert got() == want()

@@ -1064,6 +1064,60 @@ class StreamingMVMaintainer:
         )
 
 
+class StreamingCdfMVMaintainer:
+    """Continuous TRUE-IVM maintenance from the snapstore CHANGE FEED
+    stream (``readStream.format("snapstore").option("readChangeFeed",
+    "true")``): each micro-batch carries SIGNED row changes (insert /
+    update pre+post / delete), so fact UPDATEs and DELETEs maintain the
+    view continuously at O(batch) — the streaming twin of
+    ``ops.incremental.snapstore_mv_refresh_cdf``, on
+    ``StreamingMVMaintainer``'s exactly-once ``AtomicStateStore``
+    contract (cursor and state advance in one pointer flip; replayed
+    batch ids no-op). The CDF MV shape is count/sum/avg — MAX is not
+    self-maintainable under retractions (see ops/incremental.py)."""
+
+    def __init__(self, spark: SparkSession, store_dir: str) -> None:
+        self.spark = spark
+        self.mv_path = os.path.join(store_dir, "mv_cdf")
+        self._state = AtomicStateStore(self.mv_path)
+
+    def mv(self) -> DataFrame:
+        return self._read_mv()
+
+    def _read_mv(self) -> DataFrame:
+        df = self._state.read(self.spark)
+        if df is not None:
+            return df
+        return self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("warehouse_id", T.LongType()),
+                    T.StructField("product_id", T.LongType()),
+                    T.StructField("n_movements", T.LongType()),
+                    T.StructField("net_qty", T.LongType()),
+                    T.StructField("avg_qty", T.DoubleType()),
+                ]
+            ),
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from wsspark.ops.incremental import cdf_delta_mv, merge_mv_cdf
+
+        if batch_id <= self._state.last_batch():
+            return
+        new = merge_mv_cdf(self._read_mv(), cdf_delta_mv(batch))
+        self._state.commit(new, batch_id)
+
+    def attach(self, changes: DataFrame, checkpoint_dir: str):
+        return (
+            changes.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
 class StreamingDriftMonitor:
     """Per-micro-batch PSI drift against a PINNED baseline — the
     streaming member of the DQ drift family (quality.drift_report): an
