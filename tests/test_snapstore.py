@@ -1884,3 +1884,19 @@ def test_merge_not_matched_by_source_full_sync(spark, tmp_path):
         ss.snap_merge(
             spark, root, src, on=["id"], when_not_matched_by_source="update"
         )
+
+
+def test_snap_history_reports_cdf_volume(spark, tmp_path):
+    """snap_history exposes the change-feed state per version: the flag,
+    and the DML commit's recorded change volume (footer sums only — no
+    data file opened)."""
+    root = str(tmp_path / "t_hist_cdf")
+    ss.snap_commit(_df(spark, 0, 10), root)                 # v0
+    ss.snap_enable_cdf(root)                                # v1
+    ss.snap_update_where(spark, root, "id < 3", {"val": "0"})  # v2: 3 pre + 3 post
+    ss.snap_delete_where(spark, root, "id = 5")             # v3: 1 delete
+    h = {e["version"]: e for e in ss.snap_history(root)}
+    assert not h[0]["cdf"] and h[0]["n_change_rows"] == 0
+    assert h[1]["cdf"] and h[1]["n_change_rows"] == 0
+    assert h[2]["cdf"] and h[2]["n_change_rows"] == 6
+    assert h[3]["cdf"] and h[3]["n_change_rows"] == 1

@@ -731,10 +731,10 @@ def snap_commit_with_retry(
 def snap_history(root: str) -> list[dict]:
     """The audit timeline straight from retained manifests: one dict per
     version — ``{version, mode, tag, n_files, n_new_files, rows, bytes,
-    n_deleted_rows, n_constraints}`` — no data file opened (dv sidecar
-    footers count deleted rows; rows is the LIVE count, matching
-    ``snap_count``). Rows/bytes fall back to lazy footer reads for
-    pre-metadata stores."""
+    n_deleted_rows, n_constraints, cdf, n_change_rows}`` — no data file
+    opened (dv/cdf sidecar footers count deleted/changed rows; rows is
+    the LIVE count, matching ``snap_count``). Rows/bytes fall back to
+    lazy footer reads for pre-metadata stores."""
     out = []
     prev_files: set[str] = set()
     for v in snap_versions(root):
@@ -755,6 +755,12 @@ def snap_history(root: str) -> list[dict]:
                 "bytes": sum(x["bytes"] for x in fm),
                 "n_deleted_rows": n_deleted,
                 "n_constraints": len(m.get("constraints", {})),
+                "cdf": m.get("cdf", False),
+                # the DML commit's recorded change-feed volume (0 for
+                # appends — their delta is the file diff, sidecar-free)
+                "n_change_rows": sum(
+                    _footer_meta(f)["rows"] for f in m.get("cdf_files") or []
+                ),
             }
         )
         prev_files = set(m["files"])
