@@ -542,3 +542,57 @@ def test_stream_change_feed_refuses_lineage_reset(spark, tmp_path):
     with pytest.raises(pyspark.errors.StreamingQueryException) as exc:
         run()
     assert "lineage reset" in str(exc.value)
+
+
+def test_batch_read_change_feed(spark, tmp_path):
+    """Batch table_changes: readChangeFeed + sinceVersion/untilVersion
+    serves the same row-level feed as snap_read_changes_cdf, including
+    sidecar rows, append inserts, and the -1 initial-snapshot form."""
+    root = str(tmp_path / "b_cdf")
+    register(spark)
+    ss.snap_commit(_df(spark, 0, 6), root)                     # v0
+    since = ss.snap_enable_cdf(root)                           # v1
+    ss.snap_update_where(spark, root, "id = 2", {"val": "99"})  # v2
+    ss.snap_commit(_df(spark, 10, 12), root, mode="append")    # v3
+
+    got = (
+        spark.read.format("snapstore")
+        .option("readChangeFeed", "true")
+        .option("sinceVersion", str(since))
+        .load(root)
+    )
+    rows = sorted(
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in got.collect()
+    )
+    assert rows == sorted(
+        [
+            (2, 4, "update_preimage", 2),
+            (2, 99, "update_postimage", 2),
+            (10, 20, "insert", 3),
+            (11, 22, "insert", 3),
+        ]
+    )
+    # untilVersion bounds the span
+    bounded = (
+        spark.read.format("snapstore")
+        .option("readChangeFeed", "true")
+        .option("sinceVersion", str(since))
+        .option("untilVersion", "2")
+        .load(root)
+    )
+    assert bounded.count() == 2
+    # -1: DV-applied initial snapshot as inserts at CURRENT
+    full = (
+        spark.read.format("snapstore")
+        .option("readChangeFeed", "true")
+        .option("sinceVersion", "-1")
+        .load(root)
+    )
+    assert {(r.id, r._change_type) for r in full.collect()} == {
+        (i, "insert") for i in [0, 1, 2, 3, 4, 5, 10, 11]
+    }
+    with pytest.raises(Exception, match="sinceVersion"):
+        spark.read.format("snapstore").option(
+            "readChangeFeed", "true"
+        ).load(root).collect()

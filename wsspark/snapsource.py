@@ -316,6 +316,104 @@ class CdfFilePartition(InputPartition):
         self.deleted = deleted or []
 
 
+def _plan_cdf_partitions(
+    root: str, lo: int, hi: int, schema_json: str, cdf_schema_json: str
+) -> list[CdfFilePartition]:
+    """Span planner shared by the CDF stream and batch readers: one
+    partition per change file for versions in (lo, hi] (lo < 0 = the
+    DV-applied snapshot at hi as inserts), refusing lineage resets and
+    pre-enable DML — the same contract as snap_read_changes_cdf."""
+    if hi <= lo:
+        return []
+    parts: list[CdfFilePartition] = []
+    if lo < 0:
+        m = ss._read_manifest(root, hi)
+        dv = _load_dv_map(m)
+        for f in m["files"]:
+            parts.append(
+                CdfFilePartition(f, schema_json, hi, "insert", dv.get(f))
+            )
+        return parts
+    prev_files = set(ss._read_manifest(root, lo)["files"])
+    for v in range(lo + 1, hi + 1):
+        m = ss._read_manifest(root, v)
+        files = set(m["files"])
+        if m["mode"] == "append":
+            for f in sorted(files - prev_files):
+                parts.append(CdfFilePartition(f, schema_json, v, "insert"))
+        elif m["mode"] == "merge":
+            if not m.get("cdf"):
+                raise ValueError(
+                    f"snapstore change feed: version {v} is a DML commit "
+                    "recorded before snap_enable_cdf — no sidecar exists; "
+                    "start the cursor after the enable version"
+                )
+            for f in m.get("cdf_files") or []:
+                parts.append(CdfFilePartition(f, cdf_schema_json, v, None))
+        elif m["mode"] == "overwrite" and m.get("content_preserving"):
+            pass  # compact/optimize: zero logical change
+        else:
+            raise ValueError(
+                f"snapstore change feed: version {v} is a lineage reset "
+                f"({m['mode']}) — re-read from a fresh snapshot instead"
+            )
+        prev_files = files
+    return parts
+
+
+def _read_cdf_partition(partition: CdfFilePartition) -> Iterator:
+    """Worker-side read of one change partition: align the file to its
+    schema, then attach the constant _change_type (append / initial-
+    snapshot partitions; sidecar rows carry their own) and
+    _commit_version columns."""
+    import pyarrow as pa
+
+    for batch in _read_file_as_batches(
+        partition.file, partition.schema_json, partition.deleted
+    ):
+        n = batch.num_rows
+        cols = list(batch.columns)
+        names = list(batch.schema.names)
+        if partition.change_type is not None:
+            cols.append(pa.array([partition.change_type] * n, pa.string()))
+            names.append("_change_type")
+        cols.append(pa.array([partition.commit_version] * n, pa.int64()))
+        names.append("_commit_version")
+        yield pa.RecordBatch.from_arrays(cols, names=names)
+
+
+class SnapstoreCdfBatchReader(DataSourceReader):
+    """Batch form of the change feed (Delta's ``table_changes``):
+    ``spark.read.format("snapstore").option("readChangeFeed", "true")
+    .option("sinceVersion", N)[.option("untilVersion", M)].load(root)``
+    — the same span contract as ``snap_read_changes_cdf``, planned as
+    one partition per change file."""
+
+    def __init__(self, root: str, since: int, until: int | None) -> None:
+        self._root = root
+        cur = ss.snap_current_version(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+        self._since = since
+        self._until = cur if until is None else until
+        self._schema_json = ss._read_manifest(root, self._until)["schema"]
+        self._cdf_schema_json = ss._cdf_schema(
+            T.StructType.fromJson(json.loads(self._schema_json))
+        ).json()
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _plan_cdf_partitions(
+            self._root,
+            self._since,
+            self._until,
+            self._schema_json,
+            self._cdf_schema_json,
+        )
+
+    def read(self, partition: CdfFilePartition) -> Iterator:
+        return _read_cdf_partition(partition)
+
+
 class SnapstoreCdfStreamReader(DataSourceStreamReader):
     """``readStream.format("snapstore").option("readChangeFeed", "true")``
     — the CHANGE FEED as a stream (Delta's CDF streaming): each
@@ -337,13 +435,9 @@ class SnapstoreCdfStreamReader(DataSourceStreamReader):
         if cur is None:
             raise FileNotFoundError(f"no committed version in {root}")
         self._schema_json = ss._read_manifest(root, cur)["schema"]
-        self._cdf_schema_json = json.dumps(
-            json.loads(
-                ss._cdf_schema(
-                    T.StructType.fromJson(json.loads(self._schema_json))
-                ).json()
-            )
-        )
+        self._cdf_schema_json = ss._cdf_schema(
+            T.StructType.fromJson(json.loads(self._schema_json))
+        ).json()
 
     def initialOffset(self) -> dict:
         return {"version": self._since}
@@ -353,70 +447,16 @@ class SnapstoreCdfStreamReader(DataSourceStreamReader):
         return {"version": self._since if cur is None else max(cur, self._since)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        lo, hi = int(start["version"]), int(end["version"])
-        if hi <= lo:
-            return []
-        parts: list[CdfFilePartition] = []
-        if lo < 0:
-            # initial snapshot at hi: DV-applied current state as inserts
-            m = ss._read_manifest(self._root, hi)
-            dv = _load_dv_map(m)
-            for f in m["files"]:
-                parts.append(
-                    CdfFilePartition(
-                        f, self._schema_json, hi, "insert", dv.get(f)
-                    )
-                )
-            return parts
-        prev_files = set(ss._read_manifest(self._root, lo)["files"])
-        for v in range(lo + 1, hi + 1):
-            m = ss._read_manifest(self._root, v)
-            files = set(m["files"])
-            if m["mode"] == "append":
-                for f in sorted(files - prev_files):
-                    parts.append(
-                        CdfFilePartition(f, self._schema_json, v, "insert")
-                    )
-            elif m["mode"] == "merge":
-                if not m.get("cdf"):
-                    raise ValueError(
-                        f"snapstore change-feed stream: version {v} is a "
-                        "DML commit recorded before snap_enable_cdf — no "
-                        "sidecar exists; restart the cursor after the "
-                        "enable version"
-                    )
-                for f in m.get("cdf_files") or []:
-                    parts.append(
-                        CdfFilePartition(f, self._cdf_schema_json, v, None)
-                    )
-            elif m["mode"] == "overwrite" and m.get("content_preserving"):
-                pass  # compact/optimize: zero logical change
-            else:
-                raise ValueError(
-                    f"snapstore change-feed stream: version {v} is a "
-                    f"lineage reset ({m['mode']}) — restart the stream "
-                    "from a fresh checkpoint (initial snapshot)"
-                )
-            prev_files = files
-        return parts
+        return _plan_cdf_partitions(
+            self._root,
+            int(start["version"]),
+            int(end["version"]),
+            self._schema_json,
+            self._cdf_schema_json,
+        )
 
     def read(self, partition: CdfFilePartition) -> Iterator:
-        import pyarrow as pa
-
-        for batch in _read_file_as_batches(
-            partition.file, partition.schema_json, partition.deleted
-        ):
-            n = batch.num_rows
-            cols = list(batch.columns)
-            names = list(batch.schema.names)
-            if partition.change_type is not None:
-                cols.append(pa.array([partition.change_type] * n, pa.string()))
-                names.append("_change_type")
-            cols.append(
-                pa.array([partition.commit_version] * n, pa.int64())
-            )
-            names.append("_commit_version")
-            yield pa.RecordBatch.from_arrays(cols, names=names)
+        return _read_cdf_partition(partition)
 
     def commit(self, end: dict) -> None:
         pass  # the checkpoint owns the cursor; manifests are immutable
@@ -668,9 +708,11 @@ class SnapstoreDataSource(DataSource):
     Options: ``path`` (the store root, required), ``version`` (batch
     time travel), ``sinceVersion`` (stream cursor: deliver changes
     AFTER this version; default -1 = initial snapshot then appends),
-    ``readChangeFeed`` ("true" on a stream read = row-level CHANGE FEED:
-    rows carry ``_change_type`` + ``_commit_version`` and DML commits
-    are served from their cdf sidecars instead of refusing)."""
+    ``readChangeFeed`` ("true" = row-level CHANGE FEED: rows carry
+    ``_change_type`` + ``_commit_version`` and DML commits are served
+    from their cdf sidecars instead of refusing — on a stream read with
+    versions-as-offsets, or on a batch read with ``sinceVersion``
+    (required) and optional ``untilVersion``, Delta's table_changes)."""
 
     def _read_change_feed(self) -> bool:
         raw = self.options.get("readchangefeed") or self.options.get(
@@ -694,6 +736,11 @@ class SnapstoreDataSource(DataSource):
     def schema(self) -> T.StructType:
         root = self._root()
         v = self.options.get("version")
+        if v is None and self._read_change_feed():
+            # batch CDF aligns to the span-end schema
+            v = self.options.get("untilVersion") or self.options.get(
+                "untilversion"
+            )
         v = int(v) if v is not None else ss.snap_current_version(root)
         if v is None:
             raise FileNotFoundError(f"no committed version in {root}")
@@ -707,7 +754,25 @@ class SnapstoreDataSource(DataSource):
             )
         return schema
 
-    def reader(self, schema: T.StructType) -> SnapstoreBatchReader:
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        if self._read_change_feed():
+            since = self.options.get("sinceVersion") or self.options.get(
+                "sinceversion"
+            )
+            if since is None:
+                raise ValueError(
+                    "batch readChangeFeed needs sinceVersion (changes are "
+                    "delivered for versions AFTER it; -1 = initial "
+                    "snapshot + all changes)"
+                )
+            until = self.options.get("untilVersion") or self.options.get(
+                "untilversion"
+            )
+            return SnapstoreCdfBatchReader(
+                self._root(),
+                int(since),
+                int(until) if until is not None else None,
+            )
         v = self.options.get("version")
         return SnapstoreBatchReader(
             self._root(), int(v) if v is not None else None
