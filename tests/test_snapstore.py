@@ -1900,3 +1900,27 @@ def test_snap_history_reports_cdf_volume(spark, tmp_path):
     assert h[1]["cdf"] and h[1]["n_change_rows"] == 0
     assert h[2]["cdf"] and h[2]["n_change_rows"] == 6
     assert h[3]["cdf"] and h[3]["n_change_rows"] == 1
+
+
+def test_guarded_user_overwrite_is_not_content_preserving(spark, tmp_path):
+    """content_preserving is an EXPLICIT maintenance marker, never
+    inferred from expected_parent: a WAP overwrite published under a
+    concurrency guard is a real data change — the change feed must
+    refuse to cross it (skipping it would silently lose the rewrite),
+    and it drops constraints like any user overwrite. Maintenance
+    commits (compact) still read as zero-change."""
+    root = str(tmp_path / "t_cp")
+    ss.snap_commit(_df(spark, 0, 10), root)            # v0
+    since = ss.snap_enable_cdf(root)                   # v1
+    ss.snap_compact(spark, root, target_file_mb=64)    # v2: maintenance
+    assert ss.snap_read_changes_cdf(spark, root, since).count() == 0
+    sid = ss.snap_stage(_df(spark, 50, 55), root)
+    cur = ss.snap_current_version(root)
+    v3 = ss.snap_publish_staged(
+        root, sid, mode="overwrite", expected_parent=cur
+    )
+    m = ss._read_manifest(root, v3)
+    assert not m.get("content_preserving")
+    assert not m.get("cdf")  # user overwrite: new shape re-opts-in
+    with pytest.raises(ValueError, match="lineage reset"):
+        ss.snap_read_changes_cdf(spark, root, since)

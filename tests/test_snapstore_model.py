@@ -139,6 +139,23 @@ class SnapstoreMachine(RuleBasedStateMachine):
         # maintenance rewrites preserve rows, schema AND constraints
         self._push(*self._cur())
 
+    @precondition(lambda self: self.versions)
+    @rule()
+    def auto_optimize(self):
+        """Measure-then-maintain: either a no-op (manifest-only report)
+        or a content-preserving clustered rewrite — whichever the layout
+        report decides, the data, constraints, cdf flag, and change-feed
+        span must survive it."""
+        out = ss.snap_auto_optimize(
+            self.spark, self.root, cluster_by=["id"], target_file_mb=1
+        )
+        if out["action"] == "noop":
+            assert out["version"] is None
+            assert ss.snap_current_version(self.root) == len(self.versions) - 1
+        else:
+            assert out["version"] == len(self.versions)
+            self._push(*self._cur())
+
     # ---- row-level DML ----------------------------------------------
 
     @precondition(lambda self: self.versions)

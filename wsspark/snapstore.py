@@ -336,6 +336,7 @@ def _resolve_commit(
     bloom_k: int,
     evolve: bool,
     expected_parent: int | None = None,
+    maintenance: bool = False,
 ) -> dict:
     """Shared first phase of a commit (used by ``snap_commit`` and the
     ``format("snapstore")`` distributed writer): resolve parent/version,
@@ -377,15 +378,17 @@ def _resolve_commit(
         "constraints": {},
         "cdf": False,
     }
-    if mode == "overwrite" and expected_parent is not None and parent is not None:
-        # A pinned overwrite is a MAINTENANCE rewrite of the same logical
-        # data (compact/optimize pin a version, scan it, republish) — the
+    if mode == "overwrite" and maintenance and parent is not None:
+        # A MAINTENANCE rewrite republishes the same logical data
+        # (compact/optimize pin a version, scan it, rewrite) — the
         # table's CHECK constraints must survive it, exactly as Delta's
-        # OPTIMIZE preserves table metadata. Only an explicit user
-        # overwrite (no pinned parent = a deliberate new shape) drops
-        # them for re-adding. The CDF flag rides the same rule, and the
-        # commit is marked content-preserving so a change-feed read can
-        # cross it as a zero-change commit instead of refusing.
+        # OPTIMIZE preserves table metadata, and the commit is marked
+        # content-preserving so a change-feed read crosses it as a
+        # zero-change commit instead of refusing. The flag is EXPLICIT
+        # (passed only by compact/optimize), never inferred from
+        # expected_parent alone: a user overwrite published under a
+        # concurrency guard (e.g. a WAP overwrite) is a deliberate new
+        # shape whose changes a feed must refuse, not skip.
         pm_pin = _read_manifest(root, parent)
         ctx["constraints"] = pm_pin.get("constraints", {})
         ctx["cdf"] = pm_pin.get("cdf", False)
@@ -614,6 +617,7 @@ def snap_commit(
     bloom_k: int = 4,
     evolve: bool = False,
     expected_parent: int | None = None,
+    maintenance: bool = False,
 ) -> int:
     """Publish ``df`` as the next version; returns the version number.
 
@@ -655,6 +659,7 @@ def snap_commit(
         bloom_k,
         evolve,
         expected_parent=expected_parent,
+        maintenance=maintenance,
     )
     # table CHECK constraints gate the incoming rows BEFORE any file is
     # written (one fused aggregation; ConstraintViolation, not a publish)
@@ -1542,6 +1547,7 @@ def snap_compact(
         bloom_bits=bloom_bits,
         bloom_k=bloom_k,
         expected_parent=version,
+        maintenance=True,
     )
 
 
@@ -2127,6 +2133,7 @@ def snap_optimize(
                 bloom_bits=bloom_bits,
                 bloom_k=bloom_k,
                 expected_parent=version,
+                maintenance=True,
             )
         rng = [
             (float(b[f"_lo{i}"]), float(b[f"_hi{i}"]))
@@ -2159,6 +2166,7 @@ def snap_optimize(
         bloom_bits=bloom_bits,
         bloom_k=bloom_k,
         expected_parent=version,
+        maintenance=True,
     )
 
 
