@@ -2898,6 +2898,76 @@ ORDER BY 1
 """
 
 
+def q_snapstore_merge_sync_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional / full-sync MERGE surface under the driver hash
+    gate: a part-keyed store full-synced against a source slice with
+    when_not_matched_by_source='delete' (store mirrors the source key
+    set) AND matched_condition (only matched rows whose stored quantity
+    exceeds a floor take the update; the rest survive verbatim). The
+    twin replays the three clause routes relationally — a wrong
+    condition polarity, a lost by-source delete, or a collapsed
+    kept-row goes red."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem")
+    # key-unique store and source frames derived deterministically
+    store_df = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .withColumnRenamed("l_partkey", "part")
+    )
+    source = (
+        li.filter("l_partkey % 3 = 0")
+        .groupBy("l_partkey")
+        .agg((F.sum("l_quantity") * 2).alias("qty"))
+        .withColumnRenamed("l_partkey", "part")
+    )
+    root = tempfile.mkdtemp(prefix="snapsync-")
+    try:
+        ss.snap_commit(store_df.repartition(4), root)
+        ss.snap_merge(
+            spark,
+            root,
+            source,
+            on=["part"],
+            matched_condition="qty > 500",
+            when_not_matched_by_source="delete",
+        )
+        out = ss.snap_read(spark, root)
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_MERGE_SYNC_SQL = """
+WITH store AS (
+    SELECT l_partkey AS part, SUM(l_quantity) AS qty
+    FROM lineitem GROUP BY 1
+),
+src AS (
+    SELECT l_partkey AS part, SUM(l_quantity) * 2 AS qty
+    FROM lineitem WHERE l_partkey % 3 = 0 GROUP BY 1
+)
+-- matched + condition holds: source row wins
+SELECT s.part, src.qty FROM store s JOIN src USING (part)
+WHERE s.qty > 500
+UNION ALL
+-- matched + condition fails: store row survives verbatim
+SELECT s.part, s.qty FROM store s JOIN src USING (part)
+WHERE NOT (s.qty > 500)
+UNION ALL
+-- unmatched source keys insert (store is a superset here, but the
+-- clause is replayed for honesty)
+SELECT src.part, src.qty FROM src
+WHERE part NOT IN (SELECT part FROM store)
+-- unmatched store rows are DELETED by the by-source clause: absent
+"""
+
+
 def q_mv_refresh_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF-driven MV maintenance under the driver hash gate: commit the
     movements fact to a snapstore, take the initial MV, then UPDATE and
@@ -4747,6 +4817,12 @@ FOLDED_QUERIES = [
     # fact replayed relationally.
     Query("mv_refresh_cdf", q_mv_refresh_cdf, MV_REFRESH_CDF_SQL,
           "change-feed-driven incremental MV maintenance under DML"),
+    # Born folded (r12): the conditional + full-sync MERGE clauses —
+    # matched_condition gates per store row, by-source delete mirrors
+    # the source key set; twin replays all three clause routes.
+    Query("snapstore_merge_sync_read", q_snapstore_merge_sync_read,
+          SNAPSTORE_MERGE_SYNC_SQL,
+          "conditional WHEN MATCHED + not-matched-by-source sync merge"),
     # Born folded (r11): the three classic decorrelation shapes the
     # TPC-H set lacked (no partsupp table in the testdata, so each shape
     # rides lineitem's part/supplier relationships).
