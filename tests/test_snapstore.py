@@ -1924,3 +1924,96 @@ def test_guarded_user_overwrite_is_not_content_preserving(spark, tmp_path):
     assert not m.get("cdf")  # user overwrite: new shape re-opts-in
     with pytest.raises(ValueError, match="lineage reset"):
         ss.snap_read_changes_cdf(spark, root, since)
+
+
+def test_overwrite_where_replaces_region_atomically(spark, tmp_path):
+    """replaceWhere: matching rows vanish, incoming rows land, both in
+    ONE version; non-matching rows in touched files carry over; files
+    with no match keep their manifest entries verbatim; empty new data
+    degenerates to delete_where; NULL-condition rows are kept."""
+    root = str(tmp_path / "t_rw")
+    ss.snap_commit(_df(spark, 0, 100).repartitionByRange(4, "id"), root)
+    m0 = ss._read_manifest(root, 0)
+    repl = spark.range(0, 5).select(
+        F.col("id"), F.lit(-1).cast("long").alias("val")
+    )
+    v1 = ss.snap_overwrite_where(spark, root, "id < 10", repl)
+    assert v1 == 1
+    rows = {r.id: r.val for r in ss.snap_read(spark, root, v1).collect()}
+    # ids 0-9 replaced by ids 0-4 with val=-1; 10.. untouched
+    assert len(rows) == 95
+    assert all(rows[i] == -1 for i in range(5))
+    assert all(i not in rows for i in range(5, 10))
+    assert rows[50] == 100
+    # one atomic version: parent still reads the pre-replace state
+    assert ss.snap_read(spark, root, 0).count() == 100
+    # untouched parent files survive verbatim in the child manifest
+    m1 = ss._read_manifest(root, 1)
+    assert set(m1["files"]) & set(m0["files"]), "pruned COW kept untouched files"
+    # empty replacement == delete_where
+    empty = spark.createDataFrame([], ss.snap_read(spark, root).schema)
+    v2 = ss.snap_overwrite_where(spark, root, "id >= 90", empty)
+    assert ss.snap_count(root, v2) == 85
+    # NULL-condition rows are outside the region: kept
+    null_df = spark.sql(
+        "select cast(null as long) as id, cast(7 as long) as val"
+    )
+    ss.snap_commit(null_df, root, "append")
+    v4 = ss.snap_overwrite_where(
+        spark, root, "id < 20",
+        spark.sql("select cast(1 as long) id, cast(0 as long) val"),
+    )
+    vals = [r.val for r in ss.snap_read(spark, root, v4).filter("id is null").collect()]
+    assert vals == [7]
+
+
+def test_overwrite_where_gates_and_integrations(spark, tmp_path):
+    """replaceWhere validation + integration: incoming rows violating
+    the predicate raise with an example; schema must match exactly;
+    CHECK constraints gate the commit; dv-deleted rows do not
+    resurrect through the rewrite; CDF records delete+insert."""
+    root = str(tmp_path / "t_rwg")
+    ss.snap_commit(_df(spark, 0, 40).repartition(2), root)
+    # predicate gate (Delta parity): rows outside the region refuse
+    with pytest.raises(ValueError, match="satisfy the overwrite predicate"):
+        ss.snap_overwrite_where(spark, root, "id < 10", _df(spark, 5, 15))
+    # NULL predicate value = does not satisfy
+    with pytest.raises(ValueError, match="satisfy the overwrite predicate"):
+        ss.snap_overwrite_where(
+            spark, root, "id < 10",
+            spark.sql("select cast(null as long) id, cast(0 as long) val"),
+        )
+    # schema gate
+    with pytest.raises(ValueError, match="schema must equal"):
+        ss.snap_overwrite_where(
+            spark, root, "id < 10", spark.range(0, 1).select("id")
+        )
+    # constraint gate: carried + incoming rows validate like any commit
+    ss.snap_add_constraint(spark, root, "val_nonneg", "val >= -5")
+    with pytest.raises(ss.ConstraintViolation):
+        ss.snap_overwrite_where(
+            spark, root, "id < 3",
+            spark.range(0, 1).select(
+                F.col("id"), F.lit(-100).cast("long").alias("val")
+            ),
+        )
+    # dv-deleted rows stay deleted through the rewrite
+    ss.snap_delete_dv(spark, root, "id = 7")
+    ss.snap_enable_cdf(root)
+    since = ss.snap_current_version(root)
+    repl = spark.range(0, 2).select(
+        F.col("id"), F.lit(-1).cast("long").alias("val")
+    )
+    v = ss.snap_overwrite_where(spark, root, "id < 10", repl)
+    ids = {r.id for r in ss.snap_read(spark, root, v).collect()}
+    assert 7 not in ids and ids >= {0, 1, 10}
+    # CDF: 9 deletes (0-9 minus dv'd 7) + 2 inserts, readable as a feed
+    feed = ss.snap_read_changes_cdf(spark, root, since=since).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by_type["delete"] == set(range(10)) - {7}
+    assert by_type["insert"] == {0, 1}
+    # file-diff CDC refuses the merge-mode commit honestly
+    with pytest.raises(ValueError, match="not an append set"):
+        ss.snap_read_changes(spark, root, since=since)

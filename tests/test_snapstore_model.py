@@ -230,6 +230,28 @@ class SnapstoreMachine(RuleBasedStateMachine):
             cdf,
         )
 
+    @precondition(lambda self: self.versions)
+    @rule(back=st.integers(min_value=0, max_value=8), n=st.integers(0, 4))
+    def overwrite_where(self, back, n):
+        """replaceWhere: atomically swap the id >= K region for n fresh
+        rows (fresh ids are monotone, so they always satisfy the
+        predicate). Exercises pruned-COW carryover, dv consolidation,
+        the CDF delete+insert sidecar, and the constraint gate in one
+        commit."""
+        cur_rows, has_note, chk, cdf = self._cur()
+        k = max(0, self.next_id - back)
+        new = self._fresh(n, noted=has_note)
+        v = ss.snap_overwrite_where(
+            self.spark,
+            self.root,
+            f"id >= {k}",
+            _mk_df(self.spark, new, has_note),
+        )
+        assert v == len(self.versions)
+        self._push(
+            [r for r in cur_rows if r[0] < k] + new, has_note, chk, cdf
+        )
+
     # ---- restore ------------------------------------------------------
 
     @precondition(lambda self: self.versions)

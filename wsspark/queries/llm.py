@@ -2968,6 +2968,64 @@ WHERE part NOT IN (SELECT part FROM store)
 """
 
 
+def q_snapstore_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic selective overwrite (Delta's replaceWhere) under the
+    driver-grade hash gate: a part-keyed store takes a merge-on-read DV
+    delete first (part % 7 = 1), then ONE snap_overwrite_where commit
+    swaps the part % 5 = 0 region for replacement rows covering only
+    the part % 10 = 0 subset (so the region shrinks: deletes and
+    inserts are both nontrivial). The twin replays the final state
+    relationally — a resurrection of dv-deleted rows through the COW
+    carryover, a kept row inside the replaced region, or a lost
+    replacement row goes red."""
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem")
+    store_df = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .withColumnRenamed("l_partkey", "part")
+    )
+    repl = (
+        li.filter("l_partkey % 10 = 0")
+        .groupBy("l_partkey")
+        .agg((F.sum("l_quantity") * 3).alias("qty"))
+        .withColumnRenamed("l_partkey", "part")
+    )
+    root = tempfile.mkdtemp(prefix="snaprepl-")
+    try:
+        ss.snap_commit(store_df.repartition(4), root)
+        ss.snap_delete_dv(spark, root, "part % 7 = 1")
+        ss.snap_overwrite_where(spark, root, "part % 5 = 0", repl)
+        out = ss.snap_read(spark, root)
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_REPLACE_WHERE_SQL = """
+WITH store AS (
+    SELECT l_partkey AS part, SUM(l_quantity) AS qty
+    FROM lineitem GROUP BY 1
+),
+repl AS (
+    SELECT l_partkey AS part, SUM(l_quantity) * 3 AS qty
+    FROM lineitem WHERE l_partkey % 10 = 0 GROUP BY 1
+)
+-- carried rows: outside the replaced region AND not dv-deleted
+SELECT part, qty FROM store
+WHERE NOT (part % 5 = 0) AND NOT (part % 7 = 1)
+UNION ALL
+-- the replacement region's new contents (dv-deleted parts re-enter
+-- here if the replacement covers them: the insert is a new row)
+SELECT part, qty FROM repl
+"""
+
+
 def q_mv_refresh_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF-driven MV maintenance under the driver hash gate: commit the
     movements fact to a snapstore, take the initial MV, then UPDATE and
@@ -4817,6 +4875,13 @@ FOLDED_QUERIES = [
     # fact replayed relationally.
     Query("mv_refresh_cdf", q_mv_refresh_cdf, MV_REFRESH_CDF_SQL,
           "change-feed-driven incremental MV maintenance under DML"),
+    # Born folded (r12): atomic selective overwrite — Delta's
+    # replaceWhere as ONE pruned-COW commit (delete region + insert
+    # replacement, predicate-gated incoming rows), over a dv-carrying
+    # store; twin replays carried + replacement branches relationally.
+    Query("snapstore_replace_where_read", q_snapstore_replace_where_read,
+          SNAPSTORE_REPLACE_WHERE_SQL,
+          "replaceWhere: atomic region swap over a dv-carrying store"),
     # Born folded (r12): the conditional + full-sync MERGE clauses —
     # matched_condition gates per store row, by-source delete mirrors
     # the source key set; twin replays all three clause routes.

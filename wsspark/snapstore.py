@@ -2849,3 +2849,107 @@ def snap_delete_where(
     return _rewrite_commit(
         spark, root, m, touched, new_data, "merge", tag, changes=changes
     )
+
+
+def snap_overwrite_where(
+    spark: SparkSession,
+    root: str,
+    condition,
+    new_data: DataFrame,
+    tag: int | str | None = None,
+) -> int:
+    """Atomic SELECTIVE OVERWRITE — Delta Lake's ``replaceWhere``: in
+    ONE commit, delete every stored row matching ``condition`` (a
+    Column or SQL string) and insert ``new_data`` in its place. The
+    canonical backfill/restatement primitive: "replace March" is one
+    atomic version, never a delete commit a reader can observe before
+    the insert lands.
+
+    Semantics (Delta parity):
+
+    - ``new_data``'s schema must equal the store schema exactly (a
+      replace cannot evolve the schema — evolution is an explicit
+      append contract).
+    - EVERY incoming row must satisfy ``condition`` (NULL = does not
+      satisfy, the SQL convention) — otherwise the commit would write
+      rows outside the region it claims to replace; violations raise
+      with an example row. Like the CHECK-constraint gate this is a
+      pre-write validation pass, so ``new_data`` is evaluated twice —
+      pass a deterministic frame (checkpoint nondeterministic inputs).
+    - Empty ``new_data`` is legal and equals ``snap_delete_where``.
+
+    COPY-ON-WRITE, PRUNED: only files that actually CONTAIN a matching
+    row rewrite (their non-matching rows are carried over, read
+    DV-correctly through ``_source_frame``); untouched files keep their
+    manifest entries, stats, and blooms verbatim. Readers pinned to the
+    parent stay snapshot-isolated. The commit's mode is "merge": the
+    file-diff CDC reader refuses it honestly, while with CDF enabled
+    the feed records the replaced rows as ``delete`` and the incoming
+    rows as ``insert`` (exactly the retraction algebra the CDF-driven
+    MV maintainer consumes). Table CHECK constraints gate the carried +
+    incoming rows like every data-introducing commit. Returns the new
+    version; raises ``SnapshotConflict`` on a lost commit race.
+    """
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    version = snap_current_version(root)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if [(f.name, f.dataType) for f in schema.fields] != [
+        (f.name, f.dataType) for f in new_data.schema.fields
+    ]:
+        raise ValueError(
+            "replacement data schema must equal the store schema exactly"
+        )
+    offender = (
+        new_data.filter(~F.coalesce(cond, F.lit(False))).limit(1).collect()
+    )
+    if offender:
+        raise ValueError(
+            "replacement rows must satisfy the overwrite predicate; e.g. "
+            + ", ".join(
+                f"{k}={v!r}" for k, v in offender[0].asDict().items()
+            )
+        )
+    if not m["files"]:
+        changes = (
+            new_data.withColumn("_change_type", F.lit("insert"))
+            if m.get("cdf")
+            else None
+        )
+        return _rewrite_commit(
+            spark, root, m, [], new_data, "merge", tag, changes=changes
+        )
+    store = _source_frame(spark, m, file_col="_sf")
+    touched = [
+        r["_sf"]
+        for r in store.filter(cond).select("_sf").distinct().collect()
+    ]
+    unknown = set(touched) - set(m["files"])
+    if unknown:
+        raise RuntimeError(f"discovered files outside the manifest: {unknown}")
+    if touched:
+        # NULL-condition rows are KEPT (they are outside the replaced
+        # region, same convention as the discovery filter)
+        kept = _source_frame(spark, m, touched).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        out = kept.unionByName(new_data)
+    else:
+        out = new_data
+    changes = None
+    if m.get("cdf"):
+        deleted = (
+            _source_frame(spark, m, touched)
+            .filter(F.coalesce(cond, F.lit(False)))
+            .withColumn("_change_type", F.lit("delete"))
+            if touched
+            else spark.createDataFrame([], _cdf_schema(schema))
+        )
+        changes = deleted.unionByName(
+            new_data.withColumn("_change_type", F.lit("insert"))
+        )
+    return _rewrite_commit(
+        spark, root, m, touched, out, "merge", tag, changes=changes
+    )
