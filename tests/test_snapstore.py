@@ -2017,3 +2017,72 @@ def test_overwrite_where_gates_and_integrations(spark, tmp_path):
     # file-diff CDC refuses the merge-mode commit honestly
     with pytest.raises(ValueError, match="not an append set"):
         ss.snap_read_changes(spark, root, since=since)
+
+
+def test_shallow_clone_zero_copy_and_write_isolation(spark, tmp_path):
+    """SHALLOW CLONE: the clone reads the pinned source snapshot
+    (dv-correct) without copying a byte; writes to the clone (append,
+    COW delete, compact) land under the CLONE's root and never mutate
+    the source; constraints transfer; clone-side vacuum cannot collect
+    source-owned files; cloning into a non-empty root refuses."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ss.snap_commit(_df(spark, 0, 50).repartitionByRange(4, "id"), src)
+    ss.snap_delete_dv(spark, src, "id = 3")
+    ss.snap_add_constraint(spark, src, "val_nonneg", "val >= 0")
+    ss.snap_set_ref(src, "gold")
+    v = ss.snap_clone(src, dst, "gold")
+    assert v == 0
+    # zero copy: every referenced file lives under the source root
+    m = ss._read_manifest(dst, 0)
+    assert m["files"] and all(f.startswith(src) for f in m["files"])
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    # dv state transferred: id=3 is gone in the clone too
+    ids = {r.id for r in ss.snap_read(spark, dst).collect()}
+    assert ids == set(range(50)) - {3}
+    # constraint transferred: a violating append on the CLONE refuses
+    bad = spark.sql("select cast(99 as long) id, cast(-1 as long) val")
+    with pytest.raises(ss.ConstraintViolation):
+        ss.snap_commit(bad, dst, "append")
+    # clone-side DML: source stays byte-identical
+    ss.snap_commit(_df(spark, 100, 110), dst, "append")
+    ss.snap_delete_where(spark, dst, "id < 10")
+    got = {r.id for r in ss.snap_read(spark, dst).collect()}
+    assert got == (set(range(10, 50)) | set(range(100, 110)))
+    assert {r.id for r in ss.snap_read(spark, src).collect()} == set(
+        range(50)
+    ) - {3}
+    # the COW rewrite wrote ONLY under the clone's root
+    m2 = ss._read_manifest(dst, ss.snap_current_version(dst))
+    assert any(f.startswith(dst) for f in m2["files"])
+    # clone-side vacuum walks only the clone's data dir: source intact
+    ss.snap_vacuum(dst, keep_last=1, staged_grace_minutes=0)
+    assert ss.snap_read(spark, src).count() == 49
+    assert ss.snap_read(spark, dst).count() == 50
+    # refuse cloning onto an existing table
+    with pytest.raises(ValueError, match="already has a committed version"):
+        ss.snap_clone(src, dst)
+
+
+def test_shallow_clone_source_vacuum_caveat(spark, tmp_path):
+    """The documented Delta-parity caveat: the source does not know its
+    files are referenced by clones — a source vacuum that drops the
+    cloned-from version breaks the clone's reads (pin the source
+    version with a ref to prevent it)."""
+    src = str(tmp_path / "csrc")
+    dst = str(tmp_path / "cdst")
+    ss.snap_commit(_df(spark, 0, 20), src)
+    ss.snap_clone(src, dst)
+    ss.snap_commit(_df(spark, 100, 105), src, "overwrite")
+    ss.snap_vacuum(src, keep_last=1, staged_grace_minutes=0)
+    with pytest.raises(Exception):
+        ss.snap_read(spark, dst).collect()
+    # with the cloned-from version pinned by a ref, the clone survives
+    src2 = str(tmp_path / "csrc2")
+    dst2 = str(tmp_path / "cdst2")
+    ss.snap_commit(_df(spark, 0, 20), src2)
+    ss.snap_set_ref(src2, "cloned")
+    ss.snap_clone(src2, dst2, "cloned")
+    ss.snap_commit(_df(spark, 100, 105), src2, "overwrite")
+    ss.snap_vacuum(src2, keep_last=1, staged_grace_minutes=0)
+    assert ss.snap_read(spark, dst2).count() == 20

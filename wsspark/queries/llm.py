@@ -3026,6 +3026,56 @@ SELECT part, qty FROM repl
 """
 
 
+def q_snapstore_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE write isolation under the driver-grade hash gate:
+    clone a part-keyed store (zero copy — the clone's manifest
+    references the source's files), run DML on the CLONE only (a COW
+    delete of the part % 4 = 2 region), then read BOTH sides tagged.
+    The twin replays source = untouched store, clone = store minus the
+    deleted region — a clone DML that leaks into the source, or a
+    clone read that misses the source snapshot, goes red."""
+    import os
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem")
+    store_df = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .withColumnRenamed("l_partkey", "part")
+    )
+    base = tempfile.mkdtemp(prefix="snapclone-")
+    src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+    try:
+        ss.snap_commit(store_df.repartition(4), src)
+        ss.snap_clone(src, dst)
+        ss.snap_delete_where(spark, dst, "part % 4 = 2")
+        out = (
+            ss.snap_read(spark, dst)
+            .withColumn("side", F.lit("clone"))
+            .unionByName(
+                ss.snap_read(spark, src).withColumn("side", F.lit("src"))
+            )
+        )
+        rows = _collect_capped(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_CLONE_SQL = """
+WITH store AS (
+    SELECT l_partkey AS part, SUM(l_quantity) AS qty
+    FROM lineitem GROUP BY 1
+)
+SELECT part, qty, 'clone' AS side FROM store WHERE NOT (part % 4 = 2)
+UNION ALL
+SELECT part, qty, 'src' AS side FROM store
+"""
+
+
 def q_mv_refresh_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF-driven MV maintenance under the driver hash gate: commit the
     movements fact to a snapstore, take the initial MV, then UPDATE and
@@ -4875,6 +4925,12 @@ FOLDED_QUERIES = [
     # fact replayed relationally.
     Query("mv_refresh_cdf", q_mv_refresh_cdf, MV_REFRESH_CDF_SQL,
           "change-feed-driven incremental MV maintenance under DML"),
+    # Born folded (r12): SHALLOW CLONE — zero-copy manifest-reference
+    # clone (Delta CLONE); DML on the clone must never mutate the
+    # source; twin replays both sides of the tagged union.
+    Query("snapstore_clone_read", q_snapstore_clone_read,
+          SNAPSTORE_CLONE_SQL,
+          "shallow clone write isolation: DML'd clone + intact source"),
     # Born folded (r12): atomic selective overwrite — Delta's
     # replaceWhere as ONE pruned-COW commit (delete region + insert
     # replacement, predicate-gated incoming rows), over a dv-carrying

@@ -2953,3 +2953,71 @@ def snap_overwrite_where(
     return _rewrite_commit(
         spark, root, m, touched, out, "merge", tag, changes=changes
     )
+
+
+def snap_clone(
+    root_src: str,
+    root_dst: str,
+    version: int | str | None = None,
+) -> int:
+    """SHALLOW CLONE — Delta Lake's ``CREATE TABLE ... SHALLOW CLONE``:
+    publish ``root_dst`` version 0 whose manifest REFERENCES the source
+    snapshot's data files (plus dv sidecars, per-file stats/blooms, and
+    CHECK constraints) without copying a byte. The
+    experiment-on-production primitive: clone, then append / DML /
+    optimize the clone freely — every write lands under the CLONE's
+    root (COW rewrites included), so the source is never mutated, and
+    the clone's own ``snap_vacuum`` only walks the clone's data dir, so
+    it can never collect source-owned files.
+
+    ``version`` may be an int, a NAMED REF string, or None (CURRENT).
+    The change-feed flag does NOT transfer (the clone starts a fresh
+    lineage with no sidecar history — enable it on the clone if
+    wanted); the clone's version 0 is a base snapshot — CDC spans can
+    only start AT it, never cross it.
+
+    DOCUMENTED CAVEAT (Delta parity): the SOURCE table does not know
+    its files are referenced elsewhere — a ``snap_vacuum`` on the
+    source that drops the cloned-from version collects files the clone
+    still references, breaking the clone's reads. Pin the cloned-from
+    version with ``snap_set_ref`` on the source for as long as the
+    clone must stay readable.
+
+    Raises if ``root_dst`` already has a committed version. Returns 0.
+    """
+    if version is not None:
+        version = _resolve_version(root_src, version)
+    else:
+        version = snap_current_version(root_src)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root_src}")
+    if snap_current_version(root_dst) is not None:
+        raise ValueError(
+            f"clone target {root_dst} already has a committed version"
+        )
+    m = _read_manifest(root_src, version)
+    os.makedirs(_manifest_dir(root_dst), exist_ok=True)
+    ctx = {
+        "parent": None,
+        "version": 0,
+        "parent_files": list(m["files"]),
+        "parent_stats": dict(m.get("file_stats", {})),
+        "parent_blooms": dict(m.get("file_blooms", {})),
+        "parent_bloom_meta": dict(m.get("bloom_meta", {})),
+        "parent_file_meta": dict(m.get("file_meta", {})),
+        "manifest_schema": T.StructType.fromJson(json.loads(m["schema"])),
+        "dv_files": list(m.get("dv_files") or []),
+        "constraints": dict(m.get("constraints", {})),
+    }
+    return _publish_commit(
+        root_dst,
+        ctx,
+        "clone",
+        f"clone:{root_src}@{version}",
+        [],
+        {},
+        {},
+        {},
+        {},
+        cleanup_dir=None,
+    )
