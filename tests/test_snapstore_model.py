@@ -252,6 +252,40 @@ class SnapstoreMachine(RuleBasedStateMachine):
             [r for r in cur_rows if r[0] < k] + new, has_note, chk, cdf
         )
 
+    @precondition(lambda self: self.versions)
+    @rule()
+    def clone_probe(self):
+        """SHALLOW CLONE equivalence + write isolation from ANY store
+        state the machine can reach (dv-carrying, constrained,
+        post-restore, post-WAP...): the clone must read the model rows
+        exactly, and DML on the clone must not change the source (the
+        step invariants re-verify every retained source version)."""
+        dst = tempfile.mkdtemp(prefix="snapclonemdl-")
+        try:
+            ss.snap_clone(self.root, dst)
+            rows, has_note, chk, _ = self._cur()
+            got = ss.snap_read(self.spark, dst).collect()
+            if has_note:
+                have = sorted((r.id, r.val, r.note) for r in got)
+                want = sorted(rows)
+            else:
+                have = sorted((r.id, r.val) for r in got)
+                want = sorted((i, v) for i, v, _ in rows)
+            assert have == want, ("clone != source snapshot", have[:5], want[:5])
+            # constraint transfer: a violating append on the CLONE refuses
+            if chk:
+                bad = [(10**9, -1, "bad" if has_note else None)]
+                with pytest.raises(ss.ConstraintViolation):
+                    ss.snap_commit(
+                        _mk_df(self.spark, bad, has_note), dst, mode="append"
+                    )
+            # clone-side COW DML: the source invariants re-check after
+            ss.snap_delete_where(self.spark, dst, "id % 2 = 0")
+            kept = [r for r in rows if r[0] % 2 != 0]
+            assert ss.snap_count(dst) == len(kept)
+        finally:
+            shutil.rmtree(dst, ignore_errors=True)
+
     # ---- restore ------------------------------------------------------
 
     @precondition(lambda self: self.versions)
