@@ -1336,8 +1336,8 @@ def test_delete_dv_zero_match_and_conflict(spark, tmp_path, monkeypatch):
     orig = ss._source_frame_with_meta
     fired = {"done": False}
 
-    def racing(sp, m):
-        out = orig(sp, m)
+    def racing(sp, m, files=None):
+        out = orig(sp, m, files)
         if not fired["done"]:
             fired["done"] = True
             ss.snap_commit(_df(spark, 10, 20), root, mode="append")
@@ -2086,3 +2086,53 @@ def test_shallow_clone_source_vacuum_caveat(spark, tmp_path):
     ss.snap_commit(_df(spark, 100, 105), src2, "overwrite")
     ss.snap_vacuum(src2, keep_last=1, staged_grace_minutes=0)
     assert ss.snap_read(spark, dst2).count() == 20
+
+
+def test_dml_discovery_prunes_with_stats(spark, tmp_path):
+    """DML discovery pre-prune: a conjunctive simple-atom predicate
+    plans the matching scan from manifest stats (range-clustered write
+    -> ~selectivity-sized candidate list); any unsupported shape —
+    Column objects, OR, arithmetic, IS NULL — degrades to the full
+    list; files without stats are kept; and the pruned DELETE/UPDATE
+    results are exactly the unpruned semantics."""
+    root = str(tmp_path / "t_dmlprune")
+    ss.snap_commit(
+        _df(spark, 0, 100).repartitionByRange(10, "id"),
+        root,
+        stats_cols=["id"],
+        bloom_cols=["id"],
+    )
+    m = ss._read_manifest(root, 0)
+    assert len(m["files"]) == 10
+    # half-range atoms prune to the overlapping tail/head
+    cand = ss._dml_candidate_files(m, "id >= 80")
+    assert 0 < len(cand) <= 3 and set(cand) <= set(m["files"])
+    cand2 = ss._dml_candidate_files(m, "id >= 10 AND id < 20")
+    assert 0 < len(cand2) <= 2
+    # equality uses min/max + bloom
+    assert 0 < len(ss._dml_candidate_files(m, "id = 5")) <= 2
+    # unsupported shapes: full list, never a guess
+    full = set(m["files"])
+    assert set(ss._dml_candidate_files(m, "id % 2 = 0")) == full
+    assert set(ss._dml_candidate_files(m, "id < 5 OR id > 90")) == full
+    assert set(ss._dml_candidate_files(m, "(id < 5)")) == full
+    assert set(ss._dml_candidate_files(m, "id IS NULL")) == full
+    assert set(ss._dml_candidate_files(m, F.col("id") < 5)) == full
+    # no stats recorded -> every file kept (sound degradation)
+    root2 = str(tmp_path / "t_dmlprune2")
+    ss.snap_commit(_df(spark, 0, 100).repartitionByRange(10, "id"), root2)
+    m2 = ss._read_manifest(root2, 0)
+    assert set(ss._dml_candidate_files(m2, "id >= 80")) == set(m2["files"])
+    # end-to-end: pruned DELETE == exact semantics, untouched files survive
+    v = ss.snap_delete_where(spark, root, "id >= 90")
+    m1 = ss._read_manifest(root, v)
+    assert {r.id for r in ss.snap_read(spark, root, v).collect()} == set(
+        range(90)
+    )
+    assert len(set(m1["files"]) & set(m["files"])) >= 8
+    # pruned dv-DELETE and UPDATE on the same store
+    ss.snap_delete_dv(spark, root, "id >= 85")
+    assert ss.snap_count(root) == 85
+    ss.snap_update_where(spark, root, "id >= 80", {"val": "val + 1"})
+    got = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert got[82] == 165 and got[50] == 100

@@ -68,6 +68,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import re
 import os
 import threading
 import uuid
@@ -1177,6 +1178,82 @@ def _prune_files_between_m(m: dict, col: str, lo, hi) -> list[str]:
         elif not (mm[0] > hi or mm[1] < lo):
             kept.append(f)
     return kept
+
+
+def _prune_files_halfrange_m(m: dict, col: str, lo, hi) -> list[str]:
+    """Half-open range pruning against a preloaded manifest: ``lo`` /
+    ``hi`` may each be None (unbounded side). Unknown stats or
+    incomparable literal types keep the file — conservative, like every
+    skipping path."""
+    stats = m.get("file_stats", {})
+    lo_j = _json_stat(lo, direction=-1) if lo is not None else None
+    hi_j = _json_stat(hi, direction=1) if hi is not None else None
+    kept = []
+    for f in m["files"]:
+        mm = stats.get(f, {}).get(col)
+        if mm is None or mm[0] is None or mm[1] is None:
+            kept.append(f)
+            continue
+        try:
+            if (hi_j is not None and mm[0] > hi_j) or (
+                lo_j is not None and mm[1] < lo_j
+            ):
+                continue
+        except TypeError:
+            pass  # stats/literal type mismatch: must read
+        kept.append(f)
+    return kept
+
+
+_DML_ATOM = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|<=|>=|<|>)\s*"
+    r"(-?\d+(?:\.\d+)?|'[^']*')\s*$"
+)
+_DML_UNPRUNABLE = re.compile(
+    r"[()%]|\bor\b|\bnot\b|\bbetween\b|\bin\b|\bis\b|\blike\b|`", re.I
+)
+
+
+def _dml_candidate_files(m: dict, condition) -> list[str]:
+    """Stats/bloom PRE-PRUNE for DML DISCOVERY scans — the Delta/Iceberg
+    optimization where ``UPDATE/DELETE ... WHERE id >= a AND id <= b``
+    plans its matching scan from file metadata instead of reading the
+    whole table. When ``condition`` is a SQL STRING that is a pure
+    conjunction of ``col <op> literal`` atoms (ops ``= < <= > >=``,
+    int/float/'string' literals), intersect each atom's manifest
+    kept-set: ``=`` uses min/max AND Bloom pruning, inequalities use
+    half-range min/max pruning with strict ops widened to inclusive
+    (conservative). ANY other shape — a Column object, OR/NOT/
+    parentheses, arithmetic, functions, IS NULL, IN — returns every
+    file: pruning is a superset optimization, never the semantics. On a
+    range-clustered 100 TB table this turns a narrow-region DML's
+    discovery from a full scan into a ~selectivity-sized one; on random
+    layout it degrades safely to the full list."""
+    files = m["files"]
+    if not isinstance(condition, str) or _DML_UNPRUNABLE.search(condition):
+        return files
+    kept: set[str] | None = None
+    for atom in re.split(r"(?i)\band\b", condition):
+        mt = _DML_ATOM.match(atom)
+        if mt is None:
+            return files
+        col, op, lit = mt.group(1), mt.group(2), mt.group(3)
+        if lit.startswith("'"):
+            value = lit[1:-1]
+        elif "." in lit:
+            value = float(lit)
+        else:
+            value = int(lit)
+        if op == "=":
+            f = _prune_files_eq_m(m, col, value)
+        elif op in (">", ">="):
+            f = _prune_files_halfrange_m(m, col, value, None)
+        else:  # "<", "<="
+            f = _prune_files_halfrange_m(m, col, None, value)
+        kept = set(f) if kept is None else kept & set(f)
+    if kept is None:
+        return files
+    return [f for f in files if f in kept]
 
 
 def snap_read_between(
@@ -2633,7 +2710,9 @@ def snap_update_where(
         return _rewrite_commit(
             spark, root, m, [], spark.createDataFrame([], schema), "merge", tag
         )
-    store = _source_frame(spark, m, file_col="_sf")
+    store = _source_frame(
+        spark, m, _dml_candidate_files(m, condition), file_col="_sf"
+    )
     touched = [
         r["_sf"]
         for r in store.filter(cond).select("_sf").distinct().collect()
@@ -2711,12 +2790,13 @@ def snap_delete_dv(
     m = _read_manifest(root, version)
     new_dv = []
     new_cdf = []
-    if m["files"]:
+    _dv_cand = _dml_candidate_files(m, condition)
+    if _dv_cand:
         schema_cols = [
             f.name
             for f in T.StructType.fromJson(json.loads(m["schema"])).fields
         ]
-        matched_rows = _source_frame_with_meta(spark, m).filter(
+        matched_rows = _source_frame_with_meta(spark, m, _dv_cand).filter(
             F.coalesce(cond, F.lit(False))
         )
         matched = matched_rows.select(
@@ -2776,12 +2856,16 @@ def snap_delete_dv(
     )
 
 
-def _source_frame_with_meta(spark: SparkSession, m: dict) -> DataFrame:
-    """The DV-applied snapshot with its raw ``_dv_f``/``_dv_i`` metadata
-    columns still attached — the recording side of ``snap_delete_dv``
-    (the applying side strips them)."""
+def _source_frame_with_meta(
+    spark: SparkSession, m: dict, files: list[str] | None = None
+) -> DataFrame:
+    """The DV-applied snapshot (default: all files; pass a pruned
+    candidate list to scan less) with its raw ``_dv_f``/``_dv_i``
+    metadata columns still attached — the recording side of
+    ``snap_delete_dv`` (the applying side strips them)."""
     schema = T.StructType.fromJson(json.loads(m["schema"]))
-    df = spark.read.schema(schema).parquet(*m["files"])
+    files = m["files"] if files is None else files
+    df = spark.read.schema(schema).parquet(*files)
     src = df.select(
         "*",
         F.col("_metadata.file_path").alias("_dv_f"),
@@ -2821,7 +2905,9 @@ def snap_delete_where(
         return _rewrite_commit(
             spark, root, m, [], spark.createDataFrame([], schema), "merge", tag
         )
-    store = _source_frame(spark, m, file_col="_sf")
+    store = _source_frame(
+        spark, m, _dml_candidate_files(m, condition), file_col="_sf"
+    )
     touched = [
         r["_sf"]
         for r in store.filter(cond).select("_sf").distinct().collect()
@@ -2921,7 +3007,9 @@ def snap_overwrite_where(
         return _rewrite_commit(
             spark, root, m, [], new_data, "merge", tag, changes=changes
         )
-    store = _source_frame(spark, m, file_col="_sf")
+    store = _source_frame(
+        spark, m, _dml_candidate_files(m, condition), file_col="_sf"
+    )
     touched = [
         r["_sf"]
         for r in store.filter(cond).select("_sf").distinct().collect()
