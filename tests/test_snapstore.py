@@ -2136,3 +2136,46 @@ def test_dml_discovery_prunes_with_stats(spark, tmp_path):
     ss.snap_update_where(spark, root, "id >= 80", {"val": "val + 1"})
     got = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
     assert got[82] == 165 and got[50] == 100
+
+
+def test_merge_discovery_key_range_prune(spark, tmp_path):
+    """MERGE discovery pre-prune soundness: on a range-clustered store
+    with key stats, a narrow source prunes discovery to the overlapping
+    files while the semantics stay exact — including the critical
+    not-matched case where EVERY source key lies outside the store
+    (prune-to-empty must still insert them all) and the by-source
+    delete mode where pruning would be unsound (full sync unaffected)."""
+    root = str(tmp_path / "t_mprune")
+    ss.snap_commit(
+        _df(spark, 0, 100).repartitionByRange(10, "id"),
+        root,
+        stats_cols=["id"],
+    )
+    src = spark.range(95, 105).select(
+        F.col("id"), F.lit(-1).cast("long").alias("val")
+    )
+    ss.snap_merge(spark, root, src, on=["id"])
+    rows = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert len(rows) == 105
+    assert all(rows[i] == -1 for i in range(95, 105))
+    assert rows[50] == 100
+    # untouched files survive verbatim (only the tail file rewrote)
+    m0 = ss._read_manifest(root, 0)
+    m1 = ss._read_manifest(root, 1)
+    assert len(set(m1["files"]) & set(m0["files"])) >= 8
+    # all-outside source: prune-to-empty still inserts everything
+    src2 = spark.range(500, 510).select(
+        F.col("id"), F.lit(-2).cast("long").alias("val")
+    )
+    ss.snap_merge(spark, root, src2, on=["id"])
+    assert ss.snap_count(root) == 115
+    # by-source delete (pruning disabled): store mirrors the source set
+    src3 = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    )
+    ss.snap_merge(
+        spark, root, src3, on=["id"], when_not_matched_by_source="delete"
+    )
+    assert {r.id for r in ss.snap_read(spark, root).collect()} == set(
+        range(50)
+    )

@@ -2577,7 +2577,28 @@ def snap_merge(
         return _rewrite_commit(
             spark, root, m, touched, new_data, "merge", tag, changes=changes
         )
-    touched_rows = _source_frame(spark, m, file_col="_sf").select(
+    # Key-range discovery pre-prune (Delta's MERGE file skipping): files
+    # whose recorded [min, max] for EVERY key column misses the source
+    # key range cannot contain a match — skip them in the discovery
+    # scan AND in store_keys (their keys can't equal any source key, so
+    # the not-matched anti-join is unaffected). UNSOUND under
+    # by-source delete (unmatched rows live anywhere): full list there.
+    cand = m["files"]
+    if when_not_matched_by_source != "delete":
+        bounds = keys.agg(
+            *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(on)],
+            *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(on)],
+        ).collect()[0]
+        kept: set[str] | None = None
+        for i, c in enumerate(on):
+            lo, hi = bounds[f"_lo{i}"], bounds[f"_hi{i}"]
+            if lo is None or hi is None:
+                continue  # empty/all-NULL source keys: no pruning signal
+            per = _prune_files_halfrange_m(m, c, lo, hi)
+            kept = set(per) if kept is None else kept & set(per)
+        if kept is not None:
+            cand = [f for f in m["files"] if f in kept]
+    touched_rows = _source_frame(spark, m, cand, file_col="_sf").select(
         *on, "_sf"
     )
     if when_not_matched_by_source == "delete":
