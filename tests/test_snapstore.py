@@ -2179,3 +2179,40 @@ def test_merge_discovery_key_range_prune(spark, tmp_path):
     assert {r.id for r in ss.snap_read(spark, root).collect()} == set(
         range(50)
     )
+
+
+def test_commit_timestamps_asof_and_time_retention(spark, tmp_path):
+    """Every manifest records its publish instant: snap_history exposes
+    it, TIMESTAMP AS OF resolves the latest version at-or-before a wall
+    clock (datetime accepted), metadata commits stamp a FRESH instant
+    (never the parent's), and vacuum's keep_hours window ADDS retention
+    on top of keep_last."""
+    import datetime
+    import time as _t
+
+    root = str(tmp_path / "t_ts")
+    ss.snap_commit(_df(spark, 0, 10), root)          # v0
+    _t.sleep(0.05)
+    t_mid = _t.time()
+    _t.sleep(0.05)
+    ss.snap_commit(_df(spark, 10, 20), root, "append")  # v1
+    ss.snap_add_constraint(spark, root, "val_nonneg", "val >= 0")  # v2 meta
+    hist = ss.snap_history(root)
+    tss = [h["ts"] for h in hist]
+    assert all(t is not None for t in tss) and tss == sorted(tss)
+    assert tss[2] > tss[1]  # metadata commit stamped fresh, not inherited
+    # AS OF: t_mid lands between v0 and v1
+    assert ss.snap_version_asof(root, t_mid) == 0
+    assert ss.snap_read_asof(spark, root, t_mid).count() == 10
+    assert ss.snap_version_asof(root, _t.time()) == 2
+    assert (
+        ss.snap_version_asof(root, datetime.datetime.now()) == 2
+    )
+    with pytest.raises(ValueError, match="at or before"):
+        ss.snap_version_asof(root, tss[0] - 10)
+    # keep_hours retains the whole recent window despite keep_last=1
+    removed = ss.snap_vacuum(root, keep_last=1, keep_hours=1.0)
+    assert removed == 0 and ss.snap_versions(root) == [0, 1, 2]
+    # a zero-width window degrades to keep_last alone
+    ss.snap_vacuum(root, keep_last=1, keep_hours=0.0, staged_grace_minutes=0)
+    assert ss.snap_versions(root) == [2]

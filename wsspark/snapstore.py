@@ -71,6 +71,7 @@ import json
 import re
 import os
 import threading
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -542,6 +543,9 @@ def _publish_commit(
         "cdf": ctx.get("cdf", False),
         "cdf_files": ctx.get("cdf_files", []),
         "content_preserving": ctx.get("content_preserving", False),
+        # wall-clock publish instant: TIMESTAMP AS OF + time-based
+        # retention plan from this, never from file mtimes
+        "ts": time.time(),
     }
     # Re-verify IMMEDIATELY before the O_EXCL write: the footer-meta loop
     # above takes real time on many files, so the entry check alone leaves
@@ -767,6 +771,7 @@ def snap_history(root: str) -> list[dict]:
                 "n_change_rows": sum(
                     _footer_meta(f)["rows"] for f in m.get("cdf_files") or []
                 ),
+                "ts": m.get("ts"),
             }
         )
         prev_files = set(m["files"])
@@ -1724,6 +1729,7 @@ def _publish_metadata_commit(
             # a metadata commit changes no rows: it must not inherit the
             # parent's change-feed sidecar as its own
             "cdf_files": [],
+            "ts": time.time(),
             **(extra or {}),
         }
     )
@@ -1932,6 +1938,7 @@ def snap_restore(root: str, to_version: int | str) -> int:
         # crossing it, same as a user overwrite)
         "cdf": src.get("cdf", False),
         "cdf_files": [],
+        "ts": time.time(),
     }
     missing = [f for f in manifest["files"] if not os.path.exists(f)]
     if missing:
@@ -2259,7 +2266,10 @@ def snap_versions(root: str) -> list[int]:
 
 
 def snap_vacuum(
-    root: str, keep_last: int = 1, staged_grace_minutes: float = 60.0
+    root: str,
+    keep_last: int = 1,
+    staged_grace_minutes: float = 60.0,
+    keep_hours: float | None = None,
 ) -> int:
     """Drop manifests older than the last ``keep_last`` versions and
     delete every data file (and empty commit dir) no retained manifest
@@ -2292,7 +2302,18 @@ def snap_vacuum(
     # named refs PIN versions through vacuum regardless of keep_last —
     # a "prod" tag must never have its files collected under it
     ref_targets = {v for v in snap_refs(root).values() if v in set(versions)}
-    retained = sorted(set(versions[-keep_last:]) | ref_targets)
+    # time-based retention (Delta's retention window): keep_hours ADDS
+    # every version published inside the window — it never collects
+    # more than keep_last alone would. Manifests without a recorded
+    # publish instant (pre-timestamp stores) gain nothing from it.
+    recent: set[int] = set()
+    if keep_hours is not None:
+        cutoff_ts = time.time() - keep_hours * 3600.0
+        for v in versions:
+            m_ts = _read_manifest(root, v).get("ts")
+            if m_ts is not None and m_ts >= cutoff_ts:
+                recent.add(v)
+    retained = sorted(set(versions[-keep_last:]) | ref_targets | recent)
     referenced: set[str] = set()
     for v in retained:
         rm = _read_manifest(root, v)
@@ -2348,7 +2369,7 @@ def snap_vacuum(
             if not os.listdir(d):
                 os.rmdir(d)
     for v in versions[:-keep_last]:
-        if v in ref_targets:
+        if v in ref_targets or v in recent:
             continue
         os.remove(_manifest_path(root, v))
     return removed
@@ -3130,3 +3151,32 @@ def snap_clone(
         {},
         cleanup_dir=None,
     )
+
+
+def snap_version_asof(root: str, ts) -> int:
+    """TIMESTAMP AS OF resolution (Delta's ``timestampAsOf``): the
+    latest RETAINED version whose recorded publish instant is <= ``ts``
+    (epoch seconds or a ``datetime`` — naive datetimes are taken in
+    local time, matching ``datetime.timestamp()``). Versions from
+    before commit timestamps existed (no ``ts`` in the manifest) never
+    match — re-publish or pin by version number instead. Raises if no
+    retained version is old enough."""
+    if hasattr(ts, "timestamp"):
+        ts = ts.timestamp()
+    ts = float(ts)
+    best = None
+    for v in snap_versions(root):
+        m_ts = _read_manifest(root, v).get("ts")
+        if m_ts is not None and m_ts <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version in {root} committed at or before {ts}"
+        )
+    return best
+
+
+def snap_read_asof(spark: SparkSession, root: str, ts) -> DataFrame:
+    """Time travel by wall clock: ``snap_read`` at
+    ``snap_version_asof(root, ts)``."""
+    return snap_read(spark, root, snap_version_asof(root, ts))
