@@ -596,3 +596,47 @@ def test_batch_read_change_feed(spark, tmp_path):
         spark.read.format("snapstore").option(
             "readChangeFeed", "true"
         ).load(root).collect()
+
+
+def test_batch_read_timestamp_asof_option(spark, tmp_path):
+    """Delta's reader option: .option('timestampAsOf', ts) pins the
+    latest version published at-or-before the wall clock (epoch seconds
+    or ISO datetime string); giving both version and timestampAsOf
+    refuses."""
+    import datetime
+    import time as _t
+
+    root = str(tmp_path / "s_asof")
+    ss.snap_commit(_df(spark, 0, 100), root)
+    _t.sleep(0.05)
+    t_mid = _t.time()
+    _t.sleep(0.05)
+    ss.snap_commit(_df(spark, 100, 150), root, mode="append")
+    register(spark)
+    pinned = (
+        spark.read.format("snapstore")
+        .option("timestampAsOf", str(t_mid))
+        .load(root)
+    )
+    assert pinned.count() == 100
+    iso = datetime.datetime.fromtimestamp(t_mid).isoformat()
+    pinned_iso = (
+        spark.read.format("snapstore")
+        .option("timestampAsOf", iso)
+        .load(root)
+    )
+    assert pinned_iso.count() == 100
+    now = (
+        spark.read.format("snapstore")
+        .option("timestampAsOf", str(_t.time()))
+        .load(root)
+    )
+    assert now.count() == 150
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("snapstore")
+            .option("version", 0)
+            .option("timestampAsOf", str(t_mid))
+            .load(root)
+            .collect()
+        )

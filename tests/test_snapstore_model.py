@@ -465,6 +465,22 @@ class SnapstoreMachine(RuleBasedStateMachine):
             for sid, (rows, has_note, _) in self.staged.items()
         }
 
+    @precondition(lambda self: self.versions)
+    @rule(keep=st.integers(min_value=1, max_value=2))
+    def vacuum_time_window(self, keep):
+        """keep_hours is purely ADDITIVE retention: every version this
+        machine committed is seconds old, so a 1-hour window must keep
+        the whole retained set alive regardless of keep_last."""
+        before = set(ss.snap_versions(self.root))
+        ss.snap_vacuum(
+            self.root, keep_last=keep, staged_grace_minutes=0, keep_hours=1.0
+        )
+        assert set(ss.snap_versions(self.root)) == before
+        self.staged = {
+            sid: (rows, has_note, True)
+            for sid, (rows, has_note, _) in self.staged.items()
+        }
+
     # ---- invariants ---------------------------------------------------------
 
     @invariant()

@@ -733,9 +733,35 @@ class SnapstoreDataSource(DataSource):
             )
         return root
 
+    def _version_opt(self, root: str) -> int | None:
+        """The pinned read version: .option("version", n), or
+        .option("timestampAsOf", ts) resolved through the manifests'
+        recorded publish instants (epoch seconds or an ISO datetime
+        string — Delta's reader option). Giving both is ambiguous and
+        refuses."""
+        v = self.options.get("version")
+        ts = self.options.get("timestampAsOf") or self.options.get(
+            "timestampasof"
+        )
+        if v is not None and ts is not None:
+            raise ValueError(
+                "pass either version or timestampAsOf, not both"
+            )
+        if v is not None:
+            return int(v)
+        if ts is None:
+            return None
+        try:
+            when = float(ts)
+        except ValueError:
+            import datetime
+
+            when = datetime.datetime.fromisoformat(ts).timestamp()
+        return ss.snap_version_asof(root, when)
+
     def schema(self) -> T.StructType:
         root = self._root()
-        v = self.options.get("version")
+        v = self._version_opt(root)
         if v is None and self._read_change_feed():
             # batch CDF aligns to the span-end schema
             v = self.options.get("untilVersion") or self.options.get(
@@ -773,10 +799,7 @@ class SnapstoreDataSource(DataSource):
                 int(since),
                 int(until) if until is not None else None,
             )
-        v = self.options.get("version")
-        return SnapstoreBatchReader(
-            self._root(), int(v) if v is not None else None
-        )
+        return SnapstoreBatchReader(self._root(), self._version_opt(self._root()))
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         v = self.options.get("sinceVersion") or self.options.get(
