@@ -2216,3 +2216,21 @@ def test_commit_timestamps_asof_and_time_retention(spark, tmp_path):
     # a zero-width window degrades to keep_last alone
     ss.snap_vacuum(root, keep_last=1, keep_hours=0.0, staged_grace_minutes=0)
     assert ss.snap_versions(root) == [2]
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    """DRY RUN parity: the same plan and grace rules, the same count —
+    zero deletions (manifests included); the real run then removes
+    exactly what the dry run predicted."""
+    root = str(tmp_path / "t_dry")
+    ss.snap_commit(_df(spark, 0, 10), root)
+    ss.snap_commit(_df(spark, 100, 105), root, "overwrite")
+    would = ss.snap_vacuum(
+        root, keep_last=1, staged_grace_minutes=0, dry_run=True
+    )
+    assert would > 0
+    assert ss.snap_versions(root) == [0, 1]
+    assert ss.snap_read(spark, root, 0).count() == 10  # nothing deleted
+    did = ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=0)
+    assert did == would
+    assert ss.snap_versions(root) == [1]

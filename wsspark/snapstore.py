@@ -2270,10 +2270,14 @@ def snap_vacuum(
     keep_last: int = 1,
     staged_grace_minutes: float = 60.0,
     keep_hours: float | None = None,
+    dry_run: bool = False,
 ) -> int:
     """Drop manifests older than the last ``keep_last`` versions and
     delete every data file (and empty commit dir) no retained manifest
-    references. Returns the number of files deleted. Readers pinned to a
+    references. Returns the number of files deleted. ``dry_run=True``
+    (Delta's VACUUM DRY RUN) counts the parquet files that WOULD be
+    collected — same planning, same grace rules — and deletes nothing,
+    manifests included. Readers pinned to a
     RETAINED version are unaffected — that is the contract vacuum must
     keep, pinned in tests.
 
@@ -2359,15 +2363,19 @@ def snap_vacuum(
                             continue
                         if g.endswith(".parquet"):
                             removed += 1
-                        os.remove(gp)
-                    if not os.listdir(p):
+                        if not dry_run:
+                            os.remove(gp)
+                    if not dry_run and not os.listdir(p):
                         os.rmdir(p)
                     continue
                 if f.endswith(".parquet"):
                     removed += 1
-                os.remove(p)
-            if not os.listdir(d):
+                if not dry_run:
+                    os.remove(p)
+            if not dry_run and not os.listdir(d):
                 os.rmdir(d)
+    if dry_run:
+        return removed
     for v in versions[:-keep_last]:
         if v in ref_targets or v in recent:
             continue
