@@ -2234,3 +2234,37 @@ def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
     did = ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=0)
     assert did == would
     assert ss.snap_versions(root) == [1]
+
+
+def test_analyze_retrofits_skipping_metadata(spark, tmp_path):
+    """ANALYZE: a table committed without stats gains per-file min/max
+    + blooms as a metadata-only commit — skipping, pushed filters, and
+    the DML discovery pre-prune all start planning from them; results
+    stay exact; geometry conflicts and unknown columns refuse."""
+    root = str(tmp_path / "t_an")
+    ss.snap_commit(_df(spark, 0, 100).repartitionByRange(10, "id"), root)
+    m0 = ss._read_manifest(root, 0)
+    assert not m0.get("file_stats")
+    assert set(ss._dml_candidate_files(m0, "id >= 80")) == set(m0["files"])
+    v = ss.snap_analyze(spark, root, stats_cols=["id"], bloom_cols=["id"])
+    assert v == 1
+    m1 = ss._read_manifest(root, 1)
+    # same files, fresh metadata
+    assert m1["files"] == m0["files"]
+    assert 0 < len(ss._dml_candidate_files(m1, "id >= 80")) <= 3
+    files, total = ss.snap_prune_files(root, "id", 5, 7)
+    assert total == 10 and len(files) <= 2
+    got = {r.id for r in ss.snap_read_between(spark, root, "id", 5, 7).collect()}
+    assert got == {5, 6, 7}
+    assert {r.id for r in ss.snap_read_where_eq(spark, root, "id", 42).collect()} == {42}
+    # a later COW rewrite re-profiles its files with the analyzed config
+    ss.snap_delete_where(spark, root, "id >= 95")
+    m2 = ss._read_manifest(root, ss.snap_current_version(root))
+    assert all("id" in per for per in m2["file_stats"].values())
+    # refusals
+    with pytest.raises(ValueError, match="unknown columns"):
+        ss.snap_analyze(spark, root, stats_cols=["nope"])
+    with pytest.raises(ValueError, match="cannot be resized"):
+        ss.snap_analyze(spark, root, bloom_cols=["val"], bloom_bits=1 << 10)
+    with pytest.raises(ValueError, match="stats_cols and/or bloom_cols"):
+        ss.snap_analyze(spark, root)

@@ -153,15 +153,17 @@ def _json_stat(v, direction: int = 0):
 
 
 def _collect_file_stats(
-    spark: SparkSession, commit_dir: str, stats_cols: list[str]
+    spark: SparkSession, commit_dir: str | list[str], stats_cols: list[str]
 ) -> dict:
     """Per-file min/max of ``stats_cols`` over the just-written commit
-    directory: ONE distributed aggregation grouped on the hidden
+    directory (or an explicit file list — ``snap_analyze``'s resident
+    re-profile): ONE distributed aggregation grouped on the hidden
     ``_metadata.file_path`` column — output is O(files x cols) rows, the
     only thing the driver ever holds."""
     from urllib.parse import unquote, urlparse
 
-    df = spark.read.parquet(commit_dir)
+    paths = commit_dir if isinstance(commit_dir, list) else [commit_dir]
+    df = spark.read.parquet(*paths)
     aggs = []
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
@@ -265,7 +267,7 @@ def _collect_file_blooms(
 
     from wsspark.llmops.bloom import probe_positions
 
-    df = spark.read.parquet(commit_dir)
+    df = spark.read.parquet(*(commit_dir if isinstance(commit_dir, list) else [commit_dir]))
     for c in bloom_cols:
         if not isinstance(df.schema[c].dataType, _BLOOM_TYPES):
             raise ValueError(
@@ -3188,3 +3190,73 @@ def snap_read_asof(spark: SparkSession, root: str, ts) -> DataFrame:
     """Time travel by wall clock: ``snap_read`` at
     ``snap_version_asof(root, ts)``."""
     return snap_read(spark, root, snap_version_asof(root, ts))
+
+
+def snap_analyze(
+    spark: SparkSession,
+    root: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 14,
+    bloom_k: int = 4,
+) -> int:
+    """ANALYZE — re-profile RESIDENT files without rewriting a byte:
+    compute per-file min/max (``stats_cols``) and/or Bloom bitmaps
+    (``bloom_cols``) over the CURRENT manifest's files and publish them
+    as a metadata-only commit. The retrofit path for tables committed
+    without skipping metadata: afterwards ``snap_read_between`` /
+    ``snap_read_where`` / the DataSource's pushed filters / the DML
+    discovery pre-prune all plan from the new stats, and later COW
+    rewrites re-profile their files with the same config
+    (``_rewrite_config`` reads it back from the manifest).
+
+    New entries MERGE into existing per-file dicts (re-analyzing a
+    column overwrites just that column). Bloom geometry must match any
+    existing bloom metadata — a filter cannot be resized; re-analyze
+    after a full rewrite instead. Unknown columns refuse. One
+    distributed aggregation per metadata family, grouped on
+    ``_metadata.file_path``; the driver holds O(files × cols) entries,
+    exactly like commit-time profiling. Returns the new version."""
+    if not stats_cols and not bloom_cols:
+        raise ValueError("snap_analyze: pass stats_cols and/or bloom_cols")
+    version = snap_current_version(root)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    known = {f.name for f in schema.fields}
+    bad = sorted((set(stats_cols or []) | set(bloom_cols or [])) - known)
+    if bad:
+        raise ValueError(f"snap_analyze: unknown columns {bad}")
+    if not m["files"]:
+        raise ValueError("snap_analyze: empty table has nothing to profile")
+    existing_geom = m.get("bloom_meta", {})
+    if bloom_cols and existing_geom:
+        geoms = {(g["n_bits"], g["k"]) for g in existing_geom.values()}
+        if geoms and geoms != {(bloom_bits, bloom_k)}:
+            raise ValueError(
+                "snap_analyze: bloom geometry must match the table's "
+                f"existing filters {sorted(geoms)} — a filter cannot be "
+                "resized without a rewrite"
+            )
+    extra: dict = {}
+    if stats_cols:
+        fresh = _collect_file_stats(spark, m["files"], stats_cols)
+        merged = {f: dict(per) for f, per in m.get("file_stats", {}).items()}
+        for f, per in fresh.items():
+            merged.setdefault(f, {}).update(per)
+        extra["file_stats"] = merged
+    if bloom_cols:
+        fresh_b = _collect_file_blooms(
+            spark, m["files"], bloom_cols, bloom_bits, bloom_k
+        )
+        merged_b = {f: dict(per) for f, per in m.get("file_blooms", {}).items()}
+        for f, per in fresh_b.items():
+            merged_b.setdefault(f, {}).update(per)
+        extra["file_blooms"] = merged_b
+        geom = dict(existing_geom)
+        geom.update(
+            {c: {"n_bits": bloom_bits, "k": bloom_k} for c in bloom_cols}
+        )
+        extra["bloom_meta"] = geom
+    return _publish_metadata_commit(root, m, m.get("constraints", {}), extra)
