@@ -640,3 +640,45 @@ def test_batch_read_timestamp_asof_option(spark, tmp_path):
             .load(root)
             .collect()
         )
+
+
+def test_stream_change_feed_delivers_replace_where(spark, tmp_path):
+    """The newest DML through the newest reader: a snap_overwrite_where
+    (replaceWhere) commit streams as its delete+insert sidecar rows,
+    exactly once across a checkpoint restart."""
+    root = str(tmp_path / "w_cdf_rw")
+    sink = str(tmp_path / "sink_rw")
+    ckpt = str(tmp_path / "ckpt_rw")
+    register(spark)
+    ss.snap_commit(_df(spark, 0, 10), root)  # v0
+    ss.snap_enable_cdf(root)                 # v1
+
+    def run():
+        q = (
+            spark.readStream.format("snapstore")
+            .option("readChangeFeed", "true")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # initial snapshot
+    repl = spark.range(0, 2).select(
+        F.col("id"), F.lit(-1).cast("long").alias("val")
+    )
+    ss.snap_overwrite_where(spark, root, "id < 5", repl)  # v2
+    run()
+    rows = {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {(i, i * 2, "insert", 1) for i in range(10)}
+    want |= {(i, i * 2, "delete", 2) for i in range(5)}
+    want |= {(0, -1, "insert", 2), (1, -1, "insert", 2)}
+    assert rows == want
+    run()  # idempotent
+    assert spark.read.parquet(sink).count() == len(want)
