@@ -549,8 +549,8 @@ class TestSnapstoreModel:
     def test_stateful(self, spark):
         SnapstoreMachine.spark = spark
         SnapstoreMachine.TestCase.settings = settings(
-            max_examples=6,
-            stateful_step_count=14,
+            max_examples=7,
+            stateful_step_count=15,
             deadline=None,
             derandomize=True,
             suppress_health_check=list(HealthCheck),

@@ -2302,8 +2302,6 @@ def snap_vacuum(
     at-or-below CURRENT are published lineage and collect immediately."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    import time
-
     versions = snap_versions(root)
     # named refs PIN versions through vacuum regardless of keep_last —
     # a "prod" tag must never have its files collected under it
