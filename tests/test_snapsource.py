@@ -682,3 +682,46 @@ def test_stream_change_feed_delivers_replace_where(spark, tmp_path):
     assert rows == want
     run()  # idempotent
     assert spark.read.parquet(sink).count() == len(want)
+
+
+def test_stream_timestamp_asof_starting_point(spark, tmp_path):
+    """Delta's startingTimestamp shape: .option('timestampAsOf', ts) on
+    readStream starts from the version current at that instant —
+    resident data up to it is skipped, later commits stream."""
+    import time as _t
+
+    root = str(tmp_path / "w_ts")
+    sink = str(tmp_path / "sink_ts")
+    ckpt = str(tmp_path / "ckpt_ts")
+    register(spark)
+    ss.snap_commit(_df(spark, 0, 10), root)          # v0
+    _t.sleep(0.05)
+    t_mid = _t.time()
+    _t.sleep(0.05)
+    ss.snap_commit(_df(spark, 10, 15), root, "append")  # v1
+    q = (
+        spark.readStream.format("snapstore")
+        .option("timestampAsOf", str(t_mid))
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id for r in spark.read.parquet(sink).collect()}
+    assert got == set(range(10, 15))  # v0's resident rows skipped
+    # streamReader plans lazily: the both-given refusal surfaces at start
+    with pytest.raises(Exception, match="not both"):
+        q2 = (
+            spark.readStream.format("snapstore")
+            .option("sinceVersion", "0")
+            .option("timestampAsOf", str(t_mid))
+            .load(root)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ts2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(60)

@@ -805,7 +805,26 @@ class SnapstoreDataSource(DataSource):
         v = self.options.get("sinceVersion") or self.options.get(
             "sinceversion"
         )
-        since = int(v) if v is not None else None
+        ts = self.options.get("timestampAsOf") or self.options.get(
+            "timestampasof"
+        )
+        if v is not None and ts is not None:
+            raise ValueError(
+                "pass either sinceVersion or timestampAsOf, not both"
+            )
+        if ts is not None:
+            # Delta's startingTimestamp: start the stream from the
+            # version that was CURRENT at that instant (delivered
+            # exclusive, like sinceVersion)
+            try:
+                when = float(ts)
+            except ValueError:
+                import datetime
+
+                when = datetime.datetime.fromisoformat(ts).timestamp()
+            since: int | None = ss.snap_version_asof(self._root(), when)
+        else:
+            since = int(v) if v is not None else None
         if self._read_change_feed():
             return SnapstoreCdfStreamReader(self._root(), since)
         return SnapstoreStreamReader(self._root(), since)
