@@ -219,3 +219,46 @@ def test_snapstore_mv_refresh_cdf_maintains_under_dml(
     ss.snap_enable_cdf(fact_root)
     ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)
     assert got() == expect()
+
+
+def test_snapstore_mv_refresh_cdf_under_replace_where(
+    spark, movements, tmp_path
+):
+    """An atomic region swap (snap_overwrite_where) streams as
+    delete+insert through the change feed — the MV maintainer's signed
+    retraction algebra must absorb it exactly (deleted region retracts,
+    replacement rows add, and the MV equals the full recompute)."""
+    from wsspark import snapstore as ss
+
+    fact_root = str(tmp_path / "factrw")
+    mv_root = str(tmp_path / "mvrw")
+    ss.snap_commit(movements.localCheckpoint(), fact_root)
+    ss.snap_enable_cdf(fact_root)
+    ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)
+
+    # replacement: the quantity >= 50 region, re-stated with +100 qty
+    # (still satisfies the predicate) and only for even reference_ids —
+    # the region shrinks, so both deletes and inserts are nontrivial
+    repl = (
+        ss.snap_read(spark, fact_root)
+        .filter("quantity >= 50 and reference_id % 2 = 0")
+        .withColumn("quantity", F.col("quantity") + F.lit(100))
+        .localCheckpoint()
+    )
+    ss.snap_overwrite_where(spark, fact_root, "quantity >= 50", repl)
+    ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)
+
+    cur = ss.snap_read(spark, fact_root)
+    expect = [
+        tuple(r)
+        for r in ivm.movement_mv_cdf(cur)
+        .orderBy("warehouse_id", "product_id")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in ss.snap_read(spark, mv_root)
+        .orderBy("warehouse_id", "product_id")
+        .collect()
+    ]
+    assert got == expect
