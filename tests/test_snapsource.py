@@ -725,3 +725,60 @@ def test_stream_timestamp_asof_starting_point(spark, tmp_path):
             .start()
         )
         q2.awaitTermination(60)
+
+
+def test_stream_timestamp_asof_edges(spark, tmp_path):
+    """Review-found stream edges: a pre-table timestampAsOf streams the
+    WHOLE table (Delta delivers from the earliest version, no raise); a
+    timestampAsOf across a schema evolution refuses honestly (the
+    declared schema is the as-of version's and would misalign delivered
+    batches); readChangeFeed + timestampAsOf refuses."""
+    import time as _t
+
+    root = str(tmp_path / "w_ts_edge")
+    register(spark)
+    t_before = _t.time()
+    _t.sleep(0.05)
+    ss.snap_commit(_df(spark, 0, 10), root)
+    sink = str(tmp_path / "sink_edge")
+    q = (
+        spark.readStream.format("snapstore")
+        .option("timestampAsOf", str(t_before))
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck_edge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 10  # full initial snapshot
+    # evolution after the pin: refuse at stream start
+    _t.sleep(0.05)
+    t_mid = _t.time()
+    _t.sleep(0.05)
+    evolved = spark.range(10, 12).select(
+        F.col("id"), (F.col("id") * 2).alias("val"), F.lit("x").alias("note")
+    )
+    ss.snap_commit(evolved, root, "append", evolve=True)
+    with pytest.raises(Exception, match="schema evolution"):
+        q2 = (
+            spark.readStream.format("snapstore")
+            .option("timestampAsOf", str(t_mid))
+            .load(root)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck_edge2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(60)
+    # CDF + timestampAsOf: version-addressed spans only
+    with pytest.raises(Exception, match="sinceVersion"):
+        (
+            spark.read.format("snapstore")
+            .option("readChangeFeed", "true")
+            .option("sinceVersion", "0")
+            .option("timestampAsOf", str(t_mid))
+            .load(root)
+            .collect()
+        )

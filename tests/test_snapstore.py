@@ -2268,3 +2268,60 @@ def test_analyze_retrofits_skipping_metadata(spark, tmp_path):
         ss.snap_analyze(spark, root, bloom_cols=["val"], bloom_bits=1 << 10)
     with pytest.raises(ValueError, match="stats_cols and/or bloom_cols"):
         ss.snap_analyze(spark, root)
+
+
+def test_dml_prune_type_gate_temporal_and_cross_type(spark, tmp_path):
+    """Pruning literal/column type gate: a quoted literal on a
+    TIMESTAMP column must NOT prune (Spark casts '2024-01-05' before
+    comparing; the stats carry isoformat text that orders differently),
+    and cross-type atoms (string literal on a numeric column, numeric
+    on a string column) contribute no pruning — the review-found false
+    drop: a temporal DELETE must actually delete."""
+    root = str(tmp_path / "t_tsprune")
+    df = spark.range(0, 10).select(
+        F.col("id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,id,0,0,0)"
+        ).alias("t"),
+    )
+    ss.snap_commit(df.repartitionByRange(5, "t"), root, stats_cols=["t", "id"])
+    m = ss._read_manifest(root, 0)
+    full = set(m["files"])
+    # quoted literal on a timestamp column: full list, never a guess
+    assert set(ss._dml_candidate_files(m, "t <= '2024-01-05'")) == full
+    assert set(ss._dml_candidate_files(m, "t = '2024-01-03 00:00:00'")) == full
+    # cross-type atoms: no pruning contribution
+    assert set(ss._dml_candidate_files(m, "id = '5'")) == full
+    # the numeric atom still prunes inside a mixed conjunction
+    mixed = ss._dml_candidate_files(m, "t <= '2024-01-05' AND id <= 1")
+    assert 0 < len(mixed) <= 2
+    # end-to-end: the temporal DELETE deletes (the bug's failure shape)
+    v = ss.snap_delete_where(spark, root, "t <= '2024-01-05'")
+    left = {r.id for r in ss.snap_read(spark, root, v).collect()}
+    assert left == {5, 6, 7, 8, 9}
+
+
+def test_analyze_on_evolved_table_uses_manifest_schema(spark, tmp_path):
+    """snap_analyze over a table with add-column evolution: the
+    pre-evolution files' footers lack the new column — the collectors
+    must read with the manifest schema (NULL-filled), not footer
+    inference (the review-found AnalysisException)."""
+    root = str(tmp_path / "t_anevo")
+    ss.snap_commit(_df(spark, 0, 20), root)
+    evolved = spark.range(20, 30).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("val"),
+        F.concat(F.lit("n"), F.col("id")).alias("note"),
+    )
+    ss.snap_commit(evolved, root, "append", evolve=True)
+    v = ss.snap_analyze(spark, root, stats_cols=["note"], bloom_cols=["note"])
+    m = ss._read_manifest(root, v)
+    # old files: all-NULL note -> [None, None] stats kept (must-read)
+    vals = [per.get("note") for per in m["file_stats"].values()]
+    assert any(x == [None, None] for x in vals)
+    assert any(x is not None and x[0] is not None for x in vals)
+    got = {
+        r.id
+        for r in ss.snap_read_where_eq(spark, root, "note", "n25").collect()
+    }
+    assert got == {25}

@@ -80,6 +80,17 @@ from pyspark.sql.datasource import (
 from wsspark import snapstore as ss
 
 
+def _parse_ts(raw: str) -> float:
+    """timestampAsOf literal -> epoch seconds: a float string, else an
+    ISO datetime (naive = local time, matching datetime.timestamp())."""
+    try:
+        return float(raw)
+    except ValueError:
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw).timestamp()
+
+
 class SnapFilePartition(InputPartition):
     """One manifest file per partition; carries the target schema so the
     worker can align evolved files (missing columns -> NULL) and the
@@ -733,35 +744,56 @@ class SnapstoreDataSource(DataSource):
             )
         return root
 
-    def _version_opt(self, root: str) -> int | None:
-        """The pinned read version: .option("version", n), or
-        .option("timestampAsOf", ts) resolved through the manifests'
-        recorded publish instants (epoch seconds or an ISO datetime
-        string — Delta's reader option). Giving both is ambiguous and
-        refuses."""
-        v = self.options.get("version")
-        ts = self.options.get("timestampAsOf") or self.options.get(
+    def _ts_opt(self) -> float | None:
+        """timestampAsOf parsed to epoch seconds (float string or ISO
+        datetime), or None. Refused outright with readChangeFeed — the
+        feed's span is version-addressed (sinceVersion/untilVersion)."""
+        raw = self.options.get("timestampAsOf") or self.options.get(
             "timestampasof"
         )
-        if v is not None and ts is not None:
+        if raw is None:
+            return None
+        if self._read_change_feed():
+            raise ValueError(
+                "timestampAsOf is not supported with readChangeFeed — "
+                "address the span with sinceVersion/untilVersion"
+            )
+        return _parse_ts(raw)
+
+    def _version_opt(self, root: str, strict: bool = True) -> int | None:
+        """The pinned BATCH read version: .option("version", n), or
+        .option("timestampAsOf", ts) resolved through the manifests'
+        recorded publish instants (Delta's reader option). Giving both
+        is ambiguous and refuses. ``strict=False`` (the schema() probe)
+        returns None for a pre-table timestamp instead of raising, so
+        the declared schema falls back to CURRENT and the precise error
+        surfaces at read time. The resolution is cached — one read
+        resolves the manifests once, not once per schema()/reader()."""
+        v = self.options.get("version")
+        when = self._ts_opt()
+        if v is not None and when is not None:
             raise ValueError(
                 "pass either version or timestampAsOf, not both"
             )
         if v is not None:
             return int(v)
-        if ts is None:
+        if when is None:
             return None
+        cached = getattr(self, "_asof_cache", None)
+        if cached is not None:
+            return cached
         try:
-            when = float(ts)
+            resolved = ss.snap_version_asof(root, when)
         except ValueError:
-            import datetime
-
-            when = datetime.datetime.fromisoformat(ts).timestamp()
-        return ss.snap_version_asof(root, when)
+            if strict:
+                raise
+            return None
+        self._asof_cache = resolved
+        return resolved
 
     def schema(self) -> T.StructType:
         root = self._root()
-        v = self._version_opt(root)
+        v = self._version_opt(root, strict=False)
         if v is None and self._read_change_feed():
             # batch CDF aligns to the span-end schema
             v = self.options.get("untilVersion") or self.options.get(
@@ -805,29 +837,44 @@ class SnapstoreDataSource(DataSource):
         v = self.options.get("sinceVersion") or self.options.get(
             "sinceversion"
         )
-        ts = self.options.get("timestampAsOf") or self.options.get(
-            "timestampasof"
-        )
-        if v is not None and ts is not None:
+        when = self._ts_opt()
+        if v is not None and when is not None:
             raise ValueError(
                 "pass either sinceVersion or timestampAsOf, not both"
             )
-        if ts is not None:
-            # Delta's startingTimestamp: start the stream from the
-            # version that was CURRENT at that instant (delivered
-            # exclusive, like sinceVersion)
-            try:
-                when = float(ts)
-            except ValueError:
-                import datetime
-
-                when = datetime.datetime.fromisoformat(ts).timestamp()
-            since: int | None = ss.snap_version_asof(self._root(), when)
+        root = self._root()
+        if when is not None:
+            # Delta's startingTimestamp: deliver every version published
+            # AT-or-after the instant — since = the latest version
+            # strictly before it. A pre-table timestamp streams the
+            # whole table (since=None -> initial snapshot). The declared
+            # schema came from schema()'s at-or-before resolution, so a
+            # schema evolution between the pin and CURRENT would
+            # misalign delivered batches: refuse it honestly.
+            since: int | None = None
+            pinned: int | None = None
+            cur_schema = None
+            for sv in ss.snap_versions(root):
+                m_sv = ss._read_manifest(root, sv)
+                cur_schema = m_sv["schema"]
+                m_ts = m_sv.get("ts")
+                if m_ts is not None and m_ts < when:
+                    since = sv
+                if m_ts is not None and m_ts <= when:
+                    pinned = sv
+            if pinned is not None and (
+                ss._read_manifest(root, pinned)["schema"] != cur_schema
+            ):
+                raise ValueError(
+                    "timestampAsOf stream across a schema evolution — "
+                    "the declared schema is the as-of version's; start "
+                    "with sinceVersion instead"
+                )
         else:
             since = int(v) if v is not None else None
         if self._read_change_feed():
-            return SnapstoreCdfStreamReader(self._root(), since)
-        return SnapstoreStreamReader(self._root(), since)
+            return SnapstoreCdfStreamReader(root, since)
+        return SnapstoreStreamReader(root, since)
 
     def _stats_cols(self) -> list[str]:
         raw = self.options.get("statscols") or self.options.get("statsCols")

@@ -153,7 +153,10 @@ def _json_stat(v, direction: int = 0):
 
 
 def _collect_file_stats(
-    spark: SparkSession, commit_dir: str | list[str], stats_cols: list[str]
+    spark: SparkSession,
+    commit_dir: str | list[str],
+    stats_cols: list[str],
+    schema: T.StructType | None = None,
 ) -> dict:
     """Per-file min/max of ``stats_cols`` over the just-written commit
     directory (or an explicit file list — ``snap_analyze``'s resident
@@ -163,7 +166,8 @@ def _collect_file_stats(
     from urllib.parse import unquote, urlparse
 
     paths = commit_dir if isinstance(commit_dir, list) else [commit_dir]
-    df = spark.read.parquet(*paths)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(*paths)
     aggs = []
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
@@ -250,10 +254,11 @@ def _canonical_eq_value(manifest_schema_json: str, col: str, value):
 
 def _collect_file_blooms(
     spark: SparkSession,
-    commit_dir: str,
+    commit_dir: str | list[str],
     bloom_cols: list[str],
     n_bits: int,
     k: int,
+    schema: T.StructType | None = None,
 ) -> dict:
     """Per-file Bloom bitmaps of ``bloom_cols`` over the just-written
     commit directory — the equality-predicate complement to min/max
@@ -267,7 +272,7 @@ def _collect_file_blooms(
 
     from wsspark.llmops.bloom import probe_positions
 
-    df = spark.read.parquet(*(commit_dir if isinstance(commit_dir, list) else [commit_dir]))
+    df = (spark.read.schema(schema) if schema is not None else spark.read).parquet(*(commit_dir if isinstance(commit_dir, list) else [commit_dir]))
     for c in bloom_cols:
         if not isinstance(df.schema[c].dataType, _BLOOM_TYPES):
             raise ValueError(
@@ -1239,6 +1244,19 @@ def _dml_candidate_files(m: dict, condition) -> list[str]:
     files = m["files"]
     if not isinstance(condition, str) or _DML_UNPRUNABLE.search(condition):
         return files
+    # Literal/column TYPE GATE: pruning compares the parsed literal
+    # against manifest stats in PYTHON, so it is only sound when both
+    # sides live in the same ordered domain. A quoted literal may prune
+    # only a string column; a bare numeric literal only a numeric
+    # column. Everything else — timestamps/dates (Spark CASTS the
+    # string '2024-01-01' before comparing, while the stats carry
+    # isoformat text that orders differently), booleans, unknown
+    # columns — contributes no pruning for that atom.
+    col_types = {
+        f.name: f.dataType.typeName()
+        for f in T.StructType.fromJson(json.loads(m["schema"])).fields
+    }
+    numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
     kept: set[str] | None = None
     for atom in re.split(r"(?i)\band\b", condition):
         mt = _DML_ATOM.match(atom)
@@ -1247,10 +1265,12 @@ def _dml_candidate_files(m: dict, condition) -> list[str]:
         col, op, lit = mt.group(1), mt.group(2), mt.group(3)
         if lit.startswith("'"):
             value = lit[1:-1]
-        elif "." in lit:
-            value = float(lit)
+            if col_types.get(col) != "string":
+                continue  # cast semantics: cannot prune this atom
         else:
-            value = int(lit)
+            value = float(lit) if "." in lit else int(lit)
+            if col_types.get(col) not in numeric:
+                continue
         if op == "=":
             f = _prune_files_eq_m(m, col, value)
         elif op in (">", ">="):
@@ -3239,14 +3259,16 @@ def snap_analyze(
             )
     extra: dict = {}
     if stats_cols:
-        fresh = _collect_file_stats(spark, m["files"], stats_cols)
+        # the manifest schema, not footer inference: evolved tables hold
+        # pre-evolution files whose footers lack the new columns
+        fresh = _collect_file_stats(spark, m["files"], stats_cols, schema)
         merged = {f: dict(per) for f, per in m.get("file_stats", {}).items()}
         for f, per in fresh.items():
             merged.setdefault(f, {}).update(per)
         extra["file_stats"] = merged
     if bloom_cols:
         fresh_b = _collect_file_blooms(
-            spark, m["files"], bloom_cols, bloom_bits, bloom_k
+            spark, m["files"], bloom_cols, bloom_bits, bloom_k, schema
         )
         merged_b = {f: dict(per) for f, per in m.get("file_blooms", {}).items()}
         for f, per in fresh_b.items():
