@@ -2325,3 +2325,30 @@ def test_analyze_on_evolved_table_uses_manifest_schema(spark, tmp_path):
         for r in ss.snap_read_where_eq(spark, root, "note", "n25").collect()
     }
     assert got == {25}
+
+
+def test_merge_prune_sound_on_timestamp_keys(spark, tmp_path):
+    """MERGE key-range pruning with TIMESTAMP keys: both bound and stat
+    canonicalize through _json_stat (same isoformat domain), so pruning
+    stays sound — matched rows update, everything else survives."""
+    root = str(tmp_path / "t_mts")
+    df = spark.range(0, 20).select(
+        F.col("id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,id,0,0,0)"
+        ).alias("t"),
+        (F.col("id") * 2).alias("val"),
+    )
+    ss.snap_commit(df.repartitionByRange(4, "t"), root, stats_cols=["t"])
+    src = spark.range(5, 8).select(
+        F.col("id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,id,0,0,0)"
+        ).alias("t"),
+        F.lit(-1).cast("long").alias("val"),
+    )
+    ss.snap_merge(spark, root, src.select("id", "t", "val"), on=["t"])
+    rows = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert len(rows) == 20
+    assert rows[5] == rows[6] == rows[7] == -1
+    assert rows[10] == 20
