@@ -2287,8 +2287,19 @@ def test_dml_prune_type_gate_temporal_and_cross_type(spark, tmp_path):
     ss.snap_commit(df.repartitionByRange(5, "t"), root, stats_cols=["t", "id"])
     m = ss._read_manifest(root, 0)
     full = set(m["files"])
-    # quoted literal on a timestamp column: full list, never a guess
-    assert set(ss._dml_candidate_files(m, "t <= '2024-01-05'")) == full
+    # temporal RANGE literals prune soundly in the isoformat domain;
+    # the kept set must cover every file holding a matching row
+    cand = ss._dml_candidate_files(m, "t <= '2024-01-05'")
+    match_files = {
+        r["_sf"]
+        for r in ss._source_frame(spark, m, file_col="_sf")
+        .filter("t <= '2024-01-05'")
+        .select("_sf")
+        .distinct()
+        .collect()
+    }
+    assert match_files <= set(cand) <= full
+    # temporal EQUALITY never prunes (bloom domain mismatch)
     assert set(ss._dml_candidate_files(m, "t = '2024-01-03 00:00:00'")) == full
     # cross-type atoms: no pruning contribution
     assert set(ss._dml_candidate_files(m, "id = '5'")) == full
@@ -2352,3 +2363,47 @@ def test_merge_prune_sound_on_timestamp_keys(spark, tmp_path):
     assert len(rows) == 20
     assert rows[5] == rows[6] == rows[7] == -1
     assert rows[10] == 20
+
+
+def test_dml_prune_temporal_ranges_sound(spark, tmp_path):
+    """Temporal RANGE pruning in the isoformat domain: timestamp
+    predicates prune to the overlapping files with exact results in
+    both separator spellings; DATE-column literals truncate their time
+    component like Spark's string->date cast (the >= edge that would
+    otherwise false-drop the boundary day); equality stays unprunable."""
+    root = str(tmp_path / "t_tsr")
+    df = spark.range(0, 10).select(
+        F.col("id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,id,0,0,0)"
+        ).alias("t"),
+        F.expr("date'2024-01-01' + cast(id as int)").alias("d"),
+    )
+    ss.snap_commit(
+        df.repartitionByRange(5, "id"), root, stats_cols=["t", "d"]
+    )
+    m = ss._read_manifest(root, 0)
+    full = set(m["files"])
+    # timestamp range prunes (both spellings), equality never does
+    c1 = ss._dml_candidate_files(m, "t >= '2024-01-09 00:00:00'")
+    c2 = ss._dml_candidate_files(m, "t >= '2024-01-09T00:00:00'")
+    assert 0 < len(c1) <= 2 and set(c1) == set(c2)
+    assert set(ss._dml_candidate_files(m, "t = '2024-01-03 00:00:00'")) == full
+    # DATE column with a time-component literal: the boundary day's
+    # file must stay in the plan (cast truncates to 2024-01-05)
+    c3 = ss._dml_candidate_files(m, "d >= '2024-01-05 10:00:00'")
+    v_probe = ss.snap_read(spark, root).filter("d >= '2024-01-05 10:00:00'")
+    ids_expected = {r.id for r in v_probe.collect()}
+    assert 4 in ids_expected  # Spark's cast includes the boundary day
+    kept_rows = {
+        r.id
+        for r in ss._source_frame(spark, m, c3)
+        .filter("d >= '2024-01-05 10:00:00'")
+        .collect()
+    }
+    assert kept_rows == ids_expected
+    # end-to-end temporal DELETE with pruning active
+    v = ss.snap_delete_where(spark, root, "t <= '2024-01-03 23:00:00'")
+    assert {r.id for r in ss.snap_read(spark, root, v).collect()} == {
+        3, 4, 5, 6, 7, 8, 9,
+    }

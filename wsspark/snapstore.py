@@ -1263,13 +1263,36 @@ def _dml_candidate_files(m: dict, condition) -> list[str]:
         if mt is None:
             return files
         col, op, lit = mt.group(1), mt.group(2), mt.group(3)
+        ctype = col_types.get(col)
         if lit.startswith("'"):
             value = lit[1:-1]
-            if col_types.get(col) != "string":
+            if ctype in ("timestamp", "timestamp_ntz", "date"):
+                # Temporal RANGE atoms prune in the stats' own isoformat
+                # domain: parse the literal like Spark's string cast
+                # (fromisoformat accepts both 'T' and space separators),
+                # truncating to the DATE for date columns — the cast
+                # drops the time component, so 'd >= 2024-01-05 10:00'
+                # must probe as 2024-01-05, not midnight-after. Equality
+                # stays unprunable (bloom canonicalization is a
+                # different domain); unparseable literals skip the atom.
+                if op == "=":
+                    continue
+                import datetime as _dt
+
+                try:
+                    parsed = _dt.datetime.fromisoformat(value)
+                except ValueError:
+                    continue
+                value = (
+                    parsed.date().isoformat()
+                    if ctype == "date"
+                    else parsed.isoformat()
+                )
+            elif ctype != "string":
                 continue  # cast semantics: cannot prune this atom
         else:
             value = float(lit) if "." in lit else int(lit)
-            if col_types.get(col) not in numeric:
+            if ctype not in numeric:
                 continue
         if op == "=":
             f = _prune_files_eq_m(m, col, value)
