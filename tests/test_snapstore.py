@@ -2407,3 +2407,20 @@ def test_dml_prune_temporal_ranges_sound(spark, tmp_path):
     assert {r.id for r in ss.snap_read(spark, root, v).collect()} == {
         3, 4, 5, 6, 7, 8, 9,
     }
+
+
+def test_clone_refuses_vacuumed_source_version(spark, tmp_path):
+    """Cloning a version whose files were already collected refuses up
+    front (snap_restore parity) instead of publishing dangling refs."""
+    src = str(tmp_path / "cv_src")
+    dst = str(tmp_path / "cv_dst")
+    ss.snap_commit(_df(spark, 0, 10), src)
+    ss.snap_set_ref(src, "old")  # keep the MANIFEST through vacuum...
+    ss.snap_commit(_df(spark, 100, 105), src, "overwrite")
+    # ...but delete its files out from under it (simulated lost race)
+    m0 = ss._read_manifest(src, 0)
+    for f in m0["files"]:
+        os.remove(f)
+    with pytest.raises(FileNotFoundError, match="cannot clone"):
+        ss.snap_clone(src, dst, "old")
+    assert ss.snap_current_version(dst) is None  # nothing published

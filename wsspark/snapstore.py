@@ -3177,6 +3177,18 @@ def snap_clone(
             f"clone target {root_dst} already has a committed version"
         )
     m = _read_manifest(root_src, version)
+    # same guard as snap_restore: never publish references to files a
+    # concurrent source vacuum already collected
+    missing = [
+        f
+        for f in list(m["files"]) + list(m.get("dv_files") or [])
+        if not os.path.exists(f)
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot clone version {version}: {len(missing)} of its files "
+            f"were vacuumed (first: {missing[0]})"
+        )
     os.makedirs(_manifest_dir(root_dst), exist_ok=True)
     ctx = {
         "parent": None,
