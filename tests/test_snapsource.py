@@ -782,3 +782,30 @@ def test_stream_timestamp_asof_edges(spark, tmp_path):
             .load(root)
             .collect()
         )
+
+
+def test_stream_refuses_version_option_and_compact_iso_date(spark, tmp_path):
+    """Review-2 edges: readStream with .option('version', n) refuses
+    (declared schema would pin the historical shape while batches
+    deliver the current one); _parse_ts treats an 8-digit string as the
+    compact ISO date, not epoch seconds."""
+    import datetime
+
+    from wsspark.snapsource import _parse_ts
+
+    assert _parse_ts("20240105") == datetime.datetime(2024, 1, 5).timestamp()
+    assert _parse_ts("1700000000") == 1700000000.0  # real epoch: 10 digits
+    root = str(tmp_path / "w_vref")
+    ss.snap_commit(_df(spark, 0, 5), root)
+    register(spark)
+    with pytest.raises(Exception, match="does not apply to readStream"):
+        q = (
+            spark.readStream.format("snapstore")
+            .option("version", 0)
+            .load(root)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck_vref"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)

@@ -2424,3 +2424,28 @@ def test_clone_refuses_vacuumed_source_version(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="cannot clone"):
         ss.snap_clone(src, dst, "old")
     assert ss.snap_current_version(dst) is None  # nothing published
+
+
+def test_dml_prune_skips_tz_suffixed_literals(spark, tmp_path):
+    """Review-2 edge: a 'Z'/offset-suffixed temporal literal produces a
+    tz-aware isoformat that no longer orders lexicographically against
+    naive stat strings — the atom must contribute no pruning, and the
+    DELETE must still hit its rows."""
+    root = str(tmp_path / "t_tz")
+    df = spark.range(0, 10).select(
+        F.col("id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,id,0,0,0)"
+        ).alias("t"),
+    )
+    ss.snap_commit(df.repartitionByRange(5, "t"), root, stats_cols=["t"])
+    m = ss._read_manifest(root, 0)
+    full = set(m["files"])
+    assert set(ss._dml_candidate_files(m, "t >= '2024-01-09T00:00:00Z'")) == full
+    assert (
+        set(ss._dml_candidate_files(m, "t >= '2024-01-09 00:00:00+05:00'"))
+        == full
+    )
+    v = ss.snap_delete_where(spark, root, "t >= '2024-01-09T00:00:00Z'")
+    left = {r.id for r in ss.snap_read(spark, root, v).collect()}
+    assert left == set(range(8))  # UTC session: ids 8,9 matched

@@ -82,12 +82,17 @@ from wsspark import snapstore as ss
 
 def _parse_ts(raw: str) -> float:
     """timestampAsOf literal -> epoch seconds: a float string, else an
-    ISO datetime (naive = local time, matching datetime.timestamp())."""
+    ISO datetime (naive = local time, matching datetime.timestamp()).
+    An 8-digit string is the compact ISO date ('20240105'), not epoch
+    seconds — real epoch values are 9+ digits this century."""
+    import datetime
+    import re as _re
+
+    if _re.fullmatch(r"\d{8}", raw):
+        return datetime.datetime.fromisoformat(raw).timestamp()
     try:
         return float(raw)
     except ValueError:
-        import datetime
-
         return datetime.datetime.fromisoformat(raw).timestamp()
 
 
@@ -834,6 +839,15 @@ class SnapstoreDataSource(DataSource):
         return SnapstoreBatchReader(self._root(), self._version_opt(self._root()))
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        if self.options.get("version") is not None:
+            # a pinned version would declare the historical schema while
+            # the stream delivers current-schema batches — the same
+            # misalignment the timestampAsOf path refuses; streams are
+            # cursor-addressed
+            raise ValueError(
+                "the version option does not apply to readStream — "
+                "start the cursor with sinceVersion (or timestampAsOf)"
+            )
         v = self.options.get("sinceVersion") or self.options.get(
             "sinceversion"
         )
@@ -852,7 +866,7 @@ class SnapstoreDataSource(DataSource):
             # schema evolution between the pin and CURRENT would
             # misalign delivered batches: refuse it honestly.
             since: int | None = None
-            pinned: int | None = None
+            pinned_schema = None
             cur_schema = None
             for sv in ss.snap_versions(root):
                 m_sv = ss._read_manifest(root, sv)
@@ -861,10 +875,8 @@ class SnapstoreDataSource(DataSource):
                 if m_ts is not None and m_ts < when:
                     since = sv
                 if m_ts is not None and m_ts <= when:
-                    pinned = sv
-            if pinned is not None and (
-                ss._read_manifest(root, pinned)["schema"] != cur_schema
-            ):
+                    pinned_schema = m_sv["schema"]
+            if pinned_schema is not None and pinned_schema != cur_schema:
                 raise ValueError(
                     "timestampAsOf stream across a schema evolution — "
                     "the declared schema is the as-of version's; start "

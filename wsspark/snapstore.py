@@ -152,6 +152,36 @@ def _json_stat(v, direction: int = 0):
     return v.isoformat() if hasattr(v, "isoformat") else v
 
 
+def _session_ts_normalizer(spark: SparkSession):
+    """TimestampType values collected on the driver are rendered in the
+    SYSTEM timezone (PySpark's fromInternal), while predicate literals
+    are interpreted in the SESSION timezone — on a non-UTC driver with
+    a pinned session tz the two string domains shift apart and every
+    stats comparison (pruning, merge bounds) goes quietly wrong.
+    Returns f(naive system-local datetime) -> naive session-tz
+    datetime, or None when no conversion is needed (session tz unset =
+    JVM default = system tz) or the session tz is unparseable (keep the
+    old domain rather than guess)."""
+    sess = None
+    try:
+        sess = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        return None
+    if not sess:
+        return None
+    try:
+        import zoneinfo
+
+        tz = zoneinfo.ZoneInfo(sess)
+    except Exception:
+        return None
+
+    def _norm(v):
+        return v.astimezone().astimezone(tz).replace(tzinfo=None)
+
+    return _norm
+
+
 def _collect_file_stats(
     spark: SparkSession,
     commit_dir: str | list[str],
@@ -178,13 +208,27 @@ def _collect_file_stats(
         .agg(*aggs)
         .collect()
     )
+    # session-tz domain for TimestampType stats (TIMESTAMP_NTZ and DATE
+    # values are tz-free and pass through)
+    norm = _session_ts_normalizer(spark)
+    ts_cols = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampType)
+    }
+
+    def _stat(c, v, direction):
+        if norm is not None and c in ts_cols and v is not None:
+            v = norm(v)
+        return _json_stat(v, direction=direction)
+
     stats: dict = {}
     for r in rows:
         path = unquote(urlparse(r["__path"]).path)
         stats[path] = {
             c: [
-                _json_stat(r[f"__min_{c}"], direction=-1),
-                _json_stat(r[f"__max_{c}"], direction=1),
+                _stat(c, r[f"__min_{c}"], -1),
+                _stat(c, r[f"__max_{c}"], 1),
             ]
             for c in stats_cols
         }
@@ -1282,6 +1326,11 @@ def _dml_candidate_files(m: dict, condition) -> list[str]:
                 try:
                     parsed = _dt.datetime.fromisoformat(value)
                 except ValueError:
+                    continue
+                if parsed.tzinfo is not None:
+                    # tz-suffixed literal: its isoformat carries an
+                    # offset and no longer orders lexicographically
+                    # against the naive stat strings — cannot prune
                     continue
                 value = (
                     parsed.date().isoformat()
@@ -2661,11 +2710,19 @@ def snap_merge(
             *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(on)],
             *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(on)],
         ).collect()[0]
+        norm = _session_ts_normalizer(spark)
+        ts_keys = {
+            f.name
+            for f in source.schema.fields
+            if isinstance(f.dataType, T.TimestampType)
+        }
         kept: set[str] | None = None
         for i, c in enumerate(on):
             lo, hi = bounds[f"_lo{i}"], bounds[f"_hi{i}"]
             if lo is None or hi is None:
                 continue  # empty/all-NULL source keys: no pruning signal
+            if norm is not None and c in ts_keys:
+                lo, hi = norm(lo), norm(hi)  # stats' session-tz domain
             per = _prune_files_halfrange_m(m, c, lo, hi)
             kept = set(per) if kept is None else kept & set(per)
         if kept is not None:
