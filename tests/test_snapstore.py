@@ -2449,3 +2449,41 @@ def test_dml_prune_skips_tz_suffixed_literals(spark, tmp_path):
     v = ss.snap_delete_where(spark, root, "t >= '2024-01-09T00:00:00Z'")
     left = {r.id for r in ss.snap_read(spark, root, v).collect()}
     assert left == set(range(8))  # UTC session: ids 8,9 matched
+
+
+def test_dml_prune_sound_on_non_utc_driver(spark, tmp_path, monkeypatch):
+    """The review-found tz-domain skew, reproduced: Python renders
+    collected TimestampType values in the DRIVER SYSTEM timezone while
+    the session interprets literals in UTC. With TZ shifted to
+    America/New_York mid-process, stats must still land in the
+    session-tz (UTC) naive domain — pruning keeps the right files and a
+    temporal DELETE hits exactly its rows."""
+    import time as _t
+
+    monkeypatch.setenv("TZ", "America/New_York")
+    _t.tzset()
+    try:
+        root = str(tmp_path / "t_nyc")
+        df = spark.range(0, 10).select(
+            F.col("id"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0,0,0,id,0,0,0)"
+            ).alias("t"),
+        )
+        ss.snap_commit(df.repartitionByRange(5, "t"), root, stats_cols=["t"])
+        m = ss._read_manifest(root, 0)
+        # stats are in the SESSION (UTC) domain, not the NY wall clock
+        all_stats = sorted(
+            per["t"][0] for per in m["file_stats"].values()
+        )
+        assert all_stats[0] == "2024-01-01T00:00:00", all_stats
+        # pruning keeps the matching tail and the DELETE is exact
+        cand = ss._dml_candidate_files(m, "t >= '2024-01-09 00:00:00'")
+        assert 0 < len(cand) <= 2
+        v = ss.snap_delete_where(spark, root, "t >= '2024-01-09 00:00:00'")
+        left = {r.id for r in ss.snap_read(spark, root, v).collect()}
+        assert left == set(range(8))  # id=8 is Jan 9, id=9 is Jan 10
+    finally:
+        monkeypatch.undo()
+        _t.tzset()
