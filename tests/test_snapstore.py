@@ -2487,3 +2487,54 @@ def test_dml_prune_sound_on_non_utc_driver(spark, tmp_path, monkeypatch):
     finally:
         monkeypatch.undo()
         _t.tzset()
+
+
+def test_cdf_span_read_coalesces_plan_legs(spark, tmp_path):
+    """A long CDF span must NOT build one plan leg per commit: all
+    appends under one schema epoch coalesce into a single parquet scan
+    (and all DML sidecars into another), with ``_commit_version``
+    recovered per-row from the broadcast path->version map. 12 appends
+    + 3 DML commits => exactly 2 parquet-scan legs, and the feed's
+    content is identical to what per-commit sub-span reads return."""
+    import io
+    from contextlib import redirect_stdout
+
+    root = str(tmp_path / "t")
+    ss.snap_commit(_df(spark, 0, 5), root)  # v0 base
+    v_en = ss.snap_enable_cdf(root)  # v1
+    n_appends = 12
+    for i in range(n_appends):
+        ss.snap_commit(_df(spark, 100 + 5 * i, 105 + 5 * i), root)
+    ss.snap_merge(
+        spark, root, _df(spark, 0, 2), on=["id"], when_matched="update"
+    )
+    ss.snap_merge(spark, root, _df(spark, 500, 503), on=["id"])
+    ss.snap_delete_where(spark, root, "id = 101")
+
+    feed = ss.snap_read_changes_cdf(spark, root, v_en)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        feed.explain(mode="formatted")
+    import re
+
+    n_scans = len(
+        re.findall(r"^\(\d+\) Scan parquet", buf.getvalue(), re.MULTILINE)
+    )
+    assert n_scans == 2, f"expected 2 coalesced scan legs, got {n_scans}"
+
+    # content parity with per-commit sub-span reads (the uncoalesced
+    # grain): every single-commit window concatenated == the span
+    rows_span = sorted(
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in feed.collect()
+    )
+    rows_sub = []
+    for v in range(v_en + 1, ss.snap_current_version(root) + 1):
+        rows_sub.extend(
+            (r["id"], r["_change_type"], r["_commit_version"])
+            for r in ss.snap_read_changes_cdf(spark, root, v - 1, v).collect()
+        )
+    assert rows_span == sorted(rows_sub)
+    # inserts carry their exact commit versions through the map join
+    versions = {v for _, t, v in rows_span if t == "insert"}
+    assert len(versions) >= n_appends

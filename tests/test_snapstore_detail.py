@@ -1,0 +1,358 @@
+"""Manifest DETAIL sidecar — the metadata plane at scale.
+
+Above ``WSSPARK_SNAP_DETAIL_INLINE_MAX`` files, a commit's per-file
+metadata (min/max stats, Bloom bitmaps, rows/bytes) moves out of the
+version JSON into one parquet sidecar; the head stays O(1)+paths and
+readers reconstruct/prune lazily. These tests force sidecar mode with
+threshold 0 and pin:
+
+- exact round-trip: reconstructed dicts are bit-identical with inline
+  mode (stats ride as their original JSON text, blooms re-hex exactly);
+- pruning parity: the vectorized arrow path and the distributed Spark
+  path keep EXACTLY the files the dict path keeps (and never fewer —
+  widening may only keep more, and only for >2^53 integers);
+- every lifecycle op (append, merge, update, DV delete, constraint
+  commits, restore, clone, vacuum, CDF) behaves identically on a
+  detail-backed store;
+- metadata commits and restores SHARE the parent's sidecar pointer
+  (zero metadata copied), and vacuum collects sidecars by reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wsspark import snapstore as ss
+
+
+@pytest.fixture()
+def detail_mode(monkeypatch):
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "0")
+
+
+def _df(spark, rows, cols=("id", "v")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def _head(root, version):
+    with open(ss._manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def test_sidecar_written_and_head_stays_small(spark, detail_mode, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).repartition(4)
+    v = ss.snap_commit(df, root, stats_cols=["id"], bloom_cols=["v"])
+    head = _head(root, v)
+    assert "detail_file" in head
+    for k in ("file_stats", "file_blooms", "file_meta"):
+        assert k not in head
+    sidecar = os.path.join(ss._manifest_dir(root), head["detail_file"])
+    assert os.path.exists(sidecar)
+    # lazy reconstruction answers like inline mode would
+    m = ss._read_manifest(root, v)
+    assert isinstance(m, ss._LazyManifest)
+    assert set(m["file_stats"]) == set(m["files"])
+    assert set(m["file_blooms"]) == set(m["files"])
+    assert all(set(b) == {"v"} for b in m["file_blooms"].values())
+    assert ss.snap_count(root) == 1000
+    got = sorted(r["id"] for r in ss.snap_read(spark, root).collect())
+    assert got == list(range(1000))
+
+
+def test_roundtrip_bit_identical_with_inline(spark, tmp_path, monkeypatch):
+    import datetime as dt
+
+    rows = [
+        (i, f"k{i % 13}", dt.datetime(2024, 1, 1 + i % 20, i % 24))
+        for i in range(400)
+    ]
+    df = _df(spark, rows, ("id", "k", "ts")).repartition(4)
+    inline_root = str(tmp_path / "inline")
+    detail_root = str(tmp_path / "detail")
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "100000")
+    ss.snap_commit(df, inline_root, stats_cols=["id", "ts"], bloom_cols=["k"])
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "0")
+    ss.snap_commit(df, detail_root, stats_cols=["id", "ts"], bloom_cols=["k"])
+
+    mi = ss._read_manifest(inline_root, 0)
+    md = ss._read_manifest(detail_root, 0)
+
+    # commit dirs carry uuids: align the two stores' files by sorted
+    # order (identical data written identically -> same per-file values)
+    fi, fd = sorted(mi["files"]), sorted(md["files"])
+    assert len(fi) == len(fd)
+    for a, b in zip(fi, fd):
+        assert md["file_stats"][b] == mi["file_stats"][a]
+        assert md["file_blooms"][b] == mi["file_blooms"][a]
+        assert md["file_meta"][b] == mi["file_meta"][a]
+    assert md["bloom_meta"] == mi["bloom_meta"]
+
+
+def test_prune_parity_range_eq_and_spark(spark, detail_mode, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    df = (
+        spark.range(0, 4000)
+        .select(F.col("id"), (F.col("id") % 97).alias("k"))
+        .repartitionByRange(8, "id")
+    )
+    ss.snap_commit(df, root, stats_cols=["id"], bloom_cols=["k"])
+
+    # dict-path ground truth: force inline semantics by reconstructing
+    m = ss._read_manifest(root, 0)
+    m._ensure()  # loaded -> prune uses the dict loop
+    dict_range = ss._prune_files_between_m(m, "id", 100, 400)
+    dict_eq = ss._prune_files_eq_m(m, "k", 42)
+
+    m2 = ss._read_manifest(root, 0)  # fresh lazy -> vectorized path
+    assert ss._prune_files_between_m(m2, "id", 100, 400) == dict_range
+    m3 = ss._read_manifest(root, 0)
+    assert ss._prune_files_eq_m(m3, "k", 42) == dict_eq
+    assert len(dict_range) < len(m["files"])  # pruning actually happened
+
+    kept_spark, total = ss.snap_prune_files_spark(spark, root, "id", 100, 400)
+    assert kept_spark == dict_range and total == len(m["files"])
+
+    # half-open ranges
+    m4 = ss._read_manifest(root, 0)
+    vec_half = ss._prune_files_halfrange_m(m4, "id", 3500, None)
+    assert vec_half == ss._prune_files_halfrange_m(m, "id", 3500, None)
+    assert 0 < len(vec_half) < len(m["files"])
+
+    # results stay exact through the pruned read
+    got = sorted(
+        r["id"] for r in ss.snap_read_between(spark, root, "id", 100, 400).collect()
+    )
+    assert got == list(range(100, 401))
+    got_eq = sorted(
+        r["id"] for r in ss.snap_read_where_eq(spark, root, "k", 42).collect()
+    )
+    assert got_eq == [i for i in range(4000) if i % 97 == 42]
+
+
+def test_widening_keeps_superset_on_huge_ints(spark, detail_mode, tmp_path):
+    root = str(tmp_path / "t")
+    base = 2**60
+    rows = [(base + i,) for i in range(0, 1000, 10)]
+    df = spark.createDataFrame(rows, ["id"]).repartitionByRange(4, "id")
+    ss.snap_commit(df, root, stats_cols=["id"])
+    m = ss._read_manifest(root, 0)
+    m._ensure()
+    exact = set(ss._prune_files_between_m(m, "id", base + 100, base + 200))
+    lazy = ss._read_manifest(root, 0)
+    vec = set(ss._prune_files_between_m(lazy, "id", base + 100, base + 200))
+    assert vec >= exact  # widening may only KEEP more
+    got = sorted(
+        r["id"]
+        for r in ss.snap_read_between(
+            spark, root, "id", base + 100, base + 200
+        ).collect()
+    )
+    assert got == [base + i for i in range(100, 201, 10)]
+
+
+def test_temporal_and_string_stats_prune_vectorized(spark, detail_mode, tmp_path):
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)) for i in range(200)
+    ]
+    df = _df(spark, rows, ("id", "ts")).repartitionByRange(4, "ts")
+    ss.snap_commit(df, root, stats_cols=["ts"])
+    lo, hi = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 5)
+    m = ss._read_manifest(root, 0)
+    m._ensure()
+    exact = ss._prune_files_between_m(m, "ts", lo, hi)
+    lazy = ss._read_manifest(root, 0)
+    assert ss._prune_files_between_m(lazy, "ts", lo, hi) == exact
+    assert 0 < len(exact) < len(m["files"])
+    got = ss.snap_read_between(spark, root, "ts", lo, hi).count()
+    assert got == sum(1 for _, t in rows if lo <= t <= hi)
+
+
+def test_append_merges_detail_and_dml_candidates(spark, detail_mode, tmp_path):
+    root = str(tmp_path / "t")
+    d1 = spark.range(0, 1000).select(F.col("id")).repartitionByRange(4, "id")
+    ss.snap_commit(d1, root, stats_cols=["id"])
+    d2 = (
+        spark.range(1000, 2000)
+        .select(F.col("id"))
+        .repartitionByRange(4, "id")
+    )
+    v = ss.snap_commit(d2, root, stats_cols=["id"])
+    m = ss._read_manifest(root, v)
+    cand = ss._dml_candidate_files(m, "id >= 1500 AND id <= 1600")
+    assert 0 < len(cand) < len(m["files"])
+    # the candidate set matches the dict-path plan
+    m2 = ss._read_manifest(root, v)
+    m2._ensure()
+    assert cand == ss._dml_candidate_files(m2, "id >= 1500 AND id <= 1600")
+    assert set(m["file_stats"]) == set(m["files"])
+
+
+def test_dml_lifecycle_on_detail_backed_store(spark, detail_mode, tmp_path):
+    root = str(tmp_path / "t")
+    df = _df(spark, [(i, i % 10) for i in range(500)]).repartition(4)
+    ss.snap_commit(df, root, stats_cols=["id"])
+    # merge upsert
+    src = _df(spark, [(1, 111), (500, 500)])
+    ss.snap_merge(spark, root, src, on=["id"])
+    # COW update
+    ss.snap_update_where(spark, root, "id = 2", {"v": "222"})
+    # DV delete
+    ss.snap_delete_dv(spark, root, "id = 3")
+    got = {r["id"]: r["v"] for r in ss.snap_read(spark, root).collect()}
+    assert got[1] == 111 and got[500] == 500 and got[2] == 222
+    assert 3 not in got and len(got) == 500  # 500 added, 3 deleted
+    # every published version above threshold carries a sidecar
+    for v in ss.snap_versions(root):
+        assert "detail_file" in _head(root, v)
+
+
+def test_metadata_commit_and_restore_share_sidecar(spark, detail_mode, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(0, 300).select(F.col("id"), (F.col("id") % 3).alias("v"))
+    ss.snap_commit(df.repartition(3), root, stats_cols=["id"])
+    h0 = _head(root, 0)
+    v1 = ss.snap_add_constraint(spark, root, "nonneg", "id >= 0")
+    h1 = _head(root, v1)
+    assert h1["detail_file"] == h0["detail_file"]  # zero-copy pointer share
+    ss.snap_commit(
+        spark.range(300, 400).select(F.col("id"), (F.col("id") % 3).alias("v")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    v3 = ss.snap_restore(root, v1)
+    h3 = _head(root, v3)
+    assert h3["detail_file"] == h0["detail_file"]
+    assert ss.snap_count(root) == 300
+    m = ss._read_manifest(root, v3)
+    assert m.get("constraints") == {"nonneg": "id >= 0"}
+    assert set(m["file_stats"]) == set(m["files"])
+
+
+def test_clone_rewrites_detail_under_destination(spark, detail_mode, tmp_path):
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 300).select(F.col("id")).repartition(3)
+    ss.snap_commit(df, src_root, stats_cols=["id"])
+    ss.snap_clone(src_root, dst_root)
+    hd = _head(dst_root, 0)
+    assert "detail_file" in hd
+    assert os.path.exists(os.path.join(ss._manifest_dir(dst_root), hd["detail_file"]))
+    md = ss._read_manifest(dst_root, 0)
+    ms = ss._read_manifest(src_root, 0)
+    assert md["file_stats"] == ms["file_stats"]
+    assert ss.snap_read(spark, dst_root).count() == 300
+
+
+def test_vacuum_sweeps_unreferenced_sidecars_keeps_shared(
+    spark, detail_mode, tmp_path
+):
+    root = str(tmp_path / "t")
+    for i in range(3):
+        ss.snap_commit(
+            spark.range(i * 100, (i + 1) * 100).select(F.col("id")).repartition(2),
+            root,
+            stats_cols=["id"],
+        )
+    # constraint commit shares v2's sidecar
+    v3 = ss.snap_add_constraint(spark, root, "nonneg", "id >= 0")
+    shared = _head(root, v3)["detail_file"]
+    assert shared == _head(root, 2)["detail_file"]
+    # an orphan from a crashed committer
+    orphan = os.path.join(ss._manifest_dir(root), "v999-dead.detail.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    old = __import__("time").time() - 7200
+    os.utime(orphan, (old, old))
+    for v in range(3):
+        p = os.path.join(ss._manifest_dir(root), _head(root, v)["detail_file"])
+        os.utime(p, (old, old))
+    ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=30)
+    names = set(os.listdir(ss._manifest_dir(root)))
+    assert shared in names  # still referenced by the retained v3
+    assert "v999-dead.detail.parquet" not in names
+    # sidecars of vacuumed v0/v1 are gone (v2's == shared survives)
+    live = {
+        _head(root, v).get("detail_file") for v in ss.snap_versions(root)
+    }
+    for n in names:
+        if n.endswith(".detail.parquet"):
+            assert n in live
+    assert ss.snap_read(spark, root).count() == 300
+
+
+def test_cdf_on_detail_backed_store(spark, detail_mode, tmp_path):
+    root = str(tmp_path / "t")
+    df = _df(spark, [(i, i) for i in range(200)]).repartition(2)
+    ss.snap_commit(df, root, stats_cols=["id"])
+    v_on = ss.snap_enable_cdf(root)
+    ss.snap_merge(spark, root, _df(spark, [(1, 101), (777, 777)]), on=["id"])
+    ch = ss.snap_read_changes_cdf(spark, root, since=v_on)
+    kinds = {
+        (r["id"], r["_change_type"]) for r in ch.collect() if r["id"] in (1, 777)
+    }
+    assert ("777", "insert") in {(str(k), t) for k, t in kinds} or (
+        777,
+        "insert",
+    ) in kinds
+    assert (1, "update_postimage") in kinds or ("1", "update_postimage") in {
+        (str(k), t) for k, t in kinds
+    }
+
+
+def test_stage_publish_on_detail_backed_store(spark, detail_mode, tmp_path):
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 100).select(F.col("id")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    sid = ss.snap_stage(
+        spark.range(100, 200).select(F.col("id")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    v = ss.snap_publish_staged(root, sid)
+    assert "detail_file" in _head(root, v)
+    m = ss._read_manifest(root, v)
+    assert set(m["file_stats"]) == set(m["files"])
+    assert ss.snap_count(root) == 200
+
+
+def test_lost_race_removes_its_sidecar(spark, detail_mode, tmp_path):
+    root = str(tmp_path / "t")
+    ss.snap_commit(spark.range(0, 50).select(F.col("id")), root)
+    manifest = {
+        "version": 1,
+        "parent": 0,
+        "mode": "append",
+        "tag": None,
+        "schema": ss._read_manifest(root, 0)["schema"],
+        "files": [f"/fake/{i}.parquet" for i in range(5)],
+        "file_stats": {f"/fake/{i}.parquet": {"id": [i, i + 1]} for i in range(5)},
+        "file_blooms": {},
+        "file_meta": {},
+        "ts": 0.0,
+    }
+    ss._write_manifest_file(root, dict(manifest))
+    before = {
+        n
+        for n in os.listdir(ss._manifest_dir(root))
+        if n.endswith(".detail.parquet")
+    }
+    with pytest.raises(FileExistsError):
+        ss._write_manifest_file(root, dict(manifest))  # lost the race
+    after = {
+        n
+        for n in os.listdir(ss._manifest_dir(root))
+        if n.endswith(".detail.parquet")
+    }
+    assert after == before  # the loser's sidecar was removed

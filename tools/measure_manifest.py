@@ -1,0 +1,163 @@
+"""Measure the manifest metadata plane at scale: inline-JSON vs the
+parquet detail sidecar.
+
+Fabricates stores whose manifests reference N synthetic data files (no
+data written — planning never opens a file), each with one numeric
+stats column and one small Bloom column, then times what a READER pays:
+
+- head read (what EVERY operation pays before planning);
+- range prune (``snap_prune_files`` — vectorized over the sidecar's
+  typed index vs the inline dict loop);
+- equality prune (``snap_prune_files_eq`` — bloom word probes);
+- full detail reconstruction (the commit-time merge path);
+- the distributed ``snap_prune_files_spark`` variant (50k+ files).
+
+Usage: python tools/measure_manifest.py [N ...]   (default 5000 20000 50000)
+
+Prints one JSON line per (N, mode) with seconds per phase. The claim
+under test: head cost is O(paths) and prune cost near-flat (C-speed
+vectorized) for the sidecar, vs O(files x bloom_bits) JSON parse on
+EVERY read for inline mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wsspark import snapstore as ss  # noqa: E402
+
+N_BITS, K = 1 << 10, 4
+ROWS_PER_FILE = 100
+
+
+def _fabricate(root: str, n_files: int, inline: bool) -> None:
+    os.environ["WSSPARK_SNAP_DETAIL_INLINE_MAX"] = (
+        str(10 * n_files) if inline else "0"
+    )
+    files = [f"/fake/data/part-{i:06d}.parquet" for i in range(n_files)]
+    stats, blooms, meta = {}, {}, {}
+    n_words = N_BITS // 63 + 1
+    for i, f in enumerate(files):
+        lo = i * ROWS_PER_FILE
+        stats[f] = {"id": [lo, lo + ROWS_PER_FILE - 1]}
+        words = [0] * n_words
+        # 8 representative values per file (timing-realistic density;
+        # bit-exact with the probe side by construction)
+        for v in range(lo, lo + 8):
+            for p in ss._bloom_positions_py(v, N_BITS, K):
+                words[p // 63] |= 1 << (p % 63)
+        blooms[f] = {"id": "".join(f"{w:016x}" for w in words)}
+        meta[f] = {"rows": ROWS_PER_FILE, "bytes": 4096}
+    manifest = {
+        "version": 0,
+        "parent": None,
+        "mode": "overwrite",
+        "tag": None,
+        "schema": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "id",
+                        "type": "long",
+                        "nullable": False,
+                        "metadata": {},
+                    }
+                ],
+            }
+        ),
+        "files": files,
+        "file_stats": stats,
+        "file_blooms": blooms,
+        "bloom_meta": {"id": {"n_bits": N_BITS, "k": K}},
+        "file_meta": meta,
+        "dv_files": [],
+        "constraints": {},
+        "cdf": False,
+        "cdf_files": [],
+        "ts": time.time(),
+    }
+    os.makedirs(ss._manifest_dir(root), exist_ok=True)
+    ss._write_manifest_file(root, manifest)
+    ss._advance_current(root, 0)
+
+
+def _t(fn, *a, **k):
+    t0 = time.perf_counter()
+    out = fn(*a, **k)
+    return time.perf_counter() - t0, out
+
+
+def run(n_files: int, spark=None) -> None:
+    for inline in (True, False):
+        mode = "inline" if inline else "detail"
+        root = tempfile.mkdtemp(prefix=f"manifest-{mode}-")
+        try:
+            t_write, _ = _t(_fabricate, root, n_files, inline)
+            ss._detail_cache.clear()
+            t_head, m = _t(ss._read_manifest, root, 0)
+            # range prune over ~1% of the id domain
+            hi_id = n_files * ROWS_PER_FILE
+            t_range, (kept, total) = _t(
+                ss.snap_prune_files, root, "id", hi_id // 2, hi_id // 2 + hi_id // 100
+            )
+            t_eq, (kept_eq, _) = _t(
+                ss.snap_prune_files_eq, root, "id", ROWS_PER_FILE * (n_files // 2)
+            )
+            row = {
+                "n_files": n_files,
+                "mode": mode,
+                "write_s": round(t_write, 4),
+                "head_read_s": round(t_head, 4),
+                "prune_range_s": round(t_range, 4),
+                "prune_eq_s": round(t_eq, 4),
+                "kept_range": len(kept),
+                "kept_eq": len(kept_eq),
+                "total": total,
+            }
+            if not inline:
+                ss._detail_cache.clear()
+                t_detail, _ = _t(lambda: ss._read_manifest(root, 0)["file_stats"])
+                row["detail_reconstruct_s"] = round(t_detail, 4)
+                if spark is not None:
+                    t_spark, (kept_sp, _) = _t(
+                        ss.snap_prune_files_spark,
+                        spark,
+                        root,
+                        "id",
+                        hi_id // 2,
+                        hi_id // 2 + hi_id // 100,
+                    )
+                    assert kept_sp == kept, "spark/vectorized prune parity"
+                    row["prune_range_spark_s"] = round(t_spark, 4)
+                head_bytes = os.path.getsize(ss._manifest_path(root, 0))
+                row["head_bytes"] = head_bytes
+            else:
+                row["head_bytes"] = os.path.getsize(ss._manifest_path(root, 0))
+            print(json.dumps(row))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [5000, 20000, 50000]
+    spark = None
+    if os.environ.get("WSSPARK_MANIFEST_SPARK", "1") != "0":
+        from wsspark.session import get_session
+
+        spark = get_session(
+            app_name="measure-manifest", master="local[8]", shuffle_partitions=8
+        )
+    for n in sizes:
+        run(n, spark)
+
+
+if __name__ == "__main__":
+    main()

@@ -1593,20 +1593,16 @@ QUERIES = [
           "trigger/audit semantics as snapshot diff (M5 F12)"),
     Query("transfer_validation", q_transfer_validation, TRANSFER_VALIDATION_SQL,
           "transfer_stock validation rules (M2)"),
-    # movement_quantity_quantiles retired to the folded tier in r11 (slot
-    # swap — see llm.py FOLDED_QUERIES); implementation + SQL stay here.
-    Query("daily_trend_windows", q_daily_trend_windows, DAILY_WINDOWS_SQL,
-          "rolling 7-day average + day-over-day lag over gap-filled dailies"),
+    # movement_quantity_quantiles retired to the folded tier in r11;
+    # daily_trend_windows, transfer_receipts, movement_rollup retired in
+    # r13 (slot swaps — see llm.py FOLDED_QUERIES); implementations + SQL
+    # stay here.
     Query("event_funnel", q_event_funnel, FUNNEL_SQL,
           "ordered view->click->purchase funnel, one user-grain shuffle"),
     Query("dead_stock_aging", q_dead_stock_aging, AGING_SQL,
           "aging buckets over days-since-last-movement"),
-    Query("transfer_receipts", q_transfer_receipts, RECEIPTS_SQL,
-          "JSON result envelopes for transfer requests (F7)"),
     Query("movement_anomalies", q_movement_anomalies, ANOMALIES_SQL,
           "per-warehouse daily volume z-score anomalies"),
-    Query("movement_rollup", q_movement_rollup, ROLLUP_SQL,
-          "ROLLUP hierarchy totals in one shuffle (grouping sets)"),
     Query("incremental_mv_refresh", q_incremental_mv_refresh,
           INCREMENTAL_MV_SQL,
           "O(delta) materialized-view refresh; oracle = full recompute"),

@@ -4456,8 +4456,8 @@ EMB_COV_SQL = _covariance_block_sql()
 
 
 QUERIES = [
-    Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
-          "text quality scoring: tokens/chars/stopword ratio"),
+    # doc_stats retired to the folded tier in r13 (slot swap — see
+    # FOLDED_QUERIES); implementation + SQL stay here.
     Query("minhash_dedup_pairs", q_minhash_dedup_pairs, MINHASH_PAIRS_SQL,
           "MinHash+LSH near-dup (scale path, exact-verified candidates)"),
     Query("lang_id", q_lang_id, LANG_ID_SQL,
@@ -4556,6 +4556,30 @@ QUERIES = [
           "copy-on-write UPDATE over a dv-deleted snapshot"),
     Query("snapstore_wap_read", q_snapstore_wap_read, SNAPSTORE_WAP_SQL,
           "write-audit-publish staged append read back"),
+    # Promoted folded -> registry (r13 slot swap; see FOLDED_QUERIES doc):
+    # the r12 table-format CDC/DML wave (change data feed, CDF-driven
+    # IVM, shallow clone, replaceWhere, conditional/sync merge) and the
+    # fused drift suite now run under the DRIVER's DuckDB gate; the
+    # slots came from six retired redundant family members
+    # (daily_trend_windows, transfer_receipts, movement_rollup,
+    # nation_trade_volume, streaming_event_dedup, doc_stats — all folded
+    # below, still oracle-hash-gated every session by
+    # tests/test_folded_oracles.py).
+    Query("drift_suite_report", q_drift_suite_report, _drift_suite_sql(),
+          "fused PSI/KS/top-k/embedding drift suite over one scan"),
+    Query("snapstore_cdf_read", q_snapstore_cdf_read, SNAPSTORE_CDF_SQL,
+          "change-data-feed read across append/update/delete commits"),
+    Query("mv_refresh_cdf", q_mv_refresh_cdf, MV_REFRESH_CDF_SQL,
+          "change-feed-driven incremental MV maintenance under DML"),
+    Query("snapstore_clone_read", q_snapstore_clone_read,
+          SNAPSTORE_CLONE_SQL,
+          "shallow clone write isolation: DML'd clone + intact source"),
+    Query("snapstore_replace_where_read", q_snapstore_replace_where_read,
+          SNAPSTORE_REPLACE_WHERE_SQL,
+          "replaceWhere: atomic region swap over a dv-carrying store"),
+    Query("snapstore_merge_sync_read", q_snapstore_merge_sync_read,
+          SNAPSTORE_MERGE_SYNC_SQL,
+          "conditional WHEN MATCHED + not-matched-by-source sync merge"),
 ]
 
 # Registry-slot policy (round 6): the driver window holds 50 of a 100-query
@@ -4592,9 +4616,9 @@ def _folded_core():
               "layers (M4 LIFO)"),
         # Folded r7 (incremental_mv_refresh took its slot): CUBE and ROLLUP
         # share the single-shuffle grouping-sets expansion — same adapter
-        # frame, same measures, Catalyst's Expand in both plans — so the
-        # registered movement_rollup re-verifies the shared path every
-        # rotation while CUBE's extra marginals keep their hash check here.
+        # frame, same measures, Catalyst's Expand in both plans. (r13:
+        # movement_rollup itself retired to this tier; both grouping-set
+        # variants now keep their hash checks here.)
         Query("movement_cube", core.q_movement_cube, core.CUBE_SQL,
               "CUBE grouping-set marginals in one shuffle"),
         # Folded r7 (pagerank_transfer_routes took its slot): peak_month is
@@ -4731,6 +4755,10 @@ from wsspark.queries.tpch import (  # noqa: E402
     q_important_parts,
     q_min_cost_supplier,
 )
+
+# r13 retirees ride FOLDED_QUERIES from here; their modules keep the
+# implementations + SQL twins.
+from wsspark.queries import core, streamq, tpch  # noqa: E402
 
 FOLDED_QUERIES = [
     # Retired registry -> folded (r11 slot swap): three redundant family
@@ -4907,43 +4935,49 @@ FOLDED_QUERIES = [
     # The decode half stays pinned in tests/test_imagehash.py.
     Query("phash_dup_pairs_fixture", q_phash_dup_pairs, PHASH_PAIRS_SQL,
           "Hamming-banded pHash pairing stage vs the all-pairs oracle"),
-    # Born folded (r12): the FUSED drift family — PSI + exact KS + top-k
-    # PSI + embedding Welch-z over one cached fact read per snapshot; the
-    # twin replays all four statistics independently, so the hash pins
-    # the fused composition (shared pooled frame, NULL-bucket restore,
-    # unified schema).
-    Query("drift_suite_report", q_drift_suite_report, _drift_suite_sql(),
-          "fused PSI/KS/top-k/embedding drift suite over one scan"),
-    # Born folded (r12): the CHANGE DATA FEED — row-level CDC across
-    # append/UPDATE/DELETE commits via per-commit sidecars (Delta CDF
-    # design); twin replays every expected change row + commit version.
-    Query("snapstore_cdf_read", q_snapstore_cdf_read, SNAPSTORE_CDF_SQL,
-          "change-data-feed read across append/update/delete commits"),
-    # Born folded (r12): CDF-driven MV maintenance — fact UPDATE/DELETE
-    # maintain the rollup through the signed retraction algebra instead
-    # of a full recompute; twin IS the full recompute over the post-DML
-    # fact replayed relationally.
-    Query("mv_refresh_cdf", q_mv_refresh_cdf, MV_REFRESH_CDF_SQL,
-          "change-feed-driven incremental MV maintenance under DML"),
-    # Born folded (r12): SHALLOW CLONE — zero-copy manifest-reference
-    # clone (Delta CLONE); DML on the clone must never mutate the
-    # source; twin replays both sides of the tagged union.
-    Query("snapstore_clone_read", q_snapstore_clone_read,
-          SNAPSTORE_CLONE_SQL,
-          "shallow clone write isolation: DML'd clone + intact source"),
-    # Born folded (r12): atomic selective overwrite — Delta's
-    # replaceWhere as ONE pruned-COW commit (delete region + insert
-    # replacement, predicate-gated incoming rows), over a dv-carrying
-    # store; twin replays carried + replacement branches relationally.
-    Query("snapstore_replace_where_read", q_snapstore_replace_where_read,
-          SNAPSTORE_REPLACE_WHERE_SQL,
-          "replaceWhere: atomic region swap over a dv-carrying store"),
-    # Born folded (r12): the conditional + full-sync MERGE clauses —
-    # matched_condition gates per store row, by-source delete mirrors
-    # the source key set; twin replays all three clause routes.
-    Query("snapstore_merge_sync_read", q_snapstore_merge_sync_read,
-          SNAPSTORE_MERGE_SYNC_SQL,
-          "conditional WHEN MATCHED + not-matched-by-source sync merge"),
+    # The six entries that held these slots (drift_suite_report,
+    # snapstore_cdf_read, mv_refresh_cdf, snapstore_clone_read,
+    # snapstore_replace_where_read, snapstore_merge_sync_read) were
+    # PROMOTED to the registry in the r13 slot swap; the six retirees
+    # below took their folded places.
+    # Folded r13: the rolling-window layer over the gap-filled daily
+    # series — the dailies themselves are folded (daily_trends) and the
+    # registered moving_avg_trends re-verifies the frame-spec
+    # window machinery (same avg-over-rowsBetween) every rotation; the
+    # 7-day/lag variant keeps its hash check here.
+    Query("daily_trend_windows", core.q_daily_trend_windows,
+          core.DAILY_WINDOWS_SQL,
+          "rolling 7-day average + day-over-day lag over gap-filled dailies"),
+    # Folded r13: a thin to_json projection over the registered
+    # transfer_validation (same frame, envelope rendering only); the F7
+    # JSON surface also stays registered through json_extract_agg.
+    Query("transfer_receipts", core.q_transfer_receipts, core.RECEIPTS_SQL,
+          "JSON result envelopes for transfer requests (F7)"),
+    # Folded r13: ROLLUP is a subset of the grouping sets the folded
+    # movement_cube hash-checks every session (same adapter frame, same
+    # measures, same single-shuffle Expand).
+    Query("movement_rollup", core.q_movement_rollup, core.ROLLUP_SQL,
+          "ROLLUP hierarchy totals in one shuffle (grouping sets)"),
+    # Folded r13: the Q7 six-table broadcast chain is strictly contained
+    # in the registered nation_market_share's plan (same chain + share
+    # window) and nation_year_margin (same chain + part join).
+    Query("nation_trade_volume", tpch.q_nation_trade_volume,
+          tpch.NATION_TRADE_SQL,
+          "TPC-H Q7-shape 6-way chain with a dimension broadcast twice"),
+    # Folded r13: watermark-evicted dropDuplicates — the batch twin
+    # (event_dedup_first_daily) stays registered, the streaming dedup
+    # family stays registered through streaming_dedup_index and
+    # streaming_chunk_dedup, and cross-batch arrival/replay semantics
+    # stay pinned in tests/test_streaming_dedup.py.
+    Query("streaming_event_dedup", streamq.q_streaming_event_dedup,
+          streamq.STREAMING_DEDUP_SQL,
+          "stateful dedup: watermark-evicted dropDuplicates == DISTINCT"),
+    # Folded r13: per-doc token/char/stopword stats are the CONSTITUENTS
+    # of the registered quality_filter / length_outliers /
+    # repetition_stats gates, which re-verify the same textstats columns
+    # every rotation; the raw per-doc frame keeps its hash check here.
+    Query("doc_stats", q_doc_stats, DOC_STATS_SQL,
+          "text quality scoring: tokens/chars/stopword ratio"),
     # Born folded (r11): the three classic decorrelation shapes the
     # TPC-H set lacked (no partsupp table in the testdata, so each shape
     # rides lineitem's part/supplier relationships).

@@ -613,12 +613,8 @@ QUERIES = [
         STREAMING_DAILY_SQL,
         "§2.10 as a driver row: availableNow stream -> window agg == batch SQL",
     ),
-    Query(
-        "streaming_event_dedup",
-        q_streaming_event_dedup,
-        STREAMING_DEDUP_SQL,
-        "§2.10 stateful dedup: watermark-evicted dropDuplicates == DISTINCT",
-    ),
+    # streaming_event_dedup retired to the folded tier in r13 (slot swap
+    # — see llm.py FOLDED_QUERIES); implementation + SQL stay here.
     Query(
         "streaming_segment_counts",
         q_streaming_segment_counts,

@@ -948,8 +948,8 @@ QUERIES = [
           "TPC-H Q13-shape outer-join order-count distribution"),
     Query("idle_rich_customers", q_idle_rich_customers, IDLE_RICH_SQL,
           "TPC-H Q22-shape broadcast scalar threshold + anti-join rollup"),
-    Query("nation_trade_volume", q_nation_trade_volume, NATION_TRADE_SQL,
-          "TPC-H Q7-shape 6-way chain with a dimension broadcast twice"),
+    # nation_trade_volume retired to the folded tier in r13 (slot swap —
+    # see llm.py FOLDED_QUERIES); implementation + SQL stay here.
     Query("nation_year_margin", q_nation_year_margin, NATION_MARGIN_SQL,
           "TPC-H Q9-shape margin rollup, cents-exact sum difference"),
     Query("large_orders", q_large_orders, LARGE_ORDERS_SQL,

@@ -113,7 +113,318 @@ def snap_current_version(root: str) -> int | None:
 
 def _read_manifest(root: str, version: int) -> dict:
     with open(_manifest_path(root, version)) as f:
-        return json.load(f)
+        head = json.load(f)
+    if "detail_file" in head:
+        return _LazyManifest(head, root)
+    return head
+
+
+# ---------------------------------------------------------------------------
+# Manifest DETAIL sidecar — the metadata plane at scale.
+#
+# The per-FILE metadata (min/max stats, Bloom bitmaps, rows/bytes) is
+# O(files x cols x bloom_bits): at ~1M files with one 16-kbit bloom column
+# it is GIGABYTES of hex inside the version JSON, parsed on the driver for
+# EVERY read. Delta solves this with parquet checkpoints, Iceberg with avro
+# manifest files; here, any commit whose file count exceeds
+# ``_detail_inline_max()`` splits the three per-file dicts out of the JSON
+# head into one PARQUET SIDECAR (``vNNN-<uuid>.detail.parquet``, one row
+# per data file) next to the manifest. The head keeps only O(1) metadata
+# plus the file LIST (paths — the minimum any reader needs) and a pointer.
+#
+# Readers get a ``_LazyManifest``: head keys answer from the JSON; the
+# first touch of ``file_stats`` / ``file_blooms`` / ``file_meta``
+# reconstructs the exact dicts from the sidecar (bit-identical round-trip:
+# stats ride as their original JSON text, blooms as 63-bit words re-hexed
+# with the same fixed width). Pruning never needs that reconstruction: the
+# sidecar also carries a TYPED prune index (per-column min/max as widened
+# float64 or string, bloom words as list<int64>), so ``snap_prune_files`` /
+# ``snap_read_where_eq`` / DML discovery run VECTORIZED over the arrow
+# table (C-speed, no per-file Python dict work), and
+# ``snap_prune_files_spark`` runs the same filter as a distributed Spark
+# job when the manifest outgrows the driver.
+#
+# Soundness of the typed index: numeric mins are widened DOWN and maxes UP
+# (``_widen_float``) when an exact int exceeds float64, so the stored
+# [min, max] only ever contains the true range; probe values widen the
+# same way on the query side. A drop therefore remains a proof of absence;
+# widening can only KEEP more files, and the exact residual filter is
+# always the semantics.
+# ---------------------------------------------------------------------------
+
+_DETAIL_KEYS = ("file_stats", "file_blooms", "file_meta")
+
+
+def _detail_inline_max() -> int:
+    """File-count threshold above which a commit's per-file metadata
+    moves to the parquet sidecar (env-overridable; tests pin it to 0 to
+    force sidecar mode on small tables)."""
+    return int(os.environ.get("WSSPARK_SNAP_DETAIL_INLINE_MAX", "512"))
+
+
+def _widen_float(v, direction: int) -> float | None:
+    """Exact directional float64 bound for an int/float value:
+    ``direction=-1`` returns a float <= v, ``+1`` one >= v. Python
+    compares int vs float exactly (arbitrary precision), so one
+    ``nextafter`` step after the nearest-rounding cast is provably on
+    the safe side — this is what keeps >2^53 integer stats from ever
+    causing a false drop in the typed prune index."""
+    import math
+
+    if v is None:
+        return None
+    f = float(v)
+    if direction < 0 and f > v:
+        f = math.nextafter(f, -math.inf)
+    elif direction > 0 and f < v:
+        f = math.nextafter(f, math.inf)
+    return f
+
+
+def _bloom_hex_to_words(hx: str) -> list[int]:
+    return [int(hx[i : i + 16], 16) for i in range(0, len(hx), 16)]
+
+
+def _write_detail(path: str, manifest: dict) -> None:
+    """One parquet row per data file: exact round-trip columns
+    (``stats_json`` per file, bloom words, rows/bytes) plus the typed
+    prune index (``smin``/``smax`` structs). Written with pyarrow on the
+    driver — the sidecar is metadata-plane, not a Spark job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stats = manifest.get("file_stats") or {}
+    blooms = manifest.get("file_blooms") or {}
+    meta = manifest.get("file_meta") or {}
+    paths = sorted(set(stats) | set(blooms) | set(meta))
+    rows = [(meta.get(p) or {}).get("rows") for p in paths]
+    nbytes = [(meta.get(p) or {}).get("bytes") for p in paths]
+    stats_json = [
+        json.dumps(stats[p], sort_keys=True) if p in stats else None
+        for p in paths
+    ]
+    arrays = [
+        pa.array(paths, pa.string()),
+        pa.array(rows, pa.int64()),
+        pa.array(nbytes, pa.int64()),
+        pa.array(stats_json, pa.string()),
+    ]
+    names = ["path", "rows", "bytes", "stats_json"]
+    # typed prune index: per stats column, decide ONE comparison domain
+    # (float64 for numeric values, string for ISO/temporal/text); a
+    # column with mixed domains (should not happen — one manifest, one
+    # schema) gets no index and prunes nothing, mirroring the dict
+    # path's TypeError->keep
+    stat_cols = sorted({c for per in stats.values() for c in per})
+    col_kind: dict[str, str] = {}
+    for c in stat_cols:
+        kinds = set()
+        for per in stats.values():
+            for v in per.get(c, (None, None)):
+                if v is None:
+                    continue
+                kinds.add("str" if isinstance(v, str) else "num")
+        if len(kinds) == 1:
+            col_kind[c] = kinds.pop()
+    if col_kind:
+        smin_fields, smax_fields = [], []
+        for c in sorted(col_kind):
+            if col_kind[c] == "num":
+                mn = [
+                    _widen_float(stats.get(p, {}).get(c, (None, None))[0], -1)
+                    for p in paths
+                ]
+                mx = [
+                    _widen_float(stats.get(p, {}).get(c, (None, None))[1], 1)
+                    for p in paths
+                ]
+                typ = pa.float64()
+            else:
+                mn = [stats.get(p, {}).get(c, (None, None))[0] for p in paths]
+                mx = [stats.get(p, {}).get(c, (None, None))[1] for p in paths]
+                typ = pa.string()
+            smin_fields.append((c, pa.array(mn, typ)))
+            smax_fields.append((c, pa.array(mx, typ)))
+        arrays.append(
+            pa.StructArray.from_arrays(
+                [a for _, a in smin_fields], [c for c, _ in smin_fields]
+            )
+        )
+        names.append("smin")
+        arrays.append(
+            pa.StructArray.from_arrays(
+                [a for _, a in smax_fields], [c for c, _ in smax_fields]
+            )
+        )
+        names.append("smax")
+    bloom_cols = sorted({c for per in blooms.values() for c in per})
+    if bloom_cols:
+        barrs = []
+        for c in bloom_cols:
+            words = [
+                _bloom_hex_to_words(blooms[p][c])
+                if p in blooms and c in blooms[p]
+                else None
+                for p in paths
+            ]
+            barrs.append((c, pa.array(words, pa.list_(pa.int64()))))
+        arrays.append(
+            pa.StructArray.from_arrays(
+                [a for _, a in barrs], [c for c, _ in barrs]
+            )
+        )
+        names.append("bloom")
+    pq.write_table(pa.table(dict(zip(names, arrays))), path)
+
+
+_detail_cache: dict = {}  # abs detail path -> pyarrow Table (manifests are immutable)
+_DETAIL_CACHE_MAX = 4
+
+
+def _load_detail_table(path: str):
+    t = _detail_cache.get(path)
+    if t is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        while len(_detail_cache) >= _DETAIL_CACHE_MAX:
+            _detail_cache.pop(next(iter(_detail_cache)))
+        _detail_cache[path] = t
+    return t
+
+
+def _detail_to_dicts(table) -> tuple[dict, dict, dict]:
+    """Exact reconstruction of (file_stats, file_blooms, file_meta) from
+    the sidecar — bit-identical with what the inline JSON would have
+    held (stats re-parse their original JSON text; bloom words re-hex at
+    the same fixed 16-char width)."""
+    paths = table.column("path").to_pylist()
+    stats_json = table.column("stats_json").to_pylist()
+    rows = table.column("rows").to_pylist()
+    nbytes = table.column("bytes").to_pylist()
+    stats = {
+        p: json.loads(s) for p, s in zip(paths, stats_json) if s is not None
+    }
+    meta = {
+        p: {"rows": r, "bytes": b}
+        for p, r, b in zip(paths, rows, nbytes)
+        if r is not None
+    }
+    blooms: dict = {}
+    if "bloom" in table.column_names:
+        bl = table.column("bloom").combine_chunks()
+        for fld in bl.type:
+            words_col = bl.field(fld.name).to_pylist()
+            for p, words in zip(paths, words_col):
+                if words is not None:
+                    blooms.setdefault(p, {})[fld.name] = "".join(
+                        f"{w:016x}" for w in words
+                    )
+    return stats, blooms, meta
+
+
+class _LazyManifest(dict):
+    """A manifest whose per-file detail lives in the parquet sidecar:
+    head keys answer from the JSON; first access to a detail key loads
+    and reconstructs the exact dicts. ``dict(m)`` on an un-loaded
+    instance would silently drop the detail — re-serialization must go
+    through ``_materialize``."""
+
+    def __init__(self, head: dict, root: str):
+        super().__init__(head)
+        self._root = root
+        self._loaded = False
+
+    def _detail_path(self) -> str:
+        return os.path.join(_manifest_dir(self._root), super().__getitem__("detail_file"))
+
+    def _table(self):
+        return _load_detail_table(self._detail_path())
+
+    def _ensure(self) -> None:
+        if not self._loaded:
+            stats, blooms, meta = _detail_to_dicts(self._table())
+            self.update(
+                {"file_stats": stats, "file_blooms": blooms, "file_meta": meta}
+            )
+            self._loaded = True
+
+    def __getitem__(self, k):
+        if k in _DETAIL_KEYS and not self._loaded:
+            self._ensure()
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if k in _DETAIL_KEYS and not self._loaded:
+            self._ensure()
+        return super().get(k, default)
+
+    def __contains__(self, k):
+        if k in _DETAIL_KEYS and not self._loaded:
+            self._ensure()
+        return super().__contains__(k)
+
+    def head_copy(self) -> dict:
+        """A plain copy of the HEAD keys plus the sidecar pointer — the
+        zero-copy base for a metadata-only commit or restore whose
+        per-file detail is IDENTICAL to this manifest's (vacuum collects
+        sidecars by reference, so sharing the pointer is safe)."""
+        return {k: v for k, v in super().items() if k not in _DETAIL_KEYS}
+
+
+def _materialize(m: dict) -> dict:
+    """A plain dict copy with the detail dicts PRESENT — the only safe
+    way to re-serialize a possibly-lazy manifest (``dict(m)`` alone
+    would drop un-loaded detail keys)."""
+    if isinstance(m, _LazyManifest):
+        m._ensure()
+    d = dict(m)
+    d.pop("detail_file", None)
+    return d
+
+
+def _write_manifest_file(root: str, manifest: dict) -> None:
+    """The single manifest serialization point: split the per-file
+    detail into the parquet sidecar above the inline threshold, then
+    publish the head with O_EXCL (raises FileExistsError on a lost
+    race, sidecar removed). Sidecar names carry a uuid so two racing
+    committers of the same version can never cross-wire each other's
+    detail file. A manifest that arrives with a ``detail_file`` pointer
+    and NO detail dicts publishes the pointer as-is (shared sidecar —
+    the metadata-commit / restore zero-copy path)."""
+    version = manifest["version"]
+    if "detail_file" in manifest and not any(
+        k in manifest for k in _DETAIL_KEYS
+    ):
+        try:
+            with open(_manifest_path(root, version), "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError:
+            raise
+        return
+    manifest = _materialize(manifest)
+    head = manifest
+    detail_name = None
+    if len(manifest.get("files") or []) > _detail_inline_max():
+        detail_name = f"v{version:012d}-{uuid.uuid4().hex[:8]}.detail.parquet"
+        _write_detail(os.path.join(_manifest_dir(root), detail_name), manifest)
+        head = {k: v for k, v in manifest.items() if k not in _DETAIL_KEYS}
+        head["detail_file"] = detail_name
+    try:
+        with open(_manifest_path(root, version), "x") as f:
+            json.dump(head, f)
+    except FileExistsError:
+        if detail_name is not None:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(_manifest_dir(root), detail_name))
+        raise
+
+
+def _advance_current(root: str, version: int) -> None:
+    tmp = _current_path(root) + f".{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _current_path(root))
 
 
 def _list_parquet(d: str) -> list[str]:
@@ -617,8 +928,7 @@ def _publish_commit(
         )
     try:
         # O_EXCL publish: exactly one committer wins version N
-        with open(_manifest_path(root, ctx["version"]), "x") as f:
-            json.dump(manifest, f)
+        _write_manifest_file(root, manifest)
     except FileExistsError:
         if cleanup_dir:
             import shutil
@@ -627,10 +937,7 @@ def _publish_commit(
         raise SnapshotConflict(
             f"version {ctx['version']} already committed — reload and retry"
         ) from None
-    tmp = _current_path(root) + f".{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(str(ctx["version"]))
-    os.replace(tmp, _current_path(root))
+    _advance_current(root, ctx["version"])
     return ctx["version"]
 
 
@@ -1133,7 +1440,18 @@ def snap_read_changes_cdf(
             T.StructField("_commit_version", T.LongType(), False),
         ]
     )
-    frames = []
+    # COALESCED span read: a naive implementation unions ONE frame per
+    # commit — a 1000-commit span means a 1000-leg plan the analyzer
+    # chokes on long before 100 TB. Instead, group file reads by
+    # (schema epoch, change source): every append's new files under the
+    # same schema become ONE ``spark.read.parquet(*paths)``, every DML
+    # sidecar likewise, and ``_commit_version`` is recovered per-row by
+    # broadcast-joining the scan's ``_metadata.file_path`` against the
+    # (path -> version) map the manifest walk already knows. Plan legs
+    # are bounded by schema EPOCHS (schema evolution is append-only
+    # inside a readable span — lineage resets refuse), not by commits.
+    append_groups: dict[str, list[tuple[str, int]]] = {}
+    cdf_groups: dict[str, list[tuple[str, int]]] = {}
     prev_files = set(_read_manifest(root, since)["files"])
     for v in range(since + 1, until + 1):
         m = _read_manifest(root, v)
@@ -1142,12 +1460,8 @@ def snap_read_changes_cdf(
         if mode == "append":
             new_files = sorted(files - prev_files)
             if new_files:
-                schema_v = T.StructType.fromJson(json.loads(m["schema"]))
-                frames.append(
-                    spark.read.schema(schema_v)
-                    .parquet(*new_files)
-                    .withColumn("_change_type", F.lit("insert"))
-                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                append_groups.setdefault(m["schema"], []).extend(
+                    (f, v) for f in new_files
                 )
         elif mode == "merge":
             if not m.get("cdf"):
@@ -1159,14 +1473,8 @@ def snap_read_changes_cdf(
                 )
             cdf_files = m.get("cdf_files") or []
             if cdf_files:
-                schema_v = T.StructType(
-                    T.StructType.fromJson(json.loads(m["schema"])).fields
-                    + [T.StructField("_change_type", T.StringType(), False)]
-                )
-                frames.append(
-                    spark.read.schema(schema_v)
-                    .parquet(*cdf_files)
-                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                cdf_groups.setdefault(m["schema"], []).extend(
+                    (f, v) for f in cdf_files
                 )
         elif mode == "overwrite" and m.get("content_preserving"):
             pass  # compact/optimize: identical logical content, no changes
@@ -1178,6 +1486,42 @@ def snap_read_changes_cdf(
                 "the snapshot instead"
             )
         prev_files = files
+
+    def _with_version(df: DataFrame, pairs: list[tuple[str, int]]) -> DataFrame:
+        # (path -> version) recovery via the same scheme-strip +
+        # url-decode normalization the DV anti-join's correctness
+        # already rests on; paths are per-commit unique so the map is
+        # injective and the inner join is exact (commit-count rows,
+        # broadcast — never a shuffle)
+        vmap = F.broadcast(
+            spark.createDataFrame(pairs, "_cdf_path string, _commit_version long")
+        )
+        return (
+            df.withColumn("_cdf_path", _norm_dv_path_col(F.col("_metadata.file_path")))
+            .join(vmap, "_cdf_path", "inner")
+            .drop("_cdf_path")
+        )
+
+    frames = []
+    for schema_json, pairs in append_groups.items():
+        schema_v = T.StructType.fromJson(json.loads(schema_json))
+        frames.append(
+            _with_version(
+                spark.read.schema(schema_v).parquet(*[p for p, _ in pairs]),
+                pairs,
+            ).withColumn("_change_type", F.lit("insert"))
+        )
+    for schema_json, pairs in cdf_groups.items():
+        schema_v = T.StructType(
+            T.StructType.fromJson(json.loads(schema_json)).fields
+            + [T.StructField("_change_type", T.StringType(), False)]
+        )
+        frames.append(
+            _with_version(
+                spark.read.schema(schema_v).parquet(*[p for p, _ in pairs]),
+                pairs,
+            )
+        )
     if not frames:
         return spark.createDataFrame([], full)
     out = frames[0]
@@ -1204,6 +1548,104 @@ def snap_tail(spark: SparkSession, root: str, since: int) -> tuple[DataFrame, in
     return snap_read_changes(spark, root, since, cur), cur
 
 
+def _detail_prune_kind(table, col: str) -> str | None:
+    """The typed prune index's comparison domain for ``col`` ('num' |
+    'str'), or None when the sidecar has no index for it (no stats
+    recorded, or mixed value domains)."""
+    if "smin" not in table.column_names:
+        return None
+    import pyarrow as pa
+
+    t = table.column("smin").type
+    idx = t.get_field_index(col)
+    if idx < 0:
+        return None
+    return "num" if pa.types.is_float64(t.field(idx).type) else "str"
+
+
+def _probe_in_kind(v, kind: str) -> bool:
+    if kind == "num":
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    return isinstance(v, str)
+
+
+def _detail_dropped_range(table, col: str, lo, hi) -> set[str] | None:
+    """Paths PROVABLY excluded by the (possibly half-open) range
+    [lo, hi] per the sidecar's typed prune index, or None when the
+    index cannot decide this column/probe (caller falls back to the
+    dict path). Null stats keep their file; numeric probes widen
+    directionally so the already-widened stored bounds can never
+    false-drop — a returned path is a proof of absence."""
+    kind = _detail_prune_kind(table, col)
+    if kind is None:
+        return None
+    for v in (lo, hi):
+        if v is not None and not _probe_in_kind(v, kind):
+            return None
+    if kind == "num":
+        lo_c = _widen_float(lo, -1)
+        hi_c = _widen_float(hi, 1)
+    else:
+        lo_c, hi_c = lo, hi
+    if lo_c is None and hi_c is None:
+        return set()
+    import pyarrow.compute as pc
+
+    smin = table.column("smin").combine_chunks().field(col)
+    smax = table.column("smax").combine_chunks().field(col)
+    parts = []
+    if hi_c is not None:
+        parts.append(pc.greater(smin, hi_c))
+    if lo_c is not None:
+        parts.append(pc.less(smax, lo_c))
+    raw = parts[0] if len(parts) == 1 else pc.or_(parts[0], parts[1])
+    # a file with EITHER bound unrecorded (all-NULL file) is kept,
+    # mirroring the dict path's None-stat keep
+    valid = pc.and_(pc.is_valid(smin), pc.is_valid(smax))
+    drop = pc.and_(valid, pc.fill_null(raw, False))
+    return set(pc.filter(table.column("path"), drop).to_pylist())
+
+
+def _detail_dropped_eq(m: dict, table, col: str, value) -> set[str]:
+    """Equality-probe exclusions from the typed index: min/max window
+    drops plus exact Bloom word probes (``list_element`` + bit test —
+    the same bits ``_bloom_positions_py`` checks in the dict path).
+    Undecidable parts contribute no drops; the union is always sound."""
+    canon = _canonical_eq_value(m["schema"], col, value)
+    probe = canon if canon is not None else value
+    dropped = _detail_dropped_range(
+        table, col, _json_stat(probe, direction=-1), _json_stat(probe, direction=1)
+    ) or set()
+    meta = m.get("bloom_meta", {}).get(col)
+    if meta is None or canon is None or "bloom" not in table.column_names:
+        return dropped
+    bt = table.column("bloom").type
+    if bt.get_field_index(col) < 0:
+        return dropped
+    import pyarrow.compute as pc
+
+    bl = table.column("bloom").combine_chunks().field(col)
+    miss = None
+    for p in _bloom_positions_py(canon, meta["n_bits"], meta["k"]):
+        bit = pc.bit_wise_and(
+            pc.list_element(bl, p // 63), 1 << (p % 63)
+        )
+        m0 = pc.equal(bit, 0)
+        miss = m0 if miss is None else pc.or_(miss, m0)
+    bloom_drop = pc.and_(pc.is_valid(bl), pc.fill_null(miss, False))
+    dropped.update(pc.filter(table.column("path"), bloom_drop).to_pylist())
+    return dropped
+
+
+def _detail_table_for_prune(m: dict):
+    """The sidecar arrow table when ``m`` is detail-backed and its
+    dicts are not already reconstructed (in which case the dict path is
+    free anyway); else None."""
+    if isinstance(m, _LazyManifest) and not m._loaded:
+        return m._table()
+    return None
+
+
 def snap_prune_files(
     root: str, col: str, lo, hi, version: int | None = None
 ) -> tuple[list[str], int]:
@@ -1225,6 +1667,14 @@ def _prune_files_between_m(m: dict, col: str, lo, hi) -> list[str]:
     planning parses the manifest once, not once per column)."""
     # probe window widens directionally too (Decimal-safe, no-op otherwise)
     lo, hi = _json_stat(lo, direction=-1), _json_stat(hi, direction=1)
+    dt = _detail_table_for_prune(m)
+    if dt is not None:
+        dropped = _detail_dropped_range(dt, col, lo, hi)
+        if dropped is not None:
+            return [f for f in m["files"] if f not in dropped]
+        # undecidable probe/index domain: fall through to the dict path
+        # (which reconstructs the exact stats and keeps its semantics,
+        # including raising on truly incomparable probes)
     stats = m.get("file_stats", {})
     kept = []
     for f in m["files"]:
@@ -1241,9 +1691,14 @@ def _prune_files_halfrange_m(m: dict, col: str, lo, hi) -> list[str]:
     ``hi`` may each be None (unbounded side). Unknown stats or
     incomparable literal types keep the file — conservative, like every
     skipping path."""
-    stats = m.get("file_stats", {})
     lo_j = _json_stat(lo, direction=-1) if lo is not None else None
     hi_j = _json_stat(hi, direction=1) if hi is not None else None
+    dt = _detail_table_for_prune(m)
+    if dt is not None:
+        dropped = _detail_dropped_range(dt, col, lo_j, hi_j)
+        if dropped is not None:
+            return [f for f in m["files"] if f not in dropped]
+    stats = m.get("file_stats", {})
     kept = []
     for f in m["files"]:
         mm = stats.get(f, {}).get(col)
@@ -1516,6 +1971,10 @@ def _prune_files_eq_m(m: dict, col: str, value) -> list[str]:
     sound canonical form (type-sloppy probe) prunes nothing, and a
     min/max comparison that raises on mixed types degrades to keep —
     the residual filter is always the semantics."""
+    dt = _detail_table_for_prune(m)
+    if dt is not None:
+        dropped = _detail_dropped_eq(m, dt, col, value)
+        return [f for f in m["files"] if f not in dropped]
     canon = _canonical_eq_value(m["schema"], col, value)
     probe = canon if canon is not None else value
     # Decimal probes widen to a [v_lo, v_hi] float window so the min/max
@@ -1550,6 +2009,66 @@ def _prune_files_eq_m(m: dict, col: str, value) -> list[str]:
                 continue
         kept.append(f)
     return kept
+
+
+def snap_prune_files_spark(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """``snap_prune_files`` as a DISTRIBUTED Spark filter over the
+    detail sidecar — the path for manifests that outgrow even the
+    vectorized driver prune (a 10M-file table's sidecar is a
+    multi-gigabyte parquet the driver should not hold). The executors
+    scan the sidecar's typed prune index and only the PROVABLY-EXCLUDED
+    paths come back to the driver; the kept list is files − dropped,
+    preserving manifest order. Same soundness contract as the arrow
+    path (widened bounds, null-stat keep, undecidable domain keeps
+    all). Requires a detail-backed manifest (inline manifests are small
+    by construction — use ``snap_prune_files``)."""
+    if version is None:
+        version = snap_current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {root}")
+    m = _read_manifest(root, version)
+    files = m["files"]
+    if not isinstance(m, _LazyManifest):
+        return _prune_files_between_m(m, col, lo, hi), len(files)
+    lo_j, hi_j = _json_stat(lo, direction=-1), _json_stat(hi, direction=1)
+    d = spark.read.parquet(m._detail_path())
+    if "smin" not in d.columns or col not in d.select("smin.*").columns:
+        return list(files), len(files)
+    kind = (
+        "num"
+        if dict(d.select(F.col("smin").getField(col).alias("_s")).dtypes)["_s"]
+        == "double"
+        else "str"
+    )
+    for v in (lo_j, hi_j):
+        if v is not None and not _probe_in_kind(v, kind):
+            return list(files), len(files)
+    if kind == "num":
+        lo_c, hi_c = _widen_float(lo_j, -1), _widen_float(hi_j, 1)
+    else:
+        lo_c, hi_c = lo_j, hi_j
+    smin, smax = F.col("smin").getField(col), F.col("smax").getField(col)
+    drop = F.lit(False)
+    if hi_c is not None:
+        drop = drop | (smin > F.lit(hi_c))
+    if lo_c is not None:
+        drop = drop | (smax < F.lit(lo_c))
+    # null stats -> null predicate -> filter false -> kept, exactly the
+    # dict path's None-stat keep
+    dropped = {
+        r["path"]
+        for r in d.filter(smin.isNotNull() & smax.isNotNull() & drop)
+        .select("path")
+        .collect()
+    }
+    return [f for f in files if f not in dropped], len(files)
 
 
 def snap_read_where_eq(
@@ -1812,7 +2331,10 @@ def _publish_metadata_commit(
     through the O_EXCL gate (empty file delta, so CDC treats it as a
     zero-row append)."""
     version = m["version"] + 1
-    manifest = dict(m)
+    # zero-copy for detail-backed tables: the file set is unchanged, so
+    # the new version SHARES the parent's sidecar pointer instead of
+    # reconstructing and rewriting O(files) metadata
+    manifest = m.head_copy() if isinstance(m, _LazyManifest) else dict(m)
     manifest.update(
         {
             "version": version,
@@ -1828,16 +2350,12 @@ def _publish_metadata_commit(
         }
     )
     try:
-        with open(_manifest_path(root, version), "x") as f:
-            json.dump(manifest, f)
+        _write_manifest_file(root, manifest)
     except FileExistsError:
         raise SnapshotConflict(
             f"version {version} already committed — reload and retry"
         ) from None
-    tmp = _current_path(root) + f".{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _current_path(root))
+    _advance_current(root, version)
     return version
 
 
@@ -2012,6 +2530,18 @@ def snap_restore(root: str, to_version: int | str) -> int:
     to_version = _resolve_version(root, to_version)  # named refs work too
     src = _read_manifest(root, to_version)  # raises if vacuumed/absent
     version = cur + 1
+    # detail-backed source: the restore republishes the SAME file set,
+    # so it shares the source's sidecar pointer (vacuum collects
+    # sidecars by reference — zero metadata copied)
+    detail = (
+        {"detail_file": dict.__getitem__(src, "detail_file")}
+        if isinstance(src, _LazyManifest)
+        else {
+            "file_stats": src.get("file_stats", {}),
+            "file_blooms": src.get("file_blooms", {}),
+            "file_meta": src.get("file_meta", {}),
+        }
+    )
     manifest = {
         "version": version,
         "parent": cur,
@@ -2019,10 +2549,8 @@ def snap_restore(root: str, to_version: int | str) -> int:
         "tag": f"restore:{to_version}",
         "schema": src["schema"],
         "files": src["files"],
-        "file_stats": src.get("file_stats", {}),
-        "file_blooms": src.get("file_blooms", {}),
+        **detail,
         "bloom_meta": src.get("bloom_meta", {}),
-        "file_meta": src.get("file_meta", {}),
         "dv_files": src.get("dv_files", []),
         # RESTORE restores versioned METADATA too (Delta semantics): the
         # restored-to version's CHECK constraints come back with its data
@@ -2041,16 +2569,12 @@ def snap_restore(root: str, to_version: int | str) -> int:
             f"files were vacuumed (first: {missing[0]})"
         )
     try:
-        with open(_manifest_path(root, version), "x") as f:
-            json.dump(manifest, f)
+        _write_manifest_file(root, manifest)
     except FileExistsError:
         raise SnapshotConflict(
             f"version {version} already committed — reload and retry"
         ) from None
-    tmp = _current_path(root) + f".{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _current_path(root))
+    _advance_current(root, version)
     return version
 
 
@@ -2472,6 +2996,36 @@ def snap_vacuum(
         if v in ref_targets or v in recent:
             continue
         os.remove(_manifest_path(root, v))
+    # Detail-sidecar sweep: sidecars are collected by REFERENCE, never
+    # with any one manifest — metadata-only commits and restores SHARE
+    # their parent's sidecar pointer (zero-copy), so a sidecar dies only
+    # when NO surviving manifest head references it. The same sweep
+    # collects the one-file leak of a committer that crashed between
+    # writing its sidecar and the O_EXCL head publish, under the same
+    # staged-grace clock that protects in-flight commits (a sidecar
+    # written moments ago may be about to be referenced).
+    mdir = _manifest_dir(root)
+    if os.path.isdir(mdir):
+        referenced_details = set()
+        for v in snap_versions(root):
+            try:
+                with open(_manifest_path(root, v)) as f:
+                    d = json.load(f).get("detail_file")
+            except (OSError, ValueError):
+                continue
+            if d:
+                referenced_details.add(d)
+        for name in os.listdir(mdir):
+            if not name.endswith(".detail.parquet") or name in referenced_details:
+                continue
+            p = os.path.join(mdir, name)
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    continue
+            except OSError:
+                continue
+            with contextlib.suppress(OSError):
+                os.remove(p)
     return removed
 
 
