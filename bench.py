@@ -104,6 +104,15 @@ HEADLINE = {
     # them); a regression here means a lost cache reuse (the
     # InMemoryTableScan plan assertion passes but a branch recomputes).
     "q31_drift_suite": "drift_suite_report",
+    # round-13: the change-data-feed path gets a wall-clock number — a
+    # multi-commit DML span (COW update + DV delete over the committed
+    # fact) maintained through snap_read_changes_cdf's coalesced span
+    # read and the signed retraction algebra (mv_refresh_cdf). Its perf
+    # claim is O(delta): the refresh reads the CHANGE sidecars, never
+    # re-scans resident data; a regression here means either the span
+    # read stopped coalescing (plan legs back to O(commits)) or the
+    # refresh lost its delta-only scan and went O(table).
+    "q32_cdf_ivm": "mv_refresh_cdf",
 }
 
 # q0b: the reference's flagship operational mode (--load_type incremental,

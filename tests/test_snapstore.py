@@ -2538,3 +2538,77 @@ def test_cdf_span_read_coalesces_plan_legs(spark, tmp_path):
     # inserts carry their exact commit versions through the map join
     versions = {v for _, t, v in rows_span if t == "insert"}
     assert len(versions) >= n_appends
+
+
+def test_dml_discovery_prunes_in_lists_and_temporal_eq(spark, tmp_path):
+    """r13 DML-discovery extensions: ``col IN (...)`` atoms plan the
+    UNION of their values' equality kept-sets (the point-DML / GDPR
+    delete shape — parity with snap_read_where_in's algebra), and
+    temporal ``=`` atoms prune as the degenerate stats range [v, v]
+    (blooms hashed a different canonical form, so only min/max
+    applies). Unsupported shapes still degrade to the full list, and
+    the pruned DELETE matches exact semantics."""
+    root = str(tmp_path / "t_inprune")
+    ss.snap_commit(
+        _df(spark, 0, 100).repartition(10, "id"),  # hash layout: blooms prune
+        root,
+        stats_cols=["id"],
+        bloom_cols=["id"],
+    )
+    m = ss._read_manifest(root, 0)
+    full = set(m["files"])
+    assert len(full) == 10
+    # IN-list kept-set == union of the per-value equality plans
+    # (the algebra snap_read_where_in plans reads with)
+    expected = set()
+    for v in (5, 41, 77):
+        expected.update(ss._prune_files_eq_m(m, "id", v))
+    cand = ss._dml_candidate_files(m, "id IN (5, 41, 77)")
+    assert set(cand) == expected
+    assert 0 < len(cand) < len(full)  # blooms actually pruned
+    # composes with other atoms by intersection
+    both = ss._dml_candidate_files(m, "id IN (5, 41, 77) AND id <= 50")
+    assert set(both) == expected & set(
+        ss._prune_files_halfrange_m(m, "id", None, 50)
+    )
+    # quoted literals with commas stay one value; sloppy types skip atom
+    assert set(ss._dml_candidate_files(m, "id IN ('a,b', 'c')")) == full
+    # IN inside an unsupported composite: full list, never a guess
+    assert set(ss._dml_candidate_files(m, "id IN (1) OR id = 2")) == full
+    assert set(ss._dml_candidate_files(m, "id IN (SELECT 1)")) == full
+    # end-to-end pruned DELETE == exact semantics
+    v = ss.snap_delete_where(spark, root, "id IN (5, 41, 77)")
+    assert {r.id for r in ss.snap_read(spark, root, v).collect()} == set(
+        range(100)
+    ) - {5, 41, 77}
+
+    # temporal equality over a range-clustered timestamp store
+    import datetime as dt
+
+    root2 = str(tmp_path / "t_tseq")
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=6 * i)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "ts"]).repartitionByRange(8, "ts")
+    ss.snap_commit(df, root2, stats_cols=["ts"])
+    m2 = ss._read_manifest(root2, 0)
+    probe = "2024-01-03 12:00:00"  # id 10
+    cand_eq = ss._dml_candidate_files(m2, f"ts = '{probe}'")
+    iso = "2024-01-03T12:00:00"
+    assert set(cand_eq) == set(
+        ss._prune_files_between_m(m2, "ts", iso, iso)
+    )
+    assert 0 < len(cand_eq) < len(m2["files"])
+    # temporal IN unions the two probes' windows
+    cand_in = ss._dml_candidate_files(
+        m2, "ts IN ('2024-01-03 12:00:00', '2024-01-09 00:00:00')"
+    )
+    assert set(ss._prune_files_between_m(m2, "ts", iso, iso)) <= set(cand_in)
+    assert 0 < len(cand_in) < len(m2["files"])
+    # tz-suffixed literal cannot prune (atom skipped, not wrong)
+    assert set(
+        ss._dml_candidate_files(m2, "ts = '2024-01-03 12:00:00+07:00'")
+    ) == set(m2["files"])
+    # end-to-end temporal-eq DELETE == exact semantics
+    v2 = ss.snap_delete_where(spark, root2, f"ts = '{probe}'")
+    assert {r.id for r in ss.snap_read(spark, root2, v2).collect()} == set(
+        range(40)
+    ) - {10}

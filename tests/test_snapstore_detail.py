@@ -356,3 +356,28 @@ def test_lost_race_removes_its_sidecar(spark, detail_mode, tmp_path):
         if n.endswith(".detail.parquet")
     }
     assert after == before  # the loser's sidecar was removed
+
+
+def test_analyze_retrofit_preserves_untouched_detail(spark, detail_mode, tmp_path):
+    """snap_analyze on a detail-backed table updates ONE detail family
+    without dropping the others: a stats-only retrofit must carry the
+    existing blooms and file_meta into the new sidecar (the zero-copy
+    pointer share is only legal when NO detail changes)."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    ).repartition(4)
+    ss.snap_commit(df, root, bloom_cols=["k"])  # blooms, no stats
+    m0 = ss._read_manifest(root, 0)
+    blooms_before = dict(m0["file_blooms"])
+    meta_before = dict(m0["file_meta"])
+    v = ss.snap_analyze(spark, root, stats_cols=["id"])
+    m1 = ss._read_manifest(root, v)
+    assert set(m1["file_stats"]) == set(m1["files"])  # retrofit landed
+    assert m1["file_blooms"] == blooms_before  # untouched family kept
+    assert m1["file_meta"] == meta_before
+    # and the head did NOT pointer-share (detail changed)
+    assert _head(root, v)["detail_file"] != _head(root, 0)["detail_file"]
+    # geometry refusal still enforced on the detail-backed path
+    with pytest.raises(ValueError, match="geometry"):
+        ss.snap_analyze(spark, root, bloom_cols=["k"], bloom_bits=1 << 10)

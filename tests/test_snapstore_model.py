@@ -20,6 +20,7 @@ still exploring dozens of interleavings.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -466,6 +467,67 @@ class SnapstoreMachine(RuleBasedStateMachine):
         }
 
     @precondition(lambda self: self.versions)
+    @rule(
+        keep=st.integers(min_value=1, max_value=2),
+        hours=st.sampled_from([None, 1.0]),
+    )
+    def vacuum_dry_run(self, keep, hours):
+        """DRY RUN must be a pure COUNT: same planning, zero deletion —
+        versions, manifests, data/dv/cdf sidecars, and pending staged
+        dirs all untouched (staged entries stay publishable)."""
+        before_versions = set(ss.snap_versions(self.root))
+        counted = ss.snap_vacuum(
+            self.root,
+            keep_last=keep,
+            staged_grace_minutes=0,
+            keep_hours=hours,
+            dry_run=True,
+        )
+        assert counted >= 0
+        assert set(ss.snap_versions(self.root)) == before_versions
+        for v in sorted(self.alive):
+            m = ss._read_manifest(self.root, v)
+            for f in (
+                list(m["files"])
+                + list(m.get("dv_files") or [])
+                + list(m.get("cdf_files") or [])
+            ):
+                assert os.path.exists(f), ("dry_run deleted", v, f)
+
+    @precondition(lambda self: self.versions and self._cur()[0])
+    @rule(family=st.sampled_from(["stats", "bloom"]))
+    def analyze(self, family):
+        """ANALYZE retrofit: a metadata-only commit that adds per-file
+        stats/blooms over RESIDENT files — content identical (the step
+        invariants re-verify rows and feed replay across it), version
+        advances by one, and a mismatched bloom geometry REFUSES without
+        advancing anything."""
+        if family == "stats":
+            v = ss.snap_analyze(self.spark, self.root, stats_cols=["id"])
+        else:
+            v = ss.snap_analyze(
+                self.spark, self.root, bloom_cols=["val"], bloom_bits=1 << 10
+            )
+        assert v == len(self.versions)
+        rows, has_note, chk, cdf = self._cur()
+        self._push(rows, has_note, chk, cdf)
+        m = ss._read_manifest(self.root, v)
+        if family == "bloom":
+            # geometry gate: resizing a filter must refuse, version pinned
+            with pytest.raises(ValueError):
+                ss.snap_analyze(
+                    self.spark, self.root, bloom_cols=["val"], bloom_bits=1 << 12
+                )
+            assert ss.snap_current_version(self.root) == v
+            # empty part-files produce no aggregation rows: profiled
+            # entries are a subset of files, non-empty (rows exist)
+            blooms = m.get("file_blooms", {})
+            assert blooms and set(blooms) <= set(m["files"])
+        else:
+            stats = m.get("file_stats", {})
+            assert stats and set(stats) <= set(m["files"])
+
+    @precondition(lambda self: self.versions)
     @rule(keep=st.integers(min_value=1, max_value=2))
     def vacuum_time_window(self, keep):
         """keep_hours is purely ADDITIVE retention: every version this
@@ -530,6 +592,23 @@ class SnapstoreMachine(RuleBasedStateMachine):
         cur_rows, has_note, _, _ = self._cur()
         want = {i: (v, n if has_note else None) for i, v, n in cur_rows}
         assert state == want, (lo, len(self.versions) - 1)
+
+    @invariant()
+    def retained_manifest_files_all_exist(self):
+        """No vacuum sequence (time-window, dry-run, grace-0, in any
+        interleaving with DML/CDF/analyze/WAP) may collect a file a
+        RETAINED manifest still references — data, deletion-vector, and
+        change-feed sidecars alike. This is the 'every readable span's
+        sidecars survive' contract: the feed-replay invariant can only
+        read spans whose files this one proves alive."""
+        for v in sorted(self.alive):
+            m = ss._read_manifest(self.root, v)
+            for f in (
+                list(m["files"])
+                + list(m.get("dv_files") or [])
+                + list(m.get("cdf_files") or [])
+            ):
+                assert os.path.exists(f), ("vacuumed live file", v, f)
 
     @invariant()
     def refs_and_constraints_match_model(self):

@@ -1716,13 +1716,40 @@ def _prune_files_halfrange_m(m: dict, col: str, lo, hi) -> list[str]:
     return kept
 
 
+_DML_LITERAL = r"-?\d+(?:\.\d+)?|'[^']*'"
 _DML_ATOM = re.compile(
-    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|<=|>=|<|>)\s*"
-    r"(-?\d+(?:\.\d+)?|'[^']*')\s*$"
+    rf"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|<=|>=|<|>)\s*({_DML_LITERAL})\s*$"
 )
+# col IN (lit, lit, ...) — the point-DML shape (GDPR deletes); values are
+# re-extracted with _DML_LITERAL so quoted commas can't split a literal
+_DML_IN_ATOM = re.compile(
+    rf"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+[Ii][Nn]\s*\("
+    rf"(\s*(?:{_DML_LITERAL})(?:\s*,\s*(?:{_DML_LITERAL}))*\s*)\)\s*$"
+)
+# Coarse rejection of shapes the conjunctive-atom parser must never see
+# mid-atom. Parentheses and IN left this list when the anchored IN-atom
+# shape became prunable — any OTHER parenthesized/IN form still fails
+# the per-atom match and returns the full list (never a skipped atom:
+# an unparsed disjunct inside a conjunct would make skipping unsound).
 _DML_UNPRUNABLE = re.compile(
-    r"[()%]|\bor\b|\bnot\b|\bbetween\b|\bin\b|\bis\b|\blike\b|`", re.I
+    r"[%]|\bor\b|\bnot\b|\bbetween\b|\bis\b|\blike\b|`", re.I
 )
+
+
+def _dml_temporal_literal(value: str, ctype: str) -> str | None:
+    """A quoted temporal literal in the stats' own isoformat domain
+    (Spark-cast semantics: date columns truncate to the date), or None
+    when it cannot prune (unparseable, or tz-suffixed — offset text no
+    longer orders lexicographically against naive stat strings)."""
+    import datetime as _dt
+
+    try:
+        parsed = _dt.datetime.fromisoformat(value)
+    except ValueError:
+        return None
+    if parsed.tzinfo is not None:
+        return None
+    return parsed.date().isoformat() if ctype == "date" else parsed.isoformat()
 
 
 def _dml_candidate_files(m: dict, condition) -> list[str]:
@@ -1730,16 +1757,20 @@ def _dml_candidate_files(m: dict, condition) -> list[str]:
     optimization where ``UPDATE/DELETE ... WHERE id >= a AND id <= b``
     plans its matching scan from file metadata instead of reading the
     whole table. When ``condition`` is a SQL STRING that is a pure
-    conjunction of ``col <op> literal`` atoms (ops ``= < <= > >=``,
-    int/float/'string' literals), intersect each atom's manifest
-    kept-set: ``=`` uses min/max AND Bloom pruning, inequalities use
-    half-range min/max pruning with strict ops widened to inclusive
-    (conservative). ANY other shape — a Column object, OR/NOT/
-    parentheses, arithmetic, functions, IS NULL, IN — returns every
-    file: pruning is a superset optimization, never the semantics. On a
-    range-clustered 100 TB table this turns a narrow-region DML's
-    discovery from a full scan into a ~selectivity-sized one; on random
-    layout it degrades safely to the full list."""
+    conjunction of ``col <op> literal`` / ``col IN (literal, ...)``
+    atoms (ops ``= < <= > >=``, int/float/'string'/temporal literals),
+    intersect each atom's manifest kept-set: ``=`` uses min/max AND
+    Bloom pruning (temporal equality: min/max only, as the degenerate
+    [v, v] range — the bloom hashed a different canonical form),
+    ``IN`` unions its values' equality plans (the point-DML / GDPR
+    delete shape), inequalities use half-range min/max pruning with
+    strict ops widened to inclusive (conservative). ANY other shape —
+    a Column object, OR/NOT/parenthesized groups, arithmetic,
+    functions, IS NULL — returns every file: pruning is a superset
+    optimization, never the semantics. On a range-clustered 100 TB
+    table this turns a narrow-region DML's discovery from a full scan
+    into a ~selectivity-sized one; on random layout it degrades safely
+    to the full list."""
     files = m["files"]
     if not isinstance(condition, str) or _DML_UNPRUNABLE.search(condition):
         return files
@@ -1756,50 +1787,73 @@ def _dml_candidate_files(m: dict, condition) -> list[str]:
         for f in T.StructType.fromJson(json.loads(m["schema"])).fields
     }
     numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+    def _literal_value(lit: str, ctype):
+        """One SQL literal token -> a probe value in the stats domain of
+        a column of declared type ``ctype``, with a flag telling whether
+        the value is TEMPORAL (stats-range-only pruning — blooms hashed
+        a different canonical form at build time). None = no sound
+        probe domain; the atom contributes no pruning."""
+        if lit.startswith("'"):
+            value = lit[1:-1]
+            if ctype in ("timestamp", "timestamp_ntz", "date"):
+                # Temporal atoms prune in the stats' own isoformat
+                # domain: parse the literal like Spark's string cast
+                # (fromisoformat accepts both 'T' and space
+                # separators), truncating to the DATE for date columns
+                # — the cast drops the time component, so
+                # 'd >= 2024-01-05 10:00' must probe as 2024-01-05.
+                v = _dml_temporal_literal(value, ctype)
+                return (v, True) if v is not None else None
+            if ctype != "string":
+                return None  # cast semantics: cannot prune this atom
+            return value, False
+        value = float(lit) if "." in lit else int(lit)
+        if ctype not in numeric:
+            return None
+        return value, False
+
+    def _eq_kept(col: str, value, temporal: bool) -> list[str]:
+        # temporal equality prunes as the degenerate stats range
+        # [v, v] (sound without any bloom — the bloom build hashed
+        # Spark's cast-to-string form, a different domain, so the
+        # bloom side is skipped for temporal probes)
+        if temporal:
+            return _prune_files_between_m(m, col, value, value)
+        return _prune_files_eq_m(m, col, value)
+
     kept: set[str] | None = None
     for atom in re.split(r"(?i)\band\b", condition):
         mt = _DML_ATOM.match(atom)
         if mt is None:
-            return files
-        col, op, lit = mt.group(1), mt.group(2), mt.group(3)
-        ctype = col_types.get(col)
-        if lit.startswith("'"):
-            value = lit[1:-1]
-            if ctype in ("timestamp", "timestamp_ntz", "date"):
-                # Temporal RANGE atoms prune in the stats' own isoformat
-                # domain: parse the literal like Spark's string cast
-                # (fromisoformat accepts both 'T' and space separators),
-                # truncating to the DATE for date columns — the cast
-                # drops the time component, so 'd >= 2024-01-05 10:00'
-                # must probe as 2024-01-05, not midnight-after. Equality
-                # stays unprunable (bloom canonicalization is a
-                # different domain); unparseable literals skip the atom.
-                if op == "=":
-                    continue
-                import datetime as _dt
-
-                try:
-                    parsed = _dt.datetime.fromisoformat(value)
-                except ValueError:
-                    continue
-                if parsed.tzinfo is not None:
-                    # tz-suffixed literal: its isoformat carries an
-                    # offset and no longer orders lexicographically
-                    # against the naive stat strings — cannot prune
-                    continue
-                value = (
-                    parsed.date().isoformat()
-                    if ctype == "date"
-                    else parsed.isoformat()
-                )
-            elif ctype != "string":
-                continue  # cast semantics: cannot prune this atom
-        else:
-            value = float(lit) if "." in lit else int(lit)
-            if ctype not in numeric:
+            mi = _DML_IN_ATOM.match(atom)
+            if mi is None:
+                return files
+            # col IN (v1, v2, ...): the union of each value's equality
+            # plan (a file survives if ANY value may live in it) —
+            # the same kept-set algebra snap_read_where_in uses. One
+            # un-probe-able value widens its kept-set to ALL files,
+            # making the union total — i.e. the atom contributes
+            # nothing, so just skip it.
+            col = mi.group(1)
+            ctype = col_types.get(col)
+            union: set[str] | None = set()
+            for lit in re.findall(_DML_LITERAL, mi.group(2)):
+                parsed = _literal_value(lit, ctype)
+                if parsed is None:
+                    union = None
+                    break
+                union.update(_eq_kept(col, parsed[0], parsed[1]))
+            if union is None:
                 continue
+            kept = union if kept is None else kept & union
+            continue
+        col, op, lit = mt.group(1), mt.group(2), mt.group(3)
+        parsed = _literal_value(lit, col_types.get(col))
+        if parsed is None:
+            continue
+        value, temporal = parsed
         if op == "=":
-            f = _prune_files_eq_m(m, col, value)
+            f = _eq_kept(col, value, temporal)
         elif op in (">", ">="):
             f = _prune_files_halfrange_m(m, col, value, None)
         else:  # "<", "<="
@@ -2333,8 +2387,16 @@ def _publish_metadata_commit(
     version = m["version"] + 1
     # zero-copy for detail-backed tables: the file set is unchanged, so
     # the new version SHARES the parent's sidecar pointer instead of
-    # reconstructing and rewriting O(files) metadata
-    manifest = m.head_copy() if isinstance(m, _LazyManifest) else dict(m)
+    # reconstructing and rewriting O(files) metadata — UNLESS the commit
+    # itself updates per-file detail (snap_analyze's stats/bloom
+    # retrofit), where a partial head+extra would silently drop the
+    # untouched detail dicts; those materialize fully and re-split.
+    detail_in_extra = any(k in (extra or {}) for k in _DETAIL_KEYS)
+    manifest = (
+        m.head_copy()
+        if isinstance(m, _LazyManifest) and not detail_in_extra
+        else _materialize(m)
+    )
     manifest.update(
         {
             "version": version,
