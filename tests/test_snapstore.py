@@ -2299,8 +2299,19 @@ def test_dml_prune_type_gate_temporal_and_cross_type(spark, tmp_path):
         .collect()
     }
     assert match_files <= set(cand) <= full
-    # temporal EQUALITY never prunes (bloom domain mismatch)
-    assert set(ss._dml_candidate_files(m, "t = '2024-01-03 00:00:00'")) == full
+    # temporal EQUALITY prunes via the [v, v] stats window (r13) —
+    # bloom stays out (domain mismatch), and the kept set must still
+    # cover every file holding the matching row
+    c_eq = ss._dml_candidate_files(m, "t = '2024-01-03 00:00:00'")
+    eq_files = {
+        r["_sf"]
+        for r in ss._source_frame(spark, m, file_col="_sf")
+        .filter("t = '2024-01-03 00:00:00'")
+        .select("_sf")
+        .distinct()
+        .collect()
+    }
+    assert eq_files <= set(c_eq) <= full and len(c_eq) < len(full)
     # cross-type atoms: no pruning contribution
     assert set(ss._dml_candidate_files(m, "id = '5'")) == full
     # the numeric atom still prunes inside a mixed conjunction
@@ -2370,7 +2381,8 @@ def test_dml_prune_temporal_ranges_sound(spark, tmp_path):
     predicates prune to the overlapping files with exact results in
     both separator spellings; DATE-column literals truncate their time
     component like Spark's string->date cast (the >= edge that would
-    otherwise false-drop the boundary day); equality stays unprunable."""
+    otherwise false-drop the boundary day); since r13, equality prunes
+    too, as the degenerate stats range [v, v]."""
     root = str(tmp_path / "t_tsr")
     df = spark.range(0, 10).select(
         F.col("id"),
@@ -2384,11 +2396,20 @@ def test_dml_prune_temporal_ranges_sound(spark, tmp_path):
     )
     m = ss._read_manifest(root, 0)
     full = set(m["files"])
-    # timestamp range prunes (both spellings), equality never does
+    # timestamp range prunes (both spellings); equality prunes as the
+    # [v, v] stats window (r13) with exact results
     c1 = ss._dml_candidate_files(m, "t >= '2024-01-09 00:00:00'")
     c2 = ss._dml_candidate_files(m, "t >= '2024-01-09T00:00:00'")
     assert 0 < len(c1) <= 2 and set(c1) == set(c2)
-    assert set(ss._dml_candidate_files(m, "t = '2024-01-03 00:00:00'")) == full
+    c_eq = ss._dml_candidate_files(m, "t = '2024-01-03 00:00:00'")
+    assert 0 < len(c_eq) < len(full)
+    got_eq = {
+        r.id
+        for r in ss._source_frame(spark, m, c_eq)
+        .filter("t = '2024-01-03 00:00:00'")
+        .collect()
+    }
+    assert got_eq == {2}  # id=2 is Jan 3; the pruned plan still finds it
     # DATE column with a time-component literal: the boundary day's
     # file must stay in the plan (cast truncates to 2024-01-05)
     c3 = ss._dml_candidate_files(m, "d >= '2024-01-05 10:00:00'")

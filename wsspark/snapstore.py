@@ -1492,14 +1492,19 @@ def snap_read_changes_cdf(
         # url-decode normalization the DV anti-join's correctness
         # already rests on; paths are per-commit unique so the map is
         # injective and the inner join is exact (commit-count rows,
-        # broadcast — never a shuffle)
+        # broadcast — never a shuffle). The join key dodges any user
+        # column of the same name (only _change_type/_commit_version
+        # are reserved by the feed contract).
+        key = "_cdf_path"
+        while key in df.columns:
+            key += "_"
         vmap = F.broadcast(
-            spark.createDataFrame(pairs, "_cdf_path string, _commit_version long")
+            spark.createDataFrame(pairs, f"{key} string, _commit_version long")
         )
         return (
-            df.withColumn("_cdf_path", _norm_dv_path_col(F.col("_metadata.file_path")))
-            .join(vmap, "_cdf_path", "inner")
-            .drop("_cdf_path")
+            df.withColumn(key, _norm_dv_path_col(F.col("_metadata.file_path")))
+            .join(vmap, key, "inner")
+            .drop(key)
         )
 
     frames = []
