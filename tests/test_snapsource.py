@@ -809,3 +809,50 @@ def test_stream_refuses_version_option_and_compact_iso_date(spark, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_batch_pushdown_vectorized_on_detail_backed_store(
+    spark, tmp_path, monkeypatch
+):
+    """r13: on a detail-sidecar-backed manifest the DataSource's pushed
+    filters prune through the VECTORIZED typed index (no dict
+    reconstruction). Planned partitions must cover every matching file
+    (superset contract — strict bounds widen to inclusive) and results
+    stay exact end to end."""
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "0")
+    root = str(tmp_path / "sdet")
+    ss.snap_commit(
+        _df(spark, 0, 2000).repartitionByRange(8, "id"),
+        root,
+        stats_cols=["id"],
+        bloom_cols=["id"],
+    )
+    assert isinstance(ss._read_manifest(root, 0), ss._LazyManifest)
+    rr = SnapstoreBatchReader(root, None)
+    rr.pushFilters([GreaterThanOrEqual(("id",), 1500), LessThan(("id",), 1700)])
+    n_range = len(rr.partitions())
+    assert 0 < n_range <= 2
+
+    re_eq = SnapstoreBatchReader(root, None)
+    re_eq.pushFilters([EqualTo(("id",), 1234)])
+    assert len(re_eq.partitions()) <= 2
+
+    r_in = SnapstoreBatchReader(root, None)
+    r_in.pushFilters([In(("id",), (3, 700, 1543))])
+    assert len(r_in.partitions()) <= 3
+
+    register(spark)
+    got = (
+        spark.read.format("snapstore")
+        .load(root)
+        .filter((F.col("id") >= 1500) & (F.col("id") < 1700))
+        .collect()
+    )
+    assert sorted(r.id for r in got) == list(range(1500, 1700))
+    got_eq = (
+        spark.read.format("snapstore")
+        .load(root)
+        .filter(F.col("id").isin(3, 700, 1543))
+        .collect()
+    )
+    assert sorted(r.id for r in got_eq) == [3, 700, 1543]

@@ -179,6 +179,40 @@ def _prune(manifest: dict, files: list[str], filters: list) -> list[str]:
     range + equality predicates, Bloom bitmaps for equality/IN. Unknown
     filter shapes and stat-less files prune nothing (superset contract:
     Spark re-applies every filter exactly)."""
+    dt = ss._detail_table_for_prune(manifest)
+    if dt is not None:
+        # detail-backed manifest: prune VECTORIZED over the sidecar's
+        # typed index instead of reconstructing O(files) dicts. Strict
+        # bounds widen to inclusive (keeps at most the boundary files —
+        # superset, and Spark's re-applied filter is the semantics).
+        dropped: set[str] = set()
+        for flt in filters:
+            col = ".".join(flt.attribute) if hasattr(flt, "attribute") else None
+            if col is None:
+                continue
+            if isinstance(flt, (EqualTo, EqualNullSafe)):
+                if flt.value is not None:
+                    dropped |= ss._detail_dropped_eq(manifest, dt, col, flt.value)
+            elif isinstance(flt, In):
+                per_value = [
+                    ss._detail_dropped_eq(manifest, dt, col, v)
+                    for v in flt.value
+                    if v is not None
+                ]
+                if per_value and len(per_value) == len(flt.value):
+                    # dropped only if provably absent for EVERY value
+                    dropped |= set.intersection(*per_value)
+            elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
+                d = ss._detail_dropped_range(
+                    dt, col, ss._json_stat(flt.value, direction=-1), None
+                )
+                dropped |= d or set()
+            elif isinstance(flt, (LessThan, LessThanOrEqual)):
+                d = ss._detail_dropped_range(
+                    dt, col, None, ss._json_stat(flt.value, direction=1)
+                )
+                dropped |= d or set()
+        return [f for f in files if f not in dropped]
     stats = manifest.get("file_stats", {})
     blooms = manifest.get("file_blooms", {})
     bloom_meta = manifest.get("bloom_meta", {})
