@@ -381,3 +381,265 @@ def test_analyze_retrofit_preserves_untouched_detail(spark, detail_mode, tmp_pat
     # geometry refusal still enforced on the detail-backed path
     with pytest.raises(ValueError, match="geometry"):
         ss.snap_analyze(spark, root, bloom_cols=["k"], bloom_bits=1 << 10)
+
+
+# ---------------------------------------------------------------------------
+# Property: the vectorized typed-index prune NEVER drops a file the exact
+# dict-path prune keeps (soundness), and is exactly equal whenever no
+# float-widening is involved. Fabricated manifests, no Spark needed.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_num_val = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+_str_val = st.text(
+    alphabet="0123456789-T:abz", min_size=1, max_size=12
+)
+
+
+def _mk_manifest(tmpdir, file_stats, blooms, n_bits):
+    import time as _time
+
+    files = [f"/fab/part-{i:04d}.parquet" for i in range(len(file_stats) + 1)]
+    stats = {
+        files[i]: {"x": mm} for i, mm in enumerate(file_stats) if mm is not None
+    }
+    fb = {}
+    for i, values in enumerate(blooms):
+        if values is None:
+            continue
+        words = [0] * (n_bits // 63 + 1)
+        for v in values:
+            for p in ss._bloom_positions_py(v, n_bits, 4):
+                words[p // 63] |= 1 << (p % 63)
+        fb[files[i]] = {"k": "".join(f"{w:016x}" for w in words)}
+    manifest = {
+        "version": 0,
+        "parent": None,
+        "mode": "overwrite",
+        "tag": None,
+        "schema": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "x", "type": "long", "nullable": True, "metadata": {}},
+                    {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                ],
+            }
+        ),
+        "files": files,  # one extra file with NO detail rows at all
+        "file_stats": stats,
+        "file_blooms": fb,
+        "bloom_meta": {"k": {"n_bits": n_bits, "k": 4}} if fb else {},
+        "file_meta": {},
+        "dv_files": [],
+        "constraints": {},
+        "cdf": False,
+        "cdf_files": [],
+        "ts": _time.time(),
+    }
+    root = str(tmpdir)
+    os.makedirs(ss._manifest_dir(root), exist_ok=True)
+    old = os.environ.get("WSSPARK_SNAP_DETAIL_INLINE_MAX")
+    os.environ["WSSPARK_SNAP_DETAIL_INLINE_MAX"] = "0"
+    try:
+        ss._write_manifest_file(root, manifest)
+    finally:
+        if old is None:
+            os.environ.pop("WSSPARK_SNAP_DETAIL_INLINE_MAX", None)
+        else:
+            os.environ["WSSPARK_SNAP_DETAIL_INLINE_MAX"] = old
+    ss._advance_current(root, 0)
+    return root
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_vectorized_prune_superset_of_dict_prune(tmp_path_factory, data):
+    kind_num = data.draw(st.booleans(), label="numeric_domain")
+    val = _num_val if kind_num else _str_val
+    pair = st.tuples(val, val).map(sorted)
+    file_stats = data.draw(
+        st.lists(
+            st.one_of(
+                st.none(),  # file without stats
+                pair,
+                st.tuples(st.none(), st.none()).map(list),  # all-NULL file
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        label="file_stats",
+    )
+    blooms = data.draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(st.integers(0, 50), min_size=0, max_size=6),
+            ),
+            min_size=len(file_stats),
+            max_size=len(file_stats),
+        ),
+        label="blooms",
+    )
+    lo = data.draw(val, label="lo")
+    hi = data.draw(val, label="hi")
+    if not kind_num:
+        lo, hi = sorted([lo, hi])
+    elif lo > hi:
+        lo, hi = hi, lo
+    root = _mk_manifest(
+        tmp_path_factory.mktemp("fab"), file_stats, blooms, n_bits=256
+    )
+    lazy = ss._read_manifest(root, 0)
+    assert isinstance(lazy, ss._LazyManifest)
+    loaded = ss._read_manifest(root, 0)
+    loaded._ensure()
+
+    vec = set(ss._prune_files_between_m(lazy, "x", lo, hi))
+    exact = set(ss._prune_files_between_m(loaded, "x", lo, hi))
+    assert vec >= exact  # soundness: widening may only KEEP more
+    # no widening possible -> exactly equal (floats round-trip; ints
+    # inside float53 are exact)
+    flat = [
+        v
+        for mm in file_stats
+        if mm is not None
+        for v in mm
+        if v is not None
+    ] + ([lo, hi] if kind_num else [])
+    if not kind_num or all(
+        isinstance(v, float) or abs(v) < 2**52 for v in flat
+    ):
+        assert vec == exact
+
+    # half-open ranges
+    vec_h = set(ss._prune_files_halfrange_m(lazy, "x", lo, None))
+    exact_h = set(ss._prune_files_halfrange_m(loaded, "x", lo, None))
+    assert vec_h >= exact_h
+
+    # bloom equality: bit-exact, so ALWAYS equal
+    probe = data.draw(st.integers(0, 60), label="eq_probe")
+    vec_eq = set(ss._prune_files_eq_m(lazy, "k", probe))
+    exact_eq = set(ss._prune_files_eq_m(loaded, "k", probe))
+    assert vec_eq == exact_eq
+    # and a file whose bloom lacks the probe's bits is really dropped
+    # only when it provably cannot contain it (no false drops by
+    # construction): every file whose value list contains probe is kept
+    files = lazy["files"]
+    for i, values in enumerate(blooms):
+        if values is not None and probe in values:
+            assert files[i] in vec_eq
+
+
+def test_append_uses_incremental_arrow_concat(spark, detail_mode, tmp_path, monkeypatch):
+    """r13: an append atop a sidecar-backed parent must NOT reconstruct
+    the parent's dicts — the parent table concatenates with the new
+    files' rows in the arrow domain. Pinned by making the dict-rebuild
+    path explode: _write_detail (full rebuild) and _detail_to_dicts
+    (reconstruction) both raise, and the append still publishes with
+    exact merged metadata."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 400).select(F.col("id")).repartitionByRange(4, "id"),
+        root,
+        stats_cols=["id"],
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("dict-rebuild path taken on an append")
+
+    monkeypatch.setattr(ss, "_write_detail", _boom)
+    monkeypatch.setattr(ss, "_detail_to_dicts", _boom)
+    v = ss.snap_commit(
+        spark.range(400, 800).select(F.col("id")).repartitionByRange(4, "id"),
+        root,
+        stats_cols=["id"],
+    )
+    monkeypatch.undo()
+    m = ss._read_manifest(root, v)
+    assert set(m["file_stats"]) == set(m["files"])  # parent + new rows
+    kept, total = ss.snap_prune_files(root, "id", 500, 600)
+    assert 0 < len(kept) < total
+    assert ss.snap_read_between(spark, root, "id", 500, 600).count() == 101
+
+
+def test_append_new_stats_col_unions_typed_index(spark, detail_mode, tmp_path):
+    """An append recording stats for a column the parent never profiled
+    unions the typed-index fields: parent rows are null for the new
+    column (kept — no stats recorded), new rows prune on it, and both
+    columns prune after the append."""
+    root = str(tmp_path / "t")
+    df1 = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(3, "id")
+    ss.snap_commit(df1, root, stats_cols=["id"])
+    df2 = spark.range(300, 600).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(3, "id")
+    v = ss.snap_commit(df2, root, stats_cols=["id", "v"])
+    m = ss._read_manifest(root, v)
+    # id prunes across BOTH halves
+    kept_id = ss._prune_files_between_m(m, "id", 100, 120)
+    assert 0 < len(kept_id) < len(m["files"])
+    # v prunes only the new half; every parent file is kept (null index)
+    m2 = ss._read_manifest(root, v)
+    kept_v = ss._prune_files_between_m(m2, "v", 700, 720)
+    parent_files = set(ss._read_manifest(root, 0)["files"])
+    assert parent_files <= set(kept_v)
+    assert len(kept_v) < len(m["files"])  # some new files dropped
+    got = ss.snap_read_between(spark, root, "v", 700, 720).count()
+    assert got == 11
+
+
+def test_append_without_stats_keeps_parent_detail(spark, detail_mode, tmp_path):
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 300).select(F.col("id")).repartitionByRange(3, "id"),
+        root,
+        stats_cols=["id"],
+        bloom_cols=["id"],
+    )
+    v = ss.snap_commit(
+        spark.range(300, 400).select(F.col("id")).repartition(2), root
+    )
+    m = ss._read_manifest(root, v)
+    parent_files = set(ss._read_manifest(root, 0)["files"])
+    assert parent_files <= set(m["file_stats"])  # parent detail intact
+    assert parent_files <= set(m["file_blooms"])
+    # stat-less new files are kept by every prune
+    kept, total = ss.snap_prune_files(root, "id", 0, 10)
+    new_files = set(m["files"]) - parent_files
+    assert new_files <= set(kept)
+    assert ss.snap_read_between(spark, root, "id", 350, 360).count() == 11
+
+
+def test_threshold_drop_falls_back_to_inline(spark, tmp_path, monkeypatch):
+    """If the inline threshold RISES past the table size between
+    commits, the append atop a detail-backed parent reconstructs the
+    dicts and publishes inline — correctness over the fast path."""
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "0")
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 200).select(F.col("id")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    assert "detail_file" in _head(root, 0)
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "100000")
+    v = ss.snap_commit(
+        spark.range(200, 300).select(F.col("id")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    h = _head(root, v)
+    assert "detail_file" not in h and set(h["file_stats"]) == set(h["files"])
+    assert ss.snap_count(root) == 300

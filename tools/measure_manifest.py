@@ -124,6 +124,43 @@ def run(n_files: int, spark=None) -> None:
             }
             if not inline:
                 ss._detail_cache.clear()
+                # commit-time detail cost for an APPEND of 4 new files:
+                # the r13 incremental path (arrow concat + write) vs the
+                # dict path (reconstruct + merge + rebuild) it replaced
+                parent = ss._read_manifest(root, 0)
+                new_part = {
+                    "file_stats": {
+                        f"/fake/new-{i}.parquet": {"id": [0, 1]}
+                        for i in range(4)
+                    },
+                    "file_blooms": {},
+                    "file_meta": {
+                        f"/fake/new-{i}.parquet": {"rows": 1, "bytes": 1}
+                        for i in range(4)
+                    },
+                }
+                import pyarrow.parquet as pq
+
+                def _append_incremental():
+                    t = ss._align_detail_tables(
+                        parent._table(), ss._detail_table_from_dicts(new_part)
+                    )
+                    pq.write_table(t, os.path.join(root, "_x.detail.parquet"))
+
+                def _append_dicts():
+                    st_, bl, me = ss._detail_to_dicts(parent._table())
+                    st_.update(new_part["file_stats"])
+                    me.update(new_part["file_meta"])
+                    ss._write_detail(
+                        os.path.join(root, "_y.detail.parquet"),
+                        {"file_stats": st_, "file_blooms": bl, "file_meta": me},
+                    )
+
+                t_inc, _ = _t(_append_incremental)
+                row["append_incremental_s"] = round(t_inc, 4)
+                t_dict, _ = _t(_append_dicts)
+                row["append_dict_rebuild_s"] = round(t_dict, 4)
+                ss._detail_cache.clear()
                 t_detail, _ = _t(lambda: ss._read_manifest(root, 0)["file_stats"])
                 row["detail_reconstruct_s"] = round(t_detail, 4)
                 if spark is not None:

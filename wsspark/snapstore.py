@@ -190,8 +190,14 @@ def _write_detail(path: str, manifest: dict) -> None:
     (``stats_json`` per file, bloom words, rows/bytes) plus the typed
     prune index (``smin``/``smax`` structs). Written with pyarrow on the
     driver — the sidecar is metadata-plane, not a Spark job."""
-    import pyarrow as pa
     import pyarrow.parquet as pq
+
+    pq.write_table(_detail_table_from_dicts(manifest), path)
+
+
+def _detail_table_from_dicts(manifest: dict):
+    """The sidecar arrow table for a manifest's detail dicts."""
+    import pyarrow as pa
 
     stats = manifest.get("file_stats") or {}
     blooms = manifest.get("file_blooms") or {}
@@ -274,7 +280,62 @@ def _write_detail(path: str, manifest: dict) -> None:
             )
         )
         names.append("bloom")
-    pq.write_table(pa.table(dict(zip(names, arrays))), path)
+    return pa.table(dict(zip(names, arrays)))
+
+
+def _align_detail_tables(parent, new):
+    """Schema-align two sidecar tables for concatenation: union the
+    typed-index struct fields by name (rows from the table lacking a
+    field get nulls — exactly what 'no stats recorded' means), plain
+    columns as-is. Returns None when the same field name carries
+    DIFFERENT types in the two tables (a domain conflict the append
+    schema gate should make impossible — the caller materializes and
+    rebuilds from dicts instead of guessing)."""
+    import pyarrow as pa
+
+    def _struct_fields(t, name):
+        if name not in t.column_names:
+            return {}
+        return {f.name: f.type for f in t.column(name).type}
+
+    out_cols: dict[str, list] = {}
+    n_parent, n_new = parent.num_rows, new.num_rows
+    for name in ("path", "rows", "bytes", "stats_json"):
+        pcol = (
+            parent.column(name).combine_chunks()
+            if name in parent.column_names
+            else pa.nulls(n_parent, pa.int64() if name in ("rows", "bytes") else pa.string())
+        )
+        ncol = (
+            new.column(name).combine_chunks()
+            if name in new.column_names
+            else pa.nulls(n_new, pcol.type)
+        )
+        out_cols[name] = pa.concat_arrays([pcol, ncol])
+    for name in ("smin", "smax", "bloom"):
+        pf, nf = _struct_fields(parent, name), _struct_fields(new, name)
+        if not pf and not nf:
+            continue
+        for c in set(pf) & set(nf):
+            if pf[c] != nf[c]:
+                return None  # domain conflict: rebuild from dicts
+        fields = sorted(set(pf) | set(nf))
+        children = []
+        for c in fields:
+            typ = pf.get(c, nf.get(c))
+            pc = (
+                parent.column(name).combine_chunks().field(c)
+                if c in pf
+                else pa.nulls(n_parent, typ)
+            )
+            nc = (
+                new.column(name).combine_chunks().field(c)
+                if c in nf
+                else pa.nulls(n_new, typ)
+            )
+            children.append(pa.concat_arrays([pc.cast(typ), nc.cast(typ)]))
+        out_cols[name] = pa.StructArray.from_arrays(children, fields)
+    return pa.table(out_cols)
 
 
 _detail_cache: dict = {}  # abs detail path -> pyarrow Table (manifests are immutable)
@@ -402,12 +463,41 @@ def _write_manifest_file(root: str, manifest: dict) -> None:
         except FileExistsError:
             raise
         return
+    parent_detail = manifest.pop("_parent_detail", None)
+    split = len(manifest.get("files") or []) > _detail_inline_max()
+    detail_table = None
+    if parent_detail is not None:
+        if split:
+            # incremental append path: concat the parent sidecar with
+            # the NEW files' rows in the arrow domain — O(new files)
+            # dict work instead of reconstructing the whole table
+            detail_table = _align_detail_tables(
+                parent_detail, _detail_table_from_dicts(manifest)
+            )
+        if detail_table is None:
+            # alignment conflict, or the threshold dropped below the
+            # table size (inline now required): reconstruct the parent
+            # dicts and fall through to the dict path
+            p_stats, p_blooms, p_meta = _detail_to_dicts(parent_detail)
+            p_stats.update(manifest.get("file_stats") or {})
+            for f, per in (manifest.get("file_blooms") or {}).items():
+                p_blooms.setdefault(f, {}).update(per)
+            p_meta.update(manifest.get("file_meta") or {})
+            manifest["file_stats"] = p_stats
+            manifest["file_blooms"] = p_blooms
+            manifest["file_meta"] = p_meta
     manifest = _materialize(manifest)
     head = manifest
     detail_name = None
-    if len(manifest.get("files") or []) > _detail_inline_max():
+    if split:
+        import pyarrow.parquet as pq
+
         detail_name = f"v{version:012d}-{uuid.uuid4().hex[:8]}.detail.parquet"
-        _write_detail(os.path.join(_manifest_dir(root), detail_name), manifest)
+        detail_path = os.path.join(_manifest_dir(root), detail_name)
+        if detail_table is not None:
+            pq.write_table(detail_table, detail_path)
+        else:
+            _write_detail(detail_path, manifest)
         head = {k: v for k, v in manifest.items() if k not in _DETAIL_KEYS}
         head["detail_file"] = detail_name
     try:
@@ -819,10 +909,23 @@ def _resolve_commit(
                 ]
             )
         ctx["parent_files"] = pm["files"]
-        ctx["parent_stats"] = pm.get("file_stats", {})
-        ctx["parent_blooms"] = pm.get("file_blooms", {})
+        # INCREMENTAL detail for appends on a sidecar-backed parent: the
+        # per-file dicts stay in the arrow domain (the parent table is
+        # concatenated with the new files' rows at publish) instead of
+        # reconstructing and re-serializing O(table) metadata per append
+        # — the write-side analogue of Delta's incremental checkpoints,
+        # and what keeps the streaming sink's per-batch commit cost
+        # O(new files) on a million-file table.
+        if isinstance(pm, _LazyManifest) and not pm._loaded:
+            ctx["parent_detail"] = pm._table()
+            ctx["parent_stats"] = {}
+            ctx["parent_blooms"] = {}
+            ctx["parent_file_meta"] = {}
+        else:
+            ctx["parent_stats"] = pm.get("file_stats", {})
+            ctx["parent_blooms"] = pm.get("file_blooms", {})
+            ctx["parent_file_meta"] = pm.get("file_meta", {})
         ctx["parent_bloom_meta"] = pm.get("bloom_meta", {})
-        ctx["parent_file_meta"] = pm.get("file_meta", {})
         ctx["dv_files"] = pm.get("dv_files", [])
         # table CHECK constraints ride appends (and, above, pinned
         # maintenance overwrites); only an explicit user overwrite is a
@@ -909,6 +1012,11 @@ def _publish_commit(
         # retention plan from this, never from file mtimes
         "ts": time.time(),
     }
+    if "parent_detail" in ctx:
+        # append atop a sidecar-backed parent: the dicts above hold only
+        # the NEW files' detail; the parent's rides as an arrow table
+        # for the incremental concat in _write_manifest_file
+        manifest["_parent_detail"] = ctx["parent_detail"]
     # Re-verify IMMEDIATELY before the O_EXCL write: the footer-meta loop
     # above takes real time on many files, so the entry check alone leaves
     # a window in which a concurrent vacuum could collect the staged files
