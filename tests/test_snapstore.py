@@ -510,8 +510,10 @@ def test_metadata_count_bytes_and_schema_diff(spark, tmp_path):
     d = ss.snap_schema_diff(root, 0, ss.snap_current_version(root))
     assert d == {"added": [("note", "string")], "removed": [], "changed": []}
     # older-manifest fallback: strip file_meta and re-count via footers
+    # (_materialize so the rewrite is a plain inline JSON in both the
+    # inline and detail-sidecar modes)
     v = ss.snap_current_version(root)
-    m = ss._read_manifest(root, v)
+    m = ss._materialize(ss._read_manifest(root, v))
     del m["file_meta"]
     with open(ss._manifest_path(root, v), "w") as f:
         json.dump(m, f)
@@ -729,14 +731,12 @@ def test_merge_rewrites_only_touched_files(spark, tmp_path):
             bloom_cols=["id"],
         )
     v = ss.snap_current_version(root)
-    m_before = json.loads(
-        open(ss._manifest_path(root, v)).read()
-    )
+    # _read_manifest, not raw JSON: works in both inline and
+    # detail-sidecar modes (the suite runs under both)
+    m_before = ss._read_manifest(root, v)
     src = spark.createDataFrame([(3, 999)], "id long, val long")  # file 0 only
     nv = ss.snap_merge(spark, root, src, on=["id"])
-    m_after = json.loads(
-        open(ss._manifest_path(root, nv)).read()
-    )
+    m_after = ss._read_manifest(root, nv)
     kept = set(m_before["files"]) & set(m_after["files"])
     assert len(kept) == 3, "exactly one file should be rewritten"
     for f in kept:
