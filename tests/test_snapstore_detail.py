@@ -643,3 +643,46 @@ def test_threshold_drop_falls_back_to_inline(spark, tmp_path, monkeypatch):
     h = _head(root, v)
     assert "detail_file" not in h and set(h["file_stats"]) == set(h["files"])
     assert ss.snap_count(root) == 300
+
+
+def test_dml_and_clone_skip_dict_reconstruction(spark, detail_mode, tmp_path, monkeypatch):
+    """r13: COW rewrites (merge/update/delete), dv-deletes, and clones
+    atop a sidecar-backed parent carry the kept files' metadata as a
+    filtered/whole arrow table — never a dict reconstruction. Pinned by
+    making _detail_to_dicts and _write_detail explode while the ops
+    run; results stay exact."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    ).repartitionByRange(4, "id")
+    ss.snap_commit(df, root, stats_cols=["id"])
+
+    def _boom(*a, **k):
+        raise AssertionError("dict-rebuild path taken on DML/clone")
+
+    monkeypatch.setattr(ss, "_write_detail", _boom)
+    monkeypatch.setattr(ss, "_detail_to_dicts", _boom)
+    ss.snap_merge(
+        spark,
+        root,
+        spark.createDataFrame([(3, 999), (500, 1)], "id long, val long"),
+        on=["id"],
+    )
+    ss.snap_update_where(spark, root, "id = 7", {"val": "0"})
+    ss.snap_delete_dv(spark, root, "id = 9")
+    dst = str(tmp_path / "clone")
+    ss.snap_clone(root, dst)
+    monkeypatch.undo()
+    got = {r.id: r.val for r in ss.snap_read(spark, root).collect()}
+    assert got[3] == 999 and got[500] == 1 and got[7] == 0
+    assert 9 not in got and len(got) == 400
+    # untouched + rewritten files' stats survived into the latest sidecar
+    m = ss._read_manifest(root, ss.snap_current_version(root))
+    assert m["file_stats"] and set(m["file_stats"]) <= set(m["files"])
+    kept, total = ss.snap_prune_files(root, "id", 200, 250)
+    assert 0 < len(kept) < total
+    # the clone's own sidecar carries the SAME per-file metadata (the
+    # clone references the source's files verbatim)
+    mc = ss._read_manifest(dst, 0)
+    assert mc["file_stats"] == m["file_stats"]
+    assert ss.snap_read(spark, dst).count() == 400

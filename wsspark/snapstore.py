@@ -3204,12 +3204,45 @@ def snap_vacuum(
     return removed
 
 
+def _detail_filter_paths(table, keep_paths: list[str]):
+    """The sidecar table restricted to ``keep_paths`` rows — the arrow
+    form of the untouched-files dict filter in COW rewrites."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return table.filter(
+        pc.is_in(
+            table.column("path"),
+            value_set=pa.array(sorted(set(keep_paths)), pa.string()),
+        )
+    )
+
+
 def _rewrite_config(m: dict) -> dict:
     """The skipping config resident files were committed with, so a
     rewrite re-records the same stats/blooms for its new files."""
+    if isinstance(m, _LazyManifest) and not m._loaded:
+        # arrow fast path: the typed prune index's field set IS the
+        # union of profiled stats columns (built from exactly that set
+        # at sidecar write), so the rewrite config never needs the
+        # O(table) dict reconstruction. A sidecar with stats but no
+        # typed index (mixed-domain column — a should-never state)
+        # falls through to the exact dict derivation.
+        t = m._table()
+        if "smin" in t.column_names:
+            stats_cols = sorted(f.name for f in t.column("smin").type)
+            return _rewrite_config_tail(m, stats_cols)
+        import pyarrow.compute as pc
+
+        if pc.count(t.column("stats_json")).as_py() == 0:
+            return _rewrite_config_tail(m, [])
     stats_cols = sorted(
         {c for per_file in m.get("file_stats", {}).values() for c in per_file}
     )
+    return _rewrite_config_tail(m, stats_cols)
+
+
+def _rewrite_config_tail(m: dict, stats_cols: list[str]) -> dict:
     bloom_meta = m.get("bloom_meta", {})
     geoms = {(g["n_bits"], g["k"]) for g in bloom_meta.values()}
     if len(geoms) > 1:
@@ -3250,18 +3283,28 @@ def _rewrite_commit(
         "parent": m["version"],
         "version": version,
         "parent_files": untouched,
-        "parent_stats": {
-            f: s for f, s in m.get("file_stats", {}).items() if f in set(untouched)
-        },
-        "parent_blooms": {
-            f: b for f, b in m.get("file_blooms", {}).items() if f in set(untouched)
-        },
         "parent_bloom_meta": m.get("bloom_meta", {}),
-        "parent_file_meta": {
-            f: fm for f, fm in m.get("file_meta", {}).items() if f in set(untouched)
-        },
         "manifest_schema": schema,
     }
+    if isinstance(m, _LazyManifest) and not m._loaded:
+        # sidecar-backed parent: carry the untouched files' metadata as
+        # a FILTERED arrow table (concat'd with the rewrite's new rows
+        # at publish) — a narrow DML on a million-file table does
+        # O(touched + new) dict work, never an O(table) reconstruction
+        ctx["parent_detail"] = _detail_filter_paths(m._table(), untouched)
+        ctx["parent_stats"] = {}
+        ctx["parent_blooms"] = {}
+        ctx["parent_file_meta"] = {}
+    else:
+        ctx["parent_stats"] = {
+            f: s for f, s in m.get("file_stats", {}).items() if f in set(untouched)
+        }
+        ctx["parent_blooms"] = {
+            f: b for f, b in m.get("file_blooms", {}).items() if f in set(untouched)
+        }
+        ctx["parent_file_meta"] = {
+            f: fm for f, fm in m.get("file_meta", {}).items() if f in set(untouched)
+        }
     # constraints survive COW rewrites; UPDATE/MERGE-produced rows must
     # satisfy them like any other incoming rows
     ctx["constraints"] = m.get("constraints", {})
@@ -3704,10 +3747,7 @@ def snap_delete_dv(
         "parent": m["version"],
         "version": m["version"] + 1,
         "parent_files": m["files"],
-        "parent_stats": m.get("file_stats", {}),
-        "parent_blooms": m.get("file_blooms", {}),
         "parent_bloom_meta": m.get("bloom_meta", {}),
-        "parent_file_meta": m.get("file_meta", {}),
         "manifest_schema": T.StructType.fromJson(json.loads(m["schema"])),
         "dv_files": (m.get("dv_files") or []) + new_dv,
         # a dv-delete introduces no rows (nothing to validate) but the
@@ -3716,6 +3756,17 @@ def snap_delete_dv(
         "cdf": m.get("cdf", False),
         "cdf_files": new_cdf,
     }
+    if isinstance(m, _LazyManifest) and not m._loaded:
+        # dv-delete keeps every data file: the parent sidecar rides
+        # whole into the new version's concat — zero dict work
+        ctx["parent_detail"] = m._table()
+        ctx["parent_stats"] = {}
+        ctx["parent_blooms"] = {}
+        ctx["parent_file_meta"] = {}
+    else:
+        ctx["parent_stats"] = m.get("file_stats", {})
+        ctx["parent_blooms"] = m.get("file_blooms", {})
+        ctx["parent_file_meta"] = m.get("file_meta", {})
     if snap_current_version(root) != version:
         raise SnapshotConflict(
             "store advanced while the dv-delete matching scan ran — "
@@ -3980,14 +4031,24 @@ def snap_clone(
         "parent": None,
         "version": 0,
         "parent_files": list(m["files"]),
-        "parent_stats": dict(m.get("file_stats", {})),
-        "parent_blooms": dict(m.get("file_blooms", {})),
         "parent_bloom_meta": dict(m.get("bloom_meta", {})),
-        "parent_file_meta": dict(m.get("file_meta", {})),
         "manifest_schema": T.StructType.fromJson(json.loads(m["schema"])),
         "dv_files": list(m.get("dv_files") or []),
         "constraints": dict(m.get("constraints", {})),
     }
+    if isinstance(m, _LazyManifest) and not m._loaded:
+        # the clone's sidecar is the source's table re-written under
+        # the DESTINATION root (pointers cannot cross roots — each
+        # root's vacuum sweeps only its own _manifests) — still zero
+        # dict reconstruction
+        ctx["parent_detail"] = m._table()
+        ctx["parent_stats"] = {}
+        ctx["parent_blooms"] = {}
+        ctx["parent_file_meta"] = {}
+    else:
+        ctx["parent_stats"] = dict(m.get("file_stats", {}))
+        ctx["parent_blooms"] = dict(m.get("file_blooms", {}))
+        ctx["parent_file_meta"] = dict(m.get("file_meta", {}))
     return _publish_commit(
         root_dst,
         ctx,
