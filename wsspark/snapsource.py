@@ -628,7 +628,7 @@ class SnapstoreBatchWriter(DataSourceArrowWriter):
         self._stats_cols = stats_cols
         self._evolve = evolve
         self._commit_dir = os.path.join(
-            root, "data", f"commit-w-{uuid.uuid4().hex[:8]}"
+            ss._data_dir(root), f"commit-w-{uuid.uuid4().hex[:8]}"
         )
         # fail fast on an invalid append before any executor writes
         ss._resolve_commit(root, self._mode, schema, None, 0, 0, evolve)
@@ -698,7 +698,7 @@ class SnapstoreStreamWriter(DataSourceStreamArrowWriter):
 
     def write(self, iterator) -> SnapWriteMessage:
         commit_dir = os.path.join(
-            self._root, "data", f"commit-s-{uuid.uuid4().hex[:8]}"
+            ss._data_dir(self._root), f"commit-s-{uuid.uuid4().hex[:8]}"
         )
         return _write_task_file(iterator, commit_dir, self._stats_cols)
 

@@ -91,7 +91,17 @@ class StagedCommitVacuumed(RuntimeError):
 
 
 def _manifest_dir(root: str) -> str:
-    return os.path.join(root, "_manifests")
+    # abspath: a RELATIVE store root would otherwise split between
+    # Python's cwd (manifest/metadata IO) and the long-lived JVM's cwd
+    # (Spark writes resolve against user.dir, not the driver's current
+    # os.getcwd()) — every path the store derives is absolute instead
+    return os.path.join(os.path.abspath(root), "_manifests")
+
+
+def _data_dir(root: str) -> str:
+    """``<root>/data``, absolute — commit dirs live under here (same
+    relative-root rationale as ``_manifest_dir``)."""
+    return os.path.join(os.path.abspath(root), "data")
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -320,19 +330,17 @@ def _align_detail_tables(parent, new):
             if pf[c] != nf[c]:
                 return None  # domain conflict: rebuild from dicts
         fields = sorted(set(pf) | set(nf))
+        # ONE chunk-combine per struct column, not one per field — the
+        # parent side is the O(table) array on the per-append hot path
+        p_struct = (
+            parent.column(name).combine_chunks() if pf else None
+        )
+        n_struct = new.column(name).combine_chunks() if nf else None
         children = []
         for c in fields:
             typ = pf.get(c, nf.get(c))
-            pc = (
-                parent.column(name).combine_chunks().field(c)
-                if c in pf
-                else pa.nulls(n_parent, typ)
-            )
-            nc = (
-                new.column(name).combine_chunks().field(c)
-                if c in nf
-                else pa.nulls(n_new, typ)
-            )
+            pc = p_struct.field(c) if c in pf else pa.nulls(n_parent, typ)
+            nc = n_struct.field(c) if c in nf else pa.nulls(n_new, typ)
             children.append(pa.concat_arrays([pc.cast(typ), nc.cast(typ)]))
         out_cols[name] = pa.StructArray.from_arrays(children, fields)
     return pa.table(out_cols)
@@ -444,7 +452,7 @@ def _materialize(m: dict) -> dict:
     return d
 
 
-def _write_manifest_file(root: str, manifest: dict) -> None:
+def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
     """The single manifest serialization point: split the per-file
     detail into the parquet sidecar above the inline threshold, then
     publish the head with O_EXCL (raises FileExistsError on a lost
@@ -452,16 +460,35 @@ def _write_manifest_file(root: str, manifest: dict) -> None:
     committers of the same version can never cross-wire each other's
     detail file. A manifest that arrives with a ``detail_file`` pointer
     and NO detail dicts publishes the pointer as-is (shared sidecar —
-    the metadata-commit / restore zero-copy path)."""
+    the metadata-commit / restore zero-copy path).
+
+    ``pre_publish`` (optional callable) runs IMMEDIATELY before the
+    O_EXCL head write — i.e. AFTER the potentially multi-second sidecar
+    serialization — so callers can narrow their vacuum-TOCTOU staged
+    re-verify to the final syscall gap; if it raises, any sidecar this
+    call wrote is removed first."""
     version = manifest["version"]
     if "detail_file" in manifest and not any(
         k in manifest for k in _DETAIL_KEYS
     ):
-        try:
-            with open(_manifest_path(root, version), "x") as f:
-                json.dump(manifest, f)
-        except FileExistsError:
-            raise
+        # Sharing an EXISTING sidecar (metadata commit / restore): touch
+        # it first — the mtime refresh puts it inside vacuum's
+        # staged-grace window, so a concurrent sidecar sweep (whose
+        # reference scan predates this head) cannot collect it out from
+        # under the about-to-publish pointer — then verify it survived.
+        shared = os.path.join(_manifest_dir(root), manifest["detail_file"])
+        with contextlib.suppress(OSError):
+            os.utime(shared, None)
+        if not os.path.exists(shared):
+            raise FileNotFoundError(
+                f"detail sidecar {manifest['detail_file']} vanished before "
+                "the manifest publish — a concurrent vacuum collected it; "
+                "re-run against the current version"
+            )
+        if pre_publish is not None:
+            pre_publish()
+        with open(_manifest_path(root, version), "x") as f:
+            json.dump(manifest, f)
         return
     parent_detail = manifest.pop("_parent_detail", None)
     split = len(manifest.get("files") or []) > _detail_inline_max()
@@ -501,9 +528,11 @@ def _write_manifest_file(root: str, manifest: dict) -> None:
         head = {k: v for k, v in manifest.items() if k not in _DETAIL_KEYS}
         head["detail_file"] = detail_name
     try:
+        if pre_publish is not None:
+            pre_publish()
         with open(_manifest_path(root, version), "x") as f:
             json.dump(head, f)
-    except FileExistsError:
+    except BaseException:
         if detail_name is not None:
             with contextlib.suppress(OSError):
                 os.remove(os.path.join(_manifest_dir(root), detail_name))
@@ -518,8 +547,17 @@ def _advance_current(root: str, version: int) -> None:
 
 
 def _list_parquet(d: str) -> list[str]:
+    """Absolute paths, always: manifest file entries are compared
+    against scan-metadata paths (merge/update touched-file discovery,
+    DV matching, the CDF path->version map) and against vacuum's
+    directory walk — a RELATIVE store root would silently break every
+    one of those set memberships (empty touched sets, wrong-answer
+    feeds), so the absolute form is pinned at the single point where
+    file lists are born."""
     return sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        os.path.abspath(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
     )
 
 
@@ -1017,26 +1055,33 @@ def _publish_commit(
         # the NEW files' detail; the parent's rides as an arrow table
         # for the incremental concat in _write_manifest_file
         manifest["_parent_detail"] = ctx["parent_detail"]
-    # Re-verify IMMEDIATELY before the O_EXCL write: the footer-meta loop
-    # above takes real time on many files, so the entry check alone leaves
-    # a window in which a concurrent vacuum could collect the staged files
-    # and this manifest would publish dangling references. The background
-    # heartbeat makes that vacuum unlikely; this narrows the residual
-    # TOCTOU to the single syscall gap.
-    missing = [f for f in new_files if not os.path.exists(f)]
-    if missing:
+    # Re-verify IMMEDIATELY before the O_EXCL write — as a pre_publish
+    # hook so it runs AFTER the (potentially multi-second) sidecar
+    # serialization inside _write_manifest_file, not before it: the
+    # footer-meta loop above and the sidecar write both take real time
+    # on many files, and each would otherwise re-open the window in
+    # which a concurrent vacuum collects the staged files and this
+    # manifest publishes dangling references. The background heartbeat
+    # makes that vacuum unlikely; the hook narrows the residual TOCTOU
+    # to the single syscall gap.
+    def _verify_staged():
+        missing = [f for f in new_files if not os.path.exists(f)]
+        if missing:
+            raise StagedCommitVacuumed(
+                f"{len(missing)} staged file(s) vanished during publish "
+                f"(first: {missing[0]}) — a concurrent snap_vacuum likely "
+                "collected them; re-run the commit"
+            )
+
+    try:
+        # O_EXCL publish: exactly one committer wins version N
+        _write_manifest_file(root, manifest, pre_publish=_verify_staged)
+    except StagedCommitVacuumed:
         if cleanup_dir:
             import shutil
 
             shutil.rmtree(cleanup_dir, ignore_errors=True)
-        raise StagedCommitVacuumed(
-            f"{len(missing)} staged file(s) vanished during publish "
-            f"(first: {missing[0]}) — a concurrent snap_vacuum likely "
-            "collected them; re-run the commit"
-        )
-    try:
-        # O_EXCL publish: exactly one committer wins version N
-        _write_manifest_file(root, manifest)
+        raise
     except FileExistsError:
         if cleanup_dir:
             import shutil
@@ -1136,7 +1181,7 @@ def snap_commit(
     # written (one fused aggregation; ConstraintViolation, not a publish)
     _check_constraints(df, ctx.get("constraints", {}))
     commit_dir = os.path.join(
-        root, "data", f"commit-{ctx['version']:012d}-{uuid.uuid4().hex[:8]}"
+        _data_dir(root), f"commit-{ctx['version']:012d}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("error").parquet(commit_dir)
     # Background heartbeat: vacuum measures staged grace from the dir's
@@ -1352,7 +1397,7 @@ def _source_frame(
 
 
 def _refs_dir(root: str) -> str:
-    return os.path.join(root, "_refs")
+    return os.path.join(os.path.abspath(root), "_refs")
 
 
 _REF_NAME = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_."
@@ -1606,8 +1651,16 @@ def snap_read_changes_cdf(
         key = "_cdf_path"
         while key in df.columns:
             key += "_"
+        # abspath on the map side: _metadata.file_path is always an
+        # absolute URI, while manifests from stores addressed by a
+        # RELATIVE root carry relative entries — without this the inner
+        # join would silently return an empty feed (older manifests
+        # predating absolute _list_parquet included)
         vmap = F.broadcast(
-            spark.createDataFrame(pairs, f"{key} string, _commit_version long")
+            spark.createDataFrame(
+                [(os.path.abspath(p), v) for p, v in pairs],
+                f"{key} string, _commit_version long",
+            )
         )
         return (
             df.withColumn(key, _norm_dv_path_col(F.col("_metadata.file_path")))
@@ -2268,16 +2321,35 @@ def snap_count(root: str, version: int | None = None) -> int:
         if version is None:
             raise FileNotFoundError(f"no committed version in {root}")
     m = _read_manifest(root, version)
-    meta = m.get("file_meta", {})
-    total = sum(
-        (meta.get(f) or _footer_meta(f))["rows"] for f in m["files"]
-    )
+    total = _meta_column_sum(m, "rows")
     # deletion vectors: dv sidecar rows are live-file deletes exactly
     # (recording scans the DV-applied snapshot; rewrites consolidate), so
     # COUNT(*) stays a pure footer arithmetic even under merge-on-read
     return total - sum(
         _footer_meta(f)["rows"] for f in m.get("dv_files") or []
     )
+
+
+def _meta_column_sum(m: dict, col: str) -> int:
+    """Sum of a per-file meta column (rows/bytes) over the manifest's
+    files. Detail-backed manifests answer from the sidecar's vectorized
+    column — NOT the O(files x bloom_bits) dict reconstruction — with a
+    per-file footer fallback only for entries the sidecar lacks
+    (pre-metadata stores)."""
+    dt = _detail_table_for_prune(m)
+    if dt is not None and col in dt.column_names:
+        import pyarrow.compute as pc
+
+        vals = dt.column(col)
+        # sidecar rows are a subset of the file list by construction, so
+        # equal counts + no nulls means every file has a recorded value
+        if (
+            len(dt) == len(m["files"])
+            and pc.count(vals, mode="only_null").as_py() == 0
+        ):
+            return pc.sum(vals).as_py() or 0
+    meta = m.get("file_meta", {})
+    return sum((meta.get(f) or _footer_meta(f))[col] for f in m["files"])
 
 
 def snap_bytes(root: str, version: int | None = None) -> int:
@@ -2287,10 +2359,7 @@ def snap_bytes(root: str, version: int | None = None) -> int:
         if version is None:
             raise FileNotFoundError(f"no committed version in {root}")
     m = _read_manifest(root, version)
-    meta = m.get("file_meta", {})
-    return sum(
-        (meta.get(f) or _footer_meta(f))["bytes"] for f in m["files"]
-    )
+    return _meta_column_sum(m, "bytes")
 
 
 def snap_schema_diff(root: str, v_from: int, v_to: int) -> dict:
@@ -2535,7 +2604,7 @@ def _publish_metadata_commit(
 
 
 def _staged_path(root: str, staged_id: str) -> str:
-    return os.path.join(root, "_staged", f"{staged_id}.json")
+    return os.path.join(os.path.abspath(root), "_staged", f"{staged_id}.json")
 
 
 def snap_stage(
@@ -2562,7 +2631,7 @@ def snap_stage(
     lose the race (publish then raises ``StagedCommitVacuumed``; re-run
     the stage). Returns the staged id."""
     commit_dir = os.path.join(
-        root, "data", f"commit-s-{uuid.uuid4().hex[:8]}"
+        _data_dir(root), f"commit-s-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("error").parquet(commit_dir)
     # same in-job heartbeat as snap_commit: a SINGLE slow stats/bloom
@@ -2588,7 +2657,7 @@ def snap_stage(
             else {}
         )
     staged_id = uuid.uuid4().hex[:16]
-    os.makedirs(os.path.join(root, "_staged"), exist_ok=True)
+    os.makedirs(os.path.join(os.path.abspath(root), "_staged"), exist_ok=True)
     with open(_staged_path(root, staged_id), "x") as f:
         json.dump(
             {
@@ -3112,12 +3181,18 @@ def snap_vacuum(
     referenced: set[str] = set()
     for v in retained:
         rm = _read_manifest(root, v)
-        referenced.update(rm["files"])
-        referenced.update(rm.get("dv_files") or [])
-        referenced.update(rm.get("cdf_files") or [])
+        # abspath: the walk below joins against the (possibly relative)
+        # store root — a domain mismatch here would DELETE live files
+        referenced.update(os.path.abspath(f) for f in rm["files"])
+        referenced.update(
+            os.path.abspath(f) for f in rm.get("dv_files") or []
+        )
+        referenced.update(
+            os.path.abspath(f) for f in rm.get("cdf_files") or []
+        )
     removed = 0
     cutoff = time.time() - staged_grace_minutes * 60.0
-    data_root = os.path.join(root, "data")
+    data_root = _data_dir(root)
     if os.path.isdir(data_root):
         current = snap_current_version(root)
         for commit_dir in sorted(os.listdir(data_root)):
@@ -3144,12 +3219,12 @@ def snap_vacuum(
                 if last_activity > cutoff:
                     continue
             for f in list(os.listdir(d)):
-                p = os.path.join(d, f)
+                p = os.path.abspath(os.path.join(d, f))
                 if p in referenced:
                     continue
                 if os.path.isdir(p):  # _dv sidecar dir: same per-file rule
                     for g in list(os.listdir(p)):
-                        gp = os.path.join(p, g)
+                        gp = os.path.abspath(os.path.join(p, g))
                         if gp in referenced:
                             continue
                         if g.endswith(".parquet"):
@@ -3190,6 +3265,18 @@ def snap_vacuum(
                 continue
             if d:
                 referenced_details.add(d)
+        def _referenced_now() -> set[str]:
+            out = set()
+            for v in snap_versions(root):
+                try:
+                    with open(_manifest_path(root, v)) as f:
+                        d = json.load(f).get("detail_file")
+                except (OSError, ValueError):
+                    continue
+                if d:
+                    out.add(d)
+            return out
+
         for name in os.listdir(mdir):
             if not name.endswith(".detail.parquet") or name in referenced_details:
                 continue
@@ -3198,6 +3285,13 @@ def snap_vacuum(
                 if os.path.getmtime(p) > cutoff:
                     continue
             except OSError:
+                continue
+            # re-scan the heads IMMEDIATELY before the unlink: a
+            # pointer-sharing commit (restore/metadata — which also
+            # utime-refreshes its sidecar) may have published since the
+            # reference set was built; combined with the mtime guard
+            # above, the residual race is the single syscall gap
+            if name in _referenced_now():
                 continue
             with contextlib.suppress(OSError):
                 os.remove(p)
@@ -3276,7 +3370,13 @@ def _rewrite_commit(
     ``cdf_files`` when the table's CDF flag is on — callers pass it
     lazily so a disabled feed costs nothing."""
     version = m["version"] + 1
-    untouched = [f for f in m["files"] if f not in set(touched)]
+    # abspath compare: touched paths come from scan metadata (absolute)
+    # while legacy manifests may hold relative entries — a mismatch here
+    # would silently rewrite NOTHING and duplicate the merged rows
+    touched_abs = {os.path.abspath(t) for t in touched}
+    untouched = [
+        f for f in m["files"] if os.path.abspath(f) not in touched_abs
+    ]
     cfg = _rewrite_config(m)
     schema = T.StructType.fromJson(json.loads(m["schema"]))
     ctx = {
@@ -3311,7 +3411,7 @@ def _rewrite_commit(
     ctx["cdf"] = m.get("cdf", False)
     _check_constraints(new_data, ctx["constraints"])
     commit_dir = os.path.join(
-        root, "data", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
+        _data_dir(root), f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
     )
     new_data.write.mode("error").parquet(commit_dir)
     new_files = _list_parquet(commit_dir)
@@ -3725,7 +3825,7 @@ def snap_delete_dv(
             F.col("_dv_f").alias("file"), F.col("_dv_i").alias("idx")
         )
         dv_commit_dir = os.path.join(
-            root, "data", f"commit-{version + 1:012d}-{uuid.uuid4().hex[:8]}"
+            _data_dir(root), f"commit-{version + 1:012d}-{uuid.uuid4().hex[:8]}"
         )
         dv_dir = os.path.join(dv_commit_dir, "_dv")
         matched.coalesce(1).write.mode("error").parquet(dv_dir)
