@@ -771,3 +771,23 @@ def test_shared_sidecar_publish_verifies_and_refreshes(spark, detail_mode, tmp_p
     with pytest.raises(FileNotFoundError, match="sidecar"):
         ss.snap_add_constraint(spark, root, "other", "id >= -1")
     assert ss.snap_current_version(root) == v1  # nothing published
+
+
+def test_rewrite_keeps_profiling_untyped_stats_cols(spark, detail_mode, tmp_path):
+    """Review-found (r13 wave 2): a profiled column with NO typed-index
+    field (all-NULL in every file) must stay in the rewrite config — a
+    COW rewrite's new files keep recording its stats instead of
+    silently narrowing the metadata vs inline mode."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        F.lit(None).cast("long").alias("b"),  # all-NULL profiled column
+    ).repartitionByRange(2, "id")
+    ss.snap_commit(df, root, stats_cols=["id", "b"])
+    cfg = ss._rewrite_config(ss._read_manifest(root, 0))
+    assert cfg["stats_cols"] == ["b", "id"]
+    ss.snap_update_where(spark, root, "id = 3", {"id": "3"})
+    m = ss._read_manifest(root, ss.snap_current_version(root))
+    # every file (incl. the rewritten one) carries entries for BOTH cols
+    for f in m["files"]:
+        assert set(m["file_stats"][f]) == {"b", "id"}, f

@@ -290,7 +290,23 @@ def _detail_table_from_dicts(manifest: dict):
             )
         )
         names.append("bloom")
-    return pa.table(dict(zip(names, arrays)))
+    t = pa.table(dict(zip(names, arrays)))
+    # The COMPLETE profiled column list rides as schema metadata: the
+    # typed index omits all-NULL / mixed-domain columns, so deriving a
+    # rewrite config from its field names alone would silently stop
+    # profiling those columns on every COW rewrite.
+    return t.replace_schema_metadata(
+        {b"wsspark_stats_cols": json.dumps(stat_cols).encode()}
+    )
+
+
+def _detail_stats_cols(table) -> list[str] | None:
+    """The profiled stats columns recorded in the sidecar's schema
+    metadata, or None for sidecars from before the key existed (caller
+    derives exactly from the reconstructed dicts)."""
+    md = table.schema.metadata or {}
+    raw = md.get(b"wsspark_stats_cols")
+    return None if raw is None else json.loads(raw.decode())
 
 
 def _align_detail_tables(parent, new):
@@ -310,18 +326,15 @@ def _align_detail_tables(parent, new):
 
     out_cols: dict[str, list] = {}
     n_parent, n_new = parent.num_rows, new.num_rows
+    # the four base columns exist unconditionally — every sidecar table
+    # is born in _detail_table_from_dicts, which always builds them
     for name in ("path", "rows", "bytes", "stats_json"):
-        pcol = (
-            parent.column(name).combine_chunks()
-            if name in parent.column_names
-            else pa.nulls(n_parent, pa.int64() if name in ("rows", "bytes") else pa.string())
+        out_cols[name] = pa.concat_arrays(
+            [
+                parent.column(name).combine_chunks(),
+                new.column(name).combine_chunks(),
+            ]
         )
-        ncol = (
-            new.column(name).combine_chunks()
-            if name in new.column_names
-            else pa.nulls(n_new, pcol.type)
-        )
-        out_cols[name] = pa.concat_arrays([pcol, ncol])
     for name in ("smin", "smax", "bloom"):
         pf, nf = _struct_fields(parent, name), _struct_fields(new, name)
         if not pf and not nf:
@@ -343,7 +356,20 @@ def _align_detail_tables(parent, new):
             nc = n_struct.field(c) if c in nf else pa.nulls(n_new, typ)
             children.append(pa.concat_arrays([pc.cast(typ), nc.cast(typ)]))
         out_cols[name] = pa.StructArray.from_arrays(children, fields)
-    return pa.table(out_cols)
+    out = pa.table(out_cols)
+    # profiled-column metadata: the union of both sides (None on either
+    # side = pre-metadata sidecar; propagate None so the rewrite config
+    # falls back to the exact dict derivation)
+    p_cols, n_cols = _detail_stats_cols(parent), _detail_stats_cols(new)
+    if p_cols is not None and n_cols is not None:
+        out = out.replace_schema_metadata(
+            {
+                b"wsspark_stats_cols": json.dumps(
+                    sorted(set(p_cols) | set(n_cols))
+                ).encode()
+            }
+        )
+    return out
 
 
 _detail_cache: dict = {}  # abs detail path -> pyarrow Table (manifests are immutable)
@@ -355,7 +381,10 @@ def _load_detail_table(path: str):
     if t is None:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path)
+        # single-chunk at load: every later combine_chunks() (prune
+        # paths, append concat, per-value IN probes) becomes a no-op
+        # instead of an O(table) copy each
+        t = pq.read_table(path).combine_chunks()
         while len(_detail_cache) >= _DETAIL_CACHE_MAX:
             _detail_cache.pop(next(iter(_detail_cache)))
         _detail_cache[path] = t
@@ -1669,11 +1698,17 @@ def snap_read_changes_cdf(
         )
 
     frames = []
+    # scan paths abspath'd to the SAME (driver-cwd) domain as the map:
+    # legacy relative manifest entries would otherwise resolve against
+    # the JVM's user.dir while the vmap anchors to Python's cwd —
+    # silent empty-feed skew whenever the two differ
     for schema_json, pairs in append_groups.items():
         schema_v = T.StructType.fromJson(json.loads(schema_json))
         frames.append(
             _with_version(
-                spark.read.schema(schema_v).parquet(*[p for p, _ in pairs]),
+                spark.read.schema(schema_v).parquet(
+                    *[os.path.abspath(p) for p, _ in pairs]
+                ),
                 pairs,
             ).withColumn("_change_type", F.lit("insert"))
         )
@@ -1684,7 +1719,9 @@ def snap_read_changes_cdf(
         )
         frames.append(
             _with_version(
-                spark.read.schema(schema_v).parquet(*[p for p, _ in pairs]),
+                spark.read.schema(schema_v).parquet(
+                    *[os.path.abspath(p) for p, _ in pairs]
+                ),
                 pairs,
             )
         )
@@ -3256,15 +3293,6 @@ def snap_vacuum(
     # written moments ago may be about to be referenced).
     mdir = _manifest_dir(root)
     if os.path.isdir(mdir):
-        referenced_details = set()
-        for v in snap_versions(root):
-            try:
-                with open(_manifest_path(root, v)) as f:
-                    d = json.load(f).get("detail_file")
-            except (OSError, ValueError):
-                continue
-            if d:
-                referenced_details.add(d)
         def _referenced_now() -> set[str]:
             out = set()
             for v in snap_versions(root):
@@ -3276,6 +3304,8 @@ def snap_vacuum(
                 if d:
                     out.add(d)
             return out
+
+        referenced_details = _referenced_now()
 
         for name in os.listdir(mdir):
             if not name.endswith(".detail.parquet") or name in referenced_details:
@@ -3316,16 +3346,15 @@ def _rewrite_config(m: dict) -> dict:
     """The skipping config resident files were committed with, so a
     rewrite re-records the same stats/blooms for its new files."""
     if isinstance(m, _LazyManifest) and not m._loaded:
-        # arrow fast path: the typed prune index's field set IS the
-        # union of profiled stats columns (built from exactly that set
-        # at sidecar write), so the rewrite config never needs the
-        # O(table) dict reconstruction. A sidecar with stats but no
-        # typed index (mixed-domain column — a should-never state)
-        # falls through to the exact dict derivation.
+        # arrow fast path: the COMPLETE profiled column list rides in
+        # the sidecar's schema metadata (the typed index alone would
+        # omit all-NULL / mixed-domain columns — review-found silent
+        # metadata narrowing); sidecars from before the metadata key
+        # fall through to the exact dict derivation.
         t = m._table()
-        if "smin" in t.column_names:
-            stats_cols = sorted(f.name for f in t.column("smin").type)
-            return _rewrite_config_tail(m, stats_cols)
+        cols = _detail_stats_cols(t)
+        if cols is not None:
+            return _rewrite_config_tail(m, sorted(cols))
         import pyarrow.compute as pc
 
         if pc.count(t.column("stats_json")).as_py() == 0:
@@ -3428,8 +3457,14 @@ def _rewrite_commit(
     if dv_paths and untouched:
         dv = spark.read.parquet(*dv_paths)
         # dv 'file' is the raw _metadata URI form; normalize (scheme strip
-        # + percent-decode) so encoded paths keep their entries alive
-        live = dv.filter(_norm_dv_path_col("file").isin(untouched))
+        # + percent-decode) so encoded paths keep their entries alive —
+        # and abspath the manifest side so legacy relative entries can't
+        # silently drop the whole sidecar (resurrecting deleted rows)
+        live = dv.filter(
+            _norm_dv_path_col("file").isin(
+                [os.path.abspath(f) for f in untouched]
+            )
+        )
         dv_dir = os.path.join(commit_dir, "_dv")
         live.coalesce(1).write.mode("error").parquet(dv_dir)
         kept_dv = _list_parquet(dv_dir)
