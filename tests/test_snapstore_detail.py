@@ -791,3 +791,118 @@ def test_rewrite_keeps_profiling_untyped_stats_cols(spark, detail_mode, tmp_path
     # every file (incl. the rewritten one) carries entries for BOTH cols
     for f in m["files"]:
         assert set(m["file_stats"][f]) == {"b", "id"}, f
+
+
+def test_detail_cache_is_lru(tmp_path, monkeypatch):
+    """Advisor-found (r13): the sidecar cache must evict least-RECENTLY
+    used, not insertion order — a working set alternating over more
+    than max sidecars would otherwise re-read the hottest table from
+    parquet on every touch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(ss, "_DETAIL_CACHE_MAX", 3)
+    ss._detail_cache.clear()
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"s{i}.detail.parquet")
+        pq.write_table(pa.table({"path": [f"f{i}"]}), p)
+        paths.append(p)
+    ss._load_detail_table(paths[0])
+    ss._load_detail_table(paths[1])
+    ss._load_detail_table(paths[2])
+    ss._load_detail_table(paths[0])  # refresh 0 — now hottest
+    ss._load_detail_table(paths[3])  # must evict 1 (LRU), not 0 (FIFO)
+    assert paths[0] in ss._detail_cache
+    assert paths[1] not in ss._detail_cache
+    ss._detail_cache.clear()
+
+
+def test_meta_sum_falls_back_on_sidecar_path_mismatch(
+    spark, detail_mode, tmp_path
+):
+    """Advisor-found (r13): _meta_column_sum trusted len(sidecar) ==
+    len(files) as proof of a bijection; a sidecar whose path SET skews
+    from the file list (same length) must fall back to the exact dict
+    path instead of silently summing the wrong rows."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 400).select(F.col("id")).repartition(4),
+        root,
+        stats_cols=["id"],
+    )
+    assert ss.snap_count(root) == 400
+    head = _head(root, 0)
+    side = os.path.join(ss._manifest_dir(root), head.get("detail_file") or head["detail_files"][0])
+    t = ss._load_detail_table(side)
+    # corrupt: same row count, skewed path set, zeroed row counts — the
+    # length check alone would accept this and return 0
+    bogus = t.set_column(
+        t.schema.get_field_index("path"),
+        "path",
+        pc.binary_join_element_wise(t.column("path").cast("string"), ".bogus", ""),
+    ).set_column(
+        t.schema.get_field_index("rows"),
+        "rows",
+        pc.multiply(t.column("rows"), 0),
+    )
+    os.remove(side)
+    pq.write_table(bogus, side)
+    ss._detail_cache.clear()
+    # falls back to per-file footers: still the true count, never 0
+    assert ss.snap_count(root) == 400
+
+
+def test_shared_sidecar_vanishing_mid_publish_is_retryable(
+    spark, detail_mode, tmp_path
+):
+    """Advisor-found (r13): a vacuum sweep can collect a shared sidecar
+    between the publish-time existence check and the O_EXCL head write;
+    the publish must then remove its just-written head and raise the
+    retryable conflict instead of leaving a dangling pointer."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 200).select(F.col("id")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    m = ss._read_manifest(root, 0)
+    manifest = m.head_copy()
+    manifest.update({"version": 1, "parent": 0, "ts": 1.0})
+    side = m._detail_path() if hasattr(m, "_detail_path") else None
+    sides = [side] if side else list(m._part_paths())
+
+    def _sweep():  # the vacuum unlink landing inside the syscall gap
+        for s in sides:
+            os.remove(s)
+
+    with pytest.raises(ss.SnapshotConflict, match="vacuum"):
+        ss._write_manifest_file(root, manifest, pre_publish=_sweep)
+    # the half-published head was rolled back; CURRENT never advanced
+    assert not os.path.exists(ss._manifest_path(root, 1))
+    assert ss.snap_current_version(root) == 0
+
+
+def test_cdf_path_domain_skew_fails_loudly(spark, tmp_path, monkeypatch):
+    """Advisor-found (r13): the CDF path->version recovery join must
+    RAISE on a normalization mismatch (new URI scheme/encoding form),
+    never silently drop change rows from the feed."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 50).select(F.col("id"))
+    ss.snap_commit(df, root)
+    v_on = ss.snap_enable_cdf(root)
+    ss.snap_commit(spark.range(50, 60).select(F.col("id")), root)
+    # healthy feed first
+    assert ss.snap_read_changes_cdf(spark, root, v_on).count() == 10
+
+    real = ss._norm_dv_path_col
+
+    def _skewed(col):  # a future normalization drift, simulated
+        return F.concat(real(col), F.lit(".skew"))
+
+    monkeypatch.setattr(ss, "_norm_dv_path_col", _skewed)
+    with pytest.raises(Exception, match="path-domain skew"):
+        ss.snap_read_changes_cdf(spark, root, v_on).collect()

@@ -377,7 +377,7 @@ _DETAIL_CACHE_MAX = 4
 
 
 def _load_detail_table(path: str):
-    t = _detail_cache.get(path)
+    t = _detail_cache.pop(path, None)
     if t is None:
         import pyarrow.parquet as pq
 
@@ -387,7 +387,10 @@ def _load_detail_table(path: str):
         t = pq.read_table(path).combine_chunks()
         while len(_detail_cache) >= _DETAIL_CACHE_MAX:
             _detail_cache.pop(next(iter(_detail_cache)))
-        _detail_cache[path] = t
+    # pop-and-reinsert makes eviction LRU, not FIFO: a working set
+    # alternating over >max sidecars would otherwise re-read the
+    # HOTTEST table from parquet on every touch
+    _detail_cache[path] = t
     return t
 
 
@@ -518,6 +521,22 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
             pre_publish()
         with open(_manifest_path(root, version), "x") as f:
             json.dump(manifest, f)
+        # Close the dangling-pointer window: a vacuum sweep whose
+        # reference re-scan ran between the utime above and the O_EXCL
+        # write may have collected the shared sidecar AFTER this head
+        # published. The head is now visible to the sweep's re-scan, so
+        # a sidecar that still exists here is safe for good; one that
+        # vanished means this publish lost the race — remove the head we
+        # just wrote (CURRENT has not advanced yet, so no reader can
+        # have resolved it) and surface the retryable conflict.
+        if not os.path.exists(shared):
+            with contextlib.suppress(OSError):
+                os.remove(_manifest_path(root, version))
+            raise SnapshotConflict(
+                f"detail sidecar {manifest['detail_file']} was vacuumed "
+                "concurrently with the manifest publish — re-run against "
+                "the current version"
+            )
         return
     parent_detail = manifest.pop("_parent_detail", None)
     split = len(manifest.get("files") or []) > _detail_inline_max()
@@ -582,7 +601,20 @@ def _list_parquet(d: str) -> list[str]:
     directory walk — a RELATIVE store root would silently break every
     one of those set memberships (empty touched sets, wrong-answer
     feeds), so the absolute form is pinned at the single point where
-    file lists are born."""
+    file lists are born.
+
+    FORMAT CONTRACT (explicit, by design): manifests persist ABSOLUTE
+    data-file paths. A snapstore directory is therefore NOT relocatable
+    by mv/cp — moving the root dangles every manifest entry. This
+    differs from Delta/Iceberg, which store root-relative paths for
+    relocatability; the supported relocation paths here are
+    ``snap_clone`` (re-anchors every entry under the destination root)
+    or re-committing. A future portability fix would store
+    root-relative entries resolved against the root at read time — all
+    cross-domain compares now normalize through single points
+    (``_norm_dv_path`` / abspath at the compare sites), so the switch
+    is localized — but absolute-at-birth is the current on-disk form
+    and readers must not assume otherwise."""
     return sorted(
         os.path.abspath(os.path.join(d, f))
         for f in os.listdir(d)
@@ -1673,7 +1705,7 @@ def snap_read_changes_cdf(
         # (path -> version) recovery via the same scheme-strip +
         # url-decode normalization the DV anti-join's correctness
         # already rests on; paths are per-commit unique so the map is
-        # injective and the inner join is exact (commit-count rows,
+        # injective and the join is exact (commit-count rows,
         # broadcast — never a shuffle). The join key dodges any user
         # column of the same name (only _change_type/_commit_version
         # are reserved by the feed contract).
@@ -1682,18 +1714,39 @@ def snap_read_changes_cdf(
             key += "_"
         # abspath on the map side: _metadata.file_path is always an
         # absolute URI, while manifests from stores addressed by a
-        # RELATIVE root carry relative entries — without this the inner
-        # join would silently return an empty feed (older manifests
-        # predating absolute _list_parquet included)
+        # RELATIVE root carry relative entries — without this the join
+        # would silently match nothing (older manifests predating
+        # absolute _list_parquet included)
         vmap = F.broadcast(
             spark.createDataFrame(
                 [(os.path.abspath(p), v) for p, v in pairs],
                 f"{key} string, _commit_version long",
             )
         )
+        # LEFT join + loud guard, not inner: the scan side lists exactly
+        # the map's paths, so every row MUST recover a version — any
+        # future normalization mismatch (new URI scheme, encoding form,
+        # symlinked root where the scanner reports resolved paths) must
+        # fail the read rather than silently drop change rows from the
+        # feed. raise_error fires executor-side on the first skewed row.
         return (
             df.withColumn(key, _norm_dv_path_col(F.col("_metadata.file_path")))
-            .join(vmap, key, "inner")
+            .join(vmap, key, "left")
+            .withColumn(
+                "_commit_version",
+                F.when(
+                    F.col("_commit_version").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "CDF path-domain skew: no commit version for "
+                                "scanned file "
+                            ),
+                            F.col(key),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col("_commit_version")),
+            )
             .drop(key)
         )
 
@@ -2378,11 +2431,17 @@ def _meta_column_sum(m: dict, col: str) -> int:
         import pyarrow.compute as pc
 
         vals = dt.column(col)
-        # sidecar rows are a subset of the file list by construction, so
         # equal counts + no nulls means every file has a recorded value
+        # PROVIDED sidecar paths are exactly the file list — that
+        # invariant holds by construction, but a future writer violating
+        # it would make snap_count/snap_bytes silently wrong while the
+        # length check still passed, so verify the path sets before
+        # trusting the vectorized sum (same O(files) order as the dict
+        # fallback, pure set work) and fall back on any mismatch
         if (
             len(dt) == len(m["files"])
             and pc.count(vals, mode="only_null").as_py() == 0
+            and set(dt.column("path").to_pylist()) == set(m["files"])
         ):
             return pc.sum(vals).as_py() or 0
     meta = m.get("file_meta", {})
