@@ -800,13 +800,11 @@ def test_delete_where_prunes_and_keeps_null_rows(spark, tmp_path):
     ss.snap_commit(df1, root)
     ss.snap_commit(df2, root, mode="append")
     v = ss.snap_current_version(root)
-    m_before = json.loads(
-        open(ss._manifest_path(root, v)).read()
-    )
+    # _read_manifest, not raw head JSON: files_in_detail heads
+    # legitimately carry no path list
+    m_before = ss._read_manifest(root, v)
     nv = ss.snap_delete_where(spark, root, "val > 100")
-    m_after = json.loads(
-        open(ss._manifest_path(root, nv)).read()
-    )
+    m_after = ss._read_manifest(root, nv)
     # second file untouched (no val > 100 there)
     assert len(set(m_before["files"]) & set(m_after["files"])) == 1
     rows = {(r.id, r.val) for r in ss.snap_read(spark, root).collect()}

@@ -43,6 +43,10 @@ def _head(root, version):
         return json.load(f)
 
 
+def _parts(head):
+    return ss._pointer_names(head)
+
+
 def test_sidecar_written_and_head_stays_small(spark, detail_mode, tmp_path):
     root = str(tmp_path / "t")
     df = spark.range(0, 1000).select(
@@ -50,11 +54,11 @@ def test_sidecar_written_and_head_stays_small(spark, detail_mode, tmp_path):
     ).repartition(4)
     v = ss.snap_commit(df, root, stats_cols=["id"], bloom_cols=["v"])
     head = _head(root, v)
-    assert "detail_file" in head
+    assert _parts(head)
     for k in ("file_stats", "file_blooms", "file_meta"):
         assert k not in head
-    sidecar = os.path.join(ss._manifest_dir(root), head["detail_file"])
-    assert os.path.exists(sidecar)
+    for name in _parts(head):
+        assert os.path.exists(os.path.join(ss._manifest_dir(root), name))
     # lazy reconstruction answers like inline mode would
     m = ss._read_manifest(root, v)
     assert isinstance(m, ss._LazyManifest)
@@ -213,7 +217,7 @@ def test_dml_lifecycle_on_detail_backed_store(spark, detail_mode, tmp_path):
     assert 3 not in got and len(got) == 500  # 500 added, 3 deleted
     # every published version above threshold carries a sidecar
     for v in ss.snap_versions(root):
-        assert "detail_file" in _head(root, v)
+        assert _parts(_head(root, v))
 
 
 def test_metadata_commit_and_restore_share_sidecar(spark, detail_mode, tmp_path):
@@ -223,7 +227,7 @@ def test_metadata_commit_and_restore_share_sidecar(spark, detail_mode, tmp_path)
     h0 = _head(root, 0)
     v1 = ss.snap_add_constraint(spark, root, "nonneg", "id >= 0")
     h1 = _head(root, v1)
-    assert h1["detail_file"] == h0["detail_file"]  # zero-copy pointer share
+    assert _parts(h1) == _parts(h0)  # zero-copy pointer share
     ss.snap_commit(
         spark.range(300, 400).select(F.col("id"), (F.col("id") % 3).alias("v")).repartition(2),
         root,
@@ -231,7 +235,7 @@ def test_metadata_commit_and_restore_share_sidecar(spark, detail_mode, tmp_path)
     )
     v3 = ss.snap_restore(root, v1)
     h3 = _head(root, v3)
-    assert h3["detail_file"] == h0["detail_file"]
+    assert _parts(h3) == _parts(h0)
     assert ss.snap_count(root) == 300
     m = ss._read_manifest(root, v3)
     assert m.get("constraints") == {"nonneg": "id >= 0"}
@@ -244,8 +248,9 @@ def test_clone_rewrites_detail_under_destination(spark, detail_mode, tmp_path):
     ss.snap_commit(df, src_root, stats_cols=["id"])
     ss.snap_clone(src_root, dst_root)
     hd = _head(dst_root, 0)
-    assert "detail_file" in hd
-    assert os.path.exists(os.path.join(ss._manifest_dir(dst_root), hd["detail_file"]))
+    assert _parts(hd)
+    for name in _parts(hd):
+        assert os.path.exists(os.path.join(ss._manifest_dir(dst_root), name))
     md = ss._read_manifest(dst_root, 0)
     ms = ss._read_manifest(src_root, 0)
     assert md["file_stats"] == ms["file_stats"]
@@ -264,8 +269,8 @@ def test_vacuum_sweeps_unreferenced_sidecars_keeps_shared(
         )
     # constraint commit shares v2's sidecar
     v3 = ss.snap_add_constraint(spark, root, "nonneg", "id >= 0")
-    shared = _head(root, v3)["detail_file"]
-    assert shared == _head(root, 2)["detail_file"]
+    shared = _parts(_head(root, v3))[0]
+    assert _parts(_head(root, v3)) == _parts(_head(root, 2))
     # an orphan from a crashed committer
     orphan = os.path.join(ss._manifest_dir(root), "v999-dead.detail.parquet")
     with open(orphan, "wb") as f:
@@ -273,16 +278,17 @@ def test_vacuum_sweeps_unreferenced_sidecars_keeps_shared(
     old = __import__("time").time() - 7200
     os.utime(orphan, (old, old))
     for v in range(3):
-        p = os.path.join(ss._manifest_dir(root), _head(root, v)["detail_file"])
-        os.utime(p, (old, old))
+        for name in _parts(_head(root, v)):
+            p = os.path.join(ss._manifest_dir(root), name)
+            os.utime(p, (old, old))
     ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=30)
     names = set(os.listdir(ss._manifest_dir(root)))
     assert shared in names  # still referenced by the retained v3
     assert "v999-dead.detail.parquet" not in names
     # sidecars of vacuumed v0/v1 are gone (v2's == shared survives)
-    live = {
-        _head(root, v).get("detail_file") for v in ss.snap_versions(root)
-    }
+    live = set()
+    for v in ss.snap_versions(root):
+        live.update(_parts(_head(root, v)))
     for n in names:
         if n.endswith(".detail.parquet"):
             assert n in live
@@ -321,7 +327,7 @@ def test_stage_publish_on_detail_backed_store(spark, detail_mode, tmp_path):
         stats_cols=["id"],
     )
     v = ss.snap_publish_staged(root, sid)
-    assert "detail_file" in _head(root, v)
+    assert _parts(_head(root, v))
     m = ss._read_manifest(root, v)
     assert set(m["file_stats"]) == set(m["files"])
     assert ss.snap_count(root) == 200
@@ -377,7 +383,7 @@ def test_analyze_retrofit_preserves_untouched_detail(spark, detail_mode, tmp_pat
     assert m1["file_blooms"] == blooms_before  # untouched family kept
     assert m1["file_meta"] == meta_before
     # and the head did NOT pointer-share (detail changed)
-    assert _head(root, v)["detail_file"] != _head(root, 0)["detail_file"]
+    assert _parts(_head(root, v)) != _parts(_head(root, 0))
     # geometry refusal still enforced on the detail-backed path
     with pytest.raises(ValueError, match="geometry"):
         ss.snap_analyze(spark, root, bloom_cols=["k"], bloom_bits=1 << 10)
@@ -633,7 +639,7 @@ def test_threshold_drop_falls_back_to_inline(spark, tmp_path, monkeypatch):
         root,
         stats_cols=["id"],
     )
-    assert "detail_file" in _head(root, 0)
+    assert _parts(_head(root, 0))
     monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "100000")
     v = ss.snap_commit(
         spark.range(200, 300).select(F.col("id")).repartition(2),
@@ -641,7 +647,7 @@ def test_threshold_drop_falls_back_to_inline(spark, tmp_path, monkeypatch):
         stats_cols=["id"],
     )
     h = _head(root, v)
-    assert "detail_file" not in h and set(h["file_stats"]) == set(h["files"])
+    assert not _parts(h) and set(h["file_stats"]) == set(h["files"])
     assert ss.snap_count(root) == 300
 
 
@@ -761,7 +767,7 @@ def test_shared_sidecar_publish_verifies_and_refreshes(spark, detail_mode, tmp_p
         root,
         stats_cols=["id"],
     )
-    side = os.path.join(ss._manifest_dir(root), _head(root, 0)["detail_file"])
+    side = os.path.join(ss._manifest_dir(root), _parts(_head(root, 0))[0])
     old = _time.time() - 7200
     os.utime(side, (old, old))
     v1 = ss.snap_add_constraint(spark, root, "nonneg", "id >= 0")
@@ -819,15 +825,21 @@ def test_detail_cache_is_lru(tmp_path, monkeypatch):
 
 
 def test_meta_sum_falls_back_on_sidecar_path_mismatch(
-    spark, detail_mode, tmp_path
+    spark, detail_mode, tmp_path, monkeypatch
 ):
     """Advisor-found (r13): _meta_column_sum trusted len(sidecar) ==
     len(files) as proof of a bijection; a sidecar whose path SET skews
     from the file list (same length) must fall back to the exact dict
-    path instead of silently summing the wrong rows."""
+    path instead of silently summing the wrong rows.
+
+    Pinned to inline-files heads: the defense needs the head's list as
+    independent ground truth — on a files_in_detail head a corrupted
+    sidecar corrupts the list itself (same failure domain as a
+    corrupted Delta checkpoint), which no read-side check can see."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    monkeypatch.setenv("WSSPARK_SNAP_FILES_INLINE_MAX", "1000000")
     root = str(tmp_path / "t")
     ss.snap_commit(
         spark.range(0, 400).select(F.col("id")).repartition(4),
@@ -836,7 +848,7 @@ def test_meta_sum_falls_back_on_sidecar_path_mismatch(
     )
     assert ss.snap_count(root) == 400
     head = _head(root, 0)
-    side = os.path.join(ss._manifest_dir(root), head.get("detail_file") or head["detail_files"][0])
+    side = os.path.join(ss._manifest_dir(root), _parts(head)[0])
     t = ss._load_detail_table(side)
     # corrupt: same row count, skewed path set, zeroed row counts — the
     # length check alone would accept this and return 0
@@ -906,3 +918,232 @@ def test_cdf_path_domain_skew_fails_loudly(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(ss, "_norm_dv_path_col", _skewed)
     with pytest.raises(Exception, match="path-domain skew"):
         ss.snap_read_changes_cdf(spark, root, v_on).collect()
+
+
+# ---------------------------------------------------------------------------
+# r14: MULTIPART sidecar chains + O(1) files-in-detail heads
+
+
+@pytest.fixture()
+def o1_head_mode(monkeypatch):
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "0")
+    monkeypatch.setenv("WSSPARK_SNAP_FILES_INLINE_MAX", "0")
+
+
+def test_append_writes_incremental_part_chain(spark, detail_mode, tmp_path):
+    """An append atop a sidecar-backed parent writes ONE new part with
+    only the NEW files' rows and shares the parent's parts by name —
+    O(new files) metadata I/O per append."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 300).select(F.col("id")).repartition(3),
+        root,
+        stats_cols=["id"],
+    )
+    h0 = _parts(_head(root, 0))
+    assert len(h0) == 1
+    ss.snap_commit(
+        spark.range(300, 500).select(F.col("id")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    h1 = _parts(_head(root, 1))
+    assert h1[0] == h0[0]  # parent part shared by NAME
+    assert len(h1) == 2
+    new_part = os.path.join(ss._manifest_dir(root), h1[1])
+    assert pq.read_metadata(new_part).num_rows == 2  # only the new files
+    m = ss._read_manifest(root, 1)
+    assert ss.snap_count(root) == 500
+    assert set(m["file_stats"]) == set(m["files"]) and len(m["files"]) == 5
+    # pruning still exact across the chain
+    kept = ss._prune_files_between_m(ss._read_manifest(root, 1), "id", 350, 360)
+    assert 0 < len(kept) < 5
+    got = ss.snap_read_between(spark, root, "id", 350, 360).count()
+    assert got == 11
+
+
+def test_part_chain_compacts_past_max(spark, detail_mode, tmp_path, monkeypatch):
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_PARTS_MAX", "3")
+    root = str(tmp_path / "t")
+    for i in range(5):
+        ss.snap_commit(
+            spark.range(i * 100, (i + 1) * 100).select(F.col("id")).repartition(2),
+            root,
+            stats_cols=["id"],
+        )
+    counts = [len(_parts(_head(root, v))) for v in range(5)]
+    assert max(counts) <= 3  # never exceeds the chain cap
+    assert counts[3] == 1 or counts[4] == 1  # a compaction happened
+    # compaction is lossless: every file keeps stats, reads stay exact
+    m = ss._read_manifest(root, 4)
+    assert set(m["file_stats"]) == set(m["files"]) and len(m["files"]) == 10
+    assert ss.snap_count(root) == 500
+    # superseded pre-compaction parts were removed with the publish;
+    # every remaining part is referenced by some retained head
+    live = set()
+    for v in ss.snap_versions(root):
+        live.update(_parts(_head(root, v)))
+    on_disk = {
+        n
+        for n in os.listdir(ss._manifest_dir(root))
+        if n.endswith(".detail.parquet")
+    }
+    assert on_disk == live
+
+
+def test_files_in_detail_head_is_o1(spark, o1_head_mode, tmp_path):
+    """Above the files threshold (forced to 0) an exact chain drops the
+    path list from the JSON head: heads carry counts + pointer only,
+    and ``files`` reconstructs exactly from the parts' path column."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 400).select(F.col("id")).repartition(4),
+        root,
+        stats_cols=["id"],
+    )
+    h = _head(root, 0)
+    assert "files" not in h
+    assert h["files_in_detail"] and h["detail_exact"] and h["file_count"] == 4
+    m = ss._read_manifest(root, 0)
+    files = m["files"]
+    assert len(files) == 4 and all(os.path.exists(f) for f in files)
+    assert files == sorted(files)  # birth order preserved exactly
+    assert ss.snap_count(root) == 400
+    assert ss.snap_read(spark, root).count() == 400
+    # append keeps the O(1) head and extends the reconstruction
+    ss.snap_commit(
+        spark.range(400, 600).select(F.col("id")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    h1 = _head(root, 1)
+    assert "files" not in h1 and h1["file_count"] == 6
+    m1 = ss._read_manifest(root, 1)
+    assert m1["files"][:4] == files  # parent prefix, in order
+    assert ss.snap_count(root) == 600
+
+
+def test_files_in_detail_full_lifecycle(spark, o1_head_mode, tmp_path):
+    """DML, DV delete, metadata commits, restore, CDF, and vacuum all
+    behave identically on an O(1)-head store — and every published
+    head stays file-list-free."""
+    root = str(tmp_path / "t")
+    df = _df(spark, [(i, i) for i in range(300)]).repartition(3)
+    ss.snap_commit(df, root, stats_cols=["id"])
+    v_on = ss.snap_enable_cdf(root)
+    ss.snap_update_where(spark, root, "id = 7", {"v": "707"})
+    ss.snap_delete_dv(spark, root, "id = 9")
+    got = {r["id"]: r["v"] for r in ss.snap_read(spark, root).collect()}
+    assert got[7] == 707 and 9 not in got and len(got) == 299
+    assert ss.snap_count(root) == 299
+    feed = ss.snap_read_changes_cdf(spark, root, v_on).collect()
+    kinds = {(r["id"], r["_change_type"]) for r in feed}
+    assert ("7", "update_postimage") in {(str(k), t) for k, t in kinds} or (7, "update_postimage") in kinds
+    assert (9, "delete") in kinds
+    v_c = ss.snap_add_constraint(spark, root, "nonneg", "id >= 0")
+    v_r = ss.snap_restore(root, v_c)
+    for v in ss.snap_versions(root):
+        assert "files" not in _head(root, v), f"v{v} re-inlined the list"
+    ss.snap_vacuum(root, keep_last=2)
+    assert ss.snap_count(root) == 299
+    assert ss.snap_read(spark, root).count() == 299
+    assert ss._read_manifest(root, v_r).get("constraints") == {
+        "nonneg": "id >= 0"
+    }
+
+
+def test_files_in_detail_vacuum_never_deletes_live(spark, o1_head_mode, tmp_path):
+    """Vacuum's referenced-set derives from the RECONSTRUCTED file list
+    on O(1)-head stores — it must keep every live file across deep
+    version drops."""
+    root = str(tmp_path / "t")
+    for i in range(4):
+        ss.snap_commit(
+            spark.range(i * 50, (i + 1) * 50).select(F.col("id")).repartition(2),
+            root,
+            stats_cols=["id"],
+        )
+    removed = ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=0)
+    assert removed == 0  # appends: every file still referenced by CURRENT
+    assert ss.snap_read(spark, root).count() == 200
+    # an overwrite strands the old lineage; vacuum collects exactly it
+    ss.snap_commit(
+        spark.range(0, 30).select(F.col("id")).repartition(2),
+        root,
+        mode="overwrite",
+        stats_cols=["id"],
+    )
+    removed = ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=0)
+    assert removed == 8  # the four stranded 2-file commits
+    assert ss.snap_read(spark, root).count() == 30
+
+
+def test_legacy_single_pointer_head_still_reads(spark, detail_mode, tmp_path):
+    """r13 heads carry a single ``detail_file`` string: they must read,
+    prune, and accept appends (which extend them into a parts chain)
+    unchanged."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 200).select(F.col("id")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    # rewrite the head into the legacy single-pointer form
+    h = _head(root, 0)
+    name = h.pop("detail_files")[0]
+    h.pop("detail_exact", None)
+    h["detail_file"] = name
+    os.remove(ss._manifest_path(root, 0))
+    with open(ss._manifest_path(root, 0), "w") as f:
+        json.dump(h, f)
+    m = ss._read_manifest(root, 0)
+    assert isinstance(m, ss._LazyManifest)
+    assert set(m["file_stats"]) == set(m["files"])
+    assert ss.snap_count(root) == 200
+    v = ss.snap_commit(
+        spark.range(200, 300).select(F.col("id")).repartition(1),
+        root,
+        stats_cols=["id"],
+    )
+    h1 = _parts(_head(root, v))
+    assert h1[0] == name and len(h1) == 2
+    assert ss.snap_count(root) == 300
+
+
+def test_exactness_gate_blocks_lossy_chains(spark, tmp_path, monkeypatch):
+    """A chain whose exactness is UNPROVEN (legacy head without
+    ``detail_exact``) must keep the file list inline in the head even
+    above the files threshold — vacuum's referenced-set may never
+    derive from a possibly-lossy sidecar. A full re-profile
+    (snap_analyze -> dict path) re-earns the flag."""
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "0")
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 200).select(F.col("id")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    # forge a legacy, exactness-unknown head
+    h = _head(root, 0)
+    name = h.pop("detail_files")[0]
+    h.pop("detail_exact", None)
+    h["detail_file"] = name
+    os.remove(ss._manifest_path(root, 0))
+    with open(ss._manifest_path(root, 0), "w") as f:
+        json.dump(h, f)
+    monkeypatch.setenv("WSSPARK_SNAP_FILES_INLINE_MAX", "0")
+    v = ss.snap_commit(
+        spark.range(200, 300).select(F.col("id")).repartition(1),
+        root,
+        stats_cols=["id"],
+    )
+    h1 = _head(root, v)
+    assert "files" in h1 and "files_in_detail" not in h1  # gate held
+    # a full re-profile rebuilds the part with the exact universe
+    v2 = ss.snap_analyze(spark, root, stats_cols=["id"])
+    h2 = _head(root, v2)
+    assert h2.get("detail_exact") and "files" not in h2
+    assert ss.snap_count(root) == 300
+    assert ss.snap_read(spark, root).count() == 300

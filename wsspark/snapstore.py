@@ -124,7 +124,7 @@ def snap_current_version(root: str) -> int | None:
 def _read_manifest(root: str, version: int) -> dict:
     with open(_manifest_path(root, version)) as f:
         head = json.load(f)
-    if "detail_file" in head:
+    if "detail_file" in head or "detail_files" in head:
         return _LazyManifest(head, root)
     return head
 
@@ -160,9 +160,43 @@ def _read_manifest(root: str, version: int) -> dict:
 # same way on the query side. A drop therefore remains a proof of absence;
 # widening can only KEEP more files, and the exact residual filter is
 # always the semantics.
+#
+# MULTIPART sidecars (r14 — Iceberg's manifest-list / Delta's
+# incremental-checkpoint precedent): the head's pointer is a LIST of
+# part files (``detail_files``; legacy single ``detail_file`` still
+# reads). An append atop a sidecar-backed parent writes ONE new part
+# holding only the NEW files' rows and shares the parent's parts by
+# name — O(new files) metadata I/O per append regardless of table size
+# — until the chain exceeds ``_detail_parts_max()`` parts, when it
+# compacts into a single part (amortized O(files / parts_max) per
+# append, the same bound as Delta's every-N-commits checkpoint).
+# Parts are path-disjoint and their concatenation, in order, is the
+# manifest's detail table; readers align-concat lazily and cache.
+#
+# O(1) HEADS: when the part chain provably reconstructs the file list
+# EXACTLY (``detail_exact`` — set when a part is built with the
+# explicit file-list universe, and inductively preserved by appends/
+# rewrites whose parent had it), a manifest with more than
+# ``_files_inline_max()`` files drops the path list from the JSON head
+# too (``files_in_detail`` + ``file_count``); ``files`` reconstructs
+# from the parts' path column (a column-projected read, never the
+# bloom bytes). The head is then O(schema + constraints + pointer) at
+# ANY file count. The exactness gate matters because vacuum's
+# referenced-set and every DML set-membership derive from the
+# reconstructed list — a lossy sidecar must never be its source of
+# truth, so legacy chains without the flag keep their inline list.
 # ---------------------------------------------------------------------------
 
 _DETAIL_KEYS = ("file_stats", "file_blooms", "file_meta")
+
+# head bookkeeping for the sidecar plane — stripped by _materialize
+_DETAIL_HEAD_KEYS = (
+    "detail_file",
+    "detail_files",
+    "detail_exact",
+    "files_in_detail",
+    "file_count",
+)
 
 
 def _detail_inline_max() -> int:
@@ -170,6 +204,29 @@ def _detail_inline_max() -> int:
     moves to the parquet sidecar (env-overridable; tests pin it to 0 to
     force sidecar mode on small tables)."""
     return int(os.environ.get("WSSPARK_SNAP_DETAIL_INLINE_MAX", "512"))
+
+
+def _files_inline_max() -> int:
+    """File-count threshold above which the PATH LIST also leaves the
+    JSON head (``files_in_detail``) — requires ``detail_exact``. Above
+    this, head size and head-read time are O(1) in the file count."""
+    return int(os.environ.get("WSSPARK_SNAP_FILES_INLINE_MAX", "10000"))
+
+
+def _detail_parts_max() -> int:
+    """Sidecar part-chain length that triggers compaction into one
+    part. Higher = cheaper appends, slower first read of a cold chain."""
+    return max(1, int(os.environ.get("WSSPARK_SNAP_DETAIL_PARTS_MAX", "16")))
+
+
+def _pointer_names(head: dict) -> list[str]:
+    """The sidecar part names a manifest head references, in
+    concatenation order (legacy single-pointer heads read as one part)."""
+    if "detail_files" in head:
+        return list(head["detail_files"])
+    if "detail_file" in head:
+        return [head["detail_file"]]
+    return []
 
 
 def _widen_float(v, direction: int) -> float | None:
@@ -205,14 +262,31 @@ def _write_detail(path: str, manifest: dict) -> None:
     pq.write_table(_detail_table_from_dicts(manifest), path)
 
 
-def _detail_table_from_dicts(manifest: dict):
-    """The sidecar arrow table for a manifest's detail dicts."""
+def _detail_table_from_dicts(manifest: dict, paths: list[str] | None = None):
+    """The sidecar arrow table for a manifest's detail dicts.
+
+    ``paths`` (optional) is the explicit row universe IN ORDER — passed
+    as the manifest's file list (or an append's new-file list) so the
+    part's path column reconstructs it exactly, which is what licenses
+    dropping the list from the JSON head (``detail_exact``). Default:
+    the sorted union of the dict keys (legacy behavior)."""
     import pyarrow as pa
 
     stats = manifest.get("file_stats") or {}
     blooms = manifest.get("file_blooms") or {}
     meta = manifest.get("file_meta") or {}
-    paths = sorted(set(stats) | set(blooms) | set(meta))
+    if paths is None:
+        paths = sorted(set(stats) | set(blooms) | set(meta))
+    else:
+        extra = (set(stats) | set(blooms) | set(meta)) - set(paths)
+        if extra:
+            # an entry outside the declared universe would be silently
+            # DROPPED — callers must widen the universe or fall back to
+            # the default; losing metadata quietly is never acceptable
+            raise ValueError(
+                f"{len(extra)} detail entries outside the declared path "
+                f"universe (first: {sorted(extra)[0]})"
+            )
     rows = [(meta.get(p) or {}).get("rows") for p in paths]
     nbytes = [(meta.get(p) or {}).get("bytes") for p in paths]
     stats_json = [
@@ -394,6 +468,68 @@ def _load_detail_table(path: str):
     return t
 
 
+def _load_detail_parts(paths: list[str]):
+    """The detail table of a multipart chain: the parts align-concat'd
+    in pointer order (cached per part AND per chain — manifests are
+    immutable, so both keys are stable). A cross-part typed-index
+    domain conflict (the append schema gate should make it impossible)
+    rebuilds from the exact per-part dicts instead of guessing."""
+    if len(paths) == 1:
+        return _load_detail_table(paths[0])
+    key = tuple(paths)
+    t = _detail_cache.pop(key, None)
+    if t is None:
+        tables = [_load_detail_table(p) for p in paths]
+        t = tables[0]
+        for nxt in tables[1:]:
+            combined = _align_detail_tables(t, nxt)
+            if combined is None:
+                stats: dict = {}
+                blooms: dict = {}
+                meta: dict = {}
+                order: list[str] = []
+                for tt in tables:
+                    s, b, fm = _detail_to_dicts(tt)
+                    stats.update(s)
+                    blooms.update(b)
+                    meta.update(fm)
+                    order.extend(tt.column("path").to_pylist())
+                t = _detail_table_from_dicts(
+                    {
+                        "file_stats": stats,
+                        "file_blooms": blooms,
+                        "file_meta": meta,
+                    },
+                    paths=order,
+                )
+                break
+            t = combined
+        while len(_detail_cache) >= _DETAIL_CACHE_MAX:
+            _detail_cache.pop(next(iter(_detail_cache)))
+    _detail_cache[key] = t
+    return t
+
+
+def _load_part_path_lists(paths: list[str]) -> list[str]:
+    """The concatenated ``path`` column of a part chain WITHOUT loading
+    the heavy columns (bloom words dominate part bytes) — the
+    reconstruction path for ``files_in_detail`` heads. Uses a loaded
+    part from the cache when present; otherwise a column-projected
+    parquet read."""
+    out: list[str] = []
+    for p in paths:
+        t = _detail_cache.get(p)
+        if t is not None:
+            out.extend(t.column("path").to_pylist())
+        else:
+            import pyarrow.parquet as pq
+
+            out.extend(
+                pq.read_table(p, columns=["path"]).column("path").to_pylist()
+            )
+    return out
+
+
 def _detail_to_dicts(table) -> tuple[dict, dict, dict]:
     """Exact reconstruction of (file_stats, file_blooms, file_meta) from
     the sidecar — bit-identical with what the inline JSON would have
@@ -425,22 +561,40 @@ def _detail_to_dicts(table) -> tuple[dict, dict, dict]:
 
 
 class _LazyManifest(dict):
-    """A manifest whose per-file detail lives in the parquet sidecar:
+    """A manifest whose per-file detail lives in parquet sidecar parts:
     head keys answer from the JSON; first access to a detail key loads
-    and reconstructs the exact dicts. ``dict(m)`` on an un-loaded
-    instance would silently drop the detail — re-serialization must go
-    through ``_materialize``."""
+    and reconstructs the exact dicts. ``files_in_detail`` heads also
+    reconstruct ``files`` lazily, from a column-projected read of the
+    parts' path column. ``dict(m)`` on an un-loaded instance would
+    silently drop the lazy keys — re-serialization must go through
+    ``_materialize``."""
 
     def __init__(self, head: dict, root: str):
         super().__init__(head)
         self._root = root
         self._loaded = False
+        # files-in-detail head: the path list reconstructs from parts
+        self._files_lazy = "files" not in head
+
+    def _part_names(self) -> list[str]:
+        return _pointer_names(self.head_copy())
+
+    def _part_paths(self) -> list[str]:
+        mdir = _manifest_dir(self._root)
+        return [os.path.join(mdir, n) for n in self._part_names()]
 
     def _detail_path(self) -> str:
-        return os.path.join(_manifest_dir(self._root), super().__getitem__("detail_file"))
+        """Legacy single-part accessor (kept for callers/tests that
+        predate multipart chains)."""
+        paths = self._part_paths()
+        if len(paths) != 1:
+            raise ValueError(
+                f"manifest has {len(paths)} sidecar parts — use _part_paths()"
+            )
+        return paths[0]
 
     def _table(self):
-        return _load_detail_table(self._detail_path())
+        return _load_detail_parts(self._part_paths())
 
     def _ensure(self) -> None:
         if not self._loaded:
@@ -450,141 +604,293 @@ class _LazyManifest(dict):
             )
             self._loaded = True
 
+    def _ensure_files(self) -> None:
+        if self._files_lazy and not super().__contains__("files"):
+            super().__setitem__(
+                "files", _load_part_path_lists(self._part_paths())
+            )
+
     def __getitem__(self, k):
         if k in _DETAIL_KEYS and not self._loaded:
             self._ensure()
+        elif k == "files":
+            self._ensure_files()
         return super().__getitem__(k)
 
     def get(self, k, default=None):
         if k in _DETAIL_KEYS and not self._loaded:
             self._ensure()
+        elif k == "files":
+            self._ensure_files()
         return super().get(k, default)
 
     def __contains__(self, k):
         if k in _DETAIL_KEYS and not self._loaded:
             self._ensure()
+        elif k == "files":
+            self._ensure_files()
         return super().__contains__(k)
 
     def head_copy(self) -> dict:
         """A plain copy of the HEAD keys plus the sidecar pointer — the
         zero-copy base for a metadata-only commit or restore whose
         per-file detail is IDENTICAL to this manifest's (vacuum collects
-        sidecars by reference, so sharing the pointer is safe)."""
-        return {k: v for k, v in super().items() if k not in _DETAIL_KEYS}
+        sidecar parts by reference, so sharing the pointer is safe).
+        Lazily-loaded keys (detail dicts, a reconstructed ``files``
+        list) are excluded — the pointer IS their representation."""
+        drop = set(_DETAIL_KEYS)
+        if self._files_lazy:
+            drop.add("files")
+        return {k: v for k, v in super().items() if k not in drop}
 
 
 def _materialize(m: dict) -> dict:
-    """A plain dict copy with the detail dicts PRESENT — the only safe
-    way to re-serialize a possibly-lazy manifest (``dict(m)`` alone
-    would drop un-loaded detail keys)."""
+    """A plain dict copy with the detail dicts AND file list PRESENT —
+    the only safe way to re-serialize a possibly-lazy manifest
+    (``dict(m)`` alone would drop un-loaded lazy keys). Sidecar-plane
+    head bookkeeping is stripped: the result is a self-contained
+    inline-form manifest."""
     if isinstance(m, _LazyManifest):
         m._ensure()
+        m._ensure_files()
     d = dict(m)
-    d.pop("detail_file", None)
+    for k in _DETAIL_HEAD_KEYS:
+        d.pop(k, None)
     return d
 
 
 def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
     """The single manifest serialization point: split the per-file
-    detail into the parquet sidecar above the inline threshold, then
+    detail into parquet sidecar PARTS above the inline threshold, then
     publish the head with O_EXCL (raises FileExistsError on a lost
-    race, sidecar removed). Sidecar names carry a uuid so two racing
-    committers of the same version can never cross-wire each other's
-    detail file. A manifest that arrives with a ``detail_file`` pointer
-    and NO detail dicts publishes the pointer as-is (shared sidecar —
-    the metadata-commit / restore zero-copy path).
+    race, this call's parts removed). Part names carry a uuid so two
+    racing committers of the same version can never cross-wire each
+    other's detail files. A manifest that arrives with a pointer
+    (``detail_files``/``detail_file``) and NO detail dicts publishes
+    the pointer as-is (shared parts — the metadata-commit / restore
+    zero-copy path).
+
+    Incremental appends (``_parent_detail_parts``) write ONE new part
+    for the new files and share the parent's parts by name — O(new)
+    metadata I/O — compacting the chain into a single part past
+    ``_detail_parts_max()``. Filtered/cross-root rewrites
+    (``_parent_detail`` as an arrow table) write one fresh part. When
+    the resulting chain is EXACT (its path rows reconstruct ``files``
+    in order) and the file count exceeds ``_files_inline_max()``, the
+    head drops the path list too (``files_in_detail``) — O(1) head.
 
     ``pre_publish`` (optional callable) runs IMMEDIATELY before the
     O_EXCL head write — i.e. AFTER the potentially multi-second sidecar
     serialization — so callers can narrow their vacuum-TOCTOU staged
-    re-verify to the final syscall gap; if it raises, any sidecar this
-    call wrote is removed first."""
+    re-verify to the final syscall gap; if it raises, any parts this
+    call wrote are removed first."""
     version = manifest["version"]
-    if "detail_file" in manifest and not any(
-        k in manifest for k in _DETAIL_KEYS
-    ):
-        # Sharing an EXISTING sidecar (metadata commit / restore): touch
-        # it first — the mtime refresh puts it inside vacuum's
-        # staged-grace window, so a concurrent sidecar sweep (whose
-        # reference scan predates this head) cannot collect it out from
-        # under the about-to-publish pointer — then verify it survived.
-        shared = os.path.join(_manifest_dir(root), manifest["detail_file"])
-        with contextlib.suppress(OSError):
-            os.utime(shared, None)
-        if not os.path.exists(shared):
-            raise FileNotFoundError(
-                f"detail sidecar {manifest['detail_file']} vanished before "
-                "the manifest publish — a concurrent vacuum collected it; "
-                "re-run against the current version"
+    mdir = _manifest_dir(root)
+
+    def _touch_verify_shared(names: list[str]) -> None:
+        # Touch first — the mtime refresh puts each shared part inside
+        # vacuum's staged-grace window, so a concurrent sidecar sweep
+        # (whose reference scan predates this head) cannot collect it
+        # out from under the about-to-publish pointer — then verify.
+        for name in names:
+            shared = os.path.join(mdir, name)
+            with contextlib.suppress(OSError):
+                os.utime(shared, None)
+            if not os.path.exists(shared):
+                raise FileNotFoundError(
+                    f"detail sidecar {name} vanished before the manifest "
+                    "publish — a concurrent vacuum collected it; re-run "
+                    "against the current version"
+                )
+
+    def _post_verify_shared(names: list[str]) -> None:
+        # Close the dangling-pointer window: a vacuum sweep whose
+        # reference re-scan ran before the O_EXCL write may have
+        # collected a shared part AFTER this head published. The head
+        # is now visible to the sweep's re-scan, so a part that still
+        # exists here is safe for good; one that vanished means this
+        # publish lost the race — remove the head we just wrote
+        # (CURRENT has not advanced yet, so no reader can have resolved
+        # it) and surface the retryable conflict.
+        gone = [n for n in names if not os.path.exists(os.path.join(mdir, n))]
+        if gone:
+            with contextlib.suppress(OSError):
+                os.remove(_manifest_path(root, version))
+            raise SnapshotConflict(
+                f"detail sidecar {gone[0]} was vacuumed concurrently with "
+                "the manifest publish — re-run against the current version"
             )
+
+    pointer = _pointer_names(manifest)
+    if pointer and not any(k in manifest for k in _DETAIL_KEYS):
+        # Sharing EXISTING parts (metadata commit / restore).
+        _touch_verify_shared(pointer)
         if pre_publish is not None:
             pre_publish()
         with open(_manifest_path(root, version), "x") as f:
             json.dump(manifest, f)
-        # Close the dangling-pointer window: a vacuum sweep whose
-        # reference re-scan ran between the utime above and the O_EXCL
-        # write may have collected the shared sidecar AFTER this head
-        # published. The head is now visible to the sweep's re-scan, so
-        # a sidecar that still exists here is safe for good; one that
-        # vanished means this publish lost the race — remove the head we
-        # just wrote (CURRENT has not advanced yet, so no reader can
-        # have resolved it) and surface the retryable conflict.
-        if not os.path.exists(shared):
-            with contextlib.suppress(OSError):
-                os.remove(_manifest_path(root, version))
-            raise SnapshotConflict(
-                f"detail sidecar {manifest['detail_file']} was vacuumed "
-                "concurrently with the manifest publish — re-run against "
-                "the current version"
-            )
+        _post_verify_shared(pointer)
         return
+    parent_parts = manifest.pop("_parent_detail_parts", None)
     parent_detail = manifest.pop("_parent_detail", None)
-    split = len(manifest.get("files") or []) > _detail_inline_max()
+    parent_exact = manifest.pop("_parent_detail_exact", False)
+    new_files = manifest.pop("_new_files", None)
+    # a detail-carrying write never inherits stale head bookkeeping
+    # (e.g. a materialized restore source's pointer keys)
+    for k in _DETAIL_HEAD_KEYS:
+        manifest.pop(k, None)
+    files = manifest.get("files") or []
+    split = len(files) > _detail_inline_max()
+    part_names: list[str] = []
+    exact = False
+    wrote: list[str] = []  # parts THIS call wrote — cleaned up on failure
+
+    def _write_part(table) -> str:
+        import pyarrow.parquet as pq
+
+        name = f"v{version:012d}-{uuid.uuid4().hex[:8]}.detail.parquet"
+        pq.write_table(table, os.path.join(mdir, name))
+        wrote.append(name)
+        return name
+
+    def _merge_parent_dicts(p_stats: dict, p_blooms: dict, p_meta: dict):
+        p_stats.update(manifest.get("file_stats") or {})
+        for f, per in (manifest.get("file_blooms") or {}).items():
+            p_blooms.setdefault(f, {}).update(per)
+        p_meta.update(manifest.get("file_meta") or {})
+        manifest["file_stats"] = p_stats
+        manifest["file_blooms"] = p_blooms
+        manifest["file_meta"] = p_meta
+
+    if parent_parts is not None and split:
+        # INCREMENTAL append: one O(new-files) part; the parent's parts
+        # ride by NAME — no parent metadata read, no parent bytes
+        # rewritten. This is what keeps a streaming sink's per-batch
+        # commit cost independent of table size.
+        new_dict_keys = (
+            set(manifest.get("file_stats") or {})
+            | set(manifest.get("file_blooms") or {})
+            | set(manifest.get("file_meta") or {})
+        )
+        universe = new_files if new_files is not None else sorted(new_dict_keys)
+        if new_dict_keys <= set(universe):
+            part_names = list(parent_parts)
+            if universe:
+                part_names.append(
+                    _write_part(
+                        _detail_table_from_dicts(manifest, paths=list(universe))
+                    )
+                )
+            exact = bool(parent_exact) and new_files is not None
+            if len(part_names) > _detail_parts_max():
+                # compaction rung: fold the chain into ONE part (reads
+                # O(files) once per parts_max appends — Delta's
+                # every-N-commits checkpoint amortization)
+                merged = _load_detail_parts(
+                    [os.path.join(mdir, n) for n in part_names]
+                )
+                cname = _write_part(merged)
+                # uncache the pre-compaction chain key eagerly and seed
+                # the compacted part (it IS the merged table)
+                _detail_cache.pop(
+                    tuple(os.path.join(mdir, n) for n in part_names), None
+                )
+                _detail_cache[os.path.join(mdir, cname)] = merged
+                part_names = [cname]
+        else:
+            # a dict entry outside the new-file universe (should not
+            # happen): reconstruct and take the exact dict path below
+            _merge_parent_dicts(
+                *_detail_to_dicts(
+                    _load_detail_parts(
+                        [os.path.join(mdir, n) for n in parent_parts]
+                    )
+                )
+            )
+            parent_parts = None
+    elif parent_parts is not None:
+        # threshold dropped below the table size: inline now required
+        _merge_parent_dicts(
+            *_detail_to_dicts(
+                _load_detail_parts([os.path.join(mdir, n) for n in parent_parts])
+            )
+        )
+        parent_parts = None
     detail_table = None
     if parent_detail is not None:
         if split:
-            # incremental append path: concat the parent sidecar with
-            # the NEW files' rows in the arrow domain — O(new files)
-            # dict work instead of reconstructing the whole table
-            detail_table = _align_detail_tables(
-                parent_detail, _detail_table_from_dicts(manifest)
-            )
+            # filtered/cross-root rewrite: concat the carried arrow
+            # table with the NEW files' rows — O(touched + new) dict
+            # work, one fresh part
+            try:
+                new_rows = _detail_table_from_dicts(
+                    manifest, paths=list(new_files) if new_files is not None else None
+                )
+            except ValueError:
+                new_rows = _detail_table_from_dicts(manifest)
+                new_files = None
+            detail_table = _align_detail_tables(parent_detail, new_rows)
+            exact = bool(parent_exact) and new_files is not None
         if detail_table is None:
-            # alignment conflict, or the threshold dropped below the
-            # table size (inline now required): reconstruct the parent
-            # dicts and fall through to the dict path
-            p_stats, p_blooms, p_meta = _detail_to_dicts(parent_detail)
-            p_stats.update(manifest.get("file_stats") or {})
-            for f, per in (manifest.get("file_blooms") or {}).items():
-                p_blooms.setdefault(f, {}).update(per)
-            p_meta.update(manifest.get("file_meta") or {})
-            manifest["file_stats"] = p_stats
-            manifest["file_blooms"] = p_blooms
-            manifest["file_meta"] = p_meta
+            # alignment conflict, or inline required: reconstruct the
+            # parent dicts and fall through to the dict path
+            _merge_parent_dicts(*_detail_to_dicts(parent_detail))
+            exact = False
     manifest = _materialize(manifest)
     head = manifest
-    detail_name = None
-    if split:
-        import pyarrow.parquet as pq
-
-        detail_name = f"v{version:012d}-{uuid.uuid4().hex[:8]}.detail.parquet"
-        detail_path = os.path.join(_manifest_dir(root), detail_name)
+    if split and not part_names:
         if detail_table is not None:
-            pq.write_table(detail_table, detail_path)
+            part_names = [_write_part(detail_table)]
         else:
-            _write_detail(detail_path, manifest)
+            # full dict path: ONE part whose rows are EXACTLY the file
+            # list, in order — this is what licenses files_in_detail,
+            # and every chain re-earns exactness here on its next full
+            # rewrite even if born before the flag existed
+            try:
+                table = _detail_table_from_dicts(manifest, paths=list(files))
+                exact = True
+            except ValueError:
+                # detail entries outside the file list (defensive):
+                # keep every entry, forfeit head-list elision
+                table = _detail_table_from_dicts(manifest)
+                exact = False
+            part_names = [_write_part(table)]
+    if part_names:
         head = {k: v for k, v in manifest.items() if k not in _DETAIL_KEYS}
-        head["detail_file"] = detail_name
+        head["detail_files"] = part_names
+        if exact:
+            head["detail_exact"] = True
+            if len(files) > _files_inline_max():
+                del head["files"]
+                head["files_in_detail"] = True
+                head["file_count"] = len(files)
+    shared_parts = [n for n in part_names if n not in wrote]
     try:
+        if shared_parts:
+            _touch_verify_shared(shared_parts)
         if pre_publish is not None:
             pre_publish()
         with open(_manifest_path(root, version), "x") as f:
             json.dump(head, f)
     except BaseException:
-        if detail_name is not None:
+        for n in wrote:
             with contextlib.suppress(OSError):
-                os.remove(os.path.join(_manifest_dir(root), detail_name))
+                os.remove(os.path.join(mdir, n))
         raise
+    if shared_parts:
+        try:
+            _post_verify_shared(shared_parts)
+        except SnapshotConflict:
+            for n in wrote:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(mdir, n))
+            raise
+    # a part superseded within this call (pre-compaction write) is
+    # garbage the moment the head publishes without it
+    for n in wrote:
+        if n not in part_names:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(mdir, n))
 
 
 def _advance_current(root: str, version: int) -> None:
@@ -1008,15 +1314,15 @@ def _resolve_commit(
                 ]
             )
         ctx["parent_files"] = pm["files"]
-        # INCREMENTAL detail for appends on a sidecar-backed parent: the
-        # per-file dicts stay in the arrow domain (the parent table is
-        # concatenated with the new files' rows at publish) instead of
-        # reconstructing and re-serializing O(table) metadata per append
+        # INCREMENTAL detail for appends on a sidecar-backed parent:
+        # the parent's parts ride by NAME (a new O(new-files) part is
+        # written at publish; no parent metadata is read or rewritten)
         # — the write-side analogue of Delta's incremental checkpoints,
         # and what keeps the streaming sink's per-batch commit cost
         # O(new files) on a million-file table.
         if isinstance(pm, _LazyManifest) and not pm._loaded:
-            ctx["parent_detail"] = pm._table()
+            ctx["parent_detail_parts"] = pm._part_names()
+            ctx["parent_detail_exact"] = pm.get("detail_exact", False)
             ctx["parent_stats"] = {}
             ctx["parent_blooms"] = {}
             ctx["parent_file_meta"] = {}
@@ -1111,11 +1417,18 @@ def _publish_commit(
         # retention plan from this, never from file mtimes
         "ts": time.time(),
     }
-    if "parent_detail" in ctx:
-        # append atop a sidecar-backed parent: the dicts above hold only
-        # the NEW files' detail; the parent's rides as an arrow table
-        # for the incremental concat in _write_manifest_file
+    if "parent_detail_parts" in ctx:
+        # append/dv-delete atop a sidecar-backed parent: the dicts
+        # above hold only the NEW files' detail; the parent's parts
+        # ride by NAME for the incremental part write
+        manifest["_parent_detail_parts"] = ctx["parent_detail_parts"]
+        manifest["_parent_detail_exact"] = ctx.get("parent_detail_exact", False)
+    elif "parent_detail" in ctx:
+        # filtered/cross-root parent metadata rides as an arrow table
+        # for the one-fresh-part concat in _write_manifest_file
         manifest["_parent_detail"] = ctx["parent_detail"]
+        manifest["_parent_detail_exact"] = ctx.get("parent_detail_exact", False)
+    manifest["_new_files"] = list(new_files)
     # Re-verify IMMEDIATELY before the O_EXCL write — as a pre_publish
     # hook so it runs AFTER the (potentially multi-second) sidecar
     # serialization inside _write_manifest_file, not before it: the
@@ -2348,7 +2661,10 @@ def snap_prune_files_spark(
     if not isinstance(m, _LazyManifest):
         return _prune_files_between_m(m, col, lo, hi), len(files)
     lo_j, hi_j = _json_stat(lo, direction=-1), _json_stat(hi, direction=1)
-    d = spark.read.parquet(m._detail_path())
+    # mergeSchema: parts of a chain may differ (a stats column added by
+    # evolve-append exists only in later parts) — the union schema is
+    # the same shape the arrow align-concat produces
+    d = spark.read.option("mergeSchema", "true").parquet(*m._part_paths())
     if "smin" not in d.columns or col not in d.select("smin.*").columns:
         return list(files), len(files)
     kind = (
@@ -2871,24 +3187,29 @@ def snap_restore(root: str, to_version: int | str) -> int:
     src = _read_manifest(root, to_version)  # raises if vacuumed/absent
     version = cur + 1
     # detail-backed source: the restore republishes the SAME file set,
-    # so it shares the source's sidecar pointer (vacuum collects
-    # sidecars by reference — zero metadata copied)
-    detail = (
-        {"detail_file": dict.__getitem__(src, "detail_file")}
-        if isinstance(src, _LazyManifest)
-        else {
+    # so it shares the source's sidecar parts pointer (vacuum collects
+    # parts by reference — zero metadata copied). files_in_detail heads
+    # stay O(1) through the rollback: the pointer carries the list.
+    if isinstance(src, _LazyManifest):
+        src_head = src.head_copy()
+        detail = {
+            k: src_head[k] for k in _DETAIL_HEAD_KEYS if k in src_head
+        }
+        if "files" in src_head:
+            detail["files"] = src_head["files"]
+    else:
+        detail = {
+            "files": src["files"],
             "file_stats": src.get("file_stats", {}),
             "file_blooms": src.get("file_blooms", {}),
             "file_meta": src.get("file_meta", {}),
         }
-    )
     manifest = {
         "version": version,
         "parent": cur,
         "mode": "overwrite",
         "tag": f"restore:{to_version}",
         "schema": src["schema"],
-        "files": src["files"],
         **detail,
         "bloom_meta": src.get("bloom_meta", {}),
         "dv_files": src.get("dv_files", []),
@@ -2902,7 +3223,10 @@ def snap_restore(root: str, to_version: int | str) -> int:
         "cdf_files": [],
         "ts": time.time(),
     }
-    missing = [f for f in manifest["files"] if not os.path.exists(f)]
+    # existence check reads the list from the SOURCE manifest (lazy
+    # path-column load for files_in_detail heads — the published head
+    # itself never re-inlines the list)
+    missing = [f for f in src["files"] if not os.path.exists(f)]
     if missing:
         raise FileNotFoundError(
             f"cannot restore to version {to_version}: {len(missing)} of its "
@@ -3357,11 +3681,9 @@ def snap_vacuum(
             for v in snap_versions(root):
                 try:
                     with open(_manifest_path(root, v)) as f:
-                        d = json.load(f).get("detail_file")
+                        out.update(_pointer_names(json.load(f)))
                 except (OSError, ValueError):
                     continue
-                if d:
-                    out.add(d)
             return out
 
         referenced_details = _referenced_now()
@@ -3478,8 +3800,12 @@ def _rewrite_commit(
         # sidecar-backed parent: carry the untouched files' metadata as
         # a FILTERED arrow table (concat'd with the rewrite's new rows
         # at publish) — a narrow DML on a million-file table does
-        # O(touched + new) dict work, never an O(table) reconstruction
+        # O(touched + new) dict work, never an O(table) reconstruction.
+        # pc.filter preserves row order, so exactness survives: the
+        # filtered rows are `untouched` in m["files"] order, and the
+        # manifest's list is untouched + new_files in the same order.
         ctx["parent_detail"] = _detail_filter_paths(m._table(), untouched)
+        ctx["parent_detail_exact"] = m.get("detail_exact", False)
         ctx["parent_stats"] = {}
         ctx["parent_blooms"] = {}
         ctx["parent_file_meta"] = {}
@@ -3951,9 +4277,10 @@ def snap_delete_dv(
         "cdf_files": new_cdf,
     }
     if isinstance(m, _LazyManifest) and not m._loaded:
-        # dv-delete keeps every data file: the parent sidecar rides
-        # whole into the new version's concat — zero dict work
-        ctx["parent_detail"] = m._table()
+        # dv-delete keeps every data file: the parent's sidecar parts
+        # are SHARED by name — zero metadata read or written
+        ctx["parent_detail_parts"] = m._part_names()
+        ctx["parent_detail_exact"] = m.get("detail_exact", False)
         ctx["parent_stats"] = {}
         ctx["parent_blooms"] = {}
         ctx["parent_file_meta"] = {}
@@ -4236,6 +4563,7 @@ def snap_clone(
         # root's vacuum sweeps only its own _manifests) — still zero
         # dict reconstruction
         ctx["parent_detail"] = m._table()
+        ctx["parent_detail_exact"] = m.get("detail_exact", False)
         ctx["parent_stats"] = {}
         ctx["parent_blooms"] = {}
         ctx["parent_file_meta"] = {}
