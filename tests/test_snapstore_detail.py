@@ -1147,3 +1147,38 @@ def test_exactness_gate_blocks_lossy_chains(spark, tmp_path, monkeypatch):
     assert h2.get("detail_exact") and "files" not in h2
     assert ss.snap_count(root) == 300
     assert ss.snap_read(spark, root).count() == 300
+
+
+def test_deferred_append_never_materializes_path_list(
+    spark, o1_head_mode, tmp_path, monkeypatch
+):
+    """An append (and a dv-delete) atop an exact O(1)-head parent must
+    carry only the parent's file COUNT: no path-list reconstruction, no
+    dict reconstruction, no parent part read — the per-append metadata
+    cost is O(new files) with no O(table) term. Pinned by making every
+    list/dict materializer explode while the ops run."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        _df(spark, [(i, i) for i in range(300)]).repartition(3),
+        root,
+        stats_cols=["id"],
+    )
+    assert "files" not in _head(root, 0)
+
+    def _boom(*a, **k):
+        raise AssertionError("O(table) materialization on the append path")
+
+    monkeypatch.setattr(ss, "_load_part_path_lists", _boom)
+    monkeypatch.setattr(ss, "_detail_to_dicts", _boom)
+    monkeypatch.setattr(ss, "_load_detail_parts", _boom)
+    v = ss.snap_commit(
+        _df(spark, [(i, i) for i in range(300, 400)]).repartition(1),
+        root,
+        stats_cols=["id"],
+    )
+    monkeypatch.undo()
+    h = _head(root, v)
+    assert "files" not in h and h["file_count"] == 4
+    assert ss.snap_count(root) == 400
+    m = ss._read_manifest(root, v)
+    assert len(m["files"]) == 4 and set(m["file_stats"]) == set(m["files"])

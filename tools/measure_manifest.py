@@ -95,7 +95,118 @@ def _t(fn, *a, **k):
     return time.perf_counter() - t0, out
 
 
+def _append_via_publish(root, version: int, n_new: int) -> None:
+    """One REAL incremental append through _write_manifest_file: new
+    files' dicts + the parent's parts by name — exactly what
+    _publish_commit hands the serializer. Times the whole multipart
+    path including any compaction the chain length triggers."""
+    parent = ss._read_manifest(root, version - 1)
+    new_files = [
+        f"/fake/new/v{version}-{i:04d}.parquet" for i in range(n_new)
+    ]
+    manifest = {
+        k: parent.head_copy().get(k)
+        for k in ("schema", "bloom_meta", "constraints", "cdf")
+    }
+    exact = parent.get("detail_exact", False)
+    # mirror _publish_commit's deferral: an exact O(1)-head parent
+    # contributes only its COUNT — the path list never materializes
+    if parent._files_lazy and exact:
+        files_val = None
+        count = int(dict.__getitem__(parent, "file_count")) + len(new_files)
+    else:
+        files_val = parent["files"] + new_files
+        count = None
+    manifest.update(
+        {
+            "version": version,
+            "parent": version - 1,
+            "mode": "append",
+            "tag": None,
+            "files": files_val,
+            "file_stats": {f: {"id": [0, 1]} for f in new_files},
+            "file_blooms": {},
+            "file_meta": {f: {"rows": 1, "bytes": 1} for f in new_files},
+            "dv_files": [],
+            "cdf_files": [],
+            "ts": time.time(),
+            "_parent_detail_parts": parent._part_names(),
+            "_parent_detail_exact": exact,
+            "_new_files": new_files,
+        }
+    )
+    if count is not None:
+        manifest["_file_count"] = count
+    ss._write_manifest_file(root, manifest)
+    ss._advance_current(root, version)
+
+
+def run_o1(n_files: int) -> None:
+    """The r14 plane: files-in-detail O(1) heads + multipart chains.
+    Reports head bytes/read (should be ~constant in N), the files
+    reconstruction cost (column-projected path read), and the REAL
+    per-append publish cost over a parts_max+2 chain — first append,
+    median, and the compaction spike, i.e. the amortization evidence."""
+    os.environ["WSSPARK_SNAP_FILES_INLINE_MAX"] = "0"
+    try:
+        root = tempfile.mkdtemp(prefix="manifest-o1-")
+        try:
+            t_write, _ = _t(_fabricate, root, n_files, False)
+            ss._detail_cache.clear()
+            t_head, m = _t(ss._read_manifest, root, 0)
+            head_bytes = os.path.getsize(ss._manifest_path(root, 0))
+            t_files, files = _t(lambda: ss._read_manifest(root, 0)["files"])
+            assert len(files) == n_files
+            hi_id = n_files * ROWS_PER_FILE
+            t_range, (kept, total) = _t(
+                ss.snap_prune_files,
+                root, "id", hi_id // 2, hi_id // 2 + hi_id // 100,
+            )
+            assert total == n_files
+            n_appends = ss._detail_parts_max() + 2
+            times = []
+            for v in range(1, n_appends + 1):
+                t_a, _ = _t(_append_via_publish, root, v, 4)
+                times.append(t_a)
+            times_sorted = sorted(times)
+            hv = ss.snap_current_version(root)
+            hm = ss._read_manifest(root, hv)
+            assert len(hm["files"]) == n_files + 4 * n_appends
+            assert "files" not in json.load(open(ss._manifest_path(root, hv)))
+            print(
+                json.dumps(
+                    {
+                        "n_files": n_files,
+                        "mode": "o1_multipart",
+                        "write_s": round(t_write, 4),
+                        "head_bytes": head_bytes,
+                        "head_read_s": round(t_head, 4),
+                        "files_reconstruct_s": round(t_files, 4),
+                        "prune_range_s": round(t_range, 4),
+                        "kept_range": len(kept),
+                        "append_publish_first_s": round(times[0], 4),
+                        "append_publish_median_s": round(
+                            times_sorted[len(times) // 2], 4
+                        ),
+                        "append_publish_max_s": round(times_sorted[-1], 4),
+                        "appends": n_appends,
+                        "head_bytes_final": os.path.getsize(
+                            ss._manifest_path(root, hv)
+                        ),
+                    }
+                )
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    finally:
+        os.environ.pop("WSSPARK_SNAP_FILES_INLINE_MAX", None)
+
+
 def run(n_files: int, spark=None) -> None:
+    # pin the r13 shape (path list inline in the head) so the three
+    # modes compare cleanly: inline JSON / sidecar+inline files (r13) /
+    # O(1) multipart head (r14, run_o1)
+    os.environ["WSSPARK_SNAP_FILES_INLINE_MAX"] = str(100 * n_files)
     for inline in (True, False):
         mode = "inline" if inline else "detail"
         root = tempfile.mkdtemp(prefix=f"manifest-{mode}-")
@@ -194,6 +305,7 @@ def main() -> None:
         )
     for n in sizes:
         run(n, spark)
+        run_o1(n)
 
 
 if __name__ == "__main__":

@@ -735,12 +735,30 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
     parent_detail = manifest.pop("_parent_detail", None)
     parent_exact = manifest.pop("_parent_detail_exact", False)
     new_files = manifest.pop("_new_files", None)
+    deferred_count = manifest.pop("_file_count", None)
     # a detail-carrying write never inherits stale head bookkeeping
     # (e.g. a materialized restore source's pointer keys)
     for k in _DETAIL_HEAD_KEYS:
         manifest.pop(k, None)
-    files = manifest.get("files") or []
-    split = len(files) > _detail_inline_max()
+    files = manifest.get("files")
+    # DEFERRED list (append/dv-delete atop an exact O(1)-head parent):
+    # the serializer plans from the COUNT and never materializes the
+    # parent's path list — per-append metadata cost has no O(table)
+    # term. Any path below that genuinely needs the list (threshold
+    # changes, dict-rebuild fallbacks) reconstructs it from the parts.
+    deferred = files is None and deferred_count is not None
+    if files is None and not deferred:
+        files = []
+        manifest["files"] = files
+    n_total = deferred_count if deferred else len(files)
+    split = n_total > _detail_inline_max()
+
+    def _materialize_files(names: list[str]) -> list[str]:
+        fl = _load_part_path_lists([os.path.join(mdir, n) for n in names]) + (
+            list(new_files or [])
+        )
+        manifest["files"] = fl
+        return fl
     part_names: list[str] = []
     exact = False
     wrote: list[str] = []  # parts THIS call wrote — cleaned up on failure
@@ -800,6 +818,9 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
         else:
             # a dict entry outside the new-file universe (should not
             # happen): reconstruct and take the exact dict path below
+            if deferred:
+                files = _materialize_files(parent_parts)
+                deferred = False
             _merge_parent_dicts(
                 *_detail_to_dicts(
                     _load_detail_parts(
@@ -810,6 +831,9 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
             parent_parts = None
     elif parent_parts is not None:
         # threshold dropped below the table size: inline now required
+        if deferred:
+            files = _materialize_files(parent_parts)
+            deferred = False
         _merge_parent_dicts(
             *_detail_to_dicts(
                 _load_detail_parts([os.path.join(mdir, n) for n in parent_parts])
@@ -858,12 +882,20 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
     if part_names:
         head = {k: v for k, v in manifest.items() if k not in _DETAIL_KEYS}
         head["detail_files"] = part_names
-        if exact:
+        if exact and n_total > _files_inline_max():
             head["detail_exact"] = True
-            if len(files) > _files_inline_max():
-                del head["files"]
-                head["files_in_detail"] = True
-                head["file_count"] = len(files)
+            head.pop("files", None)
+            head["files_in_detail"] = True
+            head["file_count"] = n_total
+        else:
+            if exact:
+                head["detail_exact"] = True
+            if head.get("files") is None:
+                # the list must ride inline here (threshold change, or
+                # a defensive path) — the parts are its only source
+                head["files"] = _load_part_path_lists(
+                    [os.path.join(mdir, n) for n in part_names]
+                )
     shared_parts = [n for n in part_names if n not in wrote]
     try:
         if shared_parts:
@@ -1313,20 +1345,31 @@ def _resolve_commit(
                     for pf, nf in zip(parent_schema.fields, schema.fields)
                 ]
             )
-        ctx["parent_files"] = pm["files"]
         # INCREMENTAL detail for appends on a sidecar-backed parent:
         # the parent's parts ride by NAME (a new O(new-files) part is
         # written at publish; no parent metadata is read or rewritten)
         # — the write-side analogue of Delta's incremental checkpoints,
         # and what keeps the streaming sink's per-batch commit cost
-        # O(new files) on a million-file table.
+        # O(new files) on a million-file table. On an exact O(1)-head
+        # parent even the PATH LIST stays unread: the append carries
+        # only the parent's file COUNT, and the published head defers
+        # the list to the parts — per-append metadata cost is then
+        # O(new files) with no O(table) term at all.
         if isinstance(pm, _LazyManifest) and not pm._loaded:
             ctx["parent_detail_parts"] = pm._part_names()
             ctx["parent_detail_exact"] = pm.get("detail_exact", False)
+            if pm._files_lazy and ctx["parent_detail_exact"]:
+                ctx["parent_files"] = None
+                ctx["parent_file_count"] = int(
+                    dict.__getitem__(pm, "file_count")
+                )
+            else:
+                ctx["parent_files"] = pm["files"]
             ctx["parent_stats"] = {}
             ctx["parent_blooms"] = {}
             ctx["parent_file_meta"] = {}
         else:
+            ctx["parent_files"] = pm["files"]
             ctx["parent_stats"] = pm.get("file_stats", {})
             ctx["parent_blooms"] = pm.get("file_blooms", {})
             ctx["parent_file_meta"] = pm.get("file_meta", {})
@@ -1397,13 +1440,16 @@ def _publish_commit(
     file_meta = dict(ctx["parent_file_meta"])
     for nf in new_files:
         file_meta[nf] = new_file_meta.get(nf) or _footer_meta(nf)
+    deferred = ctx.get("parent_files") is None and "parent_file_count" in ctx
     manifest = {
         "version": ctx["version"],
         "parent": ctx["parent"],
         "mode": mode,
         "tag": tag,
         "schema": ctx["manifest_schema"].json(),
-        "files": ctx["parent_files"] + new_files,
+        # deferred list (exact O(1)-head parent): the serializer works
+        # from the COUNT; the list stays in the sidecar parts
+        "files": None if deferred else ctx["parent_files"] + new_files,
         "file_stats": file_stats,
         "file_blooms": file_blooms,
         "bloom_meta": bloom_meta,
@@ -1429,6 +1475,8 @@ def _publish_commit(
         manifest["_parent_detail"] = ctx["parent_detail"]
         manifest["_parent_detail_exact"] = ctx.get("parent_detail_exact", False)
     manifest["_new_files"] = list(new_files)
+    if deferred:
+        manifest["_file_count"] = ctx["parent_file_count"] + len(new_files)
     # Re-verify IMMEDIATELY before the O_EXCL write — as a pre_publish
     # hook so it runs AFTER the (potentially multi-second) sidecar
     # serialization inside _write_manifest_file, not before it: the
@@ -4266,7 +4314,6 @@ def snap_delete_dv(
     ctx = {
         "parent": m["version"],
         "version": m["version"] + 1,
-        "parent_files": m["files"],
         "parent_bloom_meta": m.get("bloom_meta", {}),
         "manifest_schema": T.StructType.fromJson(json.loads(m["schema"])),
         "dv_files": (m.get("dv_files") or []) + new_dv,
@@ -4278,13 +4325,20 @@ def snap_delete_dv(
     }
     if isinstance(m, _LazyManifest) and not m._loaded:
         # dv-delete keeps every data file: the parent's sidecar parts
-        # are SHARED by name — zero metadata read or written
+        # are SHARED by name — zero metadata read or written (and on an
+        # exact O(1)-head parent, the path list stays deferred too)
         ctx["parent_detail_parts"] = m._part_names()
         ctx["parent_detail_exact"] = m.get("detail_exact", False)
+        if m._files_lazy and ctx["parent_detail_exact"]:
+            ctx["parent_files"] = None
+            ctx["parent_file_count"] = int(dict.__getitem__(m, "file_count"))
+        else:
+            ctx["parent_files"] = m["files"]
         ctx["parent_stats"] = {}
         ctx["parent_blooms"] = {}
         ctx["parent_file_meta"] = {}
     else:
+        ctx["parent_files"] = m["files"]
         ctx["parent_stats"] = m.get("file_stats", {})
         ctx["parent_blooms"] = m.get("file_blooms", {})
         ctx["parent_file_meta"] = m.get("file_meta", {})
