@@ -1609,8 +1609,8 @@ QUERIES = [
     Query("pagerank_transfer_routes", q_pagerank_transfer_routes,
           PAGERANK_SQL,
           "weighted PageRank fixpoint over transfer routes (5 iterations)"),
-    Query("moving_avg_trends", q_moving_avg_trends, MOVING_AVG_SQL,
-          "rolling 7-day mean + cumulative total over gap-filled daily trend"),
+    # moving_avg_trends retired to the folded tier in r14 (slot swap —
+    # see llm.py FOLDED_QUERIES); implementation + SQL stay here.
     Query("revenue_deciles", q_revenue_deciles, REVENUE_DECILES_SQL,
           "ntile(10) revenue decile table with cents-exact shares"),
     Query("rfm_segments", q_rfm_segments, RFM_SQL,

@@ -4456,15 +4456,29 @@ EMB_COV_SQL = _covariance_block_sql()
 
 
 QUERIES = [
+    # PROMOTED r14 (slot swap): four folded queries that had never seen
+    # the driver gate take the slots of four retired redundant siblings
+    # (doc_fingerprint_candidates, embedding_norm_profile,
+    # moving_avg_trends, streaming_daily_counts — all folded below).
+    Query("exact_price_quantiles", q_exact_price_quantiles,
+          EXACT_QUANTILES_SQL,
+          "exact per-group quantiles via radix bisection (no sort)"),
+    Query("snapstore_optimize_read", q_snapstore_optimize_read,
+          SNAPSTORE_OPTIMIZE_SQL,
+          "OPTIMIZE ZORDER roundtrip through the pruned range read"),
+    Query("snapstore_restore_read", q_snapstore_restore_read,
+          SNAPSTORE_RESTORE_SQL,
+          "restore to a dv-carrying version after an overwrite"),
+    Query("prefix_jaccard_pairs", q_prefix_jaccard_pairs, PREFIX_JACCARD_SQL,
+          "AllPairs prefix-filtered exact Jaccard join (subquadratic)"),
     # doc_stats retired to the folded tier in r13 (slot swap — see
     # FOLDED_QUERIES); implementation + SQL stay here.
     Query("minhash_dedup_pairs", q_minhash_dedup_pairs, MINHASH_PAIRS_SQL,
           "MinHash+LSH near-dup (scale path, exact-verified candidates)"),
     Query("lang_id", q_lang_id, LANG_ID_SQL,
           "stopword-profile language identification"),
-    Query("doc_fingerprint_candidates", q_doc_fingerprint_candidates,
-          FINGERPRINT_CAND_SQL,
-          "winnowing fingerprint candidate pairs (portable hash)"),
+    # doc_fingerprint_candidates retired to the folded tier in r14 (slot
+    # swap — see FOLDED_QUERIES); implementation + SQL stay here.
     Query("ann_cosine_topk", q_ann_cosine_topk, ANN_SQL,
           "brute-force cosine top-k over embeddings"),
     Query("embedding_dup_pairs", q_embedding_dup_pairs, EMB_DUP_SQL,
@@ -4477,8 +4491,8 @@ QUERIES = [
           "gap-based sessionization (batch form of session windows)"),
     Query("multimodal_features", q_multimodal_features, MULTIMODAL_SQL,
           "binary-column feature extraction via Arrow mapInPandas (stub decode)"),
-    Query("embedding_norm_profile", q_embedding_norm_profile, EMB_NORM_SQL,
-          "per-label embedding norm sanity profile"),
+    # embedding_norm_profile retired to the folded tier in r14 (slot
+    # swap — see FOLDED_QUERIES); implementation + SQL stay here.
     Query("embedding_covariance_block", q_embedding_covariance_block,
           EMB_COV_SQL,
           "distributed Gram-partial covariance vs covar_pop (PCA base)"),
@@ -4826,11 +4840,6 @@ FOLDED_QUERIES = [
     # the hub-skew-proof wedge join; twin replays orientation + joins.
     Query("part_triangle_stats", q_part_triangle_stats, TRIANGLE_SQL,
           "co-order part-graph triangles + clustering coefficient"),
-    # Born folded (r9): sort-free exact order statistics — the twin is
-    # the definitional sorted replay, so bisection exactness is hash-gated.
-    Query("exact_price_quantiles", q_exact_price_quantiles,
-          EXACT_QUANTILES_SQL,
-          "exact per-group quantiles via radix bisection (no sort)"),
     # Born folded (r9): exactly-k weighted sampling without replacement,
     # integer-exact A-ES (max-of-w-uniforms identity, portable hashes).
     Query("weighted_sample_docs", q_weighted_sample_docs, WSAMPLE_SQL,
@@ -4867,12 +4876,6 @@ FOLDED_QUERIES = [
     # corrupt MVs downstream).
     Query("snapstore_cdc_span", q_snapstore_cdc_span, SNAPSTORE_CDC_SQL,
           "version-diff CDC read through the snapshot store"),
-    # Born folded (r10): clustered compaction — a z-ordered optimize must
-    # preserve every row and the stats it records must never falsely drop
-    # on the pruned range-read path.
-    Query("snapstore_optimize_read", q_snapstore_optimize_read,
-          SNAPSTORE_OPTIMIZE_SQL,
-          "OPTIMIZE ZORDER roundtrip through the pruned range read"),
     # Born folded (r10): exact binned PR threshold sweep — classifier
     # calibration with every count and ratio row on the hash (bin-edge
     # off-by-ones are the classic silent defect).
@@ -4924,11 +4927,6 @@ FOLDED_QUERIES = [
           "connected-component near-dup clusters (iterative min-label)"),
     Query("dedup_survivors", q_dedup_survivors, DEDUP_SURVIVORS_SQL,
           "one representative per dup cluster + unclustered docs"),
-    # Born folded (r11): RESTORE over a dv-carrying version after a
-    # destructive overwrite — dv state must round-trip with the rollback.
-    Query("snapstore_restore_read", q_snapstore_restore_read,
-          SNAPSTORE_RESTORE_SQL,
-          "restore to a dv-carrying version after an overwrite"),
     # Born folded (r12): the modality near-dup ladder's PAIRING stage —
     # Hamming banding + bit_count(XOR) verify over deterministic fixture
     # hashes with planted <=3-bit twins; twin = quadratic all-pairs scan.
@@ -5060,9 +5058,35 @@ FOLDED_QUERIES = [
           "Okapi BM25 top-k more-like-this ranking"),
     Query("hybrid_related_docs", q_hybrid_related_docs, HYBRID_SQL,
           "BM25 + cosine reciprocal-rank-fusion hybrid retrieval"),
-    # Born folded (r9): exact subquadratic Jaccard join — the quadratic
-    # twin re-proves prefix-filter pruning lossless on this corpus.
-    Query("prefix_jaccard_pairs", q_prefix_jaccard_pairs, PREFIX_JACCARD_SQL,
-          "AllPairs prefix-filtered exact Jaccard join (subquadratic)"),
+    # Retired registry -> folded (r14 slot swap): four redundant family
+    # members gave their driver slots to exact_price_quantiles /
+    # snapstore_optimize_read / snapstore_restore_read /
+    # prefix_jaccard_pairs (none of which had ever held a driver row).
+    # Each retiree's machinery stays driver-verified through registered
+    # siblings; the folded oracle hash replays every session:
+    #  * doc_fingerprint_candidates: near-dup candidate generation keeps
+    #    minhash_dedup_pairs + dup_clusters_lsh registered (winnowing
+    #    fingerprints share the shingle+portable-hash pipeline).
+    #  * embedding_norm_profile: a diagnostics profile; the embedding
+    #    family keeps ann_cosine_topk, embedding_dup_pairs,
+    #    ivf_pq_search, and embedding_covariance_block registered.
+    #  * moving_avg_trends: the rolling-frame shape over the gap-filled
+    #    daily trend; the trends family is folded-hash-gated
+    #    (daily/weekly/monthly) and rolling window frames stay
+    #    registered via movement_anomalies' stddev windows.
+    #  * streaming_daily_counts: tumbling-window counts; the identical
+    #    watermark+window machinery is registered via
+    #    streaming_segment_counts and streaming_sessionize.
+    Query("doc_fingerprint_candidates", q_doc_fingerprint_candidates,
+          FINGERPRINT_CAND_SQL,
+          "winnowing fingerprint candidate pairs (portable hash)"),
+    Query("embedding_norm_profile", q_embedding_norm_profile, EMB_NORM_SQL,
+          "per-label embedding norm sanity profile"),
+    Query("moving_avg_trends", core.q_moving_avg_trends,
+          core.MOVING_AVG_SQL,
+          "rolling 7-day mean + cumulative total over gap-filled daily trend"),
+    Query("streaming_daily_counts", streamq.q_streaming_daily_counts,
+          streamq.STREAMING_DAILY_SQL,
+          "availableNow stream -> window agg == batch SQL"),
     *_folded_core(),
 ]

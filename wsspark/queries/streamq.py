@@ -607,12 +607,8 @@ ORDER BY doc_id
 
 
 QUERIES = [
-    Query(
-        "streaming_daily_counts",
-        q_streaming_daily_counts,
-        STREAMING_DAILY_SQL,
-        "§2.10 as a driver row: availableNow stream -> window agg == batch SQL",
-    ),
+    # streaming_daily_counts retired to the folded tier in r14 (slot
+    # swap — see llm.py FOLDED_QUERIES); implementation + SQL stay here.
     # streaming_event_dedup retired to the folded tier in r13 (slot swap
     # — see llm.py FOLDED_QUERIES); implementation + SQL stay here.
     Query(
