@@ -113,6 +113,15 @@ HEADLINE = {
     # read stopped coalescing (plan legs back to O(commits)) or the
     # refresh lost its delta-only scan and went O(table).
     "q32_cdf_ivm": "mv_refresh_cdf",
+    # round-14: the metadata plane gets a wall-clock number — a 600-file
+    # range-clustered store committed in O(1)-HEAD mode (path list in the
+    # parquet detail sidecar, constant-size JSON head), then a deferred
+    # multipart append, a typed-index-pruned COW update, a DV delete, and
+    # a pruned range read. Its perf claim is that planning cost tracks
+    # SELECTIVITY, not file count: a regression here means the prune
+    # index stopped deciding (full 600-file scans), the append path
+    # rematerialized O(table) metadata, or the head grew back to O(files).
+    "q33_snapstore_metadata": "snapstore_pruned_dml_read",
 }
 
 # q0b: the reference's flagship operational mode (--load_type incremental,

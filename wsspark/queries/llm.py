@@ -2394,6 +2394,99 @@ FROM lineitem
 """
 
 
+def q_snapstore_pruned_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 metadata plane under a wall-clock + hash gate: a
+    600-file range-clustered snapstore committed in O(1)-HEAD mode
+    (files_in_detail forced — the path list lives in the parquet detail
+    sidecar, the JSON head is constant-size), then the full lifecycle
+    the plane exists for:
+
+    - a DEFERRED multipart append (one O(new-files) part, the parent's
+      parts shared by name, the path list never materialized);
+    - a NARROW COW update whose discovery plans O(selectivity) files
+      via the vectorized typed prune index;
+    - a merge-on-read DV delete (zero metadata I/O — parts shared);
+    - a PRUNED range read planning ~1% of the files from the sidecar.
+
+    The DuckDB twin replays append/update/delete relationally, so a
+    lossy part chain, a wrong deferred count, a DV resurrection, or a
+    false prune drop all go hash-red; the bench row (q33) makes a
+    metadata-plane slowdown a tracked wall-clock regression instead of
+    a tool-only number."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from wsspark import snapstore as ss
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    root = tempfile.mkdtemp(prefix="snapbig-")
+    old_env = _os.environ.get("WSSPARK_SNAP_FILES_INLINE_MAX")
+    _os.environ["WSSPARK_SNAP_FILES_INLINE_MAX"] = "0"
+    try:
+        ss.snap_commit(
+            li.repartitionByRange(600, "l_orderkey"),
+            root,
+            stats_cols=["l_orderkey"],
+        )
+        dup = li.filter(F.col("l_orderkey") <= 16).withColumn(
+            "l_quantity", F.lit(5.0)
+        )
+        ss.snap_commit(dup.repartition(1), root, stats_cols=["l_orderkey"])
+        ss.snap_update_where(
+            spark, root, "l_orderkey <= 32", {"l_quantity": "999.0"}
+        )
+        ss.snap_delete_dv(
+            spark, root, "l_orderkey > 32 AND l_orderkey <= 64"
+        )
+        out = (
+            ss.snap_read_between(spark, root, "l_orderkey", 1, 6400)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).alias("revenue_cents"),
+            )
+        )
+        rows = _collect_capped(out)
+    finally:
+        if old_env is None:
+            _os.environ.pop("WSSPARK_SNAP_FILES_INLINE_MAX", None)
+        else:
+            _os.environ["WSSPARK_SNAP_FILES_INLINE_MAX"] = old_env
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSTORE_PRUNED_DML_SQL = """
+WITH base AS (
+    SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, 5.0 AS l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem WHERE l_orderkey <= 16
+), post AS (
+    SELECT l_returnflag, l_orderkey,
+           CASE WHEN l_orderkey <= 32 THEN 999.0 ELSE l_quantity END AS q,
+           l_extendedprice
+    FROM base
+    WHERE NOT (l_orderkey > 32 AND l_orderkey <= 64)
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(q AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM post
+WHERE l_orderkey BETWEEN 1 AND 6400
+GROUP BY l_returnflag
+"""
+
+
 def q_snapstore_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE under the driver hash gate: commit the full projection,
     dv-delete a slice (so the restored state carries deletion vectors),
@@ -5077,6 +5170,13 @@ FOLDED_QUERIES = [
     #  * streaming_daily_counts: tumbling-window counts; the identical
     #    watermark+window machinery is registered via
     #    streaming_segment_counts and streaming_sessionize.
+    # Born folded (r14): the metadata-plane lifecycle row — O(1)-head
+    # 600-file store, deferred multipart append, pruned COW update, DV
+    # delete, pruned range read. Benched as q33 (the plane's wall-clock
+    # tripwire); the folded hash replays the relational twin per session.
+    Query("snapstore_pruned_dml_read", q_snapstore_pruned_dml_read,
+          SNAPSTORE_PRUNED_DML_SQL,
+          "O(1)-head multipart store: append + pruned DML + pruned read"),
     Query("doc_fingerprint_candidates", q_doc_fingerprint_candidates,
           FINGERPRINT_CAND_SQL,
           "winnowing fingerprint candidate pairs (portable hash)"),
