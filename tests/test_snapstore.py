@@ -2631,3 +2631,94 @@ def test_dml_discovery_prunes_in_lists_and_temporal_eq(spark, tmp_path):
     assert {r.id for r in ss.snap_read(spark, root2, v2).collect()} == set(
         range(40)
     ) - {10}
+
+
+def test_cdf_retention_knob(spark, tmp_path):
+    """r14: cdf_keep_hours gives change-feed sidecars a retention window
+    INDEPENDENT of manifest retention (Delta's CDF retention) — a
+    deep-keep table stops accumulating every sidecar ever written.
+    In-window vacuums collect nothing; past-window vacuums collect the
+    sidecars while SNAPSHOT reads of those versions stay intact, and a
+    span read crossing a collected commit raises the documented error
+    instead of returning a silently partial feed."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(100)], "id long, val long"
+    ).coalesce(2)
+    ss.snap_commit(df, root)
+    v_on = ss.snap_enable_cdf(root)
+    ss.snap_update_where(spark, root, "id % 10 = 0", {"val": "val + 1"})
+    ss.snap_delete_where(spark, root, "id % 10 = 5")
+    n_feed = ss.snap_read_changes_cdf(spark, root, v_on).count()
+    assert n_feed > 0
+    # default: sidecars live exactly as long as their manifests
+    ss.snap_vacuum(root, keep_last=10, staged_grace_minutes=0)
+    assert ss.snap_read_changes_cdf(spark, root, v_on).count() == n_feed
+    # in-window: collects nothing
+    ss.snap_vacuum(
+        root, keep_last=10, staged_grace_minutes=0, cdf_keep_hours=1000.0
+    )
+    assert ss.snap_read_changes_cdf(spark, root, v_on).count() == n_feed
+    # dry-run past-window: counts the sidecars, deletes nothing
+    n_dry = ss.snap_vacuum(
+        root,
+        keep_last=10,
+        staged_grace_minutes=0,
+        cdf_keep_hours=0.0,
+        dry_run=True,
+    )
+    assert n_dry >= 2  # update + delete sidecars
+    assert ss.snap_read_changes_cdf(spark, root, v_on).count() == n_feed
+    # past-window: sidecars collected; snapshot reads intact, feed raises
+    ss.snap_vacuum(
+        root, keep_last=10, staged_grace_minutes=0, cdf_keep_hours=0.0
+    )
+    assert ss.snap_count(root) == 90
+    got = {(r.id, r.val) for r in ss.snap_read(spark, root).collect()}
+    assert (0, 1) in got and (50, 101) in got and all(i % 10 != 5 for i, _ in got)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        ss.snap_read_changes_cdf(spark, root, v_on).count()
+
+
+def test_cdf_span_equals_concatenation_under_evolution(spark, tmp_path):
+    """Deterministic twin of the model invariant: a whole-span CDF read
+    with an add-column evolution INSIDE the span equals the
+    concatenation of its per-version sub-spans (pre-evolution rows
+    NULL-padded to the until-schema)."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(40)], "id long, val long"
+        ).coalesce(2),
+        root,
+    )
+    lo = ss.snap_enable_cdf(root)
+    ss.snap_commit(  # epoch boundary inside the live span
+        spark.createDataFrame(
+            [(100, 200, "x"), (101, 202, "y")],
+            "id long, val long, note string",
+        ),
+        root,
+        evolve=True,
+    )
+    ss.snap_update_where(spark, root, "id % 4 = 0", {"val": "val + 11"})
+    ss.snap_delete_dv(spark, root, "id % 4 = 1")
+    cur = ss.snap_current_version(root)
+    cols = ["id", "val", "note", "_change_type", "_commit_version"]
+
+    def norm(rows):
+        return sorted(tuple(r.asDict().get(c) for c in cols) for r in rows)
+
+    whole = ss.snap_read_changes_cdf(spark, root, lo).collect()
+    parts = []
+    for v in range(lo + 1, cur + 1):
+        parts.extend(ss.snap_read_changes_cdf(spark, root, v - 1, v).collect())
+    assert len(whole) > 0
+    assert norm(whole) == norm(parts)
+    # the evolved rows update across the epoch: 100/200->211 via id%4=0
+    post = {
+        (r.id, r.val, r.note)
+        for r in whole
+        if r._change_type == "update_postimage"
+    }
+    assert (100, 211, "x") in post and (0, 11, None) in post

@@ -2047,6 +2047,14 @@ def snap_read_changes_cdf(
                     "snap_enable_cdf's version"
                 )
             cdf_files = m.get("cdf_files") or []
+            gone = [f for f in cdf_files if not os.path.exists(f)]
+            if gone:
+                raise FileNotFoundError(
+                    f"version {v}'s change-feed sidecar was collected by a "
+                    "cdf_keep_hours vacuum — the CDF retention window has "
+                    "passed for this span; re-read the snapshot instead, "
+                    "or start the cursor at a younger version"
+                )
             if cdf_files:
                 cdf_groups.setdefault(m["schema"], []).extend(
                     (f, v) for f in cdf_files
@@ -3601,6 +3609,7 @@ def snap_vacuum(
     staged_grace_minutes: float = 60.0,
     keep_hours: float | None = None,
     dry_run: bool = False,
+    cdf_keep_hours: float | None = None,
 ) -> int:
     """Drop manifests older than the last ``keep_last`` versions and
     delete every data file (and empty commit dir) no retained manifest
@@ -3610,6 +3619,16 @@ def snap_vacuum(
     manifests included. Readers pinned to a
     RETAINED version are unaffected — that is the contract vacuum must
     keep, pinned in tests.
+
+    ``cdf_keep_hours`` (Delta's independent CDF retention): change-feed
+    SIDECARS of retained commits published before the window are
+    collected even though their manifests survive — a long-ref'd or
+    deep-keep_last table stops accumulating every CDF file ever written.
+    SNAPSHOT reads of those versions are untouched (the sidecar is feed
+    state, not table state); a ``snap_read_changes_cdf`` span crossing a
+    collected commit raises the documented FileNotFoundError instead of
+    silently returning a partial feed. None (default) = sidecars live
+    exactly as long as their manifests, the pre-r14 behavior.
 
     IN-FLIGHT WRITER SAFETY: unreferenced files may belong to a commit
     that has not PUBLISHED yet — deleting them would let that commit
@@ -3647,6 +3666,13 @@ def snap_vacuum(
                 recent.add(v)
     retained = sorted(set(versions[-keep_last:]) | ref_targets | recent)
     referenced: set[str] = set()
+    cdf_expired: set[str] = set()
+    cdf_inwindow: set[str] = set()
+    cdf_cutoff = (
+        time.time() - cdf_keep_hours * 3600.0
+        if cdf_keep_hours is not None
+        else None
+    )
     for v in retained:
         rm = _read_manifest(root, v)
         # abspath: the walk below joins against the (possibly relative)
@@ -3655,9 +3681,21 @@ def snap_vacuum(
         referenced.update(
             os.path.abspath(f) for f in rm.get("dv_files") or []
         )
-        referenced.update(
-            os.path.abspath(f) for f in rm.get("cdf_files") or []
-        )
+        cdf_abs = {os.path.abspath(f) for f in rm.get("cdf_files") or []}
+        referenced.update(cdf_abs)
+        if cdf_cutoff is not None:
+            m_ts = rm.get("ts")
+            # no recorded publish instant = conservative keep
+            if m_ts is not None and m_ts < cdf_cutoff:
+                cdf_expired.update(cdf_abs)
+            else:
+                cdf_inwindow.update(cdf_abs)
+    # independent CDF retention: expired sidecars of RETAINED commits
+    # leave the referenced set, so the normal walk below collects (and
+    # dry-run counts) them — unless a younger retained manifest also
+    # references the same file (cdf sidecars are per-commit by
+    # construction; this is belt-and-braces against a future sharer)
+    referenced -= cdf_expired - cdf_inwindow
     removed = 0
     cutoff = time.time() - staged_grace_minutes * 60.0
     data_root = _data_dir(root)
