@@ -2678,6 +2678,13 @@ def test_cdf_retention_knob(spark, tmp_path):
     assert (0, 1) in got and (50, 101) in got and all(i % 10 != 5 for i, _ in got)
     with pytest.raises(FileNotFoundError, match="retention"):
         ss.snap_read_changes_cdf(spark, root, v_on).count()
+    # review-found (r14): the audit timeline must not crash on a
+    # collected sidecar — it is an EXPECTED retained-manifest state
+    hist = ss.snap_history(root)
+    assert all(h["n_change_rows"] == 0 for h in hist)
+    assert [h["version"] for h in hist] == sorted(
+        ss.snap_versions(root)
+    )
 
 
 def test_cdf_span_equals_concatenation_under_evolution(spark, tmp_path):

@@ -550,7 +550,7 @@ def test_append_uses_incremental_arrow_concat(spark, detail_mode, tmp_path, monk
     """r13: an append atop a sidecar-backed parent must NOT reconstruct
     the parent's dicts — the parent table concatenates with the new
     files' rows in the arrow domain. Pinned by making the dict-rebuild
-    path explode: _write_detail (full rebuild) and _detail_to_dicts
+    path explode: _detail_to_dicts (the dict-rebuild entry)
     (reconstruction) both raise, and the append still publishes with
     exact merged metadata."""
     root = str(tmp_path / "t")
@@ -563,7 +563,6 @@ def test_append_uses_incremental_arrow_concat(spark, detail_mode, tmp_path, monk
     def _boom(*a, **k):
         raise AssertionError("dict-rebuild path taken on an append")
 
-    monkeypatch.setattr(ss, "_write_detail", _boom)
     monkeypatch.setattr(ss, "_detail_to_dicts", _boom)
     v = ss.snap_commit(
         spark.range(400, 800).select(F.col("id")).repartitionByRange(4, "id"),
@@ -655,7 +654,7 @@ def test_dml_and_clone_skip_dict_reconstruction(spark, detail_mode, tmp_path, mo
     """r13: COW rewrites (merge/update/delete), dv-deletes, and clones
     atop a sidecar-backed parent carry the kept files' metadata as a
     filtered/whole arrow table — never a dict reconstruction. Pinned by
-    making _detail_to_dicts and _write_detail explode while the ops
+    making _detail_to_dicts explode while the ops
     run; results stay exact."""
     root = str(tmp_path / "t")
     df = spark.range(0, 400).select(
@@ -666,7 +665,6 @@ def test_dml_and_clone_skip_dict_reconstruction(spark, detail_mode, tmp_path, mo
     def _boom(*a, **k):
         raise AssertionError("dict-rebuild path taken on DML/clone")
 
-    monkeypatch.setattr(ss, "_write_detail", _boom)
     monkeypatch.setattr(ss, "_detail_to_dicts", _boom)
     ss.snap_merge(
         spark,
@@ -1182,3 +1180,40 @@ def test_deferred_append_never_materializes_path_list(
     assert ss.snap_count(root) == 400
     m = ss._read_manifest(root, v)
     assert len(m["files"]) == 4 and set(m["file_stats"]) == set(m["files"])
+
+
+def test_shared_part_vanishing_mid_append_is_retryable(
+    spark, detail_mode, tmp_path
+):
+    """Review-found (r14): an incremental append shares the parent's
+    parts by name, so a vacuum race can make the pre-publish verify see
+    a missing part. _publish_commit must surface that as the retryable
+    SnapshotConflict (what snap_commit_with_retry catches) and remove
+    the loser's staged data — never a bare FileNotFoundError plus a
+    leaked commit dir."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(
+        spark.range(0, 200).select(F.col("id")).repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    # sweep the parent's part out from under the coming append
+    m = ss._read_manifest(root, 0)
+    for p in m._part_paths():
+        os.remove(p)
+    ss._detail_cache.clear()
+    data_before = {
+        d for d in os.listdir(os.path.join(ss._manifest_dir(root), "..", "data"))
+    }
+    with pytest.raises(ss.SnapshotConflict, match="vanished|vacuum"):
+        ss.snap_commit(
+            spark.range(200, 300).select(F.col("id")).repartition(1),
+            root,
+            stats_cols=["id"],
+        )
+    # the loser's staged commit dir was cleaned up
+    data_after = {
+        d for d in os.listdir(os.path.join(ss._manifest_dir(root), "..", "data"))
+    }
+    assert data_after == data_before
+    assert ss.snap_current_version(root) == 0

@@ -262,9 +262,11 @@ def run(n_files: int, spark=None) -> None:
                     st_, bl, me = ss._detail_to_dicts(parent._table())
                     st_.update(new_part["file_stats"])
                     me.update(new_part["file_meta"])
-                    ss._write_detail(
+                    pq.write_table(
+                        ss._detail_table_from_dicts(
+                            {"file_stats": st_, "file_blooms": bl, "file_meta": me}
+                        ),
                         os.path.join(root, "_y.detail.parquet"),
-                        {"file_stats": st_, "file_blooms": bl, "file_meta": me},
                     )
 
                 t_inc, _ = _t(_append_incremental)

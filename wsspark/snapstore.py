@@ -252,16 +252,6 @@ def _bloom_hex_to_words(hx: str) -> list[int]:
     return [int(hx[i : i + 16], 16) for i in range(0, len(hx), 16)]
 
 
-def _write_detail(path: str, manifest: dict) -> None:
-    """One parquet row per data file: exact round-trip columns
-    (``stats_json`` per file, bloom words, rows/bytes) plus the typed
-    prune index (``smin``/``smax`` structs). Written with pyarrow on the
-    driver — the sidecar is metadata-plane, not a Spark job."""
-    import pyarrow.parquet as pq
-
-    pq.write_table(_detail_table_from_dicts(manifest), path)
-
-
 def _detail_table_from_dicts(manifest: dict, paths: list[str] | None = None):
     """The sidecar arrow table for a manifest's detail dicts.
 
@@ -659,6 +649,25 @@ def _materialize(m: dict) -> dict:
     return d
 
 
+def _parts_fallback_to_dicts(
+    parent_parts, deferred, files, materialize_files, merge_parent_dicts, mdir
+):
+    """Shared fallback for the two paths that must abandon the
+    incremental part chain (out-of-universe dict entries; the inline
+    threshold rising past the table size): materialize the path list if
+    it was deferred, reconstruct the parent dicts from the chain, and
+    merge them into the manifest. Returns the (possibly materialized)
+    file list; the caller clears parent_parts/deferred."""
+    if deferred:
+        files = materialize_files(parent_parts)
+    merge_parent_dicts(
+        *_detail_to_dicts(
+            _load_detail_parts([os.path.join(mdir, n) for n in parent_parts])
+        )
+    )
+    return files
+
+
 def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
     """The single manifest serialization point: split the per-file
     detail into parquet sidecar PARTS above the inline threshold, then
@@ -809,37 +818,31 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
                 )
                 cname = _write_part(merged)
                 # uncache the pre-compaction chain key eagerly and seed
-                # the compacted part (it IS the merged table)
+                # the compacted part (it IS the merged table) — through
+                # the same eviction loop every other insertion runs, so
+                # the cache bound holds even right after a compaction
                 _detail_cache.pop(
                     tuple(os.path.join(mdir, n) for n in part_names), None
                 )
+                while len(_detail_cache) >= _DETAIL_CACHE_MAX:
+                    _detail_cache.pop(next(iter(_detail_cache)))
                 _detail_cache[os.path.join(mdir, cname)] = merged
                 part_names = [cname]
         else:
             # a dict entry outside the new-file universe (should not
             # happen): reconstruct and take the exact dict path below
-            if deferred:
-                files = _materialize_files(parent_parts)
-                deferred = False
-            _merge_parent_dicts(
-                *_detail_to_dicts(
-                    _load_detail_parts(
-                        [os.path.join(mdir, n) for n in parent_parts]
-                    )
-                )
+            files = _parts_fallback_to_dicts(
+                parent_parts, deferred, files, _materialize_files,
+                _merge_parent_dicts, mdir,
             )
-            parent_parts = None
+            parent_parts, deferred = None, False
     elif parent_parts is not None:
         # threshold dropped below the table size: inline now required
-        if deferred:
-            files = _materialize_files(parent_parts)
-            deferred = False
-        _merge_parent_dicts(
-            *_detail_to_dicts(
-                _load_detail_parts([os.path.join(mdir, n) for n in parent_parts])
-            )
+        files = _parts_fallback_to_dicts(
+            parent_parts, deferred, files, _materialize_files,
+            _merge_parent_dicts, mdir,
         )
-        parent_parts = None
+        parent_parts, deferred = None, False
     detail_table = None
     if parent_detail is not None:
         if split:
@@ -1498,12 +1501,30 @@ def _publish_commit(
     try:
         # O_EXCL publish: exactly one committer wins version N
         _write_manifest_file(root, manifest, pre_publish=_verify_staged)
-    except StagedCommitVacuumed:
+    except (StagedCommitVacuumed, SnapshotConflict):
+        # SnapshotConflict: the shared-part post-publish re-verify lost
+        # its race (head already rolled back inside the serializer) —
+        # retryable, and the loser's staged data must not leak
         if cleanup_dir:
             import shutil
 
             shutil.rmtree(cleanup_dir, ignore_errors=True)
         raise
+    except FileNotFoundError as e:
+        # a SHARED parent part vanished before the head write: an
+        # incremental append racing a vacuum whose reference scan
+        # predates this commit. Same remediation as every other lost
+        # race — clean up and retry against the advanced store —
+        # so surface it as the retryable conflict, not a hard error
+        if cleanup_dir:
+            import shutil
+
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        raise SnapshotConflict(
+            f"a shared detail sidecar part vanished during the publish of "
+            f"version {ctx['version']} — a concurrent vacuum collected it; "
+            "reload and retry"
+        ) from e
     except FileExistsError:
         if cleanup_dir:
             import shutil
@@ -1700,9 +1721,15 @@ def snap_history(root: str) -> list[dict]:
                 "n_constraints": len(m.get("constraints", {})),
                 "cdf": m.get("cdf", False),
                 # the DML commit's recorded change-feed volume (0 for
-                # appends — their delta is the file diff, sidecar-free)
+                # appends — their delta is the file diff, sidecar-free).
+                # A sidecar collected by a cdf_keep_hours vacuum is an
+                # EXPECTED state for a retained manifest — the history
+                # view must not crash on it (span READS raise the
+                # documented error; the audit timeline just reports 0)
                 "n_change_rows": sum(
-                    _footer_meta(f)["rows"] for f in m.get("cdf_files") or []
+                    _footer_meta(f)["rows"]
+                    for f in m.get("cdf_files") or []
+                    if os.path.exists(f)
                 ),
                 "ts": m.get("ts"),
             }
@@ -2808,12 +2835,23 @@ def _meta_column_sum(m: dict, col: str) -> int:
         # invariant holds by construction, but a future writer violating
         # it would make snap_count/snap_bytes silently wrong while the
         # length check still passed, so verify the path sets before
-        # trusting the vectorized sum (same O(files) order as the dict
-        # fallback, pure set work) and fall back on any mismatch
+        # trusting the vectorized sum and fall back on any mismatch.
+        # The set check only defends INLINE-list heads: on a
+        # files_in_detail head the list is reconstructed from the same
+        # parts being checked (tautologically equal — a corrupted
+        # sidecar corrupts both sides, the Delta-checkpoint failure
+        # domain), so skip the O(files) set build exactly on the
+        # million-file tables this plane targets.
+        files_independent = not (
+            isinstance(m, _LazyManifest) and m._files_lazy
+        )
         if (
             len(dt) == len(m["files"])
             and pc.count(vals, mode="only_null").as_py() == 0
-            and set(dt.column("path").to_pylist()) == set(m["files"])
+            and (
+                not files_independent
+                or set(dt.column("path").to_pylist()) == set(m["files"])
+            )
         ):
             return pc.sum(vals).as_py() or 0
     meta = m.get("file_meta", {})
