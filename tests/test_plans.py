@@ -174,8 +174,13 @@ def test_asof_join_single_exchange(spark, sf_dir):
 
 def test_moving_avg_reuses_single_sort(spark, sf_dir):
     """Both window frames (ma7 + cumulative) share one orderBy — the plan
-    must contain a single Window sort, not one per frame."""
-    plan = plan_of(build_registry()["moving_avg_trends"].fn(spark, sf_dir))
+    must contain a single Window sort, not one per frame.
+    moving_avg_trends retired to the folded tier in r14; the plan
+    discipline still holds, so the query comes from FOLDED_QUERIES."""
+    from wsspark.queries.llm import FOLDED_QUERIES
+
+    q = {f.name: f for f in FOLDED_QUERIES}["moving_avg_trends"]
+    plan = plan_of(q.fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan
     # singlepartition window: exactly one Exchange SinglePartition for both frames
     assert plan.count("Exchange SinglePartition") <= 1, plan
