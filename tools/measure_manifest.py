@@ -296,6 +296,82 @@ def run(n_files: int, spark=None) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def run_commit(n_files: int, spark) -> None:
+    """The r15 rung: the INITIAL commit's metadata pass, legacy driver
+    collection vs the distributed snapdist path, over the SAME real
+    data files (written once via maxRecordsPerFile). Each pass is timed
+    end-to-end over the identical commit dir — the Spark scans are
+    common, so the delta is exactly the driver term under test: the
+    legacy O(N x cols) collect + O(N) footer sweep + driver arrow build
+    vs the distributed pass's O(parts) summary. The phases split out:
+    legacy_driver_s is the pure post-collect driver work (dict build +
+    footer sweep + arrow serialize), the part that grows without bound.
+    """
+    from pyspark.sql import functions as F
+
+    rows_per_file = 40
+    df = spark.range(n_files * rows_per_file).select(
+        F.col("id"),
+        (F.col("id") % 9973).cast("string").alias("s"),
+        (F.col("id").cast("double") / 7).alias("x"),
+    )
+    old_max = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(rows_per_file))
+    commit_dir = tempfile.mkdtemp(prefix="commit-data-")
+    mdir = tempfile.mkdtemp(prefix="commit-mdir-")
+    try:
+        df.repartition(8).write.mode("overwrite").parquet(commit_dir)
+        new_files = ss._list_parquet(commit_dir)
+        stats_cols, bloom_cols = ["id", "x"], ["s"]
+
+        def legacy():
+            st = ss._collect_file_stats(spark, commit_dir, stats_cols)
+            bl = ss._collect_file_blooms(
+                spark, commit_dir, bloom_cols, N_BITS, K
+            )
+            t0 = time.perf_counter()
+            meta = {f: ss._footer_meta(f) for f in new_files}
+            table = ss._detail_table_from_dicts(
+                {"file_stats": st, "file_blooms": bl, "file_meta": meta},
+                paths=new_files,
+            )
+            import pyarrow.parquet as pq
+
+            pq.write_table(table, os.path.join(mdir, "legacy.detail.parquet"))
+            return time.perf_counter() - t0  # driver-only tail
+
+        def distributed():
+            from wsspark.snapdist import build_detail_parts_distributed
+
+            res = build_detail_parts_distributed(
+                spark, commit_dir, new_files, stats_cols, bloom_cols,
+                N_BITS, K, mdir, 0,
+            )
+            assert res is not None
+            names, ordered = res
+            assert len(ordered) == len(new_files)
+            return names
+
+        t_leg, driver_tail = _t(legacy)
+        t_dist, names = _t(distributed)
+        print(
+            json.dumps(
+                {
+                    "n_files": len(new_files),
+                    "mode": "initial_commit_metadata",
+                    "legacy_total_s": round(t_leg, 4),
+                    "legacy_driver_tail_s": round(driver_tail, 4),
+                    "distributed_total_s": round(t_dist, 4),
+                    "distributed_parts": len(names),
+                }
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old_max)
+        shutil.rmtree(commit_dir, ignore_errors=True)
+        shutil.rmtree(mdir, ignore_errors=True)
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [5000, 20000, 50000]
     spark = None
@@ -308,6 +384,8 @@ def main() -> None:
     for n in sizes:
         run(n, spark)
         run_o1(n)
+        if spark is not None:
+            run_commit(n, spark)
 
 
 if __name__ == "__main__":

@@ -219,6 +219,14 @@ def _detail_parts_max() -> int:
     return max(1, int(os.environ.get("WSSPARK_SNAP_DETAIL_PARTS_MAX", "16")))
 
 
+def _dist_commit_min() -> int:
+    """New-file count at which a fresh-detail commit switches to the
+    distributed metadata pass (``wsspark.snapdist``): the stats/bloom
+    aggregations stay a DataFrame and Spark tasks write the sidecar
+    parts. Tests pin 0 to force it; a huge value disables it."""
+    return int(os.environ.get("WSSPARK_SNAP_DISTRIBUTED_COMMIT_MIN", "20000"))
+
+
 def _pointer_names(head: dict) -> list[str]:
     """The sidecar part names a manifest head references, in
     concatenation order (legacy single-pointer heads read as one part)."""
@@ -743,6 +751,7 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
     parent_parts = manifest.pop("_parent_detail_parts", None)
     parent_detail = manifest.pop("_parent_detail", None)
     parent_exact = manifest.pop("_parent_detail_exact", False)
+    prewritten = manifest.pop("_prewritten_detail_parts", None)
     new_files = manifest.pop("_new_files", None)
     deferred_count = manifest.pop("_file_count", None)
     # a detail-carrying write never inherits stale head bookkeeping
@@ -865,6 +874,14 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
             exact = False
     manifest = _materialize(manifest)
     head = manifest
+    if prewritten is not None:
+        # Spark-task-written parts (distributed bulk commit): this call
+        # OWNS them — a failed publish removes them like driver-written
+        # ones — and their path rows were verified to concatenate to
+        # exactly the manifest's file list, so the chain is exact.
+        part_names = list(prewritten)
+        wrote.extend(part_names)
+        exact = True
     if split and not part_names:
         if detail_table is not None:
             part_names = [_write_part(detail_table)]
@@ -1406,11 +1423,19 @@ def _publish_commit(
     bloom_geometry: dict,
     new_file_meta: dict,
     cleanup_dir: str | None,
+    prewritten_parts: list[str] | None = None,
 ) -> int:
     """Shared second phase: assemble the manifest and publish it with
     O_EXCL + CURRENT advance. On a lost race the staged ``cleanup_dir``
     is removed and ``SnapshotConflict`` raised — exactly one committer
-    wins a version."""
+    wins a version.
+
+    ``prewritten_parts``: detail sidecar parts already written by Spark
+    tasks (the distributed bulk-commit rung, ``wsspark.snapdist``) whose
+    path rows concatenate to exactly ``new_files`` in order — the detail
+    dicts and the footer sweep are skipped (everything per-file already
+    rides in the parts) and the manifest publishes the pointer. On any
+    publish failure the parts are removed like driver-written ones."""
     # A long stats/bloom phase can outlive a concurrent vacuum's staged
     # grace window; publishing a manifest that references deleted files
     # would corrupt CURRENT for every reader. Verify the staged files
@@ -1426,23 +1451,34 @@ def _publish_commit(
             import shutil
 
             shutil.rmtree(cleanup_dir, ignore_errors=True)
+        for n in prewritten_parts or []:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(_manifest_dir(root), n))
         raise StagedCommitVacuumed(
             f"{len(missing)} staged file(s) vanished before publish "
             f"(first: {missing[0]}) — a concurrent snap_vacuum likely "
             "collected them; re-run the commit"
         )
-    file_stats = dict(ctx["parent_stats"])
-    file_stats.update(new_stats)
-    file_blooms = dict(ctx["parent_blooms"])
-    for path, per_col in new_blooms.items():
-        file_blooms.setdefault(path, {}).update(per_col)
     bloom_meta = dict(ctx["parent_bloom_meta"])
     bloom_meta.update(bloom_geometry)
-    # rows/bytes per file from the just-written footers (hot, no data
-    # pages) -> COUNT(*) and table-size become manifest lookups forever
-    file_meta = dict(ctx["parent_file_meta"])
-    for nf in new_files:
-        file_meta[nf] = new_file_meta.get(nf) or _footer_meta(nf)
+    if prewritten_parts is not None:
+        # distributed rung: every per-file row already rides in the
+        # Spark-written parts — no dicts, no O(files) footer sweep
+        file_stats: dict = {}
+        file_blooms: dict = {}
+        file_meta: dict = {}
+    else:
+        file_stats = dict(ctx["parent_stats"])
+        file_stats.update(new_stats)
+        file_blooms = dict(ctx["parent_blooms"])
+        for path, per_col in new_blooms.items():
+            file_blooms.setdefault(path, {}).update(per_col)
+        # rows/bytes per file from the just-written footers (hot, no
+        # data pages) -> COUNT(*) and table-size become manifest
+        # lookups forever
+        file_meta = dict(ctx["parent_file_meta"])
+        for nf in new_files:
+            file_meta[nf] = new_file_meta.get(nf) or _footer_meta(nf)
     deferred = ctx.get("parent_files") is None and "parent_file_count" in ctx
     manifest = {
         "version": ctx["version"],
@@ -1477,6 +1513,8 @@ def _publish_commit(
         # for the one-fresh-part concat in _write_manifest_file
         manifest["_parent_detail"] = ctx["parent_detail"]
         manifest["_parent_detail_exact"] = ctx.get("parent_detail_exact", False)
+    if prewritten_parts is not None:
+        manifest["_prewritten_detail_parts"] = list(prewritten_parts)
     manifest["_new_files"] = list(new_files)
     if deferred:
         manifest["_file_count"] = ctx["parent_file_count"] + len(new_files)
@@ -1635,6 +1673,53 @@ def snap_commit(
     # stay alive however long its jobs take.
     with _heartbeat(commit_dir):
         new_files = _list_parquet(commit_dir)
+        # Distributed bulk-commit rung: a FRESH-detail commit (initial
+        # build, overwrite, compact/optimize rewrite) past the threshold
+        # keeps the stats/bloom aggregations as a DataFrame, runs the
+        # exact _json_stat/_widen_float Python executor-side, and has
+        # Spark tasks write the sidecar parts — no O(files x cols)
+        # driver collection, no O(files) footer sweep. Appends atop a
+        # sidecar parent already pay only O(new files) and stay on the
+        # incremental path.
+        if (
+            new_files
+            and len(new_files) >= _dist_commit_min()
+            and len(new_files) > _detail_inline_max()
+            and not ctx.get("parent_files")
+            and "parent_detail_parts" not in ctx
+            and "parent_detail" not in ctx
+        ):
+            from wsspark.snapdist import build_detail_parts_distributed
+
+            dist = build_detail_parts_distributed(
+                df.sparkSession,
+                commit_dir,
+                new_files,
+                list(stats_cols or []),
+                list(bloom_cols or []),
+                bloom_bits,
+                bloom_k,
+                _manifest_dir(root),
+                ctx["version"],
+            )
+            if dist is not None:
+                part_names, files_ordered = dist
+                return _publish_commit(
+                    root,
+                    ctx,
+                    mode,
+                    tag,
+                    files_ordered,
+                    {},
+                    {},
+                    {
+                        c: {"n_bits": bloom_bits, "k": bloom_k}
+                        for c in (bloom_cols or [])
+                    },
+                    {},
+                    cleanup_dir=commit_dir,
+                    prewritten_parts=part_names,
+                )
         new_stats: dict = {}
         if stats_cols and new_files:
             new_stats = _collect_file_stats(
