@@ -299,7 +299,12 @@ def test_large_orders_scale_safe_build_sides(spark, sf_dir):
     try:
         for k in saved:
             spark.conf.set(k, "-1")
-        plan = plan_of(build_registry()["large_orders"].fn(spark, sf_dir))
+        # large_orders retired to the folded tier in r15; the broadcast
+        # discipline still holds, so the query comes from FOLDED_QUERIES.
+        from wsspark.queries.llm import FOLDED_QUERIES
+
+        q = {f.name: f for f in FOLDED_QUERIES}["large_orders"]
+        plan = plan_of(q.fn(spark, sf_dir))
     finally:
         for k, v in saved.items():
             if v is not None:

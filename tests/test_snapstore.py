@@ -2729,3 +2729,103 @@ def test_cdf_span_equals_concatenation_under_evolution(spark, tmp_path):
         if r._change_type == "update_postimage"
     }
     assert (100, 211, "x") in post and (0, 11, None) in post
+
+
+def test_unrelated_fnf_is_not_blamed_on_vacuum(spark, tmp_path, monkeypatch):
+    """r15 advisor fix: only the TYPED shared-part race
+    (_SharedPartVanished) converts to the retryable SnapshotConflict.
+    An FNF raised while every shared part still exists (persistent
+    corruption, an unrelated missing file) must propagate as the hard
+    error it is — retrying would re-write data forever against damage
+    no retry can fix."""
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "0")
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_PARTS_MAX", "1")
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i) for i in range(50)], "id long, v long")
+    ss.snap_commit(df.coalesce(2), root, stats_cols=["id"])
+    real = ss._load_detail_parts
+
+    def corrupt(paths):
+        raise FileNotFoundError("synthetic corruption: unrelated file")
+
+    # chain length 2 > parts_max 1 -> the append compacts, hitting the
+    # patched loader while all parts are INTACT on disk
+    monkeypatch.setattr(ss, "_load_detail_parts", corrupt)
+    with pytest.raises(FileNotFoundError):
+        try:
+            ss.snap_commit(df.coalesce(1), root, stats_cols=["id"])
+        except ss.SnapshotConflict as e:
+            raise AssertionError(
+                f"corruption FNF was misdiagnosed as a vacuum race: {e}"
+            ) from e
+    monkeypatch.setattr(ss, "_load_detail_parts", real)
+    # the failed publish left nothing behind (cleanup ran) and the store
+    # stays usable after the hard error surfaced
+    assert ss.snap_count(root) == 50
+    ss.snap_commit(df.coalesce(1), root, stats_cols=["id"])
+    assert ss.snap_count(root) == 100
+
+
+def test_partially_collected_cdf_reports_zero(spark, tmp_path):
+    """r15 advisor fix: a commit whose CDF sidecar set is only PARTIALLY
+    present (crash mid-vacuum) reports 0 change rows in snap_history —
+    never a silently smaller count summed over the survivors."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(100)], "id long, val long"
+    ).coalesce(2)
+    ss.snap_commit(df, root)
+    ss.snap_enable_cdf(root)
+    ss.snap_update_where(spark, root, "id % 10 = 0", {"val": "val + 1"})
+    v = ss.snap_current_version(root)
+    head_path = ss._manifest_path(root, v)
+    with open(head_path) as f:
+        head = json.load(f)
+    assert head.get("cdf_files"), "update commit records cdf sidecars"
+    full = next(
+        r for r in ss.snap_history(root) if r["version"] == v
+    )["n_change_rows"]
+    assert full > 0
+    # fabricate the partial state: one surviving sidecar + one collected
+    head["cdf_files"] = list(head["cdf_files"]) + [
+        os.path.join(root, "_manifests", "gone.cdf.parquet")
+    ]
+    tmp = head_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(head, f)
+    os.replace(tmp, head_path)
+    partial = next(
+        r for r in ss.snap_history(root) if r["version"] == v
+    )["n_change_rows"]
+    assert partial == 0
+
+
+def test_metadata_thresholds_are_context_local(spark, tmp_path):
+    """r15 advisor fix: snap_metadata_thresholds overrides are scoped to
+    the calling context — a concurrent committer thread keeps the
+    process defaults instead of silently inheriting forced O(1)-head
+    mode (the old env-mutation hazard)."""
+    import threading
+
+    seen: dict = {}
+
+    def other_thread():
+        seen["files"] = ss._files_inline_max()
+        seen["detail"] = ss._detail_inline_max()
+
+    with ss.snap_metadata_thresholds(detail_inline_max=0, files_inline_max=0):
+        assert ss._files_inline_max() == 0
+        assert ss._detail_inline_max() == 0
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+    assert seen["files"] == 10000 and seen["detail"] == 512
+    assert ss._files_inline_max() == 10000  # reset on exit
+    # and the override actually drives a commit into O(1)-head mode
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    with ss.snap_metadata_thresholds(detail_inline_max=0, files_inline_max=0):
+        ss.snap_commit(df.coalesce(2), root, stats_cols=["id"])
+    head = json.load(open(ss._manifest_path(root, 0)))
+    assert head.get("files_in_detail") and "files" not in head
+    assert ss.snap_count(root) == 20

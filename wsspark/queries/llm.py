@@ -2413,7 +2413,6 @@ def q_snapstore_pruned_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     false prune drop all go hash-red; the bench row (q33) makes a
     metadata-plane slowdown a tracked wall-clock regression instead of
     a tool-only number."""
-    import os as _os
     import shutil
     import tempfile
 
@@ -2423,24 +2422,28 @@ def q_snapstore_pruned_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
     )
     root = tempfile.mkdtemp(prefix="snapbig-")
-    old_env = _os.environ.get("WSSPARK_SNAP_FILES_INLINE_MAX")
-    _os.environ["WSSPARK_SNAP_FILES_INLINE_MAX"] = "0"
+    # Scoped O(1)-head forcing: contextvar-local, so a concurrent
+    # snapstore commit elsewhere in this driver keeps the defaults
+    # (mutating the env var here would silently flip its metadata mode).
     try:
-        ss.snap_commit(
-            li.repartitionByRange(600, "l_orderkey"),
-            root,
-            stats_cols=["l_orderkey"],
-        )
-        dup = li.filter(F.col("l_orderkey") <= 16).withColumn(
-            "l_quantity", F.lit(5.0)
-        )
-        ss.snap_commit(dup.repartition(1), root, stats_cols=["l_orderkey"])
-        ss.snap_update_where(
-            spark, root, "l_orderkey <= 32", {"l_quantity": "999.0"}
-        )
-        ss.snap_delete_dv(
-            spark, root, "l_orderkey > 32 AND l_orderkey <= 64"
-        )
+        with ss.snap_metadata_thresholds(files_inline_max=0):
+            ss.snap_commit(
+                li.repartitionByRange(600, "l_orderkey"),
+                root,
+                stats_cols=["l_orderkey"],
+            )
+            dup = li.filter(F.col("l_orderkey") <= 16).withColumn(
+                "l_quantity", F.lit(5.0)
+            )
+            ss.snap_commit(
+                dup.repartition(1), root, stats_cols=["l_orderkey"]
+            )
+            ss.snap_update_where(
+                spark, root, "l_orderkey <= 32", {"l_quantity": "999.0"}
+            )
+            ss.snap_delete_dv(
+                spark, root, "l_orderkey > 32 AND l_orderkey <= 64"
+            )
         out = (
             ss.snap_read_between(spark, root, "l_orderkey", 1, 6400)
             .groupBy("l_returnflag")
@@ -2454,10 +2457,6 @@ def q_snapstore_pruned_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = _collect_capped(out)
     finally:
-        if old_env is None:
-            _os.environ.pop("WSSPARK_SNAP_FILES_INLINE_MAX", None)
-        else:
-            _os.environ["WSSPARK_SNAP_FILES_INLINE_MAX"] = old_env
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
 
@@ -4643,9 +4642,28 @@ QUERIES = [
           "PSI drift report between two snapshots (numeric + categorical)"),
     Query("quality_gate_auc", q_quality_gate_auc, _auc_sql(),
           "exact tie-aware ROC-AUC of the quality gate score"),
-    Query("snapstore_zorder_nd_read", q_snapstore_zorder_nd_read,
-          SNAPSTORE_ZORDER_ND_SQL,
-          "K-D ZORDER roundtrip through the 3-range intersected read"),
+    # snapstore_zorder_nd_read retired to the folded tier in r15 (slot
+    # swap — see FOLDED_QUERIES); implementation + SQL stay here.
+    # PROMOTED r15 (slot swap): six folded queries that had never seen
+    # the driver gate take the slots of six retired redundant siblings
+    # (snapstore_zorder_nd_read, large_orders, small_quantity_revenue,
+    # order_priority_counts, returned_top_customers, nation_market_share
+    # — all folded below with rationale).
+    Query("snapstore_pruned_dml_read", q_snapstore_pruned_dml_read,
+          SNAPSTORE_PRUNED_DML_SQL,
+          "O(1)-head multipart store: append + pruned DML + pruned read"),
+    Query("bm25_search", q_bm25_search, BM25_SQL,
+          "Okapi BM25 top-k more-like-this ranking"),
+    Query("token_heavy_hitters", q_token_heavy_hitters,
+          TOKEN_HEAVY_HITTERS_SQL,
+          "exact frequent tokens via sketch-candidates + exact verify"),
+    # (movement_cube is appended after the late `core` import below —
+    # same r15 promotion batch; registry order is cosmetic, the driver
+    # window orders by LAST_GREEN.)
+    Query("warehouse_hop_distances", q_warehouse_hop_distances, SSSP_SQL,
+          "multi-source BFS hop distances over transfer routes"),
+    Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,
+          "per-group correlation matrix in one aggregation"),
     # Promoted folded -> registry (r12 slot swap; see FOLDED_QUERIES doc):
     # the r11 table-format DML wave (dv-delete, COW update, WAP) and the
     # KS drift statistic now run under the DRIVER's DuckDB gate; the
@@ -4721,13 +4739,12 @@ def _folded_core():
         Query("lifo_valuation", core.q_lifo_valuation, core.LIFO_VALUATION_SQL,
               "LIFO valuation: newest-first consumption over dated receipt "
               "layers (M4 LIFO)"),
-        # Folded r7 (incremental_mv_refresh took its slot): CUBE and ROLLUP
-        # share the single-shuffle grouping-sets expansion — same adapter
-        # frame, same measures, Catalyst's Expand in both plans. (r13:
-        # movement_rollup itself retired to this tier; both grouping-set
-        # variants now keep their hash checks here.)
-        Query("movement_cube", core.q_movement_cube, core.CUBE_SQL,
-              "CUBE grouping-set marginals in one shuffle"),
+        # (r7 note: CUBE and ROLLUP share the single-shuffle grouping-sets
+        # expansion — same adapter frame, same measures, Catalyst's Expand
+        # in both plans. r13: movement_rollup retired to this tier; r15:
+        # movement_cube PROMOTED to the registry, so the grouping-sets
+        # shape runs under the driver's gate while ROLLUP keeps its hash
+        # check here via movement_rollup.)
         # Folded r7 (pagerank_transfer_routes took its slot): peak_month is
         # the calendar twin of the registered peak_day_of_week — same
         # trends->label->group->avg pipeline (ops/movements.py A11/W3),
@@ -4867,6 +4884,13 @@ from wsspark.queries.tpch import (  # noqa: E402
 # implementations + SQL twins.
 from wsspark.queries import core, streamq, tpch  # noqa: E402
 
+# PROMOTED r15 (slot swap, with the five llm-local promotions above):
+# the only grouping-sets shape in the registry, under the driver's gate.
+QUERIES.append(
+    Query("movement_cube", core.q_movement_cube, core.CUBE_SQL,
+          "CUBE grouping-set marginals in one shuffle")
+)
+
 FOLDED_QUERIES = [
     # Retired registry -> folded (r11 slot swap): three redundant family
     # members gave their driver slots to snapshot_drift_report /
@@ -4950,10 +4974,8 @@ FOLDED_QUERIES = [
     # lossless by anti-monotone support (re-proved by pytest equality).
     Query("frequent_part_pairs", q_frequent_part_pairs, FREQUENT_PAIRS_SQL,
           "frequent co-ordered part pairs with support + lift"),
-    # Born folded (r9): Bellman-Ford SSSP over the transfer graph; the
-    # twin unrolls the relaxation rounds (idempotent past convergence).
-    Query("warehouse_hop_distances", q_warehouse_hop_distances, SSSP_SQL,
-          "fewest transfer legs from the hub warehouse to each node"),
+    # (r9-born warehouse_hop_distances — Bellman-Ford SSSP, twin unrolls
+    # the relaxation rounds — PROMOTED to the registry in r15.)
     # Born folded (r9): one-scan multi-FK orphan audit, the cross-table
     # member of the expectation family.
     Query("fk_integrity_report", q_fk_integrity_report, FK_INTEGRITY_SQL,
@@ -5078,10 +5100,8 @@ FOLDED_QUERIES = [
           "TPC-H Q11 shape: HAVING vs a global scalar, cents-exact"),
     Query("bulk_part_suppliers", q_bulk_part_suppliers, BULK_SUPPLIERS_SQL,
           "TPC-H Q20 shape: nested semi-joins, no correlated re-scan"),
-    # Born folded (r9): pairwise Pearson matrix from one aggregation of
-    # exact decimal sums; twin mirrors the double shapes on HUGEINTs.
-    Query("price_corr_matrix", q_price_corr_matrix, PRICE_CORR_SQL,
-          "per-group correlation matrix in one aggregation"),
+    # (r9-born price_corr_matrix — pairwise Pearson from one aggregation
+    # of exact decimal sums — PROMOTED to the registry in r15.)
     # Folded r7 (semantic_dedup_survivors took its slot): the registered
     # corpus_dedup_stats scorecard consumes exact_dedup_groups verbatim
     # (its exact-dup layer IS this query's frame) and the registered
@@ -5121,11 +5141,8 @@ FOLDED_QUERIES = [
     # the driver's own hash machinery against the plain-join oracle.
     Query("bloom_pruned_join", q_bloom_pruned_join, BLOOM_PRUNED_JOIN_SQL,
           "bloom probe-side pruned inner join == plain join"),
-    # Added r9: the fourth sketch family (frequent items) — candidates
-    # from freqItems, exact verify pass, exact DuckDB twin.
-    Query("token_heavy_hitters", q_token_heavy_hitters,
-          TOKEN_HEAVY_HITTERS_SQL,
-          "exact frequent tokens via sketch-candidates + exact verify"),
+    # (r9-added token_heavy_hitters — freqItems candidates + exact
+    # verify — PROMOTED to the registry in r15.)
     # Added r9: the train-free embedding LSH family (llmops/srp). The
     # signature projection is the family's entire numeric surface (band
     # keys are bit slices of it; candidates are an equi-join on them), so
@@ -5146,9 +5163,9 @@ FOLDED_QUERIES = [
     # the text side of the retrieval pair whose vector side is the ANN
     # ladder. Ranks order by 6dp-rounded scores so the full pipelines
     # (postings -> idf -> tf-norm -> top-k; + cosine leg + RRF) are
-    # exactly SQL-expressible and hash-checked end to end.
-    Query("bm25_search", q_bm25_search, BM25_SQL,
-          "Okapi BM25 top-k more-like-this ranking"),
+    # exactly SQL-expressible and hash-checked end to end. (r15:
+    # bm25_search PROMOTED to the registry; the RRF fusion stage keeps
+    # its hash check here.)
     Query("hybrid_related_docs", q_hybrid_related_docs, HYBRID_SQL,
           "BM25 + cosine reciprocal-rank-fusion hybrid retrieval"),
     # Retired registry -> folded (r14 slot swap): four redundant family
@@ -5170,13 +5187,50 @@ FOLDED_QUERIES = [
     #  * streaming_daily_counts: tumbling-window counts; the identical
     #    watermark+window machinery is registered via
     #    streaming_segment_counts and streaming_sessionize.
-    # Born folded (r14): the metadata-plane lifecycle row — O(1)-head
-    # 600-file store, deferred multipart append, pruned COW update, DV
-    # delete, pruned range read. Benched as q33 (the plane's wall-clock
-    # tripwire); the folded hash replays the relational twin per session.
-    Query("snapstore_pruned_dml_read", q_snapstore_pruned_dml_read,
-          SNAPSTORE_PRUNED_DML_SQL,
-          "O(1)-head multipart store: append + pruned DML + pruned read"),
+    # (r14-born snapstore_pruned_dml_read — the metadata-plane lifecycle
+    # row, benched as q33 — PROMOTED to the registry in r15.)
+    # Retired registry -> folded (r15 slot swap): six redundant family
+    # members gave their driver slots to snapstore_pruned_dml_read /
+    # bm25_search / token_heavy_hitters / movement_cube /
+    # warehouse_hop_distances / price_corr_matrix (none of which had
+    # ever held a driver row). Each retiree's machinery stays
+    # driver-verified through registered siblings; the folded oracle
+    # hash replays every session:
+    #  * snapstore_zorder_nd_read: the K-D interleave variant; the
+    #    registered snapstore_optimize_read re-verifies the OPTIMIZE
+    #    ZORDER -> pruned-read roundtrip every rotation.
+    #  * large_orders (Q18): HAVING-collapsed fact + join-back; the
+    #    registered top_unshipped_orders keeps the selective
+    #    join+agg+top-k fact shape, parts_never_sold the anti-join leg.
+    #  * small_quantity_revenue (Q17): correlated-avg-as-window; the
+    #    registered exact_price_quantiles and brand_price_quantiles keep
+    #    the per-group threshold-window machinery.
+    #  * order_priority_counts (Q4): EXISTS/left_semi; late_sole_supplier
+    #    stays registered (Q21, the family's hardest EXISTS/NOT-EXISTS
+    #    pair) and parts_never_sold keeps the anti side.
+    #  * returned_top_customers (Q10): returned-revenue top-k over
+    #    broadcast dims == top_unshipped_orders' registered shape with a
+    #    flag filter.
+    #  * nation_market_share (Q8): conditional-share aggregation;
+    #    promo_revenue_share (the same conditional-share shape) and
+    #    nation_year_margin (Q9 margin rollup) stay registered.
+    Query("snapstore_zorder_nd_read", q_snapstore_zorder_nd_read,
+          SNAPSTORE_ZORDER_ND_SQL,
+          "K-D ZORDER roundtrip through the 3-range intersected read"),
+    Query("large_orders", tpch.q_large_orders, tpch.LARGE_ORDERS_SQL,
+          "TPC-H Q18-shape HAVING-collapsed fact + broadcast join-back"),
+    Query("small_quantity_revenue", tpch.q_small_quantity_revenue,
+          tpch.SMALL_QTY_SQL,
+          "TPC-H Q17-shape correlated subquery rewritten as one window pass"),
+    Query("order_priority_counts", tpch.q_order_priority_counts,
+          tpch.ORDER_PRIORITY_SQL,
+          "TPC-H Q4-shape EXISTS/left_semi join"),
+    Query("returned_top_customers", tpch.q_returned_top_customers,
+          tpch.RETURNED_SQL,
+          "TPC-H Q10-shape returned-revenue top-k over broadcast dims"),
+    Query("nation_market_share", tpch.q_nation_market_share,
+          tpch.MKT_SHARE_SQL,
+          "TPC-H Q8-shape conditional-share per year, single pass"),
     Query("doc_fingerprint_candidates", q_doc_fingerprint_candidates,
           FINGERPRINT_CAND_SQL,
           "winnowing fingerprint candidate pairs (portable hash)"),

@@ -933,16 +933,14 @@ QUERIES = [
           "TPC-H Q3-shape selective join + pinned top-k"),
     Query("local_supplier_volume", q_local_supplier_volume, VOLUME_SQL,
           "TPC-H Q5-shape 5-way broadcast join chain"),
-    Query("order_priority_counts", q_order_priority_counts, ORDER_PRIORITY_SQL,
-          "TPC-H Q4-shape EXISTS/left_semi join"),
+    # order_priority_counts retired to the folded tier in r15 (slot swap —
+    # see llm.py FOLDED_QUERIES); implementation + SQL stay here.
     Query("promo_revenue_share", q_promo_revenue_share, PROMO_SQL,
           "TPC-H Q14-shape conditional agg over broadcast join"),
     Query("parts_never_sold", q_parts_never_sold, PARTS_NEVER_SOLD_SQL,
           "left_anti set-difference rollup"),
-    Query("returned_top_customers", q_returned_top_customers, RETURNED_SQL,
-          "TPC-H Q10-shape returned-revenue top-k over broadcast dims"),
-    Query("small_quantity_revenue", q_small_quantity_revenue, SMALL_QTY_SQL,
-          "TPC-H Q17-shape correlated subquery rewritten as one window pass"),
+    # returned_top_customers retired to the folded tier in r15 (slot swap).
+    # small_quantity_revenue retired to the folded tier in r15 (slot swap).
     Query("customer_order_distribution", q_customer_order_distribution,
           CUSTDIST_SQL,
           "TPC-H Q13-shape outer-join order-count distribution"),
@@ -952,14 +950,12 @@ QUERIES = [
     # see llm.py FOLDED_QUERIES); implementation + SQL stay here.
     Query("nation_year_margin", q_nation_year_margin, NATION_MARGIN_SQL,
           "TPC-H Q9-shape margin rollup, cents-exact sum difference"),
-    Query("large_orders", q_large_orders, LARGE_ORDERS_SQL,
-          "TPC-H Q18-shape HAVING-collapsed fact + broadcast join-back"),
+    # large_orders retired to the folded tier in r15 (slot swap).
     Query("top_supplier_revenue", q_top_supplier_revenue, TOP_SUPPLIER_SQL,
           "TPC-H Q15-shape argmax via window over one aggregate pass"),
     Query("bracketed_part_revenue", q_bracketed_part_revenue, BRACKETED_SQL,
           "TPC-H Q19-shape OR-of-ANDs bracket predicate revenue"),
-    Query("nation_market_share", q_nation_market_share, MKT_SHARE_SQL,
-          "TPC-H Q8-shape conditional-share per year, single pass"),
+    # nation_market_share retired to the folded tier in r15 (slot swap).
 ]
 
 

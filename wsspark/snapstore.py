@@ -67,6 +67,7 @@ publishing, in ~150 lines a reviewer can actually audit.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import json
 import re
 import os
@@ -88,6 +89,15 @@ class StagedCommitVacuumed(RuntimeError):
     before the manifest published (the stats/bloom jobs outlived the vacuum
     grace window). Retryable: the data must be re-written, which is exactly
     what ``snap_commit_with_retry`` does per attempt."""
+
+
+class _SharedPartVanished(FileNotFoundError):
+    """A SHARED parent detail-sidecar part disappeared during a manifest
+    publish — a concurrent vacuum whose reference scan predates this
+    commit collected it. Raised ONLY by the shared-part touch/verify
+    hooks so ``_publish_commit`` can convert exactly this race (and not
+    an unrelated FileNotFoundError — e.g. persistent store corruption,
+    which must surface hard) into the retryable ``SnapshotConflict``."""
 
 
 def _manifest_dir(root: str) -> str:
@@ -199,10 +209,47 @@ _DETAIL_HEAD_KEYS = (
 )
 
 
+_detail_inline_override: "contextvars.ContextVar[int | None]" = (
+    contextvars.ContextVar("wsspark_detail_inline_max", default=None)
+)
+_files_inline_override: "contextvars.ContextVar[int | None]" = (
+    contextvars.ContextVar("wsspark_files_inline_max", default=None)
+)
+
+
+@contextlib.contextmanager
+def snap_metadata_thresholds(
+    detail_inline_max: int | None = None, files_inline_max: int | None = None
+):
+    """Scoped override of the metadata-plane thresholds for the commits
+    published inside the block — the supported way for a query or test
+    to force sidecar / O(1)-head mode. Context-local (contextvars), so a
+    CONCURRENT commit on another thread keeps the process defaults —
+    unlike mutating WSSPARK_SNAP_*_MAX env vars, which would silently
+    switch every in-flight committer's metadata mode."""
+    tokens = []
+    if detail_inline_max is not None:
+        tokens.append(
+            (_detail_inline_override, _detail_inline_override.set(detail_inline_max))
+        )
+    if files_inline_max is not None:
+        tokens.append(
+            (_files_inline_override, _files_inline_override.set(files_inline_max))
+        )
+    try:
+        yield
+    finally:
+        for var, token in tokens:
+            var.reset(token)
+
+
 def _detail_inline_max() -> int:
     """File-count threshold above which a commit's per-file metadata
     moves to the parquet sidecar (env-overridable; tests pin it to 0 to
     force sidecar mode on small tables)."""
+    o = _detail_inline_override.get()
+    if o is not None:
+        return o
     return int(os.environ.get("WSSPARK_SNAP_DETAIL_INLINE_MAX", "512"))
 
 
@@ -210,6 +257,9 @@ def _files_inline_max() -> int:
     """File-count threshold above which the PATH LIST also leaves the
     JSON head (``files_in_detail``) — requires ``detail_exact``. Above
     this, head size and head-read time are O(1) in the file count."""
+    o = _files_inline_override.get()
+    if o is not None:
+        return o
     return int(os.environ.get("WSSPARK_SNAP_FILES_INLINE_MAX", "10000"))
 
 
@@ -714,7 +764,7 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
             with contextlib.suppress(OSError):
                 os.utime(shared, None)
             if not os.path.exists(shared):
-                raise FileNotFoundError(
+                raise _SharedPartVanished(
                     f"detail sidecar {name} vanished before the manifest "
                     "publish — a concurrent vacuum collected it; re-run "
                     "against the current version"
@@ -781,6 +831,23 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
     exact = False
     wrote: list[str] = []  # parts THIS call wrote — cleaned up on failure
 
+    def _read_shared(fn, parts):
+        # Parent-part reads (compaction fold, dict fallbacks) can lose
+        # the same vacuum race the touch-verify hook guards: type the
+        # FNF as _SharedPartVanished ONLY when a genuinely shared part
+        # is gone, so _publish_commit retries the race while unrelated
+        # FileNotFoundErrors (corruption) stay hard errors.
+        try:
+            return fn()
+        except FileNotFoundError as e:
+            if any(
+                n not in wrote
+                and not os.path.exists(os.path.join(mdir, n))
+                for n in parts
+            ):
+                raise _SharedPartVanished(str(e)) from e
+            raise
+
     def _write_part(table) -> str:
         import pyarrow.parquet as pq
 
@@ -821,9 +888,15 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
             if len(part_names) > _detail_parts_max():
                 # compaction rung: fold the chain into ONE part (reads
                 # O(files) once per parts_max appends — Delta's
-                # every-N-commits checkpoint amortization)
-                merged = _load_detail_parts(
-                    [os.path.join(mdir, n) for n in part_names]
+                # every-N-commits checkpoint amortization). A parent
+                # part vanishing DURING this read is the same
+                # vacuum-race as the touch-verify case — typed so the
+                # caller retries it, while unrelated FNFs stay hard.
+                merged = _read_shared(
+                    lambda: _load_detail_parts(
+                        [os.path.join(mdir, n) for n in part_names]
+                    ),
+                    part_names,
                 )
                 cname = _write_part(merged)
                 # uncache the pre-compaction chain key eagerly and seed
@@ -840,16 +913,22 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
         else:
             # a dict entry outside the new-file universe (should not
             # happen): reconstruct and take the exact dict path below
-            files = _parts_fallback_to_dicts(
-                parent_parts, deferred, files, _materialize_files,
-                _merge_parent_dicts, mdir,
+            files = _read_shared(
+                lambda: _parts_fallback_to_dicts(
+                    parent_parts, deferred, files, _materialize_files,
+                    _merge_parent_dicts, mdir,
+                ),
+                parent_parts,
             )
             parent_parts, deferred = None, False
     elif parent_parts is not None:
         # threshold dropped below the table size: inline now required
-        files = _parts_fallback_to_dicts(
-            parent_parts, deferred, files, _materialize_files,
-            _merge_parent_dicts, mdir,
+        files = _read_shared(
+            lambda: _parts_fallback_to_dicts(
+                parent_parts, deferred, files, _materialize_files,
+                _merge_parent_dicts, mdir,
+            ),
+            parent_parts,
         )
         parent_parts, deferred = None, False
     detail_table = None
@@ -1548,12 +1627,15 @@ def _publish_commit(
 
             shutil.rmtree(cleanup_dir, ignore_errors=True)
         raise
-    except FileNotFoundError as e:
+    except _SharedPartVanished as e:
         # a SHARED parent part vanished before the head write: an
         # incremental append racing a vacuum whose reference scan
         # predates this commit. Same remediation as every other lost
-        # race — clean up and retry against the advanced store —
-        # so surface it as the retryable conflict, not a hard error
+        # race — clean up and retry against the advanced store — so
+        # surface it as the retryable conflict. ONLY the typed race is
+        # converted: any other FileNotFoundError (persistent corruption,
+        # an unrelated missing file) propagates as the hard error it is
+        # instead of being blamed on a vacuum and retried forever.
         if cleanup_dir:
             import shutil
 
@@ -1810,11 +1892,20 @@ def snap_history(root: str) -> list[dict]:
                 # A sidecar collected by a cdf_keep_hours vacuum is an
                 # EXPECTED state for a retained manifest — the history
                 # view must not crash on it (span READS raise the
-                # documented error; the audit timeline just reports 0)
-                "n_change_rows": sum(
-                    _footer_meta(f)["rows"]
-                    for f in m.get("cdf_files") or []
-                    if os.path.exists(f)
+                # documented error). ANY missing sidecar zeroes the
+                # WHOLE commit's count: a partially-collected set (crash
+                # mid-vacuum) must read as "feed collected", never as a
+                # silently smaller audit number.
+                "n_change_rows": (
+                    sum(
+                        _footer_meta(f)["rows"]
+                        for f in m.get("cdf_files") or []
+                    )
+                    if all(
+                        os.path.exists(f)
+                        for f in m.get("cdf_files") or []
+                    )
+                    else 0
                 ),
                 "ts": m.get("ts"),
             }
