@@ -241,20 +241,27 @@ def main() -> None:
     from wsspark.pipeline import run_pipeline
 
     # Steady-state measurement: one discarded warmup run (whole-stage-codegen
-    # JIT adds 2-8 s of per-plan jitter on first execution), then the MEDIAN
-    # of three measured runs — r04's only apparent regressions (+0.15-0.25 s)
-    # were single-warm-run noise; a median makes variance and regression
-    # distinguishable while staying robust to one-off GC/C2 spikes.
+    # JIT adds 2-8 s of per-plan jitter on first execution), then three
+    # measured runs. Since r15 the RECORDED per-query number is the MIN of
+    # the samples, not the median: two rounds running, this host has shown
+    # ambient multi-core bursts that stamp random rows contaminated even at
+    # idle (r13/r14 adjudication prose, closed by checkout bisection as
+    # host drift) — contention noise is strictly ADDITIVE, so the minimum
+    # is the unbiased idle-host estimator while a median drifts with the
+    # burst rate. Median/max still ride in the dispersion sidecar so
+    # variance stays a tracked number; the artifact carries a
+    # ``methodology`` stamp so cross-round comparisons know r14-and-earlier
+    # headline numbers were medians.
     def timed(fn) -> tuple[float, float, float, float | None, bool]:
-        """(median, min, max, max_ext_cores, contaminated) — three measured
+        """(min, median, max, max_ext_cores, contaminated) — three measured
         runs after one warmup, each load-guarded.
 
-        The min/max spread is recorded so round-over-round deltas are
+        The spread is recorded so round-over-round deltas are
         adjudicable from the artifact alone: BENCH_r06 showed a uniform
         23-87% drift that turned out to be ambient host contention, but
         proving that required re-running the whole suite. With per-query
-        dispersion in the JSON, a shifted median inside the min/max envelope
-        of the previous round reads as noise; a median outside it reads as a
+        dispersion in the JSON, a shifted headline inside the envelope
+        of the previous round reads as noise; one outside it reads as a
         regression. A sample run while EXTERNAL cpu (system busy minus this
         process tree) exceeded EXT_CORES_THRESHOLD cores is discarded and
         retried after a backoff, up to 3 extra attempts per query; if the
@@ -285,8 +292,8 @@ def main() -> None:
         samples.sort()
         max_ext = round(max(ext_seen), 2) if ext_seen else None
         return (
-            round(samples[1], 3),
             round(samples[0], 3),
+            round(samples[1], 3),
             round(samples[2], 3),
             max_ext,
             contaminated,
@@ -310,9 +317,9 @@ def main() -> None:
         def record(label: str, fn) -> None:
             if only and label not in only:
                 return
-            med, lo, hi, max_ext, contaminated = timed(fn)
-            out[label] = med
-            row: dict = {"min": lo, "max": hi}
+            lo, med, hi, max_ext, contaminated = timed(fn)
+            out[label] = lo
+            row: dict = {"median": med, "max": hi}
             if max_ext is not None:
                 row["ext_cpu_max"] = max_ext
             if contaminated:
@@ -373,6 +380,35 @@ def main() -> None:
             "dispersion": dict(dispersion),
         }
 
+    # r15: the q33 sf DECADE rides in the committed artifact — the
+    # metadata plane's wall-clock claim is that it is file-count- and
+    # selectivity-bound, never table-size-bound, so its sf0.1 vs sf1
+    # slope is a tracked number regenerated every round instead of a
+    # quoted one-off. Runs only when the derived sf1 dir exists
+    # (tools/make_sf1.py) and no spot-bench subset was requested.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".testdata_sf1"),
+    )
+    sf1_labels = {
+        s.strip()
+        for s in os.environ.get(
+            "SPARK_GRAFT_SF1_QUERIES", "q33_snapstore_metadata"
+        ).split(",")
+        if s.strip()
+    }
+    if not only and sf1_labels and os.path.isdir(sf1_dir):
+        dispersion.clear()
+        only.update(sf1_labels)
+        sf1_timings = run_suite(sf1_dir)
+        only.clear()
+        if sf1_timings:
+            scales["1"] = {
+                "total": round(sum(sf1_timings.values()), 3),
+                "queries": sf1_timings,
+                "dispersion": dict(dispersion),
+            }
+
     try:
         load_at_end = os.getloadavg()
     except OSError:
@@ -389,6 +425,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        # r15 methodology change: per-query numbers are the MIN of three
+        # load-guarded samples (idle-host estimator under additive ambient
+        # noise); r14-and-earlier artifacts recorded medians — compare
+        # against their per-row "min" dispersion fields, not their
+        # headline numbers.
+        "methodology": "min_of_3_load_guarded",
         "scales": scales,
         # 1/5/15-min host load at run start+end: a high ambient load
         # stamp contextualizes a slow round without a re-run.

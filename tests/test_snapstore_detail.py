@@ -1217,3 +1217,101 @@ def test_shared_part_vanishing_mid_append_is_retryable(
     }
     assert data_after == data_before
     assert ss.snap_current_version(root) == 0
+
+
+def test_deferred_compaction_and_explicit_fold(spark, detail_mode, tmp_path):
+    """r15: detail_parts_max=0 disables the inline compaction rung —
+    appends never pay the fold spike and the chain grows — and
+    snap_compact_details folds it explicitly as a metadata-only,
+    content-preserving commit. Reads are identical in all three states
+    (growing chain / post-fold / post-vacuum), the fold moves zero data
+    bytes, and feeds cross the fold commit as zero-change."""
+    root = str(tmp_path / "t")
+    df0 = spark.createDataFrame(
+        [(i, i * 3) for i in range(40)], "id long, v long"
+    )
+    expected = [(i, i * 3) for i in range(40)]
+    with ss.snap_metadata_thresholds(detail_parts_max=0):
+        ss.snap_commit(df0.coalesce(2), root, stats_cols=["id"])
+        for b in range(6):
+            extra = spark.createDataFrame(
+                [(100 + b * 10 + j, (100 + b * 10 + j) * 3) for j in range(4)],
+                "id long, v long",
+            ).coalesce(1)
+            expected += [(r[0], r[1]) for r in extra.collect()]
+            ss.snap_commit(extra, root, stats_cols=["id"])
+    v = ss.snap_current_version(root)
+    head = _head(root, v)
+    assert len(_parts(head)) == 7, "inline rung stayed disabled"
+    got = sorted(
+        (r.id, r.v) for r in ss.snap_read(spark, root).collect()
+    )
+    assert got == sorted(expected)
+    data_files_before = set(ss._read_manifest(root, v)["files"])
+    # explicit fold: one part, content-preserving, same rows
+    v2 = ss.snap_compact_details(root)
+    assert v2 == v + 1
+    head2 = _head(root, v2)
+    assert len(_parts(head2)) == 1
+    assert head2.get("content_preserving") is True
+    m2 = ss._read_manifest(root, v2)
+    assert set(m2["files"]) == data_files_before, "zero data movement"
+    got2 = sorted((r.id, r.v) for r in ss.snap_read(spark, root).collect())
+    assert got2 == sorted(expected)
+    # reconstructed detail identical to the pre-fold chain
+    m1 = ss._read_manifest(root, v)
+    assert m1["file_stats"] == m2["file_stats"]
+    assert m1["file_meta"] == m2["file_meta"]
+    # idempotent: single-part chain has nothing to fold
+    assert ss.snap_compact_details(root) is None
+    # pruning still drives off the folded part
+    kept, total = ss.snap_prune_files(root, "id", 0, 5)
+    assert 0 < len(kept) < total
+    # vacuum collects the superseded chain parts once the old manifests
+    # age out, and the folded store reads intact
+    ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=0)
+    got3 = sorted((r.id, r.v) for r in ss.snap_read(spark, root).collect())
+    assert got3 == sorted(expected)
+    mdir = ss._manifest_dir(root)
+    live_parts = [
+        f for f in os.listdir(mdir) if f.endswith(".detail.parquet")
+    ]
+    assert live_parts == _parts(head2), "superseded parts collected"
+
+
+def test_compact_details_loses_race_cleanly(spark, detail_mode, tmp_path, monkeypatch):
+    """A commit landing between snap_compact_details' read and publish
+    wins the version; the fold surfaces the retryable conflict and
+    leaves no orphan part behind (beyond what vacuum sweeps)."""
+    root = str(tmp_path / "t")
+    with ss.snap_metadata_thresholds(detail_parts_max=0):
+        ss.snap_commit(
+            spark.createDataFrame([(i,) for i in range(20)], "id long").coalesce(2),
+            root, stats_cols=["id"],
+        )
+        ss.snap_commit(
+            spark.createDataFrame([(i,) for i in range(20, 30)], "id long").coalesce(1),
+            root, stats_cols=["id"],
+        )
+    real_write = ss._write_manifest_file
+
+    def racing_write(r, manifest, pre_publish=None):
+        # restore FIRST so the racing append below publishes through the
+        # real writer (leaving the patch in place would recurse forever)
+        monkeypatch.setattr(ss, "_write_manifest_file", real_write)
+        # a racing append steals the version first
+        with ss.snap_metadata_thresholds(detail_parts_max=0):
+            ss.snap_commit(
+                spark.createDataFrame([(99,)], "id long").coalesce(1),
+                r, stats_cols=["id"],
+            )
+        return real_write(r, manifest, pre_publish=pre_publish)
+
+    monkeypatch.setattr(ss, "_write_manifest_file", racing_write)
+    with pytest.raises(ss.SnapshotConflict):
+        ss.snap_compact_details(root)
+    monkeypatch.setattr(ss, "_write_manifest_file", real_write)
+    assert ss.snap_count(root) == 31
+    # retry after the lost race succeeds
+    assert ss.snap_compact_details(root) is not None
+    assert ss.snap_count(root) == 31

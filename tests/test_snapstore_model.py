@@ -142,6 +142,23 @@ class SnapstoreMachine(RuleBasedStateMachine):
 
     @precondition(lambda self: self.versions)
     @rule()
+    def compact_details(self):
+        """Explicit sidecar-chain fold (r15, snap_compact_details): a
+        metadata-only content-preserving commit — rows, schema,
+        constraints, cdf flag, and the change-feed span must all survive
+        it; an inline or single-part chain is a no-op. Interleaved with
+        appends/DML/vacuum/restore by the machine, this is the
+        shared-part-chain concurrency surface the r14 review only
+        probed by hand."""
+        v = ss.snap_compact_details(self.root)
+        if v is None:
+            assert ss.snap_current_version(self.root) == len(self.versions) - 1
+        else:
+            assert v == len(self.versions)
+            self._push(*self._cur())
+
+    @precondition(lambda self: self.versions)
+    @rule()
     def auto_optimize(self):
         """Measure-then-maintain: either a no-op (manifest-only report)
         or a content-preserving clustered rewrite — whichever the layout
@@ -702,6 +719,9 @@ class SnapstoreMachine(RuleBasedStateMachine):
         change-feed sidecars alike. This is the 'every readable span's
         sidecars survive' contract: the feed-replay invariant can only
         read spans whose files this one proves alive."""
+        import json as _json
+
+        mdir = ss._manifest_dir(self.root)
         for v in sorted(self.alive):
             m = ss._read_manifest(self.root, v)
             for f in (
@@ -710,6 +730,18 @@ class SnapstoreMachine(RuleBasedStateMachine):
                 + list(m.get("cdf_files") or [])
             ):
                 assert os.path.exists(f), ("vacuumed live file", v, f)
+            # r15: the DETAIL SIDECAR PARTS a retained head points at are
+            # live files too — a swept shared part dangles every manifest
+            # in the chain that shares it (append/restore/metadata
+            # commits all share parts by name)
+            with open(ss._manifest_path(self.root, v)) as fh:
+                head = _json.load(fh)
+            for n in ss._pointer_names(head):
+                assert os.path.exists(os.path.join(mdir, n)), (
+                    "vacuumed live sidecar part",
+                    v,
+                    n,
+                )
 
     @invariant()
     def refs_and_constraints_match_model(self):
@@ -737,3 +769,27 @@ class TestSnapstoreModel:
         )
         case = SnapstoreMachine.TestCase()
         case.runTest()
+
+    def test_stateful_multipart_chains(self, spark):
+        """The same machine under FORCED multipart pressure: every
+        commit is sidecar-backed with an O(1) head, parts_max=2 makes
+        the inline compaction rung fire every few appends, and the
+        compact_details rule interleaves explicit folds — so shared
+        part chains are created, shared (restore/metadata commits),
+        folded, and vacuumed in arbitrary orders while the part-files-
+        alive invariant and every content check hold. This is the
+        model-rule coverage for the race class the r14 review found by
+        hand (test_shared_part_vanishing_mid_append_is_retryable)."""
+        SnapstoreMachine.spark = spark
+        SnapstoreMachine.TestCase.settings = settings(
+            max_examples=4,
+            stateful_step_count=14,
+            deadline=None,
+            derandomize=True,
+            suppress_health_check=list(HealthCheck),
+        )
+        with ss.snap_metadata_thresholds(
+            detail_inline_max=0, files_inline_max=0, detail_parts_max=2
+        ):
+            case = SnapstoreMachine.TestCase()
+            case.runTest()

@@ -1,0 +1,216 @@
+"""Store relocatability (r15): a snapstore directory moved with
+``shutil.move`` (mv/cp/remount semantics) keeps working — reads, pruning,
+metadata counts, DV-masked deletes, CDF feeds, appends, DML, restore,
+explicit sidecar folds, and vacuum all operate under the new root.
+
+Mechanism under test: heads record the root they were published under
+(``root`` key) and readers rebase path lists at load; sidecar parts
+carry their origin root in schema metadata and self-rebase at load;
+deletion-vector rows carry a per-row origin root so deletes recorded
+before a move keep masking rows after it (Delta/Iceberg reach the same
+property with root-relative paths; rebase-on-read preserves this
+store's absolute-path in-memory invariants instead).
+
+Legacy stores (heads from before the ``root`` key) keep the documented
+non-relocatable behavior — pinned here too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from wsspark import snapstore as ss
+
+
+@pytest.fixture()
+def sidecar_mode(monkeypatch):
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "0")
+    monkeypatch.setenv("WSSPARK_SNAP_FILES_INLINE_MAX", "0")
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, i * 2, f"s{i % 7}") for i in range(lo, hi)],
+        "id long, val long, s string",
+    )
+
+
+def _build(spark, root):
+    """A store with every path-carrying structure: multipart sidecar
+    chain, O(1) head, DV delete, CDF feed, bloom + stats."""
+    ss.snap_commit(
+        _df(spark, 0, 100).repartitionByRange(4, "id"),
+        root,
+        stats_cols=["id"],
+        bloom_cols=["s"],
+    )
+    ss.snap_enable_cdf(root)
+    ss.snap_commit(
+        _df(spark, 100, 130).coalesce(1),
+        root,
+        stats_cols=["id"],
+        bloom_cols=["s"],
+    )
+    ss.snap_update_where(spark, root, "id % 20 = 0", {"val": "val + 1"})
+    ss.snap_delete_dv(spark, root, "id >= 120")
+    return ss.snap_current_version(root)
+
+
+EXPECTED_IDS = set(range(0, 120))
+
+
+def _check_full_surface(spark, root, feed_from):
+    rows = ss.snap_read(spark, root).collect()
+    assert {r.id for r in rows} == EXPECTED_IDS, "DV mask survives"
+    assert {r.val for r in rows if r.id % 20 == 0} == {
+        i * 2 + 1 for i in range(0, 120, 20)
+    }, "COW update survives"
+    assert ss.snap_count(root) == 120
+    kept, total = ss.snap_prune_files(root, "id", 0, 10)
+    assert 0 < len(kept) < total
+    kept_eq, _ = ss.snap_prune_files_eq(root, "s", "s3")
+    assert 0 < len(kept_eq) <= total
+    kept_sp, _ = ss.snap_prune_files_spark(spark, root, "id", 0, 10)
+    assert sorted(kept_sp) == sorted(kept), "distributed prune parity"
+    # where-read drives off the pruned plan AND applies DVs
+    got = ss.snap_read_between(spark, root, "id", 0, 10).collect()
+    assert {r.id for r in got} == set(range(0, 11))
+    # CDF feed replays across the move
+    feed = ss.snap_read_changes_cdf(spark, root, feed_from)
+    assert feed.filter(F.col("_change_type") == "delete").count() == 10
+    hist = ss.snap_history(root)
+    assert sum(h["n_change_rows"] for h in hist) > 0
+
+
+def test_relocated_store_full_lifecycle(spark, tmp_path, sidecar_mode):
+    src = str(tmp_path / "store-src")
+    feed_from = 1  # version cdf was enabled at
+    _build(spark, src)
+    dst = str(tmp_path / "nested" / "store-dst")
+    os.makedirs(os.path.dirname(dst))
+    shutil.move(src, dst)
+    _check_full_surface(spark, dst, feed_from)
+    # post-move WRITES: append, DML, explicit fold, restore, vacuum
+    ss.snap_commit(
+        _df(spark, 200, 220).coalesce(1), dst,
+        stats_cols=["id"], bloom_cols=["s"],
+    )
+    assert ss.snap_count(dst) == 140
+    ss.snap_delete_dv(spark, dst, "id >= 210")
+    assert ss.snap_count(dst) == 130
+    with ss.snap_metadata_thresholds(detail_parts_max=0):
+        v_fold = ss.snap_compact_details(dst)
+    assert v_fold is not None
+    assert ss.snap_count(dst) == 130
+    v_before = ss.snap_current_version(dst)
+    ss.snap_restore(dst, v_before - 3)
+    assert ss.snap_count(dst) == 120
+    ss.snap_restore(dst, v_before)
+    ss.snap_vacuum(dst, keep_last=99, staged_grace_minutes=0)
+    assert {r.id for r in ss.snap_read(spark, dst).collect()} == (
+        EXPECTED_IDS | set(range(200, 210))
+    )
+    # a SECOND move (including back under the original name) still reads
+    dst2 = str(tmp_path / "store-src")
+    shutil.move(dst, dst2)
+    assert ss.snap_count(dst2) == 130
+    assert {r.id for r in ss.snap_read(spark, dst2).collect()} == (
+        EXPECTED_IDS | set(range(200, 210))
+    )
+
+
+def test_relocated_inline_store(spark, tmp_path):
+    """Inline-mode manifests (small tables, dicts in the head) rebase
+    their file lists and detail dict keys the same way."""
+    src = str(tmp_path / "a")
+    ss.snap_commit(
+        _df(spark, 0, 50).coalesce(2), src, stats_cols=["id"]
+    )
+    ss.snap_delete_dv(spark, src, "id >= 40")
+    dst = str(tmp_path / "b")
+    shutil.move(src, dst)
+    m = ss._read_manifest(dst, ss.snap_current_version(dst))
+    assert all(f.startswith(dst + os.sep) for f in m["files"])
+    assert all(k.startswith(dst + os.sep) for k in m["file_stats"])
+    assert {r.id for r in ss.snap_read(spark, dst).collect()} == set(
+        range(40)
+    )
+    kept, total = ss.snap_prune_files(dst, "id", 0, 5)
+    assert 0 < len(kept) <= total
+    # appends under the new root interleave with pre-move metadata
+    ss.snap_commit(_df(spark, 100, 110).coalesce(1), dst, stats_cols=["id"])
+    assert ss.snap_count(dst) == 50
+
+
+def test_legacy_heads_stay_non_relocatable(spark, tmp_path):
+    """A head WITHOUT the root key (pre-r15 store) must behave exactly
+    as before: no rebase is attempted, and the documented failure mode
+    (dangling absolute paths after a move) is unchanged."""
+    src = str(tmp_path / "a")
+    ss.snap_commit(_df(spark, 0, 30).coalesce(1), src)
+    # strip the root key, simulating a pre-r15 manifest
+    hp = ss._manifest_path(src, 0)
+    head = json.load(open(hp))
+    head.pop("root")
+    tmp = hp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(head, f)
+    os.replace(tmp, hp)
+    dst = str(tmp_path / "b")
+    shutil.move(src, dst)
+    m = ss._read_manifest(dst, 0)
+    assert all(f.startswith(src + os.sep) for f in m["files"]), (
+        "legacy heads keep their recorded absolute paths"
+    )
+    with pytest.raises(Exception):
+        ss.snap_read(spark, dst).collect()
+
+
+def test_rebase_leaves_external_paths_untouched(spark, tmp_path):
+    """Paths outside the recorded root (externally-registered files)
+    pass through the rebase unchanged rather than being mangled."""
+    recorded, actual = "/old/root", "/new/root"
+    assert ss._rebase_path("/old/root/data/x.parquet", recorded, actual) == (
+        "/new/root/data/x.parquet"
+    )
+    assert ss._rebase_path("/elsewhere/x.parquet", recorded, actual) == (
+        "/elsewhere/x.parquet"
+    )
+    assert ss._rebase_path("/old/rootette/x.parquet", recorded, actual) == (
+        "/old/rootette/x.parquet"
+    ), "prefix match is component-wise, not string-wise"
+
+
+def test_clone_dv_rows_do_not_rebase(spark, tmp_path, sidecar_mode):
+    """Shallow clones reference the SOURCE's files in place, so DV rows
+    whose origin root differs from the clone root must NOT rebase —
+    rebasing them would dangle the delete and resurrect rows (caught in
+    r15 by test_dml_and_clone_skip_dict_reconstruction when the naive
+    origin!=actual rule shipped). The discriminator: an origin that
+    still anchors live file paths is a reference, not a move."""
+    src = str(tmp_path / "src")
+    ss.snap_commit(_df(spark, 0, 100).coalesce(2), src, stats_cols=["id"])
+    ss.snap_delete_dv(spark, src, "id >= 90")
+    dst = str(tmp_path / "clone")
+    ss.snap_clone(src, dst)
+    assert ss.snap_read(spark, dst).count() == 90, "clone keeps DV mask"
+    assert {r.id for r in ss.snap_read(spark, dst).collect()} == set(
+        range(90)
+    )
+    # a MOVED clone still resolves: its own root rebases, the source
+    # references (files + DV origins) stay anchored at the source
+    dst2 = str(tmp_path / "clone-moved")
+    shutil.move(dst, dst2)
+    assert ss.snap_read(spark, dst2).count() == 90
+    # and deletes recorded ON the clone root survive the clone's move
+    ss.snap_delete_dv(spark, dst2, "id >= 80")
+    dst3 = str(tmp_path / "clone-moved-again")
+    shutil.move(dst2, dst3)
+    assert ss.snap_read(spark, dst3).count() == 80
+    # source untouched throughout
+    assert ss.snap_read(spark, src).count() == 90

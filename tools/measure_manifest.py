@@ -198,6 +198,37 @@ def run_o1(n_files: int) -> None:
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
+        # r15: the DEFERRED-compaction mode a latency-sensitive sink
+        # runs — inline rung disabled, every append is O(new files),
+        # the fold happens once on the maintenance cadence
+        root = tempfile.mkdtemp(prefix="manifest-defer-")
+        try:
+            _fabricate(root, n_files, False)
+            ss._detail_cache.clear()
+            times = []
+            with ss.snap_metadata_thresholds(detail_parts_max=0):
+                for v in range(1, 19):  # same count as the inline run
+                    t_a, _ = _t(_append_via_publish, root, v, 4)
+                    times.append(t_a)
+            t_fold, v_fold = _t(ss.snap_compact_details, root)
+            times_sorted = sorted(times)
+            print(
+                json.dumps(
+                    {
+                        "n_files": n_files,
+                        "mode": "o1_deferred_compaction",
+                        "append_publish_median_s": round(
+                            times_sorted[len(times_sorted) // 2], 4
+                        ),
+                        "append_publish_max_s": round(times_sorted[-1], 4),
+                        "appends": len(times),
+                        "explicit_fold_s": round(t_fold, 4),
+                        "fold_version": v_fold,
+                    }
+                )
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
     finally:
         os.environ.pop("WSSPARK_SNAP_FILES_INLINE_MAX", None)
 

@@ -273,8 +273,13 @@ def _make_part_writer(
             t = merged
         import pyarrow.parquet as pq
 
+        from wsspark.snapstore import _stamp_part_root
+
         name = f"v{version:012d}-{uuid.uuid4().hex[:8]}.detail.parquet"
-        pq.write_table(t, os.path.join(mdir, name))
+        pq.write_table(
+            _stamp_part_root(t, os.path.dirname(mdir)),
+            os.path.join(mdir, name),
+        )
         yield pa.RecordBatch.from_pydict(
             {
                 "name": [name],
@@ -410,7 +415,10 @@ def build_detail_parts_distributed(
             _cleanup()
             return None
     if empties:
-        from wsspark.snapstore import _detail_table_from_dicts
+        from wsspark.snapstore import (
+            _detail_table_from_dicts,
+            _stamp_part_root,
+        )
 
         t = _detail_table_from_dicts(
             {
@@ -424,7 +432,10 @@ def build_detail_parts_distributed(
             paths=list(empties),
         )
         name = f"v{version:012d}-{uuid.uuid4().hex[:8]}.detail.parquet"
-        pq.write_table(t, os.path.join(mdir, name))
+        pq.write_table(
+            _stamp_part_root(t, os.path.dirname(mdir)),
+            os.path.join(mdir, name),
+        )
         part_names.append(name)
         files_ordered.extend(empties)
     if not part_names:

@@ -118,17 +118,36 @@ def _load_dv_map(manifest: dict) -> dict[str, list[int]]:
     dv_paths = manifest.get("dv_files") or []
     if not dv_paths:
         return {}
+    import os as _os
+
     import pyarrow.parquet as pq
 
+    reb = manifest.get("_rebase")
+    actual = reb[1] if reb else manifest.get("root")
+    recorded = reb[0] if reb else actual
+    # origins whose recorded paths dangle under this manifest (store
+    # moved away) rebase; origins still anchoring live files (shallow
+    # clones) stay — the same classification the batch read uses
+    rmap = ss._dv_rebase_map(manifest)
     out: dict[str, list[int]] = {}
     for p in dv_paths:
-        t = pq.read_table(p, columns=["file", "idx"])
-        for f_, i_ in zip(
-            t.column("file").to_pylist(), t.column("idx").to_pylist()
+        t = pq.read_table(p)
+        roots = (
+            t.column("root").to_pylist()
+            if "root" in t.column_names
+            else [None] * t.num_rows
+        )
+        for f_, i_, r_ in zip(
+            t.column("file").to_pylist(), t.column("idx").to_pylist(), roots
         ):
             # full URI normalization (scheme strip + percent-decode) so
             # encoded paths (spaces etc.) still mask their deleted rows
-            out.setdefault(ss._norm_dv_path(f_), []).append(i_)
+            k = ss._norm_dv_path(f_)
+            origin = r_ if r_ is not None else recorded
+            target = rmap.get(origin)
+            if target is not None and k.startswith(origin + _os.sep):
+                k = target + k[len(origin):]
+            out.setdefault(k, []).append(i_)
     return {k: sorted(v) for k, v in out.items()}
 
 

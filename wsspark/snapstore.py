@@ -131,9 +131,46 @@ def snap_current_version(root: str) -> int | None:
         return None
 
 
+def _rebase_path(p: str, recorded: str, actual: str) -> str:
+    """Rewrite one recorded absolute path into the moved store's domain
+    (prefix replace); paths outside the recorded root (externally-added
+    files) pass through untouched."""
+    pre = recorded + os.sep
+    return actual + p[len(recorded):] if p.startswith(pre) else p
+
+
+def _rebase_head(head: dict, recorded: str, actual: str) -> None:
+    """In-place rebase of a loaded manifest head's path-carrying fields
+    after a store relocation: the inline file list, dv/cdf sidecar
+    lists, and (inline-mode) the per-file detail dict keys. Sidecar
+    PARTS self-rebase at load (``_rebase_part``), so lazy heads need
+    only their small lists touched. ``_rebase`` rides in-memory for the
+    DV-content rebase and never serializes."""
+    head["_rebase"] = (recorded, actual)
+    for k in ("files", "dv_files", "cdf_files"):
+        if head.get(k):
+            head[k] = [_rebase_path(p, recorded, actual) for p in head[k]]
+    for k in _DETAIL_KEYS:
+        if head.get(k):
+            head[k] = {
+                _rebase_path(p, recorded, actual): v
+                for p, v in head[k].items()
+            }
+
+
 def _read_manifest(root: str, version: int) -> dict:
     with open(_manifest_path(root, version)) as f:
         head = json.load(f)
+    # RELOCATABILITY: a head published under a different root than it is
+    # being read under (store moved/copied/remounted) rebases every
+    # recorded path into the actual root's domain — all in-memory
+    # invariants stay absolute-path-based and every compare site is
+    # untouched. Heads from before the ``root`` key existed keep the
+    # documented non-relocatable behavior.
+    recorded = head.get("root")
+    actual = os.path.abspath(root)
+    if recorded and recorded != actual:
+        _rebase_head(head, recorded, actual)
     if "detail_file" in head or "detail_files" in head:
         return _LazyManifest(head, root)
     return head
@@ -219,11 +256,15 @@ _files_inline_override: "contextvars.ContextVar[int | None]" = (
 
 @contextlib.contextmanager
 def snap_metadata_thresholds(
-    detail_inline_max: int | None = None, files_inline_max: int | None = None
+    detail_inline_max: int | None = None,
+    files_inline_max: int | None = None,
+    detail_parts_max: int | None = None,
 ):
     """Scoped override of the metadata-plane thresholds for the commits
     published inside the block — the supported way for a query or test
-    to force sidecar / O(1)-head mode. Context-local (contextvars), so a
+    to force sidecar / O(1)-head mode, or to defer inline chain
+    compaction (``detail_parts_max=0``) to an explicit
+    ``snap_compact_details`` cadence. Context-local (contextvars), so a
     CONCURRENT commit on another thread keeps the process defaults —
     unlike mutating WSSPARK_SNAP_*_MAX env vars, which would silently
     switch every in-flight committer's metadata mode."""
@@ -235,6 +276,10 @@ def snap_metadata_thresholds(
     if files_inline_max is not None:
         tokens.append(
             (_files_inline_override, _files_inline_override.set(files_inline_max))
+        )
+    if detail_parts_max is not None:
+        tokens.append(
+            (_parts_max_override, _parts_max_override.set(detail_parts_max))
         )
     try:
         yield
@@ -263,10 +308,23 @@ def _files_inline_max() -> int:
     return int(os.environ.get("WSSPARK_SNAP_FILES_INLINE_MAX", "10000"))
 
 
+_parts_max_override: "contextvars.ContextVar[int | None]" = (
+    contextvars.ContextVar("wsspark_detail_parts_max", default=None)
+)
+
+
 def _detail_parts_max() -> int:
-    """Sidecar part-chain length that triggers compaction into one
-    part. Higher = cheaper appends, slower first read of a cold chain."""
-    return max(1, int(os.environ.get("WSSPARK_SNAP_DETAIL_PARTS_MAX", "16")))
+    """Sidecar part-chain length that triggers inline compaction into
+    one part. Higher = cheaper appends, slower first read of a cold
+    chain. A value <= 0 DISABLES the inline rung entirely — appends
+    never pay the fold spike and the chain grows until an explicit
+    ``snap_compact_details`` call (the maintenance-cadence pattern a
+    latency-sensitive streaming sink wants; see that function)."""
+    o = _parts_max_override.get()
+    raw = o if o is not None else int(
+        os.environ.get("WSSPARK_SNAP_DETAIL_PARTS_MAX", "16")
+    )
+    return raw if raw > 0 else (1 << 62)
 
 
 def _dist_commit_min() -> int:
@@ -498,6 +556,44 @@ _detail_cache: dict = {}  # abs detail path -> pyarrow Table (manifests are immu
 _DETAIL_CACHE_MAX = 4
 
 
+def _stamp_part_root(table, root: str):
+    """Record the store root a sidecar part was written under in its
+    schema metadata — the part's path rows are absolute, so a moved
+    store rebases them at load by replacing exactly this prefix
+    (``_rebase_part``). Parts written before the key existed cannot
+    self-describe and keep today's non-relocatable behavior."""
+    md = dict(table.schema.metadata or {})
+    md[b"wsspark_part_root"] = os.path.abspath(root).encode()
+    return table.replace_schema_metadata(md)
+
+
+def _rebase_part(t, path: str):
+    """Self-rebasing part load: the part lives in <root>/_manifests, so
+    the root it is being read under is derivable from its own location;
+    when that differs from the recorded origin root, rewrite the path
+    column's prefix (vectorized, one pass). Rows outside the origin
+    prefix pass through untouched — same policy as the head rebase."""
+    md = t.schema.metadata or {}
+    origin = md.get(b"wsspark_part_root")
+    if origin is None:
+        return t
+    origin = origin.decode()
+    actual = os.path.dirname(os.path.dirname(os.path.abspath(path)))
+    if origin == actual:
+        return t
+    import pyarrow.compute as pc
+
+    col = t.column("path").combine_chunks()
+    pre = origin + os.sep
+    starts = pc.starts_with(col, pre)
+    rebased = pc.binary_join_element_wise(
+        actual + os.sep, pc.utf8_slice_codeunits(col, len(pre)), ""
+    )
+    new_col = pc.if_else(starts, rebased, col)
+    i = t.column_names.index("path")
+    return t.set_column(i, "path", new_col)
+
+
 def _load_detail_table(path: str):
     t = _detail_cache.pop(path, None)
     if t is None:
@@ -505,8 +601,10 @@ def _load_detail_table(path: str):
 
         # single-chunk at load: every later combine_chunks() (prune
         # paths, append concat, per-value IN probes) becomes a no-op
-        # instead of an O(table) copy each
-        t = pq.read_table(path).combine_chunks()
+        # instead of an O(table) copy each. The relocation rebase runs
+        # here too, so every cached table is already in the domain of
+        # the root it was loaded under.
+        t = _rebase_part(pq.read_table(path).combine_chunks(), path)
         while len(_detail_cache) >= _DETAIL_CACHE_MAX:
             _detail_cache.pop(next(iter(_detail_cache)))
     # pop-and-reinsert makes eviction LRU, not FIFO: a working set
@@ -573,7 +671,9 @@ def _load_part_path_lists(paths: list[str]) -> list[str]:
             import pyarrow.parquet as pq
 
             out.extend(
-                pq.read_table(p, columns=["path"]).column("path").to_pylist()
+                _rebase_part(pq.read_table(p, columns=["path"]), p)
+                .column("path")
+                .to_pylist()
             )
     return out
 
@@ -753,6 +853,13 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
     call wrote are removed first."""
     version = manifest["version"]
     mdir = _manifest_dir(root)
+    # RELOCATABILITY (r15): every head records the store root it was
+    # published under. Readers compare it against the root they were
+    # given and rebase the head's path lists when the store has been
+    # moved (mv/cp/remount) — see _read_manifest. Internal rebase
+    # bookkeeping never serializes.
+    manifest.pop("_rebase", None)
+    manifest["root"] = os.path.abspath(root)
 
     def _touch_verify_shared(names: list[str]) -> None:
         # Touch first — the mtime refresh puts each shared part inside
@@ -852,7 +959,9 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
         import pyarrow.parquet as pq
 
         name = f"v{version:012d}-{uuid.uuid4().hex[:8]}.detail.parquet"
-        pq.write_table(table, os.path.join(mdir, name))
+        pq.write_table(
+            _stamp_part_root(table, root), os.path.join(mdir, name)
+        )
         wrote.append(name)
         return name
 
@@ -1041,17 +1150,21 @@ def _list_parquet(d: str) -> list[str]:
     file lists are born.
 
     FORMAT CONTRACT (explicit, by design): manifests persist ABSOLUTE
-    data-file paths. A snapstore directory is therefore NOT relocatable
-    by mv/cp — moving the root dangles every manifest entry. This
-    differs from Delta/Iceberg, which store root-relative paths for
-    relocatability; the supported relocation paths here are
-    ``snap_clone`` (re-anchors every entry under the destination root)
-    or re-committing. A future portability fix would store
-    root-relative entries resolved against the root at read time — all
-    cross-domain compares now normalize through single points
-    (``_norm_dv_path`` / abspath at the compare sites), so the switch
-    is localized — but absolute-at-birth is the current on-disk form
-    and readers must not assume otherwise."""
+    data-file paths, and every head additionally records the store root
+    it was published under (``root`` key, r15). Relocatability comes
+    from REBASE-ON-READ rather than root-relative storage: readers
+    compare the recorded root against the root they were handed and
+    rewrite path prefixes at load (heads in ``_rebase_head``, sidecar
+    parts via their ``wsspark_part_root`` schema metadata in
+    ``_rebase_part``, deletion-vector rows via their per-row ``root``
+    column in ``_dv_plain_expr``) — so a store moved with mv/cp/remount
+    keeps reading, while every in-memory invariant and compare site
+    stays in the absolute-path domain. Delta/Iceberg reach the same
+    property with root-relative paths; rebase-on-read was chosen so the
+    on-disk form and all set-membership comparisons stay unchanged.
+    Heads from before the ``root`` key keep the documented
+    non-relocatable behavior (tests/test_snapstore_relocate.py pins
+    both)."""
     return sorted(
         os.path.abspath(os.path.join(d, f))
         for f in os.listdir(d)
@@ -1976,6 +2089,97 @@ def _norm_dv_path_col(col) -> F.Column:
     return F.when(c.startswith("file:"), decoded).otherwise(c)
 
 
+def _dv_read(spark: SparkSession, dv_paths: list[str]) -> DataFrame:
+    """Schema-stable deletion-vector sidecar read: ``file`` (the raw
+    ``_metadata.file_path`` URI recorded at delete time), ``idx``, and
+    ``root`` — the store root the DV was written under (r15; null for
+    sidecars from before the column existed — they read as 'written
+    under the head's recorded root'). The explicit schema makes mixed
+    old/new sidecar sets read uniformly without mergeSchema."""
+    return spark.read.schema("file string, idx long, root string").parquet(
+        *dv_paths
+    )
+
+
+def _dv_rebase_map(m: dict) -> dict[str, str]:
+    """Driver-side classification of the DV rows' origin roots for a
+    manifest: ``{origin -> actual}`` for exactly the origins whose
+    recorded paths DANGLE under this manifest — i.e. the store was
+    MOVED away from them (no manifest file still lives under the
+    origin). An origin that still anchors live file paths — a shallow
+    clone referencing the source's files in place — must NOT rebase:
+    its DV rows point at the files exactly as recorded. Empty for the
+    common unmoved store, so the hot read path stays the raw==raw
+    join with zero per-row string work. The DV sidecars are
+    delete-count-sized, so the origin probe is a cheap driver read."""
+    reb = m.get("_rebase")
+    actual = reb[1] if reb else m.get("root")
+    if actual is None:
+        return {}  # legacy head: non-relocatable, unchanged behavior
+    recorded = reb[0] if reb else actual
+    import pyarrow.parquet as pq
+
+    origins: set = set()
+    for p in m.get("dv_files") or []:
+        try:
+            schema_names = pq.read_schema(p).names
+        except OSError:
+            continue
+        if "root" not in schema_names:
+            origins.add(recorded)
+            continue
+        for r in pq.read_table(p, columns=["root"]).column("root").to_pylist():
+            origins.add(r if r is not None else recorded)
+    alien = {o for o in origins if o and o != actual}
+    if not alien:
+        return {}
+    files = m["files"]
+    return {
+        o: actual
+        for o in alien
+        if not any(f.startswith(o + os.sep) for f in files)
+    }
+
+
+def _dv_plain_expr(m: dict, rebase_map: dict[str, str]):
+    """The Column lifting a DV frame's ``file`` into the manifest's
+    current plain-path domain: normalize (scheme strip + unquote), then
+    rebase rows whose per-row origin root is in ``rebase_map`` (the
+    store moved away from it — see ``_dv_rebase_map``); rows from
+    origins that still anchor live paths pass through normalized."""
+    reb = m.get("_rebase")
+    actual = reb[1] if reb else m.get("root")
+    recorded = reb[0] if reb else actual
+    plain = _norm_dv_path_col("file")
+    origin = F.coalesce(F.col("root"), F.lit(recorded))
+    out = plain
+    for o, target in rebase_map.items():
+        pre = o + os.sep
+        out = F.when(
+            (origin == F.lit(o)) & plain.startswith(F.lit(pre)),
+            F.concat(
+                F.lit(target + os.sep),
+                plain.substr(F.lit(len(pre) + 1), F.lit(1 << 30)),
+            ),
+        ).otherwise(out)
+    return out
+
+
+def _dv_anti_join(src: DataFrame, dv: DataFrame, m: dict) -> DataFrame:
+    """Apply a manifest's deletion vectors to a scan carrying raw
+    ``_dv_f``/``_dv_i`` metadata columns. The unmoved common case keeps
+    the raw==raw join byte-for-byte (zero per-row string work); only a
+    store with dangling DV origins (moved after deletes were recorded)
+    pays the normalized+rebased comparison that keeps those deletes
+    applied."""
+    rmap = _dv_rebase_map(m)
+    if not rmap:
+        key = src["_dv_f"] == dv["file"]
+    else:
+        key = _norm_dv_path_col("_dv_f") == _dv_plain_expr(m, rmap)
+    return src.join(dv, key & (src["_dv_i"] == dv["idx"]), "left_anti")
+
+
 def _source_frame(
     spark: SparkSession,
     m: dict,
@@ -2007,12 +2211,7 @@ def _source_frame(
         F.col("_metadata.row_index").alias("_dv_i"),
     )
     if dv_paths:
-        dv = spark.read.parquet(*dv_paths).select("file", "idx")
-        src = src.join(
-            dv,
-            (src["_dv_f"] == dv["file"]) & (src["_dv_i"] == dv["idx"]),
-            "left_anti",
-        )
+        src = _dv_anti_join(src, _dv_read(spark, dv_paths), m)
     if file_col:
         # normalized to the manifest's plain-path form — and taken from
         # the SCAN's metadata column, so it stays correct after joins
@@ -2953,6 +3152,34 @@ def snap_prune_files_spark(
         .select("path")
         .collect()
     }
+    # RELOCATABILITY: the Spark read returns the parts' RECORDED paths;
+    # after a store move those live in the origin-root domain while
+    # ``files`` was rebased at manifest load. Rebase the (small,
+    # provably-excluded) dropped set driver-side from each part's
+    # recorded origin — a miss here only KEEPS a file, never drops one.
+    import pyarrow.parquet as pq
+
+    actual = os.path.abspath(root)
+    origins = sorted(
+        {
+            md.decode()
+            for p in m._part_paths()
+            for md in [
+                (pq.read_schema(p).metadata or {}).get(b"wsspark_part_root")
+            ]
+            if md is not None and md.decode() != actual
+        },
+        key=len,
+        reverse=True,
+    )
+    if origins:
+        def _reb(x: str) -> str:
+            for o in origins:
+                if x.startswith(o + os.sep):
+                    return actual + x[len(o):]
+            return x
+
+        dropped = {_reb(x) for x in dropped}
     return [f for f in files if f not in dropped], len(files)
 
 
@@ -3119,6 +3346,77 @@ def snap_sink(root: str, stats_cols: list[str] | None = None):
         )
 
     return _apply
+
+
+def snap_compact_details(root: str) -> int | None:
+    """Fold the CURRENT version's detail-sidecar part chain into ONE
+    part and publish it as a metadata-only, content-preserving commit —
+    the EXPLICIT sibling of the every-``parts_max``-appends inline fold.
+
+    Why it exists: the inline rung lands its O(files/parts_max)
+    amortized spike synchronously on whichever append draws it (6.9 s
+    at 1M files) — a periodic latency cliff for a streaming
+    foreachBatch sink. Disable the inline rung
+    (``snap_metadata_thresholds(detail_parts_max=0)`` around the sink,
+    or ``WSSPARK_SNAP_DETAIL_PARTS_MAX=0``) and run this call on the
+    maintenance cadence instead, exactly as ``snap_compact`` /
+    ``snap_optimize`` handle small DATA files. Zero data I/O — only
+    sidecar bytes move; reads before/after are bit-identical (the
+    merged part is the chain's align-concat, the same table readers
+    reconstruct). Returns the published version, or None when the
+    current chain is already a single part or inline.
+
+    Concurrency: the O_EXCL publish makes this a plain optimistic
+    commit — a racing append wins or loses the version like any other
+    committer, and the loser's part file is removed."""
+    import pyarrow.parquet as pq
+
+    v = snap_current_version(root)
+    if v is None:
+        return None
+    m = _read_manifest(root, v)
+    head = m.head_copy() if isinstance(m, _LazyManifest) else dict(m)
+    parts = _pointer_names(head)
+    if len(parts) <= 1:
+        return None
+    mdir = _manifest_dir(root)
+    merged = _load_detail_parts([os.path.join(mdir, n) for n in parts])
+    name = f"v{v + 1:012d}-{uuid.uuid4().hex[:8]}.detail.parquet"
+    pq.write_table(
+        _stamp_part_root(merged, root), os.path.join(mdir, name)
+    )
+    while len(_detail_cache) >= _DETAIL_CACHE_MAX:
+        _detail_cache.pop(next(iter(_detail_cache)))
+    _detail_cache[os.path.join(mdir, name)] = merged
+    manifest = dict(head)
+    manifest.pop("detail_file", None)
+    manifest.update(
+        {
+            "version": v + 1,
+            "parent": v,
+            "mode": "append",
+            "tag": None,
+            # same rows, same files: feeds cross this commit as
+            # zero-change instead of refusing
+            "cdf_files": [],
+            "content_preserving": True,
+            "detail_files": [name],
+            "ts": time.time(),
+        }
+    )
+    try:
+        # pointer-only manifest (no detail dicts): _write_manifest_file
+        # publishes the pointer as-is after touch-verifying it
+        _write_manifest_file(root, manifest)
+    except (FileExistsError, SnapshotConflict):
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(mdir, name))
+        raise SnapshotConflict(
+            f"version {v + 1} already committed — reload and retry "
+            "snap_compact_details"
+        ) from None
+    _advance_current(root, v + 1)
+    return v + 1
 
 
 def snap_compact(
@@ -4140,15 +4438,21 @@ def _rewrite_commit(
     dv_paths = m.get("dv_files") or []
     ctx["dv_files"] = []
     if dv_paths and untouched:
-        dv = spark.read.parquet(*dv_paths)
+        dv = _dv_read(spark, dv_paths)
         # dv 'file' is the raw _metadata URI form; normalize (scheme strip
-        # + percent-decode) so encoded paths keep their entries alive —
-        # and abspath the manifest side so legacy relative entries can't
-        # silently drop the whole sidecar (resurrecting deleted rows)
+        # + percent-decode) AND rebase relocated rows so encoded or
+        # moved paths keep their entries alive — and abspath the
+        # manifest side so legacy relative entries can't silently drop
+        # the whole sidecar (resurrecting deleted rows). Surviving rows
+        # keep their recorded file/root values (still interpretable by
+        # the per-row rebase on every later read); null origins are
+        # stamped with the head's recorded root so the provenance is
+        # explicit from here on.
+        plain = _dv_plain_expr(m, _dv_rebase_map(m))
         live = dv.filter(
-            _norm_dv_path_col("file").isin(
-                [os.path.abspath(f) for f in untouched]
-            )
+            plain.isin([os.path.abspath(f) for f in untouched])
+        ).withColumn(
+            "root", F.coalesce(F.col("root"), F.lit(m.get("root")))
         )
         dv_dir = os.path.join(commit_dir, "_dv")
         live.coalesce(1).write.mode("error").parquet(dv_dir)
@@ -4542,7 +4846,11 @@ def snap_delete_dv(
             F.coalesce(cond, F.lit(False))
         )
         matched = matched_rows.select(
-            F.col("_dv_f").alias("file"), F.col("_dv_i").alias("idx")
+            F.col("_dv_f").alias("file"),
+            F.col("_dv_i").alias("idx"),
+            # per-row origin root: what keeps this delete applied after
+            # the store is moved (readers rebase file's prefix from it)
+            F.lit(os.path.abspath(root)).alias("root"),
         )
         dv_commit_dir = os.path.join(
             _data_dir(root), f"commit-{version + 1:012d}-{uuid.uuid4().hex[:8]}"
@@ -4630,12 +4938,7 @@ def _source_frame_with_meta(
     )
     dv_paths = m.get("dv_files") or []
     if dv_paths:
-        dv = spark.read.parquet(*dv_paths).select("file", "idx")
-        src = src.join(
-            dv,
-            (src["_dv_f"] == dv["file"]) & (src["_dv_i"] == dv["idx"]),
-            "left_anti",
-        )
+        src = _dv_anti_join(src, _dv_read(spark, dv_paths), m)
     return src
 
 
