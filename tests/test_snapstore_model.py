@@ -140,6 +140,21 @@ class SnapstoreMachine(RuleBasedStateMachine):
         # maintenance rewrites preserve rows, schema AND constraints
         self._push(*self._cur())
 
+    @precondition(lambda self: self.versions and not self.staged)
+    @rule()
+    def relocate(self):
+        """r15: MOVE the whole store root mid-sequence (mv/cp/remount).
+        Every subsequent rule and every invariant then runs against the
+        relocated store — reads, counts, feeds, DML, vacuum, refs must
+        all hold, in ANY interleaving with prior DVs/CDF/sidecar chains.
+        Pending WAP stages are the documented non-surviving state, so
+        the rule preconditions them away (a staged publish after a move
+        fails loudly by design, never silently wrong)."""
+        new_root = tempfile.mkdtemp(prefix="snapmodel-moved-")
+        os.rmdir(new_root)
+        shutil.move(self.root, new_root)
+        self.root = new_root
+
     @precondition(lambda self: self.versions)
     @rule()
     def compact_details(self):

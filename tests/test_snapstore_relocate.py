@@ -214,3 +214,30 @@ def test_clone_dv_rows_do_not_rebase(spark, tmp_path, sidecar_mode):
     assert ss.snap_read(spark, dst3).count() == 80
     # source untouched throughout
     assert ss.snap_read(spark, src).count() == 90
+
+
+def test_staged_wap_survives_relocation(spark, tmp_path, sidecar_mode):
+    """r15 follow-up (the closing certification's named residual,
+    closed): a staged WAP commit's recorded paths rebase at read like
+    manifests do, so stage -> move -> audit -> publish works; aborting
+    after a move cleans the staged data under the new root."""
+    src = str(tmp_path / "src")
+    ss.snap_commit(_df(spark, 0, 50).coalesce(1), src, stats_cols=["id"])
+    sid = ss.snap_stage(_df(spark, 100, 120).coalesce(1), src, stats_cols=["id"])
+    sid2 = ss.snap_stage(_df(spark, 300, 310).coalesce(1), src)
+    dst = str(tmp_path / "dst")
+    shutil.move(src, dst)
+    # audit under the new root sees the staged frame
+    assert ss.snap_read_staged(spark, dst, sid).count() == 20
+    v = ss.snap_publish_staged(dst, sid)
+    assert v == 1
+    assert ss.snap_count(dst) == 70
+    assert {r.id for r in ss.snap_read(spark, dst).collect()} == (
+        set(range(50)) | set(range(100, 120))
+    )
+    # staged stats survived into the published manifest under new paths
+    m = ss._read_manifest(dst, v)
+    assert set(m["file_stats"]) == set(m["files"])
+    # abort of the second stage removes its data under the new root
+    ss.snap_abort_staged(dst, sid2)
+    assert ss.snap_count(dst) == 70

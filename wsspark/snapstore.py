@@ -3647,6 +3647,8 @@ def snap_stage(
                 "file_blooms": blooms,
                 "bloom_meta": geometry,
                 "commit_dir": commit_dir,
+                # relocation provenance, same contract as manifest heads
+                "root": os.path.abspath(root),
             },
             f,
         )
@@ -3658,7 +3660,25 @@ def _read_staged(root: str, staged_id: str) -> dict:
     if not os.path.exists(p):
         raise FileNotFoundError(f"no staged commit {staged_id} in {root}")
     with open(p) as f:
-        return json.load(f)
+        st = json.load(f)
+    # staged commits survive a store relocation the same way manifests
+    # do: rebase the recorded paths into the actual root's domain
+    # (pre-r15 staged JSONs without the root key keep the old
+    # loudly-failing behavior after a move)
+    recorded = st.get("root")
+    actual = os.path.abspath(root)
+    if recorded and recorded != actual:
+        st["files"] = [
+            _rebase_path(f, recorded, actual) for f in st.get("files") or []
+        ]
+        for k in ("file_stats", "file_blooms"):
+            if st.get(k):
+                st[k] = {
+                    _rebase_path(x, recorded, actual): v
+                    for x, v in st[k].items()
+                }
+        st["commit_dir"] = _rebase_path(st["commit_dir"], recorded, actual)
+    return st
 
 
 def snap_read_staged(
