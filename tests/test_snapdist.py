@@ -358,3 +358,35 @@ def test_exec_stat_matches_json_stat_on_plain_values():
 
     aware = dt.datetime(2024, 1, 2, 3, 4, 5, tzinfo=dt.timezone.utc)
     assert sd._exec_stat(aware, -1) == "2024-01-02T03:04:05"
+
+
+def test_maintenance_overwrite_through_distributed_path(
+    spark, tmp_path, monkeypatch, dist_mode
+):
+    """snap_compact / snap_optimize are fresh-detail overwrites, so they
+    ride the distributed rung past the threshold — table CHECK
+    constraints, the CDF flag, and content must all survive the
+    Spark-task-written metadata pass exactly as they survive the legacy
+    one (maintenance commits are content-preserving)."""
+    root = str(tmp_path / "t")
+    df = _typed_df(spark, n=300, parts=3)
+    ss.snap_commit(df, root, mode="overwrite", stats_cols=["id"])
+    ss.snap_add_constraint(spark, root, "id_nonneg", "id >= 0")
+    ss.snap_enable_cdf(root)
+    v = ss.snap_compact(spark, root, target_file_mb=1, stats_cols=["id"])
+    m = ss._read_manifest(root, v)
+    assert "id_nonneg" in m.get("constraints", {}), "constraint survived"
+    assert m.get("cdf") is True, "CDF flag survived"
+    assert m.get("content_preserving") is True
+    assert ss.snap_read(spark, root).count() == 300
+    # the constraint still gates data through the distributed plane
+    bad = spark.createDataFrame([(-1,)], "id long")
+    cols = [f.name for f in ss.snap_read(spark, root).schema.fields]
+    bad_full = _typed_df(spark, n=1, parts=1).withColumn(
+        "id", (F.col("id") - 5).cast("long")
+    ).select(*cols)
+    with pytest.raises(ss.ConstraintViolation):
+        ss.snap_commit(bad_full, root, stats_cols=["id"])
+    # prune still drives off the task-written sidecar of the compaction
+    kept, total = ss.snap_prune_files(root, "id", 0, 5)
+    assert 0 < len(kept) <= total
