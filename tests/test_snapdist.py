@@ -226,9 +226,16 @@ def test_multi_part_chain_exact(spark, tmp_path, monkeypatch, dist_mode):
     assert 0 < len(kept) < total
 
 
-def test_zero_row_part_files_ride_tail_part(
+def test_zero_row_part_files_merge_sorted(
     spark, tmp_path, monkeypatch, dist_mode
 ):
+    """Zero-row files never reach the _metadata-grouped aggregation;
+    they must still land in SORTED position in the published file list
+    (r16 — previously they rode an out-of-order tail part, silently
+    breaking the globally-sorted manifest property every driver path
+    inherits from _list_parquet). Three placements covered: before the
+    first part (gap part), inside a task-written part's range (part
+    rewrite), and after the last (tail gap part)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -240,9 +247,18 @@ def test_zero_row_part_files_ride_tail_part(
         F.col("id"), (F.col("id") % 5).cast("string").alias("s")
     )
     df.coalesce(2).write.mode("append").parquet(commit_dir)
-    # a zero-row file Spark's scan will never group on
-    empty = pa.table({"id": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
-    pq.write_table(empty, os.path.join(commit_dir, "part-00099-empty.parquet"))
+    # zero-row files Spark's scan will never group on: one sorting
+    # before every data file, one between part-00000-* and part-00001-*
+    # (inside the single task part's range), one after every data file
+    empty = pa.table(
+        {"id": pa.array([], pa.int64()), "s": pa.array([], pa.string())}
+    )
+    for name in (
+        "a-empty.parquet",
+        "part-00000zz-empty.parquet",
+        "z-empty.parquet",
+    ):
+        pq.write_table(empty, os.path.join(commit_dir, name))
     new_files = ss._list_parquet(commit_dir)
     os.makedirs(ss._manifest_dir(root), exist_ok=True)
     res = sd.build_detail_parts_distributed(
@@ -251,17 +267,27 @@ def test_zero_row_part_files_ride_tail_part(
     )
     assert res is not None
     part_names, files_ordered = res
-    assert set(files_ordered) == set(new_files)
-    # the empty file is LAST (tail part) and carries rows=0
-    assert files_ordered[-1].endswith("part-00099-empty.parquet")
+    assert files_ordered == sorted(new_files), (
+        "empties merge into sorted position"
+    )
     mdir = ss._manifest_dir(root)
     chain = ss._load_part_path_lists(
         [os.path.join(mdir, n) for n in part_names]
     )
     assert chain == files_ordered
-    tail = ss._load_detail_table(os.path.join(mdir, part_names[-1]))
-    _, _, meta = ss._detail_to_dicts(tail)
-    assert meta[files_ordered[-1]]["rows"] == 0
+    stats, _, meta = {}, {}, {}
+    for n in part_names:
+        s, _, fm = ss._detail_to_dicts(
+            ss._load_detail_table(os.path.join(mdir, n))
+        )
+        stats.update(s)
+        meta.update(fm)
+    for f in files_ordered:
+        if f.endswith("-empty.parquet"):
+            assert meta[f]["rows"] == 0
+    assert sum(m["rows"] for m in meta.values()) == 100
+    # the rewritten part kept every data file's stats row
+    assert set(meta) == set(new_files)
 
 
 def test_unsupported_shapes_decline_to_legacy(

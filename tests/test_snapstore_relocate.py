@@ -241,3 +241,141 @@ def test_staged_wap_survives_relocation(spark, tmp_path, sidecar_mode):
     # abort of the second stage removes its data under the new root
     ss.snap_abort_staged(dst, sid2)
     assert ss.snap_count(dst) == 70
+
+
+def _strip_dv_root(root):
+    """Rewrite the CURRENT version's DV sidecars without the per-row
+    ``root`` column, simulating sidecars from before it existed."""
+    import pyarrow.parquet as pq
+
+    m = ss._read_manifest(root, ss.snap_current_version(root))
+    for p in m["dv_files"]:
+        t = pq.read_table(p).select(["file", "idx"])
+        pq.write_table(t, p + ".tmp")
+        os.replace(p + ".tmp", p)
+        crc = os.path.join(
+            os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+
+
+def test_rootless_dv_survives_move_then_commit(spark, tmp_path):
+    """r16 advisor HIGH: rootless (pre-r15) DV rows are interpreted as
+    'written under the head's recorded root'. The first commit after a
+    move re-records the NEW root while carrying the old sidecars —
+    without restamping, the rows re-anchor there, the rebase map comes
+    back empty, and the deleted rows silently resurrect while
+    snap_count still subtracts them. Every by-name carry path (append,
+    dv-delete, restore, explicit fold) must restamp."""
+    src = str(tmp_path / "a")
+    ss.snap_commit(_df(spark, 0, 100).coalesce(2), src, stats_cols=["id"])
+    ss.snap_delete_dv(spark, src, "id >= 90")
+    _strip_dv_root(src)
+    dst = str(tmp_path / "b")
+    shutil.move(src, dst)
+    assert ss.snap_read(spark, dst).count() == 90  # pre-commit: rebased read
+    # APPEND re-records the root; the mask and the count must agree
+    ss.snap_commit(_df(spark, 200, 210).coalesce(1), dst, stats_cols=["id"])
+    assert ss.snap_count(dst) == 100
+    assert {r.id for r in ss.snap_read(spark, dst).collect()} == (
+        set(range(90)) | set(range(200, 210))
+    )
+    # DV-DELETE carries the restamped sidecar plus a fresh one
+    ss.snap_delete_dv(spark, dst, "id >= 205")
+    assert ss.snap_count(dst) == 95
+    assert ss.snap_read(spark, dst).count() == 95
+    # RESTORE republishes a pre-delete version under the new root
+    ss.snap_restore(dst, 1)
+    assert ss.snap_count(dst) == 90
+    assert ss.snap_read(spark, dst).count() == 90
+    # a SECOND move after the restamp still resolves (stamped origins
+    # dangle -> suffix-resolved rebase)
+    dst2 = str(tmp_path / "c")
+    shutil.move(dst, dst2)
+    assert ss.snap_read(spark, dst2).count() == 90
+
+
+def test_rootless_dv_survives_move_then_fold(spark, tmp_path, sidecar_mode):
+    """The metadata-only explicit fold (snap_compact_details) also
+    re-records the root and must restamp carried rootless DV rows."""
+    src = str(tmp_path / "a")
+    ss.snap_commit(
+        _df(spark, 0, 100).repartitionByRange(4, "id"), src, stats_cols=["id"]
+    )
+    ss.snap_commit(_df(spark, 100, 130).coalesce(1), src, stats_cols=["id"])
+    ss.snap_delete_dv(spark, src, "id >= 120")
+    _strip_dv_root(src)
+    dst = str(tmp_path / "b")
+    shutil.move(src, dst)
+    with ss.snap_metadata_thresholds(detail_parts_max=0):
+        v = ss.snap_compact_details(dst)
+    assert v is not None
+    assert ss.snap_count(dst) == 120
+    assert {r.id for r in ss.snap_read(spark, dst).collect()} == set(
+        range(120)
+    )
+
+
+def test_clone_of_moved_source_keeps_dv_mask(spark, tmp_path):
+    """r16: a shallow clone of a source that MOVED after its deletes
+    were recorded holds files under the source's current root while
+    the DV rows record the source's OLD root. The old root dangles, so
+    the naive rebase target (the clone root) would dangle every delete
+    and resurrect the rows; the target must resolve from the
+    manifest's own file list (suffix vote) to the source's current
+    root."""
+    src = str(tmp_path / "src")
+    ss.snap_commit(_df(spark, 0, 100).coalesce(2), src, stats_cols=["id"])
+    ss.snap_delete_dv(spark, src, "id >= 90")
+    moved = str(tmp_path / "src-moved")
+    shutil.move(src, moved)
+    clone = str(tmp_path / "clone")
+    ss.snap_clone(moved, clone)
+    assert ss.snap_count(clone) == 90
+    assert {r.id for r in ss.snap_read(spark, clone).collect()} == set(
+        range(90)
+    ), "clone of a moved source keeps the DV mask"
+    # and the clone itself moving afterwards still resolves
+    clone2 = str(tmp_path / "clone-moved")
+    shutil.move(clone, clone2)
+    assert ss.snap_read(spark, clone2).count() == 90
+
+
+def test_clone_restamps_rootless_dv(spark, tmp_path):
+    """A clone's head records the CLONE root, so carried rootless DV
+    rows would re-anchor under it; the clone restamps them with the
+    source's recorded root. Correctness is observable once the source
+    moves after cloning: the stamped origin dangles and suffix-resolves
+    to the source's new location."""
+    src = str(tmp_path / "src")
+    ss.snap_commit(_df(spark, 0, 60).coalesce(1), src, stats_cols=["id"])
+    ss.snap_delete_dv(spark, src, "id >= 50")
+    _strip_dv_root(src)
+    clone = str(tmp_path / "clone")
+    ss.snap_clone(src, clone)
+    assert ss.snap_read(spark, clone).count() == 50
+    m = ss._read_manifest(clone, 0)
+    import pyarrow.parquet as pq
+
+    for p in m["dv_files"]:
+        col = pq.read_table(p, columns=["root"]).column("root")
+        assert col.null_count == 0, "clone stamps rootless DV rows"
+
+
+def test_moved_store_dv_read_with_file_root_columns(spark, tmp_path):
+    """r16 advisor: the rebased DV anti-join must qualify its ``file``/
+    ``root`` references — a user table with columns of those names on a
+    MOVED store otherwise fails with AMBIGUOUS_REFERENCE."""
+    src = str(tmp_path / "a")
+    df = spark.createDataFrame(
+        [(i, f"f{i}", f"r{i}") for i in range(20)],
+        "id long, file string, root string",
+    )
+    ss.snap_commit(df.coalesce(1), src)
+    ss.snap_delete_dv(spark, src, "id >= 15")
+    dst = str(tmp_path / "b")
+    shutil.move(src, dst)
+    got = ss.snap_read(spark, dst)
+    assert got.count() == 15
+    assert {r.file for r in got.collect()} == {f"f{i}" for i in range(15)}

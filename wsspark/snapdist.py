@@ -217,7 +217,12 @@ def _stats_agg_frame(
 
 
 def _make_part_writer(
-    stats_cols: list[str], bloom_cols: list[str], mdir: str, version: int
+    stats_cols: list[str],
+    bloom_cols: list[str],
+    mdir: str,
+    version: int,
+    part_root: str | None = None,
+    name_prefix: str | None = None,
 ):
     """The mapInArrow function: fold the partition's aggregated batches
     through the EXACT dict->arrow serializer the driver path uses
@@ -225,6 +230,10 @@ def _make_part_writer(
     widening, same schema metadata), write ONE sidecar part per
     partition, emit an O(1) summary row. Ascending-order violations in
     the plain-path domain are reported, not guessed around."""
+    if part_root is None:
+        part_root = os.path.dirname(mdir)
+    if name_prefix is None:
+        name_prefix = f"v{version:012d}"
 
     def _write_parts(batches):
         import pyarrow as pa
@@ -275,9 +284,9 @@ def _make_part_writer(
 
         from wsspark.snapstore import _stamp_part_root
 
-        name = f"v{version:012d}-{uuid.uuid4().hex[:8]}.detail.parquet"
+        name = f"{name_prefix}-{uuid.uuid4().hex[:8]}.detail.parquet"
         pq.write_table(
-            _stamp_part_root(t, os.path.dirname(mdir)),
+            _stamp_part_root(t, part_root),
             os.path.join(mdir, name),
         )
         yield pa.RecordBatch.from_pydict(
@@ -308,6 +317,8 @@ def build_detail_parts_distributed(
     bloom_k: int,
     mdir: str,
     version: int,
+    part_root: str | None = None,
+    name_prefix: str | None = None,
 ) -> tuple[list[str], list[str]] | None:
     """Write a fresh commit's detail sidecar parts via Spark tasks.
 
@@ -317,11 +328,30 @@ def build_detail_parts_distributed(
     legacy driver pass (unsupported stats type, unparseable session tz,
     an ordering/count verification failure), in which case the caller
     runs the legacy path; correctness is never traded for the shortcut.
-    """
+
+    ``files_in_part_order`` is globally sorted — zero-row files (which
+    never reach the _metadata-grouped aggregation) are MERGED into
+    sorted position: rows landing inside a task-written part's range
+    rewrite that part (concat + sort by path, row content untouched),
+    rows falling between parts ride their own part at the right pointer
+    position — so the chain keeps the same globally-sorted file-list
+    property every driver path inherits from ``_list_parquet`` (r16,
+    advisor finding; previously empties rode an out-of-order tail part).
+
+    ``part_root``/``name_prefix`` let the WAP staging path write parts
+    under the STAGED commit dir (protected by the staged-grace clock,
+    removed by abort's rmtree) with stage-scoped names; publish links
+    them into the manifest dir under version names
+    (``snap_publish_staged``). Defaults preserve the direct-commit
+    behavior: parts in ``mdir`` stamped with the store root."""
     import pyarrow.parquet as pq
 
     from wsspark import snapstore as ss
 
+    if part_root is None:
+        part_root = os.path.dirname(mdir)
+    if name_prefix is None:
+        name_prefix = f"v{version:012d}"
     df = spark.read.parquet(commit_dir)
     fields = {f.name: f.dataType for f in df.schema.fields}
     for c in stats_cols:
@@ -366,6 +396,8 @@ def build_detail_parts_distributed(
                 pass
 
     files_ordered: list[str] = []
+    chunks: list[list[str]] = []
+    summaries: list = []
     if nonempty:
         n_words = bloom_bits // 63 + 1
         est_row = (
@@ -386,7 +418,8 @@ def build_detail_parts_distributed(
                 k, "__path"
             ).sortWithinPartitions("__path")
             writer = _make_part_writer(
-                list(stats_cols), list(bloom_cols), mdir, version
+                list(stats_cols), list(bloom_cols), mdir, version,
+                part_root, name_prefix,
             )
             summaries = sorted(
                 ordered.mapInArrow(writer, _SUMMARY_SCHEMA).collect(),
@@ -409,6 +442,7 @@ def build_detail_parts_distributed(
                 if chunk[0] != r["first"] or chunk[-1] != r["last"]:
                     ok = False
                     break
+                chunks.append(chunk)
                 files_ordered.extend(chunk)
                 off += r["n_rows"]
         if not ok:
@@ -416,28 +450,78 @@ def build_detail_parts_distributed(
             return None
     if empties:
         from wsspark.snapstore import (
+            _align_detail_tables,
             _detail_table_from_dicts,
             _stamp_part_root,
         )
 
-        t = _detail_table_from_dicts(
-            {
-                "file_stats": {},
-                "file_blooms": {},
-                "file_meta": {
-                    f: {"rows": 0, "bytes": os.path.getsize(f)}
-                    for f in empties
+        def _empties_table(group: list[str]):
+            return _detail_table_from_dicts(
+                {
+                    "file_stats": {},
+                    "file_blooms": {},
+                    "file_meta": {
+                        f: {"rows": 0, "bytes": os.path.getsize(f)}
+                        for f in group
+                    },
                 },
-            },
-            paths=list(empties),
-        )
-        name = f"v{version:012d}-{uuid.uuid4().hex[:8]}.detail.parquet"
-        pq.write_table(
-            _stamp_part_root(t, os.path.dirname(mdir)),
-            os.path.join(mdir, name),
-        )
-        part_names.append(name)
-        files_ordered.extend(empties)
+                paths=list(group),
+            )
+
+        def _write_group(table) -> str:
+            name = f"{name_prefix}-{uuid.uuid4().hex[:8]}.detail.parquet"
+            pq.write_table(
+                _stamp_part_root(table, part_root), os.path.join(mdir, name)
+            )
+            part_names.append(name)  # owned: cleaned up on failure
+            return name
+
+        # Merge the zero-row files into SORTED position so the chain
+        # keeps the globally-sorted file-list property: an empty inside
+        # a part's [first, last] range rewrites that part (concat +
+        # sort by path — rows untouched, order fixed); empties falling
+        # between parts ride their own part at that pointer position.
+        inside: dict[int, list[str]] = {}
+        gaps: dict[int, list[str]] = {}  # key i = before part i
+        for e in sorted(empties):
+            for i, r in enumerate(summaries):
+                if e < r["first"]:
+                    gaps.setdefault(i, []).append(e)
+                    break
+                if e <= r["last"]:
+                    inside.setdefault(i, []).append(e)
+                    break
+            else:
+                gaps.setdefault(len(summaries), []).append(e)
+        final_names: list[str] = []
+        final_files: list[str] = []
+        for i, r in enumerate(summaries):
+            if i in gaps:
+                final_names.append(_write_group(_empties_table(gaps[i])))
+                final_files.extend(gaps[i])
+            if i in inside:
+                old = os.path.join(mdir, r["name"])
+                merged = _align_detail_tables(
+                    pq.read_table(old), _empties_table(inside[i])
+                )
+                if merged is None:  # typed-index domain conflict: exact
+                    _cleanup()  # legacy fallback, never a guessed chain
+                    return None
+                final_names.append(
+                    _write_group(merged.sort_by("path"))
+                )
+                os.remove(old)
+                part_names.remove(r["name"])
+                final_files.extend(sorted(chunks[i] + inside[i]))
+            else:
+                final_names.append(r["name"])
+                final_files.extend(chunks[i])
+        if len(summaries) in gaps:
+            tail = gaps[len(summaries)]
+            final_names.append(_write_group(_empties_table(tail)))
+            final_files.extend(tail)
+        part_names = final_names
+        files_ordered = final_files
     if not part_names:
         return None  # nothing to write (no files) — legacy handles
     return part_names, files_ordered

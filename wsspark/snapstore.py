@@ -1586,7 +1586,11 @@ def _resolve_commit(
             ctx["parent_blooms"] = pm.get("file_blooms", {})
             ctx["parent_file_meta"] = pm.get("file_meta", {})
         ctx["parent_bloom_meta"] = pm.get("bloom_meta", {})
-        ctx["dv_files"] = pm.get("dv_files", [])
+        # carried sidecars' rootless rows must not re-anchor under the
+        # root THIS head records — see _restamp_rootless_dv
+        ctx["dv_files"] = _restamp_rootless_dv(
+            root, pm, pm.get("dv_files") or [], ctx["version"]
+        )
         # table CHECK constraints ride appends (and, above, pinned
         # maintenance overwrites); only an explicit user overwrite is a
         # new shape that drops them (re-add deliberately)
@@ -2103,7 +2107,7 @@ def _dv_read(spark: SparkSession, dv_paths: list[str]) -> DataFrame:
 
 def _dv_rebase_map(m: dict) -> dict[str, str]:
     """Driver-side classification of the DV rows' origin roots for a
-    manifest: ``{origin -> actual}`` for exactly the origins whose
+    manifest: ``{origin -> target}`` for exactly the origins whose
     recorded paths DANGLE under this manifest — i.e. the store was
     MOVED away from them (no manifest file still lives under the
     origin). An origin that still anchors live file paths — a shallow
@@ -2111,7 +2115,20 @@ def _dv_rebase_map(m: dict) -> dict[str, str]:
     its DV rows point at the files exactly as recorded. Empty for the
     common unmoved store, so the hot read path stays the raw==raw
     join with zero per-row string work. The DV sidecars are
-    delete-count-sized, so the origin probe is a cheap driver read."""
+    delete-count-sized, so the origin probe is a cheap driver read.
+
+    The TARGET for a dangling origin is resolved from the manifest's
+    own file list, not assumed to be the current root: a row recorded
+    as ``<origin>/<suffix>`` rebases to the live file ``<t>/<suffix>``
+    whose suffix matches (majority vote over a bounded row sample;
+    fall back to the current root when nothing matches — stale entries
+    for files the manifest no longer holds mask nothing either way).
+    For a store that simply moved, the vote resolves to the current
+    root exactly as before. The case that NEEDS the vote is a shallow
+    clone of a source that had moved after its deletes were recorded:
+    the clone's files live under the SOURCE's current root, not the
+    clone root, and rebasing origin->clone-root would dangle every
+    delete and silently resurrect the rows (r16)."""
     reb = m.get("_rebase")
     actual = reb[1] if reb else m.get("root")
     if actual is None:
@@ -2120,6 +2137,7 @@ def _dv_rebase_map(m: dict) -> dict[str, str]:
     import pyarrow.parquet as pq
 
     origins: set = set()
+    sidecars: list[tuple[str, bool]] = []
     for p in m.get("dv_files") or []:
         try:
             schema_names = pq.read_schema(p).names
@@ -2127,31 +2145,74 @@ def _dv_rebase_map(m: dict) -> dict[str, str]:
             continue
         if "root" not in schema_names:
             origins.add(recorded)
+            sidecars.append((p, False))
             continue
+        sidecars.append((p, True))
         for r in pq.read_table(p, columns=["root"]).column("root").to_pylist():
             origins.add(r if r is not None else recorded)
     alien = {o for o in origins if o and o != actual}
     if not alien:
         return {}
     files = m["files"]
-    return {
-        o: actual
-        for o in alien
+    dangling = {
+        o for o in alien
         if not any(f.startswith(o + os.sep) for f in files)
+    }
+    if not dangling:
+        return {}
+    by_base: dict[str, list[str]] = {}
+    for f in files:
+        by_base.setdefault(os.path.basename(f), []).append(f)
+    votes: dict[str, dict[str, int]] = {o: {} for o in dangling}
+    budget = {o: 64 for o in dangling}  # bounded sample per origin
+    for p, has_root in sidecars:
+        if all(b <= 0 for b in budget.values()):
+            break
+        try:
+            t = pq.read_table(
+                p, columns=["file", "root"] if has_root else ["file"]
+            )
+        except OSError:
+            continue
+        fvals = t.column("file").to_pylist()
+        rvals = (
+            t.column("root").to_pylist() if has_root else [None] * len(fvals)
+        )
+        for fv, rv in zip(fvals, rvals):
+            o = rv if rv is not None else recorded
+            if o not in dangling or budget[o] <= 0:
+                continue
+            plain = _norm_dv_path(fv)
+            if not plain.startswith(o + os.sep):
+                continue
+            budget[o] -= 1
+            suffix = plain[len(o):]
+            for cand in by_base.get(os.path.basename(plain), ()):
+                if cand.endswith(suffix):
+                    tgt = cand[: len(cand) - len(suffix)]
+                    votes[o][tgt] = votes[o].get(tgt, 0) + 1
+    return {
+        o: (max(v, key=v.get) if v else actual)
+        for o, v in votes.items()
     }
 
 
-def _dv_plain_expr(m: dict, rebase_map: dict[str, str]):
+def _dv_plain_expr(m: dict, rebase_map: dict[str, str], dv: DataFrame | None = None):
     """The Column lifting a DV frame's ``file`` into the manifest's
     current plain-path domain: normalize (scheme strip + unquote), then
     rebase rows whose per-row origin root is in ``rebase_map`` (the
     store moved away from it — see ``_dv_rebase_map``); rows from
-    origins that still anchor live paths pass through normalized."""
+    origins that still anchor live paths pass through normalized.
+    Pass the dv frame to QUALIFY the column references — in a join
+    against a user table that itself has ``file``/``root`` columns, an
+    unqualified reference is AMBIGUOUS_REFERENCE (r16)."""
     reb = m.get("_rebase")
     actual = reb[1] if reb else m.get("root")
     recorded = reb[0] if reb else actual
-    plain = _norm_dv_path_col("file")
-    origin = F.coalesce(F.col("root"), F.lit(recorded))
+    plain = _norm_dv_path_col(dv["file"] if dv is not None else F.col("file"))
+    origin = F.coalesce(
+        dv["root"] if dv is not None else F.col("root"), F.lit(recorded)
+    )
     out = plain
     for o, target in rebase_map.items():
         pre = o + os.sep
@@ -2176,8 +2237,87 @@ def _dv_anti_join(src: DataFrame, dv: DataFrame, m: dict) -> DataFrame:
     if not rmap:
         key = src["_dv_f"] == dv["file"]
     else:
-        key = _norm_dv_path_col("_dv_f") == _dv_plain_expr(m, rmap)
+        key = _norm_dv_path_col(src["_dv_f"]) == _dv_plain_expr(m, rmap, dv)
     return src.join(dv, key & (src["_dv_i"] == dv["idx"]), "left_anti")
+
+
+def _restamp_rootless_dv(
+    dest_root: str, m: dict, dv_paths: list, version: int
+) -> list:
+    """Make rootless (pre-per-row-``root``) deletion-vector rows safe to
+    carry into a head published under a DIFFERENT root than the parent
+    recorded. ``_dv_read`` interprets a null origin as 'written under
+    the head's recorded root' — sound only while the recorded root is
+    the root those rows were actually created under. The first commit
+    after a store move (append / dv-delete / restore / explicit
+    sidecar fold) re-records the NEW root while carrying the old
+    sidecars by name: null-origin rows would then read as
+    origin==actual, the rebase map comes back empty, the raw anti-join
+    matches nothing, and the deleted rows silently RESURRECT while
+    ``snap_count`` still subtracts them (r16, advisor finding). Same
+    exposure for ``snap_clone``, whose head records the clone root.
+
+    Any carried sidecar holding null-origin rows is rewritten (they are
+    delete-count-sized — a cheap driver pass) with ``root`` stamped to
+    the PARENT'S recorded root — the root the rows were created under,
+    by the same head-recorded-root invariant — into a fresh sidecar
+    under ``dest_root``'s data dir; sidecars whose rows all carry an
+    origin ride by name untouched, as does everything when the parent's
+    recorded root IS the destination (the unmoved common case — zero
+    extra I/O). The superseded sidecar stays referenced by the parent
+    head, so time travel and vacuum retention are unaffected; a
+    restamped sidecar orphaned by a lost commit race is unreferenced
+    data vacuum collects like any staged leftover.
+
+    ``_rewrite_commit`` (COW) already stamps null origins when it
+    consolidates survivors — this is the by-name-carry twin."""
+    if not dv_paths:
+        return list(dv_paths)
+    reb = m.get("_rebase")
+    recorded = reb[0] if reb else m.get("root")
+    if recorded is None:
+        return list(dv_paths)  # legacy head: non-relocatable, unchanged
+    if recorded == os.path.abspath(dest_root) and not reb:
+        return list(dv_paths)  # unmoved in-place commit: nothing shifts
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out: list = []
+    stamp_dir: str | None = None
+    for p in dv_paths:
+        try:
+            t = pq.read_table(p)
+        except OSError:
+            out.append(p)  # unreadable here: ride by name, reads surface it
+            continue
+        names = t.schema.names
+        if "root" in names and t.column("root").null_count == 0:
+            out.append(p)
+            continue
+        if "root" in names:
+            import pyarrow.compute as pc
+
+            filled = pc.fill_null(
+                t.column("root").cast(pa.string()), recorded
+            )
+            t = t.set_column(names.index("root"), "root", filled)
+        else:
+            t = t.append_column(
+                "root", pa.array([recorded] * len(t), pa.string())
+            )
+        if stamp_dir is None:
+            stamp_dir = os.path.join(
+                _data_dir(dest_root),
+                f"commit-{version:012d}-dvrestamp-{uuid.uuid4().hex[:8]}",
+                "_dv",
+            )
+            os.makedirs(stamp_dir, exist_ok=True)
+        newp = os.path.join(
+            stamp_dir, f"restamp-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        pq.write_table(t.select(["file", "idx", "root"]), newp)
+        out.append(newp)
+    return out
 
 
 def _source_frame(
@@ -3390,6 +3530,11 @@ def snap_compact_details(root: str) -> int | None:
     _detail_cache[os.path.join(mdir, name)] = merged
     manifest = dict(head)
     manifest.pop("detail_file", None)
+    if manifest.get("dv_files"):
+        # metadata-only fold after a move still re-records the root
+        manifest["dv_files"] = _restamp_rootless_dv(
+            root, m, manifest["dv_files"], v + 1
+        )
     manifest.update(
         {
             "version": v + 1,
@@ -3800,7 +3945,9 @@ def snap_restore(root: str, to_version: int | str) -> int:
         "schema": src["schema"],
         **detail,
         "bloom_meta": src.get("bloom_meta", {}),
-        "dv_files": src.get("dv_files", []),
+        "dv_files": _restamp_rootless_dv(
+            root, src, src.get("dv_files") or [], version
+        ),
         # RESTORE restores versioned METADATA too (Delta semantics): the
         # restored-to version's CHECK constraints come back with its data
         "constraints": src.get("constraints", {}),
@@ -4896,7 +5043,9 @@ def snap_delete_dv(
         "version": m["version"] + 1,
         "parent_bloom_meta": m.get("bloom_meta", {}),
         "manifest_schema": T.StructType.fromJson(json.loads(m["schema"])),
-        "dv_files": (m.get("dv_files") or []) + new_dv,
+        "dv_files": _restamp_rootless_dv(
+            root, m, m.get("dv_files") or [], m["version"] + 1
+        ) + new_dv,
         # a dv-delete introduces no rows (nothing to validate) but the
         # table's CHECK constraints must ride the manifest forward
         "constraints": m.get("constraints", {}),
@@ -5183,7 +5332,11 @@ def snap_clone(
         "parent_files": list(m["files"]),
         "parent_bloom_meta": dict(m.get("bloom_meta", {})),
         "manifest_schema": T.StructType.fromJson(json.loads(m["schema"])),
-        "dv_files": list(m.get("dv_files") or []),
+        # the clone head records the CLONE root: rootless rows must keep
+        # their source-recorded origin or they re-anchor under it
+        "dv_files": _restamp_rootless_dv(
+            root_dst, m, list(m.get("dv_files") or []), 0
+        ),
         "constraints": dict(m.get("constraints", {})),
     }
     if isinstance(m, _LazyManifest) and not m._loaded:
