@@ -390,10 +390,15 @@ def main() -> None:
         "SPARK_GRAFT_SF1_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".testdata_sf1"),
     )
+    # r16: the three most scale-critical families each carry their own
+    # tracked decade — the metadata plane (q33), the fused drift suite
+    # (q31, one stacked scan at any width), and the corpus scorecard
+    # (q22, the quality->dedup->chunk->pack fusion).
     sf1_labels = {
         s.strip()
         for s in os.environ.get(
-            "SPARK_GRAFT_SF1_QUERIES", "q33_snapstore_metadata"
+            "SPARK_GRAFT_SF1_QUERIES",
+            "q33_snapstore_metadata,q31_drift_suite,q22_corpus_build",
         ).split(",")
         if s.strip()
     }

@@ -16,10 +16,15 @@ tasks write the sidecar parts. These tests pin:
 - multi-part chains (forced small parts) reconstruct and prune
   identically;
 - zero-row part files (invisible to a _metadata-grouped aggregation)
-  ride a driver-built tail part with rows=0;
+  merge into SORTED position (driver-built gap parts or a part rewrite)
+  with rows=0 — the published list stays globally sorted (r16);
 - unsupported stats types fall back to the legacy path, never diverge;
 - the full DML lifecycle (deferred append, COW update, DV delete,
-  restore, vacuum) is unchanged atop a distributed-written chain.
+  restore, vacuum) is unchanged atop a distributed-written chain;
+- bulk WAP stages (r16): past the threshold, ``snap_stage`` writes its
+  detail parts via Spark tasks under the staged dir (O(1) staged JSON),
+  ``snap_publish_staged`` adopts them by hard-link (lost races keep the
+  originals — retryable), aborts/vacuum/relocation keep their contracts.
 """
 
 from __future__ import annotations
@@ -416,3 +421,165 @@ def test_maintenance_overwrite_through_distributed_path(
     # prune still drives off the task-written sidecar of the compaction
     kept, total = ss.snap_prune_files(root, "id", 0, 5)
     assert 0 < len(kept) <= total
+
+
+# ---------------------------------------------------------------------------
+# Bulk WAP stages through the distributed rung (r16)
+
+
+def _staged_json(root, sid):
+    with open(ss._staged_path(root, sid)) as f:
+        return json.load(f)
+
+
+def test_bulk_stage_distributed_lifecycle(spark, tmp_path, dist_mode):
+    """Stage past the threshold: the staged JSON stays O(1) (part names
+    + file count, no path list, no stats/bloom dicts), the audit reads
+    the staged frame, and publish adopts the Spark-written parts into an
+    O(1) files_in_detail head whose pruning matches a direct commit."""
+    root = str(tmp_path / "t")
+    df = _typed_df(spark, 800, 6)
+    sid = ss.snap_stage(df, root, stats_cols=STATS, bloom_cols=BLOOMS,
+                        bloom_bits=1 << 12)
+    st = _staged_json(root, sid)
+    assert st["detail_parts"] and st["file_count"] == 6
+    assert "files" not in st and "file_stats" not in st, (
+        "bulk staged JSON must stay O(1)"
+    )
+    assert ss.snap_read_staged(spark, root, sid).count() == 800
+    v = ss.snap_publish_staged(root, sid)
+    assert v == 0
+    assert ss.snap_count(root) == 800
+    assert ss.snap_read(spark, root).count() == 800
+    head = json.load(open(ss._manifest_path(root, v)))
+    assert head.get("files_in_detail") and head["file_count"] == 6
+    # pruning parity with a DIRECT distributed commit of the same data
+    root2 = str(tmp_path / "direct")
+    ss.snap_commit(df, root2, stats_cols=STATS, bloom_cols=BLOOMS,
+                   bloom_bits=1 << 12)
+    kept_a, total_a = ss.snap_prune_files(root, "id", 0, 100)
+    kept_b, total_b = ss.snap_prune_files(root2, "id", 0, 100)
+    assert total_a == total_b == 6
+    assert len(kept_a) == len(kept_b)
+    kq_a, _ = ss.snap_prune_files_eq(root, "s", "k13")
+    kq_b, _ = ss.snap_prune_files_eq(root2, "s", "k13")
+    assert len(kq_a) == len(kq_b)
+    # the staged originals were dropped after adoption
+    st_dir = os.path.join(st["commit_dir"], "_detail")
+    assert not os.path.exists(st_dir)
+    # staged marker gone
+    assert not os.path.exists(ss._staged_path(root, sid))
+
+
+def test_bulk_stage_publish_lost_race_is_retryable(spark, tmp_path, dist_mode):
+    """A lost publish race removes only the hard-linked parts — the
+    staged originals survive and a second publish succeeds."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(_typed_df(spark, 60, 1), root, stats_cols=["id"])
+    sid = ss.snap_stage(_typed_df(spark, 300, 3), root, stats_cols=["id"])
+    st = _staged_json(root, sid)
+    assert st.get("detail_parts")
+    # a concurrent commit advances CURRENT past the expected parent
+    ss.snap_commit(_typed_df(spark, 30, 1), root, stats_cols=["id"])
+    with pytest.raises(ss.SnapshotConflict):
+        ss.snap_publish_staged(root, sid, expected_parent=0)
+    # originals intact, marker intact -> retry publishes
+    sdir = os.path.join(st["commit_dir"], "_detail")
+    assert sorted(os.listdir(sdir)) == sorted(st["detail_parts"])
+    v = ss.snap_publish_staged(root, sid)
+    assert v == 2
+    assert ss.snap_count(root) == 390
+
+
+def test_bulk_stage_abort_removes_parts(spark, tmp_path, dist_mode):
+    root = str(tmp_path / "t")
+    sid = ss.snap_stage(_typed_df(spark, 200, 2), root, stats_cols=["id"])
+    st = _staged_json(root, sid)
+    assert st.get("detail_parts")
+    ss.snap_abort_staged(root, sid)
+    assert not os.path.exists(st["commit_dir"])
+    assert not os.path.exists(ss._staged_path(root, sid))
+    assert ss.snap_current_version(root) is None
+
+
+def test_bulk_stage_survives_relocation(spark, tmp_path, dist_mode):
+    """stage -> move -> audit -> publish under the new root: the part
+    path rows rebase via the staged JSON's recorded root, the adopted
+    parts self-rebase at read via their schema stamp."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    sid = ss.snap_stage(
+        _typed_df(spark, 400, 4).repartitionByRange(4, "id"), src,
+        stats_cols=STATS, bloom_cols=["s"], bloom_bits=1 << 12,
+    )
+    dst = str(tmp_path / "dst")
+    shutil.move(src, dst)
+    assert ss.snap_read_staged(spark, dst, sid).count() == 400
+    v = ss.snap_publish_staged(dst, sid)
+    assert ss.snap_count(dst) == 400
+    m = ss._read_manifest(dst, v)
+    assert all(f.startswith(dst + os.sep) for f in m["files"])
+    assert ss.snap_read(spark, dst).count() == 400
+    kept, total = ss.snap_prune_files(dst, "id", 0, 50)
+    assert 0 < len(kept) < total
+
+
+def test_bulk_stage_append_onto_live_parent(spark, tmp_path, dist_mode):
+    """A staged bulk APPEND onto a non-empty parent reconstructs the
+    exact dicts from the parts (fresh-detail adoption needs an empty
+    parent) — published reads, counts, and stats stay correct."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(_typed_df(spark, 100, 2), root, stats_cols=["id"])
+    sid = ss.snap_stage(
+        _typed_df(spark, 1400, 3).where("id >= 1000"),
+        root,
+        stats_cols=["id"],
+    )
+    st = _staged_json(root, sid)
+    assert st.get("detail_parts")
+    parent_head = json.load(open(ss._manifest_path(root, 0)))
+    parent_parts = ss._pointer_names(parent_head)
+    v = ss.snap_publish_staged(root, sid)
+    assert ss.snap_count(root) == 500
+    assert ss.snap_read(spark, root).count() == 500
+    m = ss._read_manifest(root, v)
+    assert set(m["file_stats"]) >= set(
+        f for f in m["files"] if "commit-s-" in f
+    ), "staged files' stats survive the publish"
+    # r16: the chain is parent parts + ADOPTED staged parts by name —
+    # no dict rebuild, no driver-written part, however large the stage
+    head = json.load(open(ss._manifest_path(root, v)))
+    chain = ss._pointer_names(head)
+    assert chain[: len(parent_parts)] == parent_parts
+    assert len(chain) == len(parent_parts) + len(st["detail_parts"])
+
+
+def test_bulk_stage_vacuumed_publish_raises(spark, tmp_path, dist_mode):
+    """Grace-expired staged parts collected by vacuum make publish raise
+    the retryable StagedCommitVacuumed, never a silent partial commit."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(_typed_df(spark, 50, 1), root, stats_cols=["id"])
+    sid = ss.snap_stage(_typed_df(spark, 200, 2), root, stats_cols=["id"])
+    st = _staged_json(root, sid)
+    assert st.get("detail_parts")
+    ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=0)
+    assert not os.path.exists(
+        os.path.join(st["commit_dir"], "_detail", st["detail_parts"][0])
+    )
+    with pytest.raises((ss.StagedCommitVacuumed, FileNotFoundError)):
+        ss.snap_publish_staged(root, sid)
+
+
+def test_bulk_stage_vacuum_grace_protects_parts(spark, tmp_path, dist_mode):
+    """Inside the grace window the staged dir (data AND parts) is kept
+    whole — the retained-parts contract extends to live staged parts."""
+    root = str(tmp_path / "t")
+    ss.snap_commit(_typed_df(spark, 50, 1), root, stats_cols=["id"])
+    sid = ss.snap_stage(_typed_df(spark, 200, 2), root, stats_cols=["id"])
+    st = _staged_json(root, sid)
+    ss.snap_vacuum(root, keep_last=1, staged_grace_minutes=60)
+    sdir = os.path.join(st["commit_dir"], "_detail")
+    assert sorted(os.listdir(sdir)) == sorted(st["detail_parts"])
+    v = ss.snap_publish_staged(root, sid)
+    assert ss.snap_count(root) == 250

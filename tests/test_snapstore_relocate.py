@@ -379,3 +379,105 @@ def test_moved_store_dv_read_with_file_root_columns(spark, tmp_path):
     got = ss.snap_read(spark, dst)
     assert got.count() == 15
     assert {r.file for r in got.collect()} == {f"f{i}" for i in range(15)}
+
+
+def test_unmoved_store_read_plan_has_no_rebase(spark, tmp_path):
+    """Rebase-on-read's bargain: the UNMOVED common case must stay
+    byte-identical — the DV anti-join key is the raw==raw equality with
+    zero per-row string work (no url_decode normalization, no rebase
+    when-chain in the plan); only a store with dangling DV origins pays
+    the normalized+rebased comparison. Pinned on the optimized plan."""
+    root = str(tmp_path / "a")
+    ss.snap_commit(_df(spark, 0, 60).coalesce(2), root, stats_cols=["id"])
+    ss.snap_delete_dv(spark, root, "id >= 50")
+    plan = (
+        ss.snap_read(spark, root)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "StartsWith(_dv_f" not in plan and "Url" not in plan, (
+        "unmoved DV read must stay raw==raw"
+    )
+    assert ss.snap_read(spark, root).count() == 50
+    # the moved store DOES pay the normalization — and stays correct
+    dst = str(tmp_path / "b")
+    shutil.move(root, dst)
+    plan2 = (
+        ss.snap_read(spark, dst)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "StartsWith(_dv_f" in plan2, "moved store reads rebase per-row"
+    assert ss.snap_read(spark, dst).count() == 50
+
+
+def test_snap_context_sink_carries_thresholds_to_foreachbatch(
+    spark, tmp_path, monkeypatch
+):
+    """r16 advisor finding: foreachBatch callbacks run on py4j
+    callback-server threads with a FRESH contextvars Context, so a bare
+    ``snap_metadata_thresholds`` block around ``start()`` never reaches
+    the sink. ``snap_context_sink`` captures the block's Context at
+    wrap time and the sink runs inside it. Pinned both ways: with the
+    wrapper the inline fold stays disabled (part chain grows one part
+    per batch past the process default), without it the process default
+    fires (the documented failure mode)."""
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_INLINE_MAX", "0")
+    monkeypatch.setenv("WSSPARK_SNAP_FILES_INLINE_MAX", "0")
+    monkeypatch.setenv("WSSPARK_SNAP_DETAIL_PARTS_MAX", "2")
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i in range(5):
+        _df(spark, i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir / f"b{i}"))
+
+    def run_stream(root, sink):
+        stream = (
+            spark.readStream.schema("id long, val long, s string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir / "b*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation", str(tmp_path / (root.split("/")[-1] + "-ckpt"))
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def parts(root):
+        head = json.load(
+            open(ss._manifest_path(root, ss.snap_current_version(root)))
+        )
+        return len(ss._pointer_names(head))
+
+    # WITH the wrapper: parts_max=0 rides into the sink -> no inline
+    # fold, one part per batch (> the env default of 2)
+    root_a = str(tmp_path / "with-wrapper")
+    with ss.snap_metadata_thresholds(detail_parts_max=0):
+        sink_a = ss.snap_context_sink(
+            lambda bdf, bid: ss.snap_commit(bdf, root_a, tag=bid)
+        )
+    run_stream(root_a, sink_a)
+    assert ss.snap_count(root_a) == 50
+    assert parts(root_a) > 2, "wrapper must carry detail_parts_max=0"
+    # the explicit maintenance fold still works afterwards
+    assert ss.snap_compact_details(root_a) is not None
+    assert parts(root_a) == 1
+    assert ss.snap_read(spark, root_a).count() == 50
+
+    # WITHOUT the wrapper: the thresholds block does NOT reach the
+    # callback thread; the env default (2) folds the chain
+    root_b = str(tmp_path / "no-wrapper")
+    with ss.snap_metadata_thresholds(detail_parts_max=0):
+        sink_b = lambda bdf, bid: ss.snap_commit(bdf, root_b, tag=bid)  # noqa: E731
+        run_stream(root_b, sink_b)
+    assert ss.snap_count(root_b) == 50
+    assert parts(root_b) <= 2, (
+        "documented caveat: bare thresholds block must not reach the sink"
+    )

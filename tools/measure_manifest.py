@@ -403,6 +403,153 @@ def run_commit(n_files: int, spark) -> None:
         shutil.rmtree(mdir, ignore_errors=True)
 
 
+def run_stage(n_files: int, spark) -> None:
+    """The r16 rung: a BULK WAP stage, legacy driver metadata pass vs
+    the distributed staged-parts path, over the same generated frame.
+    The two claims under test: the staged JSON stays O(1) bytes in
+    distributed mode (vs O(files x cols x bloom_bits) inline dicts),
+    and stage+publish wall time stays ~flat vs file count (the data
+    write is common to both modes; the delta is the metadata pass)."""
+    from pyspark.sql import functions as F
+
+    rows_per_file = 40
+    df = spark.range(n_files * rows_per_file).select(
+        F.col("id"),
+        (F.col("id") % 9973).cast("string").alias("s"),
+        (F.col("id").cast("double") / 7).alias("x"),
+    ).repartition(8)
+    old_max = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(rows_per_file))
+    saved = {
+        k: os.environ.get(k)
+        for k in (
+            "WSSPARK_SNAP_DISTRIBUTED_COMMIT_MIN",
+            "WSSPARK_SNAP_DETAIL_INLINE_MAX",
+            "WSSPARK_SNAP_FILES_INLINE_MAX",
+        )
+    }
+    try:
+        for mode in ("legacy", "distributed"):
+            if mode == "legacy":
+                os.environ["WSSPARK_SNAP_DISTRIBUTED_COMMIT_MIN"] = "999999999"
+                os.environ.pop("WSSPARK_SNAP_DETAIL_INLINE_MAX", None)
+                os.environ.pop("WSSPARK_SNAP_FILES_INLINE_MAX", None)
+            else:
+                os.environ["WSSPARK_SNAP_DISTRIBUTED_COMMIT_MIN"] = "0"
+                os.environ["WSSPARK_SNAP_DETAIL_INLINE_MAX"] = "0"
+                os.environ["WSSPARK_SNAP_FILES_INLINE_MAX"] = "0"
+            root = tempfile.mkdtemp(prefix=f"stage-{mode}-")
+            try:
+                t_stage, sid = _t(
+                    ss.snap_stage, df, root,
+                    stats_cols=["id", "x"], bloom_cols=["s"],
+                    bloom_bits=N_BITS, bloom_k=K,
+                )
+                json_bytes = os.path.getsize(ss._staged_path(root, sid))
+                t_pub, v = _t(ss.snap_publish_staged, root, sid)
+                assert ss.snap_count(root) == n_files * rows_per_file
+                print(
+                    json.dumps(
+                        {
+                            "n_files": n_files,
+                            "mode": f"wap_stage_{mode}",
+                            "stage_s": round(t_stage, 4),
+                            "staged_json_bytes": json_bytes,
+                            "publish_s": round(t_pub, 4),
+                        }
+                    )
+                )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old_max)
+        for k, val in saved.items():
+            if val is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = val
+
+
+def run_relocate(n_files: int) -> None:
+    """r16: the rebase-on-read trade, measured. A MOVED store's first
+    read pays head-list rebase (O(1) heads: trivial), part self-rebase
+    (one vectorized arrow pass over the path column), and — when DV
+    sidecars exist — the driver origin probe + suffix-vote target
+    resolution. The unmoved store must pay none of it (same numbers as
+    the plain o1 row; the DV read plan stays raw==raw, pinned by
+    test_unmoved_store_read_plan_has_no_rebase)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.environ["WSSPARK_SNAP_FILES_INLINE_MAX"] = "0"
+    try:
+        src = tempfile.mkdtemp(prefix="manifest-reloc-")
+        _fabricate(src, n_files, False)
+        # a DV sidecar with 2000 rows over the fake files (the probe and
+        # vote read it driver-side on the moved store)
+        dv_dir = os.path.join(src, "data", "commit-000000000000-dv", "_dv")
+        os.makedirs(dv_dir)
+        dvp = os.path.join(dv_dir, "dv.parquet")
+        files = [f"/fake/data/part-{i:06d}.parquet" for i in range(2000)]
+        pq.write_table(
+            pa.table(
+                {
+                    "file": pa.array(files, pa.string()),
+                    "idx": pa.array([0] * 2000, pa.int64()),
+                    "root": pa.array([src] * 2000, pa.string()),
+                }
+            ),
+            dvp,
+        )
+        m0 = ss._read_manifest(src, 0)
+        head = m0.head_copy() if hasattr(m0, "head_copy") else dict(m0)
+        head["dv_files"] = [dvp]
+        head["version"] = 1
+        head["parent"] = 0
+        os.remove(ss._manifest_path(src, 0))
+        ss._write_manifest_file(src, head)  # shares v0's sidecar parts
+        ss._advance_current(src, 1)
+        ss._detail_cache.clear()
+        hi_id = n_files * ROWS_PER_FILE
+        t_head_u, m = _t(ss._read_manifest, src, 1)
+        t_files_u, _ = _t(lambda: m["files"])
+        t_dv_u, rmap_u = _t(ss._dv_rebase_map, m)
+        assert rmap_u == {}
+        t_prune_u, _ = _t(
+            ss.snap_prune_files, src, "id", hi_id // 2, hi_id // 2 + 100
+        )
+        dst = src + "-moved"
+        shutil.move(src, dst)
+        ss._detail_cache.clear()
+        t_head_m, mm = _t(ss._read_manifest, dst, 1)
+        t_files_m, _ = _t(lambda: mm["files"])
+        t_dv_m, rmap_m = _t(ss._dv_rebase_map, mm)
+        assert rmap_m == {src: dst}  # fake paths: suffix vote -> actual
+        t_prune_m, _ = _t(
+            ss.snap_prune_files, dst, "id", hi_id // 2, hi_id // 2 + 100
+        )
+        print(
+            json.dumps(
+                {
+                    "n_files": n_files,
+                    "mode": "relocated_first_read",
+                    "dv_rows": 2000,
+                    "unmoved_head_s": round(t_head_u, 4),
+                    "moved_head_s": round(t_head_m, 4),
+                    "unmoved_files_s": round(t_files_u, 4),
+                    "moved_files_s": round(t_files_m, 4),
+                    "unmoved_dv_probe_s": round(t_dv_u, 4),
+                    "moved_dv_probe_s": round(t_dv_m, 4),
+                    "unmoved_prune_s": round(t_prune_u, 4),
+                    "moved_prune_s": round(t_prune_m, 4),
+                }
+            )
+        )
+        shutil.rmtree(dst, ignore_errors=True)
+    finally:
+        os.environ.pop("WSSPARK_SNAP_FILES_INLINE_MAX", None)
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [5000, 20000, 50000]
     spark = None
@@ -415,8 +562,10 @@ def main() -> None:
     for n in sizes:
         run(n, spark)
         run_o1(n)
+        run_relocate(n)
         if spark is not None:
             run_commit(n, spark)
+            run_stage(n, spark)
 
 
 if __name__ == "__main__":

@@ -4548,6 +4548,26 @@ EMB_COV_SQL = _covariance_block_sql()
 
 
 QUERIES = [
+    # r16 slot swap: six strongest never-driver-verified folded queries
+    # promoted (LAST_GREEN=0 sorts them into the next window head) —
+    # the RRF fusion stage, the only market-basket shape, the only
+    # triangle/clustering-coefficient shape, exact median/MAD, the
+    # cluster-aware split, and Cohen's kappa.
+    Query("hybrid_related_docs", q_hybrid_related_docs, HYBRID_SQL,
+          "BM25 + cosine reciprocal-rank-fusion hybrid retrieval"),
+    Query("frequent_part_pairs", q_frequent_part_pairs, FREQUENT_PAIRS_SQL,
+          "frequent co-ordered part pairs with support + lift"),
+    Query("part_triangle_stats", q_part_triangle_stats, TRIANGLE_SQL,
+          "co-order part-graph triangles + clustering coefficient"),
+    Query("robust_event_outliers", q_robust_event_outliers,
+          ROBUST_OUTLIERS_SQL,
+          "exact median/MAD outlier fence per event type"),
+    Query("leakage_safe_split", q_leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL,
+          "near-dup-cluster-aware train/test split (no split-boundary "
+          "leakage)"),
+    Query("gate_agreement_kappa", q_gate_agreement_kappa,
+          _gate_kappa_sql(),
+          "Cohen's kappa: full quality gate vs its stopword rule alone"),
     # PROMOTED r14 (slot swap): four folded queries that had never seen
     # the driver gate take the slots of four retired redundant siblings
     # (doc_fingerprint_candidates, embedding_norm_profile,
@@ -4671,8 +4691,8 @@ QUERIES = [
     # (token_doc_frequency, bigram_topk, dup_clusters, dedup_survivors —
     # all folded below, still oracle-hash-gated every session by
     # tests/test_folded_oracles.py).
-    Query("ks_drift_report", q_ks_drift_report, KS_DRIFT_SQL,
-          "exact two-sample Kolmogorov-Smirnov drift with significance"),
+    # ks_drift_report retired to the folded tier in r16 (slot swap —
+    # see FOLDED_QUERIES); implementation + SQL stay here.
     Query("snapstore_dv_delete_read", q_snapstore_dv_delete_read,
           SNAPSTORE_DV_SQL,
           "deletion-vector DELETE read back through the DV anti-join"),
@@ -4932,9 +4952,7 @@ FOLDED_QUERIES = [
     # Born folded (r9, registry at ceiling): cluster-aware train/test
     # split. Bit-exact twin: same recursive-CTE closure as dup_clusters,
     # same integer Knuth gate as stratified_sample.
-    Query("leakage_safe_split", q_leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL,
-          "near-dup-cluster-aware train/test split (no split-boundary "
-          "leakage)"),
+    # (leakage_safe_split PROMOTED to the registry in r16.)
     # Born folded (r9): the per-epoch training-shard shuffle. Bit-exact
     # twin: portable md5 permutation key, 60-bit-prefix shard, windowed
     # in-shard rank.
@@ -4955,25 +4973,21 @@ FOLDED_QUERIES = [
           "k-minimum-values distinct sketch (exact-verifiable)"),
     # Born folded (r9): exact triangle count via degree orientation —
     # the hub-skew-proof wedge join; twin replays orientation + joins.
-    Query("part_triangle_stats", q_part_triangle_stats, TRIANGLE_SQL,
-          "co-order part-graph triangles + clustering coefficient"),
+    # (part_triangle_stats PROMOTED to the registry in r16.)
     # Born folded (r9): exactly-k weighted sampling without replacement,
     # integer-exact A-ES (max-of-w-uniforms identity, portable hashes).
     Query("weighted_sample_docs", q_weighted_sample_docs, WSAMPLE_SQL,
           "A-ES exactly-k quality-weighted corpus sample"),
     # Born folded (r9): exact-MAD robust outlier fence, radix-bisection
     # medians composed; twin replays both medians definitionally.
-    Query("robust_event_outliers", q_robust_event_outliers,
-          ROBUST_OUTLIERS_SQL,
-          "exact median/MAD outlier fence per event type"),
+    # (robust_event_outliers PROMOTED to the registry in r16.)
     # Born folded (r9): grouped closed-form OLS — five exact-long
     # sufficient statistics, one aggregation, bit-identical twin.
     Query("brand_revenue_trend", q_brand_revenue_trend, BRAND_TREND_SQL,
           "per-brand monthly revenue OLS trend (one aggregation)"),
     # Born folded (r9): Apriori-pruned market-basket pairs; the prune is
     # lossless by anti-monotone support (re-proved by pytest equality).
-    Query("frequent_part_pairs", q_frequent_part_pairs, FREQUENT_PAIRS_SQL,
-          "frequent co-ordered part pairs with support + lift"),
+    # (frequent_part_pairs PROMOTED to the registry in r16.)
     # (r9-born warehouse_hop_distances — Bellman-Ford SSSP, twin unrolls
     # the relaxation rounds — PROMOTED to the registry in r15.)
     # Born folded (r9): one-scan multi-FK orphan audit, the cross-table
@@ -5014,9 +5028,7 @@ FOLDED_QUERIES = [
     # Born folded (r11): exact Cohen's kappa — chance-corrected agreement
     # between the full rule gate and its stopword rule alone; integer
     # confusion counts until the final divisions.
-    Query("gate_agreement_kappa", q_gate_agreement_kappa,
-          _gate_kappa_sql(),
-          "Cohen's kappa: full quality gate vs its stopword rule alone"),
+    # (gate_agreement_kappa PROMOTED to the registry in r16.)
     # Retired registry -> folded (r12 slot swap): four redundant family
     # members gave their driver slots to ks_drift_report /
     # snapstore_dv_delete_read / snapstore_update_read /
@@ -5166,8 +5178,7 @@ FOLDED_QUERIES = [
     # exactly SQL-expressible and hash-checked end to end. (r15:
     # bm25_search PROMOTED to the registry; the RRF fusion stage keeps
     # its hash check here.)
-    Query("hybrid_related_docs", q_hybrid_related_docs, HYBRID_SQL,
-          "BM25 + cosine reciprocal-rank-fusion hybrid retrieval"),
+    # (hybrid_related_docs PROMOTED to the registry in r16.)
     # Retired registry -> folded (r14 slot swap): four redundant family
     # members gave their driver slots to exact_price_quantiles /
     # snapstore_optimize_read / snapstore_restore_read /
@@ -5242,5 +5253,50 @@ FOLDED_QUERIES = [
     Query("streaming_daily_counts", streamq.q_streaming_daily_counts,
           streamq.STREAMING_DAILY_SQL,
           "availableNow stream -> window agg == batch SQL"),
+    # Retired registry -> folded (r16 slot swap): six redundant rows gave
+    # their driver slots to hybrid_related_docs / frequent_part_pairs /
+    # part_triangle_stats / robust_event_outliers / leakage_safe_split /
+    # gate_agreement_kappa (none had ever held a driver row). Each
+    # retiree's machinery stays driver-verified through registered
+    # siblings; the folded oracle hash replays every session:
+    #  * ks_drift_report: the registered drift_suite_report is the fused
+    #    SUPERSET — its KS leg re-verifies the exact two-sample cumsum
+    #    machinery every rotation (and q30/q31 stay benched).
+    #  * pricing_summary (Q1): grouped pricing rollup; movement_cube
+    #    (grouping sets) and nation_year_margin (Q9, cents-exact margin
+    #    rollup) keep the grouped exact-decimal aggregation registered.
+    #  * top_unshipped_orders (Q3): selective join + pinned top-k;
+    #    top_supplier_revenue keeps the windowed top-over-aggregate,
+    #    token_heavy_hitters the exact top-k verify pass.
+    #  * local_supplier_volume (Q5): 5-way broadcast join chain;
+    #    nation_year_margin keeps the multi-dim broadcast chain shape.
+    #  * streaming_dedup_index: streaming_chunk_dedup +
+    #    streaming_bloom_ngram_index keep streaming ingest-dedup
+    #    registered; the batch LSH (minhash_dedup_pairs) shares the
+    #    same quadratic-jaccard oracle definition.
+    #  * streaming_snapshot_upsert: streaming_mv_refresh keeps the
+    #    foreachBatch stateful-sink shape registered; the batch signed
+    #    sum (snapshot_recompute) stays registered. (The
+    #    applyInPandasWithState row, streaming_low_stock_alerts, is
+    #    deliberately NOT retired — it is the only driver row covering
+    #    the custom stateful operator API.)
+    Query("ks_drift_report", q_ks_drift_report, KS_DRIFT_SQL,
+          "exact two-sample Kolmogorov-Smirnov drift with significance"),
+    Query("pricing_summary", tpch.q_pricing_summary, tpch.PRICING_SQL,
+          "TPC-H Q1-shape grouped pricing rollup"),
+    Query("top_unshipped_orders", tpch.q_top_unshipped_orders,
+          tpch.UNSHIPPED_SQL,
+          "TPC-H Q3-shape selective join + pinned top-k"),
+    Query("local_supplier_volume", tpch.q_local_supplier_volume,
+          tpch.VOLUME_SQL,
+          "TPC-H Q5-shape 5-way broadcast join chain"),
+    Query("streaming_dedup_index", streamq.q_streaming_dedup_index,
+          MINHASH_PAIRS_SQL,
+          "streaming MinHash+LSH index: arrival-time pairs == quadratic "
+          "jaccard"),
+    Query("streaming_snapshot_upsert", streamq.q_streaming_snapshot_upsert,
+          streamq.STREAMING_SNAPSHOT_SQL,
+          "§2.10 foreachBatch upsert store: final snapshot == batch "
+          "signed sum"),
     *_folded_core(),
 ]

@@ -635,20 +635,9 @@ QUERIES = [
         STREAMING_LOW_STOCK_SQL,
         "§2.10 applyInPandasWithState running balances == batch HAVING twin",
     ),
-    Query(
-        "streaming_snapshot_upsert",
-        q_streaming_snapshot_upsert,
-        STREAMING_SNAPSHOT_SQL,
-        "§2.10 foreachBatch upsert store: final snapshot == batch signed sum",
-    ),
-    Query(
-        "streaming_dedup_index",
-        q_streaming_dedup_index,
-        # the same quadratic 3-shingle jaccard twin that checks the batch
-        # LSH query — one oracle definition pins both paths
-        llmq.MINHASH_PAIRS_SQL,
-        "streaming MinHash+LSH index: arrival-time pairs == quadratic jaccard",
-    ),
+    # streaming_snapshot_upsert retired to the folded tier in r16 (slot
+    # swap — see llm.py FOLDED_QUERIES); implementation + SQL stay here.
+    # streaming_dedup_index retired to the folded tier in r16 (slot swap).
     Query(
         "streaming_chunk_dedup",
         q_streaming_chunk_dedup,

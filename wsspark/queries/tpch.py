@@ -924,15 +924,13 @@ QUERIES = [
     Query("approx_distinct_accuracy", q_approx_distinct_accuracy,
           APPROX_DISTINCT_SQL,
           "HLL++ approx-distinct certified within 3*rsd of exact"),
-    Query("pricing_summary", q_pricing_summary, PRICING_SQL,
-          "TPC-H Q1-shape grouped pricing rollup"),
+    # pricing_summary retired to the folded tier in r16 (slot swap —
+    # see llm.py FOLDED_QUERIES); implementation + SQL stay here.
     Query("brand_price_quantiles", q_brand_price_quantiles,
           BRAND_QUANTILES_SQL,
           "exact per-brand price quantiles (percentile_cont semantics)"),
-    Query("top_unshipped_orders", q_top_unshipped_orders, UNSHIPPED_SQL,
-          "TPC-H Q3-shape selective join + pinned top-k"),
-    Query("local_supplier_volume", q_local_supplier_volume, VOLUME_SQL,
-          "TPC-H Q5-shape 5-way broadcast join chain"),
+    # top_unshipped_orders retired to the folded tier in r16 (slot swap).
+    # local_supplier_volume retired to the folded tier in r16 (slot swap).
     # order_priority_counts retired to the folded tier in r15 (slot swap —
     # see llm.py FOLDED_QUERIES); implementation + SQL stay here.
     Query("promo_revenue_share", q_promo_revenue_share, PROMO_SQL,

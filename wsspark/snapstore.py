@@ -267,7 +267,15 @@ def snap_metadata_thresholds(
     ``snap_compact_details`` cadence. Context-local (contextvars), so a
     CONCURRENT commit on another thread keeps the process defaults —
     unlike mutating WSSPARK_SNAP_*_MAX env vars, which would silently
-    switch every in-flight committer's metadata mode."""
+    switch every in-flight committer's metadata mode.
+
+    STREAMING CAVEAT (r16, advisor finding): ``foreachBatch`` callbacks
+    run on py4j callback-server threads with a FRESH contextvars
+    Context, so wrapping ``writeStream...start()`` in this block does
+    NOT reach the sink — the defaults silently stay in effect and
+    inline folds still fire. Wrap the callback with
+    ``snap_context_sink`` (captures this block's Context at wrap time)
+    or set the ``WSSPARK_SNAP_*`` env vars for streaming jobs."""
     tokens = []
     if detail_inline_max is not None:
         tokens.append(
@@ -286,6 +294,33 @@ def snap_metadata_thresholds(
     finally:
         for var, token in tokens:
             var.reset(token)
+
+
+def snap_context_sink(fn):
+    """Make a ``foreachBatch`` callback observe the contextvars Context
+    active HERE (wrap time) — in particular any enclosing
+    ``snap_metadata_thresholds`` scope. Spark invokes foreachBatch
+    callbacks on py4j callback-server threads whose Context is fresh,
+    so without this wrapper a sink built inside
+    ``snap_metadata_thresholds(detail_parts_max=0)`` silently runs with
+    the process defaults and the inline fold spike comes back (r16,
+    advisor finding). Usage::
+
+        with snap_metadata_thresholds(detail_parts_max=0):
+            sink = snap_context_sink(my_batch_fn)
+        q = df.writeStream.foreachBatch(sink).start()
+
+    One wrapper per streaming query: a captured Context cannot be
+    entered concurrently, and foreachBatch batches of one query are
+    sequential by contract."""
+    import contextvars as _cv
+
+    ctx = _cv.copy_context()
+
+    def _run_in_ctx(batch_df, batch_id):
+        return ctx.run(fn, batch_df, batch_id)
+
+    return _run_in_ctx
 
 
 def _detail_inline_max() -> int:
@@ -985,7 +1020,18 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
             | set(manifest.get("file_meta") or {})
         )
         universe = new_files if new_files is not None else sorted(new_dict_keys)
-        if new_dict_keys <= set(universe):
+        if prewritten is not None:
+            # r16: a bulk STAGED append onto a sidecar parent — the new
+            # files' rows already ride in adopted staged parts, so the
+            # chain is parent parts + staged parts BY NAME: zero dict
+            # work at publish however many files were staged (the
+            # prewritten contract guarantees the staged rows concat to
+            # exactly new_files in order).
+            part_names = list(parent_parts) + list(prewritten)
+            wrote.extend(prewritten)
+            prewritten = None
+            exact = bool(parent_exact) and new_files is not None
+        elif new_dict_keys <= set(universe):
             part_names = list(parent_parts)
             if universe:
                 part_names.append(
@@ -994,31 +1040,6 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
                     )
                 )
             exact = bool(parent_exact) and new_files is not None
-            if len(part_names) > _detail_parts_max():
-                # compaction rung: fold the chain into ONE part (reads
-                # O(files) once per parts_max appends — Delta's
-                # every-N-commits checkpoint amortization). A parent
-                # part vanishing DURING this read is the same
-                # vacuum-race as the touch-verify case — typed so the
-                # caller retries it, while unrelated FNFs stay hard.
-                merged = _read_shared(
-                    lambda: _load_detail_parts(
-                        [os.path.join(mdir, n) for n in part_names]
-                    ),
-                    part_names,
-                )
-                cname = _write_part(merged)
-                # uncache the pre-compaction chain key eagerly and seed
-                # the compacted part (it IS the merged table) — through
-                # the same eviction loop every other insertion runs, so
-                # the cache bound holds even right after a compaction
-                _detail_cache.pop(
-                    tuple(os.path.join(mdir, n) for n in part_names), None
-                )
-                while len(_detail_cache) >= _DETAIL_CACHE_MAX:
-                    _detail_cache.pop(next(iter(_detail_cache)))
-                _detail_cache[os.path.join(mdir, cname)] = merged
-                part_names = [cname]
         else:
             # a dict entry outside the new-file universe (should not
             # happen): reconstruct and take the exact dict path below
@@ -1030,6 +1051,31 @@ def _write_manifest_file(root: str, manifest: dict, pre_publish=None) -> None:
                 parent_parts,
             )
             parent_parts, deferred = None, False
+        if part_names and len(part_names) > _detail_parts_max():
+            # compaction rung: fold the chain into ONE part (reads
+            # O(files) once per parts_max appends — Delta's
+            # every-N-commits checkpoint amortization). A parent
+            # part vanishing DURING this read is the same
+            # vacuum-race as the touch-verify case — typed so the
+            # caller retries it, while unrelated FNFs stay hard.
+            merged = _read_shared(
+                lambda: _load_detail_parts(
+                    [os.path.join(mdir, n) for n in part_names]
+                ),
+                part_names,
+            )
+            cname = _write_part(merged)
+            # uncache the pre-compaction chain key eagerly and seed
+            # the compacted part (it IS the merged table) — through
+            # the same eviction loop every other insertion runs, so
+            # the cache bound holds even right after a compaction
+            _detail_cache.pop(
+                tuple(os.path.join(mdir, n) for n in part_names), None
+            )
+            while len(_detail_cache) >= _DETAIL_CACHE_MAX:
+                _detail_cache.pop(next(iter(_detail_cache)))
+            _detail_cache[os.path.join(mdir, cname)] = merged
+            part_names = [cname]
     elif parent_parts is not None:
         # threshold dropped below the table size: inline now required
         files = _read_shared(
@@ -3496,11 +3542,14 @@ def snap_compact_details(root: str) -> int | None:
     Why it exists: the inline rung lands its O(files/parts_max)
     amortized spike synchronously on whichever append draws it (6.9 s
     at 1M files) — a periodic latency cliff for a streaming
-    foreachBatch sink. Disable the inline rung
-    (``snap_metadata_thresholds(detail_parts_max=0)`` around the sink,
-    or ``WSSPARK_SNAP_DETAIL_PARTS_MAX=0``) and run this call on the
+    foreachBatch sink. Disable the inline rung and run this call on the
     maintenance cadence instead, exactly as ``snap_compact`` /
-    ``snap_optimize`` handle small DATA files. Zero data I/O — only
+    ``snap_optimize`` handle small DATA files. For a streaming sink,
+    disable it with ``WSSPARK_SNAP_DETAIL_PARTS_MAX=0`` or by wrapping
+    the callback in ``snap_context_sink`` INSIDE a
+    ``snap_metadata_thresholds(detail_parts_max=0)`` block — a bare
+    thresholds block around ``start()`` does NOT reach the foreachBatch
+    thread (fresh contextvars Context; see ``snap_metadata_thresholds``). Zero data I/O — only
     sidecar bytes move; reads before/after are bit-identical (the
     merged part is the chain's align-concat, the same table readers
     reconstruct). Returns the published version, or None when the
@@ -3754,7 +3803,20 @@ def snap_stage(
     refreshes it, and the publish re-verifies file existence, but an
     audit that outlives ``staged_grace_minutes`` with no activity can
     lose the race (publish then raises ``StagedCommitVacuumed``; re-run
-    the stage). Returns the staged id."""
+    the stage). Returns the staged id.
+
+    A BULK stage (file count past the distributed-commit threshold,
+    r16) runs the same distributed metadata rung as ``snap_commit``:
+    the stats/bloom aggregations stay a DataFrame and Spark tasks write
+    detail sidecar PARTS under ``<commit_dir>/_detail`` — no
+    O(files x cols) driver collection, no multi-GB dict blob in the
+    staged JSON (it stays O(1): part names + a file count; the parts
+    carry the per-file rows AND the exact file list). The staged parts
+    inherit the staged dir's grace protection and abort's rmtree;
+    publish hard-links them into ``_manifests`` under version names
+    (``snap_publish_staged``), so a lost publish race costs nothing —
+    the originals stay staged and the publish is retryable. Unprovable
+    shapes decline to this exact legacy pass, as in ``snap_commit``."""
     commit_dir = os.path.join(
         _data_dir(root), f"commit-s-{uuid.uuid4().hex[:8]}"
     )
@@ -3764,39 +3826,80 @@ def snap_stage(
     # jobs leaves the staged files collectable mid-job
     with _heartbeat(commit_dir):
         files = _list_parquet(commit_dir)
-        stats = (
-            _collect_file_stats(df.sparkSession, commit_dir, list(stats_cols))
-            if stats_cols and files
-            else {}
-        )
-        blooms = (
-            _collect_file_blooms(
-                df.sparkSession, commit_dir, list(bloom_cols), bloom_bits, bloom_k
-            )
-            if bloom_cols and files
-            else {}
-        )
+        staged_id = uuid.uuid4().hex[:16]
         geometry = (
             {c: {"n_bits": bloom_bits, "k": bloom_k} for c in bloom_cols}
             if bloom_cols
             else {}
         )
-    staged_id = uuid.uuid4().hex[:16]
+        head = {
+            "schema": df.schema.json(),
+            "bloom_meta": geometry,
+            "commit_dir": commit_dir,
+            # relocation provenance, same contract as manifest heads
+            "root": os.path.abspath(root),
+        }
+        dist = None
+        if (
+            files
+            and len(files) >= _dist_commit_min()
+            and len(files) > _detail_inline_max()
+        ):
+            from wsspark.snapdist import build_detail_parts_distributed
+
+            sdir = os.path.join(commit_dir, "_detail")
+            os.makedirs(sdir, exist_ok=True)
+            dist = build_detail_parts_distributed(
+                df.sparkSession,
+                commit_dir,
+                files,
+                list(stats_cols or []),
+                list(bloom_cols or []),
+                bloom_bits,
+                bloom_k,
+                sdir,
+                0,
+                part_root=os.path.abspath(root),
+                name_prefix=f"s-{staged_id}",
+            )
+            if dist is None:
+                with contextlib.suppress(OSError):
+                    os.rmdir(sdir)
+        if dist is not None:
+            part_names, files_ordered = dist
+            head.update(
+                {
+                    "detail_parts": part_names,
+                    "file_count": len(files_ordered),
+                }
+            )
+        else:
+            head.update(
+                {
+                    "files": files,
+                    "file_stats": (
+                        _collect_file_stats(
+                            df.sparkSession, commit_dir, list(stats_cols)
+                        )
+                        if stats_cols and files
+                        else {}
+                    ),
+                    "file_blooms": (
+                        _collect_file_blooms(
+                            df.sparkSession,
+                            commit_dir,
+                            list(bloom_cols),
+                            bloom_bits,
+                            bloom_k,
+                        )
+                        if bloom_cols and files
+                        else {}
+                    ),
+                }
+            )
     os.makedirs(os.path.join(os.path.abspath(root), "_staged"), exist_ok=True)
     with open(_staged_path(root, staged_id), "x") as f:
-        json.dump(
-            {
-                "schema": df.schema.json(),
-                "files": files,
-                "file_stats": stats,
-                "file_blooms": blooms,
-                "bloom_meta": geometry,
-                "commit_dir": commit_dir,
-                # relocation provenance, same contract as manifest heads
-                "root": os.path.abspath(root),
-            },
-            f,
-        )
+        json.dump(head, f)
     return staged_id
 
 
@@ -3834,6 +3937,11 @@ def snap_read_staged(
     st = _read_staged(root, staged_id)
     _touch(os.path.join(st["commit_dir"], "_heartbeat"))
     schema = T.StructType.fromJson(json.loads(st["schema"]))
+    if st.get("detail_parts"):
+        # bulk stage: the staged dir IS the file set (the _-prefixed
+        # _detail subdir and _heartbeat marker are invisible to the
+        # scan) — the audit never materializes the O(files) list
+        return spark.read.schema(schema).parquet(st["commit_dir"])
     if not st["files"]:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*st["files"])
@@ -3877,6 +3985,138 @@ def snap_publish_staged(
         _check_constraints(
             snap_read_staged(spark, root, staged_id), ctx["constraints"]
         )
+    staged_parts = st.get("detail_parts")
+    if staged_parts:
+        import pyarrow.parquet as pq
+
+        sdir = os.path.join(st["commit_dir"], "_detail")
+        recorded = st.get("root")
+        actual = os.path.abspath(root)
+        # the exact file list lives in the parts' path rows (the staged
+        # JSON stays O(1)); rebase across a relocation like _read_staged
+        # rebases the inline list
+        files: list[str] = []
+        try:
+            for n in staged_parts:
+                files.extend(
+                    pq.read_table(
+                        os.path.join(sdir, n), columns=["path"]
+                    ).column("path").to_pylist()
+                )
+        except (OSError, FileNotFoundError) as e:
+            raise StagedCommitVacuumed(
+                f"staged detail part missing ({e}) — a concurrent "
+                "snap_vacuum likely collected the staged commit; re-stage"
+            ) from e
+        if recorded and recorded != actual:
+            files = [_rebase_path(f, recorded, actual) for f in files]
+        parent_has_parts = "parent_detail_parts" in ctx
+        n_total = (
+            ctx.get("parent_file_count")
+            if ctx.get("parent_files") is None
+            else len(ctx.get("parent_files") or [])
+        ) + len(files)
+        adoptable = (
+            "parent_detail" not in ctx
+            and (not ctx.get("parent_files") or parent_has_parts)
+        )
+        if files and adoptable and n_total > _detail_inline_max():
+            # adopt the staged parts: hard-link (copy across devices)
+            # into _manifests under version names — a lost publish race
+            # removes only the links, the staged originals survive and
+            # the publish is retryable; success drops the originals.
+            # Works for a FRESH table and for an append onto a
+            # sidecar-backed parent alike (r16): the chain is then
+            # parent parts + staged parts by name — zero dict work at
+            # publish regardless of staged size
+            mdir = _manifest_dir(root)
+            linked: list[str] = []
+            try:
+                for n in staged_parts:
+                    newn = (
+                        f"v{ctx['version']:012d}-{uuid.uuid4().hex[:8]}"
+                        ".detail.parquet"
+                    )
+                    srcp = os.path.join(sdir, n)
+                    dstp = os.path.join(mdir, newn)
+                    try:
+                        os.link(srcp, dstp)
+                    except OSError:
+                        import shutil
+
+                        shutil.copy2(srcp, dstp)
+                    linked.append(newn)
+            except (OSError, FileNotFoundError) as e:
+                for n in linked:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(mdir, n))
+                raise StagedCommitVacuumed(
+                    f"staged detail part vanished during publish ({e}) — "
+                    "re-stage and retry"
+                ) from e
+            version = _publish_commit(
+                root,
+                ctx,
+                mode,
+                tag,
+                files,
+                {},
+                {},
+                st["bloom_meta"],
+                {},
+                cleanup_dir=None,
+                prewritten_parts=linked,
+            )
+            import shutil
+
+            shutil.rmtree(sdir, ignore_errors=True)
+            os.remove(_staged_path(root, staged_id))
+            return version
+        # inline-mode parent (or a threshold drop below the table size):
+        # reconstruct the EXACT dicts from the parts and publish through
+        # the legacy path — O(staged files) driver work, correctness
+        # identical (the parts hold the same stats/bloom/meta rows)
+        stats: dict = {}
+        blooms: dict = {}
+        meta: dict = {}
+        for n in staged_parts:
+            # raw read, NOT _load_detail_table: its self-rebase derives
+            # the store root from the part's location, which for a part
+            # under <commit_dir>/_detail is wrong — the staged JSON's
+            # (recorded, actual) pair below is the authority here
+            s, b, fm = _detail_to_dicts(
+                pq.read_table(os.path.join(sdir, n))
+            )
+            stats.update(s)
+            blooms.update(b)
+            meta.update(fm)
+        if recorded and recorded != actual:
+            stats = {
+                _rebase_path(x, recorded, actual): v for x, v in stats.items()
+            }
+            blooms = {
+                _rebase_path(x, recorded, actual): v for x, v in blooms.items()
+            }
+            meta = {
+                _rebase_path(x, recorded, actual): v for x, v in meta.items()
+            }
+        version = _publish_commit(
+            root,
+            ctx,
+            mode,
+            tag,
+            files,
+            stats,
+            blooms,
+            st["bloom_meta"],
+            meta,
+            cleanup_dir=None,
+        )
+        import shutil
+
+        shutil.rmtree(sdir, ignore_errors=True)
+        os.remove(_staged_path(root, staged_id))
+        return version
     version = _publish_commit(
         root,
         ctx,
