@@ -836,3 +836,132 @@ def test_drift_suite_validation_and_null_buckets(spark):
     )
     # KS ignores NULLs by contract: counts are the non-null totals
     assert (got["ks"].n_base, got["ks"].n_current) == (2, 3)
+
+
+# ---------------------------------------------------------------------------
+# incremental drift via the change feed (r16)
+# ---------------------------------------------------------------------------
+
+
+def _ivm_fact(spark, n=400):
+    return spark.createDataFrame(
+        [
+            (i, i % 7, float((i * 13) % 50), f"T{i % 4}")
+            for i in range(n)
+        ],
+        "reference_id long, warehouse_id long, quantity double, "
+        "movement_type string",
+    )
+
+
+def test_drift_ivm_matches_full_recompute_across_dml(spark, tmp_path):
+    """The signed-retraction invariant: after ANY CDF-covered DML mix
+    (COW update, DV delete, append), the maintained counts' PSI rows
+    equal drift_report(fact@baseline, fact@current) exactly — same
+    pinned edges, same buckets, same smoothing."""
+    from wsspark import snapstore as ss
+    from wsspark.quality import (
+        drift_report,
+        snapstore_drift_ivm_refresh,
+        snapstore_drift_ivm_report,
+    )
+
+    fact = str(tmp_path / "fact")
+    state = str(tmp_path / "state")
+    ss.snap_commit(_ivm_fact(spark).repartition(4), fact)
+    ss.snap_enable_cdf(fact)
+    v0 = snapstore_drift_ivm_refresh(
+        spark, fact, state,
+        numeric_cols=["quantity"], cat_cols=["movement_type"],
+    )
+    base_snap = ss.snap_read(spark, fact, v0)
+
+    def check():
+        got = snapstore_drift_ivm_report(spark, state).collect()
+        want = drift_report(
+            base_snap,
+            ss.snap_read(spark, fact),
+            numeric_cols=["quantity"],
+            cat_cols=["movement_type"],
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    check()  # identical snapshots: psi == 0 rows both ways
+    # COW update: quantities shift buckets (pre-image retracts, post adds)
+    ss.snap_update_where(
+        spark, fact, "quantity > 25", {"quantity": "quantity + 100"}
+    )  # +100 pushes past the base max -> clamps into the edge bucket
+    snapstore_drift_ivm_refresh(
+        spark, fact, state,
+        numeric_cols=["quantity"], cat_cols=["movement_type"],
+    )
+    check()
+    # DV delete: whole-row retraction
+    ss.snap_delete_dv(spark, fact, "reference_id % 5 = 2")
+    # append: inserts, including a NOVEL category -> a fresh cur bucket
+    spark.createDataFrame(
+        [(10_000 + i, i % 7, 3.0, "T9") for i in range(40)],
+        "reference_id long, warehouse_id long, quantity double, "
+        "movement_type string",
+    ).createOrReplaceTempView("_ivm_new")
+    ss.snap_commit(spark.table("_ivm_new"), fact)
+    # one refresh covers the multi-commit span
+    snapstore_drift_ivm_refresh(
+        spark, fact, state,
+        numeric_cols=["quantity"], cat_cols=["movement_type"],
+    )
+    check()
+    # idempotent cursor: a re-refresh at the same fact version is a no-op
+    head_before = ss.snap_current_version(state)
+    snapstore_drift_ivm_refresh(
+        spark, fact, state,
+        numeric_cols=["quantity"], cat_cols=["movement_type"],
+    )
+    assert ss.snap_current_version(state) == head_before
+
+
+def test_drift_ivm_lineage_reset_keeps_baseline(spark, tmp_path):
+    """A fact overwrite breaks the feed span: the refresh must fall back
+    to a full 'cur' recompute with the PINNED edges and FROZEN base —
+    the monitor's baseline never moves with its subject."""
+    from wsspark import snapstore as ss
+    from wsspark.quality import (
+        snapstore_drift_ivm_refresh,
+        snapstore_drift_ivm_report,
+    )
+
+    fact = str(tmp_path / "fact")
+    state = str(tmp_path / "state")
+    ss.snap_commit(_ivm_fact(spark, 200), fact)
+    ss.snap_enable_cdf(fact)
+    snapstore_drift_ivm_refresh(
+        spark, fact, state, numeric_cols=["quantity"]
+    )
+    base_rows = {
+        (r.side, r.col, r.bucket): r.n
+        for r in ss.snap_read(spark, state).collect()
+        if r.side in ("base", "edge")
+    }
+    # lineage reset: overwrite the fact with a shifted distribution
+    ss.snap_commit(
+        spark.createDataFrame(
+            [(i, 0, 49.0, "T0") for i in range(300)],
+            "reference_id long, warehouse_id long, quantity double, "
+            "movement_type string",
+        ),
+        fact,
+        mode="overwrite",
+    )
+    ss.snap_enable_cdf(fact)
+    snapstore_drift_ivm_refresh(
+        spark, fact, state, numeric_cols=["quantity"]
+    )
+    after = {
+        (r.side, r.col, r.bucket): r.n
+        for r in ss.snap_read(spark, state).collect()
+        if r.side in ("base", "edge")
+    }
+    assert after == base_rows, "baseline and edges must survive the reset"
+    rep = {r.column: r for r in snapstore_drift_ivm_report(spark, state).collect()}
+    assert rep["quantity"].drifted, "the shifted rewrite must alert"
+    assert rep["quantity"].n_current == 300

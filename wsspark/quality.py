@@ -1294,3 +1294,193 @@ def drift_suite(
         "n_current long, statistic double, threshold double, "
         "drifted boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental drift (r16): the PSI counts maintained O(changed rows)
+# through the snapstore change feed — drift_report's statistics without
+# rescanning the fact. At 100 TB a monitoring cadence cannot pay a full
+# snapshot scan per tick; the (column, bucket) counts are exactly the
+# kind of bounded, signed-mergeable state the IVM plane
+# (ops/incremental.py) maintains for MVs, so drift rides the same
+# retraction algebra: insert/update_postimage rows add +1 to their
+# bucket, delete/update_preimage rows add -1, and the maintained
+# counts stay bit-identical with a full recompute (pinned by test).
+
+
+def _drift_counts_delta(
+    changes: DataFrame,
+    numeric_cols: list[str],
+    cat_cols: list[str],
+    edges: dict,
+    n_buckets: int,
+    max_cat_buckets: int = MAX_CAT_BUCKETS,
+) -> dict[tuple[str, str], int]:
+    """Signed per-(column, bucket) counts of a change-feed frame — ONE
+    stacked map-side-combinable aggregation over the CHANGES only, the
+    same bucket expressions as ``_drift_counts`` with the base-pinned
+    edges. The collect is capped exactly like ``_drift_counts`` (the
+    delta's bucket universe is a subset of the same bound)."""
+    cols = numeric_cols + cat_cols
+    w = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    stack_args = ", ".join(f"'{c}', _bk_{c}" for c in cols)
+    bucketed = changes.select(
+        w.alias("_w"),
+        *[
+            _drift_bucket_col(c, edges, n_buckets).alias(f"_bk_{c}")
+            for c in cols
+        ],
+    ).selectExpr("_w", f"stack({len(cols)}, {stack_args}) AS (col, bucket)")
+    cap = len(numeric_cols) * (n_buckets + 1) + len(cat_cols) * (
+        max_cat_buckets + 1
+    )
+    counted = bucketed.groupBy("col", "bucket").agg(F.sum("_w").alias("dn"))
+    rows = counted.limit(cap + 1).collect()
+    if len(rows) > cap:
+        over = sorted(
+            r["col"]
+            for r in bucketed.groupBy("col")
+            .agg(F.count_distinct("bucket").alias("nb"))
+            .collect()
+            if r["nb"] > max_cat_buckets
+        )
+        raise ValueError(
+            "snapstore_drift_ivm_refresh: categorical column(s) "
+            f"{over or cols} exceed max_cat_buckets={max_cat_buckets} "
+            "distinct values in the change feed — pre-bucket the column "
+            "or raise max_cat_buckets deliberately"
+        )
+    return {(r["col"], r["bucket"]): r["dn"] for r in rows}
+
+
+_DRIFT_IVM_SCHEMA = "side string, col string, bucket string, n long"
+
+
+def snapstore_drift_ivm_refresh(
+    spark,
+    fact_root: str,
+    counts_root: str,
+    numeric_cols: list[str] | None = None,
+    cat_cols: list[str] | None = None,
+    n_buckets: int = 10,
+    max_cat_buckets: int = MAX_CAT_BUCKETS,
+) -> int:
+    """Self-maintaining drift-counts state over a snapstore fact via the
+    CHANGE DATA FEED: refresh cost is O(changed rows) whatever the DML
+    mix, never a fact rescan. The state table at ``counts_root`` holds
+    three row kinds — ``side='edge'`` (the bucket edges, pinned from the
+    fact at first refresh; bucket = json [lo, hi]), ``side='base'``
+    (the frozen baseline counts from that first snapshot), and
+    ``side='cur'`` (the maintained counts). Cursor protocol is the
+    ``snapstore_mv_refresh_cdf`` one: the state store's manifest tag IS
+    the consumed fact version, committed atomically with the counts; a
+    lineage reset (user overwrite / restore) or a pre-enable DML commit
+    in the span falls back to an honest full recompute of the 'cur'
+    side with the SAME pinned edges (base and edges never move — a
+    drift monitor's baseline must not drift with its subject).
+
+    ``snapstore_drift_ivm_report`` turns the state into the exact
+    ``drift_report`` PSI rows with zero fact I/O."""
+    import json as _json
+
+    from wsspark import snapstore as ss
+
+    numeric_cols = list(numeric_cols or [])
+    cat_cols = list(cat_cols or [])
+    if not numeric_cols and not cat_cols:
+        raise ValueError("snapstore_drift_ivm_refresh: pass at least one column")
+    fact_version = ss.snap_current_version(fact_root)
+    if fact_version is None:
+        raise FileNotFoundError(f"no committed fact version in {fact_root}")
+    cursor = ss.snap_tag(counts_root)
+    if cursor == fact_version:
+        return fact_version  # idempotent no-op
+
+    def _rows(side: str, counts: dict) -> list[tuple]:
+        return [(side, c, b, int(n)) for (c, b), n in sorted(counts.items())]
+
+    if cursor is None:
+        fact = ss.snap_read(spark, fact_root, fact_version)
+        edges = _drift_edges(fact, numeric_cols)
+        counts = _drift_counts(
+            fact, numeric_cols, cat_cols, edges, n_buckets, max_cat_buckets
+        )
+        state = (
+            [
+                ("edge", c, _json.dumps(list(edges[c])), 0)
+                for c in numeric_cols
+            ]
+            + _rows("base", counts)
+            + _rows("cur", counts)
+        )
+    else:
+        prev = ss.snap_read(spark, counts_root).collect()
+        edges = {
+            r.col: tuple(_json.loads(r.bucket))
+            for r in prev
+            if r.side == "edge"
+        }
+        cur = {(r.col, r.bucket): r.n for r in prev if r.side == "cur"}
+        try:
+            feed = ss.snap_read_changes_cdf(
+                spark, fact_root, since=cursor, until=fact_version
+            )
+            delta = _drift_counts_delta(
+                feed, numeric_cols, cat_cols, edges, n_buckets,
+                max_cat_buckets,
+            )
+            for key, dn in delta.items():
+                cur[key] = cur.get(key, 0) + dn
+            cur = {k: n for k, n in cur.items() if n != 0}
+        except ValueError:
+            # lineage reset: full 'cur' recompute with the PINNED edges
+            cur = _drift_counts(
+                ss.snap_read(spark, fact_root, fact_version),
+                numeric_cols, cat_cols, edges, n_buckets, max_cat_buckets,
+            )
+        state = [
+            (r.side, r.col, r.bucket, r.n) for r in prev if r.side != "cur"
+        ] + _rows("cur", cur)
+    ss.snap_commit(
+        spark.createDataFrame(state, _DRIFT_IVM_SCHEMA).coalesce(1),
+        counts_root,
+        mode="overwrite",
+        tag=fact_version,
+    )
+    return fact_version
+
+
+def snapstore_drift_ivm_report(
+    spark, counts_root: str, psi_alert: float = 0.2
+) -> DataFrame:
+    """The ``drift_report`` PSI rows straight from the maintained
+    counts state — O(columns x buckets) rows read, ZERO fact I/O. By
+    the signed-retraction invariant this equals
+    ``drift_report(fact@baseline, fact@cursor, ...)`` exactly (pinned
+    by tests/test_quality.py)."""
+    import json as _json
+
+    from wsspark import snapstore as ss
+
+    rows = ss.snap_read(spark, counts_root).collect()
+    edges = {
+        r.col: tuple(_json.loads(r.bucket)) for r in rows if r.side == "edge"
+    }
+    bc = {(r.col, r.bucket): r.n for r in rows if r.side == "base"}
+    cc = {(r.col, r.bucket): r.n for r in rows if r.side == "cur"}
+    cols = sorted({c for c, _ in bc} | {c for c, _ in cc})
+    numeric = [c for c in cols if c in edges]
+    cat = [c for c in cols if c not in edges]
+    out = _psi_rows(numeric, cat, edges, bc, cc, psi_alert)
+    return spark.createDataFrame(
+        sorted(out),
+        "column string, kind string, n_base long, n_current long, "
+        "psi double, drifted boolean",
+    )

@@ -3227,6 +3227,119 @@ FROM post GROUP BY 1, 2
 """
 
 
+def q_drift_ivm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental drift through the change feed (r16): commit the
+    movements fact to a snapstore, freeze the PSI baseline (counts +
+    bucket edges) from that snapshot, then UPDATE and DELETE the fact
+    and maintain the (column, bucket) counts through the CDF's signed
+    retraction algebra (quality.snapstore_drift_ivm_refresh — insert/
+    update_postimage +1, delete/update_preimage -1) — the report comes
+    from the maintained state with ZERO fact rescans, the O(changed
+    rows) monitoring cadence a 100 TB fact needs. The twin recomputes
+    PSI from the pre-DML snapshot vs the post-DML state replayed
+    relationally, so a wrong retraction weight, a moved edge, a stale
+    cursor, or a leaked zero-count bucket goes red."""
+    import shutil
+    import tempfile
+
+    from wsspark import adapters as ad
+    from wsspark import snapstore as ss
+    from wsspark.quality import (
+        snapstore_drift_ivm_refresh,
+        snapstore_drift_ivm_report,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    mvs = ad.movements_from_lineitem(li)
+    fact_root = tempfile.mkdtemp(prefix="snapdriftf-")
+    state_root = tempfile.mkdtemp(prefix="snapdrifts-")
+    cols = dict(numeric_cols=["quantity"], cat_cols=["movement_type"])
+    try:
+        ss.snap_commit(mvs.repartition(8), fact_root)
+        ss.snap_enable_cdf(fact_root)
+        snapstore_drift_ivm_refresh(spark, fact_root, state_root, **cols)
+        ss.snap_update_where(
+            spark, fact_root, "quantity > 30", {"quantity": "quantity - 30"}
+        )
+        ss.snap_delete_where(spark, fact_root, "reference_id % 7 = 3")
+        snapstore_drift_ivm_refresh(spark, fact_root, state_root, **cols)
+        out = snapstore_drift_ivm_report(spark, state_root)
+        rows = out.collect()  # O(columns) rows
+    finally:
+        shutil.rmtree(fact_root, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+DRIFT_IVM_SQL = f"""
+WITH mv AS ({_MOVEMENTS_SQL}),
+post AS (
+    SELECT CASE WHEN quantity > 30 THEN quantity - 30 ELSE quantity END
+               AS quantity,
+           movement_type
+    FROM mv WHERE NOT (reference_id % 7 = 3)
+),
+e AS (
+    SELECT MIN(CAST(quantity AS DOUBLE)) AS qlo,
+           MAX(CAST(quantity AS DOUBLE)) AS qhi
+    FROM mv
+),
+bb AS (
+    SELECT 'quantity' AS col, 'numeric' AS kind, 'base' AS side,
+           CASE WHEN quantity IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(quantity AS DOUBLE) - qlo) / (qhi - qlo) * 10
+                ) AS INT))) END AS bucket
+    FROM mv, e
+    UNION ALL
+    SELECT 'movement_type', 'categorical', 'base',
+           COALESCE(movement_type, 'NULL')
+    FROM mv
+    UNION ALL
+    SELECT 'quantity', 'numeric', 'cur',
+           CASE WHEN quantity IS NULL THEN 'NULL'
+                ELSE 'b' || LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CAST(quantity AS DOUBLE) - qlo) / (qhi - qlo) * 10
+                ) AS INT))) END
+    FROM post, e
+    UNION ALL
+    SELECT 'movement_type', 'categorical', 'cur',
+           COALESCE(movement_type, 'NULL')
+    FROM post
+),
+counts AS (
+    SELECT col, kind, side, bucket, COUNT(*) AS n FROM bb GROUP BY 1, 2, 3, 4
+),
+grid AS (SELECT DISTINCT col, kind, bucket FROM counts),
+sides AS (
+    SELECT g.col, g.kind, g.bucket,
+           COALESCE(bn.n, 0) AS n_b, COALESCE(cn.n, 0) AS n_c
+    FROM grid g
+    LEFT JOIN counts bn
+      ON bn.col = g.col AND bn.bucket = g.bucket AND bn.side = 'base'
+    LEFT JOIN counts cn
+      ON cn.col = g.col AND cn.bucket = g.bucket AND cn.side = 'cur'
+),
+tot AS (
+    SELECT col, kind, SUM(n_b) AS tb, SUM(n_c) AS tc, COUNT(*) AS nb
+    FROM sides GROUP BY 1, 2
+),
+psi AS (
+    SELECT s.col, s.kind, t.tb, t.tc,
+           SUM(((s.n_b + 0.5) / (t.tb + t.nb / 2.0)
+                - (s.n_c + 0.5) / (t.tc + t.nb / 2.0))
+               * LN(((s.n_b + 0.5) / (t.tb + t.nb / 2.0))
+                    / ((s.n_c + 0.5) / (t.tc + t.nb / 2.0)))) AS raw
+    FROM sides s JOIN tot t ON s.col = t.col
+    GROUP BY 1, 2, t.tb, t.tc
+)
+SELECT col AS "column", kind,
+       CAST(tb AS BIGINT) AS n_base, CAST(tc AS BIGINT) AS n_current,
+       ROUND(raw, 6) AS psi, raw > 0.2 AS drifted
+FROM psi ORDER BY 1
+"""
+
+
 def q_drift_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality.drift_suite under the hash gate — the FUSED drift family
     (PSI + exact KS + base-pinned top-k PSI + embedding Welch-z) paying
@@ -5253,6 +5366,12 @@ FOLDED_QUERIES = [
     Query("streaming_daily_counts", streamq.q_streaming_daily_counts,
           streamq.STREAMING_DAILY_SQL,
           "availableNow stream -> window agg == batch SQL"),
+    # Born folded (r16): incremental drift — the PSI counts maintained
+    # O(changed rows) through the snapstore change feed (drift_report
+    # meets the IVM retraction algebra); the twin replays the post-DML
+    # state and the pinned-edge PSI relationally.
+    Query("drift_ivm_report", q_drift_ivm_report, DRIFT_IVM_SQL,
+          "CDF-maintained PSI drift counts == full-recompute drift_report"),
     # Retired registry -> folded (r16 slot swap): six redundant rows gave
     # their driver slots to hybrid_related_docs / frequent_part_pairs /
     # part_triangle_stats / robust_event_outliers / leakage_safe_split /
