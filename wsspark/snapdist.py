@@ -22,12 +22,21 @@ the reference engine has no table format at all — this extends
 
 Exactness contract: the published file list is the concatenation of the
 parts' path rows IN ORDER (what licenses ``files_in_detail`` O(1)
-heads). The tasks verify their partition is strictly ascending in the
+heads), and it is GLOBALLY SORTED — zero-row files, which never reach a
+``_metadata``-grouped aggregation, are merged into sorted position
+(driver-built gap parts at the right pointer index, or an
+align-concat + sort rewrite of the one part whose range contains them;
+r16). The tasks verify their partition is strictly ascending in the
 PLAIN (unquoted) path domain and the driver verifies part ranges are
 strictly ascending and row counts sum to the expected universe; any
-mismatch (percent-encoded paths reordering under unquote, zero-row
-files misclassified, a lost sample) falls back to the exact legacy
-driver path — never a silently different manifest.
+mismatch (percent-encoded paths reordering under unquote, a typed-index
+domain conflict, a lost sample) falls back to the exact legacy driver
+path — never a silently different manifest.
+
+The same rung backs bulk WAP stages (r16): ``snap_stage`` writes the
+parts under the staged commit dir via ``part_root``/``name_prefix``
+(grace-protected, abort-rmtree'd, O(1) staged JSON) and
+``snap_publish_staged`` adopts them by hard-link under version names.
 """
 
 from __future__ import annotations
