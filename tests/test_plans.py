@@ -51,9 +51,13 @@ def test_scan_prunes_columns(spark, sf_dir):
 
 
 def test_dimension_joins_broadcast(spark, sf_dir):
-    reg = build_registry()
+    # top_unshipped_orders / local_supplier_volume folded in the r16 swap;
+    # their broadcast-dim plan discipline still holds
+    from wsspark.queries.llm import FOLDED_QUERIES
+
+    lookup = {**build_registry(), **{q.name: q for q in FOLDED_QUERIES}}
     for name in ("top_unshipped_orders", "local_supplier_volume", "reorder_report"):
-        plan = plan_of(reg[name].fn(spark, sf_dir))
+        plan = plan_of(lookup[name].fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
 
 
