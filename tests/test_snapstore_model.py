@@ -831,8 +831,11 @@ class TestSnapstoreModel:
             derandomize=True,
             suppress_health_check=list(HealthCheck),
         )
+        # parts_max=2: the inline fold fires every few commits, so
+        # STAGE-ADOPTED and task-written parts get folded, shared, and
+        # vacuumed mid-sequence — not just appended
         with ss.snap_metadata_thresholds(
-            detail_inline_max=0, files_inline_max=0
+            detail_inline_max=0, files_inline_max=0, detail_parts_max=2
         ):
             case = SnapstoreMachine.TestCase()
             case.runTest()

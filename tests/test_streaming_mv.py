@@ -150,3 +150,70 @@ def test_cdf_stream_maintains_mv_under_dml(spark, tmp_path):
     assert all(r[1] != 2 for r in got())
     run()  # restart with nothing new: no-op
     assert got() == want()
+
+
+def test_cdf_stream_maintains_drift_counts_under_dml(spark, tmp_path):
+    """StreamingCdfDriftMonitor (r16): the CDF stream maintains the
+    cumulative (column, bucket) PSI counts through fact UPDATEs and
+    DELETEs — report() equals drift_report(baseline, CURRENT fact) at
+    every cursor, across checkpoint restarts; a per-batch (insert-only)
+    monitor could never see the retractions."""
+    from wsspark import snapstore as ss
+    from wsspark.quality import drift_report
+    from wsspark.snapsource import register
+    from wsspark.streaming import StreamingCdfDriftMonitor
+
+    register(spark)
+    fact_root = str(tmp_path / "fact")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = mk_batch(
+        spark,
+        [(p, 10 + p % 3, q, 1, 1 + p % 20) for p, q in
+         [(i, (i * 7) % 40 - 5) for i in range(60)]],
+    )
+    ss.snap_commit(b1, fact_root)
+    ss.snap_enable_cdf(fact_root)
+    baseline = ss.snap_read(spark, fact_root, 0)
+    m = StreamingCdfDriftMonitor(
+        spark, store, baseline,
+        numeric_cols=["quantity"], cat_cols=["warehouse_id"],
+    )
+
+    def run():
+        q = m.attach(
+            spark.readStream.format("snapstore")
+            .option("readChangeFeed", "true")
+            .load(fact_root),
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    def want():
+        return sorted(
+            tuple(r)
+            for r in drift_report(
+                baseline,
+                ss.snap_read(spark, fact_root),
+                numeric_cols=["quantity"],
+                cat_cols=["warehouse_id"],
+            ).collect()
+        )
+
+    def got():
+        return sorted(tuple(r) for r in m.report().collect())
+
+    run()
+    assert got() == want(), "initial replay: psi == 0 everywhere"
+    assert all(r[4] == 0.0 for r in got())
+    # DML between runs: a bucket-shifting update + a selective delete
+    ss.snap_update_where(
+        spark, fact_root, "quantity > 20", {"quantity": "quantity + 200"}
+    )  # past the baseline max -> clamps into the edge bucket
+    ss.snap_delete_where(spark, fact_root, "product_id % 4 = 1")
+    run()
+    assert got() == want()
+    rep = {r.column: r for r in m.report().collect()}
+    assert rep["quantity"].drifted, "the clamped mass shift must alert"
+    run()  # restart with nothing new: no-op
+    assert got() == want()

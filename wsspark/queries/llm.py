@@ -5372,6 +5372,11 @@ FOLDED_QUERIES = [
     # state and the pinned-edge PSI relationally.
     Query("drift_ivm_report", q_drift_ivm_report, DRIFT_IVM_SQL,
           "CDF-maintained PSI drift counts == full-recompute drift_report"),
+    # Born folded (r16): the STREAMING twin of the same operator — the
+    # readChangeFeed stream maintains the counts; one oracle pins both.
+    Query("streaming_drift_ivm", streamq.q_streaming_drift_ivm,
+          DRIFT_IVM_SQL,
+          "CDF-stream-maintained PSI drift counts == the same DuckDB twin"),
     # Retired registry -> folded (r16 slot swap): six redundant rows gave
     # their driver slots to hybrid_related_docs / frequent_part_pairs /
     # part_triangle_stats / robust_event_outliers / leakage_safe_split /

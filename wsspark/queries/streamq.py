@@ -460,6 +460,59 @@ FROM ranked
 """
 
 
+def q_streaming_drift_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware CUMULATIVE drift from the change-feed STREAM
+    (streaming.StreamingCdfDriftMonitor, r16) as a folded row: the
+    movements fact is committed to a snapstore, the baseline counts +
+    edges freeze at version 0, the fact is UPDATEd and DELETEd, and one
+    availableNow run of the readChangeFeed stream maintains the
+    (column, bucket) counts through the signed retraction algebra. The
+    report hash-checks against the SAME DuckDB twin as the batch
+    drift_ivm_report (llm.DRIFT_IVM_SQL) — one oracle pins the batch
+    refresh and the streaming maintainer."""
+    import shutil
+    import tempfile
+
+    from wsspark import adapters as ad
+    from wsspark import snapstore as ss
+    from wsspark.snapsource import register
+
+    register(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    mvs = ad.movements_from_lineitem(li)
+    fact_root = tempfile.mkdtemp(prefix="snapsdriftf-")
+    store = tempfile.mkdtemp(prefix="snapsdrifts-")
+    ckpt = tempfile.mkdtemp(prefix="snapsdriftc-")
+    try:
+        ss.snap_commit(mvs.repartition(8), fact_root)
+        ss.snap_enable_cdf(fact_root)
+        baseline = ss.snap_read(spark, fact_root, 0)
+        monitor = streaming.StreamingCdfDriftMonitor(
+            spark, store, baseline,
+            numeric_cols=["quantity"], cat_cols=["movement_type"],
+        )
+        ss.snap_update_where(
+            spark, fact_root, "quantity > 30", {"quantity": "quantity - 30"}
+        )
+        ss.snap_delete_where(spark, fact_root, "reference_id % 7 = 3")
+        q = monitor.attach(
+            spark.readStream.format("snapstore")
+            .option("readChangeFeed", "true")
+            .load(fact_root),
+            ckpt,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("drift feed stream did not finish within 300s")
+        out = monitor.report()
+        rows = out.collect()  # O(columns) rows
+    finally:
+        shutil.rmtree(fact_root, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous MV maintenance (StreamingMVMaintainer) as a driver row:
     lineitem streamed as dated signed movements into a fresh MV store,

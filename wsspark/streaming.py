@@ -1118,6 +1118,109 @@ class StreamingCdfMVMaintainer:
         )
 
 
+class StreamingCdfDriftMonitor:
+    """Retraction-aware CUMULATIVE drift from the snapstore change feed
+    (r16): the per-(column, bucket) PSI counts of the WHOLE table state,
+    maintained O(batch changes) per micro-batch — the streaming twin of
+    ``quality.snapstore_drift_ivm_refresh`` on the exactly-once
+    ``AtomicStateStore`` contract (cursor and counts advance in one
+    pointer flip; replayed batch ids no-op).
+
+    ``StreamingDriftMonitor`` (below) verdicts each ARRIVING batch
+    against the baseline — an insert-only lens that never sees a fact
+    UPDATE or DELETE shift the distribution. This monitor rides the CDF
+    stream's signed rows (insert/update_postimage +1,
+    delete/update_preimage -1), so retractions adjust the maintained
+    counts and ``report()`` equals
+    ``drift_report(baseline, fact@consumed-version)`` at every cursor
+    (pinned in tests/test_streaming_mv.py). The baseline's bucket edges
+    and counts are resolved ONCE at construction and never move — the
+    monitor's yardstick must not drift with its subject. Driver state
+    is O(columns x buckets) for the life of the query, the drift
+    family's bounded-state contract."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        baseline: DataFrame,
+        numeric_cols: list[str] | None = None,
+        cat_cols: list[str] | None = None,
+        n_buckets: int = 10,
+        max_cat_buckets: int | None = None,
+    ) -> None:
+        from wsspark.quality import MAX_CAT_BUCKETS, _drift_counts, _drift_edges
+
+        self.spark = spark
+        self.numeric_cols = list(numeric_cols or [])
+        self.cat_cols = list(cat_cols or [])
+        if not self.numeric_cols and not self.cat_cols:
+            raise ValueError(
+                "StreamingCdfDriftMonitor: pass at least one column"
+            )
+        self.n_buckets = n_buckets
+        self.max_cat_buckets = (
+            MAX_CAT_BUCKETS if max_cat_buckets is None else max_cat_buckets
+        )
+        self.edges = _drift_edges(baseline, self.numeric_cols)
+        self.base_counts = _drift_counts(
+            baseline, self.numeric_cols, self.cat_cols, self.edges,
+            n_buckets, self.max_cat_buckets,
+        )
+        self._state = AtomicStateStore(os.path.join(store_dir, "drift_cdf"))
+
+    def _cur(self) -> dict:
+        df = self._state.read(self.spark)
+        if df is None:
+            # the feed replays the fact from its beginning (appends
+            # derive inserts from the file diff), so the counts start
+            # EMPTY and the first run rebuilds the current state
+            return {}
+        return {(r.col, r.bucket): r.n for r in df.collect()}
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from wsspark.quality import _drift_counts_delta
+
+        if batch_id <= self._state.last_batch():
+            return
+        delta = _drift_counts_delta(
+            batch, self.numeric_cols, self.cat_cols, self.edges,
+            self.n_buckets, self.max_cat_buckets,
+        )
+        cur = self._cur()
+        for key, dn in delta.items():
+            cur[key] = cur.get(key, 0) + dn
+        cur = {k: n for k, n in cur.items() if n != 0}
+        rows = [(c, b, int(n)) for (c, b), n in sorted(cur.items())]
+        self._state.commit(
+            self.spark.createDataFrame(
+                rows, "col string, bucket string, n long"
+            ).coalesce(1),
+            batch_id,
+        )
+
+    def report(self, psi_alert: float = 0.2) -> DataFrame:
+        from wsspark.quality import _psi_rows
+
+        out = _psi_rows(
+            self.numeric_cols, self.cat_cols, self.edges,
+            self.base_counts, self._cur(), psi_alert,
+        )
+        return self.spark.createDataFrame(
+            sorted(out),
+            "column string, kind string, n_base long, n_current long, "
+            "psi double, drifted boolean",
+        )
+
+    def attach(self, changes: DataFrame, checkpoint_dir: str):
+        return (
+            changes.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
 class StreamingDriftMonitor:
     """Per-micro-batch PSI drift against a PINNED baseline — the
     streaming member of the DQ drift family (quality.drift_report): an
