@@ -481,3 +481,48 @@ def test_snap_context_sink_carries_thresholds_to_foreachbatch(
     assert parts(root_b) <= 2, (
         "documented caveat: bare thresholds block must not reach the sink"
     )
+
+
+def test_dv_rebase_target_votes_from_file_list(tmp_path):
+    """Unit pin of _dv_rebase_map's target resolution: a dangling
+    origin rebases to wherever its files' suffixes actually live in
+    the manifest — not blindly to the current root — and falls back to
+    the current root when no suffix matches (stale entries)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    actual = str(tmp_path / "clone")
+    elsewhere = str(tmp_path / "elsewhere")
+    old = str(tmp_path / "old")  # dangles; files live under `elsewhere`
+    dv_dir = tmp_path / "dv"
+    dv_dir.mkdir()
+    dvp = str(dv_dir / "dv.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file": pa.array(
+                    [f"file://{old}/data/part-{i:02d}.parquet" for i in range(3)]
+                    + [f"file://{old}/data/gone-{i}.parquet" for i in range(2)]
+                ),
+                "idx": pa.array([0] * 5, pa.int64()),
+                "root": pa.array([old] * 5),
+            }
+        ),
+        dvp,
+    )
+    m = {
+        "root": actual,
+        "dv_files": [dvp],
+        "files": [f"{elsewhere}/data/part-{i:02d}.parquet" for i in range(3)],
+    }
+    assert ss._dv_rebase_map(m) == {old: elsewhere}, (
+        "suffix vote must resolve the dangling origin to the files' "
+        "actual location"
+    )
+    # no suffix matches at all (every entry stale): fall back to actual
+    m2 = {
+        "root": actual,
+        "dv_files": [dvp],
+        "files": [f"{elsewhere}/data/other-{i}.parquet" for i in range(3)],
+    }
+    assert ss._dv_rebase_map(m2) == {old: actual}
