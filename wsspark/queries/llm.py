@@ -2073,6 +2073,30 @@ def _collect_capped(out, cap: int = SNAPSTORE_RESULT_CAP):
     return rows
 
 
+def _pin_result(out, cap: int = SNAPSTORE_RESULT_CAP):
+    """Materialize a result that must outlive its backing tempdir store
+    WITHOUT a driver round-trip (r16 optimization): an eager
+    ``localCheckpoint`` pins the computed partitions in the block store
+    and truncates lineage, so the source files can be deleted while the
+    frame stays readable — where the old ``_collect_capped`` +
+    ``createDataFrame(rows)`` pattern shipped every row through the
+    driver twice via pickle (measured 6.5 s for the 591k-row q32 MV at
+    sf0.1 vs 0.25 s for the checkpoint; values bit-identical). The
+    row-count ceiling survives as a count over the already-materialized
+    blocks (one cheap job) so an sf bump still raises loudly instead of
+    silently growing an unbounded pin a downstream collect would pay
+    for. Cluster caveat, stated: localCheckpoint blocks die with their
+    executor — acceptable for these oracle-gate-sized results, and the
+    failure mode is a recompute error, never a wrong answer."""
+    pinned = out.localCheckpoint(eager=True)
+    if pinned.count() > cap:
+        raise ValueError(
+            f"snapstore driver query result exceeds the {cap}-row "
+            "materialization cap — rescope the query or stream the result"
+        )
+    return pinned
+
+
 def q_snapstore_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The table format under the driver hash gate: commit lineitem into
     a fresh hash-clustered snapstore with manifest Blooms on l_orderkey,
@@ -2099,10 +2123,10 @@ def q_snapstore_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, "l_orderkey", list(LOOKUP_ORDERKEYS)
         )
         # materialize before the store is deleted (capped: see above)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_LOOKUP_SQL = f"""
@@ -2146,10 +2170,10 @@ def q_snapstore_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, delta, on=["l_orderkey", "l_linenumber"]
         )
         out = ss.snap_read(spark, root)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_MERGE_SQL = """
@@ -2216,10 +2240,10 @@ def q_snapstore_cdc_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="append",
         )
         out = ss.snap_read_changes(spark, root, since=0, until=2)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_CDC_SQL = """
@@ -2254,10 +2278,10 @@ def q_snapstore_optimize_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, zorder_by=("l_partkey", "l_quantity"), n_files=8
         )
         out = ss.snap_read_between(spark, root, "l_partkey", 100, 300)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_OPTIMIZE_SQL = """
@@ -2305,10 +2329,10 @@ def q_snapstore_zorder_nd_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l_quantity": (10, 40),
             },
         )
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 def q_snapstore_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2334,10 +2358,10 @@ def q_snapstore_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss.snap_delete_dv(spark, root, "l_quantity <= 5")
         ss.snap_delete_dv(spark, root, "l_quantity <= 10 AND l_partkey < 1000")
         out = ss.snap_read(spark, root)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_DV_SQL = """
@@ -2382,10 +2406,10 @@ def q_snapstore_wap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             ss.snap_publish_staged(root, sid, mode="append")
         out = ss.snap_read(spark, root).drop("l_shipdate")
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_WAP_SQL = """
@@ -2455,10 +2479,10 @@ def q_snapstore_pruned_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("revenue_cents"),
             )
         )
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_PRUNED_DML_SQL = """
@@ -2508,10 +2532,10 @@ def q_snapstore_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss.snap_commit(li.limit(7), root, mode="overwrite")        # v2
         ss.snap_restore(root, 1)                                   # v3 == v1
         out = ss.snap_read(spark, root)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_RESTORE_SQL = """
@@ -2549,10 +2573,10 @@ def q_snapstore_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"l_quantity": "l_quantity * 2"},
         )
         out = ss.snap_read(spark, root)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_UPDATE_SQL = """
@@ -2597,10 +2621,10 @@ def q_snapstore_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )                                                        # v3
         ss.snap_delete_where(spark, root, "l_quantity > 45")     # v4
         out = ss.snap_read_changes_cdf(spark, root, since)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_CDF_SQL = """
@@ -3029,10 +3053,10 @@ def q_snapstore_merge_sync_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             when_not_matched_by_source="delete",
         )
         out = ss.snap_read(spark, root)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_MERGE_SYNC_SQL = """
@@ -3093,10 +3117,10 @@ def q_snapstore_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFram
         ss.snap_delete_dv(spark, root, "part % 7 = 1")
         ss.snap_overwrite_where(spark, root, "part % 5 = 0", repl)
         out = ss.snap_read(spark, root)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_REPLACE_WHERE_SQL = """
@@ -3151,10 +3175,10 @@ def q_snapstore_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ss.snap_read(spark, src).withColumn("side", F.lit("src"))
             )
         )
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 SNAPSTORE_CLONE_SQL = """
@@ -3201,11 +3225,11 @@ def q_mv_refresh_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss.snap_delete_where(spark, fact_root, "reference_id % 7 = 3")
         ivm.snapstore_mv_refresh_cdf(spark, fact_root, mv_root)
         out = ss.snap_read(spark, mv_root)
-        rows = _collect_capped(out)
+        pinned = _pin_result(out)
     finally:
         shutil.rmtree(fact_root, ignore_errors=True)
         shutil.rmtree(mv_root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 from wsspark.adapters import MOVEMENTS_SQL as _MOVEMENTS_SQL  # noqa: E402
@@ -3264,11 +3288,11 @@ def q_drift_ivm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss.snap_delete_where(spark, fact_root, "reference_id % 7 = 3")
         snapstore_drift_ivm_refresh(spark, fact_root, state_root, **cols)
         out = snapstore_drift_ivm_report(spark, state_root)
-        rows = out.collect()  # O(columns) rows
+        pinned = _pin_result(out)  # O(columns) rows
     finally:
         shutil.rmtree(fact_root, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return pinned
 
 
 DRIFT_IVM_SQL = f"""
