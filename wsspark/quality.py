@@ -328,12 +328,19 @@ def drift_report(
     if not numeric_cols and not cat_cols:
         raise ValueError("drift_report: pass at least one column")
     edges = _drift_edges(base, numeric_cols)
-    bc = _drift_counts(
-        base, numeric_cols, cat_cols, edges, n_buckets, max_cat_buckets
-    )
-    cc = _drift_counts(
-        current, numeric_cols, cat_cols, edges, n_buckets, max_cat_buckets
-    )
+    # the two stacked count aggregations are independent jobs once the
+    # base-pinned edges exist — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _f_bc = _pool.submit(
+            _drift_counts,
+            base, numeric_cols, cat_cols, edges, n_buckets, max_cat_buckets,
+        )
+        cc = _drift_counts(
+            current, numeric_cols, cat_cols, edges, n_buckets, max_cat_buckets
+        )
+        bc = _f_bc.result()
     out = _psi_rows(numeric_cols, cat_cols, edges, bc, cc, psi_alert)
     return base.sparkSession.createDataFrame(
         sorted(out),
@@ -749,13 +756,16 @@ def ks_drift(
 
 
 def _ks_stat_rows(
-    pooled: DataFrame, alpha: float, small_distinct: int
+    pooled: DataFrame, alpha: float, small_distinct: int, meta: dict | None = None
 ) -> list[tuple]:
     """The KS core over a PRE-BUILT (and caller-persisted) pooled
     distinct-value frame — shared by ``ks_drift`` and ``drift_suite`` so
     the suite can pay one pooled aggregation for PSI and KS together.
-    Returns (column, n_base, n_current, ks_stat, threshold, drifted)
-    tuples."""
+    ``meta`` (optional, r16): precomputed per-column rows carrying
+    nd/lo/hi/nb/nc — ``drift_suite`` fuses this probe into its own
+    per-column aggregation so the pooled frame is aggregated once, not
+    twice. Returns (column, n_base, n_current, ks_stat, threshold,
+    drifted) tuples."""
     from pyspark.sql import Window
 
     spark = pooled.sparkSession
@@ -763,7 +773,7 @@ def _ks_stat_rows(
         # one aggregation over the cached frame: per-column distinct
         # count (exact — pooled rows ARE the distinct values), bounds for
         # the bucketing, and the side totals
-        meta = {
+        meta = meta if meta is not None else {
             r["col"]: r
             for r in pooled.groupBy("col")
             .agg(
@@ -955,7 +965,14 @@ def _embedding_drift_row(
         )
         return {r["pos"]: (r["n"], r["s"], r["ss"]) for r in rows}
 
-    mb, mc = _moments(base), _moments(current)
+    # the two moment aggregations are independent jobs — overlap them
+    # (guide §2.6); result dicts are keyed, so order cannot matter
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _f_mb = _pool.submit(_moments, base)
+        mc = _moments(current)
+        mb = _f_mb.result()
     if not mb or not mc:
         raise ValueError("embedding_drift: empty snapshot")
     if set(mb) != set(mc):
@@ -1116,6 +1133,63 @@ def _psi_rows(
     return out
 
 
+def _suite_numeric_psi(
+    pooled: DataFrame,
+    numeric_cols: list[str],
+    edges: dict,
+    em: dict,
+    nb_rows: int,
+    nc_rows: int,
+    n_buckets: int,
+    psi_alert: float,
+) -> list[tuple]:
+    """The suite's numeric-PSI leg over the pooled DISTINCT-value frame:
+    bucket the pooled values (identical labels/clamping to
+    ``_drift_bucket_col``, but over (col, val) rows so no second fact
+    pass), weight by the per-side counts, restore the NULL buckets from
+    the row totals, and emit the standard ``_psi_rows``."""
+    bucket = None
+    for c_ in numeric_cols:
+        lo, hi = edges[c_]
+        if lo is None or hi is None or hi == lo:
+            expr = F.lit("b0")
+        else:
+            v = (F.col("val") - F.lit(float(lo))) / F.lit(
+                float(hi) - float(lo)
+            )
+            idx = F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(F.lit(0), F.floor(v * n_buckets).cast("int")),
+            )
+            expr = F.concat(F.lit("b"), idx.cast("string"))
+        bucket = (
+            F.when(F.col("col") == c_, expr)
+            if bucket is None
+            else bucket.when(F.col("col") == c_, expr)
+        )
+    pb = (
+        pooled.select("col", bucket.alias("bucket"), "n_b", "n_c")
+        .groupBy("col", "bucket")
+        .agg(F.sum("n_b").alias("sb"), F.sum("n_c").alias("sc"))
+        .collect()
+    )
+    bc = {(r["col"], r["bucket"]): r["sb"] for r in pb if r["sb"]}
+    cc = {(r["col"], r["bucket"]): r["sc"] for r in pb if r["sc"]}
+    for c_ in numeric_cols:
+        null_b = nb_rows - em[c_]["nnb"]
+        null_c = nc_rows - em[c_]["nnc"]
+        if null_b:
+            bc[(c_, "NULL")] = null_b
+        if null_c:
+            cc[(c_, "NULL")] = null_c
+    return [
+        ("psi", col, kind, n_b, n_c, psi, psi_alert, drifted)
+        for col, kind, n_b, n_c, psi, drifted in _psi_rows(
+            numeric_cols, [], edges, bc, cc, psi_alert
+        )
+    ]
+
+
 def drift_suite(
     base: DataFrame,
     current: DataFrame,
@@ -1171,120 +1245,140 @@ def drift_suite(
     b = base.select(*proj).persist()
     c = current.select(*proj).persist()
     out: list[tuple] = []
+    # r16: the three statistic families (numeric PSI+KS, categorical
+    # top-k PSI, embedding Welch-z) are independent driver-composed job
+    # chains over the same two cached projections — submit them from a
+    # small thread pool so the scheduler overlaps their jobs (guide
+    # §2.6: actions are only sequential because the driver calls them
+    # sequentially) instead of draining one family's straggler tail at a
+    # time. Results are assembled in a fixed order (and sorted at the
+    # end), so the output is bit-identical to the sequential run.
+    from concurrent.futures import ThreadPoolExecutor
+
     try:
-        # the one fact read per snapshot: materializes both caches and
-        # provides the row totals PSI's NULL buckets need
-        nb_rows, nc_rows = b.count(), c.count()
-        if numeric_cols:
-            pooled = _ks_pooled(b, c, numeric_cols).persist()
-            try:
-                if plans_out is not None:
-                    plans_out["pooled"] = pooled._jdf.queryExecution().toString()
-                # PSI edges + per-col non-null totals: one agg over the
-                # DISTINCT-sized pooled frame (base-side min/max == the
-                # fact's, distinct values preserve extrema)
-                em = {
-                    r["col"]: r
-                    for r in pooled.groupBy("col")
-                    .agg(
-                        F.min(F.when(F.col("n_b") > 0, F.col("val"))).alias("lo"),
-                        F.max(F.when(F.col("n_b") > 0, F.col("val"))).alias("hi"),
-                        F.sum("n_b").alias("nnb"),
-                        F.sum("n_c").alias("nnc"),
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            # the one fact read per snapshot: materializes both caches
+            # (concurrently — they are independent jobs) and provides
+            # the row totals PSI's NULL buckets need
+            f_nb = pool.submit(b.count)
+            nc_rows = c.count()
+            nb_rows = f_nb.result()
+
+            def _numeric_family() -> list[tuple]:
+                rows: list[tuple] = []
+                pooled = _ks_pooled(b, c, numeric_cols).persist()
+                try:
+                    if plans_out is not None:
+                        plans_out["pooled"] = (
+                            pooled._jdf.queryExecution().toString()
+                        )
+                    # PSI edges + per-col non-null totals + the KS
+                    # meta probe (distinct count, pooled bounds), FUSED
+                    # into one agg over the DISTINCT-sized pooled frame
+                    # (base-side min/max == the fact's, distinct values
+                    # preserve extrema) — r15 paid this aggregation
+                    # twice (once here, once inside _ks_stat_rows)
+                    em = {
+                        r["col"]: r
+                        for r in pooled.groupBy("col")
+                        .agg(
+                            F.min(
+                                F.when(F.col("n_b") > 0, F.col("val"))
+                            ).alias("lo"),
+                            F.max(
+                                F.when(F.col("n_b") > 0, F.col("val"))
+                            ).alias("hi"),
+                            F.sum("n_b").alias("nnb"),
+                            F.sum("n_c").alias("nnc"),
+                            F.count("*").alias("nd"),
+                            F.min("val").alias("_plo"),
+                            F.max("val").alias("_phi"),
+                        )
+                        .collect()
+                    }
+                    edges = {
+                        c_: (em[c_]["lo"], em[c_]["hi"]) for c_ in numeric_cols
+                    }
+                    rows += _suite_numeric_psi(
+                        pooled, numeric_cols, edges, em, nb_rows, nc_rows,
+                        n_buckets, psi_alert,
                     )
-                    .collect()
-                }
-                edges = {c_: (em[c_]["lo"], em[c_]["hi"]) for c_ in numeric_cols}
+                    ks_meta = {
+                        c_: {
+                            "nd": em[c_]["nd"],
+                            "lo": em[c_]["_plo"],
+                            "hi": em[c_]["_phi"],
+                            "nb": em[c_]["nnb"],
+                            "nc": em[c_]["nnc"],
+                        }
+                        for c_ in em
+                    }
+                    rows += [
+                        ("ks", col, "numeric", n_b, n_c, stat, thr, drifted)
+                        for col, n_b, n_c, stat, thr, drifted in _ks_stat_rows(
+                            pooled, alpha, small_distinct, meta=ks_meta
+                        )
+                    ]
+                finally:
+                    pooled.unpersist()
+                return rows
                 # bucket the pooled DISTINCT values, weighted by counts —
-                # identical labels/clamping to _drift_bucket_col, but over
-                # (col, val) rows so no second fact pass
-                bucket = None
-                for c_ in numeric_cols:
-                    lo, hi = edges[c_]
-                    if lo is None or hi is None or hi == lo:
-                        expr = F.lit("b0")
-                    else:
-                        v = (F.col("val") - F.lit(float(lo))) / F.lit(
-                            float(hi) - float(lo)
-                        )
-                        idx = F.least(
-                            F.lit(n_buckets - 1),
-                            F.greatest(
-                                F.lit(0), F.floor(v * n_buckets).cast("int")
-                            ),
-                        )
-                        expr = F.concat(F.lit("b"), idx.cast("string"))
-                    bucket = (
-                        F.when(F.col("col") == c_, expr)
-                        if bucket is None
-                        else bucket.when(F.col("col") == c_, expr)
+            def _cat_family() -> list[tuple]:
+                base_counts = _cat_value_counts(b, cat_cols)
+                if plans_out is not None:
+                    plans_out["cat"] = (
+                        base_counts._jdf.queryExecution().toString()
                     )
-                pb = (
-                    pooled.select("col", bucket.alias("bucket"), "n_b", "n_c")
-                    .groupBy("col", "bucket")
-                    .agg(F.sum("n_b").alias("sb"), F.sum("n_c").alias("sc"))
-                    .collect()
-                )
-                bc = {(r["col"], r["bucket"]): r["sb"] for r in pb if r["sb"]}
-                cc = {(r["col"], r["bucket"]): r["sc"] for r in pb if r["sc"]}
-                for c_ in numeric_cols:
-                    null_b = nb_rows - em[c_]["nnb"]
-                    null_c = nc_rows - em[c_]["nnc"]
-                    if null_b:
-                        bc[(c_, "NULL")] = null_b
-                    if null_c:
-                        cc[(c_, "NULL")] = null_c
-                out += [
-                    ("psi", col, kind, n_b, n_c, psi, psi_alert, drifted)
+                topk_rows = _topk_values(base_counts, k)
+                # the two folds are independent jobs over the pinned
+                # top-k bucket set — overlap them
+                with ThreadPoolExecutor(max_workers=2) as fold_pool:
+                    f_tb = fold_pool.submit(
+                        _fold_to_buckets, base_counts, topk_rows, cat_cols, k
+                    )
+                    tc = _fold_to_buckets(
+                        _cat_value_counts(c, cat_cols), topk_rows, cat_cols, k
+                    )
+                    tb = f_tb.result()
+                return [
+                    ("topk_psi", col, kind, n_b, n_c, psi, psi_alert, drifted)
                     for col, kind, n_b, n_c, psi, drifted in _psi_rows(
-                        numeric_cols, [], edges, bc, cc, psi_alert
+                        [], cat_cols, {}, tb, tc, psi_alert
                     )
                 ]
-                out += [
-                    ("ks", col, "numeric", n_b, n_c, stat, thr, drifted)
-                    for col, n_b, n_c, stat, thr, drifted in _ks_stat_rows(
-                        pooled, alpha, small_distinct
+
+            def _emb_family() -> list[tuple]:
+                if plans_out is not None:
+                    plans_out["emb"] = (
+                        b.select(F.posexplode(embedding_col))
+                        ._jdf.queryExecution()
+                        .toString()
+                    )
+                (n_b, n_c, _dim, _cos, max_z, _mean_z, z_crit, drifted) = (
+                    _embedding_drift_row(b, c, embedding_col, alpha)
+                )
+                return [
+                    (
+                        "embedding",
+                        embedding_col,
+                        "embedding",
+                        n_b,
+                        n_c,
+                        max_z,
+                        z_crit,
+                        drifted,
                     )
                 ]
-            finally:
-                pooled.unpersist()
-        if cat_cols:
-            base_counts = _cat_value_counts(b, cat_cols)
-            if plans_out is not None:
-                plans_out["cat"] = base_counts._jdf.queryExecution().toString()
-            topk_rows = _topk_values(base_counts, k)
-            tb = _fold_to_buckets(base_counts, topk_rows, cat_cols, k)
-            tc = _fold_to_buckets(
-                _cat_value_counts(c, cat_cols), topk_rows, cat_cols, k
-            )
-            out += [
-                ("topk_psi", col, kind, n_b, n_c, psi, psi_alert, drifted)
-                for col, kind, n_b, n_c, psi, drifted in _psi_rows(
-                    [], cat_cols, {}, tb, tc, psi_alert
-                )
-            ]
-        if embedding_col:
-            if plans_out is not None:
-                plans_out["emb"] = (
-                    b.select(F.posexplode(embedding_col))
-                    ._jdf.queryExecution()
-                    .toString()
-                )
-            (n_b, n_c, _dim, _cos, max_z, _mean_z, z_crit, drifted) = (
-                _embedding_drift_row(b, c, embedding_col, alpha)
-            )
-            out.append(
-                (
-                    "embedding",
-                    embedding_col,
-                    "embedding",
-                    n_b,
-                    n_c,
-                    max_z,
-                    z_crit,
-                    drifted,
-                )
-            )
+
+            futures = []
+            if numeric_cols:
+                futures.append(pool.submit(_numeric_family))
+            if cat_cols:
+                futures.append(pool.submit(_cat_family))
+            if embedding_col:
+                futures.append(pool.submit(_emb_family))
+            for f in futures:
+                out += f.result()
     finally:
         b.unpersist()
         c.unpersist()

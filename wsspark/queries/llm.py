@@ -2948,16 +2948,25 @@ def q_ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     split = F.lit(DRIFT_SPLIT).cast("timestamp")
-    stationary = ks_drift(
-        li.filter(F.col("l_shipdate") < split),
-        li.filter(F.col("l_shipdate") >= split),
-        cols=["l_quantity"],
-    )
-    feed_swap = ks_drift(
-        li.select(F.col("l_extendedprice").alias("price")),
-        part.select(F.col("p_retailprice").alias("price")),
-        cols=["price"],
-    )
+    # The stationarity probe and the feed-swap probe are independent
+    # eager job chains (different column sets; the second mixes in a
+    # different table) — overlap them (guide §2.6). Output assembly
+    # order is fixed, so results are bit-identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_stationary = pool.submit(
+            ks_drift,
+            li.filter(F.col("l_shipdate") < split),
+            li.filter(F.col("l_shipdate") >= split),
+            cols=["l_quantity"],
+        )
+        feed_swap = ks_drift(
+            li.select(F.col("l_extendedprice").alias("price")),
+            part.select(F.col("p_retailprice").alias("price")),
+            cols=["price"],
+        )
+        stationary = f_stationary.result()
     return stationary.unionByName(feed_swap)
 
 
@@ -3376,19 +3385,28 @@ def q_drift_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     split = F.lit(DRIFT_SPLIT).cast("timestamp")
-    tabular = drift_suite(
-        li.filter(F.col("l_shipdate") < split),
-        li.filter(F.col("l_shipdate") >= split),
-        numeric_cols=["l_quantity", "l_extendedprice"],
-        cat_cols=["l_returnflag"],
-        k=100,
-    )
-    emb = read_table(spark, sf_dir, "embeddings")
-    embedded = drift_suite(
-        emb.filter(F.col("vec_id") % 4 < 2),
-        emb.filter(F.col("vec_id") % 4 >= 2),
-        embedding_col="embedding",
-    )
+    # The tabular (lineitem) and embedding (embeddings) suites read
+    # different tables and share nothing — overlap their driver-composed
+    # job chains (guide §2.6); each call is eager, so the sequential
+    # form drained one suite's tail before starting the other.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_tab = pool.submit(
+            drift_suite,
+            li.filter(F.col("l_shipdate") < split),
+            li.filter(F.col("l_shipdate") >= split),
+            numeric_cols=["l_quantity", "l_extendedprice"],
+            cat_cols=["l_returnflag"],
+            k=100,
+        )
+        emb = read_table(spark, sf_dir, "embeddings")
+        embedded = drift_suite(
+            emb.filter(F.col("vec_id") % 4 < 2),
+            emb.filter(F.col("vec_id") % 4 >= 2),
+            embedding_col="embedding",
+        )
+        tabular = f_tab.result()
     return tabular.unionByName(embedded)
 
 

@@ -4832,12 +4832,29 @@ def _rewrite_commit(
     commit_dir = os.path.join(
         _data_dir(root), f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
     )
-    new_data.write.mode("error").parquet(commit_dir)
-    new_files = _list_parquet(commit_dir)
+    # The rewrite data and the change-feed sidecar are independent jobs
+    # writing to disjoint directories (the committer stages each job
+    # under its own _temporary) — overlap them so the COW commit's wall
+    # time is max(data, cdf) instead of their sum (guide §2.6). The
+    # fresh-dir guarantee moves driver-side: os.makedirs on the
+    # uuid-suffixed path raises FileExistsError exactly where
+    # mode("error") would have (a concurrent CDF write landing first
+    # would otherwise trip the data job's existence check).
     if ctx["cdf"] and changes is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        os.makedirs(commit_dir, exist_ok=False)
         cdf_dir = os.path.join(commit_dir, "_cdf")
-        changes.write.mode("error").parquet(cdf_dir)
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _f_data = _pool.submit(
+                lambda: new_data.write.mode("append").parquet(commit_dir)
+            )
+            changes.write.mode("error").parquet(cdf_dir)
+            _f_data.result()
         ctx["cdf_files"] = _list_parquet(cdf_dir)
+    else:
+        new_data.write.mode("error").parquet(commit_dir)
+    new_files = _list_parquet(commit_dir)
     # Deletion-vector consolidation: entries for TOUCHED files would be
     # stale (their replacements have new row indices), so keep only the
     # untouched files' entries, rewritten as one fresh sidecar. Keeping
@@ -5197,14 +5214,23 @@ def snap_update_where(
                 post_exprs.append(F.col(f.name))
         new_data = _source_frame(spark, m, touched).select(*exprs)
         if m.get("cdf"):
+            # both change images from ONE scan of the touched files:
+            # inline(array(pre_struct, post_struct)) emits the
+            # pre/postimage pair per matched row where the old
+            # union-of-two-projections paid a second scan (guide §2.3
+            # — don't compute things twice). Field order and types
+            # match the union form exactly; row multiset is identical
+            # (CDF files are an unordered set to every consumer).
             pre = _source_frame(spark, m, touched).filter(hit)
-            changes = pre.withColumn(
-                "_change_type", F.lit("update_preimage")
-            ).unionByName(
-                pre.select(*post_exprs).withColumn(
-                    "_change_type", F.lit("update_postimage")
-                )
+            img_pre = F.struct(
+                *[F.col(f.name) for f in schema.fields],
+                F.lit("update_preimage").alias("_change_type"),
             )
+            img_post = F.struct(
+                *post_exprs,
+                F.lit("update_postimage").alias("_change_type"),
+            )
+            changes = pre.select(F.inline(F.array(img_pre, img_post)))
     return _rewrite_commit(
         spark, root, m, touched, new_data, "merge", tag, changes=changes
     )
