@@ -1299,10 +1299,6 @@ def drift_suite(
                     edges = {
                         c_: (em[c_]["lo"], em[c_]["hi"]) for c_ in numeric_cols
                     }
-                    rows += _suite_numeric_psi(
-                        pooled, numeric_cols, edges, em, nb_rows, nc_rows,
-                        n_buckets, psi_alert,
-                    )
                     ks_meta = {
                         c_: {
                             "nd": em[c_]["nd"],
@@ -1313,12 +1309,23 @@ def drift_suite(
                         }
                         for c_ in em
                     }
-                    rows += [
-                        ("ks", col, "numeric", n_b, n_c, stat, thr, drifted)
-                        for col, n_b, n_c, stat, thr, drifted in _ks_stat_rows(
-                            pooled, alpha, small_distinct, meta=ks_meta
+                    # the PSI bucket-weighted counts and the KS cumsum
+                    # chain are independent job chains over the pooled
+                    # frame once the fused probe exists — overlap them
+                    with ThreadPoolExecutor(max_workers=1) as leg_pool:
+                        f_psi = leg_pool.submit(
+                            _suite_numeric_psi,
+                            pooled, numeric_cols, edges, em, nb_rows,
+                            nc_rows, n_buckets, psi_alert,
                         )
-                    ]
+                        ks_rows = [
+                            ("ks", col, "numeric", n_b, n_c, stat, thr, dr)
+                            for col, n_b, n_c, stat, thr, dr in _ks_stat_rows(
+                                pooled, alpha, small_distinct, meta=ks_meta
+                            )
+                        ]
+                        rows += f_psi.result()
+                    rows += ks_rows
                 finally:
                     pooled.unpersist()
                 return rows

@@ -1020,9 +1020,17 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids, n_cells = similarity.ivf_build_index(emb)
     # One eager materialization each: 4 query branches reuse the index and
     # codes instead of re-running the N x cells assign / encode per branch.
-    assigned = assigned.localCheckpoint()
-    centroids = centroids.localCheckpoint()
-    books = pq.train_codebooks(emb, m=16, k=32, sample=500)
+    # The two index checkpoints are independent of the codebook training
+    # (a driver-side kmeans over a 500-row sample) — overlap them
+    # (guide §2.6) so the training's collect hides the checkpoint jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_assigned = _pool.submit(assigned.localCheckpoint)
+        _f_centroids = _pool.submit(centroids.localCheckpoint)
+        books = pq.train_codebooks(emb, m=16, k=32, sample=500)
+        assigned = _f_assigned.result()
+        centroids = _f_centroids.result()
     codes = pq.encode(emb, books).localCheckpoint()
     n_probe = similarity.auto_n_probe(n_cells)
     qvecs = {

@@ -4881,8 +4881,9 @@ def _rewrite_commit(
         dv_dir = os.path.join(commit_dir, "_dv")
         live.coalesce(1).write.mode("error").parquet(dv_dir)
         kept_dv = _list_parquet(dv_dir)
-        # an all-stale dv writes an empty (but schema-ful) sidecar; drop it
-        if kept_dv and (spark.read.parquet(*kept_dv).limit(1).count() > 0):
+        # an all-stale dv writes an empty (but schema-ful) sidecar; drop
+        # it — emptiness from the just-written footers, no extra job
+        if kept_dv and sum(_footer_meta(f)["rows"] for f in kept_dv) > 0:
             ctx["dv_files"] = kept_dv
     new_stats = (
         _collect_file_stats(spark, commit_dir, cfg["stats_cols"])
@@ -5289,16 +5290,33 @@ def snap_delete_dv(
             _data_dir(root), f"commit-{version + 1:012d}-{uuid.uuid4().hex[:8]}"
         )
         dv_dir = os.path.join(dv_commit_dir, "_dv")
-        matched.coalesce(1).write.mode("error").parquet(dv_dir)
-        files = _list_parquet(dv_dir)
-        if files and spark.read.parquet(*files).limit(1).count() > 0:
-            new_dv = files
-            if m.get("cdf"):
-                # the change-feed sidecar: deleted rows, full columns
-                cdf_dir = os.path.join(dv_commit_dir, "_cdf")
+        if m.get("cdf"):
+            # the DV sidecar and the change-feed sidecar are independent
+            # jobs over the same matched scan — overlap them (guide
+            # §2.6). If the delete matched nothing, the whole staged dir
+            # (both sidecars) is dropped, so the final state is
+            # identical to the old sequential write-then-check form.
+            from concurrent.futures import ThreadPoolExecutor
+
+            cdf_dir = os.path.join(dv_commit_dir, "_cdf")
+            with ThreadPoolExecutor(max_workers=1) as _pool:
+                _f_dv = _pool.submit(
+                    lambda: matched.coalesce(1).write.mode("error").parquet(
+                        dv_dir
+                    )
+                )
                 matched_rows.select(*schema_cols).withColumn(
                     "_change_type", F.lit("delete")
                 ).write.mode("error").parquet(cdf_dir)
+                _f_dv.result()
+        else:
+            matched.coalesce(1).write.mode("error").parquet(dv_dir)
+        files = _list_parquet(dv_dir)
+        # emptiness from the just-written footers (hot, no data pages,
+        # no extra Spark job — the old limit(1).count() probe)
+        if files and sum(_footer_meta(f)["rows"] for f in files) > 0:
+            new_dv = files
+            if m.get("cdf"):
                 new_cdf = _list_parquet(cdf_dir)
         else:
             import shutil
