@@ -9,13 +9,12 @@ artifact, captured via the query functions' ``plans_out`` hooks where they
 exist. Queries whose returned frame is lazy get the full formatted plan of
 that frame.
 
-Usage: python tools/capture_plans.py <suffix> [sf_dir]
-e.g.   python tools/capture_plans.py before /root/testdata/sf0.01
+Usage: python tools/capture_plans.py <tag> <suffix> [sf_dir]
+e.g.   python tools/capture_plans.py r17 before /root/testdata/sf0.01
 """
 
 from __future__ import annotations
 
-import os
 import sys
 from pathlib import Path
 
@@ -23,9 +22,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
-    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r16"
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r17"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    out_dir = Path(__file__).resolve().parents[1] / "plans" / tag
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from wsspark.session import get_session

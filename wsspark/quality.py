@@ -1329,7 +1329,7 @@ def drift_suite(
                 finally:
                     pooled.unpersist()
                 return rows
-                # bucket the pooled DISTINCT values, weighted by counts —
+
             def _cat_family() -> list[tuple]:
                 base_counts = _cat_value_counts(b, cat_cols)
                 if plans_out is not None:

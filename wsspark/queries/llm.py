@@ -2081,6 +2081,26 @@ def _collect_capped(out, cap: int = SNAPSTORE_RESULT_CAP):
     return rows
 
 
+def _pin_cap_guard(out, cap: int):
+    """Per-partition row-position guard (LocalLimit semantics as a pure
+    JVM expression): keep only the first ``cap + 1`` rows of EACH
+    partition. ``monotonically_increasing_id`` is ``partition_id << 33 |
+    row_in_partition``, so its low 33 bits are the 0-based position
+    within the partition — no shuffle, no extra pass. Any result with
+    <= cap TOTAL rows necessarily has <= cap rows per partition, so the
+    guard passes it through bit-identical; an oversized result is
+    truncated at (cap+1) rows per partition BEFORE materialization, and
+    the truncated count still provably exceeds ``cap`` (either some
+    partition was cut at cap+1 > cap, or nothing was cut and the full
+    count rides through), so the overflow check below fires exactly when
+    the unguarded one would — it just no longer pays to materialize the
+    whole oversized result first."""
+    row_pos = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
+    return out.where(row_pos <= F.lit(cap))
+
+
 def _pin_result(out, cap: int = SNAPSTORE_RESULT_CAP):
     """Materialize a result that must outlive its backing tempdir store
     WITHOUT a driver round-trip (r16 optimization): an eager
@@ -2091,12 +2111,28 @@ def _pin_result(out, cap: int = SNAPSTORE_RESULT_CAP):
     driver twice via pickle (measured 6.5 s for the 591k-row q32 MV at
     sf0.1 vs 0.25 s for the checkpoint; values bit-identical). The
     row-count ceiling survives as a count over the already-materialized
-    blocks (one cheap job) so an sf bump still raises loudly instead of
-    silently growing an unbounded pin a downstream collect would pay
-    for. Cluster caveat, stated: localCheckpoint blocks die with their
-    executor — acceptable for these oracle-gate-sized results, and the
-    failure mode is a recompute error, never a wrong answer."""
-    pinned = out.localCheckpoint(eager=True)
+    blocks (one cheap job), and — r17, restoring ``_collect_capped``'s
+    bounded-work property — the pin itself runs under a per-partition
+    ``cap + 1`` row guard (``_pin_cap_guard``), so an sf bump raises
+    loudly after pinning at most (cap+1) x n_partitions rows instead of
+    first materializing the full oversized result. Cluster caveat,
+    stated: localCheckpoint blocks die with their executor — acceptable
+    for these oracle-gate-sized results (the failure mode is a recompute
+    error, never a wrong answer); deployments where executor loss is
+    routine (preemptible fleets) can set ``WSSPARK_PIN_CHECKPOINT_DIR``
+    to pin through a reliable ``checkpoint()`` to that storage path
+    instead."""
+    import os
+
+    ckpt_dir = os.environ.get("WSSPARK_PIN_CHECKPOINT_DIR")
+    guarded = _pin_cap_guard(out, cap)
+    if ckpt_dir:
+        sc = out.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ckpt_dir)
+        pinned = guarded.checkpoint(eager=True)
+    else:
+        pinned = guarded.localCheckpoint(eager=True)
     if pinned.count() > cap:
         raise ValueError(
             f"snapstore driver query result exceeds the {cap}-row "
@@ -2428,7 +2464,8 @@ FROM lineitem
 
 def q_snapstore_pruned_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r14 metadata plane under a wall-clock + hash gate: a
-    600-file range-clustered snapstore committed in O(1)-HEAD mode
+    ~600-file range-clustered snapstore (ceil(n/600) rows per file via a
+    task-side combined write, r17) committed in O(1)-HEAD mode
     (files_in_detail forced — the path list lives in the parquet detail
     sidecar, the JSON head is constant-size), then the full lifecycle
     the plane exists for:
@@ -2445,6 +2482,7 @@ def q_snapstore_pruned_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     false prune drop all go hash-red; the bench row (q33) makes a
     metadata-plane slowdown a tracked wall-clock regression instead of
     a tool-only number."""
+    import math
     import shutil
     import tempfile
 
@@ -2459,10 +2497,27 @@ def q_snapstore_pruned_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (mutating the env var here would silently flip its metadata mode).
     try:
         with ss.snap_metadata_thresholds(files_inline_max=0):
+            # Task-side combined write (r17, guide §6 small-files): the
+            # same ~600-file range-clustered layout, but written from
+            # defaultParallelism range partitions with a per-file row
+            # budget (ceil(n/600)) instead of one task+commit per file —
+            # each task's locally-sorted output splits into contiguous
+            # narrow-range files, so per-file min/max stats stay exactly
+            # as tight for the prune index while the sink stops paying
+            # 600 task launches/commits (measured 2.62 -> 1.30 s at
+            # sf0.1). Scale-adaptive by construction: file count tracks
+            # the designed 600-file plane at any sf, task count tracks
+            # the cluster.
+            n_rows = li.count()
             ss.snap_commit(
-                li.repartitionByRange(600, "l_orderkey"),
+                li.repartitionByRange(
+                    spark.sparkContext.defaultParallelism, "l_orderkey"
+                ).sortWithinPartitions("l_orderkey"),
                 root,
                 stats_cols=["l_orderkey"],
+                write_options={
+                    "maxRecordsPerFile": str(max(1, math.ceil(n_rows / 600)))
+                },
             )
             dup = li.filter(F.col("l_orderkey") <= 16).withColumn(
                 "l_quantity", F.lit(5.0)

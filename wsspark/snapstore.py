@@ -1278,6 +1278,73 @@ def _session_ts_normalizer(spark: SparkSession):
     return _norm
 
 
+def _footer_file_stats(files: list[str], stats_cols: list[str]) -> dict | None:
+    """Exact per-file min/max of ``stats_cols`` read from the just-written
+    parquet FOOTERS — O(files) metadata-only reads (~35 us/file hot)
+    instead of a Spark job that re-reads every stats column's data pages
+    (guide §6: don't re-scan what the write already summarized). Only the
+    provably-exact type families ride this path: integers (footer min/max
+    is the exact value) and dates (date32 -> datetime.date, the same
+    object the Spark collect yields). Floats (NaN rows are omitted from
+    parquet stats but ARE Spark's max), strings (writers may truncate
+    byte-array stats), timestamps (session-tz normalization) and anything
+    nested return None — the caller falls back to the distributed
+    aggregation, which is always exact. Files with zero rows are skipped
+    (the Spark groupBy never yields them either); a row group missing
+    stats for a non-all-NULL column forces the fallback."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    out: dict = {}
+    for path in files:
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        if md.num_rows == 0:
+            continue
+        # flat-schema name -> parquet column index (nested paths contain
+        # '.' and never equal a plain stats col name -> fallback)
+        col_idx = {}
+        arrow_schema = md.schema.to_arrow_schema()
+        for j in range(md.num_columns):
+            col_idx[md.schema.column(j).path] = j
+        per_col: dict = {}
+        for c in stats_cols:
+            j = col_idx.get(c)
+            if j is None:
+                return None
+            fi = arrow_schema.get_field_index(c)
+            if fi < 0:
+                return None
+            t = arrow_schema.field(fi).type
+            if not (pat.is_integer(t) or pat.is_date(t)):
+                return None
+            mn = mx = None
+            nulls = 0
+            values = 0
+            for g in range(md.num_row_groups):
+                cm = md.row_group(g).column(j)
+                values += md.row_group(g).num_rows
+                st = cm.statistics
+                if st is None:
+                    return None
+                if st.null_count is not None:
+                    nulls += st.null_count
+                if not st.has_min_max:
+                    # legitimate only when the whole row group is NULL
+                    if st.null_count != md.row_group(g).num_rows:
+                        return None
+                    continue
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if mn is None and nulls < values:
+                return None  # stats absent for real values: can't trust
+            per_col[c] = [_json_stat(mn, -1), _json_stat(mx, 1)]
+        out[path] = per_col
+    return out
+
+
 def _collect_file_stats(
     spark: SparkSession,
     commit_dir: str | list[str],
@@ -1286,12 +1353,22 @@ def _collect_file_stats(
 ) -> dict:
     """Per-file min/max of ``stats_cols`` over the just-written commit
     directory (or an explicit file list — ``snap_analyze``'s resident
-    re-profile): ONE distributed aggregation grouped on the hidden
-    ``_metadata.file_path`` column — output is O(files x cols) rows, the
-    only thing the driver ever holds."""
+    re-profile): footer metadata when the column types make that exact
+    (``_footer_file_stats``), else ONE distributed aggregation grouped on
+    the hidden ``_metadata.file_path`` column — output is O(files x cols)
+    rows, the only thing the driver ever holds."""
     from urllib.parse import unquote, urlparse
 
     paths = commit_dir if isinstance(commit_dir, list) else [commit_dir]
+    if schema is None:
+        files = (
+            _list_parquet(commit_dir)
+            if isinstance(commit_dir, str)
+            else [os.path.abspath(f) for f in commit_dir]
+        )
+        fast = _footer_file_stats(files, stats_cols)
+        if fast is not None:
+            return fast
     reader = spark.read.schema(schema) if schema is not None else spark.read
     df = reader.parquet(*paths)
     aggs = []
@@ -1860,8 +1937,16 @@ def snap_commit(
     evolve: bool = False,
     expected_parent: int | None = None,
     maintenance: bool = False,
+    write_options: dict | None = None,
 ) -> int:
     """Publish ``df`` as the next version; returns the version number.
+
+    ``write_options``: extra DataFrameWriter options for the data-file
+    write (e.g. ``{"maxRecordsPerFile": "10000"}`` for a task-side
+    combined write — many range-clustered files from few tasks, guide §6
+    small-files: each writer task splits its sorted output at the row
+    budget instead of paying one task launch + task commit per file).
+    Purely a physical-layout knob: the committed rows are unchanged.
 
     ``expected_parent`` (optional): raise ``SnapshotConflict`` unless the
     store's CURRENT version still equals it at resolve time — the
@@ -1909,7 +1994,10 @@ def snap_commit(
     commit_dir = os.path.join(
         _data_dir(root), f"commit-{ctx['version']:012d}-{uuid.uuid4().hex[:8]}"
     )
-    df.write.mode("error").parquet(commit_dir)
+    writer = df.write.mode("error")
+    if write_options:
+        writer = writer.options(**write_options)
+    writer.parquet(commit_dir)
     # Background heartbeat: vacuum measures staged grace from the dir's
     # LAST activity, and a SINGLE stats/bloom job can outlive the grace
     # window — beating only between jobs leaves the files collectable
@@ -4844,6 +4932,11 @@ def _rewrite_commit(
         from concurrent.futures import ThreadPoolExecutor
 
         os.makedirs(commit_dir, exist_ok=False)
+        # belt-and-braces for the mode("append") data write below: the
+        # makedirs just created this uuid-suffixed dir, so no pre-existing
+        # .parquet can be silently absorbed into new_files (r16 advisor
+        # note) — assert the invariant where the append relies on it
+        assert not _list_parquet(commit_dir), commit_dir
         cdf_dir = os.path.join(commit_dir, "_cdf")
         with ThreadPoolExecutor(max_workers=1) as _pool:
             _f_data = _pool.submit(
