@@ -619,7 +619,13 @@ def build_corpus(
     kept = flagged.filter(F.col("filter_reason") == "KEEP").drop(
         "n_tokens", "stopword_ratio", "avg_token_len", "filter_reason"
     )
-    pairs = dedup.minhash_dedup_pairs(kept, threshold=dedup_threshold)
+    # postjoin_verify: the kept docs' lineage (quality-gated corpus scan)
+    # is expensive to re-derive for the two verification sides — compute
+    # shingles only for candidate rows instead (guide §2.3; see
+    # minhash_dedup_pairs)
+    pairs = dedup.minhash_dedup_pairs(
+        kept, threshold=dedup_threshold, postjoin_verify=True
+    )
     cc = dedup.connected_components(pairs)
     non_rep = cc.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")

@@ -357,15 +357,57 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     shingle_k: int = DEFAULT_SHINGLE,
     max_bucket_size: int | None = None,
+    postjoin_verify: bool = False,
 ) -> DataFrame:
     """Scale-path near-dup detection: LSH candidates, then *exact* Jaccard
     verification of candidates only (estimated-signature similarity is never
     reported — candidates are re-checked against true shingle sets).
     ``max_bucket_size`` (see lsh_candidate_pairs) caps pathological
     boilerplate buckets on hyper-duplicated corpora; leave None for exact
-    pairwise semantics."""
+    pairwise semantics.
+
+    ``postjoin_verify`` (r17, guide §2.3): compute the verification
+    shingle arrays AFTER the candidate join — the join sides carry only
+    (id, raw text), so shingles are built solely for candidate rows
+    instead of two more corpus-wide shingle passes. Wins when the doc
+    lineage is expensive to re-derive (the corpus build's quality-gated
+    scan: −0.9 to −1.1 s on the sf0.1 pairs plan, rows bit-identical);
+    LOSES when the sides read an already-materialized exchange the old
+    shape reuses for free (the plain registered query repartitions docs
+    once and all three consumers share that shuffle — measured +0.1-0.2 s
+    there), hence a caller opt-in rather than a default. The candidate
+    shingle arrays sit behind a lazy localCheckpoint barrier: without it,
+    filter pushdown inlines the full shingle expression into the join
+    condition AND the output projection (~6 evaluations per candidate
+    row). Both shapes return identical rows."""
     sigs = minhash_signatures(docs, num_hashes, text_col, id_col, shingle_k)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes, max_bucket_size)
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    if postjoin_verify:
+        a = docs.select(
+            F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")
+        )
+        b = docs.select(
+            F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb")
+        )
+        pair_sh = (
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                word_shingles("_ta", shingle_k).alias("sh_a"),
+                word_shingles("_tb", shingle_k).alias("sh_b"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        return pair_sh.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
     # (Measured: checkpointing this shingle frame too does NOT pay — the
     # arrays cost more to materialize than to recompute per side.)
     sh = docs.select(
@@ -373,11 +415,6 @@ def minhash_dedup_pairs(
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        4,
-    )
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
