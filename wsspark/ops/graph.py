@@ -75,23 +75,36 @@ def pagerank(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    nodes = _ckpt(
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    n = nodes.count()
+    # The node set and the transition matrix are INDEPENDENT derivations
+    # of the edge frame — two eager checkpoints that each re-execute the
+    # caller's edge plan. Overlap them (guide §2.6): the transition
+    # build runs on a driver thread while the node checkpoint + count
+    # run here, so the setup wall time is max(nodes, trans) instead of
+    # their sum.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_trans() -> DataFrame:
+        out_w = edges.groupBy(src).agg(F.sum(weight).alias("_ow"))
+        return _ckpt(
+            edges.join(out_w, src)
+            .select(
+                F.col(src).alias("_src"),
+                F.col(dst).alias("_dst"),
+                (F.col(weight).cast("double") / F.col("_ow")).alias("_p"),
+            )
+        )
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _f_trans = _pool.submit(_build_trans)
+        nodes = _ckpt(
+            edges.select(F.col(src).alias("node"))
+            .unionByName(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+        n = nodes.count()
+        trans = _f_trans.result()
     if n == 0:
         raise ValueError("pagerank: empty edge frame (no nodes)")
-    out_w = edges.groupBy(src).agg(F.sum(weight).alias("_ow"))
-    trans = _ckpt(
-        edges.join(out_w, src)
-        .select(
-            F.col(src).alias("_src"),
-            F.col(dst).alias("_dst"),
-            (F.col(weight).cast("double") / F.col("_ow")).alias("_p"),
-        )
-    )
     has_out = trans.select(
         F.col("_src").alias("node"), F.lit(True).alias("_has_out")
     ).distinct()
