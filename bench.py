@@ -394,18 +394,39 @@ def main() -> None:
     # tracked decade — the metadata plane (q33), the fused drift suite
     # (q31, one stacked scan at any width), and the corpus scorecard
     # (q22, the quality->dedup->chunk->pack fusion).
+    # r17 (additions only, per the optimization-round contract): q30's
+    # distinct-value-bounded KS and q32's O(delta) CDF refresh join the
+    # decade — their fixed-cost-removal story is exactly the claim that
+    # needs a 10x point.
     sf1_labels = {
         s.strip()
         for s in os.environ.get(
             "SPARK_GRAFT_SF1_QUERIES",
-            "q33_snapstore_metadata,q31_drift_suite,q22_corpus_build",
+            "q33_snapstore_metadata,q31_drift_suite,q22_corpus_build,"
+            "q30_ks_drift,q32_cdf_ivm",
         ).split(",")
         if s.strip()
     }
     if not only and sf1_labels and os.path.isdir(sf1_dir):
         dispersion.clear()
         only.update(sf1_labels)
-        sf1_timings = run_suite(sf1_dir)
+        # r17: q32's MV result is itself ~O(table) rows on this synthetic
+        # keyspace, so the 10x decade legitimately exceeds the default
+        # 1M-row pin ceiling. Raise the cap FOR THE DECADE SUITE ONLY
+        # (documented in OPTIMIZATION_r17.md): the pin keeps rows in the
+        # executors' block store, never the driver, and the primary-sf
+        # rows above ran under the unchanged default.
+        _prev_cap = os.environ.get("WSSPARK_SNAPSTORE_RESULT_CAP")
+        os.environ["WSSPARK_SNAPSTORE_RESULT_CAP"] = os.environ.get(
+            "SPARK_GRAFT_SF1_RESULT_CAP", "20000000"
+        )
+        try:
+            sf1_timings = run_suite(sf1_dir)
+        finally:
+            if _prev_cap is None:
+                os.environ.pop("WSSPARK_SNAPSTORE_RESULT_CAP", None)
+            else:
+                os.environ["WSSPARK_SNAPSTORE_RESULT_CAP"] = _prev_cap
         only.clear()
         if sf1_timings:
             scales["1"] = {

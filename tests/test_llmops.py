@@ -1291,3 +1291,54 @@ def test_append_ivf_store_equals_rebuild(spark, sf_dir, tmp_path):
         ).select("centroid_id").distinct().collect()
     }
     assert assigned_cells <= cells
+
+
+def test_pin_result_cap_bounds_work_and_raises(spark, tmp_path):
+    """r17 (advisor pin): ``_pin_result`` must fail FAST on an oversized
+    result — the per-partition cap guard truncates materialization at
+    (cap+1) rows per partition instead of pinning the whole result before
+    counting — while any in-cap result passes through bit-identical."""
+    from pyspark.sql import functions as F
+
+    from wsspark.queries.llm import _pin_cap_guard, _pin_result
+
+    big = spark.range(0, 300).repartition(3)
+    # bounded-work property: the guard keeps at most cap+1 rows PER
+    # PARTITION (3 x 11 = 33 here), yet still provably exceeds the cap
+    guarded_n = _pin_cap_guard(big, 10).count()
+    assert guarded_n <= 3 * 11 and guarded_n > 10
+    try:
+        _pin_result(big, cap=10)
+        raise AssertionError("oversized result did not raise")
+    except ValueError as e:
+        assert "materialization cap" in str(e)
+
+    # in-cap results ride through unchanged (values AND row multiset)
+    small = spark.range(0, 7).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    ).repartition(4)
+    pinned = _pin_result(small, cap=10)
+    assert sorted((r.id, r.v) for r in pinned.collect()) == [
+        (i, i * 3) for i in range(7)
+    ]
+
+
+def test_pin_result_reliable_checkpoint_flag(spark, tmp_path, monkeypatch):
+    """WSSPARK_PIN_CHECKPOINT_DIR switches the pin from localCheckpoint to
+    a reliable storage-backed checkpoint rooted there (for preemptible
+    fleets); values are unchanged and the checkpoint dir is populated."""
+    import os
+
+    from wsspark.queries.llm import _pin_result
+
+    ckpt = str(tmp_path / "reliable")
+    monkeypatch.setenv("WSSPARK_PIN_CHECKPOINT_DIR", ckpt)
+    df = spark.range(0, 9)
+    pinned = _pin_result(df, cap=100)
+    assert sorted(r.id for r in pinned.collect()) == list(range(9))
+    found = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(ckpt)
+        for f in fn
+    ]
+    assert found, "reliable checkpoint dir not populated"

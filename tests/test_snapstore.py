@@ -2829,3 +2829,107 @@ def test_metadata_thresholds_are_context_local(spark, tmp_path):
     head = json.load(open(ss._manifest_path(root, 0)))
     assert head.get("files_in_detail") and "files" not in head
     assert ss.snap_count(root) == 20
+
+
+def test_rewrite_commit_concurrent_data_cdf_order_independent(
+    spark, tmp_path
+):
+    """r17 (advisor pin): ``_rewrite_commit`` writes the COW data and the
+    CDF sidecar as CONCURRENT jobs — the commit must be correct whichever
+    side lands first. A per-row sleepy nondeterministic filter (always
+    true, so the rows are unchanged) delays one side past the other, and
+    the end state + feed are asserted identical for both forced orders."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    def _sleepy(ms: int):
+        @F.udf(T.BooleanType())
+        def _f(_id):
+            _time.sleep(ms / 1000.0)
+            return True
+
+        return _f.asNondeterministic()
+
+    def _run(order: str, root: str) -> tuple[list, list]:
+        ss.snap_commit(_df(spark, 0, 12), root)                     # v0
+        v_en = ss.snap_enable_cdf(root)                             # v1
+        m = ss._read_manifest(root, ss.snap_current_version(root))
+        base = ss.snap_read(spark, root)
+        new_data = base.select("id", (F.col("val") + 1).alias("val"))
+        pre = base.select(
+            "id", "val", F.lit("update_preimage").alias("_change_type")
+        )
+        post = new_data.select(
+            "id", "val", F.lit("update_postimage").alias("_change_type")
+        )
+        changes = pre.unionByName(post)
+        slow = _sleepy(40)
+        if order == "cdf_first":       # data job (pooled) lands LAST
+            new_data = new_data.filter(slow(F.col("id")))
+        else:                          # CDF (main thread) lands LAST
+            changes = changes.filter(slow(F.col("id")))
+        v = ss._rewrite_commit(
+            spark, root, m, list(m["files"]), new_data, "merge", None,
+            changes=changes,
+        )
+        head = ss._read_manifest(root, v)
+        assert head["cdf_files"], "CDF sidecar missing from the manifest"
+        state = sorted(
+            (r.id, r.val) for r in ss.snap_read(spark, root).collect()
+        )
+        feed = sorted(
+            (r.id, r.val, r._change_type)
+            for r in ss.snap_read_changes_cdf(spark, root, v_en).collect()
+        )
+        return state, feed
+
+    s1, f1 = _run("cdf_first", str(tmp_path / "a"))
+    s2, f2 = _run("data_first", str(tmp_path / "b"))
+    assert s1 == s2 == [(i, i * 2 + 1) for i in range(12)]
+    assert f1 == f2
+    assert len(f1) == 24  # 12 preimages + 12 postimages
+
+
+def test_delete_dv_concurrent_sidecars_order_independent(
+    spark, tmp_path, monkeypatch
+):
+    """r17 (advisor pin): ``snap_delete_dv`` writes the DV sidecar (pooled
+    job) and the CDF sidecar (main thread) concurrently. Forcing the
+    pooled DV write to START after the CDF write completed (a delaying
+    ThreadPoolExecutor) must leave the same end state the default
+    interleaving produces."""
+    import concurrent.futures as _cf
+    import time as _time
+
+    class _DelayedPool(_cf.ThreadPoolExecutor):
+        def submit(self, fn, *a, **kw):
+            def _late():
+                _time.sleep(0.4)
+                return fn()
+
+            return super().submit(_late, *a, **kw)
+
+    def _run(root: str, delay: bool) -> tuple[int, list, list]:
+        ss.snap_commit(_df(spark, 0, 10), root)                     # v0
+        v_en = ss.snap_enable_cdf(root)                             # v1
+        if delay:
+            monkeypatch.setattr(
+                "concurrent.futures.ThreadPoolExecutor", _DelayedPool
+            )
+        try:
+            ss.snap_delete_dv(spark, root, "id >= 6")               # v2
+        finally:
+            monkeypatch.undo()
+        state = sorted(r.id for r in ss.snap_read(spark, root).collect())
+        feed = sorted(
+            (r.id, r._change_type)
+            for r in ss.snap_read_changes_cdf(spark, root, v_en).collect()
+        )
+        return ss.snap_count(root), state, feed
+
+    got_delayed = _run(str(tmp_path / "a"), delay=True)
+    got_default = _run(str(tmp_path / "b"), delay=False)
+    assert got_delayed == got_default
+    assert got_delayed[0] == 6 and got_delayed[1] == list(range(6))
+    assert got_delayed[2] == [(i, "delete") for i in range(6, 10)]

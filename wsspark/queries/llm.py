@@ -2065,13 +2065,26 @@ LOOKUP_ORDERKEYS = (1, 3, 100)
 # materialize the result to the driver before deleting it. That is safe
 # only while the result stays oracle-gate-sized — cap it so an sf bump
 # can never silently turn the pattern into a fact-sized driver collect.
+# WSSPARK_SNAPSTORE_RESULT_CAP overrides (r17): since the pin keeps rows
+# in the executors' block store (never the driver), a scale-extension
+# bench (the sf1 decade) may legitimately raise the ceiling for a
+# measured run; the default stays the oracle-gate bound.
 SNAPSTORE_RESULT_CAP = 1_000_000
 
 
-def _collect_capped(out, cap: int = SNAPSTORE_RESULT_CAP):
+def _result_cap() -> int:
+    import os
+
+    return int(
+        os.environ.get("WSSPARK_SNAPSTORE_RESULT_CAP", SNAPSTORE_RESULT_CAP)
+    )
+
+
+def _collect_capped(out, cap: int | None = None):
     """collect() with an explicit ceiling: limit(cap+1) bounds the driver
     transfer even when the check fails, and overflowing raises instead of
     OOMing the driver."""
+    cap = _result_cap() if cap is None else cap
     rows = out.limit(cap + 1).collect()
     if len(rows) > cap:
         raise ValueError(
@@ -2101,7 +2114,7 @@ def _pin_cap_guard(out, cap: int):
     return out.where(row_pos <= F.lit(cap))
 
 
-def _pin_result(out, cap: int = SNAPSTORE_RESULT_CAP):
+def _pin_result(out, cap: int | None = None):
     """Materialize a result that must outlive its backing tempdir store
     WITHOUT a driver round-trip (r16 optimization): an eager
     ``localCheckpoint`` pins the computed partitions in the block store
@@ -2124,6 +2137,7 @@ def _pin_result(out, cap: int = SNAPSTORE_RESULT_CAP):
     instead."""
     import os
 
+    cap = _result_cap() if cap is None else cap
     ckpt_dir = os.environ.get("WSSPARK_PIN_CHECKPOINT_DIR")
     guarded = _pin_cap_guard(out, cap)
     if ckpt_dir:

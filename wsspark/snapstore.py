@@ -5094,14 +5094,23 @@ def snap_merge(
     missing = [c for c in on if c not in source.columns]
     if missing:
         raise ValueError(f"merge keys not in source: {missing}")
-    dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
-    if dup:
-        raise ValueError(
-            f"source is not key-unique on {on}: e.g. "
-            + ", ".join(f"{c}={dup[0][c]!r}" for c in on)
+    def _dup_check() -> None:
+        dup = (
+            source.groupBy(*on)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
         )
+        if dup:
+            raise ValueError(
+                f"source is not key-unique on {on}: e.g. "
+                + ", ".join(f"{c}={dup[0][c]!r}" for c in on)
+            )
+
     keys = source.select(*on).distinct()
     if not m["files"]:
+        _dup_check()
         touched: list[str] = []
         new_data = source if when_not_matched == "insert" else source.limit(0)
         changes = (
@@ -5120,10 +5129,19 @@ def snap_merge(
     # by-source delete (unmatched rows live anywhere): full list there.
     cand = m["files"]
     if when_not_matched_by_source != "delete":
-        bounds = keys.agg(
-            *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(on)],
-            *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(on)],
-        ).collect()[0]
+        # the key-uniqueness probe and the key-bounds aggregation are
+        # independent jobs over the source — overlap them (guide §2.6;
+        # both are read-only, so raising the dup error after the bounds
+        # land changes nothing observable)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _f_dup = _pool.submit(_dup_check)
+            bounds = keys.agg(
+                *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(on)],
+                *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(on)],
+            ).collect()[0]
+            _f_dup.result()
         norm = _session_ts_normalizer(spark)
         ts_keys = {
             f.name
@@ -5141,6 +5159,8 @@ def snap_merge(
             kept = set(per) if kept is None else kept & set(per)
         if kept is not None:
             cand = [f for f in m["files"] if f in kept]
+    else:
+        _dup_check()
     touched_rows = _source_frame(spark, m, cand, file_col="_sf").select(
         *on, "_sf"
     )
