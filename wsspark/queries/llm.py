@@ -1029,9 +1029,11 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _f_assigned = _pool.submit(assigned.localCheckpoint)
         _f_centroids = _pool.submit(centroids.localCheckpoint)
         books = pq.train_codebooks(emb, m=16, k=32, sample=500)
+        # encode depends only on the trained books — start it on this
+        # thread while the index checkpoints drain their tails (r17)
+        codes = pq.encode(emb, books).localCheckpoint()
         assigned = _f_assigned.result()
         centroids = _f_centroids.result()
-    codes = pq.encode(emb, books).localCheckpoint()
     n_probe = similarity.auto_n_probe(n_cells)
     qvecs = {
         r.vec_id: np.asarray(r.embedding, dtype=np.float64)
